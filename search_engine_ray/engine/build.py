@@ -1,0 +1,153 @@
+"""Index-build pipeline orchestration (the `index` entry point).
+
+Reference lifecycle (/root/reference/src/Program.cs:35-68 + Indexer.cs):
+scan files -> per-worker in-RAM index -> barrier -> serial merge -> one
+binary blob.  Ray-native restatement (SURVEY.md §3.1):
+
+  plan fragments (footer metadata only, deterministic docID bases)
+    -> map_batches(SegmentBuilder, actor pool)   [stage 1: streams, no shuffle]
+         each fragment atomically writes docs/ + segments/ parts and a
+         manifest JSON (the checkpoint commit marker)
+    -> global stats from manifests (n_docs, avgdl)  [tiny driver reduce]
+    -> read_parquet(segments) -> groupby(bucket, shard)
+         -> map_groups(vectorized merge)         [stage 2: THE shuffle]
+    -> write_parquet(postings/), terms table, stats.json, .complete marker
+
+Resume: stage 1 skips any fragment whose manifest exists (no data read);
+stage 2 is idempotent and re-runs only if the .complete marker is absent.
+Output is a directory of Parquet segments, never one giant file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ..config import BuildConfig
+from .merge import add_merge_keys, make_merge_fn, POSTINGS_SCHEMA
+from .reader import plan_fragments
+from .segments import SegmentBuilder
+
+
+def build_index(
+    input_path: str | list[str],
+    index_dir: str,
+    config: BuildConfig | None = None,
+    source_column: str = "html",
+    name_column: str = "url",
+    term_buckets: int = 32,
+    overwrite: bool = False,
+) -> dict:
+    """Build (or resume building) the inverted index.  Returns stats dict."""
+    config = config or BuildConfig()
+    if overwrite and os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
+    os.makedirs(index_dir, exist_ok=True)
+
+    complete_marker = os.path.join(index_dir, ".complete")
+    if os.path.exists(complete_marker):
+        with open(os.path.join(index_dir, "stats.json")) as fh:
+            return json.load(fh)
+
+    fragments = plan_fragments(input_path)
+    plan_path = os.path.join(index_dir, "build_plan.json")
+    if os.path.exists(plan_path):
+        with open(plan_path) as fh:
+            prior = json.load(fh)
+        current = [f.to_dict() for f in fragments]
+        if prior != current:
+            raise ValueError(
+                "input layout changed since the interrupted build; "
+                "docID assignment would differ — rebuild with overwrite=True"
+            )
+    else:
+        with open(plan_path + ".tmp", "w") as fh:
+            json.dump([f.to_dict() for f in fragments], fh)
+        os.replace(plan_path + ".tmp", plan_path)
+
+    # ---- stage 1: per-fragment segments (streams; no shuffle) ----
+    frag_ds = ray.data.from_items([f.to_dict() for f in fragments])
+    concurrency = config.segment_concurrency
+    manifest_ds = frag_ds.map_batches(
+        SegmentBuilder,
+        fn_constructor_kwargs=dict(
+            index_dir=index_dir,
+            config=config,
+            source_column=source_column,
+            name_column=name_column,
+        ),
+        batch_size=1,
+        concurrency=concurrency or (1, max(2, int(ray.cluster_resources().get("CPU", 4)))),
+        num_cpus=1,
+    )
+    manifests = manifest_ds.to_pandas()  # tiny: one row per fragment
+
+    n_docs = int(manifests["n_docs"].sum())
+    sum_dl = int(manifests["sum_dl"].sum())
+    avgdl = sum_dl / n_docs if n_docs else 0.0
+
+    # ---- stage 2: the term shuffle ----
+    postings_dir = os.path.join(index_dir, "postings")
+    terms_path = os.path.join(index_dir, "terms.parquet")
+    if os.path.isdir(postings_dir):
+        shutil.rmtree(postings_dir)  # idempotent re-run of an interrupted merge
+
+    seg_ds = ray.data.read_parquet(os.path.join(index_dir, "segments"))
+    keyed = seg_ds.map_batches(
+        add_merge_keys,
+        fn_kwargs=dict(frags_per_shard=config.frags_per_shard, term_buckets=term_buckets),
+        batch_format="pyarrow",
+    )
+    merged = keyed.groupby(["bucket", "shard"]).map_groups(
+        make_merge_fn(config, avgdl), batch_format="pyarrow"
+    )
+    merged.write_parquet(postings_dir)
+
+    # terms table: df per term (A4 materialized) — a small second aggregate
+    # over block metadata, no posting payload moves.
+    post_meta = ray.data.read_parquet(postings_dir, columns=["term", "n"])
+    terms_df = (
+        post_meta.groupby("term")
+        .sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "df"})
+        .sort_values("term", ignore_index=True)
+    )
+    tmp = terms_path + ".tmp"
+    pq.write_table(
+        pa.table(
+            {
+                "term": pa.array(terms_df["term"], pa.string()),
+                "df": pa.array(terms_df["df"].astype(np.int64), pa.int64()),
+            }
+        ),
+        tmp,
+    )
+    os.replace(tmp, terms_path)
+
+    stats = {
+        "n_docs": n_docs,
+        "sum_dl": sum_dl,
+        "avgdl": avgdl,
+        "n_terms": int(len(terms_df)),
+        "n_postings": int(manifests["n_postings"].sum()),
+        "n_fragments": len(fragments),
+        "options": config.options.to_dict(),
+        "bm25": {"k1": config.bm25.k1, "k3": config.bm25.k3, "b": config.bm25.b},
+        "block_entries": config.block_entries,
+        "frags_per_shard": config.frags_per_shard,
+        "term_buckets": term_buckets,
+    }
+    with open(os.path.join(index_dir, "stats.json.tmp"), "w") as fh:
+        json.dump(stats, fh)
+    os.replace(os.path.join(index_dir, "stats.json.tmp"), os.path.join(index_dir, "stats.json"))
+    with open(complete_marker, "w") as fh:
+        fh.write("ok")
+    return stats

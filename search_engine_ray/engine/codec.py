@@ -1,0 +1,93 @@
+"""Delta + VByte posting compression (vectorized numpy, no per-row loops).
+
+Replaces the reference's raw ``(int32 docId, uint16 tf)*`` dump
+(/root/reference/src/Indexing/WriteableIndex.cs:154-188) with the standard
+compressed layout for web-scale posting lists: docIDs are delta-gapped then
+VByte-encoded (7 data bits per byte, high bit terminates a value,
+little-endian groups); tfs and doc lengths are VByte-encoded directly.
+
+Both directions are O(max_bytes_per_value) vectorized passes (<= 10 numpy
+ops over the whole array), so encode/decode speed scales with memory
+bandwidth, not Python overhead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAX_BYTES = 10  # enough for uint64
+
+
+def vbyte_encode_offsets(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """VByte-encode a non-negative int array.
+
+    Returns ``(bytes_u8, ends)`` where ``ends[i]`` is the byte offset one
+    past value i — callers slice the single buffer into contiguous runs
+    (e.g. one slice per 128-entry posting block) with zero re-encoding.
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    mask = tmp > 0
+    while mask.any():
+        nbits[mask] += 1
+        tmp >>= np.uint64(1)
+        mask = tmp > 0
+    nbytes = np.maximum((nbits + 6) // 7, 1)
+    ends = np.cumsum(nbytes)
+    total = int(ends[-1])
+    out = np.zeros(total, dtype=np.uint8)
+    starts = ends - nbytes
+    shifted = v.copy()
+    maxb = int(nbytes.max())
+    for j in range(maxb):
+        sel = nbytes > j
+        out[starts[sel] + j] = (shifted[sel] & np.uint64(0x7F)).astype(np.uint8)
+        shifted = shifted >> np.uint64(7)
+    out[ends - 1] |= 0x80  # terminator bit on the last byte of each value
+    return out, ends
+
+
+def vbyte_encode(values: np.ndarray) -> bytes:
+    """VByte-encode a non-negative int array."""
+    out, _ends = vbyte_encode_offsets(values)
+    return out.tobytes()
+
+
+def vbyte_decode(buf: bytes, count: int | None = None) -> np.ndarray:
+    data = np.frombuffer(buf, dtype=np.uint8)
+    if data.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = np.flatnonzero(data & 0x80)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    values = np.zeros(len(ends), dtype=np.uint64)
+    maxb = int(lengths.max())
+    for j in range(maxb):
+        sel = lengths > j
+        values[sel] |= (data[starts[sel] + j] & np.uint64(0x7F)).astype(np.uint64) << np.uint64(7 * j)
+    if count is not None and len(values) != count:
+        raise ValueError(f"decoded {len(values)} values, expected {count}")
+    return values
+
+
+def delta_encode(doc_ids: np.ndarray) -> bytes:
+    """Delta-gap (strictly ascending ids) then VByte."""
+    ids = np.asarray(doc_ids, dtype=np.int64)
+    if ids.size == 0:
+        return b""
+    gaps = np.empty_like(ids)
+    gaps[0] = ids[0]
+    np.subtract(ids[1:], ids[:-1], out=gaps[1:])
+    if ids.size > 1 and gaps[1:].min() <= 0:
+        raise ValueError("doc_ids must be strictly ascending")
+    return vbyte_encode(gaps.astype(np.uint64))
+
+
+def delta_decode(buf: bytes, count: int | None = None) -> np.ndarray:
+    gaps = vbyte_decode(buf, count)
+    return np.cumsum(gaps.astype(np.int64))

@@ -1,0 +1,194 @@
+"""Stage 2 of the index build: the term-keyed shuffle.
+
+The reference folds per-worker indexes serially on one thread with docID
+rebasing (/root/reference/src/Indexing/Indexer.cs:100-112,
+WriteableIndex.cs:74-100).  Here the merge is the one genuine all-to-all:
+
+    read_parquet(segments) -> groupby(bucket, shard) -> map_groups(merge)
+
+Keys and skew (SURVEY.md §4, §7.4.3):
+
+- ``bucket = crc32(term) % term_buckets`` coarsens the exchange so one
+  group carries MANY terms and the per-group merge is a single vectorized
+  pass (lexsort + reduceat), not a Python call per term.
+- ``shard = frag_id // frags_per_shard`` caps any group's payload by doc
+  range: a head term (df ~ N, e.g. a disabled stopword) is merged
+  per-shard into independent fixed-size blocks and is NEVER concatenated
+  into one payload anywhere — block-max WAND consumes blocks
+  independently.  Blocks are globally docID-ordered because fragments
+  (hence shards) own disjoint ascending docID ranges.
+
+Each output block row carries delta+VByte-compressed postings (one
+vectorized encode per group, sliced zero-copy per block) plus
+idf-independent score-bound metadata:
+
+    ub_tfn / lb_tfn = max / min over the block of tf/(tf + k1*(1-b+b*dl/avgdl))
+    ub_logtf        = max ln(1+tf)
+
+so query-time bounds are ``idf * (ub_tfn if idf>0 else lb_tfn) * qtf_factor``
+(BM25) and ``idf * ub_logtf`` (TF-IDF >= 0).  df/idf live in the separate
+tiny ``terms`` table and never force block rewrites.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import BuildConfig
+from .codec import vbyte_encode_offsets
+
+POSTINGS_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("shard", pa.int32()),
+        ("block_no", pa.int32()),
+        ("n", pa.int32()),
+        ("first_doc", pa.int64()),
+        ("last_doc", pa.int64()),
+        ("docs_enc", pa.binary()),
+        ("tfs_enc", pa.binary()),
+        ("dls_enc", pa.binary()),
+        ("ub_tfn", pa.float32()),
+        ("lb_tfn", pa.float32()),
+        ("ub_logtf", pa.float32()),
+    ]
+)
+
+
+def term_bucket_array(terms: pa.Array, n_buckets: int) -> pa.Array:
+    """Stable bucket id per term (crc32 over utf-8, mod n_buckets).
+
+    Computed over the dictionary-encoded uniques only — the Python crc32
+    loop touches each distinct term once per batch.
+    """
+    denc = terms.dictionary_encode() if not isinstance(terms, pa.DictionaryArray) else terms
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    uniq = denc.dictionary.to_pylist()
+    buckets = np.asarray(
+        [zlib.crc32(t.encode("utf-8")) % n_buckets for t in uniq], dtype=np.int32
+    )
+    codes = np.asarray(denc.indices, dtype=np.int64)
+    return pa.array(buckets[codes] if len(codes) else np.empty(0, np.int32), pa.int32())
+
+
+def add_merge_keys(batch: pa.Table, frags_per_shard: int, term_buckets: int) -> pa.Table:
+    term_col = batch["term"].combine_chunks() if isinstance(batch["term"], pa.ChunkedArray) else batch["term"]
+    shard = pc.cast(pc.divide(batch["frag_id"], frags_per_shard), pa.int32())
+    bucket = term_bucket_array(term_col, term_buckets)
+    return batch.append_column("shard", shard).append_column("bucket", bucket)
+
+
+def _sliced_binary(data: np.ndarray, value_ends: np.ndarray, block_starts: np.ndarray, n_values: int) -> pa.Array:
+    """Zero-copy BinaryArray: one slice of the shared encode buffer per block."""
+    n_blocks = len(block_starts)
+    offsets = np.empty(n_blocks + 1, dtype=np.int32)
+    offsets[0] = 0
+    # byte offset at the start of each block = end offset of previous value
+    starts_prev = block_starts - 1
+    byte_starts = np.where(block_starts > 0, value_ends[starts_prev], 0)
+    offsets[:-1] = byte_starts
+    offsets[-1] = value_ends[-1] if n_values else 0
+    return pa.Array.from_buffers(
+        pa.binary(),
+        n_blocks,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())],
+    )
+
+
+def make_merge_fn(config: BuildConfig, avgdl: float):
+    """map_groups callable for one (bucket, shard) group — many terms, one pass."""
+    k1 = config.bm25.k1
+    b = config.bm25.b
+    bk = config.block_entries
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return POSTINGS_SCHEMA.empty_table()
+        shard = group["shard"][0].as_py()
+
+        term_col = group["term"].combine_chunks() if isinstance(group["term"], pa.ChunkedArray) else group["term"]
+        denc = term_col.dictionary_encode()
+        codes = np.asarray(denc.indices, dtype=np.int64)
+        min_doc = np.asarray(group["min_doc"])
+
+        # order segment rows by (term, min_doc); disjoint fragment doc
+        # ranges make the per-term concatenation globally docID-sorted
+        # (streaming analogue of PostingList.Append, PostingList.cs:84-120).
+        order = np.lexsort((min_doc, codes))
+        tbl = group.select(["doc_ids", "tfs", "dls"]).take(pa.array(order))
+        codes = codes[order]
+
+        doc_list = tbl["doc_ids"].combine_chunks()
+        row_lens = np.asarray(pc.list_value_length(doc_list), dtype=np.int64)
+        doc_ids = np.asarray(doc_list.flatten())
+        tfs = np.asarray(tbl["tfs"].combine_chunks().flatten(), dtype=np.int64)
+        dls = np.asarray(tbl["dls"].combine_chunks().flatten(), dtype=np.int64)
+
+        # uint16 tf semantics: the reference's ushort wraps unchecked
+        # (PostingList.cs:32,47); we saturate at 65535 (documented deviation,
+        # unreachable in fixtures).
+        np.minimum(tfs, 65535, out=tfs)
+
+        # per-term flat ranges
+        row_term_change = np.empty(len(codes), dtype=bool)
+        row_term_change[0] = True
+        np.not_equal(codes[1:], codes[:-1], out=row_term_change[1:])
+        flat_row_starts = np.concatenate(([0], np.cumsum(row_lens)[:-1]))
+        term_flat_starts = flat_row_starts[row_term_change]
+        term_flat_ends = np.append(term_flat_starts[1:], len(doc_ids))
+        term_lens = term_flat_ends - term_flat_starts
+        term_codes_u = codes[row_term_change]
+        terms_u = denc.dictionary.take(pa.array(term_codes_u))
+
+        # vectorized block layout: blocks never span terms
+        n_blocks_t = (term_lens + bk - 1) // bk
+        total_blocks = int(n_blocks_t.sum())
+        bt = np.repeat(np.arange(len(term_lens)), n_blocks_t)  # term idx per block
+        blk_no = np.arange(total_blocks) - np.repeat(
+            np.concatenate(([0], np.cumsum(n_blocks_t)[:-1])), n_blocks_t
+        )
+        blk_starts = term_flat_starts[bt] + blk_no * bk
+        blk_ends = np.minimum(blk_starts + bk, term_flat_ends[bt])
+
+        # score-bound metadata per block
+        norm = 1.0 - b + b * (dls.astype(np.float64) / avgdl)
+        tfn = tfs / (tfs + k1 * norm)
+        logtf = np.log1p(tfs)
+        ub_tfn = np.maximum.reduceat(tfn, blk_starts)
+        lb_tfn = np.minimum.reduceat(tfn, blk_starts)
+        ub_logtf = np.maximum.reduceat(logtf, blk_starts)
+
+        # delta-gap docIDs with the gap reset at block starts, then ONE
+        # vbyte encode per column, sliced zero-copy per block
+        gaps = doc_ids.copy()
+        gaps[1:] -= doc_ids[:-1]
+        gaps[blk_starts] = doc_ids[blk_starts]
+        docs_u8, docs_ends = vbyte_encode_offsets(gaps.astype(np.uint64))
+        tfs_u8, tfs_ends = vbyte_encode_offsets(tfs.astype(np.uint64))
+        dls_u8, dls_ends = vbyte_encode_offsets(dls.astype(np.uint64))
+
+        nvals = len(doc_ids)
+        return pa.table(
+            {
+                "term": terms_u.take(pa.array(bt)),
+                "shard": pa.array(np.full(total_blocks, shard, dtype=np.int32)),
+                "block_no": pa.array(blk_no.astype(np.int32)),
+                "n": pa.array((blk_ends - blk_starts).astype(np.int32)),
+                "first_doc": pa.array(doc_ids[blk_starts], pa.int64()),
+                "last_doc": pa.array(doc_ids[blk_ends - 1], pa.int64()),
+                "docs_enc": _sliced_binary(docs_u8, docs_ends, blk_starts, nvals),
+                "tfs_enc": _sliced_binary(tfs_u8, tfs_ends, blk_starts, nvals),
+                "dls_enc": _sliced_binary(dls_u8, dls_ends, blk_starts, nvals),
+                "ub_tfn": pa.array(ub_tfn.astype(np.float32)),
+                "lb_tfn": pa.array(lb_tfn.astype(np.float32)),
+                "ub_logtf": pa.array(ub_logtf.astype(np.float32)),
+            },
+            schema=POSTINGS_SCHEMA,
+        )
+
+    return merge_group

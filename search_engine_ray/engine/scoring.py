@@ -1,0 +1,316 @@
+"""Query-time scoring: vectorized TAAT scorers + block-max WAND DAAT.
+
+Scorer formulas transcribe the reference exactly (see oracle/scorers.py for
+the file:line map of every quirk — integer-division TF-IDF idf, negative
+BM25 idf, unused ln(1+tf), float32 per-(term,doc) casts and float32
+accumulation).  TAAT accumulates into a dense float32 array (docIDs are
+dense by construction) with per-term contributions added in QUERY ORDER —
+the same float32 operation order as the oracle's dict accumulation, so
+scores are bit-identical, not just close.
+
+WAND (A5/J4 done properly, SURVEY.md §2.5): document-at-a-time traversal
+with a bounded top-k heap; per-term upper bounds come from the
+idf-independent block metadata (ub_tfn/lb_tfn/ub_logtf) times the query
+factor; negative-idf terms get their bound clamped to 0 (a valid, looser
+bound) so pivot prefix-sums stay monotone.  Block skipping decodes a block
+only when its doc range is reached AND its block-level bound survives the
+threshold.  When a pivot document is evaluated, contributions are summed
+in query order (bit-identical to TAAT) — WAND only prunes documents that
+cannot enter the top-k, so the returned top-k set, scores, and tie-broken
+ranking (ascending docID on equal scores) match exhaustive TAAT exactly
+(property-tested in tests/test_query.py).
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+
+from ..config import BM25Params
+from ..oracle.scorers import _getk1
+from .index_reader import IndexReader, TermPostings
+
+F32 = np.float32
+# Safety margin added to float64 upper bounds before pruning against the
+# float32 threshold (loosens pruning; never affects correctness).
+_EPS = 1e-3
+
+
+# --------------------------------------------------------------------------
+# TAAT (exhaustive) — the conformance baseline and the BM25-ADPT path
+# --------------------------------------------------------------------------
+
+def _topk_from_dense(scores: np.ndarray, touched: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    cand = np.flatnonzero(touched)
+    if len(cand) == 0:
+        return cand, scores[cand]
+    s = scores[cand]
+    order = np.lexsort((cand, -s.astype(np.float64)))[:k]
+    return cand[order], s[order]
+
+
+def taat_bm25(
+    reader: IndexReader, keywords: list[tuple[str, int]], params: BM25Params, k: int = 1000
+) -> tuple[np.ndarray, np.ndarray]:
+    n = reader.n_docs
+    avgdl = reader.avgdl
+    scores = np.zeros(n, dtype=np.float32)
+    touched = np.zeros(n, dtype=bool)
+    for term, qtf in keywords:
+        tp = reader.postings(term)
+        if tp is None:
+            continue
+        ids, tfs, dls = tp.arrays()
+        idf = math.log((n - tp.df + 0.5) / (tp.df + 0.5))
+        qterm = ((params.k3 + 1) * qtf) / (params.k3 + qtf)
+        doc_term = 1 - params.b + params.b * (dls / avgdl)
+        contrib = (idf * (tfs * (params.k1 + 1)) / (tfs + params.k1 * doc_term) * qterm).astype(np.float32)
+        scores[ids] = scores[ids] + contrib
+        touched[ids] = True
+    return _topk_from_dense(scores, touched, k)
+
+
+def taat_tfidf(
+    reader: IndexReader, keywords: list[tuple[str, int]], k: int = 1000
+) -> tuple[np.ndarray, np.ndarray]:
+    n = reader.n_docs
+    scores = np.zeros(n, dtype=np.float32)
+    touched = np.zeros(n, dtype=bool)
+    for term, _qtf in keywords:
+        tp = reader.postings(term)
+        if tp is None:
+            continue
+        ids, tfs, _dls = tp.arrays()
+        idf = math.log(n // tp.df)  # reference integer-division quirk
+        contrib = (np.log1p(tfs) * idf).astype(np.float32)
+        scores[ids] = scores[ids] + contrib
+        touched[ids] = True
+    return _topk_from_dense(scores, touched, k)
+
+
+def taat_bm25_adpt(
+    reader: IndexReader, keywords: list[tuple[str, int]], params: BM25Params, k: int = 1000
+) -> tuple[np.ndarray, np.ndarray]:
+    n = reader.n_docs
+    avgdl = reader.avgdl
+    b = params.b
+    scores = np.zeros(n, dtype=np.float32)
+    touched = np.zeros(n, dtype=bool)
+    for term, qtf in keywords:
+        tp = reader.postings(term)
+        if tp is None:
+            continue
+        ids, tfs, dls = tp.arrays()
+        df = tp.df
+        cds = (tfs / (1 - b + b * dls / avgdl)).astype(np.float32)
+        cds_sorted = np.sort(cds.astype(np.float64))
+
+        def getdft(t: int) -> float:
+            if t == 0:
+                return float(n)
+            if t == 1:
+                return float(df)
+            return float(len(cds_sorted) - np.searchsorted(cds_sorted, t - 0.5, side="left"))
+
+        def ig(t: int) -> np.float32:
+            return F32(
+                -math.log2((df + 0.5) / (n + 1))
+                + math.log2((getdft(t + 1) + 0.5) / (getdft(t) + 1))
+            )
+
+        igs = np.zeros(100, dtype=np.float32)
+        igs[0] = ig(0)
+        for i in range(1, 100):
+            igs[i] = ig(i)
+            if igs[i - 1] > igs[i]:
+                trunc = np.zeros(i + 1, dtype=np.float32)
+                trunc[:i] = igs[:i]
+                igs = trunc
+                break
+        k1 = _getk1(igs)
+        ig1 = igs[1]
+        with np.errstate(all="ignore"):
+            ck = (cds * F32(float(k1) + 1)) / (F32(k1) + cds)
+            contrib = (F32(qtf) * ck * ig1).astype(np.float32)
+        scores[ids] = scores[ids] + contrib
+        touched[ids] = True
+    return _topk_from_dense(scores, touched, k)
+
+
+# --------------------------------------------------------------------------
+# Block-max WAND DAAT
+# --------------------------------------------------------------------------
+
+class _Cursor:
+    __slots__ = ("tp", "qpos", "idf", "qterm", "blocks", "bi", "pos", "ids",
+                 "tfs", "dls", "ub", "params", "avgdl", "kind", "cur")
+
+    def __init__(self, tp: TermPostings, qpos: int, idf: float, qterm: float,
+                 params: BM25Params, avgdl: float, kind: str):
+        self.tp = tp
+        self.qpos = qpos
+        self.idf = idf
+        self.qterm = qterm
+        self.params = params
+        self.avgdl = avgdl
+        self.kind = kind
+        self.blocks = tp.blocks
+        self.bi = 0
+        self.pos = 0
+        self.ids = self.tfs = self.dls = None
+        # term-level upper bound (clamped >= 0 so pivot prefix sums are monotone)
+        self.ub = max(0.0, max(self._block_bound(b) for b in self.blocks)) + _EPS
+        self._load_block()
+
+    def _block_bound(self, blk) -> float:
+        # stored tfn = tf/(tf + k1*norm); BM25 contribution = idf*(k1+1)*tfn*qterm.
+        # For negative idf the *least* tfn gives the largest (least negative)
+        # contribution, hence lb_tfn.
+        if self.kind == "tfidf":
+            return self.idf * blk.ub_logtf
+        tfn = blk.ub_tfn if self.idf > 0 else blk.lb_tfn
+        return self.idf * (self.params.k1 + 1) * tfn * self.qterm
+
+    def _load_block(self):
+        if self.bi < len(self.blocks):
+            self.ids, self.tfs, self.dls = self.blocks[self.bi].decode()
+            self.pos = 0
+            self.cur = int(self.ids[0])
+        else:
+            self.ids = None
+            self.cur = -1  # exhausted sentinel handled by caller
+
+    @property
+    def exhausted(self) -> bool:
+        return self.ids is None
+
+    def advance_to(self, target: int) -> None:
+        """Move to the first posting with doc >= target (block-skipping)."""
+        while self.bi < len(self.blocks) and self.blocks[self.bi].last_doc < target:
+            self.bi += 1
+            self.ids = None
+        if self.bi >= len(self.blocks):
+            self.ids = None
+            return
+        if self.ids is None:
+            self._load_block()
+        pos = int(np.searchsorted(self.ids, target, side="left"))
+        if pos >= len(self.ids):
+            self.bi += 1
+            self._load_block()
+        else:
+            self.pos = pos
+            self.cur = int(self.ids[pos])
+
+    def advance(self) -> None:
+        self.pos += 1
+        if self.pos >= len(self.ids):
+            self.bi += 1
+            self._load_block()
+        else:
+            self.cur = int(self.ids[self.pos])
+
+    def current_block_bound(self) -> float:
+        return max(0.0, self._block_bound(self.blocks[self.bi])) + _EPS
+
+    def current_block_last(self) -> int:
+        return self.blocks[self.bi].last_doc
+
+    def score_current(self) -> np.float32:
+        tf = int(self.tfs[self.pos])
+        if self.kind == "tfidf":
+            return F32(math.log(1 + tf) * self.idf)
+        dl = int(self.dls[self.pos])
+        doc_term = 1 - self.params.b + self.params.b * (dl / self.avgdl)
+        main = (tf * (self.params.k1 + 1)) / (tf + self.params.k1 * doc_term)
+        return F32(self.idf * main * self.qterm)
+
+
+def wand_topk(
+    reader: IndexReader,
+    keywords: list[tuple[str, int]],
+    params: BM25Params,
+    k: int = 1000,
+    kind: str = "bm25",
+) -> tuple[np.ndarray, np.ndarray]:
+    n = reader.n_docs
+    cursors: list[_Cursor] = []
+    qpos = 0
+    for term, qtf in keywords:
+        tp = reader.postings(term)
+        if tp is None or not tp.blocks:
+            continue
+        if kind == "tfidf":
+            idf = math.log(n // tp.df)
+            qterm = 1.0
+        else:
+            idf = math.log((n - tp.df + 0.5) / (tp.df + 0.5))
+            qterm = ((params.k3 + 1) * qtf) / (params.k3 + qtf)
+        cursors.append(_Cursor(tp, qpos, idf, qterm, params, reader.avgdl, kind))
+        qpos += 1
+
+    heap: list[tuple[float, int]] = []  # (score, -doc) min-heap; weakest first
+
+    def threshold() -> float:
+        return heap[0][0] if len(heap) == k else -math.inf
+
+    live = [c for c in cursors if not c.exhausted]
+    while live:
+        live.sort(key=lambda c: c.cur)
+        # pivot: smallest prefix of sorted cursors whose ub sum beats threshold
+        th = threshold()
+        acc = 0.0
+        pivot = -1
+        for i, c in enumerate(live):
+            acc += c.ub
+            if acc > th:
+                pivot = i
+                break
+        if pivot < 0:
+            break  # no document can enter the top-k
+        pivot_doc = live[pivot].cur
+
+        if live[0].cur == pivot_doc:
+            # block-max refinement: re-check with current block bounds
+            block_acc = 0.0
+            for c in live[: pivot + 1]:
+                block_acc += c.current_block_bound()
+            if block_acc <= th:
+                # Skip to the next block boundary among involved cursors,
+                # capped at the next cursor's current doc — past that point
+                # cursors outside the checked prefix could contribute.
+                d_next = min(c.current_block_last() for c in live[: pivot + 1]) + 1
+                if pivot + 1 < len(live):
+                    d_next = min(d_next, live[pivot + 1].cur)
+                target = max(d_next, pivot_doc + 1)
+                for c in live[: pivot + 1]:
+                    if c.cur < target:
+                        c.advance_to(target)
+            else:
+                # evaluate pivot_doc: accumulate float32 in QUERY ORDER
+                contributors = sorted(
+                    (c for c in live if not c.exhausted and c.cur == pivot_doc),
+                    key=lambda c: c.qpos,
+                )
+                score = F32(0)
+                for c in contributors:
+                    score = score + c.score_current()
+                for c in contributors:
+                    c.advance()
+                if len(heap) < k:
+                    heapq.heappush(heap, (float(score), -pivot_doc))
+                elif float(score) > heap[0][0]:
+                    heapq.heapreplace(heap, (float(score), -pivot_doc))
+        else:
+            # advance cursors before the pivot up to pivot_doc
+            for c in live[:pivot]:
+                if c.cur < pivot_doc:
+                    c.advance_to(pivot_doc)
+        live = [c for c in live if not c.exhausted]
+
+    ranked = sorted(heap, key=lambda p: (-p[0], -p[1]))
+    ids = np.asarray([-d for _s, d in ranked], dtype=np.int64)
+    scores = np.asarray([s for s, _d in ranked], dtype=np.float32)
+    return ids, scores

@@ -1,0 +1,146 @@
+"""Query pipeline: topics -> scored TREC run rows.
+
+The reference loads the whole index once and fans topics across threads
+with a lock-guarded result list (/root/reference/src/Program.cs:83,116-125).
+Ray-native restatement (SURVEY.md §3.2): ``QueryScorer`` is an actor-pool
+``map_batches`` class — the IndexReader is built once per actor in
+``__init__`` (reference T3) and each batch of topics is scored
+independently; output is the `run` table, sorted by (topic, rank) and
+written as TREC run lines (`"{topic} Q0 {doc} {rank} {score} {run}"`,
+Program.cs:150-164).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import BM25Params
+from .index_reader import IndexReader
+from .scoring import taat_bm25, taat_bm25_adpt, taat_tfidf, wand_topk
+
+RUN_SCHEMA = pa.schema(
+    [
+        ("topic", pa.int32()),
+        ("q0", pa.string()),
+        ("doc", pa.string()),
+        ("rank", pa.int32()),
+        ("score", pa.float32()),
+        ("run_name", pa.string()),
+    ]
+)
+
+SCORERS = ("bm25", "tfidf", "bm25adpt")
+
+
+def score_topic(
+    reader: IndexReader,
+    keywords: list[tuple[str, int]],
+    scorer: str = "bm25",
+    params: BM25Params | None = None,
+    k: int = 1000,
+    method: str = "wand",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Returns (doc_ids, scores) ranked desc, ties broken by ascending docID."""
+    params = params or BM25Params()
+    if scorer == "bm25":
+        if method == "wand":
+            return wand_topk(reader, keywords, params, k, kind="bm25")
+        return taat_bm25(reader, keywords, params, k)
+    if scorer == "tfidf":
+        if method == "wand":
+            return wand_topk(reader, keywords, params, k, kind="tfidf")
+        return taat_tfidf(reader, keywords, k)
+    if scorer == "bm25adpt":
+        # needs the full tf distribution per term -> always exhaustive
+        return taat_bm25_adpt(reader, keywords, params, k)
+    raise ValueError(f"unknown scorer {scorer!r}")
+
+
+class QueryScorer:
+    """Actor-pool stage: batches of topics in, run rows out."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        scorer: str = "bm25",
+        run_name: str = "ray",
+        k: int = 1000,
+        method: str = "wand",
+        preload: bool = True,
+    ):
+        self.reader = IndexReader(index_dir, preload=preload)
+        self.scorer = scorer
+        self.run_name = run_name
+        self.k = k
+        self.method = method
+        self.params = BM25Params(**{
+            key: self.reader.stats["bm25"][key] for key in ("k1", "k3", "b")
+        })
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        topics = batch["topic"].to_pylist()
+        terms_col = batch["terms"].to_pylist()
+        qtfs_col = batch["qtfs"].to_pylist()
+        rows: dict[str, list] = {c: [] for c in RUN_SCHEMA.names}
+        for topic, terms, qtfs in zip(topics, terms_col, qtfs_col):
+            keywords = list(zip(terms, qtfs))
+            ids, scores = score_topic(
+                self.reader, keywords, self.scorer, self.params, self.k, self.method
+            )
+            names = self.reader.doc_names[ids] if len(ids) else []
+            for rank, (name, score) in enumerate(zip(names, scores), start=1):
+                rows["topic"].append(topic)
+                rows["q0"].append("Q0")
+                rows["doc"].append(str(name))
+                rows["rank"].append(rank)
+                rows["score"].append(float(score))
+                rows["run_name"].append(self.run_name)
+        return pa.table(rows, schema=RUN_SCHEMA)
+
+
+def topics_to_table(topics: list[tuple[int, list[tuple[str, int]]]]) -> pa.Table:
+    return pa.table(
+        {
+            "topic": pa.array([t for t, _ in topics], pa.int32()),
+            "terms": pa.array([[w for w, _ in kws] for _, kws in topics], pa.list_(pa.string())),
+            "qtfs": pa.array([[q for _, q in kws] for _, kws in topics], pa.list_(pa.int32())),
+        }
+    )
+
+
+def search_topics(
+    index_dir: str,
+    topics: list[tuple[int, list[tuple[str, int]]]],
+    scorer: str = "bm25",
+    run_name: str = "ray",
+    k: int = 1000,
+    method: str = "wand",
+    concurrency: int | tuple[int, int] | None = None,
+) -> pa.Table:
+    """Distributed scoring of a topic set; returns the run table sorted by
+    (topic, rank) — K2's output ordering (Program.cs:132)."""
+    import ray.data
+
+    ds = ray.data.from_arrow(topics_to_table(topics))
+    out = ds.map_batches(
+        QueryScorer,
+        fn_constructor_kwargs=dict(
+            index_dir=index_dir, scorer=scorer, run_name=run_name, k=k, method=method
+        ),
+        batch_format="pyarrow",
+        batch_size=max(1, len(topics) // 8) if topics else 1,
+        concurrency=concurrency or (1, 4),
+        num_cpus=1,
+    )
+    batches = list(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+    table = pa.concat_tables(batches) if batches else RUN_SCHEMA.empty_table()
+    return table.sort_by([("topic", "ascending"), ("rank", "ascending")])
+
+
+def write_trec_run(run_table: pa.Table, path: str) -> None:
+    """TREC run lines, trec_eval-compatible (Program.cs:150-164)."""
+    cols = [run_table[c].to_pylist() for c in ("topic", "q0", "doc", "rank", "score", "run_name")]
+    with open(path, "w", encoding="utf-8") as fh:
+        for topic, q0, doc, rank, score, run in zip(*cols):
+            fh.write(f"{topic} {q0} {doc} {rank} {score} {run}\n")

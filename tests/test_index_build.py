@@ -1,0 +1,146 @@
+"""End-to-end index build vs the oracle + partition invariance + resume."""
+
+import glob
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from search_engine_ray.config import BuildConfig, IndexOptions
+from search_engine_ray.corpus.pages import write_pages_parquet
+from search_engine_ray.engine.build import build_index
+from search_engine_ray.engine.index_reader import IndexReader
+from search_engine_ray.engine.reader import plan_fragments, read_fragment
+from search_engine_ray.oracle.indexer import OracleIndex
+
+N_DOCS = 240
+SEED = 42
+BASE = "/tmp/se_ray_test"
+
+
+def _oracle_from_corpus(corpus_dir: str, options: IndexOptions) -> OracleIndex:
+    docs = []
+    for frag in plan_fragments(corpus_dir):
+        tbl = read_fragment(frag, columns=["url", "text"])
+        docs.extend(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    return OracleIndex.build(docs, options)
+
+
+@pytest.fixture(scope="module")
+def built(ray_session):
+    corpus_dir = f"{BASE}/corpus_a"
+    index_dir = f"{BASE}/index_a"
+    shutil.rmtree(BASE, ignore_errors=True)
+    write_pages_parquet(corpus_dir, N_DOCS, seed=SEED, n_files=3, row_group_size=48)
+    config = BuildConfig(block_entries=16, frags_per_shard=2)
+    stats = build_index(corpus_dir, index_dir, config, term_buckets=8, overwrite=True)
+    oracle = _oracle_from_corpus(corpus_dir, config.options)
+    return corpus_dir, index_dir, stats, oracle
+
+
+def test_stats_match_oracle(built):
+    _, _, stats, oracle = built
+    assert stats["n_docs"] == oracle.n_docs
+    assert stats["sum_dl"] == sum(oracle.doc_lens)
+    assert abs(stats["avgdl"] - oracle.avgdl) < 1e-12
+    assert stats["n_terms"] == len(oracle.postings)
+
+
+def test_docs_table_matches(built):
+    _, index_dir, _, oracle = built
+    reader = IndexReader(index_dir)
+    assert reader.doc_names.tolist() == oracle.doc_names
+    assert reader.doc_lens.tolist() == oracle.doc_lens
+
+
+def test_postings_decode_equal(built):
+    _, index_dir, _, oracle = built
+    reader = IndexReader(index_dir)
+    for term, (doc_ids, tfs) in oracle.postings.items():
+        tp = reader.postings(term)
+        assert tp is not None, term
+        ids, etfs, dls = tp.arrays()
+        assert ids.tolist() == doc_ids, term
+        assert etfs.tolist() == tfs, term
+        assert tp.df == len(doc_ids)
+        # dls column matches the doc table (J3 denormalization)
+        assert dls.tolist() == [oracle.doc_lens[d] for d in doc_ids]
+        # invariants: sorted unique ids, block metadata consistent
+        assert (np.diff(ids) > 0).all() if len(ids) > 1 else True
+        for b in tp.blocks:
+            bids, btfs, _ = b.decode()
+            assert b.first_doc == bids[0] and b.last_doc == bids[-1]
+            assert b.n == len(bids)
+    # no extra terms in the engine index
+    engine_terms = set(reader._df)
+    assert engine_terms == set(oracle.postings)
+
+
+def test_sum_tf_equals_doc_len(built):
+    _, index_dir, _, oracle = built
+    reader = IndexReader(index_dir)
+    acc = np.zeros(reader.n_docs, dtype=np.int64)
+    for term in reader._df:
+        ids, tfs, _ = reader.postings(term).arrays()
+        acc[ids] += tfs
+    assert acc.tolist() == oracle.doc_lens
+
+
+def test_partition_invariance(built, ray_session):
+    """Same corpus at a different file/row-group layout -> identical index."""
+    corpus_dir, index_dir, _, _ = built
+    corpus_b = f"{BASE}/corpus_b"
+    index_b = f"{BASE}/index_b"
+    write_pages_parquet(corpus_b, N_DOCS, seed=SEED, n_files=1, row_group_size=512)
+    config = BuildConfig(block_entries=16, frags_per_shard=1)
+    build_index(corpus_b, index_b, config, term_buckets=3, overwrite=True)
+
+    ra, rb = IndexReader(index_dir), IndexReader(index_b)
+    assert ra.doc_names.tolist() == rb.doc_names.tolist()
+    assert set(ra._df) == set(rb._df)
+    for term in ra._df:
+        a, b = ra.postings(term).arrays(), rb.postings(term).arrays()
+        for x, y in zip(a, b):
+            assert x.tolist() == y.tolist(), term
+
+
+def test_resume_recomputes_only_missing(built, ray_session):
+    corpus_dir, index_dir, _, oracle = built
+    index_c = f"{BASE}/index_c"
+    config = BuildConfig(block_entries=16, frags_per_shard=2)
+    build_index(corpus_dir, index_c, config, term_buckets=8, overwrite=True)
+
+    # simulate a crash: merge output lost + one fragment's outputs lost
+    os.remove(os.path.join(index_c, ".complete"))
+    shutil.rmtree(os.path.join(index_c, "postings"))
+    os.remove(os.path.join(index_c, "terms.parquet"))
+    victim = sorted(glob.glob(os.path.join(index_c, "manifest", "frag-*.json")))[1]
+    frag_id = json.load(open(victim))["frag_id"]
+    os.remove(victim)
+    os.remove(os.path.join(index_c, "segments", f"part-{frag_id:06d}.parquet"))
+    os.remove(os.path.join(index_c, "docs", f"part-{frag_id:06d}.parquet"))
+
+    surviving = sorted(glob.glob(os.path.join(index_c, "manifest", "frag-*.json")))
+    mtimes = {p: os.path.getmtime(p) for p in surviving}
+
+    build_index(corpus_dir, index_c, config, term_buckets=8)
+
+    # untouched fragments were skipped (manifests not rewritten)
+    for p, t in mtimes.items():
+        assert os.path.getmtime(p) == t
+    # result identical to the pristine build
+    ra, rc = IndexReader(index_dir), IndexReader(index_c)
+    assert ra.doc_names.tolist() == rc.doc_names.tolist()
+    for term in ra._df:
+        a, c = ra.postings(term).arrays(), rc.postings(term).arrays()
+        for x, y in zip(a, c):
+            assert x.tolist() == y.tolist(), term
+
+
+def test_build_is_idempotent(built, ray_session):
+    corpus_dir, index_dir, stats, _ = built
+    again = build_index(corpus_dir, index_dir, BuildConfig(block_entries=16, frags_per_shard=2), term_buckets=8)
+    assert again["n_docs"] == stats["n_docs"]
