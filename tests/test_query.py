@@ -1,0 +1,140 @@
+"""Query engine: rank-identical (and score-bit-identical) to the oracle;
+WAND == exhaustive TAAT; distributed scoring pipeline; TREC run output."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from search_engine_ray.config import BM25Params, BuildConfig, IndexOptions, QueryOptions
+from search_engine_ray.corpus.pages import write_pages_parquet
+from search_engine_ray.corpus.topics import (
+    generate_topics,
+    parse_topics,
+    write_trec_topics,
+)
+from search_engine_ray.engine.build import build_index
+from search_engine_ray.engine.index_reader import IndexReader
+from search_engine_ray.engine.scoring import taat_bm25, taat_bm25_adpt, taat_tfidf, wand_topk
+from search_engine_ray.engine.search import search_topics, write_trec_run
+from search_engine_ray.oracle.indexer import OracleIndex
+from search_engine_ray.oracle.scorers import score_bm25, score_bm25_adpt, score_tfidf
+from tests.test_index_build import _oracle_from_corpus
+
+BASE = "/tmp/se_ray_query"
+N_DOCS = 200
+K = 50
+
+
+@pytest.fixture(scope="module")
+def setup(ray_session):
+    corpus_dir = f"{BASE}/corpus"
+    index_dir = f"{BASE}/index"
+    shutil.rmtree(BASE, ignore_errors=True)
+    write_pages_parquet(corpus_dir, N_DOCS, seed=43, n_files=2, row_group_size=64)
+    config = BuildConfig(block_entries=16, frags_per_shard=2)
+    build_index(corpus_dir, index_dir, config, term_buckets=8, overwrite=True)
+    oracle = _oracle_from_corpus(corpus_dir, config.options)
+    reader = IndexReader(index_dir)
+
+    # topics over the actual corpus vocabulary (plus OOV/stopword cases)
+    vocab = sorted(oracle.postings)[:400]
+    topics_path = f"{BASE}/topics.txt"
+    write_trec_topics(topics_path, generate_topics(20, vocab, seed=9))
+    topics = parse_topics(topics_path, QueryOptions(use_title=True), config.options)
+    # make sure the planted negative-idf common term is queried too
+    topics.append((999, [("ubiquit", 1), (vocab[0], 2)]))
+    return oracle, reader, topics
+
+
+def _assert_same(engine_ids, engine_scores, oracle_ranked, reader):
+    engine = [(str(reader.doc_names[d]), float(s)) for d, s in zip(engine_ids, engine_scores)]
+    oracle_ranked = [(name, float(s)) for name, s in oracle_ranked]
+    assert [e[0] for e in engine] == [o[0] for o in oracle_ranked]
+    np.testing.assert_allclose(
+        [e[1] for e in engine], [o[1] for o in oracle_ranked], rtol=0, atol=1e-5
+    )
+
+
+def test_bm25_taat_matches_oracle(setup):
+    oracle, reader, topics = setup
+    params = BM25Params()
+    for topic, keywords in topics:
+        ids, scores = taat_bm25(reader, keywords, params, K)
+        _assert_same(ids, scores, score_bm25(oracle, keywords, params, K), reader)
+
+
+def test_bm25_scores_bit_identical(setup):
+    oracle, reader, topics = setup
+    params = BM25Params()
+    for _topic, keywords in topics:
+        ids, scores = taat_bm25(reader, keywords, params, K)
+        expected = score_bm25(oracle, keywords, params, K)
+        assert [float(s) for s in scores] == [s for _n, s in expected]
+
+
+def test_tfidf_matches_oracle(setup):
+    oracle, reader, topics = setup
+    for _topic, keywords in topics:
+        ids, scores = taat_tfidf(reader, keywords, K)
+        _assert_same(ids, scores, score_tfidf(oracle, keywords, K), reader)
+
+
+def test_bm25_adpt_matches_oracle(setup):
+    oracle, reader, topics = setup
+    params = BM25Params()
+    for _topic, keywords in topics:
+        ids, scores = taat_bm25_adpt(reader, keywords, params, K)
+        _assert_same(ids, scores, score_bm25_adpt(oracle, keywords, params, K), reader)
+
+
+def test_wand_equals_taat_bm25(setup):
+    _oracle, reader, topics = setup
+    params = BM25Params()
+    for _topic, keywords in topics:
+        for k in (3, 10, K, 10_000):
+            wi, ws = wand_topk(reader, keywords, params, k, kind="bm25")
+            ti, ts = taat_bm25(reader, keywords, params, k)
+            assert wi.tolist() == ti.tolist(), keywords
+            assert ws.tolist() == ts.tolist()
+
+
+def test_wand_equals_taat_tfidf(setup):
+    _oracle, reader, topics = setup
+    params = BM25Params()
+    for _topic, keywords in topics:
+        wi, ws = wand_topk(reader, keywords, params, K, kind="tfidf")
+        ti, ts = taat_tfidf(reader, keywords, K)
+        assert wi.tolist() == ti.tolist()
+        assert ws.tolist() == ts.tolist()
+
+
+def test_distributed_search_pipeline(setup, tmp_path):
+    oracle, reader, topics = setup
+    run = search_topics(f"{BASE}/index", topics, scorer="bm25", run_name="r1", k=10)
+    assert run.column_names == ["topic", "q0", "doc", "rank", "score", "run_name"]
+    # spot-check one topic against the oracle
+    params = BM25Params()
+    t0, kw0 = topics[0]
+    sub = run.filter(np.asarray(run["topic"]) == t0) if False else run.to_pandas()
+    sub = sub[sub["topic"] == t0]
+    expected = score_bm25(oracle, kw0, params, 10)
+    assert sub["doc"].tolist() == [n for n, _ in expected]
+    assert (sub["rank"] == np.arange(1, len(expected) + 1)).all()
+    # TREC output format
+    out = tmp_path / "run.txt"
+    write_trec_run(run, str(out))
+    first = out.read_text().splitlines()[0].split(" ")
+    assert len(first) == 6 and first[1] == "Q0"
+
+
+def test_pruned_reader_matches_preloaded(setup):
+    _oracle, reader, topics = setup
+    lazy = IndexReader(f"{BASE}/index", preload=False)
+    params = BM25Params()
+    for _topic, keywords in topics[:5]:
+        a = taat_bm25(reader, keywords, params, K)
+        b = taat_bm25(lazy, keywords, params, K)
+        assert a[0].tolist() == b[0].tolist()
+        assert a[1].tolist() == b[1].tolist()
