@@ -1,0 +1,206 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.  All are single-pass vectorized map_batches
+kernels (pyarrow.compute / numpy) — no shuffle, no per-row Python on the
+hot path except the dictionary-encoded unique-token loops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..text.stopwords import STOPWORDS_TUPLE
+
+_STOP_ARR = pa.array(STOPWORDS_TUPLE, pa.string())
+_WS = r"\s+"
+
+
+def _text_col(batch: pa.Table, column: str) -> pa.Array:
+    col = batch[column]
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def token_count_batch(batch: pa.Table, text_column: str = "text", id_column: str = "doc_id") -> pa.Table:
+    """Whitespace token count per doc (SQL-oracle-comparable)."""
+    texts = pc.fill_null(_text_col(batch, text_column), "")
+    lists = pc.split_pattern_regex(texts, pattern=_WS)
+    flat = pc.list_flatten(lists)
+    nonempty = pc.greater(pc.binary_length(flat), 0)
+    lens_pre = np.asarray(pc.list_value_length(lists), dtype=np.int64)
+    doc_idx = np.repeat(np.arange(len(lens_pre)), lens_pre)
+    counts = np.bincount(doc_idx[np.asarray(nonempty)], minlength=len(lens_pre))
+    return pa.table(
+        {
+            "doc_id": batch[id_column],
+            "n_tokens": pa.array(counts.astype(np.int64)),
+        }
+    )
+
+
+def quality_batch(batch: pa.Table, text_column: str = "text", id_column: str = "doc_id") -> pa.Table:
+    """Length / punctuation / stopword / uppercase heuristics per doc.
+
+    Ratios are rounded to 6 decimals so the Ray and SQL oracles hash equal.
+    """
+    texts = pc.fill_null(_text_col(batch, text_column), "")
+    n = len(texts)
+    n_chars = np.asarray(pc.utf8_length(texts), dtype=np.int64)
+
+    def count_matches(pattern: str) -> np.ndarray:
+        counts = pc.count_substring_regex(texts, pattern=pattern)
+        return np.asarray(counts, dtype=np.int64)
+
+    n_upper = count_matches(r"[A-Z]")
+    n_alpha = count_matches(r"[A-Za-z]")
+    n_punct = count_matches(r"[^A-Za-z0-9\s]")
+
+    lists = pc.split_pattern_regex(texts, pattern=_WS)
+    flat = pc.list_flatten(lists)
+    lens_pre = np.asarray(pc.list_value_length(lists), dtype=np.int64)
+    doc_idx = np.repeat(np.arange(n), lens_pre)
+    nonempty = np.asarray(pc.greater(pc.binary_length(flat), 0))
+    n_tokens = np.bincount(doc_idx[nonempty], minlength=n).astype(np.int64)
+    is_stop = np.asarray(pc.is_in(pc.ascii_lower(flat), value_set=_STOP_ARR)) & nonempty
+    n_stop = np.bincount(doc_idx[is_stop], minlength=n).astype(np.int64)
+
+    safe_tokens = np.maximum(n_tokens, 1)
+    safe_chars = np.maximum(n_chars, 1)
+    stop_ratio = np.round(n_stop / safe_tokens, 6)
+    punct_ratio = np.round(n_punct / safe_chars, 6)
+    upper_ratio = np.round(n_upper / safe_chars, 6)
+    alpha_ratio = np.round(n_alpha / safe_chars, 6)
+    avg_token_len = np.round(n_chars / safe_tokens, 6)
+
+    return pa.table(
+        {
+            "doc_id": batch[id_column],
+            "n_chars": pa.array(n_chars),
+            "n_tokens": pa.array(n_tokens),
+            "stop_ratio": pa.array(stop_ratio),
+            "punct_ratio": pa.array(punct_ratio),
+            "upper_ratio": pa.array(upper_ratio),
+            "alpha_ratio": pa.array(alpha_ratio),
+            "avg_token_len": pa.array(avg_token_len),
+        }
+    )
+
+
+# Tiny per-language char-trigram profiles (deterministic heuristic).
+_LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "ing", "ion", "ent", " th", "er ", "ed "),
+    "de": ("der", "die", "und", "sch", "ein", "cht", "en ", "ung"),
+    "fr": ("les", "ent", "de ", "ion", "que", "eur", "ait", " le"),
+    "es": ("de ", "la ", "que", "os ", "ión", "ent", "ado", " es"),
+    "zh": tuple(),  # CJK detected by codepoint range instead
+}
+
+
+class LangId:
+    """Actor-pool stage: n-gram-profile language heuristic.
+
+    Profiles are compiled once per actor (__init__); scoring is a
+    count_substring pass per (lang, trigram) over the whole batch.
+    """
+
+    def __init__(self, text_column: str = "text", id_column: str = "doc_id"):
+        self.text_column = text_column
+        self.id_column = id_column
+        self.profiles = {k: v for k, v in _LANG_PROFILES.items() if v}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(_text_col(batch, self.text_column), "")
+        lower = pc.utf8_lower(texts)
+        n = len(texts)
+        n_chars = np.maximum(np.asarray(pc.utf8_length(texts), dtype=np.int64), 1)
+        scores = np.zeros((len(self.profiles), n), dtype=np.float64)
+        langs = list(self.profiles)
+        for li, lang in enumerate(langs):
+            for tri in self.profiles[lang]:
+                scores[li] += np.asarray(
+                    pc.count_substring(lower, pattern=tri), dtype=np.int64
+                )
+        scores /= n_chars
+        cjk = np.asarray(
+            pc.count_substring_regex(texts, pattern=r"[一-鿿]"), dtype=np.int64
+        )
+        best = np.argmax(scores, axis=0)
+        conf = scores[best, np.arange(n)]
+        pred = np.asarray(langs, dtype=object)[best]
+        pred[cjk / n_chars > 0.2] = "zh"
+        return pa.table(
+            {
+                "doc_id": batch[self.id_column],
+                "pred_lang": pa.array(pred, pa.string()),
+                "confidence": pa.array(np.round(conf, 6)),
+            }
+        )
+
+
+def fingerprint_batch(
+    batch: pa.Table,
+    k: int = 8,
+    window: int = 4,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> pa.Table:
+    """Winnowing-style document fingerprint: rolling k-byte hashes, minimum
+    per sliding window, plus a whole-document 64-bit polynomial hash."""
+    texts = pc.fill_null(_text_col(batch, text_column), "").to_pylist()
+    full_hash = np.empty(len(texts), dtype=np.uint64)
+    n_fp = np.empty(len(texts), dtype=np.int64)
+    min_fp = np.empty(len(texts), dtype=np.uint64)
+    B = np.uint64(1099511628211)
+    for i, t in enumerate(texts):
+        raw = t.encode("utf-8")
+        data = np.frombuffer(raw, dtype=np.uint8).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            # whole-doc hash: position-mixed xor fold (vectorized, order-sensitive)
+            if len(data):
+                pos = np.arange(len(data), dtype=np.uint64)
+                full_hash[i] = np.bitwise_xor.reduce(
+                    (data + np.uint64(1)) * (pos * B + np.uint64(0x9E3779B9))
+                )
+            else:
+                full_hash[i] = 0
+            if len(data) >= k:
+                acc = data[: len(data) - k + 1].copy()
+                for j in range(1, k):
+                    acc = acc * B + data[j: len(data) - k + 1 + j]
+                if len(acc) >= window:
+                    shape = (len(acc) - window + 1, window)
+                    strided = np.lib.stride_tricks.as_strided(
+                        acc, shape=shape, strides=(acc.strides[0], acc.strides[0])
+                    )
+                    fps = np.unique(strided.min(axis=1))
+                else:
+                    fps = np.unique(acc)
+            else:
+                fps = np.asarray([full_hash[i]], dtype=np.uint64)
+        n_fp[i] = len(fps)
+        min_fp[i] = fps.min() if len(fps) else 0
+    return pa.table(
+        {
+            "doc_id": batch[id_column],
+            "doc_hash": pa.array(full_hash.astype(np.int64)),
+            "n_fingerprints": pa.array(n_fp),
+            "min_fingerprint": pa.array(min_fp.astype(np.int64)),
+        }
+    )
+
+
+def token_counts(ds: ray.data.Dataset, **kw) -> ray.data.Dataset:
+    return ds.map_batches(token_count_batch, fn_kwargs=kw, batch_format="pyarrow")
+
+
+def quality_scores(ds: ray.data.Dataset, **kw) -> ray.data.Dataset:
+    return ds.map_batches(quality_batch, fn_kwargs=kw, batch_format="pyarrow")
+
+
+def lang_id(ds: ray.data.Dataset, **kw) -> ray.data.Dataset:
+    return ds.map_batches(LangId, fn_constructor_kwargs=kw, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def fingerprints(ds: ray.data.Dataset, **kw) -> ray.data.Dataset:
+    return ds.map_batches(fingerprint_batch, fn_kwargs=kw, batch_format="pyarrow")

@@ -1,0 +1,96 @@
+"""Stream-shaped operators over the ordered `events` log.
+
+Ray Data has no event-time windows/watermarks; per the guide, the input is
+treated as a partitioned ordered log: a vectorized partial aggregate per
+batch keyed by (key, window) followed by one small groupby merge — the
+classic two-phase combiner, so the shuffle moves one row per (key, window,
+batch), not one per event.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def tumbling_window_agg(
+    ds: ray.data.Dataset,
+    window_seconds: int = 3600,
+    key_column: str = "event_type",
+    ts_column: str = "ts",
+    value_column: str = "value",
+) -> ray.data.Dataset:
+    """Count/sum/min/max of value per (key, tumbling window).
+
+    Window start is epoch-aligned: floor(epoch_us / window_us) * window.
+    """
+    window_us = window_seconds * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch[ts_column].cast(pa.int64()), dtype=np.int64)
+        win = (ts // window_us) * window_us
+        df = pd.DataFrame(
+            {
+                "key": batch[key_column].to_pylist(),
+                "window_start_us": win,
+                "value": np.asarray(batch[value_column], dtype=np.float64),
+            }
+        )
+        agg = df.groupby(["key", "window_start_us"], as_index=False).agg(
+            n=("value", "size"),
+            sum_value=("value", "sum"),
+            min_value=("value", "min"),
+            max_value=("value", "max"),
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": [g["key"].iloc[0]],
+                "window_start_us": [int(g["window_start_us"].iloc[0])],
+                "n": [int(g["n"].sum())],
+                "sum_value": [float(g["sum_value"].sum())],
+                "min_value": [float(g["min_value"].min())],
+                "max_value": [float(g["max_value"].max())],
+            }
+        )
+
+    return partials.groupby(["key", "window_start_us"]).map_groups(merge, batch_format="pandas")
+
+
+def sessionize(
+    ds: ray.data.Dataset,
+    gap_seconds: int = 1800,
+    key_column: str = "user_id",
+    ts_column: str = "ts",
+) -> ray.data.Dataset:
+    """Session windows per key: sort within group by ts, break on gaps.
+
+    Ordering assumption: one group holds ALL events of a key (the groupby
+    guarantees it); within-group order is established by the sort here.
+    """
+    gap_us = gap_seconds * 1_000_000
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_column)
+        ts = g[ts_column].astype("int64").to_numpy()
+        new_session = np.ones(len(ts), dtype=bool)
+        new_session[1:] = (ts[1:] - ts[:-1]) > gap_us
+        sid = np.cumsum(new_session) - 1
+        out = pd.DataFrame({"sid": sid, "ts": ts})
+        agg = out.groupby("sid").agg(
+            session_start_us=("ts", "min"),
+            session_end_us=("ts", "max"),
+            n_events=("ts", "size"),
+        )
+        agg[key_column] = g[key_column].iloc[0]
+        return agg.reset_index(drop=True)[
+            [key_column, "session_start_us", "session_end_us", "n_events"]
+        ]
+
+    return ds.groupby(key_column).map_groups(sessions, batch_format="pandas")
