@@ -1,44 +1,630 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry()      — flagship pipeline on /root/testdata/sf0.001: wrap `documents`
+               into an HTML `pages` corpus, build the inverted index with the
+               full Ray pipeline (extract -> tokenize -> segments -> term
+               shuffle -> compressed block index), then score a topic set with
+               block-max WAND BM25 and return the TREC run table.
+queries()    — one entry per implemented operator/pipeline (SURVEY.md §2 plus
+               the training-data operators); each takes sf_dir.
+oracle_sql() — DuckDB-equivalent SQL for every SQL-expressible query.
+               Float outputs are returned as BIGINT micros
+               (floor(x*1e6 + 0.5)) on BOTH sides so value-hashes cannot
+               diverge on float formatting; genuinely non-SQL ops (Porter
+               stemming, WAND, MinHash, SimHash, LSH, fingerprints, media
+               decode) are rows-only by design.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+from search_engine_ray.config import IndexOptions
+from search_engine_ray.text.stopwords import STOPWORDS_TUPLE
+
+# index/query normalization used by the SQL-checked queries: casefold +
+# stopwords, NO stemming (Porter is not SQL-expressible; the stemmed path is
+# covered by pytest golden tests and the rows-only queries below).
+OPT_NOSTEM = IndexOptions(case_folding=True, remove_stopwords=True, stemming=False)
+OPT_FULL = IndexOptions(case_folding=True, remove_stopwords=True, stemming=True)
+
+BM25_QUERY = [("spark", 1), ("hash", 1), ("join", 1)]
+LOOKUP_TERMS = ("spark", "hash", "join", "table", "window", "zzz_not_in_index")
+
+_STOP_LIST = ",".join("'" + w + "'" for w in STOPWORDS_TUPLE)
+
+# Tokenizer CTE shared by the SQL oracles — the reference delimiter class
+# (Indexer.cs:133-135), tag rule (:144), casefold, stopword list.
+_TOKS = f"""
+  toks AS (
+    SELECT doc_id, t
+    FROM documents,
+         UNNEST(regexp_split_to_array(lower(text), '[\\x00-\\x2f:;=?]')) AS u(t)
+    WHERE t <> '' AND substr(t, 1, 1) <> '<' AND substr(t, -1, 1) <> '>'
+      AND t NOT IN ({_STOP_LIST})
+  )
+"""
+
+
+def _micros(x: np.ndarray) -> np.ndarray:
+    return np.floor(np.asarray(x, dtype=np.float64) * 1_000_000 + 0.5).astype(np.int64)
+
+
+_SQL_MICROS = "CAST(FLOOR({expr} * 1000000 + 0.5) AS BIGINT)"
+
+
+def _reader(sf_dir: str, options: IndexOptions = OPT_NOSTEM):
+    from search_engine_ray.pipelines import documents_reader
+
+    return documents_reader(sf_dir, options)
+
+
+def _docs_ds(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb_tbl(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# ===========================================================================
+# queries
+# ===========================================================================
+
+def q_doc_stats(sf_dir: str) -> pa.Table:
+    r = _reader(sf_dir)
+    doc_ids = np.asarray([int(n) for n in r.doc_names], dtype=np.int64)
+    keep = r.doc_lens > 0  # SQL GROUP BY emits no row for token-free docs
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids[keep]),
+            "doc_len": pa.array(r.doc_lens[keep].astype(np.int64)),
+        }
+    )
+
+
+def q_term_stats(sf_dir: str) -> pa.Table:
+    r = _reader(sf_dir)
+    terms = sorted(r._df)
+    dfs, tfs = [], []
+    for t in terms:
+        tp = r.postings(t)
+        dfs.append(tp.df)
+        tfs.append(int(tp.arrays()[1].sum()))
+    return pa.table(
+        {
+            "term": pa.array(terms, pa.string()),
+            "df": pa.array(dfs, pa.int64()),
+            "total_tf": pa.array(tfs, pa.int64()),
+        }
+    )
+
+
+def q_top_terms(sf_dir: str) -> pa.Table:
+    t = q_term_stats(sf_dir)
+    idx = sorted(range(t.num_rows), key=lambda i: (-t["df"][i].as_py(), t["term"][i].as_py()))[:100]
+    return t.select(["term", "df"]).take(pa.array(idx))
+
+
+def q_posting_lookup(sf_dir: str) -> pa.Table:
+    r = _reader(sf_dir)
+    rows = {"term": [], "df": [], "total_tf": [], "min_doc": [], "max_doc": []}
+    for term in LOOKUP_TERMS:
+        tp = r.postings(term)
+        if tp is None:
+            continue  # J1: silently dropped (ReadableIndex.cs:29-42)
+        ids, tfs, _ = tp.arrays()
+        rows["term"].append(term)
+        rows["df"].append(tp.df)
+        rows["total_tf"].append(int(tfs.sum()))
+        rows["min_doc"].append(int(ids.min()))
+        rows["max_doc"].append(int(ids.max()))
+    return pa.table(
+        {
+            "term": pa.array(rows["term"], pa.string()),
+            "df": pa.array(rows["df"], pa.int64()),
+            "total_tf": pa.array(rows["total_tf"], pa.int64()),
+            "min_doc": pa.array(rows["min_doc"], pa.int64()),
+            "max_doc": pa.array(rows["max_doc"], pa.int64()),
+        }
+    )
+
+
+def q_collection_stats(sf_dir: str) -> pa.Table:
+    r = _reader(sf_dir)
+    avgdl = r.stats["sum_dl"] / r.stats["n_docs"]
+    return pa.table(
+        {
+            "n_docs": pa.array([r.stats["n_docs"]], pa.int64()),
+            "sum_dl": pa.array([r.stats["sum_dl"]], pa.int64()),
+            "avgdl_micros": pa.array(_micros(np.asarray([avgdl]))),
+        }
+    )
+
+
+def q_bm25_top10(sf_dir: str) -> pa.Table:
+    from search_engine_ray.pipelines import bm25_scores_f64
+
+    r = _reader(sf_dir)
+    ids, scores = bm25_scores_f64(r, BM25_QUERY)
+    ids, scores = ids[:10], scores[:10]
+    doc_ids = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids), "score_micros": pa.array(_micros(scores))}
+    )
+
+
+def q_tfidf_top10(sf_dir: str) -> pa.Table:
+    from search_engine_ray.pipelines import tfidf_scores_f64
+
+    r = _reader(sf_dir)
+    ids, scores = tfidf_scores_f64(r, BM25_QUERY)
+    ids, scores = ids[:10], scores[:10]
+    doc_ids = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids), "score_micros": pa.array(_micros(scores))}
+    )
+
+
+def q_extract_roundtrip(sf_dir: str) -> pa.Table:
+    """documents.text -> HTML template -> vectorized extraction -> text.
+
+    The north-rule per-row invariant: byte-identical text per document."""
+    import ray.data
+
+    from search_engine_ray.corpus.extract import extract_text_batch, html_from_text
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        htmls = [
+            html_from_text(t, title=f"doc {d}", noise_seed=int(d))
+            for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist())
+        ]
+        return pa.table({"doc_id": batch["doc_id"], "html": pa.array(htmls, pa.binary())})
+
+    def unwrap(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch["doc_id"], "text": extract_text_batch(batch["html"])}
+        )
+
+    ds = (
+        _docs_ds(sf_dir)
+        .map_batches(wrap, batch_format="pyarrow")
+        .map_batches(unwrap, batch_format="pyarrow")
+    )
+    batches = list(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+    return pa.concat_tables([pa.table(b) for b in batches])
+
+
+def q_dedup_exact(sf_dir: str):
+    from search_engine_ray.dataops.dedup import exact_dedup
+
+    return exact_dedup(_docs_ds(sf_dir))
+
+
+def q_token_count(sf_dir: str):
+    from search_engine_ray.dataops.textstats import token_counts
+
+    return token_counts(_docs_ds(sf_dir))
+
+
+def q_quality(sf_dir: str) -> pa.Table:
+    from search_engine_ray.dataops.textstats import quality_batch
+
+    ds = _docs_ds(sf_dir).map_batches(quality_batch, batch_format="pyarrow")
+    batches = list(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+    t = pa.concat_tables([pa.table(b) for b in batches])
+    out = {
+        "doc_id": t["doc_id"],
+        "n_chars": t["n_chars"].cast(pa.int64()),
+        "n_tokens": t["n_tokens"].cast(pa.int64()),
+    }
+    for col in ("stop_ratio", "punct_ratio", "upper_ratio", "alpha_ratio", "avg_token_len"):
+        out[col + "_micros"] = pa.array(_micros(np.asarray(t[col])))
+    return pa.table(out)
+
+
+def q_knn_cosine(sf_dir: str) -> pa.Table:
+    from search_engine_ray.dataops.similarity import knn_brute_force
+    import ray.data
+
+    tbl = _emb_tbl(sf_dir)
+    emb = np.stack([np.asarray(e, dtype=np.float64) for e in tbl["embedding"].to_pylist()[:3]])
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = knn_brute_force(ds, emb, k=5)
+    return pa.table(
+        {
+            "query_id": out["query_id"].combine_chunks().cast(pa.int64()),
+            "vec_id": out["vec_id"].combine_chunks().cast(pa.int64()),
+            "cos_sim_micros": pa.array(_micros(np.asarray(out["cos_sim"]))),
+        }
+    )
+
+
+def q_ngram_jaccard(sf_dir: str) -> pa.Table:
+    from search_engine_ray.dataops.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(
+        _docs_ds(sf_dir), n=3, threshold=0.08, max_shingle_df=1_000_000
+    ).to_pandas()
+    out = out.sort_values(["a", "b"])
+    return pa.table(
+        {
+            "a": pa.array(out["a"].astype(np.int64)),
+            "b": pa.array(out["b"].astype(np.int64)),
+            "jaccard_micros": pa.array(
+                np.floor(out["jaccard"].to_numpy() * 1_000_000).astype(np.int64)
+            ),
+        }
+    )
+
+
+def q_lang_distribution(sf_dir: str) -> pa.Table:
+    ds = _docs_ds(sf_dir).groupby("lang").count()
+    df = ds.to_pandas().sort_values("lang")
+    return pa.table(
+        {
+            "lang": pa.array(df["lang"], pa.string()),
+            "n_docs": pa.array(df["count()"].astype(np.int64)),
+        }
+    )
+
+
+def q_events_window(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from search_engine_ray.dataops.windows import tumbling_window_agg
+
+    events = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    out = tumbling_window_agg(events, window_seconds=3600).to_pandas()
+    out = out.sort_values(["key", "window_start_us"])
+    return pa.table(
+        {
+            "key": pa.array(out["key"], pa.string()),
+            "window_start_us": pa.array(out["window_start_us"].astype(np.int64)),
+            "n": pa.array(out["n"].astype(np.int64)),
+            # millis (not micros): float-sum order differs between engines by
+            # ~1e-13 relative, so keep the rounding boundary 1000x away
+            "sum_value_millis": pa.array(
+                np.floor(out["sum_value"].to_numpy() * 1_000 + 0.5).astype(np.int64)
+            ),
+        }
+    )
+
+
+def q_sessionize(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from search_engine_ray.dataops.windows import sessionize
+
+    events = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    out = sessionize(events, gap_seconds=1800).to_pandas()
+    out = out.sort_values(["user_id", "session_start_us"])
+    return pa.table(
+        {
+            "user_id": pa.array(out["user_id"].astype(np.int64)),
+            "session_start_us": pa.array(out["session_start_us"].astype(np.int64)),
+            "session_end_us": pa.array(out["session_end_us"].astype(np.int64)),
+            "n_events": pa.array(out["n_events"].astype(np.int64)),
+        }
+    )
+
+
+# ---- rows-only queries (non-SQL-expressible by design) ----
+
+def q_bm25_stemmed_wand(sf_dir: str) -> pa.Table:
+    """Full reference options (Porter stemming) + block-max WAND top-k."""
+    from search_engine_ray.config import BM25Params
+    from search_engine_ray.engine.scoring import wand_topk
+
+    r = _reader(sf_dir, OPT_FULL)
+    rows = {"topic": [], "doc_id": [], "rank": [], "score": []}
+    for topic, kws in [
+        (1, [("spark", 1), ("hash", 2)]),
+        (2, [("window", 1), ("join", 1), ("tabl", 1)]),
+        (3, [("valu", 1)]),
+    ]:
+        ids, scores = wand_topk(r, kws, BM25Params(), 20, kind="bm25")
+        for rank, (d, s) in enumerate(zip(ids, scores), 1):
+            rows["topic"].append(topic)
+            rows["doc_id"].append(int(r.doc_names[d]))
+            rows["rank"].append(rank)
+            rows["score"].append(float(s))
+    return pa.table(
+        {
+            "topic": pa.array(rows["topic"], pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+            "score": pa.array(rows["score"], pa.float64()),
+        }
+    )
+
+
+def q_simhash(sf_dir: str):
+    from search_engine_ray.dataops.dedup import simhash
+
+    return simhash(_docs_ds(sf_dir))
+
+
+def q_minhash_pairs(sf_dir: str):
+    from search_engine_ray.dataops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs_ds(sf_dir), threshold=0.6)
+
+
+def q_fingerprints(sf_dir: str):
+    from search_engine_ray.dataops.textstats import fingerprints
+
+    return fingerprints(_docs_ds(sf_dir))
+
+
+def q_knn_lsh(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from search_engine_ray.dataops.similarity import knn_lsh
+
+    tbl = _emb_tbl(sf_dir)
+    emb = np.stack([np.asarray(e, dtype=np.float64) for e in tbl["embedding"].to_pylist()[:3]])
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return knn_lsh(ds, emb, k=5)
+
+
+def q_lang_id(sf_dir: str):
+    from search_engine_ray.dataops.textstats import lang_id
+
+    return lang_id(_docs_ds(sf_dir))
+
+
+def q_media_features(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from search_engine_ray.dataops.multimodal import decode_images, synthesize_media
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    media = synthesize_media(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    out = decode_images(ray.data.from_arrow(media)).to_pandas().sort_values("media_id")
+    return pa.table(
+        {
+            "media_id": pa.array(out["media_id"].astype(np.int64)),
+            "width": pa.array(out["width"].astype(np.int64)),
+            "height": pa.array(out["height"].astype(np.int64)),
+            "channels": pa.array(out["channels"].astype(np.int64)),
+        }
+    )
+
+
+# ===========================================================================
+# driver surface
+# ===========================================================================
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship on sf0.001: pages corpus -> full index build -> WAND BM25 run."""
+    import ray.data
+
+    from search_engine_ray.config import BuildConfig
+    from search_engine_ray.corpus.extract import html_from_text
+    from search_engine_ray.engine.build import build_index
+    from search_engine_ray.engine.search import search_topics
+
+    sf_dir = "/root/testdata/sf0.001"
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    pages_dir = "/tmp/se_ray_entry/pages"
+    os.makedirs(pages_dir, exist_ok=True)
+    pages_path = os.path.join(pages_dir, "pages-00000.parquet")
+    if not os.path.exists(pages_path):
+        htmls = [
+            html_from_text(t, title=f"doc {d}", noise_seed=int(d))
+            for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "url": pa.array([f"doc://{d}" for d in docs["doc_id"].to_pylist()]),
+                    "html": pa.array(htmls, pa.binary()),
+                }
+            ),
+            pages_path,
+            row_group_size=128,
+        )
+    index_dir = "/tmp/se_ray_entry/index"
+    build_index(pages_dir, index_dir, BuildConfig(), source_column="html", name_column="url")
+    topics = [
+        (401, [("spark", 1), ("hash", 1)]),
+        (402, [("window", 2), ("join", 1)]),
+        (403, [("valu", 1), ("tabl", 1)]),
+    ]
+    return search_topics(index_dir, topics, scorer="bm25", run_name="flagship", k=100)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "doc_stats": q_doc_stats,
+        "term_stats": q_term_stats,
+        "top_terms": q_top_terms,
+        "posting_lookup": q_posting_lookup,
+        "collection_stats": q_collection_stats,
+        "bm25_top10": q_bm25_top10,
+        "tfidf_top10": q_tfidf_top10,
+        "extract_roundtrip": q_extract_roundtrip,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "quality": q_quality,
+        "knn_cosine": q_knn_cosine,
+        "ngram_jaccard": q_ngram_jaccard,
+        "lang_distribution": q_lang_distribution,
+        "events_window": q_events_window,
+        "sessionize": q_sessionize,
+        # rows-only (non-SQL-expressible)
+        "bm25_stemmed_wand": q_bm25_stemmed_wand,
+        "simhash": q_simhash,
+        "minhash_pairs": q_minhash_pairs,
+        "fingerprints": q_fingerprints,
+        "knn_lsh": q_knn_lsh,
+        "lang_id": q_lang_id,
+        "media_features": q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    micros = _SQL_MICROS
+    return {
+        "doc_stats": f"WITH {_TOKS} SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id",
+        "term_stats": f"""
+            WITH {_TOKS}
+            SELECT t AS term, count(DISTINCT doc_id) AS df, count(*) AS total_tf
+            FROM toks GROUP BY t
+        """,
+        "top_terms": f"""
+            WITH {_TOKS},
+            d AS (SELECT t AS term, count(DISTINCT doc_id) AS df FROM toks GROUP BY t)
+            SELECT term, df FROM d ORDER BY df DESC, term ASC LIMIT 100
+        """,
+        "posting_lookup": f"""
+            WITH {_TOKS}
+            SELECT t AS term, count(DISTINCT doc_id) AS df, count(*) AS total_tf,
+                   min(doc_id) AS min_doc, max(doc_id) AS max_doc
+            FROM toks WHERE t IN ('spark','hash','join','table','window','zzz_not_in_index')
+            GROUP BY t
+        """,
+        "collection_stats": f"""
+            WITH {_TOKS}
+            SELECT (SELECT count(*) FROM documents) AS n_docs,
+                   count(*) AS sum_dl,
+                   {micros.format(expr="(count(*) * 1.0 / (SELECT count(*) FROM documents))")} AS avgdl_micros
+            FROM toks
+        """,
+        "bm25_top10": f"""
+            WITH {_TOKS},
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+            tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks
+                   WHERE t IN ('spark','hash','join') GROUP BY doc_id, t),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            sc AS (
+              SELECT tf.doc_id,
+                     SUM( ln((st.n - df.df + 0.5) / (df.df + 0.5))
+                          * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) ) AS score
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+              GROUP BY tf.doc_id
+            ),
+            ranked AS (SELECT doc_id, score,
+                              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM sc)
+            SELECT doc_id, {micros.format(expr="score")} AS score_micros
+            FROM ranked WHERE r <= 10
+        """,
+        "tfidf_top10": f"""
+            WITH {_TOKS},
+            st AS (SELECT (SELECT count(*) FROM documents) AS n),
+            tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks
+                   WHERE t IN ('spark','hash','join') GROUP BY doc_id, t),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            sc AS (
+              SELECT tf.doc_id,
+                     SUM( ln(1 + tf.tf) * ln(CAST(st.n // df.df AS DOUBLE)) ) AS score
+              FROM tf JOIN df USING (term) CROSS JOIN st
+              GROUP BY tf.doc_id
+            ),
+            ranked AS (SELECT doc_id, score,
+                              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM sc)
+            SELECT doc_id, {micros.format(expr="score")} AS score_micros
+            FROM ranked WHERE r <= 10
+        """,
+        "extract_roundtrip": "SELECT doc_id, text FROM documents",
+        "dedup_exact": """
+            SELECT md5(text) AS dup_key, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "token_count": r"""
+            SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens FROM documents
+        """,
+        "quality": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     len(list_filter(regexp_extract_all(text, '\\S+'), x -> x <> '')) AS n_tokens,
+                     len(list_filter(regexp_extract_all(text, '\\S+'),
+                         x -> lower(x) IN ({_STOP_LIST}))) AS n_stop,
+                     len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+                     len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
+                     len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+              FROM documents
+            )
+            SELECT doc_id, n_chars, n_tokens,
+                   {micros.format(expr="(n_stop * 1.0 / greatest(n_tokens, 1))")} AS stop_ratio_micros,
+                   {micros.format(expr="(n_punct * 1.0 / greatest(n_chars, 1))")} AS punct_ratio_micros,
+                   {micros.format(expr="(n_upper * 1.0 / greatest(n_chars, 1))")} AS upper_ratio_micros,
+                   {micros.format(expr="(n_alpha * 1.0 / greatest(n_chars, 1))")} AS alpha_ratio_micros,
+                   {micros.format(expr="(n_chars * 1.0 / greatest(n_tokens, 1))")} AS avg_token_len_micros
+            FROM base
+        """,
+        "knn_cosine": f"""
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id < 3),
+            sims AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS sim
+              FROM embeddings e CROSS JOIN q
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, sim,
+                     row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS r
+              FROM sims
+            )
+            SELECT query_id, vec_id, {micros.format(expr="sim")} AS cos_sim_micros
+            FROM ranked WHERE r <= 5
+        """,
+        "ngram_jaccard": r"""
+            WITH tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+              FROM tk, UNNEST(generate_series(1, greatest(len(tk) - 2, 0))) AS g(i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            co AS (
+              SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS c
+              FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+              GROUP BY s1.doc_id, s2.doc_id
+            )
+            SELECT a, b,
+                   CAST(FLOOR((CAST(c AS DOUBLE) / (za.sz + zb.sz - c)) * 1000000) AS BIGINT) AS jaccard_micros
+            FROM co JOIN sizes za ON za.doc_id = a JOIN sizes zb ON zb.doc_id = b
+            WHERE CAST(c AS DOUBLE) / (za.sz + zb.sz - c) >= 0.08
+        """,
+        "lang_distribution": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+        "events_window": f"""
+            SELECT event_type AS key,
+                   (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+                   count(*) AS n,
+                   CAST(FLOOR(SUM(value) * 1000 + 0.5) AS BIGINT) AS sum_value_millis
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH o AS (
+              SELECT user_id, epoch_us(ts) AS tsu,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (SELECT user_id, tsu,
+                         SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu) AS sid FROM o)
+            SELECT user_id, MIN(tsu) AS session_start_us, MAX(tsu) AS session_end_us,
+                   COUNT(*) AS n_events
+            FROM s GROUP BY user_id, sid
+        """,
+    }

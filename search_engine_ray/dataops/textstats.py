@@ -65,13 +65,16 @@ def quality_batch(batch: pa.Table, text_column: str = "text", id_column: str = "
     is_stop = np.asarray(pc.is_in(pc.ascii_lower(flat), value_set=_STOP_ARR)) & nonempty
     n_stop = np.bincount(doc_idx[is_stop], minlength=n).astype(np.int64)
 
+    # Ratios stay unrounded exact-rational doubles: int/int division is
+    # bit-deterministic, so downstream consumers (the SQL-oracle micros
+    # encoding in __ray_entry__) compare exactly.
     safe_tokens = np.maximum(n_tokens, 1)
     safe_chars = np.maximum(n_chars, 1)
-    stop_ratio = np.round(n_stop / safe_tokens, 6)
-    punct_ratio = np.round(n_punct / safe_chars, 6)
-    upper_ratio = np.round(n_upper / safe_chars, 6)
-    alpha_ratio = np.round(n_alpha / safe_chars, 6)
-    avg_token_len = np.round(n_chars / safe_tokens, 6)
+    stop_ratio = n_stop / safe_tokens
+    punct_ratio = n_punct / safe_chars
+    upper_ratio = n_upper / safe_chars
+    alpha_ratio = n_alpha / safe_chars
+    avg_token_len = n_chars / safe_tokens
 
     return pa.table(
         {

@@ -1,0 +1,89 @@
+"""High-level pipelines shared by __ray_entry__, bench.py and tests.
+
+Builds inverted indexes over the driver's `documents` table (doc_id used as
+the document name) or over synthesized `pages` corpora, with per-process +
+on-disk caching so repeated queries() calls reuse one build.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from .config import BuildConfig, IndexOptions
+from .engine.build import build_index
+from .engine.index_reader import IndexReader
+
+_CACHE_ROOT = os.environ.get("SE_RAY_CACHE", "/tmp/se_ray_cache")
+_READERS: dict[str, IndexReader] = {}
+
+
+def documents_index_dir(sf_dir: str, options: IndexOptions, **build_kw) -> str:
+    """Build (once) an index over {sf_dir}/documents.parquet; returns its dir."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}|{os.path.getmtime(src)}|{options.to_dict()}|{sorted(build_kw.items())}".encode()
+    ).hexdigest()[:16]
+    index_dir = os.path.join(_CACHE_ROOT, f"docidx-{key}")
+    config = BuildConfig(options=options, **build_kw)
+    build_index(src, index_dir, config, source_column="text", name_column="doc_id")
+    return index_dir
+
+
+def documents_reader(sf_dir: str, options: IndexOptions, **build_kw) -> IndexReader:
+    index_dir = documents_index_dir(sf_dir, options, **build_kw)
+    reader = _READERS.get(index_dir)
+    if reader is None:
+        reader = IndexReader(index_dir, preload=True)
+        _READERS[index_dir] = reader
+    return reader
+
+
+def bm25_scores_f64(
+    reader: IndexReader, keywords: list[tuple[str, int]], k1: float = 1.2, b: float = 0.75, k3: float = 100.0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Float64 BM25 (for DuckDB-oracle comparison; the reference-faithful
+    float32 path lives in engine.scoring)."""
+    n = reader.n_docs
+    avgdl = reader.avgdl
+    scores = np.zeros(n, dtype=np.float64)
+    touched = np.zeros(n, dtype=bool)
+    for term, qtf in keywords:
+        tp = reader.postings(term)
+        if tp is None:
+            continue
+        ids, tfs, dls = tp.arrays()
+        idf = np.log((n - tp.df + 0.5) / (tp.df + 0.5))
+        qterm = ((k3 + 1) * qtf) / (k3 + qtf)
+        scores[ids] += idf * (tfs * (k1 + 1)) / (tfs + k1 * (1 - b + b * (dls / avgdl))) * qterm
+        touched[ids] = True
+    cand = np.flatnonzero(touched)
+    order = np.lexsort((cand, -scores[cand]))
+    return cand[order], scores[cand][order]
+
+
+def tfidf_scores_f64(reader: IndexReader, keywords: list[tuple[str, int]]) -> tuple[np.ndarray, np.ndarray]:
+    n = reader.n_docs
+    scores = np.zeros(n, dtype=np.float64)
+    touched = np.zeros(n, dtype=bool)
+    for term, _qtf in keywords:
+        tp = reader.postings(term)
+        if tp is None:
+            continue
+        ids, tfs, _dls = tp.arrays()
+        idf = np.log(float(n // tp.df))
+        scores[ids] += np.log1p(tfs) * idf
+        touched[ids] = True
+    cand = np.flatnonzero(touched)
+    order = np.lexsort((cand, -scores[cand]))
+    return cand[order], scores[cand][order]
+
+
+def synth_pages_dir(n_docs: int, seed: int = 42, n_files: int = 4, row_group_size: int = 2048) -> str:
+    from .corpus.pages import write_pages_parquet
+
+    out = os.path.join(_CACHE_ROOT, f"pages-{n_docs}-{seed}-{n_files}-{row_group_size}")
+    return write_pages_parquet(out, n_docs, seed=seed, n_files=n_files, row_group_size=row_group_size)
