@@ -1,0 +1,204 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and prints ONE JSON line:
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+     "docs_per_sec": ..., "bytes_per_sec": ...}
+
+--scaling: runs the headline index-build twice in FRESH subprocesses at
+num_cpus=8 and num_cpus=32 over the same input and reports both
+throughputs + scaling efficiency ((t8/t32)/4); recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+PAGES_DOCS = int(os.environ.get("SE_RAY_BENCH_PAGES", "20000"))
+
+
+def run_benchmarks() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import numpy as np
+
+    from search_engine_ray.config import BM25Params, BuildConfig, IndexOptions
+    from search_engine_ray.engine.build import build_index
+    from search_engine_ray.engine.index_reader import IndexReader
+    from search_engine_ray.engine.scoring import wand_topk
+    from search_engine_ray.engine.search import search_topics
+    from search_engine_ray.pipelines import synth_pages_dir
+
+    timings: dict[str, float] = {}
+    meta: dict[str, float] = {}
+
+    # ---- warm the page cache (measure compute+shuffle, not cold disk) ----
+    docs_path = os.path.join(SF_DIR, "documents.parquet")
+    with open(docs_path, "rb") as fh:
+        while fh.read(1 << 22):
+            pass
+
+    # ---- 1. headline: full index build over the documents table ----
+    index_dir = f"/tmp/se_ray_bench/index-docs-{NUM_CPUS}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    stats = build_index(
+        docs_path,
+        index_dir,
+        BuildConfig(options=IndexOptions(stemming=True), segment_concurrency=(1, NUM_CPUS)),
+        source_column="text",
+        name_column="doc_id",
+        term_buckets=max(8, NUM_CPUS),
+    )
+    timings["index_build_documents"] = time.perf_counter() - t0
+    meta["n_docs"] = stats["n_docs"]
+    meta["docs_per_sec"] = stats["n_docs"] / timings["index_build_documents"]
+    meta["bytes_per_sec"] = os.path.getsize(docs_path) / timings["index_build_documents"]
+
+    # ---- 2. pages pipeline: HTML extraction -> index (input_hint shape) ----
+    pages_dir = synth_pages_dir(PAGES_DOCS, seed=42, n_files=16, row_group_size=2048)
+    pages_index = f"/tmp/se_ray_bench/index-pages-{NUM_CPUS}"
+    shutil.rmtree(pages_index, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_index(
+        pages_dir,
+        pages_index,
+        BuildConfig(segment_concurrency=(1, NUM_CPUS)),
+        source_column="html",
+        name_column="url",
+        term_buckets=max(8, NUM_CPUS),
+    )
+    timings["index_build_pages_html"] = time.perf_counter() - t0
+
+    # ---- 3. query latency: BM25 over the pages index (realistic Zipf vocab) ----
+    from search_engine_ray.engine.search import score_topic
+
+    reader = IndexReader(pages_index, preload=True)
+    terms = sorted(reader._df, key=lambda t: -reader._df[t])[:2000]  # queryable head
+    rng = np.random.default_rng(7)
+    topic_list = []
+    for t in range(100):
+        kws = [(terms[int(i)], 1) for i in rng.integers(0, len(terms), size=3)]
+        topic_list.append((t, kws))
+    params = BM25Params()
+    for method in ("wand", "auto"):
+        lat = []
+        for _t, kws in topic_list:
+            q0 = time.perf_counter()
+            score_topic(reader, kws, "bm25", params, 1000, method)
+            lat.append(time.perf_counter() - q0)
+        timings[f"bm25_{method}_100_queries"] = float(np.sum(lat))
+        meta[f"bm25_{method}_p95_ms"] = float(np.percentile(lat, 95) * 1000)
+        meta[f"bm25_{method}_p50_ms"] = float(np.percentile(lat, 50) * 1000)
+
+    # ---- 4. distributed query pipeline (actor pool) ----
+    t0 = time.perf_counter()
+    run = search_topics(pages_index, topic_list, scorer="bm25", k=1000, concurrency=(1, max(2, NUM_CPUS // 4)))
+    assert run.num_rows > 0
+    timings["query_pipeline_100_topics"] = time.perf_counter() - t0
+
+    # ---- 5. training-data ops over documents ----
+    import ray.data
+
+    from search_engine_ray.dataops.dedup import exact_dedup, minhash_lsh_pairs, simhash
+    from search_engine_ray.dataops.similarity import knn_brute_force
+    from search_engine_ray.dataops.textstats import quality_scores
+
+    docs_ds = ray.data.read_parquet(docs_path)
+    t0 = time.perf_counter()
+    exact_dedup(docs_ds).count()
+    timings["dedup_exact"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    minhash_lsh_pairs(docs_ds, threshold=0.8).count()
+    timings["dedup_minhash_lsh"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    simhash(docs_ds).count()
+    timings["simhash"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    quality_scores(docs_ds).count()
+    timings["quality_scores"] = time.perf_counter() - t0
+
+    emb_path = os.path.join(SF_DIR, "embeddings.parquet")
+    import pyarrow.parquet as pq
+
+    emb_tbl = pq.read_table(emb_path, columns=["embedding"])
+    queries = np.stack(
+        [np.asarray(e, dtype=np.float64) for e in emb_tbl["embedding"].to_pylist()[:8]]
+    )
+    emb_ds = ray.data.read_parquet(emb_path)
+    t0 = time.perf_counter()
+    knn_brute_force(emb_ds, queries, k=10)
+    timings["knn_brute_force"] = time.perf_counter() - t0
+
+    headline = timings["index_build_documents"]
+    result = {
+        "metric": "index-build wall time over documents (sf dir), full pipeline read->tokenize->segment->shuffle->compressed block index",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        **{k: round(v, 3) for k, v in meta.items()},
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same headline job at num_cpus=8 and 32 in fresh processes."""
+    here = os.path.abspath(__file__)
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, here], env=env, capture_output=True, text=True, check=True
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    return {
+        "metric": "index-build scaling efficiency, num_cpus 8 -> 32 (fresh ray sessions, same input)",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "docs_per_sec_8": lo.get("docs_per_sec"),
+        "docs_per_sec_32": hi.get("docs_per_sec"),
+        "scaling_efficiency": round(eff, 3),
+        "queries_8": lo.get("queries"),
+        "queries_32": hi.get("queries"),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_benchmarks()))

@@ -95,21 +95,20 @@ def add_content_hash(batch: pa.Table, text_column: str = "text") -> pa.Table:
 
 
 def exact_dedup(ds: ray.data.Dataset, text_column: str = "text", id_column: str = "doc_id") -> ray.data.Dataset:
-    """One row per distinct content: (dup_key, keep_doc_id=min id, n_copies)."""
+    """One row per distinct content: (dup_key, keep_doc_id=min id, n_copies).
+
+    Native groupby aggregates (no per-group Python) — hash-partition +
+    min/count is the whole operator."""
+    from ray.data.aggregate import Count, Min
+
     hashed = ds.map_batches(
         add_content_hash, fn_kwargs=dict(text_column=text_column), batch_format="pyarrow"
     ).select_columns(["dup_key", id_column])
-
-    def first_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "dup_key": [g["dup_key"].iloc[0]],
-                "keep_doc_id": [int(g[id_column].min())],
-                "n_copies": [len(g)],
-            }
-        )
-
-    return hashed.groupby("dup_key").map_groups(first_of_group, batch_format="pandas")
+    agg = hashed.groupby("dup_key").aggregate(
+        Min(id_column, alias_name="keep_doc_id"),
+        Count(alias_name="n_copies"),
+    )
+    return agg
 
 
 # --------------------------------------------------------------------------
@@ -189,6 +188,8 @@ def minhash_lsh_pairs(
     verified by the full signatures carried with the rows.  Buckets are the
     only shuffle; pair output is deduplicated downstream by (a, b) groupby.
     """
+    from ray.data.aggregate import Count, Max
+
     banded = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(
@@ -198,6 +199,26 @@ def minhash_lsh_pairs(
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
+    # two consumers below (bucket counts + pair extraction) — pin the banded
+    # rows once instead of recomputing the signatures per consumer
+    banded = banded.materialize()
+
+    # Most buckets are singletons: count per bucket natively, broadcast the
+    # small >=2 key set, and run the per-group pair kernel only on survivors
+    # (avoids per-group Python over millions of empty buckets).
+    counts = banded.groupby(["band", "band_hash"]).aggregate(Count(alias_name="n"))
+    hot = counts.filter(expr="n >= 2").select_columns(["band", "band_hash"]).to_pandas()
+    hot_keys = set(zip(hot["band"].tolist(), hot["band_hash"].tolist()))
+    hot_ref = ray.put(hot_keys)
+
+    def keep_hot(batch: pa.Table) -> pa.Table:
+        keys = ray.get(hot_ref)
+        b = batch["band"].to_pylist()
+        h = batch["band_hash"].to_pylist()
+        mask = pa.array([(bi, hi) in keys for bi, hi in zip(b, h)])
+        return batch.filter(mask)
+
+    banded = banded.map_batches(keep_hot, batch_format="pyarrow")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
@@ -216,11 +237,8 @@ def minhash_lsh_pairs(
         return pd.DataFrame({"a": out_a, "b": out_b, "est_jaccard": out_j})
 
     pairs = banded.groupby(["band", "band_hash"]).map_groups(bucket_pairs, batch_format="pandas")
-
-    def dedup_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return pairs.groupby(["a", "b"]).map_groups(dedup_pair, batch_format="pandas")
+    # a pair found in several bands carries the same signature estimate
+    return pairs.groupby(["a", "b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
 
 
 # --------------------------------------------------------------------------
@@ -300,15 +318,27 @@ def ngram_jaccard_pairs(
             {"a": ids[ii], "b": ids[jj], "size_a": sizes[ii], "size_b": sizes[jj]}
         )
 
+    from ray.data.aggregate import Count, Min
+
     pairs = shingles.groupby("shingle").map_groups(group_pairs, batch_format="pandas")
+    co = pairs.groupby(["a", "b"]).aggregate(
+        Count(alias_name="co"),
+        Min("size_a", alias_name="sa"),
+        Min("size_b", alias_name="sb"),
+    )
 
-    def jaccard(g: pd.DataFrame) -> pd.DataFrame:
-        co = len(g)
-        a, b = int(g["a"].iloc[0]), int(g["b"].iloc[0])
-        sa, sb = int(g["size_a"].iloc[0]), int(g["size_b"].iloc[0])
-        j = co / (sa + sb - co)
-        if j < threshold:
-            return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-        return pd.DataFrame({"a": [a], "b": [b], "jaccard": [j]})
+    def finish(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch["co"], dtype=np.float64)
+        sa = np.asarray(batch["sa"], dtype=np.int64)
+        sb = np.asarray(batch["sb"], dtype=np.int64)
+        j = c / (sa + sb - c)
+        keep = j >= threshold
+        return pa.table(
+            {
+                "a": pa.array(np.asarray(batch["a"], dtype=np.int64)[keep]),
+                "b": pa.array(np.asarray(batch["b"], dtype=np.int64)[keep]),
+                "jaccard": pa.array(j[keep]),
+            }
+        )
 
-    return pairs.groupby(["a", "b"]).map_groups(jaccard, batch_format="pandas")
+    return co.map_batches(finish, batch_format="pyarrow")

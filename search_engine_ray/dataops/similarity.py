@@ -203,9 +203,8 @@ def embedding_near_dup_pairs(
             {"a": ids[ii][keep], "b": ids[jj][keep], "cos_sim": sims[ii, jj][keep]}
         )
 
+    from ray.data.aggregate import Max
+
     pairs = bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
-
-    def dedup_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return pairs.groupby(["a", "b"]).map_groups(dedup_pair, batch_format="pandas")
+    # a pair seen in multiple buckets has the same exact cosine
+    return pairs.groupby(["a", "b"]).aggregate(Max("cos_sim", alias_name="cos_sim"))

@@ -46,21 +46,15 @@ def tumbling_window_agg(
         )
         return pa.Table.from_pandas(agg, preserve_index=False)
 
+    from ray.data.aggregate import Max, Min, Sum
+
     partials = ds.map_batches(partial, batch_format="pyarrow")
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "key": [g["key"].iloc[0]],
-                "window_start_us": [int(g["window_start_us"].iloc[0])],
-                "n": [int(g["n"].sum())],
-                "sum_value": [float(g["sum_value"].sum())],
-                "min_value": [float(g["min_value"].min())],
-                "max_value": [float(g["max_value"].max())],
-            }
-        )
-
-    return partials.groupby(["key", "window_start_us"]).map_groups(merge, batch_format="pandas")
+    return partials.groupby(["key", "window_start_us"]).aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sum_value", alias_name="sum_value"),
+        Min("min_value", alias_name="min_value"),
+        Max("max_value", alias_name="max_value"),
+    )
 
 
 def sessionize(

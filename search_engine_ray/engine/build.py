@@ -73,8 +73,9 @@ def build_index(
         os.replace(plan_path + ".tmp", plan_path)
 
     # ---- stage 1: per-fragment segments (streams; no shuffle) ----
+    n_cpus = max(2, int(ray.cluster_resources().get("CPU", 4)))
     frag_ds = ray.data.from_items([f.to_dict() for f in fragments])
-    concurrency = config.segment_concurrency
+    concurrency = config.segment_concurrency or (1, min(len(fragments), n_cpus))
     manifest_ds = frag_ds.map_batches(
         SegmentBuilder,
         fn_constructor_kwargs=dict(
@@ -84,7 +85,7 @@ def build_index(
             name_column=name_column,
         ),
         batch_size=1,
-        concurrency=concurrency or (1, max(2, int(ray.cluster_resources().get("CPU", 4)))),
+        concurrency=concurrency,
         num_cpus=1,
     )
     manifests = manifest_ds.to_pandas()  # tiny: one row per fragment
@@ -105,21 +106,43 @@ def build_index(
         fn_kwargs=dict(frags_per_shard=config.frags_per_shard, term_buckets=term_buckets),
         batch_format="pyarrow",
     )
+    # Coalesce before the sort shuffle: the all-to-all creates
+    # (input blocks x output partitions) objects, so many tiny blocks turn a
+    # small exchange into thousands of object transfers.  Partition count
+    # scales with fragments (data), capped below by the CPU count.
+    shuffle_parts = max(2, min(len(fragments), n_cpus))
+    keyed = keyed.repartition(shuffle_parts)
     merged = keyed.groupby(["bucket", "shard"]).map_groups(
         make_merge_fn(config, avgdl), batch_format="pyarrow"
     )
     merged.write_parquet(postings_dir)
 
-    # terms table: df per term (A4 materialized) — a small second aggregate
-    # over block metadata, no posting payload moves.
-    post_meta = ray.data.read_parquet(postings_dir, columns=["term", "n"])
-    terms_df = (
-        post_meta.groupby("term")
-        .sum("n")
-        .to_pandas()
-        .rename(columns={"sum(n)": "df"})
-        .sort_values("term", ignore_index=True)
-    )
+    # terms table: df per term (A4 materialized) — aggregate over block
+    # metadata only, no posting payload moves.  Small metadata (the common
+    # case up to ~millions of terms x shards) aggregates driver-side in one
+    # arrow pass; past the threshold it becomes a Ray groupby.
+    import pyarrow.dataset as pads
+
+    meta_ds = pads.dataset(postings_dir)
+    approx_rows = sum(f.count_rows() for f in meta_ds.get_fragments())
+    if approx_rows <= 5_000_000:
+        meta_tbl = meta_ds.to_table(columns=["term", "n"])
+        terms_df = (
+            meta_tbl.group_by("term")
+            .aggregate([("n", "sum")])
+            .rename_columns(["term", "df"])
+            .to_pandas()
+            .sort_values("term", ignore_index=True)
+        )
+    else:
+        post_meta = ray.data.read_parquet(postings_dir, columns=["term", "n"])
+        terms_df = (
+            post_meta.groupby("term")
+            .sum("n")
+            .to_pandas()
+            .rename(columns={"sum(n)": "df"})
+            .sort_values("term", ignore_index=True)
+        )
     tmp = terms_path + ".tmp"
     pq.write_table(
         pa.table(

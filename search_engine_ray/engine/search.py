@@ -33,16 +33,34 @@ RUN_SCHEMA = pa.schema(
 SCORERS = ("bm25", "tfidf", "bm25adpt")
 
 
+# Below this many candidate postings, exhaustive vectorized TAAT beats the
+# per-document WAND traversal (identical results either way — WAND only
+# prunes docs that cannot enter the top-k).  WAND wins when posting lists
+# are long enough that skipped block decodes dominate.
+_AUTO_TAAT_POSTINGS = 500_000
+
+
+def _resolve_method(reader: IndexReader, keywords: list[tuple[str, int]], method: str) -> str:
+    if method != "auto":
+        return method
+    total = sum(reader._df.get(t, 0) for t, _ in keywords)
+    return "taat" if total < _AUTO_TAAT_POSTINGS else "wand"
+
+
 def score_topic(
     reader: IndexReader,
     keywords: list[tuple[str, int]],
     scorer: str = "bm25",
     params: BM25Params | None = None,
     k: int = 1000,
-    method: str = "wand",
+    method: str = "auto",
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Returns (doc_ids, scores) ranked desc, ties broken by ascending docID."""
+    """Returns (doc_ids, scores) ranked desc, ties broken by ascending docID.
+
+    method: "wand" (block-max DAAT), "taat" (exhaustive vectorized), or
+    "auto" (pick by total candidate-posting volume; results identical)."""
     params = params or BM25Params()
+    method = _resolve_method(reader, keywords, method)
     if scorer == "bm25":
         if method == "wand":
             return wand_topk(reader, keywords, params, k, kind="bm25")
@@ -66,7 +84,7 @@ class QueryScorer:
         scorer: str = "bm25",
         run_name: str = "ray",
         k: int = 1000,
-        method: str = "wand",
+        method: str = "auto",
         preload: bool = True,
     ):
         self.reader = IndexReader(index_dir, preload=preload)
@@ -115,7 +133,7 @@ def search_topics(
     scorer: str = "bm25",
     run_name: str = "ray",
     k: int = 1000,
-    method: str = "wand",
+    method: str = "auto",
     concurrency: int | tuple[int, int] | None = None,
 ) -> pa.Table:
     """Distributed scoring of a topic set; returns the run table sorted by
