@@ -63,7 +63,15 @@ class BuildConfig:
     # shard = frag_id // frags_per_shard. Bounds any single groupby payload
     # to ~frags_per_shard fragments' worth of one term's postings.
     frags_per_shard: int = 64
-    # actor pool size for the segment-build stage (None → tasks)
-    segment_concurrency: int | None = None
+    # Segment-build compute strategy: None (default) = stateless task pool —
+    # worker processes are reused so the Porter memo (module-global) stays
+    # warm, with none of the actor-pool spin-up cost; set an int/(min,max)
+    # to force an actor pool instead (useful when per-stage resource
+    # isolation matters more than startup latency).
+    segment_concurrency: int | tuple[int, int] | None = None
+    # Term-shuffle partition count: None = data-driven (one partition per
+    # ~SHUFFLE_PARTITION_BYTES of segment data, bounded by CPUs) — at
+    # cluster scale this grows with data, not with a hardcoded constant.
+    shuffle_partitions: int | None = None
     # rows per read fragment batch; fragments are row-group sized already
     target_rows_per_fragment: int = 65536

@@ -23,6 +23,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 
 import numpy as np
 import pyarrow as pa
@@ -33,7 +34,7 @@ import ray.data
 from ..config import BuildConfig
 from .merge import add_merge_keys, make_merge_fn, POSTINGS_SCHEMA
 from .reader import plan_fragments
-from .segments import SegmentBuilder
+from .segments import SegmentBuilder, build_segments_batch
 
 
 def build_index(
@@ -42,7 +43,7 @@ def build_index(
     config: BuildConfig | None = None,
     source_column: str = "html",
     name_column: str = "url",
-    term_buckets: int = 32,
+    term_buckets: int | None = None,
     overwrite: bool = False,
 ) -> dict:
     """Build (or resume building) the inverted index.  Returns stats dict."""
@@ -56,7 +57,10 @@ def build_index(
         with open(os.path.join(index_dir, "stats.json")) as fh:
             return json.load(fh)
 
+    _t = time.perf_counter()
+    phases: dict[str, float] = {}
     fragments = plan_fragments(input_path)
+    phases["plan"] = time.perf_counter() - _t
     plan_path = os.path.join(index_dir, "build_plan.json")
     if os.path.exists(plan_path):
         with open(plan_path) as fh:
@@ -75,24 +79,47 @@ def build_index(
     # ---- stage 1: per-fragment segments (streams; no shuffle) ----
     n_cpus = max(2, int(ray.cluster_resources().get("CPU", 4)))
     frag_ds = ray.data.from_items([f.to_dict() for f in fragments])
-    concurrency = config.segment_concurrency or (1, min(len(fragments), n_cpus))
-    manifest_ds = frag_ds.map_batches(
-        SegmentBuilder,
-        fn_constructor_kwargs=dict(
-            index_dir=index_dir,
-            config=config,
-            source_column=source_column,
-            name_column=name_column,
-        ),
-        batch_size=1,
-        concurrency=concurrency,
-        num_cpus=1,
+    stage_kwargs = dict(
+        index_dir=index_dir,
+        config=config,
+        source_column=source_column,
+        name_column=name_column,
     )
+    if config.segment_concurrency is None:
+        # stateless task pool: worker processes are reused, so the
+        # module-global Porter memo stays warm without actor-pool startup
+        manifest_ds = frag_ds.map_batches(
+            build_segments_batch,
+            fn_kwargs=stage_kwargs,
+            batch_size=1,
+            num_cpus=1,
+        )
+    else:
+        manifest_ds = frag_ds.map_batches(
+            SegmentBuilder,
+            fn_constructor_kwargs=stage_kwargs,
+            batch_size=1,
+            concurrency=config.segment_concurrency,
+            num_cpus=1,
+        )
+    _t = time.perf_counter()
     manifests = manifest_ds.to_pandas()  # tiny: one row per fragment
+    phases["segments"] = time.perf_counter() - _t
 
     n_docs = int(manifests["n_docs"].sum())
     sum_dl = int(manifests["sum_dl"].sum())
     avgdl = sum_dl / n_docs if n_docs else 0.0
+
+    if term_buckets is None:
+        # Size merge groups to stay cache-resident (~0.5 MiB of postings
+        # per (bucket, shard) group): DRAM-throttled hosts run a
+        # cache-sized vectorized merge an order of magnitude faster than a
+        # big-array one, and at cluster scale smaller groups also smooth
+        # shuffle skew.  ~20 bytes per posting entry across the three
+        # parallel arrays.
+        n_postings = int(manifests["n_postings"].sum())
+        n_shards = max(1, (len(fragments) + config.frags_per_shard - 1) // config.frags_per_shard)
+        term_buckets = int(min(4096, max(16, n_postings * 20 // (512 * 1024) // n_shards)))
 
     # ---- stage 2: the term shuffle ----
     postings_dir = os.path.join(index_dir, "postings")
@@ -108,14 +135,24 @@ def build_index(
     )
     # Coalesce before the sort shuffle: the all-to-all creates
     # (input blocks x output partitions) objects, so many tiny blocks turn a
-    # small exchange into thousands of object transfers.  Partition count
-    # scales with fragments (data), capped below by the CPU count.
-    shuffle_parts = max(2, min(len(fragments), n_cpus))
+    # small exchange into thousands of object transfers.  Partition count is
+    # DATA-driven (~256 MiB of segment data per shuffle partition — grows
+    # with corpus size at cluster scale), bounded by fragment count and by
+    # 2x the CPUs so a single node is never oversubscribed with
+    # bandwidth-heavy merge tasks.
+    if config.shuffle_partitions is not None:
+        shuffle_parts = config.shuffle_partitions
+    else:
+        seg_bytes = int(manifests["bytes"].sum())
+        by_data = max(1, seg_bytes // (256 * 1024 * 1024))
+        shuffle_parts = int(max(2, min(len(fragments), n_cpus * 2, max(by_data, min(8, n_cpus)))))
     keyed = keyed.repartition(shuffle_parts)
     merged = keyed.groupby(["bucket", "shard"]).map_groups(
         make_merge_fn(config, avgdl), batch_format="pyarrow"
     )
+    _t = time.perf_counter()
     merged.write_parquet(postings_dir)
+    phases["merge"] = time.perf_counter() - _t
 
     # terms table: df per term (A4 materialized) — aggregate over block
     # metadata only, no posting payload moves.  Small metadata (the common
@@ -123,6 +160,7 @@ def build_index(
     # arrow pass; past the threshold it becomes a Ray groupby.
     import pyarrow.dataset as pads
 
+    _t = time.perf_counter()
     meta_ds = pads.dataset(postings_dir)
     approx_rows = sum(f.count_rows() for f in meta_ds.get_fragments())
     if approx_rows <= 5_000_000:
@@ -154,6 +192,7 @@ def build_index(
         tmp,
     )
     os.replace(tmp, terms_path)
+    phases["terms"] = time.perf_counter() - _t
 
     stats = {
         "n_docs": n_docs,
@@ -167,6 +206,7 @@ def build_index(
         "block_entries": config.block_entries,
         "frags_per_shard": config.frags_per_shard,
         "term_buckets": term_buckets,
+        "phase_sec": {k: round(v, 3) for k, v in phases.items()},
     }
     with open(os.path.join(index_dir, "stats.json.tmp"), "w") as fh:
         json.dump(stats, fh)

@@ -16,6 +16,8 @@ from __future__ import annotations
 import numpy as np
 
 _MAX_BYTES = 10  # enough for uint64
+# value v needs k bytes iff v >= 2^(7*(k-1)); thresholds for k = 2..10
+_BYTE_THRESHOLDS = (np.uint64(1) << (np.uint64(7) * np.arange(1, 10, dtype=np.uint64)))
 
 
 def vbyte_encode_offsets(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -28,14 +30,10 @@ def vbyte_encode_offsets(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    mask = tmp > 0
-    while mask.any():
-        nbits[mask] += 1
-        tmp >>= np.uint64(1)
-        mask = tmp > 0
-    nbytes = np.maximum((nbits + 6) // 7, 1)
+    # bytes per value in ONE pass (values below 2^(7k) need k bytes) — a
+    # bit-length loop here would make ~40 full-array passes and saturate
+    # memory bandwidth when many merge workers run concurrently
+    nbytes = np.searchsorted(_BYTE_THRESHOLDS, v, side="right") + 1
     ends = np.cumsum(nbytes)
     total = int(ends[-1])
     out = np.zeros(total, dtype=np.uint8)

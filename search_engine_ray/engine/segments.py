@@ -145,8 +145,23 @@ def build_fragment_postings(
     return docs_table, seg_table
 
 
+# Stateless-task entry point: SegmentBuilder instances cached per worker
+# process (Ray reuses workers, so the Porter memo and compiled state stay
+# warm across tasks without actor-pool startup cost).
+_PROCESS_BUILDERS: dict[tuple, "SegmentBuilder"] = {}
+
+
+def build_segments_batch(batch: dict, **kwargs) -> "pa.Table":
+    key = tuple(sorted((k, str(v)) for k, v in kwargs.items()))
+    builder = _PROCESS_BUILDERS.get(key)
+    if builder is None:
+        builder = SegmentBuilder(**kwargs)
+        _PROCESS_BUILDERS[key] = builder
+    return builder(batch)
+
+
 class SegmentBuilder:
-    """Actor-pool stage: fragment descriptors in -> manifest rows out."""
+    """Per-worker stage state: fragment descriptors in -> manifest rows out."""
 
     def __init__(self, index_dir: str, config: BuildConfig, source_column: str = "html", name_column: str = "url"):
         self.index_dir = index_dir
