@@ -208,10 +208,12 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     one(8)  # warm: generates/caches the corpus + OS page cache untimed
-    # best-of-2 per level: the sandbox's DRAM throttling makes single runs
-    # noisy by +-30%
-    lo = min(one(8), one(8), key=lambda r: r["value"])
-    hi = min(one(32), one(32), key=lambda r: r["value"])
+    # median-of-3 per level: the sandbox's shared/throttled DRAM makes
+    # single runs noisy by +-50%; raw values are reported alongside
+    lo_runs = sorted((one(8) for _ in range(3)), key=lambda r: r["value"])
+    hi_runs = sorted((one(32) for _ in range(3)), key=lambda r: r["value"])
+    lo, hi = lo_runs[1], hi_runs[1]
+    probe = compute_stage_probe()
     t_lo, t_hi = lo["value"], hi["value"]
     eff = (t_lo / t_hi) / (32 / 8)
     return {
@@ -221,9 +223,53 @@ def run_scaling() -> dict:
         "docs_per_sec_8": lo.get("docs_per_sec"),
         "docs_per_sec_32": hi.get("docs_per_sec"),
         "scaling_efficiency": round(eff, 3),
-        "queries_8": lo.get("queries"),
-        "queries_32": hi.get("queries"),
+        "raw_sec_8": [r["value"] for r in lo_runs],
+        "raw_sec_32": [r["value"] for r in hi_runs],
+        # Per-stage evidence: the extract+tokenize+segment kernel run as K
+        # independent OS processes (no Ray) — separates the pipeline's
+        # compute scaling from this sandbox's shared-DRAM ceiling, which
+        # caps any data-exchange stage on a single box (a real 4N-node
+        # cluster adds DRAM/network bandwidth with the nodes).
+        "segment_kernel_probe": probe,
     }
+
+
+def compute_stage_probe() -> dict:
+    """Run the per-fragment kernel in 8 vs 32 parallel processes, no Ray."""
+    code = (
+        "import sys, time\n"
+        "sys.path.insert(0, %r)\n"
+        "from search_engine_ray.config import BuildConfig\n"
+        "from search_engine_ray.engine.reader import plan_fragments, read_fragment\n"
+        "from search_engine_ray.corpus.extract import extract_text_batch\n"
+        "from search_engine_ray.engine.segments import build_fragment_postings\n"
+        "k = int(sys.argv[1])\n"
+        "frags = plan_fragments(%r)\n"
+        "t0 = time.perf_counter()\n"
+        "for i in range(k, k + 4):\n"
+        "    f = frags[i %% len(frags)]\n"
+        "    tbl = read_fragment(f, columns=['url', 'html'])\n"
+        "    texts = extract_text_batch(tbl['html'])\n"
+        "    build_fragment_postings(tbl['url'].combine_chunks(), texts, f.base, f.frag_id, BuildConfig())\n"
+        "print(time.perf_counter() - t0)\n"
+    ) % (
+        os.path.dirname(os.path.abspath(__file__)),
+        "/tmp/se_ray_cache/pages-%s-42-16-2048" % os.environ.get("SE_RAY_SCALING_PAGES", "100000"),
+    )
+    out = {}
+    for nproc in (8, 32):
+        t0 = time.perf_counter()
+        procs = [
+            subprocess.Popen([sys.executable, "-c", code, str(i * 4)], stdout=subprocess.PIPE, text=True)
+            for i in range(nproc)
+        ]
+        for p in procs:
+            p.communicate()
+        out[f"wall_{nproc}_procs_4frags_each"] = round(time.perf_counter() - t0, 3)
+    w8, w32 = out["wall_8_procs_4frags_each"], out["wall_32_procs_4frags_each"]
+    # 32 procs do 4x the work of 8 procs; equal wall == perfect scaling
+    out["kernel_scaling_efficiency"] = round(w8 / w32, 3)
+    return out
 
 
 if __name__ == "__main__":
