@@ -321,6 +321,38 @@ def q_sessionize(sf_dir: str) -> pa.Table:
     )
 
 
+def q_boolean_and(sf_dir: str) -> pa.Table:
+    """J4 done properly: block-skipping posting-list intersection."""
+    from search_engine_ray.engine.boolean import boolean_and
+
+    r = _reader(sf_dir)
+    ids = boolean_and(r, ["spark", "hash", "join"])
+    doc_ids = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    return pa.table({"doc_id": pa.array(np.sort(doc_ids))})
+
+
+def q_term_length_hist(sf_dir: str) -> pa.Table:
+    """M8 diagnostics: term-length histogram over the dictionary."""
+    from search_engine_ray.engine.diagnostics import term_length_hist_table
+    from search_engine_ray.pipelines import documents_index_dir
+
+    return term_length_hist_table(documents_index_dir(sf_dir, OPT_NOSTEM))
+
+
+def q_bm25_qtf_top10(sf_dir: str) -> pa.Table:
+    """BM25 with a repeated query term (qtf=2) — exercises the
+    (k3+1)qtf/(k3+qtf) query-weight (BM25Scorer.cs:53, M7 folding)."""
+    from search_engine_ray.pipelines import bm25_scores_f64
+
+    r = _reader(sf_dir)
+    ids, scores = bm25_scores_f64(r, [("spark", 2), ("hash", 1)])
+    ids, scores = ids[:10], scores[:10]
+    doc_ids = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids), "score_micros": pa.array(_micros(scores))}
+    )
+
+
 # ---- rows-only queries (non-SQL-expressible by design) ----
 
 def q_bm25_stemmed_wand(sf_dir: str) -> pa.Table:
@@ -468,6 +500,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_distribution": q_lang_distribution,
         "events_window": q_events_window,
         "sessionize": q_sessionize,
+        "boolean_and": q_boolean_and,
+        "term_length_hist": q_term_length_hist,
+        "bm25_qtf_top10": q_bm25_qtf_top10,
         # rows-only (non-SQL-expressible)
         "bm25_stemmed_wand": q_bm25_stemmed_wand,
         "simhash": q_simhash,
@@ -606,6 +641,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(c AS DOUBLE) / (za.sz + zb.sz - c) >= 0.08
         """,
         "lang_distribution": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+        "boolean_and": f"""
+            WITH {_TOKS},
+            m AS (SELECT DISTINCT doc_id, t FROM toks WHERE t IN ('spark','hash','join'))
+            SELECT doc_id FROM m GROUP BY doc_id HAVING count(*) = 3
+        """,
+        "term_length_hist": f"""
+            WITH {_TOKS},
+            d AS (SELECT DISTINCT t FROM toks)
+            SELECT length(t) AS term_len, count(*) AS n_terms FROM d GROUP BY 1
+        """,
+        "bm25_qtf_top10": f"""
+            WITH {_TOKS},
+            q(term, qtf) AS (VALUES ('spark', 2), ('hash', 1)),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+            tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks
+                   WHERE t IN (SELECT term FROM q) GROUP BY doc_id, t),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            sc AS (
+              SELECT tf.doc_id,
+                     SUM( ln((st.n - df.df + 0.5) / (df.df + 0.5))
+                          * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl)))
+                          * (((100 + 1) * q.qtf) / (100 + q.qtf * 1.0)) ) AS score
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id) JOIN q USING (term) CROSS JOIN st
+              GROUP BY tf.doc_id
+            ),
+            ranked AS (SELECT doc_id, score,
+                              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM sc)
+            SELECT doc_id, {_SQL_MICROS.format(expr="score")} AS score_micros
+            FROM ranked WHERE r <= 10
+        """,
         "events_window": f"""
             SELECT event_type AS key,
                    (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,

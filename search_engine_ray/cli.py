@@ -1,0 +1,171 @@
+"""Command-line surface mirroring the reference's
+(/root/reference/src/Program.cs:14-33):
+
+    python -m search_engine_ray index  <pages_dir> <index_dir> "IndexOptions(CaseFolding,RemoveStopWords,DoStemming)"
+    python -m search_engine_ray search <run_name> <topics_file> <index_dir> "QueryOptions(UseHeadline,UseDescription,UseNarrative)"
+    python -m search_engine_ray stats  <index_dir>
+
+The `IndexOptions(...)`/`QueryOptions(...)` literal strings parse exactly
+like the reference's flag parsers (IndexOptions.cs:26-49,
+QueryOptions.cs:26-49: listed flags become True, everything else False).
+`search` runs all three scorers and writes one TREC run file each,
+`results-{run}-{Scorer}.txt` (Program.cs:99-103,130-133).
+
+This module owns its Ray session (guarded init) — it is the
+`ray job submit` entrypoint:
+
+    ray job submit -- python -m search_engine_ray index corpus/ index/ "IndexOptions(CaseFolding,RemoveStopWords,DoStemming)"
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from .config import BuildConfig, IndexOptions, QueryOptions
+
+
+def parse_index_options(arg: str) -> IndexOptions:
+    flags = _parse_flag_literal(arg, "IndexOptions")
+    return IndexOptions(
+        case_folding="CaseFolding" in flags,
+        remove_stopwords="RemoveStopWords" in flags,
+        stemming="DoStemming" in flags,
+    )
+
+
+def parse_query_options(arg: str) -> QueryOptions:
+    flags = _parse_flag_literal(arg, "QueryOptions")
+    return QueryOptions(
+        use_title="UseHeadline" in flags,
+        use_description="UseDescription" in flags,
+        use_narrative="UseNarrative" in flags,
+    )
+
+
+def _parse_flag_literal(arg: str, name: str) -> set[str]:
+    if arg.startswith(name + "(") and arg.endswith(")"):
+        raw = arg[len(name) + 1 : -1]
+    else:
+        raw = arg
+    return {f.strip() for f in raw.split(",") if f.strip()}
+
+
+_OWNS_SESSION = False
+
+
+def _ensure_ray(num_cpus: int | None) -> None:
+    global _OWNS_SESSION
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+        _OWNS_SESSION = True
+    try:
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+    except Exception:
+        pass
+
+
+def cmd_index(args: argparse.Namespace) -> int:
+    _ensure_ray(args.num_cpus)
+    from .engine.build import build_index
+
+    options = parse_index_options(args.options)
+    config = BuildConfig(options=options)
+    stats = build_index(
+        args.input,
+        args.index_dir,
+        config,
+        source_column=args.source_column,
+        name_column=args.name_column,
+        overwrite=args.overwrite,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
+def cmd_search(args: argparse.Namespace) -> int:
+    _ensure_ray(args.num_cpus)
+    from .corpus.topics import parse_topics
+    from .engine.search import search_topics, write_trec_run
+
+    with open(os.path.join(args.index_dir, "stats.json")) as fh:
+        stats = json.load(fh)
+    index_options = IndexOptions.from_dict(stats["options"])  # persisted flags
+    query_options = parse_query_options(args.query_options)
+    topics = parse_topics(args.topics_file, query_options, index_options)
+
+    scorer_names = {"tfidf": "TfIdf", "bm25": "BM25", "bm25adpt": "BM25ADPT"}
+    for scorer in args.scorers.split(","):
+        run = search_topics(
+            args.index_dir, topics, scorer=scorer, run_name=args.run_name, k=args.k
+        )
+        out = os.path.join(
+            args.out_dir, f"results-{args.run_name}-{scorer_names.get(scorer, scorer)}.txt"
+        )
+        write_trec_run(run, out)
+        print(f"{scorer}: {run.num_rows} result lines -> {out}")
+    return 0
+
+
+def cmd_stats(args: argparse.Namespace) -> int:
+    from .engine.diagnostics import index_stats
+
+    print(json.dumps(index_stats(args.index_dir, args.stopword_df_threshold)))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="search_engine_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("index")
+    pi.add_argument("input")
+    pi.add_argument("index_dir")
+    pi.add_argument("options", nargs="?", default="IndexOptions(CaseFolding,RemoveStopWords,DoStemming)")
+    pi.add_argument("--source-column", default="html")
+    pi.add_argument("--name-column", default="url")
+    pi.add_argument("--overwrite", action="store_true")
+    pi.add_argument("--num-cpus", type=int, default=None)
+    pi.set_defaults(fn=cmd_index)
+
+    ps = sub.add_parser("search")
+    ps.add_argument("run_name")
+    ps.add_argument("topics_file")
+    ps.add_argument("index_dir")
+    ps.add_argument("query_options", nargs="?", default="QueryOptions(UseHeadline)")
+    ps.add_argument("--scorers", default="tfidf,bm25,bm25adpt")
+    ps.add_argument("--k", type=int, default=1000)
+    ps.add_argument("--out-dir", default=".")
+    ps.add_argument("--num-cpus", type=int, default=None)
+    ps.set_defaults(fn=cmd_search)
+
+    pt = sub.add_parser("stats")
+    pt.add_argument("index_dir")
+    pt.add_argument("--stopword-df-threshold", type=int, default=100_000)
+    pt.set_defaults(fn=cmd_stats)
+
+    args = p.parse_args(argv)
+    try:
+        return args.fn(args)
+    finally:
+        import ray
+
+        # leave pre-existing sessions (e.g. the pytest fixture's) alone
+        if _OWNS_SESSION and ray.is_initialized():
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

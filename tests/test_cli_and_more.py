@@ -1,0 +1,154 @@
+"""CLI surface, option matrix, boolean retrieval, diagnostics, tf saturation."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from search_engine_ray.cli import main, parse_index_options, parse_query_options
+from search_engine_ray.config import BuildConfig, IndexOptions, QueryOptions
+from search_engine_ray.corpus.pages import write_pages_parquet
+from search_engine_ray.corpus.topics import generate_topics, parse_topics_lines, write_trec_topics
+from search_engine_ray.engine.boolean import boolean_and, boolean_or
+from search_engine_ray.engine.build import build_index
+from search_engine_ray.engine.diagnostics import index_stats
+from search_engine_ray.engine.index_reader import IndexReader
+from search_engine_ray.oracle.indexer import OracleIndex
+from tests.test_index_build import _oracle_from_corpus
+
+BASE = "/tmp/se_ray_cli"
+
+
+def test_option_literal_parsing():
+    o = parse_index_options("IndexOptions(CaseFolding,RemoveStopWords,DoStemming)")
+    assert o == IndexOptions(True, True, True)
+    assert parse_index_options("IndexOptions(CaseFolding)") == IndexOptions(True, False, False)
+    assert parse_index_options("IndexOptions()") == IndexOptions(False, False, False)
+    q = parse_query_options("QueryOptions(UseHeadline,UseNarrative)")
+    assert q == QueryOptions(True, False, True)
+
+
+@pytest.fixture(scope="module")
+def cli_corpus(ray_session):
+    shutil.rmtree(BASE, ignore_errors=True)
+    corpus = f"{BASE}/corpus"
+    write_pages_parquet(corpus, 120, seed=5, n_files=2, row_group_size=32)
+    return corpus
+
+
+def test_cli_index_search_stats(cli_corpus, capsys, tmp_path):
+    index_dir = f"{BASE}/index"
+    rc = main(["index", cli_corpus, index_dir,
+               "IndexOptions(CaseFolding,RemoveStopWords,DoStemming)", "--overwrite"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_docs"] == 120
+    assert stats["options"] == {"case_folding": True, "remove_stopwords": True, "stemming": True}
+
+    # topics over the built vocabulary
+    reader = IndexReader(index_dir)
+    vocab = sorted(reader._df)[:50]
+    topics_path = f"{BASE}/topics.txt"
+    write_trec_topics(topics_path, generate_topics(5, vocab, seed=3))
+
+    out_dir = str(tmp_path)
+    rc = main(["search", "r1", topics_path, index_dir,
+               "QueryOptions(UseHeadline)", "--k", "20", "--out-dir", out_dir])
+    assert rc == 0
+    for scorer in ("TfIdf", "BM25", "BM25ADPT"):
+        path = os.path.join(out_dir, f"results-r1-{scorer}.txt")
+        assert os.path.exists(path), path
+        lines = open(path).read().splitlines()
+        assert lines and all(len(l.split(" ")) == 6 for l in lines)
+
+    rc = main(["stats", index_dir, "--stopword-df-threshold", "10"])
+    assert rc == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["n_terms"] == reader.stats["n_terms"]
+    assert sum(st["term_length_hist"].values()) == st["n_terms"]
+    assert sum(st["posting_length_hist"].values()) == st["n_terms"]
+    # candidate stopwords: df > 10 and len <= 4, sorted by df desc
+    for df, term in st["candidate_stopwords"]:
+        assert df > 10 and len(term) <= 4
+
+
+def test_option_matrix_e2e(cli_corpus, ray_session):
+    """Golden config matrix (FIXTURES.md §4): each flag combination builds an
+    index that decode-equals the oracle under the same options."""
+    for opts in [
+        IndexOptions(True, False, False),
+        IndexOptions(False, False, False),
+        IndexOptions(False, True, True),
+    ]:
+        tag = f"{int(opts.case_folding)}{int(opts.remove_stopwords)}{int(opts.stemming)}"
+        index_dir = f"{BASE}/index_{tag}"
+        build_index(cli_corpus, index_dir, BuildConfig(options=opts, block_entries=16),
+                    overwrite=True)
+        oracle = _oracle_from_corpus(cli_corpus, opts)
+        reader = IndexReader(index_dir)
+        assert set(reader._df) == set(oracle.postings), tag
+        for term in list(oracle.postings)[:200]:
+            ids, tfs, _ = reader.postings(term).arrays()
+            o_ids, o_tfs = oracle.postings[term]
+            assert ids.tolist() == o_ids and tfs.tolist() == o_tfs, (tag, term)
+
+
+def test_query_options_sections():
+    lines = [
+        "<top>",
+        "<num> Number: 401",
+        "<title> alpha beta",
+        "<desc> Description:",
+        "gamma delta",
+        "<narr> Narrative:",
+        "epsilon zeta",
+        "</top>",
+    ]
+    opts = IndexOptions(True, True, False)
+    t = parse_topics_lines(lines, QueryOptions(True, False, False), opts)
+    assert t == [(401, [("alpha", 1), ("beta", 1)])]
+    t = parse_topics_lines(lines, QueryOptions(True, True, False), opts)
+    assert t == [(401, [("alpha", 1), ("beta", 1), ("gamma", 1), ("delta", 1)])]
+    t = parse_topics_lines(lines, QueryOptions(False, False, True), opts)
+    assert t == [(401, [("epsilon", 1), ("zeta", 1)])]
+
+
+def test_boolean_retrieval(cli_corpus, ray_session):
+    index_dir = f"{BASE}/index"
+    reader = IndexReader(index_dir)
+    oracle = _oracle_from_corpus(cli_corpus, IndexOptions(True, True, True))
+    terms = sorted(oracle.postings, key=lambda t: -len(oracle.postings[t][0]))[:3]
+    got = boolean_and(reader, terms)
+    sets = [set(oracle.postings[t][0]) for t in terms]
+    expected = sorted(set.intersection(*sets))
+    assert got.tolist() == expected
+    got_or = boolean_or(reader, terms + ["zz_missing"])
+    assert got_or.tolist() == sorted(set.union(*sets))
+    assert boolean_and(reader, ["zz_missing", terms[0]]).tolist() == []
+
+
+def test_uint16_tf_saturation():
+    """merge caps tf at 65535 (documented deviation from the reference's
+    silent ushort wraparound, PostingList.cs:32,47)."""
+    from search_engine_ray.engine.merge import add_merge_keys, make_merge_fn
+
+    seg = pa.table(
+        {
+            "term": pa.array(["big"], pa.string()),
+            "frag_id": pa.array([0], pa.int32()),
+            "min_doc": pa.array([0], pa.int64()),
+            "df_local": pa.array([1], pa.int32()),
+            "doc_ids": pa.array([[0]], pa.list_(pa.int64())),
+            "tfs": pa.array([[70_000]], pa.list_(pa.int32())),
+            "dls": pa.array([[70_000]], pa.list_(pa.int32())),
+        }
+    )
+    keyed = add_merge_keys(seg, 64, 4)
+    out = make_merge_fn(BuildConfig(), 100.0)(keyed)
+    from search_engine_ray.engine.codec import vbyte_decode
+
+    tfs = vbyte_decode(out["tfs_enc"][0].as_py())
+    assert tfs.tolist() == [65535]
