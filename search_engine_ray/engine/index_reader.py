@@ -124,6 +124,14 @@ class IndexReader:
         else:
             self._dataset = pads.dataset(os.path.join(index_dir, "postings"))
 
+    def doc_id_of(self, name: str) -> int:
+        """Name -> docID (the reference's O(n) IsDocumentInIndex,
+        WriteableIndex.cs:43-46, as an O(1) lazily-built hash lookup).
+        Returns -1 when absent."""
+        if not hasattr(self, "_name_to_id"):
+            self._name_to_id = {n: i for i, n in enumerate(self.doc_names)}
+        return self._name_to_id.get(name, -1)
+
     # --- J1: term -> posting blocks (absent terms -> None, silently
     # dropped like GetPostingLists, ReadableIndex.cs:29-42) ---
     def postings(self, term: str) -> TermPostings | None:

@@ -32,6 +32,18 @@ RUN_SCHEMA = pa.schema(
 
 SCORERS = ("bm25", "tfidf", "bm25adpt")
 
+# User-extension surface (reference IScorer plugin array, IScorer.cs:10-13 /
+# Program.cs:99-103): register a callable
+# (reader, keywords, params, k) -> (doc_ids, scores) under a name and pass
+# that name anywhere a scorer is accepted (score_topic, QueryScorer, CLI).
+_CUSTOM_SCORERS: dict = {}
+
+
+def register_scorer(name: str, fn) -> None:
+    if name in SCORERS:
+        raise ValueError(f"{name!r} is a built-in scorer")
+    _CUSTOM_SCORERS[name] = fn
+
 
 # Below this many candidate postings, exhaustive vectorized TAAT beats the
 # per-document WAND traversal (identical results either way — WAND only
@@ -72,6 +84,9 @@ def score_topic(
     if scorer == "bm25adpt":
         # needs the full tf distribution per term -> always exhaustive
         return taat_bm25_adpt(reader, keywords, params, k)
+    custom = _CUSTOM_SCORERS.get(scorer)
+    if custom is not None:
+        return custom(reader, keywords, params, k)
     raise ValueError(f"unknown scorer {scorer!r}")
 
 
