@@ -36,6 +36,9 @@ F32 = np.float32
 # Safety margin added to float64 upper bounds before pruning against the
 # float32 threshold (loosens pruning; never affects correctness).
 _EPS = 1e-3
+# Max docs per vectorized WAND evaluation window (scratch stays in cache;
+# large enough to amortize per-window numpy overhead across blocks).
+_WINDOW_CAP = 8192
 
 
 # --------------------------------------------------------------------------
@@ -218,14 +221,40 @@ class _Cursor:
     def current_block_last(self) -> int:
         return self.blocks[self.bi].last_doc
 
-    def score_current(self) -> np.float32:
-        tf = int(self.tfs[self.pos])
+    def gather_range(self, w_end: int) -> tuple[np.ndarray, np.ndarray]:
+        """Consume all postings with doc < w_end (possibly spanning blocks);
+        returns (doc_ids, float32 contributions) and leaves the cursor on
+        the first posting >= w_end."""
+        ids_parts: list[np.ndarray] = []
+        contrib_parts: list[np.ndarray] = []
+        while not self.exhausted and self.cur < w_end:
+            hi = int(np.searchsorted(self.ids, w_end, side="left"))
+            ids_parts.append(self.ids[self.pos : hi])
+            contrib_parts.append(self.slice_contrib(self.pos, hi))
+            if hi >= len(self.ids):
+                self.bi += 1
+                self._load_block()
+            else:
+                self.pos = hi
+                self.cur = int(self.ids[hi])
+                break
+        if not ids_parts:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        if len(ids_parts) == 1:
+            return ids_parts[0], contrib_parts[0]
+        return np.concatenate(ids_parts), np.concatenate(contrib_parts)
+
+    def slice_contrib(self, lo: int, hi: int) -> np.ndarray:
+        """Vectorized float32 contributions for postings [lo, hi) of the
+        current block — identical expression/casts to the TAAT scorers."""
+        tfs = self.tfs[lo:hi]
         if self.kind == "tfidf":
-            return F32(math.log(1 + tf) * self.idf)
-        dl = int(self.dls[self.pos])
-        doc_term = 1 - self.params.b + self.params.b * (dl / self.avgdl)
-        main = (tf * (self.params.k1 + 1)) / (tf + self.params.k1 * doc_term)
-        return F32(self.idf * main * self.qterm)
+            return (np.log1p(tfs) * self.idf).astype(np.float32)
+        dls = self.dls[lo:hi]
+        doc_term = 1 - self.params.b + self.params.b * (dls / self.avgdl)
+        return (
+            self.idf * (tfs * (self.params.k1 + 1)) / (tfs + self.params.k1 * doc_term) * self.qterm
+        ).astype(np.float32)
 
 
 def wand_topk(
@@ -273,36 +302,64 @@ def wand_topk(
         pivot_doc = live[pivot].cur
 
         if live[0].cur == pivot_doc:
+            # Involved set = every cursor at pivot_doc INCLUDING ties beyond
+            # the pivot index (their contributions count toward any doc in
+            # the window, so the bound must include them).
+            p2 = pivot
+            while p2 + 1 < len(live) and live[p2 + 1].cur == pivot_doc:
+                p2 += 1
             # block-max refinement: re-check with current block bounds
             block_acc = 0.0
-            for c in live[: pivot + 1]:
+            for c in live[: p2 + 1]:
                 block_acc += c.current_block_bound()
             if block_acc <= th:
                 # Skip to the next block boundary among involved cursors,
                 # capped at the next cursor's current doc — past that point
                 # cursors outside the checked prefix could contribute.
-                d_next = min(c.current_block_last() for c in live[: pivot + 1]) + 1
-                if pivot + 1 < len(live):
-                    d_next = min(d_next, live[pivot + 1].cur)
+                d_next = min(c.current_block_last() for c in live[: p2 + 1]) + 1
+                if p2 + 1 < len(live):
+                    d_next = min(d_next, live[p2 + 1].cur)
                 target = max(d_next, pivot_doc + 1)
-                for c in live[: pivot + 1]:
+                for c in live[: p2 + 1]:
                     if c.cur < target:
                         c.advance_to(target)
             else:
-                # evaluate pivot_doc: accumulate float32 in QUERY ORDER
-                contributors = sorted(
-                    (c for c in live if not c.exhausted and c.cur == pivot_doc),
-                    key=lambda c: c.qpos,
-                )
-                score = F32(0)
-                for c in contributors:
-                    score = score + c.score_current()
-                for c in contributors:
-                    c.advance()
-                if len(heap) < k:
-                    heapq.heappush(heap, (float(score), -pivot_doc))
-                elif float(score) > heap[0][0]:
-                    heapq.heapreplace(heap, (float(score), -pivot_doc))
+                # Evaluate a whole WINDOW vectorized.  All cursors with
+                # cur == pivot_doc form the involved set (sorted order means
+                # the prefix up to and including every tie).  Every document
+                # in [pivot_doc, w_end) is fully covered by the involved
+                # cursors' CURRENT blocks: w_end stops at the earliest
+                # current-block end and at the next cursor's doc.
+                involved = [c for c in live if c.cur == pivot_doc]
+                # window may span multiple blocks (capped so the scratch
+                # array stays cache-resident); it always stops before the
+                # next non-involved cursor's doc so coverage stays complete
+                w_end = pivot_doc + _WINDOW_CAP
+                if len(involved) < len(live):
+                    w_end = min(w_end, live[len(involved)].cur)
+                width = w_end - pivot_doc
+                scratch = np.zeros(width, dtype=np.float32)
+                touched = np.zeros(width, dtype=bool)
+                # term-outer accumulation in QUERY ORDER — the same float32
+                # operation order as TAAT, so scores stay bit-identical
+                for c in sorted(involved, key=lambda c: c.qpos):
+                    ids, contrib = c.gather_range(w_end)
+                    rel = ids - pivot_doc
+                    scratch[rel] = scratch[rel] + contrib
+                    touched[rel] = True
+                cand = np.flatnonzero(touched)
+                cand_scores = scratch[cand]
+                # bulk pre-filter against the window-entry threshold
+                # (threshold only rises, so this is conservative-correct)
+                if len(heap) == k:
+                    keep = cand_scores > th
+                    cand, cand_scores = cand[keep], cand_scores[keep]
+                for rel, score in zip(cand.tolist(), cand_scores.tolist()):
+                    if len(heap) < k:
+                        heapq.heappush(heap, (score, -(pivot_doc + rel)))
+                    elif score > heap[0][0]:
+                        heapq.heapreplace(heap, (score, -(pivot_doc + rel)))
+                # involved cursors were advanced past the window by gather_range
         else:
             # advance cursors before the pivot up to pivot_doc
             for c in live[:pivot]:

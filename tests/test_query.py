@@ -100,6 +100,26 @@ def test_wand_equals_taat_bm25(setup):
             assert ws.tolist() == ts.tolist()
 
 
+def test_wand_tie_pruning_regression(setup):
+    """Cursors tied at the pivot beyond the pivot index must count toward
+    the block bound — a missed tie once let WAND skip top-scoring docs at
+    small k (fixed; this pins it)."""
+    _oracle, reader, _topics = setup
+    params = BM25Params()
+    by_df = sorted(reader._df, key=lambda t: -reader._df[t])
+    head, tail = by_df[:5], by_df[-30:]
+    rng = np.random.default_rng(3)
+    for _ in range(40):
+        kws = [(head[int(rng.integers(0, len(head)))], 1)] + [
+            (tail[int(i)], 1) for i in rng.integers(0, len(tail), 2)
+        ]
+        for k in (1, 2, 3, 5):
+            wi, ws = wand_topk(reader, kws, params, k, kind="bm25")
+            ti, ts = taat_bm25(reader, kws, params, k)
+            assert wi.tolist() == ti.tolist(), (kws, k)
+            assert ws.tolist() == ts.tolist()
+
+
 def test_wand_equals_taat_tfidf(setup):
     _oracle, reader, topics = setup
     params = BM25Params()
