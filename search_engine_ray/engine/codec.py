@@ -73,6 +73,73 @@ def vbyte_decode(buf: bytes, count: int | None = None) -> np.ndarray:
     return values
 
 
+def sliced_binary(data: np.ndarray, value_ends: np.ndarray, run_starts: np.ndarray, n_values: int):
+    """Zero-copy Arrow BinaryArray: one slice of a shared encode buffer per
+    run of values (runs = posting rows / blocks).  ``run_starts`` are value
+    indices; byte boundaries come from ``value_ends``."""
+    import pyarrow as pa
+
+    n_runs = len(run_starts)
+    offsets = np.empty(n_runs + 1, dtype=np.int32)
+    starts_prev = run_starts - 1
+    byte_starts = np.where(run_starts > 0, value_ends[starts_prev], 0)
+    offsets[:-1] = byte_starts
+    offsets[-1] = value_ends[-1] if n_values else 0
+    return pa.Array.from_buffers(
+        pa.binary(),
+        n_runs,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())],
+    )
+
+
+def encode_rows(values: np.ndarray, row_starts: np.ndarray, delta: bool):
+    """One VByte pass over ``values`` (optionally delta-gapped with the gap
+    stream restarting at each row), sliced zero-copy into one binary cell
+    per row.  The inverse of ``decode_concat_rows``."""
+    if delta:
+        v = np.asarray(values, dtype=np.int64)
+        gaps = v.copy()
+        if len(v):
+            gaps[1:] -= v[:-1]
+            gaps[row_starts] = v[row_starts]
+            if len(v) > 1 and gaps.min() < 0:
+                raise ValueError("values must be ascending within each row")
+        payload = gaps.astype(np.uint64)
+    else:
+        payload = np.asarray(values, dtype=np.uint64)
+    data, ends = vbyte_encode_offsets(payload)
+    return sliced_binary(data, ends, row_starts, len(payload))
+
+
+def _concat_binary_bytes(col) -> bytes:
+    """Contiguous bytes of a BinaryArray's rows in row order (zero-copy)."""
+    import pyarrow as pa
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return data[offs[0] : offs[-1]]
+
+
+def decode_concat_rows(col, n_per_row: np.ndarray, delta: bool) -> np.ndarray:
+    """Decode a column of per-row VByte cells into one flat value array
+    (values in row order).  For delta cells the absolute values are
+    reconstructed per row with a single vectorized cumsum."""
+    flat = _concat_binary_bytes(col)
+    total = int(n_per_row.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    vals = vbyte_decode(flat, total)
+    if not delta:
+        return vals.astype(np.int64)
+    cum = np.cumsum(vals.astype(np.int64))
+    row_ends = np.cumsum(n_per_row)
+    bases = np.repeat(
+        np.concatenate(([0], cum[row_ends[:-1] - 1])), n_per_row
+    )
+    return cum - bases
+
+
 def delta_encode(doc_ids: np.ndarray) -> bytes:
     """Delta-gap (strictly ascending ids) then VByte."""
     ids = np.asarray(doc_ids, dtype=np.int64)

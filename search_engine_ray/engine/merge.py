@@ -39,7 +39,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..config import BuildConfig
-from .codec import vbyte_encode_offsets
+from .codec import decode_concat_rows, vbyte_encode_offsets
 
 POSTINGS_SCHEMA = pa.schema(
     [
@@ -120,19 +120,14 @@ def make_merge_fn(config: BuildConfig, avgdl: float):
         # ranges make the per-term concatenation globally docID-sorted
         # (streaming analogue of PostingList.Append, PostingList.cs:84-120).
         order = np.lexsort((min_doc, codes))
-        tbl = group.select(["doc_ids", "tfs", "dls"]).take(pa.array(order))
+        tbl = group.select(["df_local", "docs_enc", "tfs_enc", "dls_enc"]).take(pa.array(order))
         codes = codes[order]
 
-        doc_list = tbl["doc_ids"].combine_chunks()
-        row_lens = np.asarray(pc.list_value_length(doc_list), dtype=np.int64)
-        doc_ids = np.asarray(doc_list.flatten())
-        tfs = np.asarray(tbl["tfs"].combine_chunks().flatten(), dtype=np.int64)
-        dls = np.asarray(tbl["dls"].combine_chunks().flatten(), dtype=np.int64)
-
-        # uint16 tf semantics: the reference's ushort wraps unchecked
-        # (PostingList.cs:32,47); we saturate at 65535 (documented deviation,
-        # unreachable in fixtures).
-        np.minimum(tfs, 65535, out=tfs)
+        # decode the whole group's compressed rows in three vectorized passes
+        row_lens = np.asarray(tbl["df_local"], dtype=np.int64)
+        doc_ids = decode_concat_rows(tbl["docs_enc"], row_lens, delta=True)
+        tfs = decode_concat_rows(tbl["tfs_enc"], row_lens, delta=False)
+        dls = decode_concat_rows(tbl["dls_enc"], row_lens, delta=False)
 
         # per-term flat ranges
         row_term_change = np.empty(len(codes), dtype=bool)

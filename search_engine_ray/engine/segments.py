@@ -36,17 +36,23 @@ import pyarrow.parquet as pq
 from ..config import BuildConfig
 from ..corpus.extract import extract_text_batch
 from ..text.vectorized import tokenize_batch
+from .codec import encode_rows
 from .reader import Fragment, read_fragment
 
+# Postings are delta+VByte-compressed PER SEGMENT ROW, not just in the final
+# index: the term shuffle then moves ~2-4 bytes/posting instead of 16, which
+# directly cuts the one all-to-all's bandwidth (the binding resource for an
+# exchange, on any hardware).  The merge decodes a whole group with two
+# vectorized passes (codec.decode_concat_rows).
 SEGMENT_SCHEMA = pa.schema(
     [
         ("term", pa.string()),
         ("frag_id", pa.int32()),
         ("min_doc", pa.int64()),
         ("df_local", pa.int32()),
-        ("doc_ids", pa.list_(pa.int64())),
-        ("tfs", pa.list_(pa.int32())),
-        ("dls", pa.list_(pa.int32())),
+        ("docs_enc", pa.binary()),
+        ("tfs_enc", pa.binary()),
+        ("dls_enc", pa.binary()),
     ]
 )
 
@@ -128,17 +134,21 @@ def build_fragment_postings(
     seg_terms = tb.terms[p_term[term_starts]]
 
     global_docs = doc_ids_global[p_doc]
-    dls = tb.doc_lens[p_doc].astype(np.int32)
+    dls = tb.doc_lens[p_doc].astype(np.int64)
+    # uint16 tf semantics: saturate here, before encoding (the reference's
+    # ushort wraps unchecked, PostingList.cs:32,47 — documented deviation).
+    tf64 = np.minimum(tf.astype(np.int64), 65535)
 
+    row_starts = offsets[:-1].astype(np.int64)
     seg_table = pa.table(
         {
             "term": pa.array(seg_terms, pa.string()),
             "frag_id": pa.array(np.full(len(term_starts), frag_id, dtype=np.int32)),
             "min_doc": pa.array(global_docs[term_starts], pa.int64()),
             "df_local": pa.array(np.diff(offsets).astype(np.int32)),
-            "doc_ids": pa.ListArray.from_arrays(offsets, pa.array(global_docs, pa.int64())),
-            "tfs": pa.ListArray.from_arrays(offsets, pa.array(tf, pa.int32())),
-            "dls": pa.ListArray.from_arrays(offsets, pa.array(dls, pa.int32())),
+            "docs_enc": encode_rows(global_docs, row_starts, delta=True),
+            "tfs_enc": encode_rows(tf64, row_starts, delta=False),
+            "dls_enc": encode_rows(dls, row_starts, delta=False),
         },
         schema=SEGMENT_SCHEMA,
     )

@@ -131,24 +131,17 @@ def test_boolean_retrieval(cli_corpus, ray_session):
 
 
 def test_uint16_tf_saturation():
-    """merge caps tf at 65535 (documented deviation from the reference's
-    silent ushort wraparound, PostingList.cs:32,47)."""
-    from search_engine_ray.engine.merge import add_merge_keys, make_merge_fn
-
-    seg = pa.table(
-        {
-            "term": pa.array(["big"], pa.string()),
-            "frag_id": pa.array([0], pa.int32()),
-            "min_doc": pa.array([0], pa.int64()),
-            "df_local": pa.array([1], pa.int32()),
-            "doc_ids": pa.array([[0]], pa.list_(pa.int64())),
-            "tfs": pa.array([[70_000]], pa.list_(pa.int32())),
-            "dls": pa.array([[70_000]], pa.list_(pa.int32())),
-        }
-    )
-    keyed = add_merge_keys(seg, 64, 4)
-    out = make_merge_fn(BuildConfig(), 100.0)(keyed)
+    """the segment builder caps tf at 65535 (documented deviation from the
+    reference's silent ushort wraparound, PostingList.cs:32,47)."""
     from search_engine_ray.engine.codec import vbyte_decode
+    from search_engine_ray.engine.segments import build_fragment_postings
 
-    tfs = vbyte_decode(out["tfs_enc"][0].as_py())
+    text = " ".join(["echo"] * 70_000)
+    _docs, seg = build_fragment_postings(
+        ["d0"], pa.array([text], pa.string()), 0, 0,
+        BuildConfig(options=IndexOptions(True, True, False)),
+    )
+    tfs = vbyte_decode(seg["tfs_enc"][0].as_py())
     assert tfs.tolist() == [65535]
+    # doc_len still counts every kept token (WriteableIndex.cs:68 semantics)
+    assert _docs["doc_len"][0].as_py() == 70_000
