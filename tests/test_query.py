@@ -149,6 +149,25 @@ def test_distributed_search_pipeline(setup, tmp_path):
     assert len(first) == 6 and first[1] == "Q0"
 
 
+def test_sharded_search_matches_whole_index(setup):
+    """Doc-range-sharded scoring (the 10^12-doc path) must be bit-identical
+    to whole-index TAAT — scores, docs and tie-broken ranks."""
+    from search_engine_ray.engine.sharded_search import search_topics_sharded
+
+    oracle, reader, topics = setup
+    params = BM25Params()
+    for scorer, taat in (("bm25", taat_bm25), ("tfidf", None)):
+        out = search_topics_sharded(f"{BASE}/index", topics, scorer=scorer, k=20).to_pandas()
+        for topic, keywords in topics:
+            if scorer == "bm25":
+                ids, scores = taat_bm25(reader, keywords, params, 20)
+            else:
+                ids, scores = taat_tfidf(reader, keywords, 20)
+            sub = out[out["topic"] == topic].sort_values("rank")
+            assert sub["doc_id"].tolist() == ids.tolist(), (scorer, topic)
+            assert sub["score"].tolist() == scores.tolist(), (scorer, topic)
+
+
 def test_pruned_reader_matches_preloaded(setup):
     _oracle, reader, topics = setup
     lazy = IndexReader(f"{BASE}/index", preload=False)
