@@ -82,6 +82,50 @@ def tfidf_scores_f64(reader: IndexReader, keywords: list[tuple[str, int]]) -> tu
     return cand[order], scores[cand][order]
 
 
+def dedup_pages(input_path: str, out_dir: str, key: str = "url") -> str:
+    """Exact-dedup pre-stage for the index build (SURVEY.md §2.7: the
+    reference makes "one doc per name" the CALLER's responsibility;
+    WriteableIndex.cs:27-30).  Keeps the first row per key (ties by the
+    deterministic input order), then sorts by key so the deduped corpus has
+    a deterministic layout — docID assignment downstream stays stable."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from .engine.reader import Fragment, plan_fragments, read_fragment
+
+    # fragment-wise read attaches the deterministic global row position so
+    # "first" is well-defined, without any driver-side materialization
+    frags = plan_fragments(input_path)
+    frag_ds = ray.data.from_items([f.to_dict() for f in frags])
+
+    def load(batch: dict) -> pa.Table:
+        parts = []
+        for i in range(len(batch["frag_id"])):
+            f = Fragment(
+                int(batch["frag_id"][i]), str(batch["path"][i]),
+                int(batch["row_group"][i]), int(batch["base"][i]), int(batch["n_rows"][i]),
+            )
+            t = read_fragment(f)
+            parts.append(
+                t.append_column("_pos", pa.array(np.arange(f.base, f.base + f.n_rows), pa.int64()))
+            )
+        return pa.concat_tables(parts)
+
+    def first_per_key(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("_pos").head(1)
+
+    deduped = (
+        frag_ds.map_batches(load, batch_size=1)
+        .groupby(key)
+        .map_groups(first_per_key, batch_format="pandas")
+        .drop_columns(["_pos"])
+        .sort(key)
+    )
+    deduped.write_parquet(out_dir)
+    return out_dir
+
+
 def synth_pages_dir(n_docs: int, seed: int = 42, n_files: int = 4, row_group_size: int = 2048) -> str:
     from .corpus.pages import write_pages_parquet
 

@@ -130,6 +130,31 @@ def test_boolean_retrieval(cli_corpus, ray_session):
     assert boolean_and(reader, ["zz_missing", terms[0]]).tolist() == []
 
 
+def test_dedup_pages_prestage(cli_corpus, ray_session, tmp_path):
+    """§2.7: 'one doc per url' as an explicit pre-stage — first occurrence
+    kept, deterministic output layout."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.pipelines import dedup_pages
+
+    # corpus with planted url duplicates
+    src = pq.read_table(f"{BASE}/corpus/pages-00000.parquet")
+    dup = src.slice(0, 10)
+    dup_dir = str(tmp_path / "dup_corpus")
+    os.makedirs(dup_dir)
+    pq.write_table(src, os.path.join(dup_dir, "a.parquet"))
+    pq.write_table(dup, os.path.join(dup_dir, "b.parquet"))
+
+    out1 = dedup_pages(dup_dir, str(tmp_path / "clean1"))
+    out2 = dedup_pages(dup_dir, str(tmp_path / "clean2"))
+    t1 = pq.read_table(out1).combine_chunks()
+    t2 = pq.read_table(out2).combine_chunks()
+    assert t1.num_rows == src.num_rows  # duplicates collapsed
+    urls = t1["url"].to_pylist()
+    assert urls == sorted(set(urls))
+    assert t1.equals(t2)  # deterministic across runs
+
+
 def test_uint16_tf_saturation():
     """the segment builder caps tf at 65535 (documented deviation from the
     reference's silent ushort wraparound, PostingList.cs:32,47)."""
