@@ -23,13 +23,43 @@ _READERS: dict[str, IndexReader] = {}
 
 def documents_index_dir(sf_dir: str, options: IndexOptions, **build_kw) -> str:
     """Build (once) an index over {sf_dir}/documents.parquet; returns its dir."""
+    import time
+
     src = os.path.join(sf_dir, "documents.parquet")
     key = hashlib.md5(
         f"{os.path.abspath(src)}|{os.path.getmtime(src)}|{options.to_dict()}|{sorted(build_kw.items())}".encode()
     ).hexdigest()[:16]
     index_dir = os.path.join(_CACHE_ROOT, f"docidx-{key}")
     config = BuildConfig(options=options, **build_kw)
-    build_index(src, index_dir, config, source_column="text", name_column="doc_id")
+
+    # cross-process guard: one builder at a time per cache entry (mkdir is
+    # atomic); stale locks (crashed builder) expire after 10 minutes
+    lock_dir = index_dir + ".lock"
+    deadline = time.time() + 900
+    while True:
+        if os.path.exists(os.path.join(index_dir, ".complete")):
+            break
+        try:
+            os.makedirs(lock_dir)
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(lock_dir) > 600:
+                    os.rmdir(lock_dir)
+                    continue
+            except OSError:
+                pass
+            if time.time() > deadline:
+                raise TimeoutError(f"index build lock stuck: {lock_dir}")
+            time.sleep(0.5)
+            continue
+        try:
+            build_index(src, index_dir, config, source_column="text", name_column="doc_id")
+        finally:
+            try:
+                os.rmdir(lock_dir)
+            except OSError:
+                pass
+        break
     return index_dir
 
 
