@@ -96,11 +96,18 @@ def cmd_index(args: argparse.Namespace) -> int:
 
 
 def cmd_search(args: argparse.Namespace) -> int:
+    stats_path = os.path.join(args.index_dir, "stats.json")
+    if not os.path.exists(stats_path):
+        print(f"error: {args.index_dir} is not a built index (no stats.json)", file=sys.stderr)
+        return 2
+    if not os.path.exists(args.topics_file):
+        print(f"error: topics file not found: {args.topics_file}", file=sys.stderr)
+        return 2
     _ensure_ray(args.num_cpus)
     from .corpus.topics import parse_topics
     from .engine.search import search_topics, write_trec_run
 
-    with open(os.path.join(args.index_dir, "stats.json")) as fh:
+    with open(stats_path) as fh:
         stats = json.load(fh)
     index_options = IndexOptions.from_dict(stats["options"])  # persisted flags
     query_options = parse_query_options(args.query_options)
