@@ -60,28 +60,63 @@ def _token_lists(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _shingle_hashes(tok_hash: np.ndarray, offsets: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """Rolling k-gram shingle hashes per doc (vectorized over the batch)."""
+    """Distinct rolling k-gram shingle hashes per doc — fully vectorized
+    over the whole batch: one k-pass rolling hash over the flat token
+    array, a boundary mask dropping windows that span documents, and a
+    lexsort+unique pass replacing any per-doc Python loop."""
     n_docs = len(offsets) - 1
-    sh_parts = []
-    sh_lens = np.zeros(n_docs, dtype=np.int64)
+    n = len(tok_hash)
     mult = np.uint64(0x9E3779B97F4A7C15)
-    for d in range(n_docs):
-        h = tok_hash[offsets[d]: offsets[d + 1]]
-        if len(h) < k:
-            s = np.bitwise_xor.reduce(h) * mult if len(h) else np.uint64(0)
-            sh = np.asarray([s], dtype=np.uint64)
-        else:
-            with np.errstate(over="ignore"):
-                acc = h[: len(h) - k + 1].copy()
-                for j in range(1, k):
-                    acc = acc * mult + h[j: len(h) - k + 1 + j]
-            sh = acc
-        sh_parts.append(np.unique(sh))
-        sh_lens[d] = len(sh_parts[-1])
-    return (
-        np.concatenate(sh_parts) if sh_parts else np.empty(0, np.uint64),
-        np.concatenate(([0], np.cumsum(sh_lens))),
+    doc_lens = np.diff(offsets)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), doc_lens)
+
+    parts_doc = []
+    parts_hash = []
+    if n >= k:
+        with np.errstate(over="ignore"):
+            acc = tok_hash[: n - k + 1].copy()
+            for j in range(1, k):
+                acc = acc * mult + tok_hash[j : n - k + 1 + j]
+        # a window starting at i is valid iff it stays inside one doc
+        valid = doc_idx[: n - k + 1] == doc_idx[k - 1 :]
+        parts_doc.append(doc_idx[: n - k + 1][valid])
+        parts_hash.append(acc[valid])
+
+    # docs shorter than k get one fallback shingle (xor of tokens * mult;
+    # empty docs get 0) — same values the scalar version produced
+    short = np.flatnonzero(doc_lens < k)
+    if len(short):
+        with np.errstate(over="ignore"):
+            fallback = np.zeros(len(short), dtype=np.uint64)
+            nonempty = doc_lens[short] > 0
+            if nonempty.any():
+                idx = short[nonempty]
+                # short docs are rare (< k tokens); a tiny per-doc loop is fine
+                xors = np.asarray(
+                    [np.bitwise_xor.reduce(tok_hash[offsets[d] : offsets[d + 1]]) for d in idx],
+                    dtype=np.uint64,
+                )
+                fallback[nonempty] = xors * mult
+        parts_doc.append(short)
+        parts_hash.append(fallback)
+
+    if not parts_hash:
+        return np.empty(0, np.uint64), np.zeros(n_docs + 1, dtype=np.int64)
+
+    all_doc = np.concatenate(parts_doc)
+    all_hash = np.concatenate(parts_hash)
+    order = np.lexsort((all_hash, all_doc))
+    d_sorted = all_doc[order]
+    h_sorted = all_hash[order]
+    keep = np.empty(len(order), dtype=bool)
+    keep[0] = True
+    np.logical_or(
+        d_sorted[1:] != d_sorted[:-1], h_sorted[1:] != h_sorted[:-1], out=keep[1:]
     )
+    d_u = d_sorted[keep]
+    h_u = h_sorted[keep]
+    sh_lens = np.bincount(d_u, minlength=n_docs)
+    return h_u, np.concatenate(([0], np.cumsum(sh_lens)))
 
 
 # --------------------------------------------------------------------------
