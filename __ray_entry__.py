@@ -331,6 +331,36 @@ def q_boolean_and(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(np.sort(doc_ids))})
 
 
+def q_boolean_or(sf_dir: str) -> pa.Table:
+    from search_engine_ray.engine.boolean import boolean_or
+
+    r = _reader(sf_dir)
+    ids = boolean_or(r, ["spark", "hash", "join", "zzz_not_in_index"])
+    doc_ids = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    return pa.table({"doc_id": pa.array(np.sort(doc_ids))})
+
+
+def q_asof_join(sf_dir: str) -> pa.Table:
+    """As-of join over the ordered events log: each purchase joined to the
+    user's most recent prior-or-simultaneous click."""
+    import ray.data
+
+    from search_engine_ray.dataops.windows import asof_join_events
+
+    events = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    out = asof_join_events(events, "purchase", "click").to_pandas()
+    out = out.sort_values(["user_id", "event_id"])
+    return pa.table(
+        {
+            "user_id": pa.array(out["user_id"].astype(np.int64)),
+            "event_id": pa.array(out["event_id"].astype(np.int64)),
+            "ts_us": pa.array(out["ts_us"].astype(np.int64)),
+            "asof_event_id": pa.array(out["asof_event_id"].astype(np.int64)),
+            "asof_ts_us": pa.array(out["asof_ts_us"].astype(np.int64)),
+        }
+    )
+
+
 def q_term_length_hist(sf_dir: str) -> pa.Table:
     """M8 diagnostics: term-length histogram over the dictionary."""
     from search_engine_ray.engine.diagnostics import term_length_hist_table
@@ -501,6 +531,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": q_events_window,
         "sessionize": q_sessionize,
         "boolean_and": q_boolean_and,
+        "boolean_or": q_boolean_or,
+        "asof_join": q_asof_join,
         "term_length_hist": q_term_length_hist,
         "bm25_qtf_top10": q_bm25_qtf_top10,
         # rows-only (non-SQL-expressible)
@@ -645,6 +677,30 @@ def oracle_sql() -> dict[str, str]:
             WITH {_TOKS},
             m AS (SELECT DISTINCT doc_id, t FROM toks WHERE t IN ('spark','hash','join'))
             SELECT doc_id FROM m GROUP BY doc_id HAVING count(*) = 3
+        """,
+        "boolean_or": f"""
+            WITH {_TOKS}
+            SELECT DISTINCT doc_id FROM toks
+            WHERE t IN ('spark','hash','join','zzz_not_in_index')
+        """,
+        "asof_join": """
+            WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+                       FROM events WHERE event_type = 'purchase'),
+            r AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+                  FROM events WHERE event_type = 'click'),
+            j AS (
+              SELECT l.user_id, l.event_id, l.ts_us,
+                     r.event_id AS r_id, r.ts_us AS r_ts,
+                     row_number() OVER (
+                       PARTITION BY l.user_id, l.event_id
+                       ORDER BY r.ts_us DESC, r.event_id DESC) AS rn
+              FROM l LEFT JOIN r
+                ON r.user_id = l.user_id AND r.ts_us <= l.ts_us
+            )
+            SELECT user_id, event_id, ts_us,
+                   COALESCE(r_id, -1) AS asof_event_id,
+                   COALESCE(r_ts, -1) AS asof_ts_us
+            FROM j WHERE rn = 1
         """,
         "term_length_hist": f"""
             WITH {_TOKS},

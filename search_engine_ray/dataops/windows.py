@@ -57,6 +57,53 @@ def tumbling_window_agg(
     )
 
 
+def asof_join_events(
+    ds: ray.data.Dataset,
+    left_type: str,
+    right_type: str,
+    key_column: str = "user_id",
+    ts_column: str = "ts",
+) -> ray.data.Dataset:
+    """As-of join within the ordered log: for every `left_type` event,
+    attach the most recent `right_type` event AT OR BEFORE it for the same
+    key (e.g. each purchase joined to the user's latest prior click).
+
+    Partitioning assumption (stated per the guide): ALL events of a key are
+    co-located by the groupby; within-group order is established by the
+    sort here; `pd.merge_asof(direction="backward")` does the window walk.
+    Events with no prior right-side match keep a null `asof_ts`.
+    """
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_column, "event_id"])
+        left = g[g["event_type"] == left_type]
+        right = g[g["event_type"] == right_type]
+        if left.empty:
+            return pd.DataFrame(
+                {key_column: [], "event_id": [], "ts_us": [], "asof_event_id": [], "asof_ts_us": []}
+            )
+        lt = left[ts_column].astype("int64").to_numpy()
+        if right.empty:
+            idx = np.full(len(left), -1)
+        else:
+            rt = right[ts_column].astype("int64").to_numpy()
+            idx = np.searchsorted(rt, lt, side="right") - 1
+        out = pd.DataFrame(
+            {
+                key_column: left[key_column].to_numpy(),
+                "event_id": left["event_id"].to_numpy(),
+                "ts_us": lt,
+            }
+        )
+        rid = right["event_id"].to_numpy() if not right.empty else np.empty(0, np.int64)
+        rts = right[ts_column].astype("int64").to_numpy() if not right.empty else np.empty(0, np.int64)
+        out["asof_event_id"] = np.where(idx >= 0, rid[np.maximum(idx, 0)], -1)
+        out["asof_ts_us"] = np.where(idx >= 0, rts[np.maximum(idx, 0)], -1)
+        return out
+
+    return ds.groupby(key_column).map_groups(per_key, batch_format="pandas")
+
+
 def sessionize(
     ds: ray.data.Dataset,
     gap_seconds: int = 1800,
