@@ -53,28 +53,42 @@ def build_index(
     os.makedirs(index_dir, exist_ok=True)
 
     complete_marker = os.path.join(index_dir, ".complete")
-    if os.path.exists(complete_marker):
-        with open(os.path.join(index_dir, "stats.json")) as fh:
-            return json.load(fh)
 
     _t = time.perf_counter()
     phases: dict[str, float] = {}
     fragments = plan_fragments(input_path)
     phases["plan"] = time.perf_counter() - _t
+
+    if os.path.exists(complete_marker):
+        plan_path0 = os.path.join(index_dir, "build_plan.json")
+        with open(plan_path0) as fh:
+            prior0 = json.load(fh)
+        if prior0 == [f.to_dict() for f in fragments]:
+            with open(os.path.join(index_dir, "stats.json")) as fh:
+                return json.load(fh)
+        # input grew (or changed): fall through — the plan-prefix check
+        # below either resumes incrementally or refuses
+        os.remove(complete_marker)
     plan_path = os.path.join(index_dir, "build_plan.json")
+    current = [f.to_dict() for f in fragments]
     if os.path.exists(plan_path):
         with open(plan_path) as fh:
             prior = json.load(fh)
-        current = [f.to_dict() for f in fragments]
-        if prior != current:
+        if current[: len(prior)] == prior:
+            # resume, or INCREMENTAL APPEND: new input files that sort after
+            # every prior file extend the plan without disturbing any
+            # existing fragment's docID base — old fragments are skipped via
+            # their manifests, only new ones build, and the merge re-runs.
+            pass
+        else:
             raise ValueError(
-                "input layout changed since the interrupted build; "
-                "docID assignment would differ — rebuild with overwrite=True"
+                "input layout changed since the prior build in a way that "
+                "would reassign existing docIDs (appended files must sort "
+                "after all prior files) — rebuild with overwrite=True"
             )
-    else:
-        with open(plan_path + ".tmp", "w") as fh:
-            json.dump([f.to_dict() for f in fragments], fh)
-        os.replace(plan_path + ".tmp", plan_path)
+    with open(plan_path + ".tmp", "w") as fh:
+        json.dump(current, fh)
+    os.replace(plan_path + ".tmp", plan_path)
 
     # ---- stage 1: per-fragment segments (streams; no shuffle) ----
     n_cpus = max(2, int(ray.cluster_resources().get("CPU", 4)))

@@ -140,6 +140,51 @@ def test_resume_recomputes_only_missing(built, ray_session):
             assert x.tolist() == y.tolist(), term
 
 
+def test_incremental_append(built, ray_session, tmp_path):
+    """New corpus files sorting after all prior files extend the index:
+    old docIDs and manifests untouched, new docs appended, merge re-run."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.corpus.pages import generate_pages_table
+
+    corpus = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "index")
+    os.makedirs(corpus)
+    base_tbl = generate_pages_table(60, seed=21)
+    pq.write_table(base_tbl, os.path.join(corpus, "a-pages.parquet"), row_group_size=32)
+    config = BuildConfig(block_entries=16, frags_per_shard=2)
+    stats1 = build_index(corpus, index_dir, config, overwrite=True)
+    r1 = IndexReader(index_dir)
+    names1 = r1.doc_names.tolist()
+    mtimes = {
+        p: os.path.getmtime(os.path.join(index_dir, "manifest", p))
+        for p in os.listdir(os.path.join(index_dir, "manifest"))
+    }
+
+    extra = generate_pages_table(30, seed=22, adversarial=False)
+    pq.write_table(extra, os.path.join(corpus, "z-pages.parquet"), row_group_size=32)
+    stats2 = build_index(corpus, index_dir, config)
+    assert stats2["n_docs"] == stats1["n_docs"] + 30
+    r2 = IndexReader(index_dir)
+    # old docIDs stable, new appended after
+    assert r2.doc_names[: len(names1)].tolist() == names1
+    # old fragments were not recomputed
+    for p, t in mtimes.items():
+        assert os.path.getmtime(os.path.join(index_dir, "manifest", p)) == t
+    # combined index equals a from-scratch build over the combined corpus
+    oracle = _oracle_from_corpus(corpus, config.options)
+    assert r2.doc_lens.tolist() == oracle.doc_lens
+    for term in list(oracle.postings)[:150]:
+        ids, tfs, _ = r2.postings(term).arrays()
+        assert ids.tolist() == oracle.postings[term][0], term
+        assert tfs.tolist() == oracle.postings[term][1], term
+
+    # a file sorting BEFORE existing ones must refuse
+    pq.write_table(extra, os.path.join(corpus, "0-pages.parquet"))
+    with pytest.raises(ValueError, match="reassign existing docIDs"):
+        build_index(corpus, index_dir, config)
+
+
 def test_build_is_idempotent(built, ray_session):
     corpus_dir, index_dir, stats, _ = built
     again = build_index(corpus_dir, index_dir, BuildConfig(block_entries=16, frags_per_shard=2), term_buckets=8)
