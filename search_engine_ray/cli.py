@@ -113,7 +113,9 @@ def cmd_search(args: argparse.Namespace) -> int:
     query_options = parse_query_options(args.query_options)
     topics = parse_topics(args.topics_file, query_options, index_options)
 
-    scorer_names = {"tfidf": "TfIdf", "bm25": "BM25", "bm25adpt": "BM25ADPT"}
+    # reference file naming: results-{run}-{scorer type name}.txt
+    # (Program.cs:110-111: TfIdfScorer / BM25Scorer / BM25ADPT)
+    scorer_names = {"tfidf": "TfIdfScorer", "bm25": "BM25Scorer", "bm25adpt": "BM25ADPT"}
     for scorer in args.scorers.split(","):
         run = search_topics(
             args.index_dir, topics, scorer=scorer, run_name=args.run_name, k=args.k

@@ -58,7 +58,7 @@ def test_cli_index_search_stats(cli_corpus, capsys, tmp_path):
     rc = main(["search", "r1", topics_path, index_dir,
                "QueryOptions(UseHeadline)", "--k", "20", "--out-dir", out_dir])
     assert rc == 0
-    for scorer in ("TfIdf", "BM25", "BM25ADPT"):
+    for scorer in ("TfIdfScorer", "BM25Scorer", "BM25ADPT"):
         path = os.path.join(out_dir, f"results-r1-{scorer}.txt")
         assert os.path.exists(path), path
         lines = open(path).read().splitlines()
