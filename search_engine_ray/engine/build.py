@@ -166,6 +166,11 @@ def build_index(
     )
     _t = time.perf_counter()
     merged.write_parquet(postings_dir)
+    if not os.path.isdir(postings_dir):
+        # degenerate corpus (every token filtered): write_parquet of an
+        # empty dataset creates nothing — materialize an empty index
+        os.makedirs(postings_dir, exist_ok=True)
+        pq.write_table(POSTINGS_SCHEMA.empty_table(), os.path.join(postings_dir, "part-empty.parquet"))
     phases["merge"] = time.perf_counter() - _t
 
     # terms table: df per term (A4 materialized) — aggregate over block

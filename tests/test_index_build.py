@@ -185,6 +185,36 @@ def test_incremental_append(built, ray_session, tmp_path):
         build_index(corpus, index_dir, config)
 
 
+def test_degenerate_all_stopword_corpus(ray_session, tmp_path):
+    """Every token filtered -> empty postings; build, read and query must
+    all stay well-defined."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.config import BM25Params
+    from search_engine_ray.corpus.extract import html_from_text
+    from search_engine_ray.engine.scoring import taat_bm25
+
+    corpus = str(tmp_path / "c")
+    os.makedirs(corpus)
+    texts = ["the and with", "a an of", "1 2 3"]
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([f"u{i}" for i in range(3)]),
+                "html": pa.array([html_from_text(t, "t") for t in texts], pa.binary()),
+            }
+        ),
+        os.path.join(corpus, "p.parquet"),
+    )
+    stats = build_index(corpus, str(tmp_path / "i"), BuildConfig(), overwrite=True)
+    assert stats["n_docs"] == 3 and stats["n_terms"] == 0 and stats["avgdl"] == 0.0
+    r = IndexReader(str(tmp_path / "i"))
+    assert r.doc_lens.tolist() == [0, 0, 0]
+    ids, scores = taat_bm25(r, [("the", 1)], BM25Params(), 10)
+    assert len(ids) == 0
+
+
 def test_build_is_idempotent(built, ray_session):
     corpus_dir, index_dir, stats, _ = built
     again = build_index(corpus_dir, index_dir, BuildConfig(block_entries=16, frags_per_shard=2), term_buckets=8)
