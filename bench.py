@@ -51,7 +51,6 @@ def run_benchmarks() -> dict:
     from search_engine_ray.config import BM25Params, BuildConfig, IndexOptions
     from search_engine_ray.engine.build import build_index
     from search_engine_ray.engine.index_reader import IndexReader
-    from search_engine_ray.engine.scoring import wand_topk
     from search_engine_ray.engine.search import search_topics
     from search_engine_ray.pipelines import synth_pages_dir
 
