@@ -9,9 +9,11 @@ num_cpus=$RAY_GRAFT_CPUS or 32) and prints ONE JSON line:
      "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
      "docs_per_sec": ..., "bytes_per_sec": ...}
 
---scaling: runs the headline index-build twice in FRESH subprocesses at
-num_cpus=8 and num_cpus=32 over the same input and reports both
-throughputs + scaling efficiency ((t8/t32)/4); recorded in BASELINE.md.
+--scaling: runs the headline index-build in FRESH subprocesses at two
+cluster sizes N and 4N (default num_cpus 2 and 8, override
+SE_RAY_SCALING_CPUS="8,32") over the same 300k-doc input, interleaved
+min-of-2 per level, and reports both throughputs + scaling efficiency
+((t_lo/t_hi)/4) plus a no-Ray compute-kernel probe; recorded in BASELINE.md.
 """
 
 from __future__ import annotations
