@@ -169,6 +169,63 @@ def knn_lsh(
     return knn_brute_force(candidates, queries, k=k, column=column, id_column=id_column)
 
 
+def train_ivf_centroids(
+    ds: ray.data.Dataset,
+    n_centroids: int = 16,
+    column: str = "embedding",
+    sample_rows: int = 10_000,
+    iters: int = 10,
+    seed: int = 11,
+) -> np.ndarray:
+    """Coarse quantizer for IVF: k-means over a bounded sample (Lloyd's, on
+    the driver — the sample is the broadcast-small side; at cluster scale
+    the sample stays fixed-size regardless of corpus size)."""
+    sample = ds.limit(sample_rows).to_pandas()
+    m = _normalize(np.stack([np.asarray(e, dtype=np.float64) for e in sample[column]]))
+    rng = np.random.default_rng(seed)
+    cents = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = m[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+def knn_ivf(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    column: str = "embedding",
+    id_column: str = "vec_id",
+    seed: int = 11,
+) -> pa.Table:
+    """IVF approximate top-k: vectors partition by nearest centroid (one
+    broadcast matmul per batch); each query probes its `nprobe` nearest
+    lists, so ~nprobe/n_centroids of the corpus is scanned per query."""
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    cents = train_ivf_centroids(ds, n_centroids, column, seed=seed)
+    cents_ref = ray.put(cents)
+    probe_lists = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]
+    probe_set = pa.array(sorted({int(c) for row in probe_lists for c in row}), pa.int64())
+
+    def keep_probed(batch: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        m = _normalize(_batch_matrix(batch, column))
+        assign = np.argmax(m @ c.T, axis=1) if len(m) else np.empty(0, np.int64)
+        mask = pa.compute.is_in(pa.array(assign.astype(np.int64)), value_set=probe_set)
+        return batch.filter(mask)
+
+    candidates = ds.map_batches(keep_probed, batch_format="pyarrow")
+    return knn_brute_force(candidates, queries, k=k, column=column, id_column=id_column)
+
+
 def embedding_near_dup_pairs(
     ds: ray.data.Dataset,
     threshold: float = 0.95,

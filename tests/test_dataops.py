@@ -144,6 +144,26 @@ def test_knn_lsh_recall(emb_ds, emb_tbl):
     assert np.mean(recalls) >= 0.5, recalls
 
 
+def test_knn_ivf_recall(emb_ds, emb_tbl):
+    from search_engine_ray.dataops.similarity import knn_brute_force, knn_ivf
+
+    emb = np.stack([np.asarray(e, dtype=np.float64) for e in emb_tbl["embedding"].to_pylist()])
+    queries = emb[:3]
+    exact = knn_brute_force(emb_ds, queries, k=10).to_pandas()
+    approx = knn_ivf(emb_ds, queries, k=10, n_centroids=8, nprobe=3).to_pandas()
+    recalls = []
+    for qi in range(3):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6, recalls
+    # determinism: same seed -> same result
+    again = knn_ivf(emb_ds, queries, k=10, n_centroids=8, nprobe=3).to_pandas()
+    pd.testing.assert_frame_equal(
+        approx.reset_index(drop=True), again.reset_index(drop=True)
+    )
+
+
 def test_embedding_near_dup(emb_ds, emb_tbl, ray_session):
     import ray.data
 
