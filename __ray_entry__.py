@@ -442,6 +442,17 @@ def q_knn_lsh(sf_dir: str) -> pa.Table:
     return knn_lsh(ds, emb, k=5)
 
 
+def q_knn_ivf(sf_dir: str) -> pa.Table:
+    import ray.data
+
+    from search_engine_ray.dataops.similarity import knn_ivf
+
+    tbl = _emb_tbl(sf_dir)
+    emb = np.stack([np.asarray(e, dtype=np.float64) for e in tbl["embedding"].to_pylist()[:3]])
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return knn_ivf(ds, emb, k=5, n_centroids=8, nprobe=3)
+
+
 def q_lang_id(sf_dir: str):
     from search_engine_ray.dataops.textstats import lang_id
 
@@ -541,6 +552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": q_minhash_pairs,
         "fingerprints": q_fingerprints,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "lang_id": q_lang_id,
         "media_features": q_media_features,
     }
