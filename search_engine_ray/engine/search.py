@@ -45,18 +45,30 @@ def register_scorer(name: str, fn) -> None:
     _CUSTOM_SCORERS[name] = fn
 
 
-# Below this many candidate postings, exhaustive vectorized TAAT beats the
-# per-document WAND traversal (identical results either way — WAND only
-# prunes docs that cannot enter the top-k).  WAND wins when posting lists
-# are long enough that skipped block decodes dominate.
-_AUTO_TAAT_POSTINGS = 500_000
+# Method choice (results are identical either way — WAND only prunes docs
+# that cannot enter the top-k):
+# - vectorized TAAT wins whenever its dense score array fits comfortably
+#   and k is large (the heap threshold then rises too slowly for WAND's
+#   pruning to pay for its traversal);
+# - WAND wins for small k over long posting lists (pruning skips block
+#   decodes), and is mandatory when the corpus is too big for a dense
+#   array (the sharded path bounds that per shard).
+_AUTO_WAND_MIN_POSTINGS = 2_000_000
+_AUTO_WAND_MAX_K = 100
+_AUTO_DENSE_MAX_DOCS = 20_000_000
 
 
-def _resolve_method(reader: IndexReader, keywords: list[tuple[str, int]], method: str) -> str:
+def _resolve_method(
+    reader: IndexReader, keywords: list[tuple[str, int]], method: str, k: int = 1000
+) -> str:
     if method != "auto":
         return method
+    if reader.n_docs > _AUTO_DENSE_MAX_DOCS:
+        return "wand"
     total = sum(reader._df.get(t, 0) for t, _ in keywords)
-    return "taat" if total < _AUTO_TAAT_POSTINGS else "wand"
+    if k <= _AUTO_WAND_MAX_K and total > _AUTO_WAND_MIN_POSTINGS:
+        return "wand"
+    return "taat"
 
 
 def score_topic(
@@ -72,7 +84,7 @@ def score_topic(
     method: "wand" (block-max DAAT), "taat" (exhaustive vectorized), or
     "auto" (pick by total candidate-posting volume; results identical)."""
     params = params or BM25Params()
-    method = _resolve_method(reader, keywords, method)
+    method = _resolve_method(reader, keywords, method, k)
     if scorer == "bm25":
         if method == "wand":
             return wand_topk(reader, keywords, params, k, kind="bm25")
