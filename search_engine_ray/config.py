@@ -75,3 +75,10 @@ class BuildConfig:
     shuffle_partitions: int | None = None
     # rows per read fragment batch; fragments are row-group sized already
     target_rows_per_fragment: int = 65536
+    # Tokenize/segment a fragment in sub-slices of this many docs so the
+    # token arrays stay cache-resident (measured 1.7x aggregate throughput
+    # at 24-way parallelism on DRAM-constrained hosts).  Sub-slices emit
+    # independent segment rows with disjoint ascending doc ranges, which the
+    # merge orders by (term, min_doc) exactly like separate fragments.
+    # None/0 disables.
+    tokenize_sub_batch: int | None = 512

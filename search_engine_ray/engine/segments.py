@@ -201,8 +201,23 @@ class SegmentBuilder:
             texts = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         names = table[self.name_column].combine_chunks() if isinstance(table[self.name_column], pa.ChunkedArray) else table[self.name_column]
 
-        docs_table, seg_table = build_fragment_postings(
-            names, texts, frag.base, frag.frag_id, self.config
+        # cache-resident sub-slices (see BuildConfig.tokenize_sub_batch):
+        # each emits independent segment rows over a disjoint doc range
+        sub = self.config.tokenize_sub_batch or table.num_rows or 1
+        docs_parts, seg_parts = [], []
+        for lo in range(0, table.num_rows, sub):
+            d, s = build_fragment_postings(
+                names.slice(lo, sub), texts.slice(lo, sub),
+                frag.base + lo, frag.frag_id, self.config,
+            )
+            docs_parts.append(d)
+            if s.num_rows:
+                seg_parts.append(s)
+        docs_table = (
+            pa.concat_tables(docs_parts) if docs_parts else DOCS_SCHEMA.empty_table()
+        )
+        seg_table = (
+            pa.concat_tables(seg_parts) if seg_parts else SEGMENT_SCHEMA.empty_table()
         )
 
         seg_path = os.path.join(self.index_dir, "segments", f"part-{frag.frag_id:06d}.parquet")

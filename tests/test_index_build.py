@@ -95,7 +95,8 @@ def test_partition_invariance(built, ray_session):
     corpus_b = f"{BASE}/corpus_b"
     index_b = f"{BASE}/index_b"
     write_pages_parquet(corpus_b, N_DOCS, seed=SEED, n_files=1, row_group_size=512)
-    config = BuildConfig(block_entries=16, frags_per_shard=1)
+    # also exercises tokenize sub-batching (32-doc sub-slices of 240-row RGs)
+    config = BuildConfig(block_entries=16, frags_per_shard=1, tokenize_sub_batch=32)
     build_index(corpus_b, index_b, config, term_buckets=3, overwrite=True)
 
     ra, rb = IndexReader(index_dir), IndexReader(index_b)
