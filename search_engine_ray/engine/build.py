@@ -141,26 +141,28 @@ def build_index(
     if os.path.isdir(postings_dir):
         shutil.rmtree(postings_dir)  # idempotent re-run of an interrupted merge
 
-    seg_ds = ray.data.read_parquet(os.path.join(index_dir, "segments"))
-    keyed = seg_ds.map_batches(
-        add_merge_keys,
-        fn_kwargs=dict(frags_per_shard=config.frags_per_shard, term_buckets=term_buckets),
-        batch_format="pyarrow",
-    )
-    # Coalesce before the sort shuffle: the all-to-all creates
+    # Coarse read blocks bound the sort's fan-out: the all-to-all creates
     # (input blocks x output partitions) objects, so many tiny blocks turn a
     # small exchange into thousands of object transfers.  Partition count is
     # DATA-driven (~256 MiB of segment data per shuffle partition — grows
     # with corpus size at cluster scale), bounded by fragment count and by
     # 2x the CPUs so a single node is never oversubscribed with
-    # bandwidth-heavy merge tasks.
+    # bandwidth-heavy merge tasks.  Sizing happens AT THE READ
+    # (override_num_blocks) — no separate repartition exchange.
     if config.shuffle_partitions is not None:
         shuffle_parts = config.shuffle_partitions
     else:
         seg_bytes = int(manifests["bytes"].sum())
         by_data = max(1, seg_bytes // (256 * 1024 * 1024))
         shuffle_parts = int(max(2, min(len(fragments), n_cpus * 2, max(by_data, min(8, n_cpus)))))
-    keyed = keyed.repartition(shuffle_parts)
+    seg_ds = ray.data.read_parquet(
+        os.path.join(index_dir, "segments"), override_num_blocks=shuffle_parts
+    )
+    keyed = seg_ds.map_batches(
+        add_merge_keys,
+        fn_kwargs=dict(frags_per_shard=config.frags_per_shard, term_buckets=term_buckets),
+        batch_format="pyarrow",
+    )
     merged = keyed.groupby(["bucket", "shard"]).map_groups(
         make_merge_fn(config, avgdl), batch_format="pyarrow"
     )
