@@ -93,6 +93,53 @@ def taat_tfidf(
     return _topk_from_dense(scores, touched, k)
 
 
+def adpt_cd_counts(cds: np.ndarray) -> np.ndarray:
+    """counts[i] = #postings with cd >= (i+2) - 0.5, for t = 2..101.
+
+    Mergeable across doc-range shards by plain addition — the basis of the
+    sharded BM25-ADPT two-phase protocol."""
+    cds_sorted = np.sort(np.asarray(cds, dtype=np.float64))
+    thresholds = np.arange(2, 102, dtype=np.float64) - 0.5
+    return (len(cds_sorted) - np.searchsorted(cds_sorted, thresholds, side="left")).astype(np.int64)
+
+
+def adpt_term_params(n_docs: int, df: int, counts: np.ndarray) -> tuple[np.float32, np.float32]:
+    """(k1, IGs[1]) for one term from its GLOBAL cd counts — the IG curve
+    with the truncation quirk and the k1 grid search (BM25ADPT.cs:44-168;
+    float semantics identical to the oracle, which is tested against it)."""
+
+    def getdft(t: int) -> float:
+        if t == 0:
+            return float(n_docs)
+        if t == 1:
+            return float(df)
+        return float(counts[t - 2])
+
+    def ig(t: int) -> np.float32:
+        return F32(
+            -math.log2((df + 0.5) / (n_docs + 1))
+            + math.log2((getdft(t + 1) + 0.5) / (getdft(t) + 1))
+        )
+
+    igs = np.zeros(100, dtype=np.float32)
+    igs[0] = ig(0)
+    for i in range(1, 100):
+        igs[i] = ig(i)
+        if igs[i - 1] > igs[i]:
+            trunc = np.zeros(i + 1, dtype=np.float32)
+            trunc[:i] = igs[:i]
+            igs = trunc
+            break
+    return _getk1(igs), igs[1]
+
+
+def adpt_contrib(cds: np.ndarray, qtf: int, k1: np.float32, ig1: np.float32) -> np.ndarray:
+    """Per-posting float32 contributions qtf * ck * IGs[1] (BM25ADPT.cs:79-95)."""
+    with np.errstate(all="ignore"):
+        ck = (cds * F32(float(k1) + 1)) / (F32(k1) + cds)
+        return (F32(qtf) * ck * ig1).astype(np.float32)
+
+
 def taat_bm25_adpt(
     reader: IndexReader, keywords: list[tuple[str, int]], params: BM25Params, k: int = 1000
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -106,37 +153,9 @@ def taat_bm25_adpt(
         if tp is None:
             continue
         ids, tfs, dls = tp.arrays()
-        df = tp.df
         cds = (tfs / (1 - b + b * dls / avgdl)).astype(np.float32)
-        cds_sorted = np.sort(cds.astype(np.float64))
-
-        def getdft(t: int) -> float:
-            if t == 0:
-                return float(n)
-            if t == 1:
-                return float(df)
-            return float(len(cds_sorted) - np.searchsorted(cds_sorted, t - 0.5, side="left"))
-
-        def ig(t: int) -> np.float32:
-            return F32(
-                -math.log2((df + 0.5) / (n + 1))
-                + math.log2((getdft(t + 1) + 0.5) / (getdft(t) + 1))
-            )
-
-        igs = np.zeros(100, dtype=np.float32)
-        igs[0] = ig(0)
-        for i in range(1, 100):
-            igs[i] = ig(i)
-            if igs[i - 1] > igs[i]:
-                trunc = np.zeros(i + 1, dtype=np.float32)
-                trunc[:i] = igs[:i]
-                igs = trunc
-                break
-        k1 = _getk1(igs)
-        ig1 = igs[1]
-        with np.errstate(all="ignore"):
-            ck = (cds * F32(float(k1) + 1)) / (F32(k1) + cds)
-            contrib = (F32(qtf) * ck * ig1).astype(np.float32)
+        k1, ig1 = adpt_term_params(n, tp.df, adpt_cd_counts(cds))
+        contrib = adpt_contrib(cds, qtf, k1, ig1)
         scores[ids] = scores[ids] + contrib
         touched[ids] = True
     return _topk_from_dense(scores, touched, k)

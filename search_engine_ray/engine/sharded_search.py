@@ -92,7 +92,49 @@ class _ShardIndexView:
         return TermPostings(term=term, df=df, blocks=shifted)
 
 
-def _shard_scores(view: _ShardIndexView, keywords, scorer: str, params: BM25Params, k: int):
+def _shard_cds(view: _ShardIndexView, term: str, b: float):
+    tp = view.postings(term)
+    if tp is None:
+        return None
+    ids, tfs, dls = tp.arrays()
+    cds = (tfs / (1 - b + b * dls / view.avgdl)).astype(np.float32)
+    return ids, cds
+
+
+class AdptHistogram:
+    """Phase-1 stage of sharded BM25-ADPT: per-shard cd-count histograms per
+    query term — 100 ints per (shard, term), merged by addition on the
+    driver (the broadcast-small reduction that replaces touching the global
+    tf distribution anywhere)."""
+
+    def __init__(self, index_dir: str, terms: list[str], b: float):
+        self.index_dir = index_dir
+        self.terms = terms
+        self.b = b
+        self._views: dict[int, _ShardIndexView] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .scoring import adpt_cd_counts
+
+        rows = {"term": [], "counts": []}
+        for shard in batch["shard"].to_pylist():
+            view = self._views.setdefault(shard, _ShardIndexView(self.index_dir, shard))
+            for term in self.terms:
+                got = _shard_cds(view, term, self.b)
+                if got is None:
+                    continue
+                rows["term"].append(term)
+                rows["counts"].append(adpt_cd_counts(got[1]).tolist())
+        return pa.table(
+            {
+                "term": pa.array(rows["term"], pa.string()),
+                "counts": pa.array(rows["counts"], pa.list_(pa.int64())),
+            }
+        )
+
+
+def _shard_scores(view: _ShardIndexView, keywords, scorer: str, params: BM25Params, k: int,
+                  adpt_params: dict | None = None):
     """Score one shard; returns GLOBAL doc ids + scores (top-k local)."""
     import math
 
@@ -115,8 +157,14 @@ def _shard_scores(view: _ShardIndexView, keywords, scorer: str, params: BM25Para
         elif scorer == "tfidf":
             idf = math.log(n_global // tp.df)
             contrib = (np.log1p(tfs) * idf).astype(np.float32)
+        elif scorer == "bm25adpt":
+            from .scoring import adpt_contrib
+
+            k1, ig1 = adpt_params[term]  # broadcast phase-1 result
+            cds = (tfs / (1 - params.b + params.b * dls / view.avgdl)).astype(np.float32)
+            contrib = adpt_contrib(cds, qtf, k1, ig1)
         else:
-            raise ValueError(f"sharded scoring supports bm25/tfidf, not {scorer!r}")
+            raise ValueError(f"unknown sharded scorer {scorer!r}")
         scores[ids] = scores[ids] + contrib
         touched[ids] = True
     cand = np.flatnonzero(touched)
@@ -131,11 +179,13 @@ class ShardScorer:
     """Actor stage: one shard's postings loaded once per actor; the (small)
     topic set is broadcast via constructor kwargs, shard ids stream in."""
 
-    def __init__(self, index_dir: str, topics, scorer: str = "bm25", k: int = 1000):
+    def __init__(self, index_dir: str, topics, scorer: str = "bm25", k: int = 1000,
+                 adpt_params: dict | None = None):
         self.index_dir = index_dir
         self.topics = topics
         self.scorer = scorer
         self.k = k
+        self.adpt_params = adpt_params
         self._views: dict[int, _ShardIndexView] = {}
         with open(os.path.join(index_dir, "stats.json")) as fh:
             stats = json.load(fh)
@@ -150,7 +200,7 @@ class ShardScorer:
                 self._views[shard] = view
             for topic, keywords in self.topics:
                 ids, scores = _shard_scores(
-                    view, keywords, self.scorer, self.params, self.k
+                    view, keywords, self.scorer, self.params, self.k, self.adpt_params
                 )
                 rows["topic"].extend([topic] * len(ids))
                 rows["doc_id"].extend(ids.tolist())
@@ -181,10 +231,44 @@ def search_topics_sharded(
             post_meta.to_table(columns=["shard"])["shard"].to_pylist()
         )
     )
+    adpt_params = None
+    if scorer == "bm25adpt":
+        # PHASE 1: per-shard cd histograms -> summed on the driver ->
+        # per-term (k1, IGs[1]) broadcast into phase 2.  The reduction moves
+        # 100 ints per (shard, term); the tf distribution never leaves the
+        # shards.
+        from .scoring import adpt_term_params
+
+        with open(os.path.join(index_dir, "stats.json")) as fh:
+            stats = json.load(fh)
+        terms_tbl = pq.read_table(os.path.join(index_dir, "terms.parquet"))
+        df_map = dict(zip(terms_tbl["term"].to_pylist(), terms_tbl["df"].to_pylist()))
+        q_terms = sorted({t for _, kws in topics for t, _ in kws if t in df_map})
+        hist_ds = ray.data.from_items([{"shard": s} for s in shards]).map_batches(
+            AdptHistogram,
+            fn_constructor_kwargs=dict(index_dir=index_dir, terms=q_terms, b=stats["bm25"]["b"]),
+            batch_size=1,
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+        totals: dict[str, np.ndarray] = {}
+        for b_ in hist_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+            tbl = pa.table(b_)
+            for term, counts in zip(tbl["term"].to_pylist(), tbl["counts"].to_pylist()):
+                acc = totals.get(term)
+                arr = np.asarray(counts, dtype=np.int64)
+                totals[term] = arr if acc is None else acc + arr
+        adpt_params = {
+            term: adpt_term_params(stats["n_docs"], df_map[term], counts)
+            for term, counts in totals.items()
+        }
+
     shard_ds = ray.data.from_items([{"shard": s} for s in shards])
     local = shard_ds.map_batches(
         ShardScorer,
-        fn_constructor_kwargs=dict(index_dir=index_dir, topics=topics, scorer=scorer, k=k),
+        fn_constructor_kwargs=dict(index_dir=index_dir, topics=topics, scorer=scorer, k=k,
+                                   adpt_params=adpt_params),
         batch_size=1,
         batch_format="pyarrow",
         concurrency=concurrency,

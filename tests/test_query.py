@@ -156,11 +156,13 @@ def test_sharded_search_matches_whole_index(setup):
 
     oracle, reader, topics = setup
     params = BM25Params()
-    for scorer, taat in (("bm25", taat_bm25), ("tfidf", None)):
+    for scorer in ("bm25", "tfidf", "bm25adpt"):
         out = search_topics_sharded(f"{BASE}/index", topics, scorer=scorer, k=20).to_pandas()
         for topic, keywords in topics:
             if scorer == "bm25":
                 ids, scores = taat_bm25(reader, keywords, params, 20)
+            elif scorer == "bm25adpt":
+                ids, scores = taat_bm25_adpt(reader, keywords, params, 20)
             else:
                 ids, scores = taat_tfidf(reader, keywords, 20)
             sub = out[out["topic"] == topic].sort_values("rank")
