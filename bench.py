@@ -167,6 +167,12 @@ def run_benchmarks() -> dict:
     quality_scores(docs_ds).count()
     timings["quality_scores"] = time.perf_counter() - t0
 
+    from search_engine_ray.dataops.dedup import exact_dedup_apply
+
+    t0 = time.perf_counter()
+    exact_dedup_apply(docs_ds).count()
+    timings["dedup_apply"] = time.perf_counter() - t0
+
     emb_path = os.path.join(SF_DIR, "embeddings.parquet")
     import pyarrow.parquet as pq
 
@@ -178,6 +184,17 @@ def run_benchmarks() -> dict:
     t0 = time.perf_counter()
     knn_brute_force(emb_ds, queries, k=10)
     timings["knn_brute_force"] = time.perf_counter() - t0
+
+    from search_engine_ray.dataops.similarity import build_ivf_index, knn_ivf_probe
+
+    ivf_dir = f"/tmp/se_ray_bench/ivf-{NUM_CPUS}"
+    shutil.rmtree(ivf_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_ivf_index(emb_ds, ivf_dir, n_centroids=16)
+    timings["ann_ivf_build"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    knn_ivf_probe(ivf_dir, queries, k=10, nprobe=4)
+    timings["ann_ivf_probe"] = time.perf_counter() - t0
 
     headline = timings["index_build_pages_html"]
     result = {

@@ -83,12 +83,25 @@ def cmd_index(args: argparse.Namespace) -> int:
 
     options = parse_index_options(args.options)
     config = BuildConfig(options=options)
+    input_path = args.input
+    source_column, name_column = args.source_column, args.name_column
+    if args.format == "trec":
+        # reference-native input: convert <DOC>/<DOCNO> files into the
+        # parquet corpus layout next to the index (resumable; sorted file
+        # rank keeps docID assignment deterministic), then tokenize the raw
+        # TREC text directly (no HTML extraction — Parser.cs semantics)
+        from .sources import trec_to_parquet
+
+        corpus_dir = os.path.join(args.index_dir + ".trec-corpus")
+        trec_to_parquet(args.input, corpus_dir)
+        input_path = corpus_dir
+        source_column, name_column = "text", "doc_name"
     stats = build_index(
-        args.input,
+        input_path,
         args.index_dir,
         config,
-        source_column=args.source_column,
-        name_column=args.name_column,
+        source_column=source_column,
+        name_column=name_column,
         overwrite=args.overwrite,
     )
     print(json.dumps(stats))
@@ -145,6 +158,11 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("options", nargs="?", default="IndexOptions(CaseFolding,RemoveStopWords,DoStemming)")
     pi.add_argument("--source-column", default="html")
     pi.add_argument("--name-column", default="url")
+    pi.add_argument(
+        "--format", choices=("parquet", "trec"), default="parquet",
+        help="'trec': input is a directory of <DOC>/<DOCNO> files "
+             "(the reference engine's native format)",
+    )
     pi.add_argument("--overwrite", action="store_true")
     pi.add_argument("--num-cpus", type=int, default=None)
     pi.set_defaults(fn=cmd_index)

@@ -28,22 +28,40 @@ import ray.data
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
-def _token_lists(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    """(flat token hashes uint64, doc offsets) — whitespace tokens."""
+def _join_parts(requested: int) -> int:
+    """Cap hash-join partition count by cluster CPUs: each `Dataset.join`
+    reserves ~num_partitions aggregator actors, and a pipeline with two
+    concurrent joins deadlocks when their combined reservation exceeds the
+    cluster (observed at num_cpus=4 with 16+16).  Half the CPUs per join
+    keeps two joins schedulable; at real cluster scale the requested count
+    wins."""
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, min(requested, cpus // 2))
+
+
+def _token_lists(texts: pa.Array, hash_kind: str = "blake2b") -> tuple[np.ndarray, np.ndarray]:
+    """(flat token hashes uint64, doc offsets) — whitespace tokens.
+
+    hash_kind "blake2b" (default, fastest) or "md5be" (first 8 md5 bytes,
+    big-endian — SQL-reproducible: ``('0x' || substr(md5(t),1,16))::UBIGINT``
+    in DuckDB; used by simhash so its output is oracle-checkable)."""
     lists = pc.split_pattern_regex(pc.fill_null(texts, ""), pattern=r"\s+")
     flat = pc.list_flatten(lists)
     flat = flat.filter(pc.greater(pc.binary_length(flat), 0))
-    # cheap 64-bit token hash: FNV-1a over utf-8, vectorized via python loop
-    # on the *dictionary* (unique tokens) only
+    # cheap 64-bit token hash, vectorized via python loop on the
+    # *dictionary* (unique tokens) only
     denc = pc.dictionary_encode(flat)
     if isinstance(denc, pa.ChunkedArray):
         denc = denc.combine_chunks()
     uniq = denc.dictionary.to_pylist()
-    uh = np.fromiter(
-        (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little") for t in uniq),
-        dtype=np.uint64,
-        count=len(uniq),
-    )
+    if hash_kind == "md5be":
+        gen = (int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big") for t in uniq)
+    else:
+        gen = (
+            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+            for t in uniq
+        )
+    uh = np.fromiter(gen, dtype=np.uint64, count=len(uniq))
     codes = np.asarray(denc.indices, dtype=np.int64)
     tok_hash = uh[codes] if len(codes) else np.empty(0, np.uint64)
 
@@ -59,11 +77,24 @@ def _token_lists(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return tok_hash, offsets
 
 
-def _shingle_hashes(tok_hash: np.ndarray, offsets: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+def _shingle_hashes(
+    tok_hash: np.ndarray, offsets: np.ndarray, k: int, short_mode: str = "drop"
+) -> tuple[np.ndarray, np.ndarray]:
     """Distinct rolling k-gram shingle hashes per doc — fully vectorized
     over the whole batch: one k-pass rolling hash over the flat token
     array, a boundary mask dropping windows that span documents, and a
-    lexsort+unique pass replacing any per-doc Python loop."""
+    lexsort+unique pass replacing any per-doc Python loop.
+
+    ``short_mode`` controls docs with fewer than k tokens (ADVICE r1 — the
+    old xor fallback was order-insensitive and reported permuted/empty short
+    docs as jaccard-1.0 dups):
+
+    - "drop": they contribute NO shingles (matches the SQL n-gram
+      semantics, which generates no windows for short docs);
+    - "whole": each nonempty short doc gets ONE shingle — the same rolling
+      hash over all its tokens (order- and multiplicity-sensitive), so
+      MinHash still covers short docs; empty docs always contribute nothing.
+    """
     n_docs = len(offsets) - 1
     n = len(tok_hash)
     mult = np.uint64(0x9E3779B97F4A7C15)
@@ -82,23 +113,23 @@ def _shingle_hashes(tok_hash: np.ndarray, offsets: np.ndarray, k: int) -> tuple[
         parts_doc.append(doc_idx[: n - k + 1][valid])
         parts_hash.append(acc[valid])
 
-    # docs shorter than k get one fallback shingle (xor of tokens * mult;
-    # empty docs get 0) — same values the scalar version produced
-    short = np.flatnonzero(doc_lens < k)
-    if len(short):
-        with np.errstate(over="ignore"):
-            fallback = np.zeros(len(short), dtype=np.uint64)
-            nonempty = doc_lens[short] > 0
-            if nonempty.any():
-                idx = short[nonempty]
-                # short docs are rare (< k tokens); a tiny per-doc loop is fine
-                xors = np.asarray(
-                    [np.bitwise_xor.reduce(tok_hash[offsets[d] : offsets[d + 1]]) for d in idx],
-                    dtype=np.uint64,
-                )
-                fallback[nonempty] = xors * mult
-        parts_doc.append(short)
-        parts_hash.append(fallback)
+    if short_mode == "whole":
+        # nonempty docs shorter than k: one order-sensitive rolling hash
+        # over all their tokens (short docs are rare; tiny per-doc loop)
+        short = np.flatnonzero((doc_lens < k) & (doc_lens > 0))
+        if len(short):
+            with np.errstate(over="ignore"):
+                vals = np.empty(len(short), dtype=np.uint64)
+                for i, d in enumerate(short):
+                    seg = tok_hash[offsets[d] : offsets[d + 1]]
+                    acc1 = seg[0]
+                    for t in seg[1:]:
+                        acc1 = acc1 * mult + t
+                    vals[i] = acc1
+            parts_doc.append(short)
+            parts_hash.append(vals)
+    elif short_mode != "drop":
+        raise ValueError(f"unknown short_mode {short_mode!r}")
 
     if not parts_hash:
         return np.empty(0, np.uint64), np.zeros(n_docs + 1, dtype=np.int64)
@@ -151,61 +182,117 @@ def exact_dedup(ds: ray.data.Dataset, text_column: str = "text", id_column: str 
 # --------------------------------------------------------------------------
 
 class MinHasher:
-    """Actor-pool stage: per batch emit (band, band_hash, doc_id, sig...)."""
+    """Actor-pool stage: one row per doc — (doc_id, sig, has_shingles).
 
-    def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 3, text_column: str = "text", id_column: str = "doc_id", seed: int = 13):
-        assert num_perm % bands == 0
+    Signatures (num_perm x uint64, ~0.5 KiB/doc) are the pipeline's ONLY
+    per-doc state; band rows derived from them later carry no payload, so
+    the LSH shuffle moves ~20 bytes/band-row instead of the full signature
+    (the round-1 shape duplicated ~8 KiB/doc through the exchange)."""
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 3, text_column: str = "text", id_column: str = "doc_id", seed: int = 13):
         rng = np.random.default_rng(seed)
         self.a = rng.integers(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
         self.b = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
         self.num_perm = num_perm
-        self.bands = bands
-        self.rows_per_band = num_perm // bands
         self.shingle_k = shingle_k
         self.text_column = text_column
         self.id_column = id_column
 
-    def signatures(self, texts: pa.Array) -> np.ndarray:
+    def signatures(self, texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+        """(sigs (n, num_perm) uint64, has_shingles bool) per doc.  Docs
+        with no shingles (empty) keep the all-max sentinel signature and are
+        excluded from banding — an all-empty corpus must not form one
+        degenerate O(m^2) bucket (ADVICE r1)."""
         tok, offs = _token_lists(texts)
-        sh, sh_offs = _shingle_hashes(tok, offs, self.shingle_k)
+        sh, sh_offs = _shingle_hashes(tok, offs, self.shingle_k, short_mode="whole")
         n_docs = len(sh_offs) - 1
         sigs = np.full((n_docs, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+        has = np.diff(sh_offs) > 0
         if len(sh):
             with np.errstate(over="ignore"):
                 hashed = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
-            nonempty = np.flatnonzero(np.diff(sh_offs) > 0)
+            nonempty = np.flatnonzero(has)
             starts = sh_offs[nonempty]
             mins = np.minimum.reduceat(hashed, starts, axis=1)
             sigs[nonempty] = mins.T
-        return sigs
+        return sigs, has
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_column].combine_chunks() if isinstance(batch[self.text_column], pa.ChunkedArray) else batch[self.text_column]
+        col = batch[self.text_column]
+        texts = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         ids = np.asarray(batch[self.id_column], dtype=np.int64)
-        sigs = self.signatures(texts)
-        n = len(ids)
-        r = self.rows_per_band
-        rows = {
-            "band": np.repeat(np.arange(self.bands, dtype=np.int32), n),
-            "band_hash": np.empty(self.bands * n, dtype=np.uint64),
-            "doc_id": np.tile(ids, self.bands),
-        }
-        sig_bytes = []
-        for bd in range(self.bands):
-            seg = sigs[:, bd * r: (bd + 1) * r]
-            with np.errstate(over="ignore"):
-                bh = np.bitwise_xor.reduce(seg * np.uint64(0xC2B2AE3D27D4EB4F), axis=1)
-            rows["band_hash"][bd * n: (bd + 1) * n] = bh
-        for i in range(n):
-            sig_bytes.append(sigs[i].tobytes())
+        sigs, has = self.signatures(texts)
+        sig_arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(8 * self.num_perm), len(ids), [None, pa.py_buffer(sigs.tobytes())]
+        )
         return pa.table(
             {
-                "band": pa.array(rows["band"]),
-                "band_hash": pa.array(rows["band_hash"].astype(np.int64)),
-                "doc_id": pa.array(rows["doc_id"]),
-                "sig": pa.array(sig_bytes * self.bands, pa.binary()),
+                "doc_id": pa.array(ids),
+                "sig": sig_arr.cast(pa.binary()),
+                "has_shingles": pa.array(has),
             }
         )
+
+
+def minhash_signatures(
+    ds: ray.data.Dataset,
+    num_perm: int = 64,
+    shingle_k: int = 3,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    seed: int = 13,
+) -> ray.data.Dataset:
+    """(doc_id, sig, has_shingles) — one row per doc."""
+    return ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(
+            num_perm=num_perm, shingle_k=shingle_k,
+            text_column=text_column, id_column=id_column, seed=seed,
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
+def _band_rows(batch: pa.Table, bands: int, rows_per_band: int, n_groups: int) -> pa.Table:
+    """Payload-free band rows (gkey, band, band_hash, doc_id) from stored
+    signatures; docs without shingles emit nothing.  ``gkey`` coarsens the
+    bucket key so the downstream map_groups runs ~n_groups vectorized group
+    calls instead of one Python call per (mostly singleton) LSH bucket."""
+    keep = np.asarray(batch["has_shingles"])
+    ids = np.asarray(batch["doc_id"], dtype=np.int64)[keep]
+    n = len(ids)
+    if n == 0:
+        return pa.table(
+            {
+                "gkey": pa.array([], pa.int32()),
+                "band": pa.array([], pa.int32()),
+                "band_hash": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+            }
+        )
+    sig_col = batch["sig"].combine_chunks() if isinstance(batch["sig"], pa.ChunkedArray) else batch["sig"]
+    flat = np.frombuffer(b"".join(sig_col.filter(pa.array(keep)).to_pylist()), dtype=np.uint64)
+    sigs = flat.reshape(n, bands * rows_per_band)
+    band_hash = np.empty((bands, n), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        mixed = sigs * np.uint64(0xC2B2AE3D27D4EB4F)
+        for bd in range(bands):
+            band_hash[bd] = np.bitwise_xor.reduce(
+                mixed[:, bd * rows_per_band : (bd + 1) * rows_per_band], axis=1
+            )
+        gkey = (
+            (band_hash ^ (np.arange(bands, dtype=np.uint64)[:, None] * np.uint64(0x9E3779B9)))
+            % np.uint64(n_groups)
+        ).astype(np.int32)
+    return pa.table(
+        {
+            "gkey": pa.array(gkey.ravel()),
+            "band": pa.array(np.repeat(np.arange(bands, dtype=np.int32), n)),
+            "band_hash": pa.array(band_hash.ravel().astype(np.int64)),
+            "doc_id": pa.array(np.tile(ids, bands)),
+        }
+    )
 
 
 def minhash_lsh_pairs(
@@ -216,73 +303,179 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     text_column: str = "text",
     id_column: str = "doc_id",
+    max_bucket: int = 256,
+    n_groups: int = 1024,
+    join_partitions: int = 16,
+    sig_dir: str | None = None,
+    seed: int = 13,
 ) -> ray.data.Dataset:
-    """Near-dup candidate pairs verified by signature-estimated Jaccard.
+    """Near-dup pairs (a, b, est_jaccard) with est >= threshold.
 
-    shingle -> minhash -> band -> bucket groupby; each bucket yields pairs,
-    verified by the full signatures carried with the rows.  Buckets are the
-    only shuffle; pair output is deduplicated downstream by (a, b) groupby.
+    Scale-safe shape (round-2 rebuild):
+
+    1. signatures: one (doc_id, sig) row per doc — persisted to ``sig_dir``
+       (resumable parquet) when given, else pinned once in the object store
+       (~0.5 KiB/doc, the minimal working state; nothing corpus-sized ever
+       reaches the driver).
+    2. banding: payload-free (gkey, band, band_hash, doc_id) rows — the ONE
+       LSH shuffle moves ~20 B/band-row, not signatures.
+    3. bucket pairs: groupby(gkey) over ~n_groups coarse groups; inside each
+       group a vectorized run-length pass finds real (band, band_hash)
+       buckets.  Buckets larger than ``max_bucket`` are dropped and counted
+       (logged) — the skew guard against degenerate O(N^2) buckets: a
+       bucket of N identical docs is better handled by exact_dedup first.
+    4. distinct candidate pairs via native groupby count.
+    5. verification: two native hash-joins (``Dataset.join``) attach sig_a /
+       sig_b by doc_id; est_jaccard = matching-lane fraction, vectorized.
     """
-    from ray.data.aggregate import Count, Max
+    import logging
 
-    banded = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(
-            num_perm=num_perm, bands=bands, shingle_k=shingle_k,
-            text_column=text_column, id_column=id_column,
-        ),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+    from ray.data.aggregate import Count
+
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+
+    sigs = minhash_signatures(
+        ds, num_perm=num_perm, shingle_k=shingle_k,
+        text_column=text_column, id_column=id_column, seed=seed,
     )
-    # two consumers below (bucket counts + pair extraction) — pin the banded
-    # rows once instead of recomputing the signatures per consumer
-    banded = banded.materialize()
+    if sig_dir is not None:
+        sigs.write_parquet(sig_dir)
+        sigs = ray.data.read_parquet(sig_dir)
+    else:
+        # consumed twice (banding + verification): pin the minimal state
+        sigs = sigs.materialize()
 
-    # Most buckets are singletons: count per bucket natively, broadcast the
-    # small >=2 key set, and run the per-group pair kernel only on survivors
-    # (avoids per-group Python over millions of empty buckets).
-    counts = banded.groupby(["band", "band_hash"]).aggregate(Count(alias_name="n"))
-    hot = counts.filter(expr="n >= 2").select_columns(["band", "band_hash"]).to_pandas()
-    hot_keys = set(zip(hot["band"].tolist(), hot["band_hash"].tolist()))
-    hot_ref = ray.put(hot_keys)
+    banded = sigs.map_batches(
+        _band_rows,
+        fn_kwargs=dict(bands=bands, rows_per_band=rows_per_band, n_groups=n_groups),
+        batch_format="pyarrow",
+    )
 
-    def keep_hot(batch: pa.Table) -> pa.Table:
-        keys = ray.get(hot_ref)
-        b = batch["band"].to_pylist()
-        h = batch["band_hash"].to_pylist()
-        mask = pa.array([(bi, hi) in keys for bi, hi in zip(b, h)])
-        return batch.filter(mask)
+    log = logging.getLogger(__name__)
 
-    banded = banded.map_batches(keep_hot, batch_format="pyarrow")
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
-        g = g.sort_values("doc_id").drop_duplicates("doc_id")
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["band", "band_hash", "doc_id"], kind="stable")
+        band = g["band"].to_numpy()
+        bh = g["band_hash"].to_numpy()
         ids = g["doc_id"].to_numpy()
-        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
-        out_a, out_b, out_j = [], [], []
-        for i in range(len(ids)):
-            eq = (sigs[i + 1:] == sigs[i]).mean(axis=1)
-            keep = np.flatnonzero(eq >= threshold)
-            for kk in keep:
-                out_a.append(int(ids[i]))
-                out_b.append(int(ids[i + 1 + kk]))
-                out_j.append(float(eq[kk]))
-        return pd.DataFrame({"a": out_a, "b": out_b, "est_jaccard": out_j})
+        change = np.empty(len(g), dtype=bool)
+        change[0] = True
+        np.logical_or(band[1:] != band[:-1], bh[1:] != bh[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        sizes = np.diff(np.append(starts, len(g)))
+        dropped = int((sizes > max_bucket).sum())
+        if dropped:
+            log.warning(
+                "minhash_lsh: dropped %d buckets larger than max_bucket=%d "
+                "(degenerate near-identical clusters; run exact_dedup first)",
+                dropped, max_bucket,
+            )
+        out_a, out_b = [], []
+        for s, sz in zip(starts, sizes):
+            if 2 <= sz <= max_bucket:
+                seg = ids[s : s + sz]
+                ii, jj = np.triu_indices(sz, k=1)
+                out_a.append(seg[ii])
+                out_b.append(seg[jj])
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
 
-    pairs = banded.groupby(["band", "band_hash"]).map_groups(bucket_pairs, batch_format="pandas")
-    # a pair found in several bands carries the same signature estimate
-    return pairs.groupby(["a", "b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+    pairs = banded.groupby("gkey").map_groups(group_pairs, batch_format="pandas")
+    cand = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
+
+    sig_only = sigs.select_columns(["doc_id", "sig"])
+    jp = _join_parts(join_partitions)
+    joined = cand.join(
+        sig_only, "inner", jp, on=("a",), right_on=("doc_id",), right_suffix="_a"
+    ).join(
+        sig_only, "inner", jp, on=("b",), right_on=("doc_id",), right_suffix="_b"
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "est_jaccard": pa.array([], pa.float64())}
+            )
+        names = batch.column_names
+        col_a = "sig_a" if "sig_a" in names else "sig"
+        col_b = "sig_b" if "sig_b" in names else [c for c in names if c.startswith("sig")][-1]
+        sa = np.frombuffer(b"".join(batch[col_a].to_pylist()), dtype=np.uint64).reshape(n, num_perm)
+        sb = np.frombuffer(b"".join(batch[col_b].to_pylist()), dtype=np.uint64).reshape(n, num_perm)
+        est = (sa == sb).mean(axis=1)
+        keep = est >= threshold
+        return pa.table(
+            {
+                "a": pa.array(np.asarray(batch["a"], dtype=np.int64)[keep]),
+                "b": pa.array(np.asarray(batch["b"], dtype=np.int64)[keep]),
+                "est_jaccard": pa.array(est[keep]),
+            }
+        )
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# dedup APPLY stages — anti/semi-join the corpus down to survivors
+# --------------------------------------------------------------------------
+
+def exact_dedup_apply(
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    join_partitions: int = 16,
+) -> ray.data.Dataset:
+    """The surviving corpus after exact dedup: the min-id row per distinct
+    content.  groupby(dup_key) -> keep ids -> native left_semi hash-join
+    back onto the corpus (two shuffles, both native; nothing driver-side).
+
+    SQL equivalent: ``QUALIFY row_number() OVER (PARTITION BY md5(text)
+    ORDER BY doc_id) = 1``."""
+    keep = exact_dedup(ds, text_column=text_column, id_column=id_column).select_columns(
+        ["keep_doc_id"]
+    )
+    return ds.join(
+        keep, "left_semi", _join_parts(join_partitions), on=(id_column,),
+        right_on=("keep_doc_id",),
+    )
+
+
+def near_dup_filter(
+    ds: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    id_column: str = "doc_id",
+    join_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Drop the HIGHER-id member of every near-dup pair (a < b by
+    construction in this module's pair outputs) via a native left_anti join.
+
+    Greedy semantics: the minimum id of each duplicate cluster never appears
+    as ``b``, so at least one representative always survives; a cluster
+    whose pair graph is not transitively closed may keep more than one
+    member (re-run or lower the threshold to tighten)."""
+    drops = pairs.select_columns(["b"]).groupby("b").count().select_columns(["b"])
+    return ds.join(
+        drops, "left_anti", _join_parts(join_partitions), on=(id_column,), right_on=("b",)
+    )
 
 
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 
-def simhash_batch(batch: pa.Table, text_column: str = "text", id_column: str = "doc_id") -> pa.Table:
+def simhash_batch(
+    batch: pa.Table,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    hash_kind: str = "md5be",
+) -> pa.Table:
+    """64-bit SimHash per doc.  Default token hash is md5be so the output is
+    EXACTLY reproducible in SQL (see __ray_entry__.oracle_sql()['simhash'])."""
     texts = batch[text_column].combine_chunks() if isinstance(batch[text_column], pa.ChunkedArray) else batch[text_column]
-    tok, offs = _token_lists(texts)
+    tok, offs = _token_lists(texts, hash_kind=hash_kind)
     n_docs = len(offs) - 1
     out = np.zeros(n_docs, dtype=np.uint64)
     if len(tok):

@@ -76,10 +76,17 @@ def synthesize_media(doc_ids: list[int], texts: list[str], kind: str = "image") 
 class ImageDecoder:
     """Actor-pool stage: decode + resize + feature-extract images.
 
-    Real decode requires PIL (absent in this container): with
-    ``strict=True`` the stage raises NotImplementedError at first batch;
-    the default fake decoder derives deterministic metadata/embeddings from
-    the payload bytes so downstream stages (dedup-by-embedding, ANN) run.
+    Per-payload dispatch (round-2 fix — round 1 called the fake decoder
+    unconditionally):
+
+    - binary PPM (``P6`` magic): REAL decode, pure numpy header+raster
+      parse — no external deps needed.
+    - anything else: PIL when importable (absent in this container), else
+      the deterministic fake; ``strict=True`` raises NotImplementedError
+      instead of faking.
+
+    The embedding is a mean-pooled grayscale grid (sqrt(dim) x sqrt(dim))
+    for real decodes — enough for downstream dedup/ANN plumbing tests.
     """
 
     def __init__(self, embedding_dim: int = 16, strict: bool = False):
@@ -100,22 +107,79 @@ class ImageDecoder:
         emb = rng.standard_normal(self.embedding_dim).astype(np.float32)
         return width, height, 3, emb
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.backend == "fake" and self.strict:
+    def _grid_embedding(self, gray: np.ndarray) -> np.ndarray:
+        """Mean-pool a (h, w) grayscale image onto a fixed grid."""
+        g = max(1, int(np.sqrt(self.embedding_dim)))
+        h, w = gray.shape
+        ys = np.linspace(0, h, g + 1).astype(np.int64)
+        xs = np.linspace(0, w, g + 1).astype(np.int64)
+        out = np.zeros(self.embedding_dim, dtype=np.float32)
+        k = 0
+        for i in range(g):
+            for j in range(g):
+                cell = gray[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)]
+                out[k] = float(cell.mean()) / 255.0
+                k += 1
+        return out
+
+    def _decode_ppm(self, payload: bytes) -> tuple[int, int, int, np.ndarray]:
+        """Binary PPM (P6): ASCII header (w h maxval, # comments allowed),
+        single whitespace, then h*w*3 raw bytes."""
+        pos = 2  # past b"P6"
+        fields: list[int] = []
+        n = len(payload)
+        while len(fields) < 3:
+            while pos < n and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":
+                while pos < n and payload[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < n and not payload[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        pos += 1  # exactly one whitespace byte after maxval
+        w, h, maxval = fields
+        if maxval > 255:
+            raise ValueError("16-bit PPM not supported")
+        raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+        rgb = raster.reshape(h, w, 3).astype(np.float32)
+        gray = rgb.mean(axis=2)
+        return w, h, 3, self._grid_embedding(gray)
+
+    def _decode_pillow(self, payload: bytes) -> tuple[int, int, int, np.ndarray]:
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload)).convert("RGB")
+        arr = np.asarray(img, dtype=np.float32)
+        return img.width, img.height, 3, self._grid_embedding(arr.mean(axis=2))
+
+    def _decode_one(self, payload: bytes) -> tuple[int, int, int, np.ndarray, str]:
+        if payload[:2] == b"P6":
+            return (*self._decode_ppm(payload), "ppm")
+        if self.backend == "pillow":
+            return (*self._decode_pillow(payload), "pillow")
+        if self.strict:
             raise NotImplementedError(
-                "image decode requires PIL, which is not available in this "
-                "environment; run with strict=False for the deterministic fake"
+                "no real decoder for this payload (PIL absent, not PPM); "
+                "run with strict=False for the deterministic fake"
             )
+        return (*self._decode_fake(payload), "fake")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
         rows = {"media_id": batch["media_id"], "width": [], "height": [],
                 "channels": [], "embedding": [], "decoder": []}
         for p in payloads:
-            w, hgt, c, emb = self._decode_fake(p or b"")
+            w, hgt, c, emb, dec = self._decode_one(p or b"")
             rows["width"].append(w)
             rows["height"].append(hgt)
             rows["channels"].append(c)
             rows["embedding"].append(emb.tolist())
-            rows["decoder"].append(self.backend)
+            rows["decoder"].append(dec)
         return pa.table(
             {
                 "media_id": rows["media_id"],
@@ -130,7 +194,12 @@ class ImageDecoder:
 
 
 class AudioFrameSampler:
-    """Actor-pool stage: decode audio + sample fixed frames (stubbed decode)."""
+    """Actor-pool stage: decode audio + sample fixed frames.
+
+    Per-payload dispatch: PCM16 WAV (RIFF/WAVE magic) gets a REAL pure-numpy
+    decode (RIFF chunk walk -> fmt + data -> int16 samples -> per-frame RMS
+    energy); other formats use soundfile when importable (absent here), else
+    the deterministic fake; ``strict=True`` raises instead of faking."""
 
     def __init__(self, n_frames: int = 8, strict: bool = False):
         self.n_frames = n_frames
@@ -142,13 +211,57 @@ class AudioFrameSampler:
         except ImportError:
             self.backend = "fake"
 
+    def _decode_wav(self, payload: bytes) -> tuple[int, int, np.ndarray]:
+        """(sample_rate, n_samples, frame_energy) for a PCM16 RIFF WAV."""
+        import struct
+
+        pos = 12  # past RIFF<size>WAVE
+        rate, n_channels, bits = None, 1, 16
+        data = None
+        while pos + 8 <= len(payload):
+            cid, csize = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+            body = pos + 8
+            if cid == b"fmt ":
+                fmt, n_channels, rate = struct.unpack_from("<HHI", payload, body)[:3]
+                bits = struct.unpack_from("<H", payload, body + 14)[0]
+                if fmt != 1 or bits != 16:
+                    raise ValueError(f"only PCM16 WAV supported (fmt={fmt}, bits={bits})")
+            elif cid == b"data":
+                data = payload[body : body + csize]
+            pos = body + csize + (csize & 1)  # chunks are word-aligned
+        if rate is None or data is None:
+            raise ValueError("WAV missing fmt/data chunk")
+        samples = np.frombuffer(data, dtype=np.int16).astype(np.float32) / 32768.0
+        if n_channels > 1:
+            samples = samples.reshape(-1, n_channels).mean(axis=1)
+        n = len(samples)
+        bounds = np.linspace(0, n, self.n_frames + 1).astype(np.int64)
+        energy = np.zeros(self.n_frames, dtype=np.float32)
+        for i in range(self.n_frames):
+            seg = samples[bounds[i] : bounds[i + 1]]
+            if len(seg):
+                energy[i] = float(np.sqrt(np.mean(seg * seg)))
+        return int(rate), n, energy
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.backend == "fake" and self.strict:
-            raise NotImplementedError("audio decode requires soundfile (absent)")
         payloads = batch["payload"].to_pylist()
         rates, samples, nf, energies, decs = [], [], [], [], []
         for p in payloads:
-            h = hashlib.sha256(p or b"").digest()
+            p = p or b""
+            if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                r, ns, en = self._decode_wav(p)
+                rates.append(r)
+                samples.append(ns)
+                nf.append(self.n_frames)
+                energies.append(en.tolist())
+                decs.append("wav")
+                continue
+            if self.strict and self.backend == "fake":
+                raise NotImplementedError(
+                    "no real decoder for this payload (soundfile absent, not "
+                    "PCM WAV); run with strict=False for the deterministic fake"
+                )
+            h = hashlib.sha256(p).digest()
             rng = np.random.default_rng(int.from_bytes(h[8:16], "little"))
             rates.append(16000)
             samples.append(16000 + int.from_bytes(h[:3], "little"))

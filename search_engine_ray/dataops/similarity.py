@@ -80,7 +80,13 @@ def knn_brute_force(
     partials = ds.map_batches(partial_topk, batch_format="pyarrow", batch_size=4096)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cos_sim", "vec_id"], ascending=[False, True]).head(k)
+        # drop_duplicates: a candidate set from a multi-table LSH probe can
+        # contain the same vector twice (identical score — keep one)
+        g = (
+            g.sort_values(["cos_sim", "vec_id"], ascending=[False, True])
+            .drop_duplicates("vec_id")
+            .head(k)
+        )
         g["rank"] = np.arange(1, len(g) + 1)
         return g
 
@@ -143,9 +149,13 @@ def knn_lsh(
     id_column: str = "vec_id",
     seed: int = 5,
 ) -> pa.Table:
-    """Approximate top-k: L independent hyperplane tables; probe each query's
-    bucket plus hamming-1 neighbors in every table.  Each table halves the
-    corpus ~2^-p; recall grows as 1-(1-p_hit)^L (measured in tests)."""
+    """Approximate top-k WITHOUT a persisted index: ONE filtered pass over
+    the corpus (each batch recomputes its signatures and keeps rows matching
+    any table's probe set).  Right for ad-hoc single-shot queries; for
+    repeated queries at scale use build_lsh_index()/knn_lsh_probe(), which
+    shuffle the vectors once into bucket-partitioned parquet and then read
+    ONLY the probed buckets.  L independent hyperplane tables; probe =
+    query bucket + hamming-1 neighbors; recall grows as 1-(1-p_hit)^L."""
     q = np.asarray(queries, dtype=np.float64)
     qn = _normalize(q)
     probes: list[set[int]] = []
@@ -206,9 +216,13 @@ def knn_ivf(
     id_column: str = "vec_id",
     seed: int = 11,
 ) -> pa.Table:
-    """IVF approximate top-k: vectors partition by nearest centroid (one
-    broadcast matmul per batch); each query probes its `nprobe` nearest
-    lists, so ~nprobe/n_centroids of the corpus is scanned per query."""
+    """IVF approximate top-k WITHOUT a persisted index: trains centroids and
+    makes ONE filtered pass over the corpus (each batch recomputes its
+    assignment and keeps rows in the queries' probe lists).  Right for
+    ad-hoc single-shot queries; for repeated queries at scale use
+    build_ivf_index()/knn_ivf_probe(), which assign once, write inverted
+    lists partitioned by centroid, and read ONLY the nprobe probed
+    partitions."""
     q = _normalize(np.asarray(queries, dtype=np.float64))
     cents = train_ivf_centroids(ds, n_centroids, column, seed=seed)
     cents_ref = ray.put(cents)
@@ -224,6 +238,189 @@ def knn_ivf(
 
     candidates = ds.map_batches(keep_probed, batch_format="pyarrow")
     return knn_brute_force(candidates, queries, k=k, column=column, id_column=id_column)
+
+
+# --------------------------------------------------------------------------
+# persisted, partitioned ANN indexes (the 100-TB path): build once, probe
+# with PRUNED reads — a probe touches nprobe/n_centroids (IVF) or the probed
+# bucket directories (LSH) of the corpus, never a full scan.
+# --------------------------------------------------------------------------
+
+def _parquet_files(dirs) -> list[str]:
+    """Flatten partition directories into their parquet files (read_parquet
+    wants file paths when given a list)."""
+    import os
+
+    out: list[str] = []
+    for d in dirs:
+        if os.path.isdir(d):
+            out.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+            )
+    return out
+
+
+def build_ivf_index(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    n_centroids: int = 16,
+    column: str = "embedding",
+    id_column: str = "vec_id",
+    sample_rows: int = 10_000,
+    seed: int = 11,
+) -> dict:
+    """Persist an IVF index: k-means centroids (trained once on a bounded
+    sample) + inverted lists as parquet PARTITIONED BY centroid id, so a
+    probe reads only its partitions' files.  Output layout::
+
+        index_dir/centroids.npy        (n_centroids, dim) float64
+        index_dir/meta.json            {n_centroids, dim, column, id_column}
+        index_dir/lists/centroid=K/    the vectors assigned to list K
+
+    Returns the meta dict."""
+    import json
+    import os
+
+    cents = train_ivf_centroids(ds, n_centroids, column, sample_rows=sample_rows, seed=seed)
+    cents_ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        m = _normalize(_batch_matrix(batch, column))
+        a = np.argmax(m @ c.T, axis=1) if len(m) else np.empty(0, np.int64)
+        return batch.append_column("centroid", pa.array(a.astype(np.int32)))
+
+    os.makedirs(index_dir, exist_ok=True)
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        os.path.join(index_dir, "lists"), partition_cols=["centroid"]
+    )
+    np.save(os.path.join(index_dir, "centroids.npy"), cents)
+    meta = {
+        "n_centroids": int(len(cents)),
+        "dim": int(cents.shape[1]),
+        "column": column,
+        "id_column": id_column,
+    }
+    with open(os.path.join(index_dir, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def knn_ivf_probe(
+    index_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+) -> pa.Table:
+    """Probe a persisted IVF index: read ONLY the union of the queries'
+    nprobe nearest inverted lists (pruned parquet read over the partition
+    directories), then exact cosine top-k over those candidates."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "meta.json")) as fh:
+        meta = json.load(fh)
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe_lists = np.argsort(-(q @ cents.T), axis=1)[:, : min(nprobe, len(cents))]
+    probe = sorted({int(c) for row in probe_lists for c in row})
+    paths = _parquet_files(
+        os.path.join(index_dir, "lists", f"centroid={c}") for c in probe
+    )
+    cand = ray.data.read_parquet(paths, columns=[meta["id_column"], meta["column"]])
+    return knn_brute_force(cand, queries, k=k, column=meta["column"], id_column=meta["id_column"])
+
+
+def build_lsh_index(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    column: str = "embedding",
+    id_column: str = "vec_id",
+    seed: int = 5,
+) -> dict:
+    """Persist an LSH index: vectors written once per hash table, parquet
+    PARTITIONED BY (table, bucket); a probe reads only the probed bucket
+    directories.  Storage is n_tables x the corpus — the standard LSH
+    recall/space trade."""
+    import json
+    import os
+
+    bucketers = [
+        LshBucketer(dim=dim, n_planes=n_planes, seed=seed + 101 * t, column=column)
+        for t in range(n_tables)
+    ]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, column)
+        parts = []
+        for t, bk in enumerate(bucketers):
+            sig = bk.signature(m) if len(m) else np.empty(0, np.uint64)
+            parts.append(
+                batch.append_column("table", pa.array(np.full(len(batch), t, np.int32)))
+                .append_column("bucket", pa.array(sig.astype(np.int64)))
+            )
+        return pa.concat_tables(parts)
+
+    os.makedirs(index_dir, exist_ok=True)
+    ds.map_batches(tag, batch_format="pyarrow").write_parquet(
+        os.path.join(index_dir, "buckets"), partition_cols=["table", "bucket"]
+    )
+    meta = {
+        "n_planes": n_planes,
+        "n_tables": n_tables,
+        "dim": dim,
+        "seed": seed,
+        "column": column,
+        "id_column": id_column,
+    }
+    with open(os.path.join(index_dir, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def knn_lsh_probe(
+    index_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    hamming: int = 1,
+) -> pa.Table:
+    """Probe a persisted LSH index: for each table read the queries' bucket
+    directories (plus hamming<=1 neighbors), union candidates, exact cosine
+    top-k.  A vector found in several tables is deduplicated before
+    ranking."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "meta.json")) as fh:
+        meta = json.load(fh)
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    paths = []
+    for t in range(meta["n_tables"]):
+        bk = LshBucketer(
+            dim=meta["dim"], n_planes=meta["n_planes"],
+            seed=meta["seed"] + 101 * t, column=meta["column"],
+        )
+        probe: set[int] = set()
+        for s in bk.signature(q):
+            probe.add(int(s))
+            if hamming >= 1:
+                for bit in range(meta["n_planes"]):
+                    probe.add(int(s) ^ (1 << bit))
+        paths.extend(
+            _parquet_files(
+                os.path.join(index_dir, "buckets", f"table={t}", f"bucket={b}")
+                for b in sorted(probe)
+            )
+        )
+    id_col, col = meta["id_column"], meta["column"]
+    if not paths:
+        return pa.table({"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                         "cos_sim": pa.array([], pa.float64()), "rank": pa.array([], pa.int64())})
+    cand = ray.data.read_parquet(paths, columns=[id_col, col])
+    return knn_brute_force(cand, queries, k=k, column=col, id_column=id_col)
 
 
 def embedding_near_dup_pairs(

@@ -149,40 +149,92 @@ def fingerprint_batch(
     id_column: str = "doc_id",
 ) -> pa.Table:
     """Winnowing-style document fingerprint: rolling k-byte hashes, minimum
-    per sliding window, plus a whole-document 64-bit polynomial hash."""
+    per sliding window, plus a whole-document 64-bit polynomial hash.
+
+    Fully vectorized batch-wide (round-2; round 1 looped per doc): ONE
+    rolling-hash pass over the concatenated byte stream with boundary masks
+    dropping windows that span documents, one strided sliding-window min,
+    and one lexsort+run-length pass for the per-doc distinct-fingerprint
+    stats — the same kernel shape as dedup._shingle_hashes."""
     texts = pc.fill_null(_text_col(batch, text_column), "").to_pylist()
-    full_hash = np.empty(len(texts), dtype=np.uint64)
-    n_fp = np.empty(len(texts), dtype=np.int64)
-    min_fp = np.empty(len(texts), dtype=np.uint64)
+    n_docs = len(texts)
+    raws = [t.encode("utf-8") for t in texts]
+    lens = np.asarray([len(r) for r in raws], dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    total = int(offsets[-1])
+    flat = (
+        np.frombuffer(b"".join(raws), dtype=np.uint8).astype(np.uint64)
+        if total
+        else np.empty(0, np.uint64)
+    )
     B = np.uint64(1099511628211)
-    for i, t in enumerate(texts):
-        raw = t.encode("utf-8")
-        data = np.frombuffer(raw, dtype=np.uint8).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            # whole-doc hash: position-mixed xor fold (vectorized, order-sensitive)
-            if len(data):
-                pos = np.arange(len(data), dtype=np.uint64)
-                full_hash[i] = np.bitwise_xor.reduce(
-                    (data + np.uint64(1)) * (pos * B + np.uint64(0x9E3779B9))
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+
+    full_hash = np.zeros(n_docs, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        if total:
+            # whole-doc hash: position-mixed xor fold, position LOCAL to doc
+            pos = (np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], lens)).astype(np.uint64)
+            mixed = (flat + np.uint64(1)) * (pos * B + np.uint64(0x9E3779B9))
+            starts = np.minimum(offsets[:-1], total - 1)
+            full_hash = np.bitwise_xor.reduceat(mixed, starts)
+            full_hash[lens == 0] = 0
+
+        parts_doc: list[np.ndarray] = []
+        parts_val: list[np.ndarray] = []
+        n_acc = total - k + 1
+        if n_acc > 0:
+            acc = flat[:n_acc].copy()
+            for j in range(1, k):
+                acc = acc * B + flat[j : n_acc + j]
+            valid_k = doc_idx[:n_acc] == doc_idx[k - 1 :]  # k-gram inside one doc
+            acc_lens = np.maximum(lens - k + 1, 0)  # per-doc k-gram count
+
+            # docs with >= window k-grams: sliding-window minima
+            n_win = n_acc - window + 1
+            if n_win > 0:
+                strided = np.lib.stride_tricks.as_strided(
+                    acc, shape=(n_win, window), strides=(acc.strides[0], acc.strides[0])
                 )
-            else:
-                full_hash[i] = 0
-            if len(data) >= k:
-                acc = data[: len(data) - k + 1].copy()
-                for j in range(1, k):
-                    acc = acc * B + data[j: len(data) - k + 1 + j]
-                if len(acc) >= window:
-                    shape = (len(acc) - window + 1, window)
-                    strided = np.lib.stride_tricks.as_strided(
-                        acc, shape=shape, strides=(acc.strides[0], acc.strides[0])
-                    )
-                    fps = np.unique(strided.min(axis=1))
-                else:
-                    fps = np.unique(acc)
-            else:
-                fps = np.asarray([full_hash[i]], dtype=np.uint64)
-        n_fp[i] = len(fps)
-        min_fp[i] = fps.min() if len(fps) else 0
+                wmin = strided.min(axis=1)
+                span = window + k - 2  # window covers bytes [i, i + span + ... ]
+                valid_w = doc_idx[:n_win] == doc_idx[span : span + n_win]
+                parts_doc.append(doc_idx[:n_win][valid_w])
+                parts_val.append(wmin[valid_w])
+
+            # docs with 1..window-1 k-grams: fall back to their raw k-gram set
+            mid = (acc_lens > 0) & (acc_lens < window)
+            if mid.any():
+                sel = valid_k & mid[doc_idx[:n_acc]]
+                parts_doc.append(doc_idx[:n_acc][sel])
+                parts_val.append(acc[sel])
+
+        # docs shorter than k bytes: single fingerprint = the whole-doc hash
+        tiny = np.flatnonzero(lens < k)
+        if len(tiny):
+            parts_doc.append(tiny)
+            parts_val.append(full_hash[tiny])
+
+    if parts_val:
+        all_doc = np.concatenate(parts_doc)
+        all_val = np.concatenate(parts_val)
+        order = np.lexsort((all_val, all_doc))
+        d_s = all_doc[order]
+        v_s = all_val[order]
+        keep = np.empty(len(order), dtype=bool)
+        keep[0] = True
+        np.logical_or(d_s[1:] != d_s[:-1], v_s[1:] != v_s[:-1], out=keep[1:])
+        d_u = d_s[keep]
+        v_u = v_s[keep]
+        n_fp = np.bincount(d_u, minlength=n_docs).astype(np.int64)
+        min_fp = np.zeros(n_docs, dtype=np.uint64)
+        first = np.empty(len(d_u), dtype=bool)
+        first[0] = True
+        np.not_equal(d_u[1:], d_u[:-1], out=first[1:])
+        min_fp[d_u[first]] = v_u[first]  # values sorted asc within doc
+    else:
+        n_fp = np.zeros(n_docs, dtype=np.int64)
+        min_fp = np.zeros(n_docs, dtype=np.uint64)
     return pa.table(
         {
             "doc_id": batch[id_column],

@@ -79,6 +79,15 @@ def sliced_binary(data: np.ndarray, value_ends: np.ndarray, run_starts: np.ndarr
     indices; byte boundaries come from ``value_ends``."""
     import pyarrow as pa
 
+    if n_values and int(value_ends[-1]) > np.iinfo(np.int32).max:
+        # pa.binary() offsets are int32; a silent wrap would corrupt posting
+        # blocks.  Reachable only with user-forced term_buckets / extreme
+        # skew — the auto bucket sizing keeps groups ~0.5 MiB (ADVICE r1).
+        raise ValueError(
+            f"encoded payload ({int(value_ends[-1])} bytes) exceeds the 2 GiB "
+            "binary-offset limit for one merge group; increase term_buckets "
+            "(or leave it on auto sizing)"
+        )
     n_runs = len(run_starts)
     offsets = np.empty(n_runs + 1, dtype=np.int32)
     starts_prev = run_starts - 1

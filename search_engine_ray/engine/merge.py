@@ -39,7 +39,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..config import BuildConfig
-from .codec import decode_concat_rows, vbyte_encode_offsets
+from .codec import decode_concat_rows, sliced_binary as _sliced_binary, vbyte_encode_offsets
 
 POSTINGS_SCHEMA = pa.schema(
     [
@@ -83,21 +83,6 @@ def add_merge_keys(batch: pa.Table, frags_per_shard: int, term_buckets: int) -> 
     return batch.append_column("shard", shard).append_column("bucket", bucket)
 
 
-def _sliced_binary(data: np.ndarray, value_ends: np.ndarray, block_starts: np.ndarray, n_values: int) -> pa.Array:
-    """Zero-copy BinaryArray: one slice of the shared encode buffer per block."""
-    n_blocks = len(block_starts)
-    offsets = np.empty(n_blocks + 1, dtype=np.int32)
-    offsets[0] = 0
-    # byte offset at the start of each block = end offset of previous value
-    starts_prev = block_starts - 1
-    byte_starts = np.where(block_starts > 0, value_ends[starts_prev], 0)
-    offsets[:-1] = byte_starts
-    offsets[-1] = value_ends[-1] if n_values else 0
-    return pa.Array.from_buffers(
-        pa.binary(),
-        n_blocks,
-        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())],
-    )
 
 
 def make_merge_fn(config: BuildConfig, avgdl: float):
@@ -105,6 +90,39 @@ def make_merge_fn(config: BuildConfig, avgdl: float):
     k1 = config.bm25.k1
     b = config.bm25.b
     bk = config.block_entries
+
+    def _passthrough(g1: pa.Table, shard: int) -> pa.Table:
+        """Blocks for single-input-row tail terms WITHOUT decode/re-encode:
+        a segment row's encoding (delta restarting at the row, first value
+        absolute) IS the block encoding when the row fits one block, so the
+        three compressed cells transfer as-is; bounds come from the per-row
+        tf/dl extrema (valid, slightly loose — see segments.SEGMENT_SCHEMA).
+        Tail terms dominate ROW count in any Zipf vocabulary, so this skips
+        most per-row work of the exchange's reduce side."""
+        max_tf = np.asarray(g1["max_tf"], dtype=np.float64)
+        min_tf = np.asarray(g1["min_tf"], dtype=np.float64)
+        min_dl = np.asarray(g1["min_dl"], dtype=np.float64)
+        max_dl = np.asarray(g1["max_dl"], dtype=np.float64)
+        ub = max_tf / (max_tf + k1 * (1.0 - b + b * (min_dl / avgdl)))
+        lb = min_tf / (min_tf + k1 * (1.0 - b + b * (max_dl / avgdl)))
+        n_rows = g1.num_rows
+        return pa.table(
+            {
+                "term": g1["term"],
+                "shard": pa.array(np.full(n_rows, shard, dtype=np.int32)),
+                "block_no": pa.array(np.zeros(n_rows, dtype=np.int32)),
+                "n": g1["df_local"],
+                "first_doc": g1["min_doc"],
+                "last_doc": g1["max_doc"],
+                "docs_enc": g1["docs_enc"],
+                "tfs_enc": g1["tfs_enc"],
+                "dls_enc": g1["dls_enc"],
+                "ub_tfn": pa.array(ub.astype(np.float32)),
+                "lb_tfn": pa.array(lb.astype(np.float32)),
+                "ub_logtf": pa.array(np.log1p(max_tf).astype(np.float32)),
+            },
+            schema=POSTINGS_SCHEMA,
+        )
 
     def merge_group(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
@@ -114,6 +132,28 @@ def make_merge_fn(config: BuildConfig, avgdl: float):
         term_col = group["term"].combine_chunks() if isinstance(group["term"], pa.ChunkedArray) else group["term"]
         denc = term_col.dictionary_encode()
         codes = np.asarray(denc.indices, dtype=np.int64)
+
+        # split: terms with ONE input row that fits one block pass through
+        # compressed; the rest take the decode->merge->encode path.  (Old
+        # segment files without the stats columns — resumed round-1 builds —
+        # fall back to the full path for every row.)
+        stats_cols = ("max_doc", "max_tf", "min_tf", "min_dl", "max_dl")
+        if all(c in group.column_names for c in stats_cols):
+            df_local_all = np.asarray(group["df_local"], dtype=np.int64)
+            counts = np.bincount(codes, minlength=len(denc.dictionary))
+            single = (counts[codes] == 1) & (df_local_all <= bk)
+        else:
+            single = np.zeros(len(codes), dtype=bool)
+        pt_table = None
+        if single.any():
+            pt_table = _passthrough(group.filter(pa.array(single)), shard)
+            if single.all():
+                return pt_table
+            group = group.filter(pa.array(~single))
+            term_col = group["term"].combine_chunks() if isinstance(group["term"], pa.ChunkedArray) else group["term"]
+            denc = term_col.dictionary_encode()
+            codes = np.asarray(denc.indices, dtype=np.int64)
+
         min_doc = np.asarray(group["min_doc"])
 
         # order segment rows by (term, min_doc); disjoint fragment doc
@@ -168,7 +208,7 @@ def make_merge_fn(config: BuildConfig, avgdl: float):
         dls_u8, dls_ends = vbyte_encode_offsets(dls.astype(np.uint64))
 
         nvals = len(doc_ids)
-        return pa.table(
+        merged_tbl = pa.table(
             {
                 "term": terms_u.take(pa.array(bt)),
                 "shard": pa.array(np.full(total_blocks, shard, dtype=np.int32)),
@@ -185,5 +225,8 @@ def make_merge_fn(config: BuildConfig, avgdl: float):
             },
             schema=POSTINGS_SCHEMA,
         )
+        if pt_table is not None:
+            return pa.concat_tables([pt_table, merged_tbl])
+        return merged_tbl
 
     return merge_group

@@ -109,11 +109,17 @@ def adpt_term_params(n_docs: int, df: int, counts: np.ndarray) -> tuple[np.float
     float semantics identical to the oracle, which is tested against it)."""
 
     def getdft(t: int) -> float:
+        # The C# getdft returns float (float32): N/df/counts round through
+        # float32 before the double-precision log math below.  Identical for
+        # values < 2^24; matters for web-scale corpora (ADVICE r1).  Note
+        # C# Math.Log(x, 2) = ln(x)/ln(2) can still differ from math.log2 by
+        # 1 ulp — the bit-exactness claim is scoped to inputs where the two
+        # agree (all tested corpora; divergence probability ~1e-16/term).
         if t == 0:
-            return float(n_docs)
+            return float(F32(n_docs))
         if t == 1:
-            return float(df)
-        return float(counts[t - 2])
+            return float(F32(df))
+        return float(F32(counts[t - 2]))
 
     def ig(t: int) -> np.float32:
         return F32(

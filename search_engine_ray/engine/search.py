@@ -84,7 +84,24 @@ def score_topic(
     method: "wand" (block-max DAAT), "taat" (exhaustive vectorized), or
     "auto" (pick by total candidate-posting volume; results identical)."""
     params = params or BM25Params()
+    requested = method
     method = _resolve_method(reader, keywords, method, k)
+    if scorer == "bm25" and method == "wand":
+        # WAND prunes against block metadata (ub_tfn/lb_tfn) computed at
+        # BUILD time with the index's k1/b; different query-time params make
+        # those bounds stale and pruning incorrect.  auto falls back to the
+        # always-correct exhaustive TAAT; an explicit method="wand" request
+        # is an error (ADVICE r1).
+        built = reader.stats.get("bm25", {})
+        if (built.get("k1"), built.get("b")) != (params.k1, params.b):
+            if requested == "wand":
+                raise ValueError(
+                    f"method='wand' requires the build-time BM25 params "
+                    f"(k1={built.get('k1')}, b={built.get('b')}); got "
+                    f"k1={params.k1}, b={params.b} — use method='taat' or "
+                    "rebuild the index with these params"
+                )
+            method = "taat"
     if scorer == "bm25":
         if method == "wand":
             return wand_topk(reader, keywords, params, k, kind="bm25")

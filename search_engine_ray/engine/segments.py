@@ -49,7 +49,17 @@ SEGMENT_SCHEMA = pa.schema(
         ("term", pa.string()),
         ("frag_id", pa.int32()),
         ("min_doc", pa.int64()),
+        ("max_doc", pa.int64()),
         ("df_local", pa.int32()),
+        # per-row tf/dl extrema: lets the merge PASS THROUGH a tail term's
+        # single compressed row (no decode/re-encode) while still emitting
+        # valid block-max bounds — tfn is monotone increasing in tf and
+        # decreasing in dl, so f(max_tf, min_dl) >= true block max and
+        # f(min_tf, max_dl) <= true block min (bounds, not exact extrema).
+        ("max_tf", pa.int32()),
+        ("min_tf", pa.int32()),
+        ("min_dl", pa.int32()),
+        ("max_dl", pa.int32()),
         ("docs_enc", pa.binary()),
         ("tfs_enc", pa.binary()),
         ("dls_enc", pa.binary()),
@@ -145,7 +155,12 @@ def build_fragment_postings(
             "term": pa.array(seg_terms, pa.string()),
             "frag_id": pa.array(np.full(len(term_starts), frag_id, dtype=np.int32)),
             "min_doc": pa.array(global_docs[term_starts], pa.int64()),
+            "max_doc": pa.array(global_docs[offsets[1:] - 1], pa.int64()),
             "df_local": pa.array(np.diff(offsets).astype(np.int32)),
+            "max_tf": pa.array(np.maximum.reduceat(tf64, row_starts).astype(np.int32)),
+            "min_tf": pa.array(np.minimum.reduceat(tf64, row_starts).astype(np.int32)),
+            "min_dl": pa.array(np.minimum.reduceat(dls, row_starts).astype(np.int32)),
+            "max_dl": pa.array(np.maximum.reduceat(dls, row_starts).astype(np.int32)),
             "docs_enc": encode_rows(global_docs, row_starts, delta=True),
             "tfs_enc": encode_rows(tf64, row_starts, delta=False),
             "dls_enc": encode_rows(dls, row_starts, delta=False),

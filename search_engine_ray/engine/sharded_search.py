@@ -44,15 +44,29 @@ class _ShardIndexView:
     ids are offset back to global ids on output.
     """
 
-    def __init__(self, index_dir: str, shard: int):
+    def __init__(self, index_dir: str, shard: int, terms: list[str] | None = None):
+        """``terms``: prune BOTH the dictionary and the postings read to the
+        query's term set (predicate pushdown) — shard-actor RSS then stays
+        independent of dictionary/corpus size (round-1 finding #6: loading
+        the full df map per shard actor does not survive a 10^12-doc
+        dictionary)."""
         with open(os.path.join(index_dir, "stats.json")) as fh:
             self.stats = json.load(fh)
         self.avgdl = self.stats["avgdl"]
-        terms_tbl = pq.read_table(os.path.join(index_dir, "terms.parquet"))
+        terms_path = os.path.join(index_dir, "terms.parquet")
+        if terms is None:
+            terms_tbl = pq.read_table(terms_path)
+        else:
+            terms_tbl = pads.dataset(terms_path).to_table(
+                filter=pads.field("term").isin(list(terms))
+            )
         self._df = dict(zip(terms_tbl["term"].to_pylist(), terms_tbl["df"].to_pylist()))
 
         ds = pads.dataset(os.path.join(index_dir, "postings"))
-        tbl = ds.to_table(filter=pads.field("shard") == shard)
+        flt = pads.field("shard") == shard
+        if terms is not None:
+            flt = flt & pads.field("term").isin(list(terms))
+        tbl = ds.to_table(filter=flt)
         self._blocks = _blocks_from_table(tbl)
         if tbl.num_rows:
             self.doc_lo = int(pa.compute.min(tbl["first_doc"]).as_py())
@@ -118,7 +132,9 @@ class AdptHistogram:
 
         rows = {"term": [], "counts": []}
         for shard in batch["shard"].to_pylist():
-            view = self._views.setdefault(shard, _ShardIndexView(self.index_dir, shard))
+            view = self._views.setdefault(
+                shard, _ShardIndexView(self.index_dir, shard, terms=self.terms)
+            )
             for term in self.terms:
                 got = _shard_cds(view, term, self.b)
                 if got is None:
@@ -186,6 +202,8 @@ class ShardScorer:
         self.scorer = scorer
         self.k = k
         self.adpt_params = adpt_params
+        # pruned dictionary/postings reads: only the topics' terms are needed
+        self.term_set = sorted({t for _, kws in topics for t, _ in kws})
         self._views: dict[int, _ShardIndexView] = {}
         with open(os.path.join(index_dir, "stats.json")) as fh:
             stats = json.load(fh)
@@ -196,7 +214,7 @@ class ShardScorer:
         for shard in batch["shard"].to_pylist():
             view = self._views.get(shard)
             if view is None:
-                view = _ShardIndexView(self.index_dir, shard)
+                view = _ShardIndexView(self.index_dir, shard, terms=self.term_set)
                 self._views[shard] = view
             for topic, keywords in self.topics:
                 ids, scores = _shard_scores(

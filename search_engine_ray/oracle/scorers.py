@@ -105,12 +105,14 @@ def score_bm25_adpt(
         cds = [_cd(tf, index.doc_lens[d], avgdl, p.b) for d, tf in zip(doc_ids, tfs)]
 
         def getdft(t: int) -> float:
-            # BM25ADPT.cs:107-129
+            # BM25ADPT.cs:107-129 — C# getdft returns float (float32), so
+            # N/df/counts round through float32 before the double log math
+            # (identical below 2^24; see engine.scoring.adpt_term_params).
             if t == 0:
-                return float(n)
+                return float(F32(n))
             if t == 1:
-                return float(df)
-            return float(sum(1 for c in cds if c >= t - 0.5))
+                return float(F32(df))
+            return float(F32(sum(1 for c in cds if c >= t - 0.5)))
 
         def ig(t: int) -> np.float32:
             # BM25ADPT.cs:136-140

@@ -286,3 +286,169 @@ def test_multimodal_plumbing(docs_tbl, ray_session):
         ImageDecoder(strict=True)(media)
     with pytest.raises(NotImplementedError):
         AudioFrameSampler(strict=True)(audio)
+
+
+def test_multimodal_real_decoders(ray_session):
+    """PPM images and PCM16 WAVs are REALLY decoded (pure numpy, no deps) —
+    including in strict mode, which only rejects undecodable payloads."""
+    import struct
+
+    from search_engine_ray.dataops.multimodal import AudioFrameSampler, ImageDecoder
+
+    # 4x2 PPM with a comment in the header; pixel (y, x) gray value = y*10 + x
+    w, h = 4, 2
+    raster = bytes(
+        v for y in range(h) for x in range(w) for v in (y * 10 + x,) * 3
+    )
+    ppm = b"P6\n# test comment\n%d %d\n255\n" % (w, h) + raster
+    media = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "kind": pa.array(["image"]),
+            "payload": pa.array([ppm], pa.binary()),
+            "mime": pa.array(["image/x-portable-pixmap"]),
+            "source_doc": pa.array([0], pa.int64()),
+        }
+    )
+    out = ImageDecoder(strict=True)(media)  # strict: must NOT fall back to fake
+    assert out["width"][0].as_py() == w and out["height"][0].as_py() == h
+    assert out["decoder"][0].as_py() == "ppm"
+    emb = np.asarray(out["embedding"][0].as_py())
+    # 4x4 grid over a 2x4 image: first grid row covers pixel row 0 (gray 0..3)
+    assert emb.min() >= 0.0 and emb.max() <= 1.0
+    assert abs(emb[0] - 0.0) < 1e-6  # top-left cell = pixel (0,0) = 0/255
+
+    # minimal PCM16 WAV: 8000 Hz mono, 16 samples of a known square wave
+    rate, samples = 8000, np.asarray([16384, -16384] * 8, dtype=np.int16)
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    audio = media.set_column(2, "payload", pa.array([wav], pa.binary()))
+    a = AudioFrameSampler(n_frames=4, strict=True)(audio)
+    assert a["sample_rate"][0].as_py() == rate
+    assert a["n_samples"][0].as_py() == 16
+    assert a["decoder"][0].as_py() == "wav"
+    en = np.asarray(a["frame_energy"][0].as_py())
+    assert np.allclose(en, 0.5, atol=1e-4)  # |±16384|/32768 RMS = 0.5
+
+
+def test_fingerprint_vectorized_matches_per_doc_reference():
+    """The batch-wide winnowing kernel must be value-identical to the
+    straightforward per-doc computation, including the short-doc classes
+    (empty, < k bytes, < window k-grams) and byte-identical unicode."""
+    from search_engine_ray.dataops.textstats import fingerprint_batch
+
+    k, window = 8, 4
+    B = np.uint64(1099511628211)
+
+    def ref_one(t: str):
+        data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            if len(data):
+                pos = np.arange(len(data), dtype=np.uint64)
+                full = np.bitwise_xor.reduce(
+                    (data + np.uint64(1)) * (pos * B + np.uint64(0x9E3779B9))
+                )
+            else:
+                full = np.uint64(0)
+            if len(data) >= k:
+                acc = data[: len(data) - k + 1].copy()
+                for j in range(1, k):
+                    acc = acc * B + data[j : len(data) - k + 1 + j]
+                if len(acc) >= window:
+                    s = np.lib.stride_tricks.as_strided(
+                        acc, (len(acc) - window + 1, window), (acc.strides[0],) * 2
+                    )
+                    fps = np.unique(s.min(axis=1))
+                else:
+                    fps = np.unique(acc)
+            else:
+                fps = np.asarray([full], dtype=np.uint64)
+        return int(full), len(fps), int(fps.min())
+
+    texts = [
+        "",                      # empty
+        "a",                     # 1 byte
+        "abcdefg",               # k-1 bytes
+        "abcdefgh",              # exactly k bytes -> 1 k-gram (< window)
+        "abcdefghij",            # k-grams 1..window-1
+        "the quick brown fox jumps over the lazy dog " * 3,
+        "unicode é中文 bytes",  # multi-byte utf-8
+        "aaaaaaaaaaaaaaaaaaaaa",  # repeated -> few distinct fingerprints
+    ]
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+    out = fingerprint_batch(batch, k=k, window=window)
+    for i, t in enumerate(texts):
+        full, nfp, mfp = ref_one(t)
+        assert out["doc_hash"][i].as_py() == np.int64(np.uint64(full)).item(), i
+        assert out["n_fingerprints"][i].as_py() == nfp, i
+        assert out["min_fingerprint"][i].as_py() == np.int64(np.uint64(mfp)).item(), i
+
+
+def test_persisted_ivf_index_probe(emb_ds, emb_tbl, ray_session, tmp_path):
+    """build once -> pruned probe reads only nprobe partitions -> recall."""
+    import os
+
+    from search_engine_ray.dataops.similarity import (
+        build_ivf_index,
+        knn_brute_force,
+        knn_ivf_probe,
+    )
+
+    idx = str(tmp_path / "ivf")
+    meta = build_ivf_index(emb_ds, idx, n_centroids=8)
+    assert meta["n_centroids"] == 8
+    parts = os.listdir(os.path.join(idx, "lists"))
+    assert 1 < len(parts) <= 8 and all(p.startswith("centroid=") for p in parts)
+
+    q = np.stack([np.asarray(e, dtype=np.float64) for e in emb_tbl["embedding"].to_pylist()[:4]])
+    k = 5
+    approx = knn_ivf_probe(idx, q, k=k, nprobe=3).to_pandas()
+    exact = knn_brute_force(emb_ds, q, k=k).to_pandas()
+    recalls = []
+    for qi in range(len(q)):
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        recalls.append(len(a & e) / k)
+    assert np.mean(recalls) >= 0.6, recalls
+    # nprobe = n_centroids degenerates to exact: full agreement
+    full = knn_ivf_probe(idx, q, k=k, nprobe=8).to_pandas()
+    assert full[["query_id", "vec_id"]].values.tolist() == exact[["query_id", "vec_id"]].values.tolist()
+
+
+def test_persisted_lsh_index_probe(emb_ds, emb_tbl, ray_session, tmp_path):
+    import os
+
+    from search_engine_ray.dataops.similarity import (
+        build_lsh_index,
+        knn_brute_force,
+        knn_lsh_probe,
+    )
+
+    dim = len(emb_tbl["embedding"][0].as_py())
+    idx = str(tmp_path / "lsh")
+    build_lsh_index(emb_ds, idx, dim=dim, n_planes=5, n_tables=3)
+    tables = os.listdir(os.path.join(idx, "buckets"))
+    assert sorted(tables) == ["table=0", "table=1", "table=2"]
+
+    q = np.stack([np.asarray(e, dtype=np.float64) for e in emb_tbl["embedding"].to_pylist()[:4]])
+    k = 5
+    approx = knn_lsh_probe(idx, q, k=k).to_pandas()
+    exact = knn_brute_force(emb_ds, q, k=k).to_pandas()
+    recalls = []
+    for qi in range(len(q)):
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        recalls.append(len(a & e) / k)
+    # every query vector is itself in the corpus -> its own bucket always
+    # probed -> rank-1 is always found
+    assert np.mean(recalls) >= 0.4, recalls
+    for qi in range(len(q)):
+        top = exact[exact["query_id"] == qi].iloc[0]["vec_id"]
+        assert top in set(approx[approx["query_id"] == qi]["vec_id"])
