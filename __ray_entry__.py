@@ -515,6 +515,18 @@ def q_knn_ivf_recall(sf_dir: str) -> pa.Table:
     )
 
 
+def q_emb_near_dup(sf_dir: str):
+    """Embedding near-dup pairs (LSH blocking + exact in-bucket verify) —
+    rows-only: blocking is approximate, pairs across buckets can be missed,
+    so no SQL hash parity is claimed (recall covered in pytest)."""
+    import ray.data
+
+    from search_engine_ray.dataops.similarity import embedding_near_dup_pairs
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_near_dup_pairs(ds, threshold=0.9)
+
+
 def q_lang_id(sf_dir: str):
     from search_engine_ray.dataops.textstats import lang_id
 
@@ -618,6 +630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": q_fingerprints,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
+        "emb_near_dup": q_emb_near_dup,
         "lang_id": q_lang_id,
         "media_features": q_media_features,
     }

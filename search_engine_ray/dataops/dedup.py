@@ -386,7 +386,13 @@ def minhash_lsh_pairs(
     cand = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
 
     sig_only = sigs.select_columns(["doc_id", "sig"])
-    jp = _join_parts(join_partitions)
+    # partitions sized by the BIG join side (the signature table, known row
+    # count since it is materialized): ~128 MiB per partition, capped by the
+    # caller's request and cluster CPUs.  Tiny corpora then pay 2 aggregator
+    # actors per join instead of cpus//2 (fixed startup dominated the sf0.1
+    # bench); 100-TB corpora get the full requested width.
+    sig_bytes = sigs.count() * (8 * num_perm + 24)
+    jp = _join_parts(min(join_partitions, sig_bytes // (128 << 20) + 2))
     joined = cand.join(
         sig_only, "inner", jp, on=("a",), right_on=("doc_id",), right_suffix="_a"
     ).join(
