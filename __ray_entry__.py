@@ -524,7 +524,13 @@ def q_emb_near_dup(sf_dir: str):
     from search_engine_ray.dataops.similarity import embedding_near_dup_pairs
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return embedding_near_dup_pairs(ds, threshold=0.9)
+    out = embedding_near_dup_pairs(ds, threshold=0.9)
+    # return an Arrow table so the schema survives a zero-pair result
+    # (Dataset.to_pandas drops columns on empty datasets)
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("cos_sim", pa.float64())])
+    batches = [pa.table(b) for b in out.iter_batches(batch_size=None, batch_format="pyarrow")]
+    batches = [b.cast(schema) for b in batches if b.num_rows]
+    return pa.concat_tables(batches) if batches else schema.empty_table()
 
 
 def q_lang_id(sf_dir: str):

@@ -421,7 +421,13 @@ def minhash_lsh_pairs(
             }
         )
 
-    return joined.map_batches(verify, batch_format="pyarrow")
+    out = joined.map_batches(verify, batch_format="pyarrow")
+    # schema-stable even when zero candidates survive anywhere
+    empty = ray.data.from_arrow(
+        pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                  "est_jaccard": pa.array([], pa.float64())})
+    )
+    return out.union(empty)
 
 
 # --------------------------------------------------------------------------
@@ -575,4 +581,9 @@ def ngram_jaccard_pairs(
             }
         )
 
-    return co.map_batches(finish, batch_format="pyarrow")
+    out = co.map_batches(finish, batch_format="pyarrow")
+    empty = ray.data.from_arrow(
+        pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                  "jaccard": pa.array([], pa.float64())})
+    )
+    return out.union(empty)

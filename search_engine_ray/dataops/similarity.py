@@ -461,4 +461,11 @@ def embedding_near_dup_pairs(
 
     pairs = bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
     # a pair seen in multiple buckets has the same exact cosine
-    return pairs.groupby(["a", "b"]).aggregate(Max("cos_sim", alias_name="cos_sim"))
+    out = pairs.groupby(["a", "b"]).aggregate(Max("cos_sim", alias_name="cos_sim"))
+    # schema-stable even when NO pairs clear the threshold (an aggregate of
+    # an empty dataset loses its schema otherwise)
+    empty = ray.data.from_arrow(
+        pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                  "cos_sim": pa.array([], pa.float64())})
+    )
+    return out.union(empty)
