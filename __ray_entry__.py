@@ -96,18 +96,41 @@ def q_doc_stats(sf_dir: str) -> pa.Table:
 
 
 def q_term_stats(sf_dir: str) -> pa.Table:
-    r = _reader(sf_dir)
-    terms = sorted(r._df)
-    dfs, tfs = [], []
-    for t in terms:
-        tp = r.postings(t)
-        dfs.append(tp.df)
-        tfs.append(int(tp.arrays()[1].sum()))
+    """A4-shaped DISTRIBUTED stats: one column-pruned pass over postings/,
+    per-block vectorized VByte decode + reduceat partials, then a native
+    groupby sum — no driver-side loop over the dictionary (round-1 finding
+    #7: the per-term loop shape must not leak into real stats pipelines)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from search_engine_ray.engine.codec import decode_concat_rows
+    from search_engine_ray.pipelines import documents_index_dir
+
+    index_dir = documents_index_dir(sf_dir, OPT_NOSTEM)
+
+    def block_partials(batch: pa.Table) -> pa.Table:
+        lens = np.asarray(batch["n"], dtype=np.int64)
+        flat = decode_concat_rows(batch["tfs_enc"], lens, delta=False)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        sums = np.add.reduceat(flat, starts) if len(flat) else np.empty(0, np.int64)
+        return pa.table(
+            {"term": batch["term"], "tf": pa.array(sums.astype(np.int64)), "df_part": pa.array(lens)}
+        )
+
+    agg = (
+        ray.data.read_parquet(
+            os.path.join(index_dir, "postings"), columns=["term", "n", "tfs_enc"]
+        )
+        .map_batches(block_partials, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("tf", alias_name="total_tf"), Sum("df_part", alias_name="df"))
+    )
+    out = agg.to_pandas().sort_values("term", ignore_index=True)
     return pa.table(
         {
-            "term": pa.array(terms, pa.string()),
-            "df": pa.array(dfs, pa.int64()),
-            "total_tf": pa.array(tfs, pa.int64()),
+            "term": pa.array(out["term"], pa.string()),
+            "df": pa.array(out["df"].astype(np.int64)),
+            "total_tf": pa.array(out["total_tf"].astype(np.int64)),
         }
     )
 
@@ -314,6 +337,28 @@ def q_events_window(sf_dir: str) -> pa.Table:
             "n": pa.array(out["n"].astype(np.int64)),
             # millis (not micros): float-sum order differs between engines by
             # ~1e-13 relative, so keep the rounding boundary 1000x away
+            "sum_value_millis": pa.array(
+                np.floor(out["sum_value"].to_numpy() * 1_000 + 0.5).astype(np.int64)
+            ),
+        }
+    )
+
+
+def q_hopping_window(sf_dir: str) -> pa.Table:
+    """Hopping (sliding) windows: 1h windows every 30min — each event lands
+    in 2 overlapping windows."""
+    import ray.data
+
+    from search_engine_ray.dataops.windows import hopping_window_agg
+
+    events = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    out = hopping_window_agg(events, window_seconds=3600, hop_seconds=1800).to_pandas()
+    out = out.sort_values(["key", "window_start_us"])
+    return pa.table(
+        {
+            "key": pa.array(out["key"], pa.string()),
+            "window_start_us": pa.array(out["window_start_us"].astype(np.int64)),
+            "n": pa.array(out["n"].astype(np.int64)),
             "sum_value_millis": pa.array(
                 np.floor(out["sum_value"].to_numpy() * 1_000 + 0.5).astype(np.int64)
             ),
@@ -622,6 +667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": q_ngram_jaccard,
         "lang_distribution": q_lang_distribution,
         "events_window": q_events_window,
+        "hopping_window": q_hopping_window,
         "sessionize": q_sessionize,
         "boolean_and": q_boolean_and,
         "boolean_or": q_boolean_or,
@@ -887,6 +933,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    CAST(FLOOR(SUM(value) * 1000 + 0.5) AS BIGINT) AS sum_value_millis
             FROM events GROUP BY 1, 2
+        """,
+        "hopping_window": """
+            SELECT key, window_start_us, count(*) AS n,
+                   CAST(FLOOR(SUM(value) * 1000 + 0.5) AS BIGINT) AS sum_value_millis
+            FROM (
+              SELECT event_type AS key,
+                     (epoch_us(ts) // 1800000000) * 1800000000 - j * 1800000000
+                       AS window_start_us,
+                     value
+              FROM events, UNNEST(generate_series(0, 1)) AS g(j)
+            )
+            GROUP BY 1, 2
         """,
         "sessionize": """
             WITH o AS (

@@ -57,6 +57,58 @@ def tumbling_window_agg(
     )
 
 
+def hopping_window_agg(
+    ds: ray.data.Dataset,
+    window_seconds: int = 3600,
+    hop_seconds: int = 900,
+    key_column: str = "event_type",
+    ts_column: str = "ts",
+    value_column: str = "value",
+) -> ray.data.Dataset:
+    """Count/sum per (key, HOPPING window): windows of ``window_seconds``
+    starting every ``hop_seconds`` (window must be a multiple of hop), so
+    each event belongs to window/hop overlapping windows.
+
+    Same two-phase combiner as the tumbling case; the explode factor
+    (window/hop replicated PARTIAL rows, not events) is applied inside the
+    per-batch kernel, so the shuffle still moves one row per (key, window,
+    batch)."""
+    if window_seconds % hop_seconds:
+        raise ValueError("window_seconds must be a multiple of hop_seconds")
+    window_us = window_seconds * 1_000_000
+    hop_us = hop_seconds * 1_000_000
+    k = window_seconds // hop_seconds
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch[ts_column].cast(pa.int64()), dtype=np.int64)
+        n = len(ts)
+        vals = np.asarray(batch[value_column], dtype=np.float64)
+        keys = np.asarray(batch[key_column].to_pylist(), dtype=object)
+        # an event at t is in windows starting at floor(t/hop)*hop - j*hop
+        # for j = 0..k-1 where the start is still <= t and t < start+window
+        base = (ts // hop_us) * hop_us
+        starts = base[None, :] - (np.arange(k, dtype=np.int64) * hop_us)[:, None]
+        df = pd.DataFrame(
+            {
+                "key": np.tile(keys, k),
+                "window_start_us": starts.ravel(),
+                "value": np.tile(vals, k),
+            }
+        )
+        agg = df.groupby(["key", "window_start_us"], as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["key", "window_start_us"]).aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sum_value", alias_name="sum_value"),
+    )
+
+
 def asof_join_events(
     ds: ray.data.Dataset,
     left_type: str,

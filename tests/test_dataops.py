@@ -452,3 +452,34 @@ def test_persisted_lsh_index_probe(emb_ds, emb_tbl, ray_session, tmp_path):
     for qi in range(len(q)):
         top = exact[exact["query_id"] == qi].iloc[0]["vec_id"]
         assert top in set(approx[approx["query_id"] == qi]["vec_id"])
+
+
+def test_hopping_window_agg(ray_session):
+    """1h windows hopping every 30min: each event lands in exactly 2
+    windows; per-window counts match a brute-force enumeration."""
+    import ray.data
+
+    from search_engine_ray.dataops.windows import hopping_window_agg
+
+    events = ray.data.read_parquet(f"{SF}/events.parquet")
+    out = hopping_window_agg(events, window_seconds=3600, hop_seconds=1800).to_pandas()
+    n_events = events.count()
+    assert out["n"].sum() == 2 * n_events  # explode factor k=2
+
+    # brute force on the raw table
+    raw = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ts = raw["ts"].astype("int64").to_numpy()  # datetime64[us] -> epoch us
+    hop, win = 1_800_000_000, 3_600_000_000
+    import collections
+    exp = collections.Counter()
+    for t, k in zip(ts, raw["event_type"]):
+        base = (t // hop) * hop
+        for j in range(2):
+            s = base - j * hop
+            if s <= t < s + win:
+                exp[(k, s)] += 1
+    got = {(r.key, r.window_start_us): r.n for r in out.itertuples()}
+    assert got == dict(exp)
+
+    with pytest.raises(ValueError):
+        hopping_window_agg(events, window_seconds=3600, hop_seconds=1000)
