@@ -271,8 +271,12 @@ def _band_rows(batch: pa.Table, bands: int, rows_per_band: int, n_groups: int) -
                 "doc_id": pa.array([], pa.int64()),
             }
         )
+    from ..engine.codec import _concat_binary_bytes
+
     sig_col = batch["sig"].combine_chunks() if isinstance(batch["sig"], pa.ChunkedArray) else batch["sig"]
-    flat = np.frombuffer(b"".join(sig_col.filter(pa.array(keep)).to_pylist()), dtype=np.uint64)
+    flat = np.frombuffer(
+        _concat_binary_bytes(sig_col.filter(pa.array(keep))), dtype=np.uint64
+    )  # zero-copy: fixed-width values are contiguous in the arrow buffer
     sigs = flat.reshape(n, bands * rows_per_band)
     band_hash = np.empty((bands, n), dtype=np.uint64)
     with np.errstate(over="ignore"):
@@ -406,11 +410,18 @@ def minhash_lsh_pairs(
                 {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                  "est_jaccard": pa.array([], pa.float64())}
             )
+        from ..engine.codec import _concat_binary_bytes
+
         names = batch.column_names
         col_a = "sig_a" if "sig_a" in names else "sig"
         col_b = "sig_b" if "sig_b" in names else [c for c in names if c.startswith("sig")][-1]
-        sa = np.frombuffer(b"".join(batch[col_a].to_pylist()), dtype=np.uint64).reshape(n, num_perm)
-        sb = np.frombuffer(b"".join(batch[col_b].to_pylist()), dtype=np.uint64).reshape(n, num_perm)
+
+        def sig_matrix(col) -> np.ndarray:
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            return np.frombuffer(_concat_binary_bytes(col), dtype=np.uint64).reshape(n, num_perm)
+
+        sa = sig_matrix(batch[col_a])
+        sb = sig_matrix(batch[col_b])
         est = (sa == sb).mean(axis=1)
         keep = est >= threshold
         return pa.table(

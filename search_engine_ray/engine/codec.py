@@ -121,11 +121,13 @@ def encode_rows(values: np.ndarray, row_starts: np.ndarray, delta: bool):
 
 
 def _concat_binary_bytes(col) -> bytes:
-    """Contiguous bytes of a BinaryArray's rows in row order (zero-copy)."""
+    """Contiguous bytes of a (Large)BinaryArray's rows in row order
+    (zero-copy)."""
     import pyarrow as pa
 
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[arr.offset : arr.offset + len(arr) + 1]
+    off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[arr.offset : arr.offset + len(arr) + 1]
     data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
     return data[offs[0] : offs[-1]]
 
