@@ -311,6 +311,43 @@ def q_ngram_jaccard(sf_dir: str) -> pa.Table:
     )
 
 
+def q_sample_docs(sf_dir: str) -> pa.Table:
+    """Deterministic 10% id-hash sample — stable across runs/partitionings
+    (the re-runnable-pipeline sampling primitive)."""
+    from search_engine_ray.dataops.sample import deterministic_sample
+
+    out = deterministic_sample(_docs_ds(sf_dir), fraction=0.1).select_columns(["doc_id"])
+    return out
+
+
+def q_docs_per_lang_head(sf_dir: str) -> pa.Table:
+    """Balanced subsample: first 20 docs per language."""
+    from search_engine_ray.dataops.sample import head_per_key
+
+    out = head_per_key(_docs_ds(sf_dir), "lang", 20).to_pandas()
+    out = out.sort_values(["lang", "doc_id"])
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "doc_id": pa.array(out["doc_id"].astype(np.int64)),
+        }
+    )
+
+
+def q_quality_top100(sf_dir: str) -> pa.Table:
+    """Global top-100 by char length (ties -> ascending doc_id): the
+    partial-topk-then-merge pattern, never a full sort."""
+    from search_engine_ray.dataops.sample import topk_by
+
+    top = topk_by(_docs_ds(sf_dir), "n_chars", 100)
+    return pa.table(
+        {
+            "doc_id": top["doc_id"].combine_chunks().cast(pa.int64()),
+            "n_chars": top["n_chars"].combine_chunks().cast(pa.int64()),
+        }
+    )
+
+
 def q_lang_distribution(sf_dir: str) -> pa.Table:
     ds = _docs_ds(sf_dir).groupby("lang").count()
     df = ds.to_pandas().sort_values("lang")
@@ -666,6 +703,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_recall": q_knn_ivf_recall,
         "ngram_jaccard": q_ngram_jaccard,
         "lang_distribution": q_lang_distribution,
+        "sample_docs": q_sample_docs,
+        "docs_per_lang_head": q_docs_per_lang_head,
+        "quality_top100": q_quality_top100,
         "events_window": q_events_window,
         "hopping_window": q_hopping_window,
         "sessionize": q_sessionize,
@@ -871,6 +911,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(c AS DOUBLE) / (za.sz + zb.sz - c) >= 0.08
         """,
         "lang_distribution": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+        "sample_docs": """
+            SELECT doc_id FROM documents
+            WHERE ((doc_id % 100003) * 2654435761 + 12345) % 1000000 < 100000
+        """,
+        "docs_per_lang_head": """
+            SELECT lang, doc_id FROM (
+              SELECT lang, doc_id,
+                     row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+              FROM documents) WHERE rn <= 20
+        """,
+        "quality_top100": """
+            SELECT doc_id, length(text) AS n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 100
+        """,
         "boolean_and": f"""
             WITH {_TOKS},
             m AS (SELECT DISTINCT doc_id, t FROM toks WHERE t IN ('spark','hash','join'))

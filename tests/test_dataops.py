@@ -483,3 +483,43 @@ def test_hopping_window_agg(ray_session):
 
     with pytest.raises(ValueError):
         hopping_window_agg(events, window_seconds=3600, hop_seconds=1000)
+
+
+def test_sampling_operators(docs_ds, docs_tbl, ray_session):
+    """deterministic_sample is stable across partitionings; head_per_key
+    and topk_by match the pandas reference exactly."""
+    import ray.data
+
+    from search_engine_ray.dataops.sample import (
+        deterministic_sample,
+        head_per_key,
+        sample_hash,
+        topk_by,
+    )
+
+    ids = np.asarray(docs_tbl["doc_id"], dtype=np.int64)
+    got = np.sort(
+        deterministic_sample(docs_ds, 0.2).to_pandas()["doc_id"].to_numpy()
+    )
+    exp = np.sort(ids[sample_hash(ids) < 200_000])
+    assert got.tolist() == exp.tolist() and 0 < len(got) < len(ids)
+    # identical survivors at a different partitioning
+    got2 = np.sort(
+        deterministic_sample(docs_ds.repartition(7), 0.2).to_pandas()["doc_id"].to_numpy()
+    )
+    assert got2.tolist() == got.tolist()
+
+    df = docs_tbl.to_pandas()
+    hp = head_per_key(docs_ds, "lang", 5).to_pandas()
+    exp_hp = df.sort_values("doc_id").groupby("lang", sort=False).head(5)
+    assert (
+        hp.sort_values(["lang", "doc_id"])[["lang", "doc_id"]].values.tolist()
+        == exp_hp.sort_values(["lang", "doc_id"])[["lang", "doc_id"]].values.tolist()
+    )
+
+    top = topk_by(docs_ds, "n_chars", 10).to_pandas()
+    exp_top = df.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(10)
+    assert top["doc_id"].tolist() == exp_top["doc_id"].tolist()
+    bot = topk_by(docs_ds, "n_chars", 10, ascending=True).to_pandas()
+    exp_bot = df.sort_values(["n_chars", "doc_id"], ascending=[True, True]).head(10)
+    assert bot["doc_id"].tolist() == exp_bot["doc_id"].tolist()
