@@ -311,6 +311,22 @@ def q_ngram_jaccard(sf_dir: str) -> pa.Table:
     )
 
 
+def q_curate(sf_dir: str):
+    """The composed curation pipeline end-to-end: exact dedup -> quality
+    gate (exact-rational integer comparisons) -> deterministic 50% sample,
+    SQL-checked as one unit."""
+    from search_engine_ray.pipelines import curate_corpus
+
+    out = curate_corpus(
+        _docs_ds(sf_dir),
+        min_tokens=20,
+        max_stop_ratio=0.5,
+        min_alpha_ratio=0.5,
+        sample_fraction=0.5,
+    )
+    return out.select_columns(["doc_id"])
+
+
 def q_sample_docs(sf_dir: str) -> pa.Table:
     """Deterministic 10% id-hash sample — stable across runs/partitionings
     (the re-runnable-pipeline sampling primitive)."""
@@ -704,6 +720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": q_ngram_jaccard,
         "lang_distribution": q_lang_distribution,
         "sample_docs": q_sample_docs,
+        "curate": q_curate,
         "docs_per_lang_head": q_docs_per_lang_head,
         "quality_top100": q_quality_top100,
         "events_window": q_events_window,
@@ -914,6 +931,28 @@ def oracle_sql() -> dict[str, str]:
         "sample_docs": """
             SELECT doc_id FROM documents
             WHERE ((doc_id % 100003) * 2654435761 + 12345) % 1000000 < 100000
+        """,
+        "curate": f"""
+            WITH surv AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                FROM documents) WHERE rn = 1
+            ),
+            q AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     len(list_filter(regexp_extract_all(text, '\\S+'), x -> x <> '')) AS n_tokens,
+                     len(list_filter(regexp_extract_all(text, '\\S+'),
+                         x -> lower(x) IN ({_STOP_LIST}))) AS n_stop,
+                     len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+              FROM surv
+            )
+            SELECT doc_id FROM q
+            WHERE n_tokens >= 20
+              AND n_stop * 1000 <= 500 * n_tokens
+              AND n_alpha * 1000 >= 500 * n_chars
+              AND ((doc_id % 100003) * 2654435761 + 12345) % 1000000 < 500000
         """,
         "docs_per_lang_head": """
             SELECT lang, doc_id FROM (

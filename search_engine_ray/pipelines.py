@@ -161,3 +161,69 @@ def synth_pages_dir(n_docs: int, seed: int = 42, n_files: int = 4, row_group_siz
 
     out = os.path.join(_CACHE_ROOT, f"pages-{n_docs}-{seed}-{n_files}-{row_group_size}")
     return write_pages_parquet(out, n_docs, seed=seed, n_files=n_files, row_group_size=row_group_size)
+
+
+def curate_corpus(
+    ds,
+    min_tokens: int = 20,
+    max_stop_ratio: float = 0.5,
+    min_alpha_ratio: float = 0.5,
+    sample_fraction: float | None = None,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+):
+    """The composed training-data curation pipeline: exact dedup ->
+    quality gate -> (optional) deterministic subsample.
+
+    Every stage is one of this package's operators, every predicate is an
+    exact-rational comparison (SQL-reproducible: the gates are written as
+    integer cross-multiplications, no float division), and the id-hash
+    sample is partitioning-invariant — the whole pipeline is re-runnable
+    and oracle-checkable end to end.
+
+    Returns the surviving corpus Dataset (original columns)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .dataops.dedup import exact_dedup_apply
+    from .dataops.sample import deterministic_sample
+    from .text.stopwords import STOPWORDS_TUPLE
+
+    survivors = exact_dedup_apply(ds, text_column=text_column, id_column=id_column)
+
+    import pyarrow.compute as pc
+
+    stop_set = pa.array(STOPWORDS_TUPLE, pa.string())
+
+    def quality_gate(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch[text_column], "")
+        n = len(texts)
+        n_chars = np.asarray(pc.utf8_length(texts), dtype=np.int64)
+        n_alpha = np.asarray(
+            pc.count_substring_regex(texts, pattern=r"[A-Za-z]"), dtype=np.int64
+        )
+        lists = pc.split_pattern_regex(texts, pattern=r"\s+")
+        flat = pc.list_flatten(lists)
+        lens_pre = np.asarray(pc.list_value_length(lists), dtype=np.int64)
+        doc_idx = np.repeat(np.arange(n), lens_pre)
+        nonempty = np.asarray(pc.greater(pc.binary_length(flat), 0))
+        n_tokens = np.bincount(doc_idx[nonempty], minlength=n).astype(np.int64)
+        is_stop = np.asarray(pc.is_in(pc.ascii_lower(flat), value_set=stop_set)) & nonempty
+        n_stop = np.bincount(doc_idx[is_stop], minlength=n).astype(np.int64)
+        # exact-rational gates (integer cross-multiplication, no float):
+        #   n_tokens >= min_tokens
+        #   n_stop / n_tokens <= max_stop_ratio
+        #   n_alpha / n_chars >= min_alpha_ratio
+        sr_num = int(round(max_stop_ratio * 1000))
+        ar_num = int(round(min_alpha_ratio * 1000))
+        keep = (
+            (n_tokens >= min_tokens)
+            & (n_stop * 1000 <= sr_num * n_tokens)
+            & (n_alpha * 1000 >= ar_num * n_chars)
+        )
+        return batch.filter(pa.array(keep))
+
+    gated = survivors.map_batches(quality_gate, batch_format="pyarrow")
+    if sample_fraction is not None:
+        gated = deterministic_sample(gated, sample_fraction, id_column=id_column)
+    return gated
