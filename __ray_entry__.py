@@ -311,6 +311,41 @@ def q_ngram_jaccard(sf_dir: str) -> pa.Table:
     )
 
 
+def q_redact_pii(sf_dir: str):
+    """PII redaction (emails/phones/IPv4 -> typed placeholders) — the SAME
+    RE2 patterns run in DuckDB regexp_replace, so output text hash-matches."""
+    from search_engine_ray.dataops.clean import redact_pii
+
+    return redact_pii(_docs_ds(sf_dir)).select_columns(["doc_id", "text"])
+
+
+def q_decontaminate(sf_dir: str) -> pa.Table:
+    """Benchmark decontamination: flag corpus docs sharing any word-8-gram
+    with a held-out 'test set' (here: the first 3 documents)."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.dataops.clean import decontaminate
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    test_texts = docs["text"].to_pylist()[:3]
+    out = decontaminate(_docs_ds(sf_dir), test_texts, n=8).to_pandas().sort_values("doc_id")
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].astype(np.int64)),
+            "contaminated": pa.array(out["contaminated"].astype(bool)),
+            "n_hits": pa.array(out["n_hits"].astype(np.int64)),
+        }
+    )
+
+
+def q_repetition(sf_dir: str):
+    from search_engine_ray.dataops.clean import repetition_stats
+
+    return repetition_stats(_docs_ds(sf_dir))
+
+
 def q_curate(sf_dir: str):
     """The composed curation pipeline end-to-end: exact dedup -> quality
     gate (exact-rational integer comparisons) -> deterministic 50% sample,
@@ -721,6 +756,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_distribution": q_lang_distribution,
         "sample_docs": q_sample_docs,
         "curate": q_curate,
+        "redact_pii": q_redact_pii,
+        "decontaminate": q_decontaminate,
+        "repetition": q_repetition,
         "docs_per_lang_head": q_docs_per_lang_head,
         "quality_top100": q_quality_top100,
         "events_window": q_events_window,
@@ -743,6 +781,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "media_features": q_media_features,
     }
+
+
+def _redact_sql() -> str:
+    """Chained regexp_replace generated from the SAME pattern table the Ray
+    operator uses (dataops.clean.PII_PATTERNS) — single source of truth."""
+    from search_engine_ray.dataops.clean import PII_PATTERNS
+
+    expr = "text"
+    for pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat.replace(chr(39), chr(39) * 2)}', '{repl}', 'g')"
+    return f"SELECT doc_id, {expr} AS text FROM documents"
+
+
+def _decontaminate_sql(n: int = 8) -> str:
+    joined = " || ' ' || ".join(f"tk[i+{j}]" for j in range(n))
+    return f"""
+        WITH tk AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, {joined} AS s
+          FROM tk, UNNEST(generate_series(1, greatest(len(tk) - {n - 1}, 0))) AS g(i)),
+        tsh AS (SELECT DISTINCT s FROM sh
+                WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 3)),
+        hits AS (SELECT sh.doc_id, count(*) AS n_hits FROM sh JOIN tsh USING (s)
+                 GROUP BY sh.doc_id)
+        SELECT d.doc_id, COALESCE(h.n_hits, 0) > 0 AS contaminated,
+               COALESCE(h.n_hits, 0) AS n_hits
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+    """
 
 
 def _simhash_sql() -> str:
@@ -779,6 +848,16 @@ def oracle_sql() -> dict[str, str]:
     micros = _SQL_MICROS
     return {
         "simhash": _simhash_sql(),
+        "redact_pii": _redact_sql(),
+        "decontaminate": _decontaminate_sql(),
+        "repetition": r"""
+            SELECT doc_id,
+              len(list_filter(str_split(text, chr(10)), x -> x <> '')) AS n_lines,
+              len(list_distinct(list_filter(str_split(text, chr(10)), x -> x <> ''))) AS n_distinct_lines,
+              len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens,
+              len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS n_distinct_tokens
+            FROM documents
+        """,
         "dedup_apply": """
             SELECT doc_id FROM (
               SELECT doc_id,

@@ -1,0 +1,160 @@
+"""Corpus-cleaning operators for training-data pipelines: benchmark
+decontamination, PII redaction, repetition signals.
+
+All are single-pass vectorized ``map_batches`` kernels; decontamination
+broadcasts its (small) test-set shingle table ONCE via ``ray.put`` and does
+a vectorized membership test per batch — the canonical broadcast-small-side
+pattern, no shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from .dedup import _shingle_hashes, _token_lists
+
+# PII patterns (RE2-compatible — the SAME regex strings run in DuckDB's
+# regexp_replace, so redaction is SQL-reproducible).  Order matters: emails
+# before phones (an email's digits must not be half-eaten by the phone rule).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{3}[-.]){2}\d{4}\b", "<PHONE>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    patterns: tuple[tuple[str, str], ...] = PII_PATTERNS,
+) -> ray.data.Dataset:
+    """Replace emails/phones/IPv4s with typed placeholder tokens (chained
+    vectorized regex passes)."""
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch[text_column], "")
+        for pattern, repl in patterns:
+            col = pc.replace_substring_regex(col, pattern=pattern, replacement=repl)
+        i = batch.column_names.index(text_column)
+        return batch.set_column(i, text_column, col)
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def test_set_shingles(test_texts: list[str], n: int = 8) -> np.ndarray:
+    """The benchmark side of decontamination: distinct word-n-gram hashes
+    of the held-out texts (tiny; computed on the driver, broadcast once)."""
+    tok, offs = _token_lists(pa.array(test_texts, pa.string()))
+    sh, _ = _shingle_hashes(tok, offs, n, short_mode="whole")
+    return np.unique(sh)
+
+
+def decontaminate(
+    ds: ray.data.Dataset,
+    test_texts: list[str],
+    n: int = 8,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    mode: str = "flag",
+) -> ray.data.Dataset:
+    """Benchmark decontamination: find corpus docs sharing ANY word-n-gram
+    with the held-out test set.
+
+    ``mode="flag"`` emits (doc_id, contaminated, n_hits); ``mode="drop"``
+    returns the clean corpus.  The test shingle set is broadcast via
+    ``ray.put`` (read once per task, never re-shipped per batch); each
+    batch does one vectorized np.isin over its shingles — no shuffle."""
+    test_sh = test_set_shingles(test_texts, n=n)
+    test_ref = ray.put(test_sh)
+
+    def check(batch: pa.Table) -> pa.Table:
+        tset = ray.get(test_ref)
+        texts = batch[text_column]
+        texts = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+        tok, offs = _token_lists(texts)
+        sh, sh_offs = _shingle_hashes(tok, offs, n, short_mode="drop")
+        hits = np.isin(sh, tset)
+        lens = np.diff(sh_offs)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        n_hits = np.bincount(doc_idx[hits], minlength=len(lens)).astype(np.int64)
+        if mode == "drop":
+            return batch.filter(pa.array(n_hits == 0))
+        return pa.table(
+            {
+                "doc_id": batch[id_column],
+                "contaminated": pa.array(n_hits > 0),
+                "n_hits": pa.array(n_hits),
+            }
+        )
+
+    return ds.map_batches(check, batch_format="pyarrow")
+
+
+def repetition_stats(
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> ray.data.Dataset:
+    """Within-document repetition signals (Gopher-style quality filters):
+    line counts and the distinct-line fraction, plus the duplicate-token
+    fraction — one vectorized pass, no per-doc Python."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch[text_column], "")
+        n = len(texts)
+        lines = pc.split_pattern(texts, pattern="\n")
+        flat = pc.list_flatten(lines)
+        lens_pre = np.asarray(pc.list_value_length(lines), dtype=np.int64)
+        doc_idx = np.repeat(np.arange(n), lens_pre)
+        nonempty = np.asarray(pc.not_equal(flat, ""))
+        n_lines = np.bincount(doc_idx[nonempty], minlength=n).astype(np.int64)
+
+        # distinct nonempty lines per doc: hash lines via dictionary codes,
+        # then the lexsort+unique run-length pass
+        denc = pc.dictionary_encode(flat)
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        codes = np.asarray(denc.indices, dtype=np.int64)
+        d = doc_idx[nonempty]
+        c = codes[nonempty]
+        if len(d):
+            order = np.lexsort((c, d))
+            ds_, cs_ = d[order], c[order]
+            first = np.empty(len(order), dtype=bool)
+            first[0] = True
+            np.logical_or(ds_[1:] != ds_[:-1], cs_[1:] != cs_[:-1], out=first[1:])
+            n_distinct = np.bincount(ds_[first], minlength=n).astype(np.int64)
+        else:
+            n_distinct = np.zeros(n, dtype=np.int64)
+
+        # duplicate-token fraction
+        tok, offs = _token_lists(
+            texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+        )
+        tlens = np.diff(offs)
+        tdoc = np.repeat(np.arange(n), tlens)
+        if len(tok):
+            order = np.lexsort((tok, tdoc))
+            td, tv = tdoc[order], tok[order]
+            first = np.empty(len(order), dtype=bool)
+            first[0] = True
+            np.logical_or(td[1:] != td[:-1], tv[1:] != tv[:-1], out=first[1:])
+            tok_distinct = np.bincount(td[first], minlength=n).astype(np.int64)
+        else:
+            tok_distinct = np.zeros(n, dtype=np.int64)
+
+        return pa.table(
+            {
+                "doc_id": batch[id_column],
+                "n_lines": pa.array(n_lines),
+                "n_distinct_lines": pa.array(n_distinct),
+                "n_tokens": pa.array(tlens.astype(np.int64)),
+                "n_distinct_tokens": pa.array(tok_distinct),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")

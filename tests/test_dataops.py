@@ -523,3 +523,69 @@ def test_sampling_operators(docs_ds, docs_tbl, ray_session):
     bot = topk_by(docs_ds, "n_chars", 10, ascending=True).to_pandas()
     exp_bot = df.sort_values(["n_chars", "doc_id"], ascending=[True, True]).head(10)
     assert bot["doc_id"].tolist() == exp_bot["doc_id"].tolist()
+
+
+def test_clean_operators(ray_session):
+    """PII redaction, benchmark decontamination, repetition signals."""
+    import ray.data
+
+    from search_engine_ray.dataops.clean import (
+        decontaminate,
+        redact_pii,
+        repetition_stats,
+    )
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "mail me at alice.smith+x@example.org or call 555-123-4567 now",
+                "server at 192.168.1.254 is fine; text untouched otherwise",
+                "no pii here",
+            ],
+        }
+    )
+    out = redact_pii(ray.data.from_pandas(df)).to_pandas().sort_values("doc_id")
+    assert out["text"].iloc[0] == "mail me at <EMAIL> or call <PHONE> now"
+    assert out["text"].iloc[1] == "server at <IP> is fine; text untouched otherwise"
+    assert out["text"].iloc[2] == "no pii here"
+
+    # decontamination: doc 1 shares an 8-gram with the test text, doc 2 not
+    words = [f"w{i}" for i in range(12)]
+    corpus = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "prefix " + " ".join(words) + " suffix",
+                " ".join(f"z{i}" for i in range(20)),
+            ],
+        }
+    )
+    flagged = (
+        decontaminate(ray.data.from_pandas(corpus), [" ".join(words)], n=8)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert flagged["contaminated"].tolist() == [True, False]
+    assert flagged["n_hits"].iloc[0] == 5  # 12-8+1 overlapping 8-grams
+    dropped = decontaminate(
+        ray.data.from_pandas(corpus), [" ".join(words)], n=8, mode="drop"
+    ).to_pandas()
+    assert dropped["doc_id"].tolist() == [2]
+
+    rep = (
+        repetition_stats(
+            ray.data.from_pandas(
+                pd.DataFrame(
+                    {
+                        "doc_id": [0, 1],
+                        "text": ["a b\na b\nc d\n\n", "x y z"],
+                    }
+                )
+            )
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert rep.iloc[0][["n_lines", "n_distinct_lines", "n_tokens", "n_distinct_tokens"]].tolist() == [3, 2, 6, 4]
+    assert rep.iloc[1][["n_lines", "n_distinct_lines", "n_tokens", "n_distinct_tokens"]].tolist() == [1, 1, 3, 3]
