@@ -260,6 +260,12 @@ def q_token_count(sf_dir: str):
     return token_counts(_docs_ds(sf_dir))
 
 
+def q_bpe_token_count(sf_dir: str):
+    from search_engine_ray.dataops.textstats import bpe_token_counts
+
+    return bpe_token_counts(_docs_ds(sf_dir))
+
+
 def q_quality(sf_dir: str) -> pa.Table:
     from search_engine_ray.dataops.textstats import quality_batch
 
@@ -749,6 +755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "dedup_apply": q_dedup_apply,
         "token_count": q_token_count,
+        "bpe_token_count": q_bpe_token_count,
         "quality": q_quality,
         "knn_cosine": q_knn_cosine,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -933,6 +940,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": r"""
             SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens FROM documents
+        """,
+        "bpe_token_count": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+                     AS n_bpe_tokens
+            FROM documents
         """,
         "quality": f"""
             WITH base AS (

@@ -39,6 +39,29 @@ def token_count_batch(batch: pa.Table, text_column: str = "text", id_column: str
     )
 
 
+# GPT-style pre-tokenizer classes, RE2-compatible (no lookahead — RE2 and
+# hence pyarrow/DuckDB reject it): a token is an optional leading space
+# followed by a letter run, a digit run, or a punctuation run.
+_BPE_ISH = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count_batch(
+    batch: pa.Table, text_column: str = "text", id_column: str = "doc_id"
+) -> pa.Table:
+    """BPE-ish token count (pre-tokenizer granularity — the cheap proxy for
+    'how many LLM tokens is this doc' used when budgeting training data).
+    One vectorized count_substring_regex pass; the identical regex runs in
+    the DuckDB oracle."""
+    texts = pc.fill_null(_text_col(batch, text_column), "")
+    counts = np.asarray(pc.count_substring_regex(texts, pattern=_BPE_ISH), dtype=np.int64)
+    return pa.table(
+        {
+            "doc_id": batch[id_column],
+            "n_bpe_tokens": pa.array(counts),
+        }
+    )
+
+
 def quality_batch(batch: pa.Table, text_column: str = "text", id_column: str = "doc_id") -> pa.Table:
     """Length / punctuation / stopword / uppercase heuristics per doc.
 
@@ -247,6 +270,10 @@ def fingerprint_batch(
 
 def token_counts(ds: ray.data.Dataset, **kw) -> ray.data.Dataset:
     return ds.map_batches(token_count_batch, fn_kwargs=kw, batch_format="pyarrow")
+
+
+def bpe_token_counts(ds: ray.data.Dataset, **kw) -> ray.data.Dataset:
+    return ds.map_batches(bpe_token_count_batch, fn_kwargs=kw, batch_format="pyarrow")
 
 
 def quality_scores(ds: ray.data.Dataset, **kw) -> ray.data.Dataset:
