@@ -75,16 +75,24 @@ def run_benchmarks() -> dict:
         if f.endswith(".parquet")
     )
     pages_index = f"/tmp/se_ray_bench/index-pages-{NUM_CPUS}"
-    shutil.rmtree(pages_index, ignore_errors=True)
-    t0 = time.perf_counter()
-    build_index(
-        pages_dir,
-        pages_index,
-        BuildConfig(),
-        source_column="html",
-        name_column="url",
-    )
-    timings["index_build_pages_html"] = time.perf_counter() - t0
+    # min-of-2: the sandbox shares throttled DRAM with co-tenants (identical
+    # runs vary up to ±80%); the min is the least-contended sample.  The
+    # build is cheap enough that the second run costs a few seconds.
+    runs = []
+    for _ in range(2 if ONLY != "pages" else 1):
+        shutil.rmtree(pages_index, ignore_errors=True)
+        t0 = time.perf_counter()
+        build_index(
+            pages_dir,
+            pages_index,
+            BuildConfig(),
+            source_column="html",
+            name_column="url",
+        )
+        runs.append(time.perf_counter() - t0)
+    timings["index_build_pages_html"] = min(runs)
+    meta["index_build_run_max"] = max(runs)  # spread = ambient contention
+    meta["loadavg_1m"] = os.getloadavg()[0]
     meta["n_docs"] = PAGES_DOCS
     meta["docs_per_sec"] = PAGES_DOCS / timings["index_build_pages_html"]
     meta["bytes_per_sec"] = pages_bytes / timings["index_build_pages_html"]

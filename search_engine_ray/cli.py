@@ -130,15 +130,48 @@ def cmd_search(args: argparse.Namespace) -> int:
     # (Program.cs:110-111: TfIdfScorer / BM25Scorer / BM25ADPT)
     scorer_names = {"tfidf": "TfIdfScorer", "bm25": "BM25Scorer", "bm25adpt": "BM25ADPT"}
     for scorer in args.scorers.split(","):
-        run = search_topics(
-            args.index_dir, topics, scorer=scorer, run_name=args.run_name, k=args.k
-        )
+        if args.sharded:
+            run = _sharded_run(args.index_dir, topics, scorer, args.run_name, args.k)
+        else:
+            run = search_topics(
+                args.index_dir, topics, scorer=scorer, run_name=args.run_name, k=args.k
+            )
         out = os.path.join(
             args.out_dir, f"results-{args.run_name}-{scorer_names.get(scorer, scorer)}.txt"
         )
         write_trec_run(run, out)
         print(f"{scorer}: {run.num_rows} result lines -> {out}")
     return 0
+
+
+def _sharded_run(index_dir: str, topics, scorer: str, run_name: str, k: int):
+    """TREC run table via the doc-range-sharded path (the 10^12-doc route;
+    bit-identical to whole-index TAAT).  Doc names are resolved with a
+    PRUNED read of the docs table (only the result ids)."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    from .engine.search import RUN_SCHEMA
+    from .engine.sharded_search import search_topics_sharded
+
+    tbl = search_topics_sharded(index_dir, topics, scorer=scorer, k=k)
+    ids = tbl["doc_id"].to_pylist()
+    docs = pads.dataset(os.path.join(index_dir, "docs")).to_table(
+        columns=["doc_id", "name"], filter=pads.field("doc_id").isin(sorted(set(ids)))
+    )
+    name_of = dict(zip(docs["doc_id"].to_pylist(), docs["name"].to_pylist()))
+    n = tbl.num_rows
+    return pa.table(
+        {
+            "topic": tbl["topic"].combine_chunks().cast(pa.int32()),
+            "q0": pa.array(["Q0"] * n, pa.string()),
+            "doc": pa.array([str(name_of[d]) for d in ids], pa.string()),
+            "rank": tbl["rank"].combine_chunks().cast(pa.int32()),
+            "score": tbl["score"].combine_chunks().cast(pa.float32()),
+            "run_name": pa.array([run_name] * n, pa.string()),
+        },
+        schema=RUN_SCHEMA,
+    )
 
 
 def cmd_stats(args: argparse.Namespace) -> int:
@@ -176,6 +209,11 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--k", type=int, default=1000)
     ps.add_argument("--out-dir", default=".")
     ps.add_argument("--num-cpus", type=int, default=None)
+    ps.add_argument(
+        "--sharded", action="store_true",
+        help="score via the doc-range-sharded path (bit-identical results; "
+             "the web-scale route where no node holds the whole index)",
+    )
     ps.set_defaults(fn=cmd_search)
 
     pt = sub.add_parser("stats")

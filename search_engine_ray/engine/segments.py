@@ -91,6 +91,11 @@ MANIFEST_SCHEMA = pa.schema(
 
 
 def _atomic_write_parquet(table: pa.Table, path: str) -> int:
+    # ensure the parent exists HERE, not only in SegmentBuilder.__init__:
+    # builders are cached per worker process, and a caller may rebuild into
+    # a deleted index_dir (e.g. overwrite=True rebuilds) while warm workers
+    # still hold the old instance
+    os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
     pq.write_table(table, tmp)
     os.replace(tmp, path)
@@ -263,6 +268,7 @@ class SegmentBuilder:
             "content_hash": content_hash,
             "skipped": False,
         }
+        os.makedirs(os.path.dirname(mpath), exist_ok=True)
         tmp = mpath + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
