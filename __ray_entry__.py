@@ -672,6 +672,57 @@ def q_emb_near_dup(sf_dir: str):
     return pa.concat_tables(batches) if batches else schema.empty_table()
 
 
+def q_lang_id_pred(sf_dir: str) -> pa.Table:
+    """Language-ID predictions, SQL-checked: the per-language trigram
+    scores share the n_chars denominator, so the argmax (ties -> profile
+    order) reduces to integer count comparisons DuckDB reproduces with the
+    replace-length counting trick; the CJK override 5*cjk > n_chars is
+    integer too."""
+    from search_engine_ray.dataops.textstats import lang_id
+
+    out = lang_id(_docs_ds(sf_dir)).to_pandas().sort_values("doc_id")
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].astype(np.int64)),
+            "pred_lang": pa.array(out["pred_lang"], pa.string()),
+        }
+    )
+
+
+def _lang_id_sql() -> str:
+    from search_engine_ray.dataops.textstats import _LANG_PROFILES
+
+    langs = [k for k, v in _LANG_PROFILES.items() if v]
+    count_cols = []
+    for lang in langs:
+        parts = [
+            f"(length(lt) - length(replace(lt, '{tri.replace(chr(39), chr(39)*2)}', ''))) / 3"
+            for tri in _LANG_PROFILES[lang]
+        ]
+        count_cols.append(" + ".join(parts) + f" AS c_{lang}")
+    # argmax with ties -> first lang in profile order
+    case = "CASE WHEN cjk * 5 > n_chars THEN 'zh' "
+    for i, lang in enumerate(langs[:-1]):
+        geq = " AND ".join(f"c_{lang} >= c_{other}" for other in langs[i + 1 :])
+        case += f"WHEN {geq} THEN '{lang}' "
+    case += f"ELSE '{langs[-1]}' END"
+    cols = ",\n               ".join(count_cols)
+    return f"""
+        WITH c AS (
+          SELECT doc_id, text, lower(text) AS lt,
+                 greatest(length(text), 1) AS n_chars
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, n_chars,
+               {cols},
+               len(regexp_extract_all(text, '[一-鿿]')) AS cjk
+          FROM c
+        )
+        SELECT doc_id, {case} AS pred_lang FROM s
+    """
+
+
 def q_lang_id(sf_dir: str):
     from search_engine_ray.dataops.textstats import lang_id
 
@@ -761,6 +812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_recall": q_knn_ivf_recall,
         "ngram_jaccard": q_ngram_jaccard,
         "lang_distribution": q_lang_distribution,
+        "lang_id_pred": q_lang_id_pred,
         "sample_docs": q_sample_docs,
         "curate": q_curate,
         "redact_pii": q_redact_pii,
@@ -1020,6 +1072,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(c AS DOUBLE) / (za.sz + zb.sz - c) >= 0.08
         """,
         "lang_distribution": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+        "lang_id_pred": _lang_id_sql(),
         "sample_docs": """
             SELECT doc_id FROM documents
             WHERE ((doc_id % 100003) * 2654435761 + 12345) % 1000000 < 100000
