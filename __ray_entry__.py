@@ -497,6 +497,16 @@ def q_boolean_or(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(np.sort(doc_ids))})
 
 
+def q_boolean_and_not(sf_dir: str) -> pa.Table:
+    """AND-NOT: docs with spark AND hash but NOT join."""
+    from search_engine_ray.engine.boolean import boolean_and_not
+
+    r = _reader(sf_dir)
+    ids = boolean_and_not(r, ["spark", "hash"], ["join", "zzz_not_in_index"])
+    doc_ids = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    return pa.table({"doc_id": pa.array(np.sort(doc_ids))})
+
+
 def q_asof_join(sf_dir: str) -> pa.Table:
     """As-of join over the ordered events log: each purchase joined to the
     user's most recent prior-or-simultaneous click."""
@@ -825,6 +835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "boolean_and": q_boolean_and,
         "boolean_or": q_boolean_or,
+        "boolean_and_not": q_boolean_and_not,
         "asof_join": q_asof_join,
         "term_length_hist": q_term_length_hist,
         "bm25_qtf_top10": q_bm25_qtf_top10,
@@ -1118,6 +1129,13 @@ def oracle_sql() -> dict[str, str]:
             WITH {_TOKS}
             SELECT DISTINCT doc_id FROM toks
             WHERE t IN ('spark','hash','join','zzz_not_in_index')
+        """,
+        "boolean_and_not": f"""
+            WITH {_TOKS},
+            m AS (SELECT DISTINCT doc_id, t FROM toks WHERE t IN ('spark','hash')),
+            pos AS (SELECT doc_id FROM m GROUP BY doc_id HAVING count(*) = 2),
+            neg AS (SELECT DISTINCT doc_id FROM toks WHERE t = 'join')
+            SELECT doc_id FROM pos WHERE doc_id NOT IN (SELECT doc_id FROM neg)
         """,
         "asof_join": """
             WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us

@@ -51,3 +51,29 @@ def boolean_or(reader: IndexReader, terms: list[str]) -> np.ndarray:
     if not parts:
         return np.empty(0, dtype=np.int64)
     return np.unique(np.concatenate(parts))
+
+
+def boolean_and_not(
+    reader: IndexReader, must: list[str], must_not: list[str]
+) -> np.ndarray:
+    """docIDs (ascending) containing ALL of ``must`` and NONE of
+    ``must_not``.  The positive side uses the block-skipping intersection;
+    the negative side decodes only blocks overlapping the candidate range
+    (absent must_not terms exclude nothing — J1 silent-drop semantics)."""
+    current = boolean_and(reader, must)
+    for t in must_not:
+        if len(current) == 0:
+            break
+        tp = reader.postings(t)
+        if tp is None:
+            continue
+        lo, hi = int(current[0]), int(current[-1])
+        parts = [
+            blk.decode()[0]
+            for blk in tp.blocks
+            if not (blk.last_doc < lo or blk.first_doc > hi)
+        ]
+        if parts:
+            ids = np.concatenate(parts)
+            current = current[~np.isin(current, ids, assume_unique=True)]
+    return current

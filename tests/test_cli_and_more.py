@@ -129,6 +129,15 @@ def test_boolean_retrieval(cli_corpus, ray_session):
     assert got_or.tolist() == sorted(set.union(*sets))
     assert boolean_and(reader, ["zz_missing", terms[0]]).tolist() == []
 
+    from search_engine_ray.engine.boolean import boolean_and_not
+
+    got_not = boolean_and_not(reader, terms[:2], [terms[2]])
+    expected_not = sorted((sets[0] & sets[1]) - sets[2])
+    assert got_not.tolist() == expected_not
+    # absent must_not excludes nothing; absent must yields empty
+    assert boolean_and_not(reader, terms[:2], ["zz_missing"]).tolist() == sorted(sets[0] & sets[1])
+    assert boolean_and_not(reader, ["zz_missing"], terms[:1]).tolist() == []
+
 
 def test_dedup_pages_prestage(cli_corpus, ray_session, tmp_path):
     """§2.7: 'one doc per url' as an explicit pre-stage — first occurrence

@@ -179,3 +179,29 @@ def test_pruned_reader_matches_preloaded(setup):
         b = taat_bm25(lazy, keywords, params, K)
         assert a[0].tolist() == b[0].tolist()
         assert a[1].tolist() == b[1].tolist()
+
+
+def test_wand_stale_bounds_guard(setup):
+    """Query-time BM25 params differing from build-time: explicit wand
+    raises, auto falls back to (correct) TAAT (ADVICE r1)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from search_engine_ray.config import BM25Params
+    from search_engine_ray.engine.search import score_topic
+
+    oracle, reader, topics = setup
+    kws = topics[0][1]
+    other = BM25Params(k1=2.0, b=0.4)
+    with _pytest.raises(ValueError, match="build-time BM25 params"):
+        score_topic(reader, kws, "bm25", other, 10, "wand")
+    # auto silently uses TAAT and matches an explicit TAAT run exactly
+    ids_auto, s_auto = score_topic(reader, kws, "bm25", other, 10, "auto")
+    ids_taat, s_taat = score_topic(reader, kws, "bm25", other, 10, "taat")
+    assert np.array_equal(ids_auto, ids_taat)
+    assert np.array_equal(s_auto, s_taat)
+    # build params still allowed through wand
+    built = BM25Params()
+    ids_w, _ = score_topic(reader, kws, "bm25", built, 10, "wand")
+    ids_t, _ = score_topic(reader, kws, "bm25", built, 10, "taat")
+    assert np.array_equal(ids_w, ids_t)
