@@ -589,3 +589,25 @@ def test_clean_operators(ray_session):
     )
     assert rep.iloc[0][["n_lines", "n_distinct_lines", "n_tokens", "n_distinct_tokens"]].tolist() == [3, 2, 6, 4]
     assert rep.iloc[1][["n_lines", "n_distinct_lines", "n_tokens", "n_distinct_tokens"]].tolist() == [1, 1, 3, 3]
+
+
+def test_dedup_apply_stages(docs_ds, docs_tbl, ray_session):
+    """exact_dedup_apply keeps exactly the min-id row per content;
+    near_dup_filter drops the higher-id member of each pair."""
+    import ray.data
+
+    from search_engine_ray.dataops.dedup import exact_dedup_apply, near_dup_filter
+
+    dup = docs_tbl.set_column(
+        0, "doc_id", pa.array(np.asarray(docs_tbl["doc_id"]) + 10_000)
+    )
+    ds = docs_ds.union(ray.data.from_arrow(dup))
+    surv = exact_dedup_apply(ds).to_pandas()
+    assert sorted(surv["doc_id"]) == sorted(docs_tbl["doc_id"].to_pylist())
+
+    pairs = ray.data.from_pandas(
+        pd.DataFrame({"a": [0, 0, 2], "b": [1, 3, 4], "est_jaccard": [0.9, 0.8, 0.95]})
+    )
+    kept = near_dup_filter(docs_ds, pairs).to_pandas()
+    all_ids = set(docs_tbl["doc_id"].to_pylist())
+    assert set(kept["doc_id"]) == all_ids - {1, 3, 4}
