@@ -344,6 +344,12 @@ def minhash_lsh_pairs(
         text_column=text_column, id_column=id_column, seed=seed,
     )
     if sig_dir is not None:
+        # the signature table is a DERIVED artifact: always overwrite —
+        # appending to a prior run's files would duplicate every doc_id and
+        # poison the bucket/verify stages (r2 review finding)
+        import shutil as _shutil
+
+        _shutil.rmtree(sig_dir, ignore_errors=True)
         sigs.write_parquet(sig_dir)
         sigs = ray.data.read_parquet(sig_dir)
     else:
@@ -378,8 +384,14 @@ def minhash_lsh_pairs(
         out_a, out_b = [], []
         for s, sz in zip(starts, sizes):
             if 2 <= sz <= max_bucket:
-                seg = ids[s : s + sz]
-                ii, jj = np.triu_indices(sz, k=1)
+                # dedupe ids within the bucket: a doc appearing twice in its
+                # own bucket (duplicated input rows) must not emit the
+                # self-pair (id, id) — near_dup_filter would then drop every
+                # such doc as its own near-duplicate
+                seg = np.unique(ids[s : s + sz])
+                if len(seg) < 2:
+                    continue
+                ii, jj = np.triu_indices(len(seg), k=1)
                 out_a.append(seg[ii])
                 out_b.append(seg[jj])
         if not out_a:
@@ -389,6 +401,24 @@ def minhash_lsh_pairs(
     pairs = banded.groupby("gkey").map_groups(group_pairs, batch_format="pandas")
     cand = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
 
+    # Ray 2.49's hash join tolerates empty partitions but NOT a fully empty
+    # left dataset (ArrowInvalid "no match for key field").  The candidate
+    # set is output-sized (orders below the corpus), so materializing it to
+    # learn emptiness is scale-safe — and zero candidates short-circuits
+    # the verification joins entirely.
+    cand = cand.materialize()
+    empty_pairs = ray.data.from_arrow(
+        pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                  "est_jaccard": pa.array([], pa.float64())})
+    )
+    if cand.count() == 0:
+        return empty_pairs
+    # merge away the aggregate's schema-less empty partition blocks before
+    # they reach a join: repartition concatenates blocks, so every output
+    # block is typed.  (map_batches can NOT fix this: Ray skips the UDF on
+    # empty blocks and forwards them with unknown schema.)
+    cand = cand.repartition(1)
+
     sig_only = sigs.select_columns(["doc_id", "sig"])
     # partitions sized by the BIG join side (the signature table, known row
     # count since it is materialized): ~128 MiB per partition, capped by the
@@ -397,9 +427,20 @@ def minhash_lsh_pairs(
     # bench); 100-TB corpora get the full requested width.
     sig_bytes = sigs.count() * (8 * num_perm + 24)
     jp = _join_parts(min(join_partitions, sig_bytes // (128 << 20) + 2))
-    joined = cand.join(
+    half = cand.join(
         sig_only, "inner", jp, on=("a",), right_on=("doc_id",), right_suffix="_a"
-    ).join(
+    )
+    # materialize + single-block repartition between the joins (the
+    # half-joined table is pair-sized, far below corpus scale): a join can
+    # emit schema-less blocks for its empty partitions, and feeding one
+    # into the next join crashes pyarrow with "no match for key field"
+    # (Ray 2.49 behavior, found by test).  repartition(1) concatenates
+    # them away; at larger pair volumes bump this to jp typed blocks.
+    half = half.materialize()
+    if half.count() == 0:
+        return empty_pairs
+    half = half.repartition(max(1, min(jp, half.count() // 100_000 + 1)))
+    joined = half.join(
         sig_only, "inner", jp, on=("b",), right_on=("doc_id",), right_suffix="_b"
     )
 
@@ -433,12 +474,8 @@ def minhash_lsh_pairs(
         )
 
     out = joined.map_batches(verify, batch_format="pyarrow")
-    # schema-stable even when zero candidates survive anywhere
-    empty = ray.data.from_arrow(
-        pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                  "est_jaccard": pa.array([], pa.float64())})
-    )
-    return out.union(empty)
+    # schema-stable even when zero candidates survive verification
+    return out.union(empty_pairs)
 
 
 # --------------------------------------------------------------------------
@@ -504,8 +541,12 @@ def simhash_batch(
     if len(tok):
         bits = np.unpackbits(tok.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
         signed = bits.astype(np.int32) * 2 - 1  # (n_tokens, 64) in {-1, +1}
-        doc_sums = np.add.reduceat(signed, offs[:-1], axis=0)
-        doc_sums[np.diff(offs) == 0] = 0
+        # reduceat only over docs WITH tokens: a trailing token-less doc
+        # would otherwise put len(tok) into the index list (IndexError),
+        # and clamping would steal the previous doc's last token instead.
+        nonempty = np.flatnonzero(np.diff(offs) > 0)
+        doc_sums = np.zeros((n_docs, 64), dtype=np.int64)
+        doc_sums[nonempty] = np.add.reduceat(signed, offs[:-1][nonempty], axis=0)
         bitvals = (doc_sums > 0).astype(np.uint64)
         out = (bitvals << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
     return pa.table(

@@ -243,31 +243,56 @@ class AudioFrameSampler:
                 energy[i] = float(np.sqrt(np.mean(seg * seg)))
         return int(rate), n, energy
 
+    def _decode_soundfile(self, payload: bytes) -> tuple[int, int, np.ndarray]:
+        import io
+
+        import soundfile
+
+        samples, rate = soundfile.read(io.BytesIO(payload), dtype="float32")
+        if samples.ndim > 1:
+            samples = samples.mean(axis=1)
+        n = len(samples)
+        bounds = np.linspace(0, n, self.n_frames + 1).astype(np.int64)
+        energy = np.zeros(self.n_frames, dtype=np.float32)
+        for i in range(self.n_frames):
+            seg = samples[bounds[i] : bounds[i + 1]]
+            if len(seg):
+                energy[i] = float(np.sqrt(np.mean(seg * seg)))
+        return int(rate), n, energy
+
+    def _decode_one(self, p: bytes) -> tuple[int, int, np.ndarray, str]:
+        if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+            return (*self._decode_wav(p), "wav")
+        if self.backend == "soundfile":
+            try:
+                return (*self._decode_soundfile(p), "soundfile")
+            except Exception:
+                if self.strict:
+                    raise
+        elif self.strict:
+            raise NotImplementedError(
+                "no real decoder for this payload (soundfile absent, not "
+                "PCM WAV); run with strict=False for the deterministic fake"
+            )
+        h = hashlib.sha256(p).digest()
+        rng = np.random.default_rng(int.from_bytes(h[8:16], "little"))
+        return (
+            16000,
+            16000 + int.from_bytes(h[:3], "little"),
+            np.abs(rng.standard_normal(self.n_frames)).astype(np.float32),
+            "fake",
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
         rates, samples, nf, energies, decs = [], [], [], [], []
         for p in payloads:
-            p = p or b""
-            if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
-                r, ns, en = self._decode_wav(p)
-                rates.append(r)
-                samples.append(ns)
-                nf.append(self.n_frames)
-                energies.append(en.tolist())
-                decs.append("wav")
-                continue
-            if self.strict and self.backend == "fake":
-                raise NotImplementedError(
-                    "no real decoder for this payload (soundfile absent, not "
-                    "PCM WAV); run with strict=False for the deterministic fake"
-                )
-            h = hashlib.sha256(p).digest()
-            rng = np.random.default_rng(int.from_bytes(h[8:16], "little"))
-            rates.append(16000)
-            samples.append(16000 + int.from_bytes(h[:3], "little"))
+            r, ns, en, dec = self._decode_one(p or b"")
+            rates.append(r)
+            samples.append(ns)
             nf.append(self.n_frames)
-            energies.append(np.abs(rng.standard_normal(self.n_frames)).astype(np.float32).tolist())
-            decs.append(self.backend)
+            energies.append(np.asarray(en, dtype=np.float32).tolist())
+            decs.append(dec)
         return pa.table(
             {
                 "media_id": batch["media_id"],

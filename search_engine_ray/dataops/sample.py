@@ -103,7 +103,10 @@ def topk_by(
     partials = ds.map_batches(partial, batch_format="pyarrow")
     batches = [pa.table(b) for b in partials.iter_batches(batch_size=None, batch_format="pyarrow")]
     if not batches:
-        return None
+        # typed empty result (the declared pa.Table, not None)
+        return pa.table(
+            {id_column: pa.array([], pa.int64()), value_column: pa.array([], pa.float64())}
+        )
     allp = pa.concat_tables(batches)
     vals = np.asarray(allp[value_column], dtype=np.float64)
     ids = np.asarray(allp[id_column], dtype=np.int64)

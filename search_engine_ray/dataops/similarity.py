@@ -327,6 +327,10 @@ def knn_ivf_probe(
     paths = _parquet_files(
         os.path.join(index_dir, "lists", f"centroid={c}") for c in probe
     )
+    if not paths:
+        # every probed list is empty (heavily clustered corpus): no candidates
+        return pa.table({"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                         "cos_sim": pa.array([], pa.float64()), "rank": pa.array([], pa.int64())})
     cand = ray.data.read_parquet(paths, columns=[meta["id_column"], meta["column"]])
     return knn_brute_force(cand, queries, k=k, column=meta["column"], id_column=meta["id_column"])
 

@@ -196,12 +196,18 @@ def fingerprint_batch(
     full_hash = np.zeros(n_docs, dtype=np.uint64)
     with np.errstate(over="ignore"):
         if total:
-            # whole-doc hash: position-mixed xor fold, position LOCAL to doc
+            # whole-doc hash: position-mixed xor fold, position LOCAL to doc.
+            # reduceat only over docs WITH bytes — clamping a trailing empty
+            # doc's boundary to total-1 would steal the previous doc's last
+            # byte and make the same text hash differently depending on
+            # batch composition (round-2 review finding).
             pos = (np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], lens)).astype(np.uint64)
             mixed = (flat + np.uint64(1)) * (pos * B + np.uint64(0x9E3779B9))
-            starts = np.minimum(offsets[:-1], total - 1)
-            full_hash = np.bitwise_xor.reduceat(mixed, starts)
-            full_hash[lens == 0] = 0
+            nonempty_docs = np.flatnonzero(lens > 0)
+            full_hash = np.zeros(n_docs, dtype=np.uint64)
+            full_hash[nonempty_docs] = np.bitwise_xor.reduceat(
+                mixed, offsets[:-1][nonempty_docs]
+            )
 
         parts_doc: list[np.ndarray] = []
         parts_val: list[np.ndarray] = []

@@ -95,10 +95,29 @@ def trec_to_parquet(
     is the natural work unit); output files are named by sorted input rank
     so ``plan_fragments`` sees the same order as the reference's directory
     scan.  Existing outputs are skipped (resumable)."""
+    import json
+
     import ray.data
 
     files = _list_trec_files(src)
     os.makedirs(out_dir, exist_ok=True)
+    # Resume is keyed on the INPUT FILE SET, not on output-rank existence:
+    # rank-named outputs from a previous run over a different file list
+    # would silently produce a wrong corpus (e.g. adding a file that sorts
+    # first shifts every rank).  A manifest records the inputs; any change
+    # clears the derived outputs before reconverting (r2 review finding).
+    manifest_path = os.path.join(out_dir, ".trec_inputs.json")
+    prior = None
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            prior = json.load(fh)
+    if prior != files:
+        for f in os.listdir(out_dir):
+            if f.endswith(".parquet"):
+                os.remove(os.path.join(out_dir, f))
+        with open(manifest_path + ".tmp", "w") as fh:
+            json.dump(files, fh)
+        os.replace(manifest_path + ".tmp", manifest_path)
     jobs = [
         {"path": p, "out": os.path.join(out_dir, f"part-{i:06d}.parquet")}
         for i, p in enumerate(files)

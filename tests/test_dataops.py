@@ -611,3 +611,58 @@ def test_dedup_apply_stages(docs_ds, docs_tbl, ray_session):
     kept = near_dup_filter(docs_ds, pairs).to_pandas()
     all_ids = set(docs_tbl["doc_id"].to_pylist())
     assert set(kept["doc_id"]) == all_ids - {1, 3, 4}
+
+
+def test_empty_doc_batch_boundaries(ray_session):
+    """r2 review regressions: trailing token-less docs must not crash
+    simhash nor perturb the PREVIOUS doc's fingerprint; a doc's outputs
+    must not depend on batch composition."""
+    from search_engine_ray.dataops.dedup import simhash_batch
+    from search_engine_ray.dataops.textstats import fingerprint_batch
+
+    text = "hello world this is a doc"
+    solo = pa.table({"doc_id": pa.array([0], pa.int64()), "text": pa.array([text])})
+    with_tail = pa.table(
+        {"doc_id": pa.array([0, 1, 2], pa.int64()), "text": pa.array([text, "", "   "])}
+    )
+
+    fp_solo = fingerprint_batch(solo)
+    fp_tail = fingerprint_batch(with_tail)
+    assert fp_tail["doc_hash"][0].as_py() == fp_solo["doc_hash"][0].as_py()
+    assert fp_tail["min_fingerprint"][0].as_py() == fp_solo["min_fingerprint"][0].as_py()
+
+    sh_solo = simhash_batch(solo)          # used to IndexError with a
+    sh_tail = simhash_batch(with_tail)     # trailing empty doc
+    assert sh_tail["simhash"][0].as_py() == sh_solo["simhash"][0].as_py()
+    assert sh_tail["simhash"][1].as_py() == 0 and sh_tail["simhash"][2].as_py() == 0
+
+    # leading/mid empties too
+    mixed = pa.table(
+        {"doc_id": pa.array([0, 1, 2], pa.int64()), "text": pa.array(["", text, ""])}
+    )
+    assert simhash_batch(mixed)["simhash"][1].as_py() == sh_solo["simhash"][0].as_py()
+    assert fingerprint_batch(mixed)["doc_hash"][1].as_py() == fp_solo["doc_hash"][0].as_py()
+
+
+def test_minhash_no_self_pairs_on_duplicated_rows(docs_tbl, ray_session):
+    """A doc_id appearing twice in the input must not become its own
+    near-dup pair (which would make near_dup_filter delete it)."""
+    import ray.data
+
+    from search_engine_ray.dataops.dedup import minhash_lsh_pairs
+
+    two = docs_tbl.to_pandas().head(3)
+    doubled = pd.concat([two, two])  # same doc_ids twice
+    # plant one REAL near-dup so the expected output is nonempty
+    mut = two.head(1).copy()
+    mut["doc_id"] = [77_777]
+    mut["text"] = mut["text"].str.replace("table", "tableX", regex=False)
+    pairs = minhash_lsh_pairs(
+        ray.data.from_pandas(pd.concat([doubled, mut])), threshold=0.5
+    ).to_pandas()
+    assert not (pairs["a"] == pairs["b"]).any()
+    assert (int(two["doc_id"].iloc[0]), 77_777) in set(zip(pairs["a"], pairs["b"]))
+
+    # all-duplicate corpus with no cross pairs: empty result, no crash
+    empty = minhash_lsh_pairs(ray.data.from_pandas(doubled), threshold=0.5)
+    assert empty.count() == 0
