@@ -142,6 +142,16 @@ def make_merge_fn(config: BuildConfig, avgdl: float):
             df_local_all = np.asarray(group["df_local"], dtype=np.int64)
             counts = np.bincount(codes, minlength=len(denc.dictionary))
             single = (counts[codes] == 1) & (df_local_all <= bk)
+            # cross-version resume: an appended build mixes old segment
+            # files (no stats columns -> NULL after schema unification)
+            # with new ones; NULL-stat rows must take the full merge path
+            if any(group[c].null_count for c in stats_cols):
+                notnull = ~np.asarray(
+                    pc.is_null(group["max_doc"].combine_chunks()
+                               if isinstance(group["max_doc"], pa.ChunkedArray)
+                               else group["max_doc"])
+                )
+                single &= notnull
         else:
             single = np.zeros(len(codes), dtype=bool)
         pt_table = None
