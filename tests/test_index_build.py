@@ -220,3 +220,37 @@ def test_build_is_idempotent(built, ray_session):
     corpus_dir, index_dir, stats, _ = built
     again = build_index(corpus_dir, index_dir, BuildConfig(block_entries=16, frags_per_shard=2), term_buckets=8)
     assert again["n_docs"] == stats["n_docs"]
+
+
+def test_merge_handles_mixed_old_segment_schema(built, ray_session):
+    """Cross-version resume: segment files written WITHOUT the r2 per-row
+    stats columns (round-1 format) may sit next to new ones after an
+    append; NULL-stat rows must take the full merge path and the index
+    must come out identical."""
+    corpus_dir, index_dir, _, _ = built
+    mixed = f"{BASE}/index_mixed"
+    config = BuildConfig(block_entries=16, frags_per_shard=2)
+    build_index(corpus_dir, mixed, config, term_buckets=8, overwrite=True)
+
+    # rewrite one segment file in the OLD schema (drop the stats columns)
+    seg_files = sorted(glob.glob(os.path.join(mixed, "segments", "part-*.parquet")))
+    import pyarrow.parquet as pq_
+
+    old = pq_.read_table(seg_files[0])
+    stripped = old.drop_columns(["max_doc", "max_tf", "min_tf", "min_dl", "max_dl"])
+    pq_.write_table(stripped, seg_files[0])
+
+    # force a merge re-run over the mixed segment dir (stage 1 resumes)
+    os.remove(os.path.join(mixed, ".complete"))
+    shutil.rmtree(os.path.join(mixed, "postings"))
+    os.remove(os.path.join(mixed, "terms.parquet"))
+    build_index(corpus_dir, mixed, config, term_buckets=8)
+
+    reference_dir = f"{BASE}/index_mixed_ref"
+    build_index(corpus_dir, reference_dir, config, term_buckets=8, overwrite=True)
+    ra, rb = IndexReader(mixed), IndexReader(reference_dir)
+    assert set(ra._df) == set(rb._df)
+    for term in ra._df:
+        a, b = ra.postings(term).arrays(), rb.postings(term).arrays()
+        for x, y in zip(a, b):
+            assert np.array_equal(x, y), term
