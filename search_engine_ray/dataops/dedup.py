@@ -346,10 +346,19 @@ def minhash_lsh_pairs(
     if sig_dir is not None:
         # the signature table is a DERIVED artifact: always overwrite —
         # appending to a prior run's files would duplicate every doc_id and
-        # poison the bucket/verify stages (r2 review finding)
+        # poison the bucket/verify stages.  Refuse remote URIs (we cannot
+        # reliably clear them here) and fail LOUDLY on a local clear error
+        # instead of silently appending (r2 review findings).
+        import os as _os
         import shutil as _shutil
 
-        _shutil.rmtree(sig_dir, ignore_errors=True)
+        if "://" in sig_dir:
+            raise ValueError(
+                "sig_dir must be a local path (remote URIs cannot be safely "
+                "cleared before the overwrite); pass a local scratch dir"
+            )
+        if _os.path.exists(sig_dir):
+            _shutil.rmtree(sig_dir)
         sigs.write_parquet(sig_dir)
         sigs = ray.data.read_parquet(sig_dir)
     else:
@@ -415,9 +424,11 @@ def minhash_lsh_pairs(
         return empty_pairs
     # merge away the aggregate's schema-less empty partition blocks before
     # they reach a join: repartition concatenates blocks, so every output
-    # block is typed.  (map_batches can NOT fix this: Ray skips the UDF on
-    # empty blocks and forwards them with unknown schema.)
-    cand = cand.repartition(1)
+    # block is typed (map_batches can NOT fix this: Ray skips the UDF on
+    # empty blocks and forwards them with unknown schema).  Block count
+    # scales with the candidate volume so a high-duplication corpus does
+    # not funnel through one worker.
+    cand = cand.repartition(max(1, cand.count() // 100_000 + 1))
 
     sig_only = sigs.select_columns(["doc_id", "sig"])
     # partitions sized by the BIG join side (the signature table, known row
@@ -474,6 +485,12 @@ def minhash_lsh_pairs(
         )
 
     out = joined.map_batches(verify, batch_format="pyarrow")
+    # a doc_id duplicated in the INPUT has duplicate signature rows, which
+    # multiply the verification-join matches — collapse to one row per
+    # (a, b); est_jaccard is identical across copies (same signatures)
+    from ray.data.aggregate import Max
+
+    out = out.groupby(["a", "b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
     # schema-stable even when zero candidates survive verification
     return out.union(empty_pairs)
 

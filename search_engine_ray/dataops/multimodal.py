@@ -243,6 +243,18 @@ class AudioFrameSampler:
                 energy[i] = float(np.sqrt(np.mean(seg * seg)))
         return int(rate), n, energy
 
+    def _frame_energy(self, samples: np.ndarray) -> np.ndarray:
+        """Per-frame RMS over n_frames equal slices (shared by both real
+        decoders)."""
+        n = len(samples)
+        bounds = np.linspace(0, n, self.n_frames + 1).astype(np.int64)
+        energy = np.zeros(self.n_frames, dtype=np.float32)
+        for i in range(self.n_frames):
+            seg = samples[bounds[i] : bounds[i + 1]]
+            if len(seg):
+                energy[i] = float(np.sqrt(np.mean(seg * seg)))
+        return energy
+
     def _decode_soundfile(self, payload: bytes) -> tuple[int, int, np.ndarray]:
         import io
 
@@ -251,18 +263,16 @@ class AudioFrameSampler:
         samples, rate = soundfile.read(io.BytesIO(payload), dtype="float32")
         if samples.ndim > 1:
             samples = samples.mean(axis=1)
-        n = len(samples)
-        bounds = np.linspace(0, n, self.n_frames + 1).astype(np.int64)
-        energy = np.zeros(self.n_frames, dtype=np.float32)
-        for i in range(self.n_frames):
-            seg = samples[bounds[i] : bounds[i + 1]]
-            if len(seg):
-                energy[i] = float(np.sqrt(np.mean(seg * seg)))
-        return int(rate), n, energy
+        return int(rate), len(samples), self._frame_energy(samples)
 
     def _decode_one(self, p: bytes) -> tuple[int, int, np.ndarray, str]:
         if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
-            return (*self._decode_wav(p), "wav")
+            # non-PCM16 or malformed WAVs fall through to soundfile/fake
+            # (strict still raises if nothing real can decode them)
+            try:
+                return (*self._decode_wav(p), "wav")
+            except Exception:
+                pass
         if self.backend == "soundfile":
             try:
                 return (*self._decode_soundfile(p), "soundfile")

@@ -103,7 +103,11 @@ def topk_by(
     partials = ds.map_batches(partial, batch_format="pyarrow")
     batches = [pa.table(b) for b in partials.iter_batches(batch_size=None, batch_format="pyarrow")]
     if not batches:
-        # typed empty result (the declared pa.Table, not None)
+        # typed empty result (the declared pa.Table, not None) with the
+        # SAME columns a nonempty result would carry
+        sch = ds.schema()
+        if sch is not None and sch.names:
+            return pa.schema(list(zip(sch.names, sch.types))).empty_table()
         return pa.table(
             {id_column: pa.array([], pa.int64()), value_column: pa.array([], pa.float64())}
         )

@@ -146,12 +146,10 @@ def make_merge_fn(config: BuildConfig, avgdl: float):
             # files (no stats columns -> NULL after schema unification)
             # with new ones; NULL-stat rows must take the full merge path
             if any(group[c].null_count for c in stats_cols):
-                notnull = ~np.asarray(
-                    pc.is_null(group["max_doc"].combine_chunks()
-                               if isinstance(group["max_doc"], pa.ChunkedArray)
-                               else group["max_doc"])
-                )
-                single &= notnull
+                for c in stats_cols:
+                    col = group[c]
+                    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                    single &= ~np.asarray(pc.is_null(col))
         else:
             single = np.zeros(len(codes), dtype=bool)
         pt_table = None

@@ -107,16 +107,21 @@ def trec_to_parquet(
     # first shifts every rank).  A manifest records the inputs; any change
     # clears the derived outputs before reconverting (r2 review finding).
     manifest_path = os.path.join(out_dir, ".trec_inputs.json")
+    # identity = (path, size, mtime): an in-place re-download of the same
+    # filename must also invalidate its derived output
+    current = [
+        [p_, os.path.getsize(p_), os.path.getmtime(p_)] for p_ in files
+    ]
     prior = None
     if os.path.exists(manifest_path):
         with open(manifest_path) as fh:
             prior = json.load(fh)
-    if prior != files:
+    if prior != current:
         for f in os.listdir(out_dir):
             if f.endswith(".parquet"):
                 os.remove(os.path.join(out_dir, f))
         with open(manifest_path + ".tmp", "w") as fh:
-            json.dump(files, fh)
+            json.dump(current, fh)
         os.replace(manifest_path + ".tmp", manifest_path)
     jobs = [
         {"path": p, "out": os.path.join(out_dir, f"part-{i:06d}.parquet")}
