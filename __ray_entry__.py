@@ -405,6 +405,25 @@ def q_quality_top100(sf_dir: str) -> pa.Table:
     )
 
 
+def q_dedup_components(sf_dir: str) -> pa.Table:
+    """Connected components (iterative min-label propagation) over the
+    EXACT n-gram-Jaccard pair graph — the pair set is SQL-reproducible and
+    the closure is a recursive CTE, so the distributed iterative algorithm
+    is hash-checked end to end."""
+    from search_engine_ray.dataops.dedup import connected_components, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _docs_ds(sf_dir), n=3, threshold=0.08, max_shingle_df=1_000_000
+    )
+    cc = connected_components(pairs).to_pandas().sort_values("doc_id")
+    return pa.table(
+        {
+            "doc_id": pa.array(cc["doc_id"].astype(np.int64)),
+            "component": pa.array(cc["component"].astype(np.int64)),
+        }
+    )
+
+
 def q_lang_distribution(sf_dir: str) -> pa.Table:
     ds = _docs_ds(sf_dir).groupby("lang").count()
     df = ds.to_pandas().sort_values("lang")
@@ -821,6 +840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": q_knn_cosine,
         "knn_ivf_recall": q_knn_ivf_recall,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_components": q_dedup_components,
         "lang_distribution": q_lang_distribution,
         "lang_id_pred": q_lang_id_pred,
         "sample_docs": q_sample_docs,
@@ -1081,6 +1101,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR((CAST(c AS DOUBLE) / (za.sz + zb.sz - c)) * 1000000) AS BIGINT) AS jaccard_micros
             FROM co JOIN sizes za ON za.doc_id = a JOIN sizes zb ON zb.doc_id = b
             WHERE CAST(c AS DOUBLE) / (za.sz + zb.sz - c) >= 0.08
+        """,
+        "dedup_components": r"""
+            WITH RECURSIVE
+            tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+              FROM tk, UNNEST(generate_series(1, greatest(len(tk) - 2, 0))) AS g(i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            co AS (
+              SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS c
+              FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+              GROUP BY s1.doc_id, s2.doc_id
+            ),
+            p AS (
+              SELECT a, b FROM co JOIN sizes za ON za.doc_id = a JOIN sizes zb ON zb.doc_id = b
+              WHERE CAST(c AS DOUBLE) / (za.sz + zb.sz - c) >= 0.08
+            ),
+            edges AS (SELECT a AS s, b AS d FROM p UNION ALL SELECT b, a FROM p),
+            reach(n, m) AS (
+              SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+              UNION
+              SELECT r.n, e.d FROM reach r JOIN edges e ON e.s = r.m
+            )
+            SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n
         """,
         "lang_distribution": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
         "lang_id_pred": _lang_id_sql(),

@@ -525,18 +525,132 @@ def near_dup_filter(
     pairs: ray.data.Dataset,
     id_column: str = "doc_id",
     join_partitions: int = 16,
+    mode: str = "greedy",
 ) -> ray.data.Dataset:
-    """Drop the HIGHER-id member of every near-dup pair (a < b by
-    construction in this module's pair outputs) via a native left_anti join.
+    """Reduce the corpus to near-dup survivors.
 
-    Greedy semantics: the minimum id of each duplicate cluster never appears
-    as ``b``, so at least one representative always survives; a cluster
-    whose pair graph is not transitively closed may keep more than one
-    member (re-run or lower the threshold to tighten)."""
+    - ``mode="greedy"`` (one anti-join): drop the HIGHER-id member of every
+      pair (a < b by construction).  The minimum id of each cluster never
+      appears as ``b``, so one representative always survives; a cluster
+      whose pair graph is not transitively closed may keep extra members
+      (e.g. pairs (1,6),(5,6) keep both 1 and 5).
+    - ``mode="exact"``: connected components over the pair graph (iterative
+      min-label propagation); keep EXACTLY the min-id member per cluster.
+      Costs ~diameter rounds of join+groupby over the (output-sized) pair
+      node set."""
+    jp = _join_parts(join_partitions)
+    if mode == "exact":
+        labels = connected_components(pairs, join_partitions=join_partitions)
+
+        def non_min(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch["doc_id"], dtype=np.int64)
+            comp = np.asarray(batch["component"], dtype=np.int64)
+            return pa.table({"drop_id": pa.array(ids[ids != comp])})
+
+        drops = labels.map_batches(non_min, batch_format="pyarrow").materialize()
+        if drops.count() == 0:
+            return ds
+        return ds.join(drops, "left_anti", jp, on=(id_column,), right_on=("drop_id",))
+    if mode != "greedy":
+        raise ValueError(f"unknown mode {mode!r}")
     drops = pairs.select_columns(["b"]).groupby("b").count().select_columns(["b"])
-    return ds.join(
-        drops, "left_anti", _join_parts(join_partitions), on=(id_column,), right_on=("b",)
+    return ds.join(drops, "left_anti", jp, on=(id_column,), right_on=("b",))
+
+
+def connected_components(
+    pairs: ray.data.Dataset,
+    max_iters: int = 25,
+    join_partitions: int = 8,
+) -> ray.data.Dataset:
+    """(doc_id, component) for every doc in ``pairs`` (columns a, b);
+    component = the MIN doc_id reachable through the pair graph.
+
+    Iterative min-label propagation — the canonical distributed CC:
+    each round joins labels onto edges and takes the per-node min of
+    neighbor labels; rounds needed ~ graph diameter (near-dup clusters
+    are shallow, typically <= 5).  Convergence is detected by the global
+    label sum (strictly decreasing until fixpoint).  All steps are native
+    joins/groupbys — nothing graph-sized reaches the driver."""
+    from ray.data.aggregate import Min, Sum
+
+    # undirected edge list, both directions
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["a"], dtype=np.int64)
+        b = np.asarray(batch["b"], dtype=np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b])),
+                "dst": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()), "component": pa.array([], pa.int64())})
+        )
+    edges = edges.repartition(max(1, edges.count() // 500_000 + 1))
+
+    # label(n) starts as min(n, min direct neighbor)
+    labels = (
+        edges.groupby("src").aggregate(Min("dst", alias_name="nbr_min"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b["src"].combine_chunks().cast(pa.int64()),
+                    "component": pa.array(
+                        np.minimum(
+                            np.asarray(b["src"], dtype=np.int64),
+                            np.asarray(b["nbr_min"], dtype=np.int64),
+                        )
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
     )
+    jp = _join_parts(join_partitions)
+    prev_sum = labels.aggregate(Sum("component"))["sum(component)"]
+    for _ in range(max_iters):
+        # propagate: candidate label for dst = label[src]
+        prop = (
+            edges.join(labels, "inner", jp, on=("src",), right_on=("doc_id",))
+            .groupby("dst")
+            .aggregate(Min("component", alias_name="nbr_label"))
+        )
+        labels = (
+            labels.join(prop.repartition(1), "left_outer", jp, on=("doc_id",), right_on=("dst",))
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "doc_id": b["doc_id"].combine_chunks().cast(pa.int64()),
+                        "component": pa.array(
+                            np.minimum(
+                                np.asarray(b["component"], dtype=np.int64),
+                                np.asarray(
+                                    pa.compute.fill_null(
+                                        b["nbr_label"].combine_chunks()
+                                        if isinstance(b["nbr_label"], pa.ChunkedArray)
+                                        else b["nbr_label"],
+                                        np.iinfo(np.int64).max,
+                                    ),
+                                    dtype=np.int64,
+                                ),
+                            )
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        labels = labels.repartition(max(1, labels.count() // 500_000 + 1))
+        cur_sum = labels.aggregate(Sum("component"))["sum(component)"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
 
 
 # --------------------------------------------------------------------------

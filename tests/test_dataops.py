@@ -666,3 +666,41 @@ def test_minhash_no_self_pairs_on_duplicated_rows(docs_tbl, ray_session):
     # all-duplicate corpus with no cross pairs: empty result, no crash
     empty = minhash_lsh_pairs(ray.data.from_pandas(doubled), threshold=0.5)
     assert empty.count() == 0
+
+
+def test_connected_components_and_exact_filter(docs_ds, docs_tbl, ray_session):
+    """Min-label propagation finds whole clusters; exact mode keeps only
+    the min-id member even when the pair graph is not transitively closed
+    (the case greedy mode over-keeps)."""
+    import ray.data
+
+    from search_engine_ray.dataops.dedup import connected_components, near_dup_filter
+
+    # cluster {1,5,6,7,8} as a chain + cross edge; isolated pair {20,30}
+    pairs = ray.data.from_arrow(
+        pa.table({"a": pa.array([5, 6, 7, 20, 1], pa.int64()),
+                  "b": pa.array([6, 7, 8, 30, 6], pa.int64()),
+                  "est_jaccard": pa.array([0.9] * 5)})
+    )
+    cc = connected_components(pairs).to_pandas().sort_values("doc_id")
+    assert cc.values[:, :2].tolist() == [
+        [1, 1], [5, 1], [6, 1], [7, 1], [8, 1], [20, 20], [30, 20]
+    ]
+
+    # greedy over-keep case: pairs (1,6) and (5,6) — 5 never appears as b
+    tricky = ray.data.from_arrow(
+        pa.table({"a": pa.array([1, 5], pa.int64()), "b": pa.array([6, 6], pa.int64()),
+                  "est_jaccard": pa.array([0.9, 0.9])})
+    )
+    all_ids = set(docs_tbl["doc_id"].to_pylist())
+    greedy = near_dup_filter(docs_ds, tricky, mode="greedy").to_pandas()
+    assert set(greedy["doc_id"]) == all_ids - {6}  # keeps 1 AND 5
+    exact = near_dup_filter(docs_ds, tricky, mode="exact").to_pandas()
+    assert set(exact["doc_id"]) == all_ids - {5, 6}  # keeps only the cluster min
+
+    # empty pair set: corpus unchanged
+    nothing = ray.data.from_arrow(
+        pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                  "est_jaccard": pa.array([], pa.float64())})
+    )
+    assert near_dup_filter(docs_ds, nothing, mode="exact").count() == len(all_ids)
