@@ -619,8 +619,13 @@ def connected_components(
             .groupby("dst")
             .aggregate(Min("component", alias_name="nbr_label"))
         )
+        # materialize + size-typed repartition: the aggregate's empty
+        # partitions are schema-less (see above) and must not reach a join;
+        # block count scales with the propagation volume
+        prop = prop.materialize()
+        prop = prop.repartition(max(1, prop.count() // 500_000 + 1))
         labels = (
-            labels.join(prop.repartition(1), "left_outer", jp, on=("doc_id",), right_on=("dst",))
+            labels.join(prop, "left_outer", jp, on=("doc_id",), right_on=("dst",))
             .map_batches(
                 lambda b: pa.table(
                     {
