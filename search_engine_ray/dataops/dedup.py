@@ -4,15 +4,25 @@ All operators are Ray-Data-first: vectorized `map_batches` per-batch
 kernels followed by the ONE shuffle each needs (hash-keyed groupby).
 Nothing materializes the corpus on the driver.
 
-- exact_dedup      : content-hash (md5) partial per batch -> groupby(hash)
-                     -> keep min doc_id + count (hash-partition + first).
-- minhash_lsh      : word-shingle -> vectorized 64-perm MinHash ->
-                     banded LSH -> bucket groupby -> signature-verified
-                     near-dup pairs (shingle->minhash->band->bucket groupby).
-- simhash          : 64-bit SimHash per doc (vectorized bit-count kernel).
-- ngram_jaccard    : exact n-gram Jaccard similar pairs via shingle
-                     explode + co-occurrence counting (bounded by shingle
-                     document frequency to stay skew-safe).
+- exact_dedup         : content-hash (md5) partial per batch -> groupby
+                        -> keep min doc_id + count (hash-partition + first).
+- exact_dedup_apply   : survivor corpus via native left_semi join.
+- minhash_signatures /
+  minhash_lsh_pairs   : word-shingle -> vectorized 64-perm MinHash ->
+                        payload-free banded LSH (one ~20 B/row shuffle) ->
+                        coarse-key vectorized bucket groups (max_bucket
+                        skew cap) -> candidate pairs verified against the
+                        persisted/pinned signature table via two native
+                        hash-joins.
+- near_dup_filter     : greedy (anti-join pair drop) or exact (connected
+                        components) survivor reduction.
+- connected_components: iterative min-label propagation over a pair graph
+                        (join+groupby rounds ~ diameter).
+- simhash             : 64-bit SimHash per doc (vectorized bit kernel;
+                        md5be token hash — SQL-reproducible).
+- ngram_jaccard       : exact n-gram Jaccard pairs via shingle explode +
+                        co-occurrence counting (bounded by shingle
+                        document frequency to stay skew-safe).
 """
 
 from __future__ import annotations
