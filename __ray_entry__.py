@@ -67,10 +67,16 @@ def _reader(sf_dir: str, options: IndexOptions = OPT_NOSTEM):
     return documents_reader(sf_dir, options)
 
 
-def _docs_ds(sf_dir: str):
-    import ray.data
+def read_parquet_clean(*args, **kwargs):
+    """Lazy alias for ioutil.read_parquet_clean (keeps ray imports deferred
+    to call time — the driver inits Ray before calling, not before import)."""
+    from search_engine_ray.ioutil import read_parquet_clean as _f
 
-    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return _f(*args, **kwargs)
+
+
+def _docs_ds(sf_dir: str):
+    return read_parquet_clean(os.path.join(sf_dir, "documents.parquet"))
 
 
 def _emb_tbl(sf_dir: str) -> pa.Table:
@@ -288,7 +294,7 @@ def q_knn_cosine(sf_dir: str) -> pa.Table:
 
     tbl = _emb_tbl(sf_dir)
     emb = np.stack([np.asarray(e, dtype=np.float64) for e in tbl["embedding"].to_pylist()[:3]])
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
     out = knn_brute_force(ds, emb, k=5)
     return pa.table(
         {
@@ -440,7 +446,7 @@ def q_events_window(sf_dir: str) -> pa.Table:
 
     from search_engine_ray.dataops.windows import tumbling_window_agg
 
-    events = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    events = read_parquet_clean(os.path.join(sf_dir, "events.parquet"))
     out = tumbling_window_agg(events, window_seconds=3600).to_pandas()
     out = out.sort_values(["key", "window_start_us"])
     return pa.table(
@@ -464,7 +470,7 @@ def q_hopping_window(sf_dir: str) -> pa.Table:
 
     from search_engine_ray.dataops.windows import hopping_window_agg
 
-    events = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    events = read_parquet_clean(os.path.join(sf_dir, "events.parquet"))
     out = hopping_window_agg(events, window_seconds=3600, hop_seconds=1800).to_pandas()
     out = out.sort_values(["key", "window_start_us"])
     return pa.table(
@@ -484,7 +490,7 @@ def q_sessionize(sf_dir: str) -> pa.Table:
 
     from search_engine_ray.dataops.windows import sessionize
 
-    events = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    events = read_parquet_clean(os.path.join(sf_dir, "events.parquet"))
     out = sessionize(events, gap_seconds=1800).to_pandas()
     out = out.sort_values(["user_id", "session_start_us"])
     return pa.table(
@@ -533,7 +539,7 @@ def q_asof_join(sf_dir: str) -> pa.Table:
 
     from search_engine_ray.dataops.windows import asof_join_events
 
-    events = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    events = read_parquet_clean(os.path.join(sf_dir, "events.parquet"))
     out = asof_join_events(events, "purchase", "click").to_pandas()
     out = out.sort_values(["user_id", "event_id"])
     return pa.table(
@@ -624,7 +630,7 @@ def q_knn_lsh(sf_dir: str) -> pa.Table:
 
     tbl = _emb_tbl(sf_dir)
     emb = np.stack([np.asarray(e, dtype=np.float64) for e in tbl["embedding"].to_pylist()[:3]])
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
     return knn_lsh(ds, emb, k=5)
 
 
@@ -635,7 +641,7 @@ def q_knn_ivf(sf_dir: str) -> pa.Table:
 
     tbl = _emb_tbl(sf_dir)
     emb = np.stack([np.asarray(e, dtype=np.float64) for e in tbl["embedding"].to_pylist()[:3]])
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
     return knn_ivf(ds, emb, k=5, n_centroids=8, nprobe=3)
 
 
@@ -659,7 +665,7 @@ def q_knn_ivf_recall(sf_dir: str) -> pa.Table:
 
     tbl = _emb_tbl(sf_dir)
     emb = np.stack([np.asarray(e, dtype=np.float64) for e in tbl["embedding"].to_pylist()[:3]])
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
     index_dir = os.path.join("/tmp/se_ray_ann", "ivf-" + sf_dir.strip("/").replace("/", "_"))
     shutil.rmtree(index_dir, ignore_errors=True)
     build_ivf_index(ds, index_dir, n_centroids=8)
@@ -683,22 +689,107 @@ def q_knn_ivf_recall(sf_dir: str) -> pa.Table:
     )
 
 
-def q_emb_near_dup(sf_dir: str):
-    """Embedding near-dup pairs (LSH blocking + exact in-bucket verify) —
-    rows-only: blocking is approximate, pairs across buckets can be missed,
-    so no SQL hash parity is claimed (recall covered in pytest)."""
+def q_bm25adpt_top10(sf_dir: str) -> pa.Table:
+    """BM25-ADPT top-10 — the reference's third scorer
+    (/root/reference/src/Query/BM25ADPT.cs:25-168: per-term information-gain
+    curve with the truncation quirk, k1 grid search with IEEE drift, final
+    score qtf*ck*IGs[1]).  The float32 IG/k1 math is not SQL-expressible, so
+    this gate is self-checking golden-grade instead: the engine TAAT result
+    must be bit-identical to the in-repo oracle transcription (built fresh
+    from documents.parquet) before anything is returned."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.config import BM25Params
+    from search_engine_ray.engine.scoring import taat_bm25_adpt
+    from search_engine_ray.oracle.indexer import OracleIndex
+    from search_engine_ray.oracle.scorers import score_bm25_adpt
+
+    # "dup" is the one sf0.01 term whose IG curve survives past slot 1 (most
+    # terms have near-uniform tf, so the truncation quirk zeroes IGs[1] —
+    # faithful to BM25ADPT.cs:59-68 but a weak gate); "spark" qtf=2
+    # exercises the qtf multiplier and the zero-contribution path together.
+    adpt_query = [("dup", 1), ("spark", 2)]
+    r = _reader(sf_dir)
+    params = BM25Params()
+    ids, scores = taat_bm25_adpt(r, adpt_query, params, 10)
+    engine = [(str(r.doc_names[d]), float(s)) for d, s in zip(ids, scores)]
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    oracle = OracleIndex(options=OPT_NOSTEM)
+    for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        oracle.add_document(str(d), t)
+    expected = [(n, float(s)) for n, s in score_bm25_adpt(oracle, adpt_query, params, 10)]
+    if engine != expected:
+        raise AssertionError(
+            f"BM25-ADPT engine != oracle:\n  engine={engine}\n  oracle={expected}"
+        )
+    return pa.table(
+        {
+            "doc_id": pa.array([int(n) for n, _ in engine], pa.int64()),
+            "score_micros": pa.array(_micros(np.asarray([s for _, s in engine]))),
+        }
+    )
+
+
+# derived near-dup fixture: every 10th vector gets a scaled twin — scaling
+# preserves both the cosine (== ~1.0 > any original pair, max ~0.51 at all
+# sfs) and the hyperplane signs (same LSH bucket), so the expected pair set
+# is EXACTLY {(v, v+OFFSET)} and DuckDB can brute-force-verify it.
+_EMB_TWIN_OFFSET = 1_000_000
+_EMB_TWIN_MOD = 10
+_EMB_TWIN_SCALE = 1.5
+
+
+def q_emb_near_dup(sf_dir: str) -> pa.Table:
+    """Embedding near-dup pairs (LSH blocking + exact in-bucket verify) over
+    the twin-seeded corpus — SQL-checked: the oracle cross-joins the same
+    derived set, so a NON-EMPTY exact pair match is asserted (the r2 gate
+    returned 0 rows and checked nothing)."""
     import ray.data
 
     from search_engine_ray.dataops.similarity import embedding_near_dup_pairs
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    out = embedding_near_dup_pairs(ds, threshold=0.9)
-    # return an Arrow table so the schema survives a zero-pair result
-    # (Dataset.to_pandas drops columns on empty datasets)
+    def to_f64(batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"].combine_chunks().cast(pa.list_(pa.float64()))
+        return pa.table({"vec_id": batch["vec_id"], "embedding": emb})
+
+    def twins(batch: pa.Table) -> pa.Table:
+        t = to_f64(batch)
+        ids = np.asarray(t["vec_id"], dtype=np.int64)
+        t = t.filter(pa.array(ids % _EMB_TWIN_MOD == 0))
+        emb = t["embedding"].combine_chunks()
+        flat = pa.compute.multiply(emb.values, _EMB_TWIN_SCALE)
+        scaled = pa.ListArray.from_arrays(emb.offsets, flat)
+        return pa.table(
+            {
+                "vec_id": pa.compute.add(t["vec_id"], _EMB_TWIN_OFFSET),
+                "embedding": scaled,
+            }
+        )
+
+    base = read_parquet_clean(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    seeded = base.map_batches(to_f64, batch_format="pyarrow").union(
+        base.map_batches(twins, batch_format="pyarrow")
+    )
+    out = embedding_near_dup_pairs(seeded, threshold=0.9)
     schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("cos_sim", pa.float64())])
     batches = [pa.table(b) for b in out.iter_batches(batch_size=None, batch_format="pyarrow")]
     batches = [b.cast(schema) for b in batches if b.num_rows]
-    return pa.concat_tables(batches) if batches else schema.empty_table()
+    tbl = pa.concat_tables(batches) if batches else schema.empty_table()
+    if tbl.num_rows == 0:
+        raise AssertionError("emb_near_dup gate is vacuous: expected seeded twin pairs")
+    tbl = tbl.sort_by([("a", "ascending"), ("b", "ascending")])
+    return pa.table(
+        {
+            "a": tbl["a"],
+            "b": tbl["b"],
+            "cos_sim_micros": pa.array(_micros(np.asarray(tbl["cos_sim"]))),
+        }
+    )
 
 
 def q_lang_id_pred(sf_dir: str) -> pa.Table:
@@ -860,14 +951,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_length_hist": q_term_length_hist,
         "bm25_qtf_top10": q_bm25_qtf_top10,
         "simhash": q_simhash,
-        # rows-only (non-SQL-expressible)
+        "emb_near_dup": q_emb_near_dup,
+        # rows-only (non-SQL-expressible); bm25adpt_top10 self-checks
+        # bit-identity against the in-repo oracle transcription
+        "bm25adpt_top10": q_bm25adpt_top10,
         "bm25_stemmed_wand": q_bm25_stemmed_wand,
         "near_dup_apply": q_near_dup_apply,
         "minhash_pairs": q_minhash_pairs,
         "fingerprints": q_fingerprints,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
-        "emb_near_dup": q_emb_near_dup,
         "lang_id": q_lang_id,
         "media_features": q_media_features,
     }
@@ -938,6 +1031,25 @@ def oracle_sql() -> dict[str, str]:
     micros = _SQL_MICROS
     return {
         "simhash": _simhash_sql(),
+        # brute-force cross-join over the twin-seeded set: LSH blocking is
+        # approximate in general, but scaled twins land in their vector's own
+        # bucket by construction and no original pair reaches 0.9, so the
+        # exact pair set is recovered and the gate is a true value check
+        "emb_near_dup": f"""
+            WITH base AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            derived AS (
+              SELECT vec_id, e FROM base
+              UNION ALL
+              SELECT vec_id + {_EMB_TWIN_OFFSET} AS vec_id,
+                     list_transform(e, x -> x * {_EMB_TWIN_SCALE}) AS e
+              FROM base WHERE vec_id % {_EMB_TWIN_MOD} = 0)
+            SELECT x.vec_id AS a, y.vec_id AS b,
+                   {micros.format(expr="list_cosine_similarity(x.e, y.e)")} AS cos_sim_micros
+            FROM derived x JOIN derived y ON x.vec_id < y.vec_id
+            WHERE list_cosine_similarity(x.e, y.e) >= 0.9
+            ORDER BY a, b
+        """,
         "redact_pii": _redact_sql(),
         "decontaminate": _decontaminate_sql(),
         "repetition": r"""

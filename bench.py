@@ -151,36 +151,28 @@ def run_benchmarks() -> dict:
     assert run.num_rows > 0
     timings["query_pipeline_100_topics"] = time.perf_counter() - t0
 
-    # ---- 5. training-data ops over documents ----
-    import ray.data
-
-    from search_engine_ray.dataops.dedup import exact_dedup, minhash_lsh_pairs, simhash
-    from search_engine_ray.dataops.similarity import knn_brute_force
+    # ---- 5. training-data ops over documents — min-of-N INTERLEAVED ----
+    # The sandbox shares throttled DRAM with co-tenants; single runs vary up
+    # to ±80%.  Interleaving rounds (op1..opK, op1..opK) and taking the min
+    # per op makes a BENCH_rN regression attributable: ambient load hits a
+    # whole round, a real regression hits one op across all rounds.
+    # quality_scores is the untouched CONTROL — its ratio vs the recorded
+    # quiet-window baseline is emitted so readers can normalize the rest.
+    from search_engine_ray.dataops.dedup import (
+        exact_dedup,
+        exact_dedup_apply,
+        minhash_lsh_pairs,
+        simhash,
+    )
+    from search_engine_ray.dataops.similarity import (
+        build_ivf_index,
+        knn_brute_force,
+        knn_ivf_probe,
+    )
     from search_engine_ray.dataops.textstats import quality_scores
+    from search_engine_ray.ioutil import read_parquet_clean
 
-    docs_ds = ray.data.read_parquet(docs_path)
-    t0 = time.perf_counter()
-    exact_dedup(docs_ds).count()
-    timings["dedup_exact"] = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    minhash_lsh_pairs(docs_ds, threshold=0.8).count()
-    timings["dedup_minhash_lsh"] = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    simhash(docs_ds).count()
-    timings["simhash"] = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    quality_scores(docs_ds).count()
-    timings["quality_scores"] = time.perf_counter() - t0
-
-    from search_engine_ray.dataops.dedup import exact_dedup_apply
-
-    t0 = time.perf_counter()
-    exact_dedup_apply(docs_ds).count()
-    timings["dedup_apply"] = time.perf_counter() - t0
-
+    docs_ds = read_parquet_clean(docs_path)
     emb_path = os.path.join(SF_DIR, "embeddings.parquet")
     import pyarrow.parquet as pq
 
@@ -188,21 +180,38 @@ def run_benchmarks() -> dict:
     queries = np.stack(
         [np.asarray(e, dtype=np.float64) for e in emb_tbl["embedding"].to_pylist()[:8]]
     )
-    emb_ds = ray.data.read_parquet(emb_path)
-    t0 = time.perf_counter()
-    knn_brute_force(emb_ds, queries, k=10)
-    timings["knn_brute_force"] = time.perf_counter() - t0
-
-    from search_engine_ray.dataops.similarity import build_ivf_index, knn_ivf_probe
-
+    emb_ds = read_parquet_clean(emb_path)
     ivf_dir = f"/tmp/se_ray_bench/ivf-{NUM_CPUS}"
-    shutil.rmtree(ivf_dir, ignore_errors=True)
-    t0 = time.perf_counter()
-    build_ivf_index(emb_ds, ivf_dir, n_centroids=16)
-    timings["ann_ivf_build"] = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    knn_ivf_probe(ivf_dir, queries, k=10, nprobe=4)
-    timings["ann_ivf_probe"] = time.perf_counter() - t0
+
+    def _ivf_build():
+        shutil.rmtree(ivf_dir, ignore_errors=True)
+        build_ivf_index(emb_ds, ivf_dir, n_centroids=16)
+
+    ops: list[tuple[str, object]] = [
+        ("dedup_exact", lambda: exact_dedup(docs_ds).count()),
+        ("dedup_minhash_lsh", lambda: minhash_lsh_pairs(docs_ds, threshold=0.8).count()),
+        ("simhash", lambda: simhash(docs_ds).count()),
+        ("quality_scores", lambda: quality_scores(docs_ds).count()),
+        ("dedup_apply", lambda: exact_dedup_apply(docs_ds).count()),
+        ("knn_brute_force", lambda: knn_brute_force(emb_ds, queries, k=10)),
+        ("ann_ivf_build", _ivf_build),
+        ("ann_ivf_probe", lambda: knn_ivf_probe(ivf_dir, queries, k=10, nprobe=4)),
+    ]
+    n_rounds = int(os.environ.get("SE_RAY_BENCH_OP_ROUNDS", "2"))
+    samples: dict[str, list[float]] = {name: [] for name, _ in ops}
+    for _round in range(n_rounds):
+        for name, fn in ops:
+            t0 = time.perf_counter()
+            fn()
+            samples[name].append(time.perf_counter() - t0)
+    for name, vals in samples.items():
+        timings[name] = min(vals)
+        meta[f"{name}_run_max"] = max(vals)
+    meta["op_rounds"] = n_rounds
+    # recorded quiet-window quality_scores at sf0.1 / 32 cpus (BASELINE.md);
+    # ratio > ~1.5 marks an ambient-load-contaminated record
+    control_baseline = float(os.environ.get("SE_RAY_CONTROL_BASELINE", "0.75"))
+    meta["control_quality_scores_ratio"] = timings["quality_scores"] / control_baseline
 
     headline = timings["index_build_pages_html"]
     result = {

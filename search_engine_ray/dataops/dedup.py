@@ -665,6 +665,15 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        # a pair graph with diameter > max_iters (a long near-dup chain)
+        # would leave labels partially propagated; callers treating the
+        # result as exact (near_dup_filter mode='exact') must know
+        raise RuntimeError(
+            f"connected_components did not converge in max_iters={max_iters} "
+            "rounds (graph diameter exceeds the iteration budget); raise "
+            "max_iters — each extra round is one join+groupby"
+        )
     return labels
 
 

@@ -159,7 +159,14 @@ class ImageDecoder:
 
     def _decode_one(self, payload: bytes) -> tuple[int, int, int, np.ndarray, str]:
         if payload[:2] == b"P6":
-            return (*self._decode_ppm(payload), "ppm")
+            try:
+                return (*self._decode_ppm(payload), "ppm")
+            except Exception:
+                # malformed header / truncated raster with a P6 magic: fall
+                # through to pillow/fake like the WAV path does, so one bad
+                # payload cannot fail the whole batch task (strict still
+                # raises below when no real decoder applies)
+                pass
         if self.backend == "pillow":
             return (*self._decode_pillow(payload), "pillow")
         if self.strict:

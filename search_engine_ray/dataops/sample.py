@@ -89,10 +89,15 @@ def topk_by(
     k: int,
     ascending: bool = False,
     id_column: str = "doc_id",
+    fan_in: int = 64,
 ) -> pa.Table:
     """Global top-k rows by value (ties broken by ascending id — fully
-    deterministic).  Per-batch partial top-k, then one driver-side merge of
-    at most k rows per batch — NEVER a full distributed sort."""
+    deterministic).  Per-batch partial top-k, then a two-level tree reduce
+    (``fan_in`` intermediate blocks, then one final block) — the driver only
+    ever receives the final k rows, NEVER k-per-batch partials and NEVER a
+    full distributed sort.  At 10^6 input batches the intermediate level
+    holds ~k*batches/fan_in rows per worker block, all inside the object
+    store."""
 
     def partial(batch: pa.Table) -> pa.Table:
         vals = np.asarray(batch[value_column], dtype=np.float64)
@@ -101,7 +106,17 @@ def topk_by(
         return batch.take(pa.array(np.sort(order)))
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    batches = [pa.table(b) for b in partials.iter_batches(batch_size=None, batch_format="pyarrow")]
+    # tree reduce: fan_in intermediate merges, then one final merge block.
+    # batch_size=None → each repartitioned block is merged as ONE batch, so
+    # the final level emits exactly the global top-k.
+    reduced = partials.repartition(fan_in).map_batches(
+        partial, batch_size=None, batch_format="pyarrow"
+    )
+    final = reduced.repartition(1).map_batches(
+        partial, batch_size=None, batch_format="pyarrow"
+    )
+    batches = [pa.table(b) for b in final.iter_batches(batch_size=None, batch_format="pyarrow")]
+    batches = [b for b in batches if b.num_rows]
     if not batches:
         # typed empty result (the declared pa.Table, not None) with the
         # SAME columns a nonempty result would carry
@@ -112,6 +127,8 @@ def topk_by(
             {id_column: pa.array([], pa.int64()), value_column: pa.array([], pa.float64())}
         )
     allp = pa.concat_tables(batches)
+    # the final level already merged a single block; this last sort is over
+    # <= k rows (or <= fan_in*k if Ray split the final block), driver-cheap
     vals = np.asarray(allp[value_column], dtype=np.float64)
     ids = np.asarray(allp[id_column], dtype=np.int64)
     order = np.lexsort((ids, vals if ascending else -vals))[:k]

@@ -99,14 +99,24 @@ def knn_brute_force(
 
 
 class LshBucketer:
-    """Random-hyperplane signature per vector (one shuffle key for ANN)."""
+    """Random-hyperplane signature per vector (one shuffle key for ANN).
 
-    def __init__(self, dim: int, n_planes: int = 12, seed: int = 5, column: str = "embedding"):
-        rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((dim, n_planes))
+    ``dim=None`` defers plane generation to the first batch: every actor
+    derives the SAME planes from (seed, row width), so no driver-side
+    ``take(1)`` is ever needed to discover the embedding dimension."""
+
+    def __init__(self, dim: int | None, n_planes: int = 12, seed: int = 5, column: str = "embedding"):
+        self.n_planes = n_planes
+        self.seed = seed
+        self.planes = self._make_planes(dim) if dim is not None else None
         self.column = column
 
+    def _make_planes(self, dim: int) -> np.ndarray:
+        return np.random.default_rng(self.seed).standard_normal((dim, self.n_planes))
+
     def signature(self, m: np.ndarray) -> np.ndarray:
+        if self.planes is None:
+            self.planes = self._make_planes(m.shape[1])
         bits = (m @ self.planes) > 0
         return (bits.astype(np.uint64) << np.arange(bits.shape[1], dtype=np.uint64)).sum(
             axis=1, dtype=np.uint64
@@ -435,12 +445,17 @@ def embedding_near_dup_pairs(
     id_column: str = "vec_id",
     seed: int = 5,
     dim: int | None = None,
+    max_bucket: int = 20_000,
 ) -> ray.data.Dataset:
     """Pairs with cosine >= threshold: LSH-bucket blocking, exact cosine
-    verification within each bucket (the one shuffle)."""
-    if dim is None:
-        first = ds.take(1)
-        dim = len(first[0][column])
+    verification within each bucket (the one shuffle).
+
+    Buckets larger than ``max_bucket`` are dropped with a warning — the
+    same skew guard as ``dedup.minhash_lsh_pairs``: a degenerate bucket of
+    near-identical embeddings is O(m^2) pairs and would stall one worker at
+    corpus scale; run exact dedup first.  ``dim`` is only needed to
+    pre-build the hyperplanes; when omitted the bucketer derives it from
+    the first batch (no driver-side ``take``)."""
     bucketed = ds.map_batches(
         LshBucketer,
         fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes, seed=seed, column=column),
@@ -448,8 +463,19 @@ def embedding_near_dup_pairs(
         concurrency=(1, 4),
     )
 
+    import logging
+
+    log = logging.getLogger(__name__)
+
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "cos_sim": []})
+        if len(g) > max_bucket:
+            log.warning(
+                "embedding_near_dup: dropped LSH bucket of %d rows > max_bucket=%d "
+                "(degenerate near-identical cluster; run exact dedup first)",
+                len(g), max_bucket,
+            )
             return pd.DataFrame({"a": [], "b": [], "cos_sim": []})
         g = g.sort_values(id_column)
         ids = g[id_column].to_numpy()

@@ -76,5 +76,10 @@ def plan_fragments(path: str | list[str], max_workers: int = 16) -> list[Fragmen
 
 
 def read_fragment(frag: Fragment, columns: list[str] | None = None):
-    """Read one row group (column-pruned) — the only data-plane read."""
-    return pq.ParquetFile(frag.path).read_row_group(frag.row_group, columns=columns)
+    """Read one row group (column-pruned) — the only data-plane read.
+
+    Schema metadata is stripped: pandas-written parquet carries a metadata
+    dict that makes the pa.Schema unhashable, defeating Ray's block-schema
+    dedup downstream (see ioutil.read_parquet_clean)."""
+    tbl = pq.ParquetFile(frag.path).read_row_group(frag.row_group, columns=columns)
+    return tbl.replace_schema_metadata(None)

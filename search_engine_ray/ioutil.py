@@ -1,0 +1,59 @@
+"""Parquet-read helpers shared by the engine, dataops and the driver entry.
+
+``read_parquet_clean`` is ``ray.data.read_parquet`` with the file schema's
+metadata stripped.  A ``pa.Schema`` carrying pandas metadata (anything
+written via ``pandas.to_parquet`` / ``pa.Table.from_pandas``, including the
+driver-generated testdata) is UNHASHABLE — ``hash(schema)`` raises
+``unhashable type: 'dict'`` — which defeats Ray Data's block-schema
+deduplication (`transform_pyarrow.unify_schemas` logs "Failed to hash the
+schemas" and falls through to the slow unify path on EVERY operator edge).
+Passing an explicit metadata-free schema at the read keeps every downstream
+block schema hashable, so Ray's set()-based early exit works and the log
+stays quiet.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterable
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+
+def strip_metadata(schema: pa.Schema) -> pa.Schema:
+    """Field- and schema-level metadata removed (both can hold dicts)."""
+    return pa.schema([schema.field(i).remove_metadata() for i in range(len(schema.names))])
+
+
+def _first_parquet_file(paths: str | Iterable[str]) -> str | None:
+    p = next(iter(paths)) if not isinstance(paths, str) else paths
+    if os.path.isdir(p):
+        for root, dirs, files in sorted(os.walk(p)):
+            dirs.sort()
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    return os.path.join(root, f)
+        return None
+    return p
+
+
+def read_parquet_clean(
+    paths: str | list[str],
+    *,
+    columns: list[str] | None = None,
+    **kwargs,
+) -> ray.data.Dataset:
+    """``ray.data.read_parquet`` emitting hashable (metadata-free) block
+    schemas.  One extra footer read (first file only) at plan time."""
+    first = _first_parquet_file(paths)
+    if first is not None and "schema" not in kwargs:
+        schema = strip_metadata(pq.read_schema(first))
+        if columns is not None:
+            # Ray requires the schema to match the projected columns exactly
+            schema = pa.schema([schema.field(c) for c in columns])
+        kwargs["schema"] = schema
+    if columns is not None:
+        kwargs["columns"] = columns
+    return ray.data.read_parquet(paths, **kwargs)

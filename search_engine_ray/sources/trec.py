@@ -5,10 +5,13 @@ Reference semantics reproduced:
 
 - a document starts at ``<DOCNO>``; its id is the ASCII bytes up to
   ``</DOCNO>``, whitespace-trimmed (Parser.cs:69);
-- its content is every byte after ``</DOCNO>`` up to (excluding) the next
-  ``</DOC>`` (Parser.cs:99) — the raw TREC text, tags included: the
-  reference feeds it straight to the tokenizer, whose XML-tag filter (M2)
-  drops ``<tag>`` tokens, so ingestion does NOT run the HTML extractor;
+- its content is every byte after ``</DOCNO>`` up to the next ``</DOC>``
+  EXCLUDING the byte immediately before the tag (Parser.cs:98 computes
+  length ``i - start - docStop.Length`` with ``i`` at the tag's last byte —
+  the preceding byte, usually a newline, is dropped; reproduced exactly);
+  the raw TREC text keeps its tags: the reference feeds it straight to the
+  tokenizer, whose XML-tag filter (M2) drops ``<tag>`` tokens, so ingestion
+  does NOT run the HTML extractor;
 - bytes outside <DOCNO>...</DOC> spans are ignored.
 
 Documented deviation: Parser.cs matches tags with a naive reset-on-mismatch
@@ -54,7 +57,12 @@ def parse_trec_bytes(data: bytes) -> tuple[list[str], list[bytes]]:
         if stop < 0:
             break
         ids.append(doc_id)
-        contents.append(data[c_start:stop])
+        # Parser.cs:98 takes length i - start - docStop.Length with i at the
+        # LAST byte of "</DOC>", which drops the byte immediately preceding
+        # the tag (usually the newline) — reproduced exactly; tokenization
+        # is unaffected (the dropped byte is a delimiter) but raw-content
+        # comparisons against the reference are byte-identical this way
+        contents.append(data[c_start : max(c_start, stop - 1)])
         pos = stop + len(_DOC_END)
     return ids, contents
 

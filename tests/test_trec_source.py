@@ -32,9 +32,10 @@ def test_parse_trec_bytes_semantics():
     data = _trec_file_bytes([("FBIS-1", "hello world"), ("FBIS-2", "second doc")])
     ids, contents = parse_trec_bytes(data)
     assert ids == ["FBIS-1", "FBIS-2"]  # whitespace-trimmed (Parser.cs:69)
-    # content = everything between </DOCNO> and </DOC>, newlines included
-    assert contents[0] == b"\nhello world\n"
-    assert contents[1] == b"\nsecond doc\n"
+    # content = everything between </DOCNO> and </DOC> MINUS the byte just
+    # before the stop tag (Parser.cs:98 off-by-one, reproduced exactly)
+    assert contents[0] == b"\nhello world"
+    assert contents[1] == b"\nsecond doc"
     # garbage outside spans is ignored; truncated trailing doc is dropped
     noisy = b"junk" + data + b"<DOC>\n<DOCNO>X</DOCNO>\nno terminator"
     ids2, _ = parse_trec_bytes(noisy)
@@ -53,14 +54,14 @@ def corpora(tmp_path_factory):
     (trec_dir / "bb.trec").write_bytes(_trec_file_bytes(pairs[half:]))
 
     # the equivalent parquet corpus: SAME payload the TREC parse yields
-    # (content includes the surrounding newlines)
+    # (leading newline kept; trailing newline dropped per Parser.cs:98)
     pq_dir = base / "parquet"
     pq_dir.mkdir()
     pq.write_table(
         pa.table(
             {
                 "doc_name": pa.array([p[0] for p in pairs]),
-                "text": pa.array([f"\n{t}\n" for _, t in pairs]),
+                "text": pa.array([f"\n{t}" for _, t in pairs]),
             }
         ),
         str(pq_dir / "part-000000.parquet"),
@@ -107,4 +108,4 @@ def test_read_trec_streaming(corpora, ray_session):
     df = read_trec(trec_dir).to_pandas().sort_values("doc_name").reset_index(drop=True)
     assert len(df) == len(TEXTS)
     assert df["doc_name"].tolist() == [f"DOC-{i:03d}" for i in range(len(TEXTS))]
-    assert df["text"].tolist() == [f"\n{t}\n" for t in TEXTS]
+    assert df["text"].tolist() == [f"\n{t}" for t in TEXTS]
