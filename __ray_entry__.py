@@ -252,11 +252,13 @@ def q_dedup_apply(sf_dir: str):
 
 def q_near_dup_apply(sf_dir: str):
     """MinHash-LSH pairs -> drop the higher-id member of each pair via the
-    native left_anti join (rows-only: MinHash is not SQL-expressible)."""
+    native left_anti join.  SQL-checked since round 3: with the md5be token
+    hash the whole MinHash pipeline is DuckDB-reproducible (_minhash_cte),
+    so the oracle anti-joins the same pair set."""
     from search_engine_ray.dataops.dedup import minhash_lsh_pairs, near_dup_filter
 
     docs = _docs_ds(sf_dir)
-    pairs = minhash_lsh_pairs(docs, threshold=0.6)
+    pairs = minhash_lsh_pairs(docs, threshold=0.6, hash_kind="md5be")
     return near_dup_filter(docs, pairs).select_columns(["doc_id"])
 
 
@@ -611,10 +613,32 @@ def q_simhash(sf_dir: str):
     return simhash(_docs_ds(sf_dir))
 
 
-def q_minhash_pairs(sf_dir: str):
+def q_minhash_pairs(sf_dir: str) -> pa.Table:
+    """MinHash+LSH near-dup pairs, SQL-checked since round 3: with
+    hash_kind="md5be" every stage (md5be token hash, rolling k=3 shingles
+    mod 2^64, 64-perm minhash mod 2^61-1, 16-band xor banding, max_bucket
+    cap, signature-lane verification) is reproduced bit-exactly in DuckDB
+    by _minhash_cte() — the r2 'MinHash is not SQL-expressible' note held
+    only for the blake2b fast default."""
     from search_engine_ray.dataops.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_docs_ds(sf_dir), threshold=0.6)
+    out = minhash_lsh_pairs(_docs_ds(sf_dir), threshold=0.6, hash_kind="md5be")
+    batches = [pa.table(b) for b in out.iter_batches(batch_size=None, batch_format="pyarrow")]
+    batches = [b for b in batches if b.num_rows]
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("est_jaccard", pa.float64())])
+    tbl = (
+        pa.concat_tables([b.select(["a", "b", "est_jaccard"]).cast(schema) for b in batches])
+        if batches
+        else schema.empty_table()
+    )
+    tbl = tbl.sort_by([("a", "ascending"), ("b", "ascending")])
+    return pa.table(
+        {
+            "a": tbl["a"],
+            "b": tbl["b"],
+            "est_jaccard_micros": pa.array(_micros(np.asarray(tbl["est_jaccard"]))),
+        }
+    )
 
 
 def q_fingerprints(sf_dir: str):
@@ -1027,6 +1051,107 @@ def _simhash_sql() -> str:
     """
 
 
+def _minhash_cte(threshold: float = 0.6) -> str:
+    """WITH-clause chain reproducing dedup.minhash_lsh_pairs(hash_kind=
+    "md5be", num_perm=64, bands=16, shingle_k=3, max_bucket=256, seed=13)
+    bit-exactly in DuckDB, ending in a ``pairs(a, b, est_jaccard_micros)``
+    CTE:
+
+    - md5be token hash  = ('0x' || substr(md5(t),1,16))::UBIGINT (the same
+      first-8-bytes-big-endian int the engine computes);
+    - rolling k=3 shingle hash acc = acc*M + t mod 2^64 via UHUGEINT (M =
+      0x9E3779B97F4A7C15), with the short_mode="whole" 1-2-token fallback;
+    - 64 minhash lanes min((a_i*sh + b_i) mod 2^61-1) — a_i/b_i are the
+      LITERAL coefficients from the engine's seeded rng, embedded below;
+    - banding: band = lane//4, band_hash = bit_xor(mv * C mod 2^64) with
+      C = 0xC2B2AE3D27D4EB4F; buckets > max_bucket dropped;
+    - verification: est_jaccard = matching-lane fraction >= threshold,
+      emitted as exact micros (n_match * 15625 for 64 lanes)."""
+    from search_engine_ray.dataops.dedup import MinHasher
+
+    m = MinHasher(seed=13)
+    perm_rows = ",".join(
+        f"({i},{int(a)}::UBIGINT,{int(b)}::UBIGINT)"
+        for i, (a, b) in enumerate(zip(m.a, m.b))
+    )
+    W = "18446744073709551616::UHUGEINT"  # 2^64
+    M = "11400714819323198485::UHUGEINT"  # 0x9E3779B97F4A7C15
+    C = "14029467366897019727::UHUGEINT"  # 0xC2B2AE3D27D4EB4F
+    MERS = "2305843009213693951::UHUGEINT"  # 2^61 - 1
+
+    def h(expr: str) -> str:
+        return f"('0x' || substr(md5({expr}), 1, 16))::UBIGINT"
+
+    return f"""
+        tl AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tks
+          FROM documents
+        ),
+        tok AS (
+          SELECT doc_id, unnest(tks) AS t, unnest(generate_series(1, len(tks))) AS pos
+          FROM tl WHERE len(tks) >= 3
+        ),
+        th AS (SELECT doc_id, pos, {h("t")} AS hh FROM tok),
+        sh3 AS (
+          SELECT x.doc_id, CAST((
+                ((((x.hh::UHUGEINT * {M}) % {W}) * {M}) % {W})
+              + ((y.hh::UHUGEINT * {M}) % {W})
+              + z.hh::UHUGEINT) % {W} AS UBIGINT) AS sh
+          FROM th x
+          JOIN th y ON y.doc_id = x.doc_id AND y.pos = x.pos + 1
+          JOIN th z ON z.doc_id = x.doc_id AND z.pos = x.pos + 2
+        ),
+        shshort AS (
+          SELECT doc_id,
+                 CASE WHEN len(tks) = 1 THEN {h("tks[1]")}
+                 ELSE CAST((({h("tks[1]")}::UHUGEINT * {M}) % {W}
+                           + {h("tks[2]")}::UHUGEINT) % {W} AS UBIGINT) END AS sh
+          FROM tl WHERE len(tks) BETWEEN 1 AND 2
+        ),
+        shingles AS (
+          SELECT DISTINCT doc_id, sh
+          FROM (SELECT * FROM sh3 UNION ALL SELECT * FROM shshort)
+        ),
+        perms(i, ca, cb) AS (VALUES {perm_rows}),
+        mh AS (
+          -- the engine's numpy kernel computes (a*sh + b) in WRAPPING
+          -- uint64 arithmetic before the mod 2^61-1, so the oracle wraps
+          -- identically: ((a*sh mod 2^64) + b) mod 2^64, then mod 2^61-1
+          SELECT s.doc_id, p.i,
+                 min(CAST((((p.ca::UHUGEINT * s.sh::UHUGEINT) % {W}
+                            + p.cb::UHUGEINT) % {W}) % {MERS} AS UBIGINT)) AS mv
+          FROM shingles s CROSS JOIN perms p
+          GROUP BY s.doc_id, p.i
+        ),
+        bh AS (
+          SELECT doc_id, i // 4 AS band,
+                 bit_xor(CAST((mv::UHUGEINT * {C}) % {W} AS UBIGINT)) AS band_hash
+          FROM mh GROUP BY doc_id, i // 4
+        ),
+        bsz AS (SELECT band, band_hash, count(*) AS sz FROM bh GROUP BY band, band_hash),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bh x
+          JOIN bh y ON y.band = x.band AND y.band_hash = x.band_hash
+                    AND x.doc_id < y.doc_id
+          JOIN bsz z ON z.band = x.band AND z.band_hash = x.band_hash
+          WHERE z.sz <= 256
+        ),
+        est AS (
+          SELECT c.a, c.b, sum(CASE WHEN ma.mv = mb.mv THEN 1 ELSE 0 END) AS n_match
+          FROM cand c
+          JOIN mh ma ON ma.doc_id = c.a
+          JOIN mh mb ON mb.doc_id = c.b AND mb.i = ma.i
+          GROUP BY c.a, c.b
+        ),
+        pairs AS (
+          SELECT a, b, CAST(n_match * 15625 AS BIGINT) AS est_jaccard_micros
+          FROM est WHERE (n_match / 64.0) >= {threshold}
+        )
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     micros = _SQL_MICROS
     return {
@@ -1049,6 +1174,17 @@ def oracle_sql() -> dict[str, str]:
             FROM derived x JOIN derived y ON x.vec_id < y.vec_id
             WHERE list_cosine_similarity(x.e, y.e) >= 0.9
             ORDER BY a, b
+        """,
+        # full MinHash+LSH reproduction (md5be hash kind); see _minhash_cte
+        "minhash_pairs": f"""
+            WITH {_minhash_cte(threshold=0.6)}
+            SELECT a, b, est_jaccard_micros FROM pairs ORDER BY a, b
+        """,
+        # greedy near-dup filter = drop every doc appearing as the higher id
+        "near_dup_apply": f"""
+            WITH {_minhash_cte(threshold=0.6)}
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT b FROM pairs)
         """,
         "redact_pii": _redact_sql(),
         "decontaminate": _decontaminate_sql(),

@@ -199,7 +199,7 @@ class MinHasher:
     the LSH shuffle moves ~20 bytes/band-row instead of the full signature
     (the round-1 shape duplicated ~8 KiB/doc through the exchange)."""
 
-    def __init__(self, num_perm: int = 64, shingle_k: int = 3, text_column: str = "text", id_column: str = "doc_id", seed: int = 13):
+    def __init__(self, num_perm: int = 64, shingle_k: int = 3, text_column: str = "text", id_column: str = "doc_id", seed: int = 13, hash_kind: str = "blake2b"):
         rng = np.random.default_rng(seed)
         self.a = rng.integers(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
         self.b = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
@@ -207,13 +207,16 @@ class MinHasher:
         self.shingle_k = shingle_k
         self.text_column = text_column
         self.id_column = id_column
+        # "md5be" makes the whole MinHash+LSH pipeline SQL-reproducible
+        # (see __ray_entry__._minhash_sql); "blake2b" is the fast default
+        self.hash_kind = hash_kind
 
     def signatures(self, texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
         """(sigs (n, num_perm) uint64, has_shingles bool) per doc.  Docs
         with no shingles (empty) keep the all-max sentinel signature and are
         excluded from banding — an all-empty corpus must not form one
         degenerate O(m^2) bucket (ADVICE r1)."""
-        tok, offs = _token_lists(texts)
+        tok, offs = _token_lists(texts, hash_kind=self.hash_kind)
         sh, sh_offs = _shingle_hashes(tok, offs, self.shingle_k, short_mode="whole")
         n_docs = len(sh_offs) - 1
         sigs = np.full((n_docs, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
@@ -251,6 +254,7 @@ def minhash_signatures(
     text_column: str = "text",
     id_column: str = "doc_id",
     seed: int = 13,
+    hash_kind: str = "blake2b",
 ) -> ray.data.Dataset:
     """(doc_id, sig, has_shingles) — one row per doc."""
     return ds.map_batches(
@@ -258,6 +262,7 @@ def minhash_signatures(
         fn_constructor_kwargs=dict(
             num_perm=num_perm, shingle_k=shingle_k,
             text_column=text_column, id_column=id_column, seed=seed,
+            hash_kind=hash_kind,
         ),
         batch_format="pyarrow",
         concurrency=(1, 8),
@@ -322,6 +327,7 @@ def minhash_lsh_pairs(
     join_partitions: int = 16,
     sig_dir: str | None = None,
     seed: int = 13,
+    hash_kind: str = "blake2b",
 ) -> ray.data.Dataset:
     """Near-dup pairs (a, b, est_jaccard) with est >= threshold.
 
@@ -352,6 +358,7 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(
         ds, num_perm=num_perm, shingle_k=shingle_k,
         text_column=text_column, id_column=id_column, seed=seed,
+        hash_kind=hash_kind,
     )
     if sig_dir is not None:
         # the signature table is a DERIVED artifact: always overwrite —
