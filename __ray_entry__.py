@@ -11,8 +11,10 @@ oracle_sql() — DuckDB-equivalent SQL for every SQL-expressible query.
                Float outputs are returned as BIGINT micros
                (floor(x*1e6 + 0.5)) on BOTH sides so value-hashes cannot
                diverge on float formatting; genuinely non-SQL ops (Porter
-               stemming, WAND, MinHash, SimHash, LSH, fingerprints, media
-               decode) are rows-only by design.
+               stemming, WAND, fingerprints, media decode) are rows-only —
+               self-checking against the in-repo oracle where possible.
+               SimHash, MinHash+LSH (md5be hash kind), and k-means
+               assignment ARE reproduced in DuckDB and value-hash checked.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ray.init()/ray.shutdown().
@@ -580,23 +582,49 @@ def q_bm25_qtf_top10(sf_dir: str) -> pa.Table:
 # ---- rows-only queries (non-SQL-expressible by design) ----
 
 def q_bm25_stemmed_wand(sf_dir: str) -> pa.Table:
-    """Full reference options (Porter stemming) + block-max WAND top-k."""
+    """Full reference options (Porter stemming) + block-max WAND top-k.
+
+    Porter + WAND are not SQL-expressible, so since round 3 this gate is
+    self-checking golden-grade (like bm25adpt_top10): the block-max WAND
+    result must be bit-identical to the in-repo oracle transcription's
+    exhaustive TAAT BM25 (built fresh from documents.parquet with the same
+    stemming options) before anything is returned — pinning the stemmed
+    end-to-end path through the driver, not just through pytest."""
+    import pyarrow.parquet as pq
+
     from search_engine_ray.config import BM25Params
     from search_engine_ray.engine.scoring import wand_topk
+    from search_engine_ray.oracle.indexer import OracleIndex
+    from search_engine_ray.oracle.scorers import score_bm25
 
-    r = _reader(sf_dir, OPT_FULL)
-    rows = {"topic": [], "doc_id": [], "rank": [], "score": []}
-    for topic, kws in [
+    topics = [
         (1, [("spark", 1), ("hash", 2)]),
         (2, [("window", 1), ("join", 1), ("tabl", 1)]),
         (3, [("valu", 1)]),
-    ]:
+    ]
+    r = _reader(sf_dir, OPT_FULL)
+    rows = {"topic": [], "doc_id": [], "rank": [], "score": []}
+    engine_runs: dict[int, list[tuple[str, float]]] = {}
+    for topic, kws in topics:
         ids, scores = wand_topk(r, kws, BM25Params(), 20, kind="bm25")
+        engine_runs[topic] = [(str(r.doc_names[d]), float(s)) for d, s in zip(ids, scores)]
         for rank, (d, s) in enumerate(zip(ids, scores), 1):
             rows["topic"].append(topic)
             rows["doc_id"].append(int(r.doc_names[d]))
             rows["rank"].append(rank)
             rows["score"].append(float(s))
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    oracle = OracleIndex(options=OPT_FULL)
+    for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        oracle.add_document(str(d), t)
+    for topic, kws in topics:
+        expected = [(n, float(s)) for n, s in score_bm25(oracle, kws, k=20)]
+        if engine_runs[topic] != expected:
+            raise AssertionError(
+                f"stemmed WAND != oracle TAAT for topic {topic}:\n"
+                f"  engine={engine_runs[topic]}\n  oracle={expected}"
+            )
     return pa.table(
         {
             "topic": pa.array(rows["topic"], pa.int64()),
@@ -937,6 +965,119 @@ def entry() -> Any:
     return search_topics(index_dir, topics, scorer="bm25", run_name="flagship", k=100)
 
 
+_STRATA = {"src0": 1.0, "src1": 0.5, "src2": 0.2}
+
+
+def q_stratified_sample(sf_dir: str):
+    """Per-source deterministic sampling (different keep-fraction per
+    stratum) — same overflow-safe id-hash as sample_docs, so the SQL
+    oracle evaluates the identical expression."""
+    from search_engine_ray.dataops.sample import stratified_sample
+
+    return stratified_sample(
+        _docs_ds(sf_dir), "source", _STRATA, default_fraction=0.05
+    ).select_columns(["doc_id", "source"])
+
+
+def q_source_stats(sf_dir: str) -> pa.Table:
+    """Per-source corpus profile (count, length sum/mean) via ONE native
+    groupby multi-aggregate — the grouped-statistics primitive every
+    curation report needs."""
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+    out = (
+        _docs_ds(sf_dir)
+        .select_columns(["source", "n_chars"])
+        .groupby("source")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="sum_chars"),
+            Min("n_chars", alias_name="min_chars"),
+            Max("n_chars", alias_name="max_chars"),
+            Mean("n_chars", alias_name="mean_chars"),
+        )
+        .to_pandas()
+        .sort_values("source")
+    )
+    return pa.table(
+        {
+            "source": pa.array(out["source"], pa.string()),
+            "n_docs": pa.array(out["n_docs"].astype(np.int64)),
+            "sum_chars": pa.array(out["sum_chars"].astype(np.int64)),
+            "min_chars": pa.array(out["min_chars"].astype(np.int64)),
+            "max_chars": pa.array(out["max_chars"].astype(np.int64)),
+            "mean_chars_micros": pa.array(_micros(out["mean_chars"].to_numpy())),
+        }
+    )
+
+
+def q_paragraph_dedup(sf_dir: str):
+    """Paragraph-level exact dedup: one row per distinct paragraph with its
+    first-(doc_id, para_idx) keeper and copy count — SQL-checked (explode
+    with ordinality + GROUP BY md5 + combined-key min in DuckDB)."""
+    from search_engine_ray.dataops.dedup import paragraph_dedup
+
+    return paragraph_dedup(_docs_ds(sf_dir))
+
+
+def q_token_quantiles(sf_dir: str) -> pa.Table:
+    """Exact distributed quantiles of the per-doc token count
+    (percentile_disc semantics) — value-count partials, one groupby over
+    the distinct counts, driver sees only the tiny histogram."""
+    from search_engine_ray.dataops.sample import exact_int_quantiles
+    from search_engine_ray.dataops.textstats import token_counts
+
+    return exact_int_quantiles(token_counts(_docs_ds(sf_dir)), "n_tokens")
+
+
+_KMEANS_K = 4
+
+
+def q_kmeans_assign(sf_dir: str):
+    """Nearest-centroid assignment with the k lowest-id embeddings as
+    centroids — SQL-checked: argmin of L2 distance with ties -> lowest
+    cluster id is reproducible in DuckDB (list_distance + row_number)."""
+    from search_engine_ray.dataops.cluster import _init_centroids, kmeans_assign
+
+    ds = read_parquet_clean(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    cents = _init_centroids(ds, _KMEANS_K, "embedding", "vec_id")
+    out = kmeans_assign(ds, cents)
+
+    def widen(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].combine_chunks().cast(pa.int64()),
+                "cluster": batch["cluster"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(widen, batch_format="pyarrow")
+
+
+def q_kmeans(sf_dir: str):
+    """Full distributed Lloyd's (k=4, 3 iterations, lowest-id init) —
+    rows-only through the driver; exact assignment equality vs a
+    single-machine numpy reference is pinned in tests/test_dataops.py."""
+    from search_engine_ray.dataops.cluster import kmeans_fit
+
+    ds = read_parquet_clean(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    _, assign = kmeans_fit(ds, k=_KMEANS_K, n_iter=3)
+
+    def widen(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].combine_chunks().cast(pa.int64()),
+                "cluster": batch["cluster"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    return assign.map_batches(widen, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats": q_doc_stats,
@@ -979,7 +1120,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (non-SQL-expressible); bm25adpt_top10 self-checks
         # bit-identity against the in-repo oracle transcription
         "bm25adpt_top10": q_bm25adpt_top10,
+        "paragraph_dedup": q_paragraph_dedup,
+        "token_quantiles": q_token_quantiles,
+        "kmeans_assign": q_kmeans_assign,
+        "stratified_sample": q_stratified_sample,
+        "source_stats": q_source_stats,
         "bm25_stemmed_wand": q_bm25_stemmed_wand,
+        "kmeans": q_kmeans,
         "near_dup_apply": q_near_dup_apply,
         "minhash_pairs": q_minhash_pairs,
         "fingerprints": q_fingerprints,
@@ -1174,6 +1321,69 @@ def oracle_sql() -> dict[str, str]:
             FROM derived x JOIN derived y ON x.vec_id < y.vec_id
             WHERE list_cosine_similarity(x.e, y.e) >= 0.9
             ORDER BY a, b
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, source FROM documents
+            WHERE ((doc_id % 100003) * 2654435761 + 12345) % 1000000 <
+              CASE source
+                WHEN 'src0' THEN {int(round(_STRATA["src0"] * 1_000_000))}
+                WHEN 'src1' THEN {int(round(_STRATA["src1"] * 1_000_000))}
+                WHEN 'src2' THEN {int(round(_STRATA["src2"] * 1_000_000))}
+                ELSE 50000 END
+        """,
+        "source_stats": f"""
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(min(n_chars) AS BIGINT) AS min_chars,
+                   CAST(max(n_chars) AS BIGINT) AS max_chars,
+                   {micros.format(expr="avg(n_chars)")} AS mean_chars_micros
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        # explode paragraphs with ordinality, GROUP BY md5, combined-key min
+        "paragraph_dedup": """
+            WITH pl AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS para,
+                     unnest(generate_series(1, len(string_split(text, chr(10))))) AS idx
+              FROM documents
+            ),
+            g AS (
+              SELECT md5(para) AS para_key,
+                     min(doc_id * 1000000 + idx) AS keep,
+                     count(*) AS n_copies
+              FROM pl WHERE para <> '' GROUP BY md5(para)
+            )
+            SELECT para_key,
+                   keep // 1000000 AS keep_doc_id,
+                   keep % 1000000 AS keep_para_idx,
+                   CAST(n_copies AS BIGINT) AS n_copies
+            FROM g
+        """,
+        "token_quantiles": """
+            WITH tc AS (
+              SELECT len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n
+              FROM documents
+            )
+        """
+        + " UNION ALL ".join(
+            f"SELECT {int(q * 1_000_000)} AS q_micros, "
+            f"CAST(percentile_disc({q}) WITHIN GROUP (ORDER BY n) AS BIGINT) AS value FROM tc"
+            for q in (0.25, 0.5, 0.75, 0.9, 0.99)
+        ),
+        "kmeans_assign": f"""
+            WITH emb AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            cents AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e
+              FROM emb ORDER BY vec_id LIMIT {_KMEANS_K}),
+            d AS (
+              SELECT emb.vec_id, c.cid, list_distance(emb.e, c.e) AS dist
+              FROM emb CROSS JOIN cents c)
+            SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+              FROM d) WHERE rn = 1
         """,
         # full MinHash+LSH reproduction (md5be hash kind); see _minhash_cte
         "minhash_pairs": f"""

@@ -158,10 +158,12 @@ def run_benchmarks() -> dict:
     # whole round, a real regression hits one op across all rounds.
     # quality_scores is the untouched CONTROL — its ratio vs the recorded
     # quiet-window baseline is emitted so readers can normalize the rest.
+    from search_engine_ray.dataops.cluster import kmeans_fit
     from search_engine_ray.dataops.dedup import (
         exact_dedup,
         exact_dedup_apply,
         minhash_lsh_pairs,
+        paragraph_dedup,
         simhash,
     )
     from search_engine_ray.dataops.similarity import (
@@ -196,6 +198,8 @@ def run_benchmarks() -> dict:
         ("knn_brute_force", lambda: knn_brute_force(emb_ds, queries, k=10)),
         ("ann_ivf_build", _ivf_build),
         ("ann_ivf_probe", lambda: knn_ivf_probe(ivf_dir, queries, k=10, nprobe=4)),
+        ("paragraph_dedup", lambda: paragraph_dedup(docs_ds).count()),
+        ("kmeans_fit_k8x3", lambda: kmeans_fit(emb_ds, k=8, n_iter=3)[1].count()),
     ]
     n_rounds = int(os.environ.get("SE_RAY_BENCH_OP_ROUNDS", "2"))
     samples: dict[str, list[float]] = {name: [] for name, _ in ops}

@@ -1,0 +1,154 @@
+"""Distributed k-means clustering over an embedding column.
+
+Ray-Data-first shape for the iterative workload a curation pipeline needs
+(topic bucketing, diversity sampling, IVF coarse quantizers):
+
+- assignment is a stateless vectorized ``map_batches`` pass against the
+  CURRENT centroids, broadcast once per iteration via ``ray.put`` (never
+  re-shipped per batch: the actual matrix rides in the object store, the
+  closure only carries the ObjectRef);
+- the centroid update never funnels vectors to the driver: each batch
+  emits k partial (cluster, sum_vec, count) rows, one native groupby
+  per-cluster ``map_groups`` folds the ~n_batches partials per cluster,
+  and ONLY the k folded rows (k x dim floats) reach the driver;
+- iterations are driver-side Python over k-row tables — the corpus is
+  re-streamed per iteration, exactly how an out-of-core Lloyd's must run
+  at 100 TB (no materialized intermediate grows with the input).
+
+Determinism: init is the k lowest-id vectors (no RNG); assignment argmin
+ties break to the lowest cluster id.  Partial-sum fold order can differ
+across runs by float ulps; with real data the inter-centroid margins are
+many orders of magnitude above ulp noise, so assignments are stable (the
+pytest oracle asserts exact assignment equality vs a single-machine numpy
+Lloyd's).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _matrix(batch: pa.Table, column: str) -> np.ndarray:
+    col = batch[column]
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = np.asarray(col.values, dtype=np.float64)
+    return flat.reshape(batch.num_rows, -1)
+
+
+def _assign(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    # squared L2 via the expansion; argmin ties -> lowest cluster id
+    # (np.argmin returns the first minimal index)
+    d2 = (m * m).sum(axis=1)[:, None] - 2.0 * (m @ cents.T) + (cents * cents).sum(axis=1)[None, :]
+    return np.argmin(d2, axis=1).astype(np.int32)
+
+
+def kmeans_assign(
+    ds: ray.data.Dataset,
+    centroids: np.ndarray,
+    column: str = "embedding",
+    id_column: str = "vec_id",
+) -> ray.data.Dataset:
+    """(id, cluster) assignment of every vector to its nearest centroid.
+
+    The centroid matrix is broadcast once (``ray.put``); each batch is one
+    matmul.  SQL-checkable: with given centroids the argmin of squared L2
+    is reproducible in DuckDB (ties -> lowest cluster id)."""
+    cents_ref = ray.put(np.ascontiguousarray(centroids, dtype=np.float64))
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cents_ref)
+        a = _assign(_matrix(batch, column), cents)
+        return pa.table(
+            {
+                id_column: batch[id_column],
+                "cluster": pa.array(a, pa.int32()),
+            }
+        )
+
+    return ds.map_batches(assign_batch, batch_format="pyarrow")
+
+
+def _init_centroids(
+    ds: ray.data.Dataset, k: int, column: str, id_column: str
+) -> np.ndarray:
+    """Deterministic init: the k vectors with the LOWEST ids, via the
+    distributed ascending top-k (never a driver-side scan)."""
+    from .sample import topk_by
+
+    head = topk_by(
+        ds.select_columns([id_column, column]),
+        value_column=id_column,
+        k=k,
+        ascending=True,
+        id_column=id_column,
+    )
+    m = _matrix(head, column)
+    if len(m) < k:
+        raise ValueError(f"kmeans: k={k} but only {len(m)} vectors")
+    return m
+
+
+def kmeans_fit(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    n_iter: int = 5,
+    column: str = "embedding",
+    id_column: str = "vec_id",
+) -> tuple[np.ndarray, ray.data.Dataset]:
+    """Lloyd's iterations; returns (centroids (k, dim), assignment Dataset).
+
+    Per iteration: broadcast centroids -> per-batch partial (cluster,
+    sum_vec, count) -> groupby(cluster).map_groups fold -> k rows to the
+    driver -> update.  An empty cluster keeps its previous centroid (no
+    resampling — deterministic)."""
+    cents = _init_centroids(ds, k, column, id_column)
+    dim = cents.shape[1]
+
+    for _ in range(n_iter):
+        cents_ref = ray.put(cents)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            c = ray.get(cents_ref)
+            m = _matrix(batch, column)
+            a = _assign(m, c)
+            sums = np.zeros((k, dim), dtype=np.float64)
+            np.add.at(sums, a, m)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            nz = np.flatnonzero(counts)
+            return pa.table(
+                {
+                    "cluster": pa.array(nz.astype(np.int32)),
+                    "psum": pa.FixedSizeListArray.from_arrays(
+                        pa.array(sums[nz].ravel()), dim
+                    ),
+                    "pcount": pa.array(counts[nz]),
+                }
+            )
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            s = np.sum(np.stack(g["psum"].to_numpy()), axis=0)
+            return pd.DataFrame(
+                {
+                    "cluster": [g["cluster"].iloc[0]],
+                    "psum": [s],
+                    "pcount": [int(g["pcount"].sum())],
+                }
+            )
+
+        folded = (
+            ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("cluster")
+            .map_groups(fold, batch_format="pandas")
+            .to_pandas()  # k rows — the ONLY driver materialization
+        )
+        new = cents.copy()
+        for _, row in folded.iterrows():
+            if row["pcount"] > 0:
+                new[int(row["cluster"])] = np.asarray(row["psum"]) / row["pcount"]
+        cents = new
+
+    return cents, kmeans_assign(ds, cents, column=column, id_column=id_column)

@@ -133,3 +133,82 @@ def topk_by(
     ids = np.asarray(allp[id_column], dtype=np.int64)
     order = np.lexsort((ids, vals if ascending else -vals))[:k]
     return allp.take(pa.array(order))
+
+
+def exact_int_quantiles(
+    ds: ray.data.Dataset,
+    column: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+) -> pa.Table:
+    """EXACT quantiles of an integer-valued column (discrete percentile,
+    ``percentile_disc`` semantics: the smallest value whose cumulative
+    count reaches ceil(q * n)).
+
+    Distributed shape: per-batch value-count partials (np.unique) -> ONE
+    native groupby sum over the DISTINCT values -> the tiny (value, count)
+    histogram on the driver.  Exactness costs one shuffle of
+    #distinct-values rows — for the bounded-cardinality columns this is
+    meant for (token counts, doc lengths, quality buckets) that is
+    thousands of rows at any corpus scale, never the corpus itself.  For
+    unbounded/continuous columns use a sketch instead (not implemented —
+    approximate answers cannot be oracle-checked)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals, counts = np.unique(np.asarray(batch[column], dtype=np.int64), return_counts=True)
+        return pa.table({"value": pa.array(vals), "cnt": pa.array(counts.astype(np.int64))})
+
+    hist = (
+        ds.select_columns([column])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("value")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    t = pa.concat_tables(
+        [pa.table(b) for b in hist.iter_batches(batch_size=None, batch_format="pyarrow")]
+    ).sort_by([("value", "ascending")])
+    values = np.asarray(t["value"], dtype=np.int64)
+    counts = np.asarray(t["cnt"], dtype=np.int64)
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        if n == 0:
+            continue
+        target = max(1, int(np.ceil(q * n)))
+        idx = int(np.searchsorted(cum, target, side="left"))
+        out_q.append(int(round(q * 1_000_000)))
+        out_v.append(int(values[min(idx, len(values) - 1)]))
+    return pa.table(
+        {"q_micros": pa.array(out_q, pa.int64()), "value": pa.array(out_v, pa.int64())}
+    )
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    key_column: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    id_column: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-stratum deterministic sampling: keep a different fraction of
+    rows per key (e.g. downsample web text to 10% but keep 100% of books).
+    The id-hash is the SAME stable hash as ``deterministic_sample``, so the
+    kept set is reproducible across runs, partitionings, and cluster
+    sizes, and the whole operator is one shuffle-free per-batch filter —
+    the per-key thresholds ride into every task as a plain dict (bytes,
+    not a broadcast join)."""
+    thresholds = {k: int(round(f * _M)) for k, f in fractions.items()}
+    default_threshold = int(round(default_fraction * _M))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        h = sample_hash(np.asarray(batch[id_column], dtype=np.int64))
+        keys = batch[key_column].to_pylist()
+        thr = np.fromiter(
+            (thresholds.get(k, default_threshold) for k in keys),
+            dtype=np.int64,
+            count=len(keys),
+        )
+        return batch.filter(pa.array(h < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

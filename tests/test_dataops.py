@@ -704,3 +704,138 @@ def test_connected_components_and_exact_filter(docs_ds, docs_tbl, ray_session):
                   "est_jaccard": pa.array([], pa.float64())})
     )
     assert near_dup_filter(docs_ds, nothing, mode="exact").count() == len(all_ids)
+
+
+def test_paragraph_dedup(docs_ds, docs_tbl, ray_session):
+    """Distributed paragraph dedup vs a driver-side exact computation, plus
+    the boilerplate case: a paragraph shared by many docs keeps exactly its
+    first (doc_id, para_idx) occurrence."""
+    import ray.data
+
+    from search_engine_ray.dataops.dedup import paragraph_dedup
+
+    got = paragraph_dedup(docs_ds).to_pandas().set_index("para_key").sort_index()
+
+    expected = {}
+    for doc_id, text in zip(
+        docs_tbl["doc_id"].to_pylist(), docs_tbl["text"].to_pylist()
+    ):
+        for idx, para in enumerate((text or "").split("\n"), 1):
+            if not para:
+                continue
+            key = hashlib.md5(para.encode()).hexdigest()
+            prev = expected.get(key)
+            cand = (doc_id, idx)
+            if prev is None:
+                expected[key] = [cand, 1]
+            else:
+                expected[key][1] += 1
+                if cand < prev[0]:
+                    expected[key][0] = cand
+    assert len(got) == len(expected)
+    for key, ((d, i), n) in expected.items():
+        row = got.loc[key]
+        assert (int(row["keep_doc_id"]), int(row["keep_para_idx"]), int(row["n_copies"])) == (d, i, n)
+
+    # boilerplate: the same footer in every doc -> one survivor, first doc
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([7, 3, 9], pa.int64()),
+            "text": pa.array(
+                ["body a\nSHARED FOOTER", "body b\nSHARED FOOTER", "\nSHARED FOOTER"]
+            ),
+        }
+    )
+    out = paragraph_dedup(ray.data.from_arrow(tbl)).to_pandas()
+    footer = out[out["n_copies"] == 3]
+    assert len(footer) == 1
+    assert int(footer.iloc[0]["keep_doc_id"]) == 3 and int(footer.iloc[0]["keep_para_idx"]) == 2
+
+
+def test_exact_int_quantiles(docs_ds, docs_tbl, ray_session):
+    from search_engine_ray.dataops.sample import exact_int_quantiles
+    from search_engine_ray.dataops.textstats import token_counts
+
+    qs = (0.25, 0.5, 0.75, 0.9, 0.99)
+    got = exact_int_quantiles(token_counts(docs_ds), "n_tokens", qs=qs)
+    counts = np.sort(
+        np.array([len([t for t in (x or "").split() if t]) for x in docs_tbl["text"].to_pylist()])
+    )
+    n = len(counts)
+    for q_micros, value in zip(got["q_micros"].to_pylist(), got["value"].to_pylist()):
+        q = q_micros / 1e6
+        # percentile_disc: value at ordinal ceil(q*n), 1-based
+        exp = counts[max(1, int(np.ceil(q * n))) - 1]
+        assert value == exp, (q, value, exp)
+
+
+def test_kmeans_matches_numpy_reference(emb_ds, emb_tbl, ray_session):
+    """Distributed Lloyd's == single-machine numpy Lloyd's: same init (k
+    lowest ids), same iteration count -> identical assignments and
+    centroids (to float tolerance)."""
+    from search_engine_ray.dataops.cluster import kmeans_fit
+
+    k, iters = 4, 3
+    cents, assign = kmeans_fit(emb_ds, k=k, n_iter=iters)
+    got = assign.to_pandas().set_index("vec_id")["cluster"].sort_index()
+
+    ids = np.asarray(emb_tbl["vec_id"].to_pylist())
+    m = np.stack([np.asarray(e, dtype=np.float64) for e in emb_tbl["embedding"].to_pylist()])
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    ref_c = m[:k].copy()
+    for _ in range(iters):
+        d2 = ((m[:, None, :] - ref_c[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        for c in range(k):
+            if (a == c).any():
+                ref_c[c] = m[a == c].mean(axis=0)
+    d2 = ((m[:, None, :] - ref_c[None, :, :]) ** 2).sum(axis=2)
+    ref_a = np.argmin(d2, axis=1)
+
+    np.testing.assert_allclose(cents, ref_c, rtol=1e-9, atol=1e-12)
+    assert (got.loc[ids].to_numpy() == ref_a).all()
+
+
+def test_kmeans_empty_cluster_keeps_centroid(ray_session):
+    """A centroid that captures no points must stay where it was (no NaNs,
+    no resample)."""
+    import ray.data
+
+    from search_engine_ray.dataops.cluster import kmeans_fit
+
+    # vec 0 and 1 are far outliers used as init; all later points cluster
+    # near vec 1's side, so centroid 0 keeps exactly vec 0's position
+    vecs = [[100.0, 100.0], [0.0, 0.0]] + [[0.1 * i, 0.0] for i in range(1, 9)]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(10), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float64())),
+        }
+    )
+    cents, assign = kmeans_fit(ray.data.from_arrow(tbl), k=2, n_iter=2)
+    a = assign.to_pandas().set_index("vec_id")["cluster"]
+    assert a.loc[0] == 0 and (a.drop(0) == 1).all()
+    np.testing.assert_allclose(cents[0], [100.0, 100.0])
+
+
+def test_stratified_sample(docs_ds, docs_tbl, ray_session):
+    """Per-stratum keep-fractions applied via the stable id-hash — exact
+    kept-set equality vs a driver-side evaluation of the same hash."""
+    from search_engine_ray.dataops.sample import sample_hash, stratified_sample
+
+    fr = {"src0": 1.0, "src1": 0.4}
+    got = (
+        stratified_sample(docs_ds, "source", fr, default_fraction=0.1)
+        .to_pandas()["doc_id"]
+        .sort_values()
+        .to_numpy()
+    )
+    ids = np.asarray(docs_tbl["doc_id"].to_pylist())
+    srcs = docs_tbl["source"].to_pylist()
+    thr = np.array([int(round(fr.get(s, 0.1) * 1_000_000)) for s in srcs])
+    exp = np.sort(ids[sample_hash(ids) < thr])
+    assert (got == exp).all()
+    # src0 keeps everything
+    src0 = {i for i, s in zip(ids, srcs) if s == "src0"}
+    assert src0 <= set(got)
