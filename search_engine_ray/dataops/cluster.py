@@ -115,8 +115,12 @@ def kmeans_fit(
             c = ray.get(cents_ref)
             m = _matrix(batch, column)
             a = _assign(m, c)
-            sums = np.zeros((k, dim), dtype=np.float64)
-            np.add.at(sums, a, m)
+            # per-dim bincount beats np.add.at (element-wise fancy-index
+            # scatter) by an order of magnitude at typical batch sizes
+            sums = np.stack(
+                [np.bincount(a, weights=m[:, j], minlength=k) for j in range(dim)],
+                axis=1,
+            )
             counts = np.bincount(a, minlength=k).astype(np.int64)
             nz = np.flatnonzero(counts)
             return pa.table(

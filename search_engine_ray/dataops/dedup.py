@@ -865,8 +865,11 @@ def paragraph_dedup(
             )
         ids = np.repeat(np.asarray(batch[id_column], dtype=np.int64), lens)
         # para_idx counts ALL split slots (1-based), including empty ones,
-        # so the index is derivable in SQL via unnest ordinality
-        idx = np.concatenate([np.arange(1, n + 1) for n in lens]) if len(lens) else np.empty(0, np.int64)
+        # so the index is derivable in SQL via unnest ordinality; one
+        # global-arange-minus-doc-start pass, no per-doc loop
+        total = int(lens.sum())
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1])) if len(lens) else np.empty(0, np.int64)
+        idx = np.arange(1, total + 1) - np.repeat(starts, lens)
         nonempty = np.asarray(pc.greater(pc.binary_length(flat), 0))
         paras = flat.filter(pa.array(nonempty)).to_pylist()
         keys = [hashlib.md5(p.encode("utf-8")).hexdigest() for p in paras]
