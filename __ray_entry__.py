@@ -362,6 +362,17 @@ def q_repetition(sf_dir: str):
     return repetition_stats(_docs_ds(sf_dir))
 
 
+def q_gopher_quality(sf_dir: str):
+    """Gopher-rule quality filter (Rae et al. 2021 App. A1.1) — all nine
+    signal columns plus the pass flag are exact integers/bools, reproduced
+    verbatim in the DuckDB oracle.  min_words/min_stop_words relaxed from
+    the published 50/2 so the synthetic corpus exercises BOTH branches of
+    the flag (334/500 pass at sf0.01)."""
+    from search_engine_ray.dataops.textstats import gopher_quality
+
+    return gopher_quality(_docs_ds(sf_dir), min_words=30, min_stop_words=1)
+
+
 def q_curate(sf_dir: str):
     """The composed curation pipeline end-to-end: exact dedup -> quality
     gate (exact-rational integer comparisons) -> deterministic 50% sample,
@@ -1104,6 +1115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": q_redact_pii,
         "decontaminate": q_decontaminate,
         "repetition": q_repetition,
+        "gopher_quality": q_gopher_quality,
         "docs_per_lang_head": q_docs_per_lang_head,
         "quality_top100": q_quality_top100,
         "events_window": q_events_window,
@@ -1481,6 +1493,51 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": r"""
             SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens FROM documents
+        """,
+        "gopher_quality": r"""
+            WITH wl AS (
+              SELECT doc_id, text,
+                     list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+              FROM documents),
+            words AS (SELECT doc_id, unnest(ws) AS w FROM wl),
+            wstats AS (
+              SELECT doc_id, count(*) AS n_words,
+                     COALESCE(sum(length(w)), 0) AS word_chars,
+                     sum(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1 ELSE 0 END) AS n_alpha_words,
+                     count(DISTINCT CASE WHEN lower(w) IN
+                           ('the','be','to','of','and','that','have','with')
+                           THEN lower(w) END) AS n_stop_words
+              FROM words GROUP BY doc_id),
+            lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS ln FROM wl),
+            lstats AS (
+              SELECT doc_id, count(*) AS n_lines,
+                     sum(CASE WHEN regexp_matches(ln, '^\s*[-*•]') THEN 1 ELSE 0 END) AS n_bullet_lines,
+                     sum(CASE WHEN regexp_matches(ln, '(\.\.\.|…)\s*$') THEN 1 ELSE 0 END) AS n_ellipsis_lines
+              FROM lines GROUP BY doc_id),
+            syms AS (
+              SELECT doc_id,
+                     (length(text) - length(replace(text, '#', '')))
+                     + (length(text) - length(replace(text, '...', ''))) // 3 AS n_symbols
+              FROM documents)
+            SELECT d.doc_id,
+                   COALESCE(w.n_words, 0) AS n_words,
+                   CAST(COALESCE(w.word_chars, 0) AS BIGINT) AS word_chars,
+                   s.n_symbols,
+                   l.n_lines, l.n_bullet_lines, l.n_ellipsis_lines,
+                   CAST(COALESCE(w.n_alpha_words, 0) AS BIGINT) AS n_alpha_words,
+                   COALESCE(w.n_stop_words, 0) AS n_stop_words,
+                   (COALESCE(w.n_words, 0) >= 30 AND COALESCE(w.n_words, 0) <= 100000
+                    AND 3 * COALESCE(w.n_words, 0) <= COALESCE(w.word_chars, 0)
+                    AND COALESCE(w.word_chars, 0) <= 10 * COALESCE(w.n_words, 0)
+                    AND 10 * s.n_symbols < COALESCE(w.n_words, 0)
+                    AND 10 * l.n_bullet_lines < 9 * l.n_lines
+                    AND 10 * l.n_ellipsis_lines < 3 * l.n_lines
+                    AND 5 * COALESCE(w.n_alpha_words, 0) > 4 * COALESCE(w.n_words, 0)
+                    AND COALESCE(w.n_stop_words, 0) >= 1) AS gopher_pass
+            FROM documents d
+            LEFT JOIN wstats w USING (doc_id)
+            JOIN lstats l USING (doc_id)
+            JOIN syms s USING (doc_id)
         """,
         "bpe_token_count": r"""
             SELECT doc_id,

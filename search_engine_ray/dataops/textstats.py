@@ -164,6 +164,103 @@ class LangId:
         )
 
 
+# Gopher quality-filter rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", App. A1.1 — public).
+# All rules are evaluated as EXACT integer comparisons (e.g. mean word
+# length in [3,10] becomes 3*n_words <= word_chars <= 10*n_words) so the
+# SQL oracle hash-matches without float thresholds.
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_STOP_ARR = pa.array(_GOPHER_STOPS, pa.string())
+_BULLET_RE = r"^\s*[-*•]"
+_ELLIPSIS_RE = r"(\.\.\.|…)\s*$"
+
+
+def gopher_quality_batch(
+    batch: pa.Table,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stop_words: int = 2,
+) -> pa.Table:
+    """Gopher-rule quality signals + pass flag, one vectorized pass.
+
+    Counts per doc: whitespace words, their total chars, '#'/'...' symbols,
+    lines, bullet-start lines, ellipsis-end lines, words containing a
+    letter, distinct Gopher stop-words present.  ``gopher_pass`` applies
+    the published thresholds (word count bounds, mean word length 3-10,
+    symbol/word < 0.1, bullet lines < 90%, ellipsis lines < 30%, alpha
+    words > 80%, >= 2 stop words) as integer cross-multiplications."""
+    texts = pc.fill_null(_text_col(batch, text_column), "")
+    n = len(texts)
+
+    # --- words ---
+    lists = pc.split_pattern_regex(texts, pattern=_WS)
+    flat = pc.list_flatten(lists)
+    lens_pre = np.asarray(pc.list_value_length(lists), dtype=np.int64)
+    doc_idx = np.repeat(np.arange(n), lens_pre)
+    nonempty = np.asarray(pc.greater(pc.binary_length(flat), 0))
+    n_words = np.bincount(doc_idx[nonempty], minlength=n).astype(np.int64)
+    wlens = np.asarray(pc.utf8_length(flat), dtype=np.int64)
+    word_chars = np.bincount(doc_idx, weights=wlens, minlength=n).astype(np.int64)
+    has_alpha = np.asarray(pc.match_substring_regex(flat, pattern=r"[A-Za-z]")) & nonempty
+    n_alpha_words = np.bincount(doc_idx[has_alpha], minlength=n).astype(np.int64)
+
+    # --- distinct Gopher stop-words present (dictionary membership) ---
+    low = pc.ascii_lower(flat)
+    stop_hits = np.asarray(pc.fill_null(pc.index_in(low, value_set=_GOPHER_STOP_ARR), -1))
+    hit_mask = stop_hits >= 0
+    if hit_mask.any():
+        # distinct (doc, stop_word) pairs -> per-doc distinct count
+        key = doc_idx[hit_mask] * len(_GOPHER_STOPS) + stop_hits[hit_mask]
+        uniq = np.unique(key)
+        n_stops = np.bincount(uniq // len(_GOPHER_STOPS), minlength=n).astype(np.int64)
+    else:
+        n_stops = np.zeros(n, dtype=np.int64)
+
+    # --- symbols: '#' chars + non-overlapping '...' runs ---
+    n_hash = np.asarray(pc.count_substring(texts, pattern="#"), dtype=np.int64)
+    n_dots = np.asarray(pc.count_substring(texts, pattern="..."), dtype=np.int64)
+    n_symbols = n_hash + n_dots
+
+    # --- lines ---
+    line_lists = pc.split_pattern(texts, pattern="\n")
+    line_flat = pc.list_flatten(line_lists)
+    line_counts = np.asarray(pc.list_value_length(line_lists), dtype=np.int64)
+    line_doc = np.repeat(np.arange(n), line_counts)
+    n_lines = line_counts
+    bullet = np.asarray(pc.match_substring_regex(line_flat, pattern=_BULLET_RE))
+    ellipsis = np.asarray(pc.match_substring_regex(line_flat, pattern=_ELLIPSIS_RE))
+    n_bullet = np.bincount(line_doc[bullet], minlength=n).astype(np.int64)
+    n_ellipsis = np.bincount(line_doc[ellipsis], minlength=n).astype(np.int64)
+
+    gopher_pass = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (3 * n_words <= word_chars)
+        & (word_chars <= 10 * n_words)
+        & (10 * n_symbols < n_words)
+        & (10 * n_bullet < 9 * n_lines)
+        & (10 * n_ellipsis < 3 * n_lines)
+        & (5 * n_alpha_words > 4 * n_words)
+        & (n_stops >= min_stop_words)
+    )
+    return pa.table(
+        {
+            "doc_id": batch[id_column],
+            "n_words": pa.array(n_words),
+            "word_chars": pa.array(word_chars),
+            "n_symbols": pa.array(n_symbols),
+            "n_lines": pa.array(n_lines),
+            "n_bullet_lines": pa.array(n_bullet),
+            "n_ellipsis_lines": pa.array(n_ellipsis),
+            "n_alpha_words": pa.array(n_alpha_words),
+            "n_stop_words": pa.array(n_stops),
+            "gopher_pass": pa.array(gopher_pass),
+        }
+    )
+
+
 def fingerprint_batch(
     batch: pa.Table,
     k: int = 8,
@@ -284,6 +381,10 @@ def bpe_token_counts(ds: ray.data.Dataset, **kw) -> ray.data.Dataset:
 
 def quality_scores(ds: ray.data.Dataset, **kw) -> ray.data.Dataset:
     return ds.map_batches(quality_batch, fn_kwargs=kw, batch_format="pyarrow")
+
+
+def gopher_quality(ds: ray.data.Dataset, **kw) -> ray.data.Dataset:
+    return ds.map_batches(gopher_quality_batch, fn_kwargs=kw, batch_format="pyarrow")
 
 
 def lang_id(ds: ray.data.Dataset, **kw) -> ray.data.Dataset:

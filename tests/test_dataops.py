@@ -839,3 +839,38 @@ def test_stratified_sample(docs_ds, docs_tbl, ray_session):
     # src0 keeps everything
     src0 = {i for i, s in zip(ids, srcs) if s == "src0"}
     assert src0 <= set(got)
+
+
+def test_gopher_quality_rules(ray_session):
+    """Gopher-rule signals on constructed edge cases: bullets, ellipses,
+    symbol density, stop-word diversity, and the empty doc."""
+    import ray.data
+
+    from search_engine_ray.dataops.textstats import gopher_quality
+
+    good = "the quick brown fox jumps over the lazy dog and that have with " * 5
+    bullets = "\n".join("- item %d here" % i for i in range(10))
+    dots = "the and " + "wait... " * 30
+    hashes = "the and " + "# " * 50
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array([good, bullets, dots, hashes, ""]),
+        }
+    )
+    out = (
+        gopher_quality(ray.data.from_arrow(tbl), min_words=30, min_stop_words=2)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert bool(out.loc[0, "gopher_pass"])
+    assert out.loc[0, "n_stop_words"] == 5  # the, and, that, have, with
+    # bullets: every line bullet-started -> fails the 90% bullet rule
+    assert out.loc[1, "n_bullet_lines"] == 10 and not out.loc[1, "gopher_pass"]
+    # ellipsis doc: '...' runs counted non-overlapping, fails symbol ratio
+    assert out.loc[2, "n_symbols"] == 30 and not out.loc[2, "gopher_pass"]
+    # hash doc: 50 '#' vs 52 words -> symbol/word >= 0.1 fails
+    assert out.loc[3, "n_symbols"] == 50 and not out.loc[3, "gopher_pass"]
+    # empty doc: zero everything, one line, fails
+    assert out.loc[4, "n_words"] == 0 and out.loc[4, "n_lines"] == 1
+    assert not out.loc[4, "gopher_pass"]
