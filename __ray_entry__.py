@@ -362,6 +362,68 @@ def q_repetition(sf_dir: str):
     return repetition_stats(_docs_ds(sf_dir))
 
 
+def _derive_url_expr_py(doc_id: np.ndarray, source: list, lang: list) -> list:
+    """The deterministic synthetic url per doc — three shapes covering
+    userinfo+default-port+multi-label-suffix, non-default port+tracking,
+    and a clean https url.  The SQL oracle builds the SAME string."""
+    out = []
+    for d, s, la in zip(doc_id.tolist(), source, lang):
+        m = d % 3
+        if m == 0:
+            out.append(
+                f"HTTPS://User:Pw@WWW.{s}.Example.CO.UK:443/Path/{d}"
+                f"?utm_source=feed&q={la}&utm_medium=x#frag"
+            )
+        elif m == 1:
+            out.append(f"http://{s}.blog.example.com:8080/p/{d}?ref=r&id={d}")
+        else:
+            out.append(f"https://shop.{s}.com.au/{la}")
+    return out
+
+
+def q_url_normalize(sf_dir: str):
+    """URL normalization + host/registered-domain extraction over urls
+    derived deterministically from the documents table (the driver tables
+    carry no url column; the derivation is replicated in the oracle)."""
+    from search_engine_ray.dataops.urlops import url_parts_batch
+
+    def add_url(batch: pa.Table) -> pa.Table:
+        urls = _derive_url_expr_py(
+            np.asarray(batch["doc_id"], dtype=np.int64),
+            batch["source"].to_pylist(),
+            batch["lang"].to_pylist(),
+        )
+        return batch.append_column("url", pa.array(urls, pa.string()))
+
+    ds = _docs_ds(sf_dir).map_batches(add_url, batch_format="pyarrow")
+    return ds.map_batches(
+        url_parts_batch, fn_kwargs=dict(keep_columns=("doc_id",)), batch_format="pyarrow"
+    )
+
+
+def q_domain_cap(sf_dir: str):
+    """Per-registered-domain cap (n=3, ordered by doc_id) over the same
+    derived urls — the head_per_key two-phase shape keyed on domain."""
+    from search_engine_ray.dataops.sample import head_per_key
+    from search_engine_ray.dataops.urlops import url_parts_batch
+
+    def add_url(batch: pa.Table) -> pa.Table:
+        urls = _derive_url_expr_py(
+            np.asarray(batch["doc_id"], dtype=np.int64),
+            batch["source"].to_pylist(),
+            batch["lang"].to_pylist(),
+        )
+        return batch.append_column("url", pa.array(urls, pa.string()))
+
+    ds = _docs_ds(sf_dir).map_batches(add_url, batch_format="pyarrow")
+    parts = ds.map_batches(
+        url_parts_batch, fn_kwargs=dict(keep_columns=("doc_id",)), batch_format="pyarrow"
+    )
+    return head_per_key(parts, "domain", 3, order_column="doc_id").select_columns(
+        ["doc_id", "domain"]
+    )
+
+
 def q_gopher_quality(sf_dir: str):
     """Gopher-rule quality filter (Rae et al. 2021 App. A1.1) — all nine
     signal columns plus the pass flag are exact integers/bools, reproduced
@@ -1116,6 +1178,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "repetition": q_repetition,
         "gopher_quality": q_gopher_quality,
+        "url_normalize": q_url_normalize,
+        "domain_cap": q_domain_cap,
         "docs_per_lang_head": q_docs_per_lang_head,
         "quality_top100": q_quality_top100,
         "events_window": q_events_window,
@@ -1311,6 +1375,52 @@ def _minhash_cte(threshold: float = 0.6) -> str:
     """
 
 
+def _url_parts_sql() -> str:
+    """WITH-chain reproducing dataops.urlops.url_parts_batch over the SAME
+    derived urls as q_url_normalize — patterns imported from the module so
+    Ray and SQL share one source of truth."""
+    from search_engine_ray.dataops.urlops import _SUFFIX_ALT, _TRACKING_RE
+
+    return f"""
+        WITH u AS (
+          SELECT doc_id,
+            CASE doc_id % 3
+              WHEN 0 THEN 'HTTPS://User:Pw@WWW.' || source || '.Example.CO.UK:443/Path/'
+                          || doc_id || '?utm_source=feed&q=' || lang || '&utm_medium=x#frag'
+              WHEN 1 THEN 'http://' || source || '.blog.example.com:8080/p/' || doc_id
+                          || '?ref=r&id=' || doc_id
+              ELSE 'https://shop.' || source || '.com.au/' || lang
+            END AS url
+          FROM documents),
+        ext AS (
+          SELECT doc_id,
+            lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+            lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)) AS auth0,
+            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^#]*)', 1) AS rest0
+          FROM u),
+        noport AS (
+          SELECT doc_id, scheme, rest0,
+            CASE WHEN (scheme = 'http' AND regexp_matches(a1, ':80$'))
+                   OR (scheme = 'https' AND regexp_matches(a1, ':443$'))
+                 THEN regexp_replace(a1, ':[0-9]+$', '') ELSE a1 END AS auth
+          FROM (SELECT *, regexp_replace(auth0, '^[^/@]*@', '') AS a1 FROM ext)),
+        cleaned AS (
+          SELECT doc_id, scheme, auth,
+            regexp_replace(auth, ':[0-9]+$', '') AS host,
+            regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(rest0, '{_TRACKING_RE}', '\\1', 'g'),
+              '\\?&', '?', 'g'), '&&+', '&', 'g'), '[?&]$', '') AS rest
+          FROM noport),
+        parts AS (
+          SELECT doc_id, scheme || '://' || auth || rest AS url_norm, host,
+            COALESCE(
+              NULLIF(regexp_extract(host, '([^.]+\\.(?:{_SUFFIX_ALT}))$', 1), ''),
+              NULLIF(regexp_extract(host, '([^.]+\\.[^.]+)$', 1), ''),
+              host) AS domain
+          FROM cleaned)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     micros = _SQL_MICROS
     return {
@@ -1493,6 +1603,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": r"""
             SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens FROM documents
+        """,
+        "url_normalize": _url_parts_sql() + """
+            SELECT doc_id, url_norm, host, domain FROM parts
+        """,
+        "domain_cap": _url_parts_sql() + """
+            SELECT doc_id, domain FROM (
+              SELECT doc_id, domain,
+                     row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS r
+              FROM parts) WHERE r <= 3
         """,
         "gopher_quality": r"""
             WITH wl AS (

@@ -874,3 +874,28 @@ def test_gopher_quality_rules(ray_session):
     # empty doc: zero everything, one line, fails
     assert out.loc[4, "n_words"] == 0 and out.loc[4, "n_lines"] == 1
     assert not out.loc[4, "gopher_pass"]
+
+
+def test_url_parts_edges(ray_session):
+    """Normalization edge cases: userinfo, default vs non-default ports,
+    tracking-param removal around kept params, multi-label suffixes,
+    non-URL rows pass through with null host/domain."""
+    from search_engine_ray.dataops.urlops import url_parts_batch
+
+    urls = [
+        "HTTPS://U:P@WWW.News.Example.CO.UK:443/Path?utm_source=f&q=En&utm_medium=x#frag",
+        "http://example.com:8080/a?ref=z&keep=1",
+        "https://sub.shop.com.au/x?fbclid=abc",
+        "not a url",
+        "https://localhost/x",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(urls)), pa.int64()), "url": pa.array(urls)})
+    out = url_parts_batch(t, keep_columns=("doc_id",)).to_pylist()
+    assert out[0]["url_norm"] == "https://www.news.example.co.uk/Path?q=En"
+    assert out[0]["domain"] == "example.co.uk"
+    assert out[1]["url_norm"] == "http://example.com:8080/a?keep=1"
+    assert out[1]["host"] == "example.com"
+    assert out[2]["url_norm"] == "https://sub.shop.com.au/x"
+    assert out[2]["domain"] == "shop.com.au"
+    assert out[3]["host"] is None and out[3]["url_norm"] == "not a url"
+    assert out[4]["domain"] == "localhost"
