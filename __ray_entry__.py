@@ -424,6 +424,14 @@ def q_domain_cap(sf_dir: str):
     )
 
 
+def q_top_bigrams(sf_dir: str) -> pa.Table:
+    """Global top-25 word bigrams by count (ties -> bigram ascending) —
+    per-batch partial counts, one vocabulary groupby, tree-reduce top-k."""
+    from search_engine_ray.dataops.textstats import top_ngrams
+
+    return top_ngrams(_docs_ds(sf_dir), n=2, k=25)
+
+
 def q_gopher_quality(sf_dir: str):
     """Gopher-rule quality filter (Rae et al. 2021 App. A1.1) — all nine
     signal columns plus the pass flag are exact integers/bools, reproduced
@@ -1179,6 +1187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": q_repetition,
         "gopher_quality": q_gopher_quality,
         "url_normalize": q_url_normalize,
+        "top_bigrams": q_top_bigrams,
         "domain_cap": q_domain_cap,
         "docs_per_lang_head": q_docs_per_lang_head,
         "quality_top100": q_quality_top100,
@@ -1603,6 +1612,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": r"""
             SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens FROM documents
+        """,
+        "top_bigrams": r"""
+            WITH tl AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tks
+              FROM documents),
+            tok AS (
+              SELECT doc_id, unnest(tks) AS t,
+                     unnest(generate_series(1, len(tks))) AS pos
+              FROM tl),
+            bg AS (
+              SELECT x.t || ' ' || y.t AS ngram
+              FROM tok x JOIN tok y ON y.doc_id = x.doc_id AND y.pos = x.pos + 1),
+            cnt AS (SELECT ngram, count(*) AS cnt FROM bg GROUP BY ngram)
+            SELECT ngram, cnt FROM cnt ORDER BY cnt DESC, ngram ASC LIMIT 25
         """,
         "url_normalize": _url_parts_sql() + """
             SELECT doc_id, url_norm, host, domain FROM parts

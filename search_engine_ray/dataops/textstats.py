@@ -387,6 +387,78 @@ def gopher_quality(ds: ray.data.Dataset, **kw) -> ray.data.Dataset:
     return ds.map_batches(gopher_quality_batch, fn_kwargs=kw, batch_format="pyarrow")
 
 
+def top_ngrams(
+    ds: ray.data.Dataset,
+    n: int = 2,
+    k: int = 20,
+    text_column: str = "text",
+    fan_in: int = 64,
+) -> pa.Table:
+    """Global top-k word n-grams by count (ties -> n-gram ascending).
+
+    Shape: per-batch np.unique partial counts (bounds the shuffle to
+    distinct-ngrams-per-batch, not token occurrences) -> ONE native
+    groupby sum over distinct n-grams -> per-block partial top-k ->
+    two-level tree reduce — the driver only ever sees k rows, the same
+    discipline as sample.topk_by.  Vocabulary-sized intermediate state
+    stays in the object store."""
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(_text_col(batch, text_column), "")
+        lists = pc.split_pattern_regex(texts, pattern=_WS)
+        flat = pc.list_flatten(lists)
+        lens_pre = np.asarray(pc.list_value_length(lists), dtype=np.int64)
+        doc_idx = np.repeat(np.arange(len(lens_pre)), lens_pre)
+        toks = np.asarray(flat, dtype=object)
+        keep = np.asarray(pc.greater(pc.binary_length(flat), 0))
+        toks, doc_idx = toks[keep], doc_idx[keep]
+        if len(toks) < n:
+            return pa.table({"ngram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+        # n-gram = n consecutive tokens INSIDE one doc, joined by ' '
+        m = len(toks) - n + 1
+        same_doc = doc_idx[:m] == doc_idx[n - 1 :]
+        toks_u = toks.astype("U")
+        grams = toks_u[:m]
+        for j in range(1, n):
+            grams = np.char.add(np.char.add(grams, " "), toks_u[j : m + j])
+        grams = grams[same_doc]
+        vals, counts = np.unique(grams, return_counts=True)
+        return pa.table(
+            {"ngram": pa.array(vals.tolist(), pa.string()), "cnt": pa.array(counts.astype(np.int64))}
+        )
+
+    counts = (
+        ds.select_columns([text_column])
+        .map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("ngram")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        cnt = np.asarray(batch["cnt"], dtype=np.int64)
+        grams = np.asarray(batch["ngram"], dtype="U")
+        order = np.lexsort((grams, -cnt))[:k]
+        return batch.take(pa.array(np.sort(order)))
+
+    partials = counts.map_batches(partial_topk, batch_format="pyarrow")
+    reduced = partials.repartition(fan_in).map_batches(
+        partial_topk, batch_size=None, batch_format="pyarrow"
+    )
+    final = reduced.repartition(1).map_batches(
+        partial_topk, batch_size=None, batch_format="pyarrow"
+    )
+    t = pa.concat_tables(
+        [pa.table(b) for b in final.iter_batches(batch_size=None, batch_format="pyarrow")]
+    )
+    if t.num_rows == 0:
+        return pa.table({"ngram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+    cnt = np.asarray(t["cnt"], dtype=np.int64)
+    grams = np.asarray(t["ngram"], dtype="U")
+    order = np.lexsort((grams, -cnt))[:k]
+    return t.take(pa.array(order))
+
+
 def lang_id(ds: ray.data.Dataset, **kw) -> ray.data.Dataset:
     return ds.map_batches(LangId, fn_constructor_kwargs=kw, batch_format="pyarrow", concurrency=(1, 4))
 

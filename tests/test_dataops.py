@@ -899,3 +899,26 @@ def test_url_parts_edges(ray_session):
     assert out[2]["domain"] == "shop.com.au"
     assert out[3]["host"] is None and out[3]["url_norm"] == "not a url"
     assert out[4]["domain"] == "localhost"
+
+
+def test_top_ngrams(ray_session):
+    """Bigram counts: no cross-document bigrams, ties break by n-gram
+    ascending, k cut is deterministic."""
+    import ray.data
+
+    from search_engine_ray.dataops.textstats import top_ngrams
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a b c", "c a b", "b c  a"],
+        }
+    )
+    out = top_ngrams(ray.data.from_pandas(df), n=2, k=3)
+    rows = list(zip(out["ngram"].to_pylist(), out["cnt"].to_pylist()))
+    # bigrams: d1 {a b, b c}, d2 {c a, a b}, d3 {b c, c a} -> each of the
+    # three distinct bigrams has count 2; ties -> lexical ascending
+    assert rows == [("a b", 2), ("b c", 2), ("c a", 2)]
+    # trigram across all docs: only within-doc windows
+    out3 = top_ngrams(ray.data.from_pandas(df), n=3, k=10)
+    assert sorted(out3["ngram"].to_pylist()) == ["a b c", "b c a", "c a b"]
