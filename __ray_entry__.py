@@ -424,6 +424,18 @@ def q_domain_cap(sf_dir: str):
     )
 
 
+def q_phrase_match(sf_dir: str) -> pa.Table:
+    """Exact-phrase retrieval over the positional sidecar (beyond-reference:
+    the reference's posting entry has no positions).  Positions are ordinals
+    in the kept-token stream, so the oracle reproduces them with a
+    row_number over the filtered token explode."""
+    from search_engine_ray.engine.positions import phrase_search
+    from search_engine_ray.pipelines import documents_positions_dir
+
+    pos_dir = documents_positions_dir(sf_dir, OPT_NOSTEM)
+    return phrase_search(pos_dir, ["sort", "table"], OPT_NOSTEM)
+
+
 def q_top_bigrams(sf_dir: str) -> pa.Table:
     """Global top-25 word bigrams by count (ties -> bigram ascending) —
     per-batch partial counts, one vocabulary groupby, tree-reduce top-k."""
@@ -1188,6 +1200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": q_gopher_quality,
         "url_normalize": q_url_normalize,
         "top_bigrams": q_top_bigrams,
+        "phrase_match": q_phrase_match,
         "domain_cap": q_domain_cap,
         "docs_per_lang_head": q_docs_per_lang_head,
         "quality_top100": q_quality_top100,
@@ -1612,6 +1625,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": r"""
             SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens FROM documents
+        """,
+        "phrase_match": f"""
+            WITH raw AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text), '[\\x00-\\x2f:;=?]')) AS t,
+                     unnest(generate_series(1,
+                        len(regexp_split_to_array(lower(text), '[\\x00-\\x2f:;=?]')))) AS pos
+              FROM documents),
+            kept AS (
+              SELECT doc_id, t,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS kp
+              FROM raw
+              WHERE t <> '' AND substr(t, 1, 1) <> '<' AND substr(t, -1, 1) <> '>'
+                AND t NOT IN ({_STOP_LIST})),
+            m AS (
+              SELECT a.doc_id, count(*) AS n_matches
+              FROM kept a JOIN kept b ON b.doc_id = a.doc_id AND b.kp = a.kp + 1
+              WHERE a.t = 'sort' AND b.t = 'table'
+              GROUP BY a.doc_id)
+            SELECT doc_id, n_matches FROM m
         """,
         "top_bigrams": r"""
             WITH tl AS (

@@ -21,6 +21,50 @@ _CACHE_ROOT = os.environ.get("SE_RAY_CACHE", "/tmp/se_ray_cache")
 _READERS: dict[str, IndexReader] = {}
 
 
+def documents_positions_dir(sf_dir: str, options: IndexOptions) -> str:
+    """Build (once) the positional sidecar over {sf_dir}/documents.parquet;
+    returns its dir.  Same mtime+options cache keying as the main index."""
+    import time
+
+    from .engine.positions import build_position_index
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"pos|{os.path.abspath(src)}|{os.path.getmtime(src)}|{options.to_dict()}".encode()
+    ).hexdigest()[:16]
+    index_dir = os.path.join(_CACHE_ROOT, f"docpos-{key}")
+    done = os.path.join(index_dir, "positions_stats.json")
+    lock_dir = index_dir + ".lock"
+    deadline = time.time() + 900
+    while True:
+        if os.path.exists(done):
+            break
+        try:
+            os.makedirs(lock_dir)
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(lock_dir) > 600:
+                    os.rmdir(lock_dir)
+                    continue
+            except OSError:
+                pass
+            if time.time() > deadline:
+                raise TimeoutError(f"position build lock stuck: {lock_dir}")
+            time.sleep(0.5)
+            continue
+        try:
+            build_position_index(
+                src, index_dir, options, source_column="text", name_column="doc_id"
+            )
+        finally:
+            try:
+                os.rmdir(lock_dir)
+            except OSError:
+                pass
+        break
+    return index_dir
+
+
 def documents_index_dir(sf_dir: str, options: IndexOptions, **build_kw) -> str:
     """Build (once) an index over {sf_dir}/documents.parquet; returns its dir."""
     import time

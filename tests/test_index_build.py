@@ -254,3 +254,51 @@ def test_merge_handles_mixed_old_segment_schema(built, ray_session):
         a, b = ra.postings(term).arrays(), rb.postings(term).arrays()
         for x, y in zip(a, b):
             assert np.array_equal(x, y), term
+
+
+def test_positional_sidecar_and_phrase(ray_session, tmp_path):
+    """Positions sidecar: build, resume (manifest skip), and phrase
+    semantics — adjacency over kept-token ordinals, stopword-dropped
+    query words, repeated-term phrases, absent terms."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from search_engine_ray.engine.positions import build_position_index, phrase_search
+
+    opt = IndexOptions(case_folding=True, remove_stopwords=True, stemming=False)
+    src = str(tmp_path / "docs.parquet")
+    df = pd.DataFrame(
+        {
+            "doc_id": [10, 20, 30, 40],
+            "text": [
+                "alpha beta gamma alpha beta",
+                "beta alpha the beta gamma",   # 'the' is a stopword: consumes no slot
+                "alpha alpha alpha",
+                "gamma beta alpha",
+            ],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), src)
+    idx = str(tmp_path / "pos")
+    stats = build_position_index(src, idx, opt, source_column="text", name_column="doc_id")
+    assert stats["n_postings"] > 0
+
+    out = phrase_search(idx, ["alpha", "beta"], opt).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_matches"]))
+    # doc20: 'the' removed -> kept stream [beta alpha beta gamma]: stopword
+    # gaps COLLAPSE (positions are kept-token ordinals), so 'alpha beta'
+    # matches across the removed 'the'
+    assert got == {10: 2, 20: 1}
+    # stopword inside the QUERY phrase is dropped silently -> 'beta' alone
+    out2 = phrase_search(idx, ["the", "beta"], opt).to_pandas()
+    assert set(out2["doc_id"]) == {10, 20, 40}
+    # repeated-term phrase
+    out3 = phrase_search(idx, ["alpha", "alpha"], opt).to_pandas()
+    assert dict(zip(out3["doc_id"], out3["n_matches"])) == {30: 2}
+    # absent term -> empty, typed
+    out4 = phrase_search(idx, ["zzzmissing", "alpha"], opt)
+    assert out4.num_rows == 0 and out4.schema.names == ["doc_id", "n_matches"]
+
+    # resume: rebuild skips every fragment via its manifest
+    stats2 = build_position_index(src, idx, opt, source_column="text", name_column="doc_id")
+    assert stats2 == stats
