@@ -834,6 +834,46 @@ def q_knn_ivf_recall(sf_dir: str) -> pa.Table:
     )
 
 
+def q_knn_ivfpq_recall(sf_dir: str) -> pa.Table:
+    """Persisted IVF-PQ probe, recall-gated, exact-verified (SQL-checked).
+
+    Same encoding as q_knn_ivf_recall: builds the partitioned IVF-PQ index
+    (16-byte codes per 64-d vector), probes via ADC over only the probed
+    lists' (id, code) rows, and RAISES unless recall@k vs brute force is
+    >= 0.7 — the returned table is the exact reference, which DuckDB
+    hash-checks."""
+    import shutil
+
+    from search_engine_ray.dataops.similarity import (
+        build_ivfpq_index, knn_brute_force, knn_ivfpq_probe,
+    )
+
+    tbl = _emb_tbl(sf_dir)
+    emb = np.stack([np.asarray(e, dtype=np.float64) for e in tbl["embedding"].to_pylist()[:3]])
+    ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
+    index_dir = os.path.join("/tmp/se_ray_ann", "ivfpq-" + sf_dir.strip("/").replace("/", "_"))
+    shutil.rmtree(index_dir, ignore_errors=True)
+    build_ivfpq_index(ds, index_dir, n_centroids=8, m_subspaces=16)
+    k = 5
+    approx = knn_ivfpq_probe(index_dir, emb, k=k, nprobe=6)
+    exact = knn_brute_force(ds, emb, k=k)
+    recalls = []
+    for qi in range(len(emb)):
+        a = {v.as_py() for v, q in zip(approx["vec_id"], approx["query_id"]) if q.as_py() == qi}
+        e = {v.as_py() for v, q in zip(exact["vec_id"], exact["query_id"]) if q.as_py() == qi}
+        recalls.append(len(a & e) / max(len(e), 1))
+    mean_recall = float(np.mean(recalls))
+    if mean_recall < 0.7:
+        raise AssertionError(f"IVF-PQ recall@{k} {mean_recall:.3f} < 0.7")
+    return pa.table(
+        {
+            "query_id": exact["query_id"].combine_chunks().cast(pa.int64()),
+            "vec_id": exact["vec_id"].combine_chunks().cast(pa.int64()),
+            "cos_sim_micros": pa.array(_micros(np.asarray(exact["cos_sim"]))),
+        }
+    )
+
+
 def q_bm25adpt_top10(sf_dir: str) -> pa.Table:
     """BM25-ADPT top-10 — the reference's third scorer
     (/root/reference/src/Query/BM25ADPT.cs:25-168: per-term information-gain
@@ -1188,6 +1228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": q_quality,
         "knn_cosine": q_knn_cosine,
         "knn_ivf_recall": q_knn_ivf_recall,
+        "knn_ivfpq_recall": q_knn_ivfpq_recall,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_components": q_dedup_components,
         "lang_distribution": q_lang_distribution,
@@ -1745,6 +1786,24 @@ def oracle_sql() -> dict[str, str]:
             -- exact reference the recall-gated IVF probe is judged against
             -- (see q_knn_ivf_recall: the query raises unless probe recall
             -- >= 0.7, so a green row certifies the pruned-probe path)
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id < 3),
+            sims AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS sim
+              FROM embeddings e CROSS JOIN q
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, sim,
+                     row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS r
+              FROM sims
+            )
+            SELECT query_id, vec_id, {micros.format(expr="sim")} AS cos_sim_micros
+            FROM ranked WHERE r <= 5
+        """,
+        "knn_ivfpq_recall": f"""
+            -- exact reference the recall-gated IVF-PQ (ADC) probe is judged
+            -- against; green == 16-byte-code probe cleared recall >= 0.7
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
                        FROM embeddings WHERE vec_id < 3),
             sims AS (

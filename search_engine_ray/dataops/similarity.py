@@ -345,6 +345,241 @@ def knn_ivf_probe(
     return knn_brute_force(cand, queries, k=k, column=meta["column"], id_column=meta["id_column"])
 
 
+def _train_pq_codebooks(
+    sample: np.ndarray,
+    m_subspaces: int,
+    n_codes: int,
+    iters: int = 10,
+    seed: int = 17,
+) -> np.ndarray:
+    """Per-subspace k-means codebooks (Jégou et al. 2011 product
+    quantization, public).  Driver-side over a bounded sample — like the
+    coarse quantizer, the training set stays fixed-size at any corpus
+    scale.  Returns (m_subspaces, n_codes, sub_dim)."""
+    n, dim = sample.shape
+    sub = dim // m_subspaces
+    rng = np.random.default_rng(seed)
+    books = np.empty((m_subspaces, n_codes, sub), dtype=np.float64)
+    for s in range(m_subspaces):
+        x = sample[:, s * sub : (s + 1) * sub]
+        k = min(n_codes, len(x))
+        cb = x[rng.choice(len(x), size=k, replace=False)]
+        for _ in range(iters):
+            # L2 assignment: argmin ||x - c||^2 == argmax (x.c - ||c||^2/2)
+            scores = x @ cb.T - 0.5 * np.einsum("ij,ij->i", cb, cb)
+            assign = np.argmax(scores, axis=1)
+            sums = np.zeros((k, sub))
+            np.add.at(sums, assign, x)
+            counts = np.bincount(assign, minlength=k).astype(np.float64)
+            nonempty = counts > 0
+            cb[nonempty] = sums[nonempty] / counts[nonempty, None]
+        if k < n_codes:  # tiny sample: pad with repeats so codes stay uint8-dense
+            cb = np.vstack([cb, np.repeat(cb[:1], n_codes - k, axis=0)])
+        books[s] = cb
+    return books
+
+
+def _pq_encode(resid: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Residuals (n, dim) -> uint8 codes (n, m_subspaces), vectorized per
+    subspace (one matmul against the 256-entry codebook each)."""
+    m, n_codes, sub = books.shape
+    codes = np.empty((len(resid), m), dtype=np.uint8)
+    for s in range(m):
+        x = resid[:, s * sub : (s + 1) * sub]
+        cb = books[s]
+        scores = x @ cb.T - 0.5 * np.einsum("ij,ij->i", cb, cb)
+        codes[:, s] = np.argmax(scores, axis=1).astype(np.uint8)
+    return codes
+
+
+def build_ivfpq_index(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    n_centroids: int = 16,
+    m_subspaces: int = 8,
+    n_codes: int = 256,
+    column: str = "embedding",
+    id_column: str = "vec_id",
+    sample_rows: int = 10_000,
+    seed: int = 11,
+) -> dict:
+    """Persist an IVF-PQ (IVFADC) index: coarse centroids + shared
+    per-subspace residual codebooks + inverted lists holding ONLY
+    ``(id, m-byte code)`` rows — the memory-bounded ANN path.
+
+    Scale story: at 10^10 x 128-d float32 the raw vectors are ~5 TB; m=8
+    PQ codes are ~80 GB — inverted lists small enough to pin hot in the
+    cluster object store while probes stay pruned to nprobe partitions.
+    Training (coarse + codebooks) runs driver-side on a bounded sample;
+    encoding is one streaming map_batches pass (two matmuls per batch).
+
+    Layout::
+
+        index_dir/centroids.npy    (n_centroids, dim)
+        index_dir/codebooks.npy    (m_subspaces, n_codes, dim/m_subspaces)
+        index_dir/meta.json
+        index_dir/lists/centroid=K/   rows (id, code: m-byte binary)
+    """
+    import json
+    import os
+
+    sample = ds.limit(sample_rows).to_pandas()
+    mat = _normalize(np.stack([np.asarray(e, dtype=np.float64) for e in sample[column]]))
+    dim = mat.shape[1]
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    cents = train_ivf_centroids(ds, n_centroids, column, sample_rows=sample_rows, seed=seed)
+    assign0 = np.argmax(mat @ cents.T, axis=1)
+    books = _train_pq_codebooks(mat - cents[assign0], m_subspaces, n_codes, seed=seed + 6)
+    cents_ref = ray.put(cents)
+    books_ref = ray.put(books)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        b = ray.get(books_ref)
+        m = _normalize(_batch_matrix(batch, column))
+        if not len(m):
+            return pa.table(
+                {id_column: pa.array([], pa.int64()),
+                 "code": pa.array([], pa.binary()),
+                 "cent": pa.array([], pa.int32()),
+                 "centroid": pa.array([], pa.int32())}
+            )
+        a = np.argmax(m @ c.T, axis=1)
+        codes = _pq_encode(m - c[a], b)
+        n, mb = codes.shape
+        offsets = np.arange(0, (n + 1) * mb, mb, dtype=np.int32)
+        code_arr = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(codes.tobytes())],
+        )
+        # "cent" duplicates the partition key INSIDE the data so probes can
+        # reconstruct q.centroid per row after a path-pruned read (hive
+        # partition columns vanish when reading file lists directly)
+        return pa.table(
+            {
+                id_column: batch[id_column],
+                "code": code_arr,
+                "cent": pa.array(a.astype(np.int32)),
+                "centroid": pa.array(a.astype(np.int32)),
+            }
+        )
+
+    os.makedirs(index_dir, exist_ok=True)
+    ds.map_batches(encode, batch_format="pyarrow").write_parquet(
+        os.path.join(index_dir, "lists"), partition_cols=["centroid"]
+    )
+    np.save(os.path.join(index_dir, "centroids.npy"), cents)
+    np.save(os.path.join(index_dir, "codebooks.npy"), books)
+    meta = {
+        "n_centroids": int(len(cents)),
+        "m_subspaces": int(m_subspaces),
+        "n_codes": int(n_codes),
+        "dim": int(dim),
+        "column": column,
+        "id_column": id_column,
+    }
+    with open(os.path.join(index_dir, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def knn_ivfpq_probe(
+    index_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+) -> pa.Table:
+    """Probe a persisted IVF-PQ index with asymmetric distance computation:
+    read only the probed lists' (id, code) rows, score each candidate as
+    q.centroid + sum_s ADC_table[s, code_s] (two table lookups per byte —
+    no decompression), partial top-k per batch, tiny final merge.
+
+    Returns (query_id, vec_id, score, rank) — ``score`` is the PQ-
+    approximate cosine; rerank against raw vectors upstream if exact
+    scores are needed."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "meta.json")) as fh:
+        meta = json.load(fh)
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    books = np.load(os.path.join(index_dir, "codebooks.npy"))
+    m_sub, n_codes, sub = books.shape
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    n_q = len(q)
+    # ADC tables (n_q, m_subspaces, n_codes): one inner product per
+    # (query, subspace, code) — computed ONCE, broadcast to every task
+    adc = np.einsum("qmd,mcd->qmc", np.ascontiguousarray(q.reshape(n_q, m_sub, sub)), books)
+    q_cent = q @ cents.T  # (n_q, n_centroids)
+
+    probe_lists = np.argsort(-q_cent, axis=1)[:, : min(nprobe, len(cents))]
+    probe = sorted({int(c) for row in probe_lists for c in row})
+    empty = pa.table(
+        {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+         "score": pa.array([], pa.float64()), "rank": pa.array([], pa.int64())}
+    )
+    paths = _parquet_files(
+        os.path.join(index_dir, "lists", f"centroid={c}") for c in probe
+    )
+    if not paths:
+        return empty
+
+    id_col = meta["id_column"]
+    adc_ref = ray.put(adc)
+    qcent_ref = ray.put(q_cent)
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        a = ray.get(adc_ref)
+        qc = ray.get(qcent_ref)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        if not len(ids):
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        code_col = batch["code"].combine_chunks() if isinstance(batch["code"], pa.ChunkedArray) else batch["code"]
+        codes = np.frombuffer(b"".join(code_col.to_pylist()), dtype=np.uint8).reshape(len(ids), m_sub)
+        cent = np.asarray(batch["cent"], dtype=np.int64)
+        # every query scores the union of probed lists (a superset of its
+        # own probes — only helps recall); score = q.centroid + ADC sum
+        sc = qc[:, cent]  # (n_q, n)
+        for s in range(m_sub):
+            sc = sc + a[:, s, :][:, codes[:, s]]
+        kk = min(k, len(ids))
+        out_q, out_id, out_s = [], [], []
+        for qi in range(len(a)):
+            idx = np.lexsort((ids, -sc[qi]))[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_id.append(ids[idx])
+            out_s.append(sc[qi][idx])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_id)),
+                "score": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    cand = ray.data.read_parquet(paths, columns=[id_col, "code", "cent"])
+    partials = cand.map_batches(score_batch, batch_format="pyarrow", batch_size=8192)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.sort_values(["score", "vec_id"], ascending=[False, True])
+            .drop_duplicates("vec_id")
+            .head(k)
+        )
+        g["rank"] = np.arange(1, len(g) + 1)
+        return g
+
+    merged = partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    batches = list(merged.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not batches:
+        return empty
+    out = pa.concat_tables([pa.table(b) for b in batches])
+    return out.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
 def build_lsh_index(
     ds: ray.data.Dataset,
     index_dir: str,

@@ -922,3 +922,40 @@ def test_top_ngrams(ray_session):
     # trigram across all docs: only within-doc windows
     out3 = top_ngrams(ray.data.from_pandas(df), n=3, k=10)
     assert sorted(out3["ngram"].to_pylist()) == ["a b c", "b c a", "c a b"]
+
+
+def test_ivfpq_index_probe(emb_ds, emb_tbl, ray_session, tmp_path):
+    """IVF-PQ: 16-byte codes, pruned ADC probe, recall vs brute force,
+    deterministic rebuild."""
+    from search_engine_ray.dataops.similarity import (
+        build_ivfpq_index,
+        knn_brute_force,
+        knn_ivfpq_probe,
+    )
+
+    emb = np.stack([np.asarray(e, dtype=np.float64) for e in emb_tbl["embedding"].to_pylist()])
+    queries = emb[:3]
+    idx = str(tmp_path / "ivfpq")
+    meta = build_ivfpq_index(emb_ds, idx, n_centroids=8, m_subspaces=16)
+    assert meta["m_subspaces"] == 16
+    # codes really are m bytes per vector
+    import glob as _glob
+
+    files = _glob.glob(f"{idx}/lists/centroid=*/*.parquet")
+    assert files, "partitioned inverted lists missing"
+    t = pq.read_table(files[0])
+    assert all(len(c) == 16 for c in t["code"].to_pylist())
+
+    exact = knn_brute_force(emb_ds, queries, k=10).to_pandas()
+    approx = knn_ivfpq_probe(idx, queries, k=10, nprobe=6).to_pandas()
+    recalls = []
+    for qi in range(3):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6, recalls
+
+    again = knn_ivfpq_probe(idx, queries, k=10, nprobe=6).to_pandas()
+    pd.testing.assert_frame_equal(
+        approx.reset_index(drop=True), again.reset_index(drop=True)
+    )
