@@ -168,10 +168,13 @@ def run_benchmarks() -> dict:
     )
     from search_engine_ray.dataops.similarity import (
         build_ivf_index,
+        build_ivfpq_index,
         knn_brute_force,
         knn_ivf_probe,
+        knn_ivfpq_probe,
     )
-    from search_engine_ray.dataops.textstats import quality_scores
+    from search_engine_ray.dataops.textstats import gopher_quality, quality_scores, top_ngrams
+    from search_engine_ray.engine.positions import build_position_index, phrase_search
     from search_engine_ray.ioutil import read_parquet_clean
 
     docs_ds = read_parquet_clean(docs_path)
@@ -189,6 +192,21 @@ def run_benchmarks() -> dict:
         shutil.rmtree(ivf_dir, ignore_errors=True)
         build_ivf_index(emb_ds, ivf_dir, n_centroids=16)
 
+    ivfpq_dir = f"/tmp/se_ray_bench/ivfpq-{NUM_CPUS}"
+
+    def _ivfpq_build():
+        shutil.rmtree(ivfpq_dir, ignore_errors=True)
+        build_ivfpq_index(emb_ds, ivfpq_dir, n_centroids=16, m_subspaces=16)
+
+    pos_dir = f"/tmp/se_ray_bench/positions-{NUM_CPUS}"
+    pos_opt = IndexOptions(case_folding=True, remove_stopwords=True, stemming=False)
+
+    def _positions_build():
+        shutil.rmtree(pos_dir, ignore_errors=True)
+        build_position_index(
+            docs_path, pos_dir, pos_opt, source_column="text", name_column="doc_id"
+        )
+
     ops: list[tuple[str, object]] = [
         ("dedup_exact", lambda: exact_dedup(docs_ds).count()),
         ("dedup_minhash_lsh", lambda: minhash_lsh_pairs(docs_ds, threshold=0.8).count()),
@@ -200,6 +218,12 @@ def run_benchmarks() -> dict:
         ("ann_ivf_probe", lambda: knn_ivf_probe(ivf_dir, queries, k=10, nprobe=4)),
         ("paragraph_dedup", lambda: paragraph_dedup(docs_ds).count()),
         ("kmeans_fit_k8x3", lambda: kmeans_fit(emb_ds, k=8, n_iter=3)[1].count()),
+        ("gopher_quality", lambda: gopher_quality(docs_ds).count()),
+        ("top_bigrams", lambda: top_ngrams(docs_ds, n=2, k=25)),
+        ("ann_ivfpq_build", _ivfpq_build),
+        ("ann_ivfpq_probe", lambda: knn_ivfpq_probe(ivfpq_dir, queries, k=10, nprobe=6)),
+        ("phrase_index_build", _positions_build),
+        ("phrase_search", lambda: phrase_search(pos_dir, ["sort", "table"], pos_opt)),
     ]
     n_rounds = int(os.environ.get("SE_RAY_BENCH_OP_ROUNDS", "2"))
     samples: dict[str, list[float]] = {name: [] for name, _ in ops}
