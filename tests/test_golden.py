@@ -83,11 +83,19 @@ def test_engine_reproduces_golden_runs(oracle, ray_session, tmp_path):
     topics = parse_topics(
         os.path.join(GOLDEN_DIR, "topics.txt"), QueryOptions(use_title=True), OPTS
     )
-    for scorer, golden_name in (("bm25", "BM25"), ("tfidf", "TfIdf"), ("bm25adpt", "BM25ADPT")):
+    # "auto" covers the production path; the extra forced-"wand" bm25 pass
+    # golden-pins the stemmed WAND traversal itself (VERDICT r2 item 8)
+    cases = (
+        ("bm25", "BM25", "auto"),
+        ("tfidf", "TfIdf", "auto"),
+        ("bm25adpt", "BM25ADPT", "auto"),
+        ("bm25", "BM25", "wand"),
+    )
+    for scorer, golden_name, method in cases:
         expected = open(os.path.join(GOLDEN_DIR, f"run-{golden_name}.txt")).read().splitlines()
         got = []
         for topic, kws in topics:
-            ids, scores = score_topic(reader, kws, scorer, None, K, method="auto")
+            ids, scores = score_topic(reader, kws, scorer, None, K, method=method)
             for rank, (d, s) in enumerate(zip(ids, scores), 1):
                 got.append(f"{topic} Q0 {reader.doc_names[d]} {rank} {float(s)!r} golden")
-        assert got == expected, scorer
+        assert got == expected, (scorer, method)
