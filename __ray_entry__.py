@@ -1211,6 +1211,86 @@ def q_kmeans(sf_dir: str):
     return assign.map_batches(widen, batch_format="pyarrow")
 
 
+def q_prefix_terms(sf_dir: str) -> pa.Table:
+    """Dictionary prefix probe ('s%') — row-group-pruned range read over
+    the sorted terms table (engine/lexicon.py)."""
+    from search_engine_ray.engine.lexicon import prefix_terms
+    from search_engine_ray.pipelines import documents_index_dir
+
+    index_dir = documents_index_dir(sf_dir, OPT_NOSTEM)
+    return prefix_terms(index_dir, "s")
+
+
+def q_wildcard_terms(sf_dir: str) -> pa.Table:
+    """Wildcard dictionary scan ('*or*') — one vectorized regex pass over
+    (term, df); literal-prefix patterns are range-pruned first."""
+    from search_engine_ray.engine.lexicon import match_terms
+    from search_engine_ray.pipelines import documents_index_dir
+
+    index_dir = documents_index_dir(sf_dir, OPT_NOSTEM)
+    return match_terms(index_dir, "*or*")
+
+
+def q_prefix_search_top10(sf_dir: str) -> pa.Table:
+    """Prefix-expanded disjunctive BM25 ('s*' -> all matching terms,
+    qtf=1 each) — trailing-wildcard retrieval over the expansion from
+    engine/lexicon.expand_prefix_query."""
+    from search_engine_ray.engine.lexicon import expand_prefix_query
+    from search_engine_ray.pipelines import bm25_scores_f64, documents_index_dir
+
+    index_dir = documents_index_dir(sf_dir, OPT_NOSTEM)
+    keywords = expand_prefix_query(index_dir, "s")
+    r = _reader(sf_dir)
+    ids, scores = bm25_scores_f64(r, keywords)
+    ids, scores = ids[:10], scores[:10]
+    doc_ids = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids), "score_micros": pa.array(_micros(scores))}
+    )
+
+
+def q_rrf_fusion(sf_dir: str) -> pa.Table:
+    """Reciprocal-rank fusion of the BM25 and TfIdf rankings for the
+    standard query — the DISTRIBUTED rrf_fuse_runs path (union ->
+    integer-micros contribution -> (topic,doc) groupby sum -> per-topic
+    top-k).  Integer scoring makes the fused score hash-exact vs SQL."""
+    import ray.data
+
+    from search_engine_ray.engine.fusion import rrf_fuse_runs
+    from search_engine_ray.pipelines import bm25_scores_f64, tfidf_scores_f64
+
+    r = _reader(sf_dir)
+
+    def run_table(ids: np.ndarray, scores: np.ndarray) -> pa.Table:
+        # re-rank on (score desc, INTEGER doc_id asc): the scorers break
+        # ties by ordinal, the SQL oracle by numeric doc_id — align them
+        docs = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+        order = np.lexsort((docs, -scores))
+        return pa.table(
+            {
+                "topic": pa.array(np.ones(len(ids), dtype=np.int64)),
+                "doc": pa.array(docs[order]),
+                "rank": pa.array(np.arange(1, len(ids) + 1, dtype=np.int64)),
+            }
+        )
+
+    bm_ids, bm_scores = bm25_scores_f64(r, BM25_QUERY)
+    tf_ids, tf_scores = tfidf_scores_f64(r, BM25_QUERY)
+    runs = [
+        ray.data.from_arrow(run_table(bm_ids, bm_scores)),
+        ray.data.from_arrow(run_table(tf_ids, tf_scores)),
+    ]
+    fused = rrf_fuse_runs(runs, top_k=10).to_pandas()
+    fused = fused.sort_values("fused_rank", ignore_index=True)
+    return pa.table(
+        {
+            "doc": pa.array(fused["doc"].astype(np.int64)),
+            "fused_micros": pa.array(fused["fused_micros"].astype(np.int64)),
+            "fused_rank": pa.array(fused["fused_rank"].astype(np.int64)),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats": q_doc_stats,
@@ -1256,6 +1336,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_qtf_top10": q_bm25_qtf_top10,
         "simhash": q_simhash,
         "emb_near_dup": q_emb_near_dup,
+        "prefix_terms": q_prefix_terms,
+        "wildcard_terms": q_wildcard_terms,
+        "prefix_search_top10": q_prefix_search_top10,
+        "rrf_fusion": q_rrf_fusion,
         # rows-only (non-SQL-expressible); bm25adpt_top10 self-checks
         # bit-identity against the in-repo oracle transcription
         "bm25adpt_top10": q_bm25adpt_top10,
@@ -1641,6 +1725,73 @@ def oracle_sql() -> dict[str, str]:
                               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM sc)
             SELECT doc_id, {micros.format(expr="score")} AS score_micros
             FROM ranked WHERE r <= 10
+        """,
+        "prefix_terms": f"""
+            WITH {_TOKS}
+            SELECT t AS term, count(DISTINCT doc_id) AS df
+            FROM toks WHERE t LIKE 's%' GROUP BY t
+        """,
+        "wildcard_terms": f"""
+            WITH {_TOKS}
+            SELECT t AS term, count(DISTINCT doc_id) AS df
+            FROM toks WHERE t LIKE '%or%' GROUP BY t
+        """,
+        "prefix_search_top10": f"""
+            WITH {_TOKS},
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+            tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks
+                   WHERE t LIKE 's%' GROUP BY doc_id, t),
+            df AS (SELECT t AS term, count(DISTINCT doc_id) AS df FROM toks
+                   WHERE t LIKE 's%' GROUP BY t),
+            sc AS (
+              SELECT tf.doc_id,
+                     SUM( ln((st.n - df.df + 0.5) / (df.df + 0.5))
+                          * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) ) AS score
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+              GROUP BY tf.doc_id
+            ),
+            ranked AS (SELECT doc_id, score,
+                              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM sc)
+            SELECT doc_id, {micros.format(expr="score")} AS score_micros
+            FROM ranked WHERE r <= 10
+        """,
+        "rrf_fusion": f"""
+            WITH {_TOKS},
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+            tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks
+                   WHERE t IN ('spark','hash','join') GROUP BY doc_id, t),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            bm AS (
+              SELECT tf.doc_id,
+                     SUM( ln((st.n - df.df + 0.5) / (df.df + 0.5))
+                          * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) ) AS score
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+              GROUP BY tf.doc_id
+            ),
+            ti AS (
+              SELECT tf.doc_id,
+                     SUM( ln(1 + tf.tf) * ln(CAST(st.n // df.df AS DOUBLE)) ) AS score
+              FROM tf JOIN df USING (term) CROSS JOIN st
+              GROUP BY tf.doc_id
+            ),
+            contrib AS (
+              SELECT doc_id,
+                     1000000 // (60 + row_number() OVER (ORDER BY score DESC, doc_id ASC)) AS m
+              FROM bm
+              UNION ALL
+              SELECT doc_id,
+                     1000000 // (60 + row_number() OVER (ORDER BY score DESC, doc_id ASC)) AS m
+              FROM ti
+            ),
+            fused AS (SELECT doc_id AS doc, SUM(m) AS fused_micros FROM contrib GROUP BY doc_id),
+            ranked AS (SELECT doc, fused_micros,
+                              row_number() OVER (ORDER BY fused_micros DESC, doc ASC) AS fused_rank
+                       FROM fused)
+            SELECT doc, fused_micros, fused_rank FROM ranked WHERE fused_rank <= 10
         """,
         "tfidf_top10": f"""
             WITH {_TOKS},

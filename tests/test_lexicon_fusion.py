@@ -1,0 +1,158 @@
+"""Lexicon (prefix/wildcard dictionary) and RRF fusion operators."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from search_engine_ray.config import BuildConfig
+from search_engine_ray.corpus.pages import generate_pages_table
+from search_engine_ray.engine.fusion import rrf_fuse_lists, rrf_fuse_runs
+from search_engine_ray.engine.lexicon import (
+    _prefix_upper,
+    expand_prefix_query,
+    match_terms,
+    prefix_terms,
+)
+
+
+@pytest.fixture(scope="module")
+def index_dir(ray_session, tmp_path_factory):
+    from search_engine_ray.engine.build import build_index
+
+    root = tmp_path_factory.mktemp("lexicon")
+    corpus = str(root / "corpus")
+    os.makedirs(corpus)
+    pq.write_table(
+        generate_pages_table(48, seed=7), os.path.join(corpus, "pages.parquet"), row_group_size=16
+    )
+    out = str(root / "index")
+    build_index(corpus, out, BuildConfig(block_entries=16, frags_per_shard=2), overwrite=True)
+    return out
+
+
+@pytest.fixture(scope="module")
+def all_terms(index_dir):
+    t = pq.read_table(os.path.join(index_dir, "terms.parquet"))
+    return dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
+
+
+def test_prefix_upper():
+    assert _prefix_upper("abc") == "abd"
+    assert _prefix_upper("a\U0010ffff") == "b"
+    assert _prefix_upper("\U0010ffff") is None
+
+
+def test_prefix_terms_matches_dictionary(index_dir, all_terms):
+    for prefix in ("a", "s", "te", "zzz"):
+        got = prefix_terms(index_dir, prefix)
+        exp = sorted((t, d) for t, d in all_terms.items() if t.startswith(prefix))
+        assert list(zip(got["term"].to_pylist(), got["df"].to_pylist())) == exp
+
+
+def test_prefix_terms_empty_prefix_raises(index_dir):
+    with pytest.raises(ValueError):
+        prefix_terms(index_dir, "")
+
+
+def test_prefix_terms_limit(index_dir, all_terms):
+    got = prefix_terms(index_dir, "s", limit=3)
+    exp = sorted(t for t in all_terms if t.startswith("s"))[:3]
+    assert got["term"].to_pylist() == exp
+
+
+def test_match_terms_wildcards(index_dir, all_terms):
+    import re as _re
+
+    for pattern in ("*a*", "s*", "?e*", "*ing", "s?a*", "nomatch*zz"):
+        rx = _re.compile(
+            "^" + "".join(".*" if c == "*" else "." if c == "?" else _re.escape(c) for c in pattern) + "$"
+        )
+        got = match_terms(index_dir, pattern)
+        exp = sorted(t for t in all_terms if rx.match(t))
+        assert got["term"].to_pylist() == exp, pattern
+
+
+def test_match_terms_exact_no_metachar(index_dir, all_terms):
+    term = next(iter(sorted(all_terms)))
+    got = match_terms(index_dir, term)
+    assert got["term"].to_pylist() == [term]
+    assert match_terms(index_dir, "definitely-not-a-term").num_rows == 0
+
+
+def test_expand_prefix_query_cap(index_dir, all_terms):
+    full = expand_prefix_query(index_dir, "s", max_expand=10_000)
+    assert [t for t, q in full] == sorted(t for t in all_terms if t.startswith("s"))
+    assert all(q == 1 for _, q in full)
+    capped = expand_prefix_query(index_dir, "s", max_expand=2)
+    assert len(capped) == 2
+    # highest-df terms win the cap
+    top2 = sorted(
+        (t for t in all_terms if t.startswith("s")),
+        key=lambda t: (-all_terms[t], t),
+    )[:2]
+    assert sorted(t for t, _ in capped) == sorted(top2)
+
+
+def _brute_rrf(rank_lists, k=60):
+    scores = {}
+    for ids in rank_lists:
+        for rank, d in enumerate(ids, 1):
+            scores[d] = scores.get(d, 0) + 1_000_000 // (k + rank)
+    return scores
+
+
+def test_rrf_fuse_lists():
+    a = np.array([3, 1, 2], dtype=np.int64)
+    b = np.array([2, 3, 9], dtype=np.int64)
+    ids, sc = rrf_fuse_lists([a, b])
+    exp = _brute_rrf([[3, 1, 2], [2, 3, 9]])
+    assert dict(zip(ids.tolist(), sc.tolist())) == exp
+    # descending score, ties -> ascending id
+    assert all(
+        (sc[i], -ids[i]) >= (sc[i + 1], -ids[i + 1]) for i in range(len(ids) - 1)
+    )
+    ids2, sc2 = rrf_fuse_lists([a, b], top_k=2)
+    assert ids2.tolist() == ids.tolist()[:2]
+
+
+def test_rrf_fuse_lists_empty():
+    ids, sc = rrf_fuse_lists([])
+    assert len(ids) == 0 and len(sc) == 0
+
+
+def test_rrf_fuse_runs_matches_lists(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    rng = np.random.default_rng(5)
+    runs_lists = {}
+    run_dss = []
+    for topic in (1, 2):
+        runs_lists[topic] = []
+    for _ in range(3):
+        tbls = []
+        for topic in (1, 2):
+            docs = rng.permutation(30)[:12].astype(np.int64)
+            runs_lists[topic].append(docs.tolist())
+            tbls.append(
+                pa.table(
+                    {
+                        "topic": pa.array(np.full(len(docs), topic, dtype=np.int64)),
+                        "doc": pa.array(docs),
+                        "rank": pa.array(np.arange(1, len(docs) + 1, dtype=np.int64)),
+                    }
+                )
+            )
+        run_dss.append(ray.data.from_arrow(pa.concat_tables(tbls)))
+
+    fused = rrf_fuse_runs(run_dss, top_k=5).to_pandas()
+    for topic in (1, 2):
+        ids, sc = rrf_fuse_lists(
+            [np.asarray(l) for l in runs_lists[topic]], top_k=5
+        )
+        part = fused[fused["topic"] == topic].sort_values("fused_rank")
+        assert part["doc"].tolist() == ids.tolist()
+        assert part["fused_micros"].tolist() == sc.tolist()
+        assert part["fused_rank"].tolist() == list(range(1, 6))
