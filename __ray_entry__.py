@@ -1291,6 +1291,45 @@ def q_rrf_fusion(sf_dir: str) -> pa.Table:
     )
 
 
+def q_unigram_lm(sf_dir: str) -> pa.Table:
+    """Self-trained unigram-LM cross-entropy per document (CCNet-style LM
+    quality signal with an exactly-reproducible model) — integer
+    per-token log-prob micros, so the sums are hash-exact vs SQL."""
+    import pyarrow.compute as _pc
+
+    from search_engine_ray.dataops.lm import unigram_lm_scores
+
+    out = pa.concat_tables(
+        pa.table(b)
+        for b in unigram_lm_scores(_docs_ds(sf_dir), OPT_NOSTEM).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    )
+    # SQL GROUP BY emits no row for token-free docs
+    return out.filter(_pc.greater(out["n_tokens"], 0))
+
+
+_DSIR_BUCKETS = 512
+
+
+def q_dsir_weights(sf_dir: str) -> pa.Table:
+    """DSIR importance weights: raw = all documents, target = lang='en'
+    subset; hashed-unigram bucket log-ratios in integer micros."""
+    import pyarrow.compute as _pc
+
+    from search_engine_ray.dataops.lm import dsir_importance_weights
+
+    raw = _docs_ds(sf_dir)
+    target = raw.filter(expr="lang == 'en'")
+    out = pa.concat_tables(
+        pa.table(b)
+        for b in dsir_importance_weights(
+            raw, target, n_buckets=_DSIR_BUCKETS
+        ).iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    return out.filter(_pc.greater(out["n_tokens"], 0))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats": q_doc_stats,
@@ -1337,6 +1376,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "emb_near_dup": q_emb_near_dup,
         "prefix_terms": q_prefix_terms,
+        "unigram_lm": q_unigram_lm,
+        "dsir_weights": q_dsir_weights,
         "wildcard_terms": q_wildcard_terms,
         "prefix_search_top10": q_prefix_search_top10,
         "rrf_fusion": q_rrf_fusion,
@@ -1725,6 +1766,41 @@ def oracle_sql() -> dict[str, str]:
                               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM sc)
             SELECT doc_id, {micros.format(expr="score")} AS score_micros
             FROM ranked WHERE r <= 10
+        """,
+        "unigram_lm": f"""
+            WITH {_TOKS},
+            tot AS (SELECT count(*) AS total FROM toks),
+            lp AS (SELECT t,
+                          CAST(FLOOR(ln(count(*) * 1.0 / (SELECT total FROM tot)) * 1000000 + 0.5) AS BIGINT) AS m
+                   FROM toks GROUP BY t)
+            SELECT toks.doc_id, count(*) AS n_tokens, SUM(lp.m) AS sum_logp_micros
+            FROM toks JOIN lp ON toks.t = lp.t GROUP BY toks.doc_id
+        """,
+        "dsir_weights": f"""
+            WITH stoks AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(t), 1, 16))::UBIGINT % {_DSIR_BUCKETS} AS b
+              FROM documents,
+                   UNNEST(regexp_split_to_array(text, '\\s+')) AS u(t)
+              WHERE t <> ''),
+            raw_cnt AS (SELECT b, count(*) AS c FROM stoks GROUP BY b),
+            tgt_cnt AS (SELECT s.b, count(*) AS c
+                        FROM stoks s JOIN documents d USING (doc_id)
+                        WHERE d.lang = 'en' GROUP BY s.b),
+            tot AS (SELECT (SELECT count(*) FROM stoks) AS r_total,
+                           (SELECT count(*) FROM stoks s JOIN documents d USING (doc_id)
+                            WHERE d.lang = 'en') AS t_total),
+            buckets AS (SELECT unnest(generate_series(0, {_DSIR_BUCKETS - 1})) AS b),
+            ratio AS (
+              SELECT buckets.b,
+                     CAST(FLOOR(ln((COALESCE(t.c, 0) + 1) * 1.0 / (tot.t_total + {_DSIR_BUCKETS})) * 1000000 + 0.5) AS BIGINT)
+                   - CAST(FLOOR(ln((COALESCE(r.c, 0) + 1) * 1.0 / (tot.r_total + {_DSIR_BUCKETS})) * 1000000 + 0.5) AS BIGINT) AS m
+              FROM buckets
+              LEFT JOIN tgt_cnt t ON t.b = buckets.b
+              LEFT JOIN raw_cnt r ON r.b = buckets.b
+              CROSS JOIN tot)
+            SELECT s.doc_id, count(*) AS n_tokens, SUM(ratio.m) AS weight_micros
+            FROM stoks s JOIN ratio ON ratio.b = s.b GROUP BY s.doc_id
         """,
         "prefix_terms": f"""
             WITH {_TOKS}

@@ -1,0 +1,239 @@
+"""Statistical language-model operators for training-data curation:
+
+- ``unigram_counts`` / ``train_unigram_lm``: corpus unigram statistics
+  (the distributed aggregate) and a broadcastable log-prob model.
+- ``unigram_lm_scores``: per-document cross-entropy under a unigram LM —
+  the CCNet-style "score documents by LM perplexity against a clean
+  reference corpus" curation signal, here with an exactly-reproducible
+  unigram model instead of an external KenLM binary (not available in
+  this environment; the Ray-side plumbing — train on corpus A, broadcast,
+  score corpus B — is the real shape).
+- ``dsir_importance_weights``: Data Selection with Importance Resampling
+  (Xie et al., 2023): hashed-unigram bucket counts on a raw and a target
+  corpus; per-document importance weight = sum over token occurrences of
+  the smoothed log-likelihood ratio between the two bucket distributions.
+
+Integer-exact scoring
+---------------------
+Every per-token log-probability is floored to BIGINT micros
+(``floor(ln(p) * 1e6 + 0.5)``) BEFORE summation, so per-document scores
+are sums of integers: order-independent, hash-identical across engines,
+and reproducible in the DuckDB driver-gate oracles.
+
+Scale shape
+-----------
+Counting is a per-batch vectorized partial count (np.bincount over the
+batch's token codes / hash buckets) followed by ONE small groupby-sum —
+the classic combiner pattern; nothing corpus-sized shuffles.  The model
+(term -> logp for the LM; n_buckets ints for DSIR) is dictionary-sized:
+pinned ONCE in the object store via ``ray.put`` and read zero-copy by
+every scoring task, never re-shipped per batch.  Scoring is one
+stateless ``map_batches`` pass (searchsorted / modulo + bincount-style
+gather, no Python loop over rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..config import IndexOptions
+from ..text.vectorized import tokenize_batch
+from .dedup import _token_lists
+
+
+def _logp_micros(counts: np.ndarray, total: int) -> np.ndarray:
+    """floor(ln(count/total) * 1e6 + 0.5) as int64, vectorized."""
+    p = counts.astype(np.float64) / float(total)
+    return np.floor(np.log(p) * 1_000_000 + 0.5).astype(np.int64)
+
+
+def unigram_counts(
+    ds: ray.data.Dataset,
+    options: IndexOptions,
+    text_column: str = "text",
+) -> ray.data.Dataset:
+    """(term, count) over the corpus under the reference tokenizer chain
+    — per-batch vectorized partials, one groupby-sum shuffle of
+    dictionary-sized rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tb = tokenize_batch(batch[text_column], options)
+        if len(tb.term_codes) == 0:
+            return pa.table({"term": pa.array([], pa.string()), "count": pa.array([], pa.int64())})
+        counts = np.bincount(tb.term_codes, minlength=len(tb.terms))
+        return pa.table(
+            {"term": pa.array(tb.terms, pa.string()), "count": pa.array(counts.astype(np.int64))}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("count", alias_name="count"))
+    )
+
+
+def train_unigram_lm(
+    ds: ray.data.Dataset,
+    options: IndexOptions,
+    text_column: str = "text",
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """-> (terms sorted ascending, logp_micros per term, total_tokens).
+
+    The dictionary is collected to the driver (vocabulary-sized — a few
+    hundred MB at web scale, NOT corpus-sized) for broadcast."""
+    tbl = unigram_counts(ds, options, text_column).sort("term").to_pandas()
+    terms = tbl["term"].to_numpy(dtype=object)
+    counts = tbl["count"].to_numpy(dtype=np.int64)
+    total = int(counts.sum())
+    return terms, _logp_micros(counts, total), total
+
+
+def unigram_lm_scores(
+    ds: ray.data.Dataset,
+    options: IndexOptions,
+    lm: tuple[np.ndarray, np.ndarray, int] | None = None,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-document unigram cross-entropy -> (doc_id, n_tokens,
+    sum_logp_micros).  ``sum_logp_micros`` is the (negative) integer sum
+    of per-token floored log-prob micros; cross-entropy in nats =
+    -sum_logp_micros / (n_tokens * 1e6).
+
+    When ``lm`` is None the model is trained on ``ds`` itself (self-
+    perplexity — the repetition/boilerplate signal); pass a model trained
+    on a clean reference corpus for CCNet-style quality scoring.  Tokens
+    outside the model vocabulary score ``ln(1 / (total + 1))`` micros — a
+    deterministic Laplace-style floor."""
+    if lm is None:
+        lm = train_unigram_lm(ds, options, text_column)
+    terms, logp, total = lm
+    oov = int(np.floor(np.log(1.0 / (total + 1)) * 1_000_000 + 0.5))
+    # pinned once; each scorer ACTOR deserializes the vocabulary once in
+    # __init__ (object-dtype string arrays aren't zero-copy, so per-task
+    # gets would re-unpickle the dictionary per batch)
+    model_ref = ray.put((terms, logp))
+
+    class UnigramScorer:
+        def __init__(self):
+            self.terms, self.logp = ray.get(model_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            tb = tokenize_batch(batch[text_column], options)
+            n_rows = len(batch)
+            if len(tb.term_codes) == 0:
+                sums = np.zeros(n_rows, dtype=np.int64)
+                lens = np.zeros(n_rows, dtype=np.int64)
+            else:
+                mterms, mlogp = self.terms, self.logp
+                pos = np.searchsorted(mterms, tb.terms)
+                pos_clip = np.minimum(pos, max(len(mterms) - 1, 0))
+                if len(mterms):
+                    known = mterms[pos_clip] == tb.terms
+                else:
+                    known = np.zeros(len(tb.terms), bool)
+                term_logp = np.where(known, mlogp[pos_clip], oov)
+                tok_logp = term_logp[tb.term_codes]
+                sums = np.zeros(n_rows, dtype=np.int64)
+                np.add.at(sums, tb.doc_idx, tok_logp)
+                lens = tb.doc_lens.astype(np.int64)
+            return pa.table(
+                {
+                    id_column: batch[id_column],
+                    "n_tokens": pa.array(lens),
+                    "sum_logp_micros": pa.array(sums),
+                }
+            )
+
+    return ds.map_batches(UnigramScorer, batch_format="pyarrow", concurrency=(1, 8))
+
+
+# ---------------------------------------------------------------------------
+# DSIR
+# ---------------------------------------------------------------------------
+
+def _bucket_counts(
+    ds: ray.data.Dataset, n_buckets: int, text_column: str, hash_kind: str
+) -> np.ndarray:
+    """Hashed-unigram bucket histogram over a corpus — per-batch bincount
+    partials, one tiny (bucket, count) groupby-sum, densified driverside
+    (n_buckets ints, model-sized)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hashes, _ = _token_lists(batch[text_column], hash_kind=hash_kind)
+        if len(hashes) == 0:
+            return pa.table(
+                {"bucket": pa.array([], pa.int64()), "count": pa.array([], pa.int64())}
+            )
+        buckets = (hashes % np.uint64(n_buckets)).astype(np.int64)
+        counts = np.bincount(buckets, minlength=n_buckets)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {"bucket": pa.array(nz.astype(np.int64)), "count": pa.array(counts[nz].astype(np.int64))}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("count", alias_name="count"))
+        .to_pandas()
+    )
+    dense = np.zeros(n_buckets, dtype=np.int64)
+    if len(agg):
+        dense[agg["bucket"].to_numpy(dtype=np.int64)] = agg["count"].to_numpy(dtype=np.int64)
+    return dense
+
+
+def dsir_importance_weights(
+    raw_ds: ray.data.Dataset,
+    target_ds: ray.data.Dataset,
+    n_buckets: int = 8192,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    hash_kind: str = "md5be",
+) -> ray.data.Dataset:
+    """DSIR importance weights -> (doc_id, n_tokens, weight_micros).
+
+    weight_micros(d) = sum over d's tokens of
+        floor(ln((c_target[b]+1)/(T+B)) * 1e6 + 0.5)
+      - floor(ln((c_raw[b]+1)/(R+B)) * 1e6 + 0.5)
+    with b the token's hash bucket, T/R the corpus token totals, B the
+    bucket count (add-one smoothing).  Higher weight = more target-like;
+    resample raw docs proportional to exp(weight) for selection.
+
+    hash_kind "md5be" keeps the bucket function SQL-reproducible
+    (``('0x' || substr(md5(t), 1, 16))::UBIGINT % B`` in DuckDB)."""
+    c_target = _bucket_counts(target_ds, n_buckets, text_column, hash_kind)
+    c_raw = _bucket_counts(raw_ds, n_buckets, text_column, hash_kind)
+    t_total, r_total = int(c_target.sum()), int(c_raw.sum())
+    lp_t = _logp_micros(c_target + 1, t_total + n_buckets)
+    lp_r = _logp_micros(c_raw + 1, r_total + n_buckets)
+    ratio_ref = ray.put(lp_t - lp_r)
+
+    def score(batch: pa.Table) -> pa.Table:
+        ratio = ray.get(ratio_ref)
+        hashes, offsets = _token_lists(batch[text_column], hash_kind=hash_kind)
+        n_rows = len(batch)
+        lens = np.diff(offsets).astype(np.int64)
+        if len(hashes) == 0:
+            sums = np.zeros(n_rows, dtype=np.int64)
+        else:
+            buckets = (hashes % np.uint64(n_buckets)).astype(np.int64)
+            tok_ratio = ratio[buckets]
+            doc_idx = np.repeat(np.arange(n_rows), lens)
+            sums = np.zeros(n_rows, dtype=np.int64)
+            np.add.at(sums, doc_idx, tok_ratio)
+        return pa.table(
+            {
+                id_column: batch[id_column],
+                "n_tokens": pa.array(lens),
+                "weight_micros": pa.array(sums),
+            }
+        )
+
+    return raw_ds.map_batches(score, batch_format="pyarrow")
