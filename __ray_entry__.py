@@ -1330,6 +1330,38 @@ def q_dsir_weights(sf_dir: str) -> pa.Table:
     return out.filter(_pc.greater(out["n_tokens"], 0))
 
 
+_SEQ_LEN = 256
+
+
+def q_pack_sequences(sf_dir: str) -> pa.Table:
+    """GPT-style sequence packing: global token-stream spans + context-
+    window bins per document (two-phase fragment prefix sum, no shuffle).
+    """
+    from search_engine_ray.dataops.pack import pack_sequences
+
+    ds = pack_sequences(os.path.join(sf_dir, "documents.parquet"), seq_len=_SEQ_LEN)
+    return pa.concat_tables(
+        pa.table(b) for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+
+
+def q_pack_bins(sf_dir: str) -> pa.Table:
+    """Per-context-window fill stats over the packed stream (bounded
+    explode -> one groupby-sum)."""
+    from search_engine_ray.dataops.pack import bin_fill_stats, pack_sequences
+
+    packed = pack_sequences(os.path.join(sf_dir, "documents.parquet"), seq_len=_SEQ_LEN)
+    out = bin_fill_stats(packed, seq_len=_SEQ_LEN).to_pandas()
+    cnt_col = next(c for c in out.columns if c.startswith("count"))
+    return pa.table(
+        {
+            "bin": pa.array(out["bin"].astype(np.int64)),
+            "n_docs": pa.array(out[cnt_col].astype(np.int64)),
+            "n_tokens": pa.array(out["n_tokens"].astype(np.int64)),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats": q_doc_stats,
@@ -1378,6 +1410,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_terms": q_prefix_terms,
         "unigram_lm": q_unigram_lm,
         "dsir_weights": q_dsir_weights,
+        "pack_sequences": q_pack_sequences,
+        "pack_bins": q_pack_bins,
         "wildcard_terms": q_wildcard_terms,
         "prefix_search_top10": q_prefix_search_top10,
         "rrf_fusion": q_rrf_fusion,
@@ -1806,6 +1840,40 @@ def oracle_sql() -> dict[str, str]:
             WITH {_TOKS}
             SELECT t AS term, count(DISTINCT doc_id) AS df
             FROM toks WHERE t LIKE 's%' GROUP BY t
+        """,
+        "pack_sequences": f"""
+            WITH tc AS (
+              SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n
+              FROM documents),
+            off AS (
+              SELECT doc_id, n,
+                     COALESCE(SUM(n) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+              FROM tc)
+            SELECT doc_id, n AS n_tokens, start AS start_tok,
+                   start // {_SEQ_LEN} AS first_bin,
+                   (start + n - 1) // {_SEQ_LEN} AS last_bin
+            FROM off WHERE n > 0
+        """,
+        "pack_bins": f"""
+            WITH tc AS (
+              SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n
+              FROM documents),
+            off AS (
+              SELECT doc_id, n,
+                     COALESCE(SUM(n) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+              FROM tc),
+            spans AS (SELECT doc_id, n, start FROM off WHERE n > 0),
+            binned AS (
+              SELECT doc_id, n, start,
+                     unnest(generate_series(CAST(start // {_SEQ_LEN} AS BIGINT),
+                                            CAST((start + n - 1) // {_SEQ_LEN} AS BIGINT))) AS bin
+              FROM spans)
+            SELECT bin, count(*) AS n_docs,
+                   SUM(LEAST(start + n, (bin + 1) * {_SEQ_LEN})
+                       - GREATEST(start, bin * {_SEQ_LEN})) AS n_tokens
+            FROM binned GROUP BY bin
         """,
         "wildcard_terms": f"""
             WITH {_TOKS}
