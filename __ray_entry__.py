@@ -1362,6 +1362,17 @@ def q_pack_bins(sf_dir: str) -> pa.Table:
     )
 
 
+def q_proximity_match(sf_dir: str) -> pa.Table:
+    """Proximity retrieval ('sort' within 3 kept-token positions of
+    'window') over the positional sidecar — searchsorted range probes,
+    never a materialized pair list."""
+    from search_engine_ray.engine.positions import proximity_search
+    from search_engine_ray.pipelines import documents_positions_dir
+
+    pos_dir = documents_positions_dir(sf_dir, OPT_NOSTEM)
+    return proximity_search(pos_dir, "sort", "window", window=3, options=OPT_NOSTEM)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats": q_doc_stats,
@@ -1412,6 +1423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": q_dsir_weights,
         "pack_sequences": q_pack_sequences,
         "pack_bins": q_pack_bins,
+        "proximity_match": q_proximity_match,
         "wildcard_terms": q_wildcard_terms,
         "prefix_search_top10": q_prefix_search_top10,
         "rrf_fusion": q_rrf_fusion,
@@ -1854,6 +1866,27 @@ def oracle_sql() -> dict[str, str]:
                    start // {_SEQ_LEN} AS first_bin,
                    (start + n - 1) // {_SEQ_LEN} AS last_bin
             FROM off WHERE n > 0
+        """,
+        "proximity_match": f"""
+            WITH raw AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text), '[\\x00-\\x2f:;=?]')) AS t,
+                     unnest(generate_series(1,
+                        len(regexp_split_to_array(lower(text), '[\\x00-\\x2f:;=?]')))) AS pos
+              FROM documents),
+            kept AS (
+              SELECT doc_id, t,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS kp
+              FROM raw
+              WHERE t <> '' AND substr(t, 1, 1) <> '<' AND substr(t, -1, 1) <> '>'
+                AND t NOT IN ({_STOP_LIST})),
+            m AS (
+              SELECT a.doc_id, count(*) AS n_pairs
+              FROM kept a JOIN kept b
+                ON b.doc_id = a.doc_id AND abs(a.kp - b.kp) <= 3
+              WHERE a.t = 'sort' AND b.t = 'window'
+              GROUP BY a.doc_id)
+            SELECT doc_id, n_pairs FROM m
         """,
         "pack_bins": f"""
             WITH tc AS (

@@ -355,3 +355,67 @@ def phrase_search(
     return pa.table(
         {"doc_id": pa.array(uniq), "n_matches": pa.array(counts.astype(np.int64))}
     )
+
+
+def proximity_search(
+    index_dir: str,
+    term_a: str,
+    term_b: str,
+    window: int,
+    options: IndexOptions | None = None,
+) -> pa.Table:
+    """Docs where (normalized) ``term_a`` and ``term_b`` occur within
+    ``window`` kept-token positions of each other, with the number of
+    qualifying (pos_a, pos_b) pairs -> ``(doc_id, n_pairs)`` sorted by
+    doc_id ascending.
+
+    Same pruned read as phrase_search: only the two terms' rows leave the
+    positions sidecar.  Pair counting is two searchsorted range probes
+    per a-occurrence over the sorted composite keys — O((|a|+|b|) log |b|),
+    never a materialized pair list."""
+    if window < 0:
+        raise ValueError("window must be >= 0")
+    import pyarrow.dataset as pads
+
+    if options is None:
+        with open(os.path.join(index_dir, "positions_stats.json")) as fh:
+            options = IndexOptions.from_dict(json.load(fh)["options"])
+
+    def norm(w: str) -> str:
+        return normalize_query_word(
+            w,
+            case_folding=options.case_folding,
+            remove_stopwords=options.remove_stopwords,
+            stemming=options.stemming,
+        )
+
+    ta, tb = norm(term_a), norm(term_b)
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "n_pairs": pa.array([], pa.int64())}
+    )
+    if not ta or not tb or ta == tb:
+        return empty
+
+    dset = pads.dataset(os.path.join(index_dir, "positions"))
+    tbl = dset.to_table(filter=pc.field("term").isin([ta, tb]))
+    a_keys = _term_keys(tbl.filter(pc.equal(tbl["term"], ta)))
+    b_keys = _term_keys(tbl.filter(pc.equal(tbl["term"], tb)))
+    if a_keys.size == 0 or b_keys.size == 0:
+        return empty
+
+    doc_base = (a_keys >> _POS_BITS) << _POS_BITS
+    lo = np.maximum(a_keys - window, doc_base)
+    hi = np.minimum(a_keys + window, doc_base + (_POS_LIMIT - 1))
+    counts = np.searchsorted(b_keys, hi, side="right") - np.searchsorted(
+        b_keys, lo, side="left"
+    )
+    keep = counts > 0
+    if not keep.any():
+        return empty
+    docs = (a_keys[keep] >> _POS_BITS).astype(np.int64)
+    uniq, idx = np.unique(docs, return_inverse=True)
+    per_doc = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(per_doc, idx, counts[keep])
+    return pa.table(
+        {"doc_id": pa.array(uniq), "n_pairs": pa.array(per_doc)}
+    )

@@ -302,3 +302,55 @@ def test_positional_sidecar_and_phrase(ray_session, tmp_path):
     # resume: rebuild skips every fragment via its manifest
     stats2 = build_position_index(src, idx, opt, source_column="text", name_column="doc_id")
     assert stats2 == stats
+
+
+def test_proximity_search(ray_session, tmp_path):
+    """Proximity over the positional sidecar vs a brute-force pair count
+    on kept-token ordinals."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from search_engine_ray.engine.positions import build_position_index, proximity_search
+    from search_engine_ray.text.tokenizer import normalize_text_oracle
+
+    opt = IndexOptions(case_folding=True, remove_stopwords=True, stemming=False)
+    src = str(tmp_path / "docs.parquet")
+    texts = [
+        "alpha x x beta alpha",
+        "beta the alpha",        # stopword collapses: kept [beta alpha]
+        "alpha alpha gamma",
+        "beta x x x x x alpha",
+        "gamma gamma",
+    ]
+    ids = [1, 2, 3, 4, 5]
+    df = pd.DataFrame({"doc_id": ids, "text": texts})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), src)
+    idx = str(tmp_path / "pos")
+    build_position_index(src, idx, opt, source_column="text", name_column="doc_id")
+
+    def brute(ta, tb, w):
+        exp = {}
+        for d, t in zip(ids, texts):
+            toks = normalize_text_oracle(t, case_folding=True, remove_stopwords=True, stemming=False)
+            n = sum(
+                1
+                for i, x in enumerate(toks)
+                for j, y in enumerate(toks)
+                if x == ta and y == tb and abs(i - j) <= w
+            )
+            if n:
+                exp[d] = n
+        return exp
+
+    for ta, tb, w in [("alpha", "beta", 3), ("alpha", "beta", 1), ("beta", "alpha", 5), ("alpha", "gamma", 0)]:
+        out = proximity_search(idx, ta, tb, window=w, options=opt).to_pandas()
+        assert dict(zip(out["doc_id"], out["n_pairs"])) == brute(ta, tb, w), (ta, tb, w)
+
+    # same-term, empty-after-normalization, and absent-term queries -> empty
+    assert proximity_search(idx, "alpha", "alpha", 2, opt).num_rows == 0
+    assert proximity_search(idx, "the", "beta", 2, opt).num_rows == 0
+    assert proximity_search(idx, "zzz", "beta", 2, opt).num_rows == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        proximity_search(idx, "alpha", "beta", -1, opt)
