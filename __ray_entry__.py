@@ -1373,6 +1373,15 @@ def q_proximity_match(sf_dir: str) -> pa.Table:
     return proximity_search(pos_dir, "sort", "window", window=3, options=OPT_NOSTEM)
 
 
+def q_pmi_pairs(sf_dir: str) -> pa.Table:
+    """Top-50 co-occurring term pairs by doc count with doc-level PMI —
+    df-filtered vocabulary broadcast once, vectorized in-batch pair
+    enumeration, one (pair, count) groupby, tree-reduce top-k."""
+    from search_engine_ray.dataops.cooccur import pmi_top_pairs
+
+    return pmi_top_pairs(_docs_ds(sf_dir), OPT_NOSTEM, k=50, min_count=2)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats": q_doc_stats,
@@ -1424,6 +1433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "pack_bins": q_pack_bins,
         "proximity_match": q_proximity_match,
+        "pmi_pairs": q_pmi_pairs,
         "wildcard_terms": q_wildcard_terms,
         "prefix_search_top10": q_prefix_search_top10,
         "rrf_fusion": q_rrf_fusion,
@@ -1866,6 +1876,28 @@ def oracle_sql() -> dict[str, str]:
                    start // {_SEQ_LEN} AS first_bin,
                    (start + n - 1) // {_SEQ_LEN} AS last_bin
             FROM off WHERE n > 0
+        """,
+        "pmi_pairs": f"""
+            WITH {_TOKS},
+            dt AS (SELECT DISTINCT doc_id, t FROM toks),
+            nn AS (SELECT count(*) AS n_docs FROM documents),
+            df AS (SELECT t, count(*) AS df FROM dt GROUP BY t),
+            pairs AS (
+              SELECT a.t AS term_a, b.t AS term_b, count(*) AS n_ab
+              FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.t < b.t
+              GROUP BY a.t, b.t),
+            scored AS (
+              SELECT term_a, term_b, n_ab,
+                     CAST(FLOOR(ln((CAST(nn.n_docs AS DOUBLE) * n_ab)
+                                   / (CAST(da.df AS DOUBLE) * db.df)) * 1000000 + 0.5) AS BIGINT) AS pmi_micros
+              FROM pairs
+              JOIN df da ON da.t = term_a
+              JOIN df db ON db.t = term_b
+              CROSS JOIN nn
+              WHERE n_ab >= 2),
+            ranked AS (SELECT *, row_number() OVER (ORDER BY n_ab DESC, term_a, term_b) AS r
+                       FROM scored)
+            SELECT term_a, term_b, n_ab, pmi_micros FROM ranked WHERE r <= 50
         """,
         "proximity_match": f"""
             WITH raw AS (

@@ -1,0 +1,181 @@
+"""Document-level term co-occurrence with PMI scoring.
+
+Beyond-reference surface: collocation mining over the curated corpus —
+top term pairs by document co-occurrence count with pointwise mutual
+information ``ln(N * n_ab / (df_a * df_b))`` (doc-level PMI; N = corpus
+document count).
+
+Scale shape
+-----------
+Pair generation is inherently O(sum m_i^2) in per-doc distinct vocabulary
+size, so the vocabulary is FILTERED FIRST: a (term, df) aggregate keeps
+terms with ``min_df <= df <= max_df`` — the max_df cap drops
+stopword-like terms whose pairings would dominate the pair space (the
+same skew rule ngram_jaccard applies to shingles).  The kept vocabulary
+is dictionary-sized: broadcast once via ``ray.put``.  Per batch, pair
+enumeration is fully vectorized (repeat/offset arithmetic, no Python
+loop over docs) and pre-aggregated (np.unique) so the ONE shuffle moves
+(pair_code, partial_count) rows; the global top-k uses the tree-reduce
+``topk_by``, so the driver only ever sees k rows.
+
+PMI values are floored to integer micros with the exact expression
+``ln((N_double * n_ab) / (df_a_double * df_b))`` so the driver-gate SQL
+oracle reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..config import IndexOptions
+from ..text.vectorized import tokenize_batch
+from .sample import topk_by
+
+
+def _vocab_df(
+    ds: ray.data.Dataset, options: IndexOptions, text_column: str
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """(sorted kept-term vocab, df per term, n_docs) — distinct-per-doc
+    partial counts, one groupby-sum, driver-side densify (dictionary-
+    sized)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tb = tokenize_batch(batch[text_column], options)
+        if len(tb.term_codes) == 0:
+            return pa.table({"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
+        pair = np.unique(
+            tb.doc_idx.astype(np.int64) * np.int64(len(tb.terms)) + tb.term_codes
+        )
+        codes = (pair % len(tb.terms)).astype(np.int64)
+        counts = np.bincount(codes, minlength=len(tb.terms))
+        return pa.table(
+            {"term": pa.array(tb.terms, pa.string()), "df": pa.array(counts.astype(np.int64))}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+        .sort_values("term", ignore_index=True)
+    )
+    n_docs = ds.count()
+    return (
+        agg["term"].to_numpy(dtype=object),
+        agg["df"].to_numpy(dtype=np.int64),
+        int(n_docs),
+    )
+
+
+def _pairs_within_segments(lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Flat (a_idx, b_idx) index pairs with a<b inside each segment —
+    vectorized repeat/offset arithmetic, no per-segment Python loop."""
+    if len(lens) == 0 or int(lens.sum()) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    flat = np.arange(int(lens.sum()), dtype=np.int64)
+    seg = np.repeat(np.arange(len(lens)), lens)
+    local = flat - starts[seg]
+    reps = (lens[seg] - 1 - local).astype(np.int64)  # partners AFTER each elem
+    total = int(reps.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    a_idx = np.repeat(flat, reps)
+    grp_base = np.concatenate(([0], np.cumsum(reps)[:-1]))
+    offsets = np.arange(total, dtype=np.int64) - np.repeat(grp_base, reps) + 1
+    return a_idx, a_idx + offsets
+
+
+def pmi_top_pairs(
+    ds: ray.data.Dataset,
+    options: IndexOptions,
+    k: int = 50,
+    min_count: int = 2,
+    min_df: int = 1,
+    max_df: int | None = None,
+    text_column: str = "text",
+) -> pa.Table:
+    """Top-k co-occurring term pairs by document count (ties -> pair
+    ascending) -> (term_a, term_b, n_ab, pmi_micros)."""
+    from ray.data.aggregate import Sum
+
+    vocab, dfs, n_docs = _vocab_df(ds, options, text_column)
+    keep = dfs >= min_df
+    if max_df is not None:
+        keep &= dfs <= max_df
+    vocab, dfs = vocab[keep], dfs[keep]
+    V = len(vocab)
+    if V < 2:
+        return pa.table(
+            {
+                "term_a": pa.array([], pa.string()),
+                "term_b": pa.array([], pa.string()),
+                "n_ab": pa.array([], pa.int64()),
+                "pmi_micros": pa.array([], pa.int64()),
+            }
+        )
+    vocab_ref = ray.put(vocab)
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        voc = ray.get(vocab_ref)
+        tb = tokenize_batch(batch[text_column], options)
+        empty = pa.table(
+            {"pair": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+        if len(tb.term_codes) == 0:
+            return empty
+        # batch terms -> kept-vocab codes (searchsorted over the broadcast
+        # sorted vocab); -1 = not kept
+        pos = np.searchsorted(voc, tb.terms)
+        pos_c = np.minimum(pos, V - 1)
+        in_vocab = voc[pos_c] == tb.terms
+        code_of = np.where(in_vocab, pos_c, -1)
+        tok_codes = code_of[tb.term_codes]
+        doc_idx = tb.doc_idx.astype(np.int64)
+        m = tok_codes >= 0
+        if not m.any():
+            return empty
+        # distinct (doc, code), sorted -> segments sorted by code within doc
+        dk = np.unique(doc_idx[m] * np.int64(V) + tok_codes[m])
+        seg_ids = dk // V
+        codes = (dk % V).astype(np.int64)
+        lens = np.bincount(seg_ids - seg_ids.min(), minlength=0)
+        lens = lens[lens > 0]  # docs present in this batch, in order
+        a_idx, b_idx = _pairs_within_segments(lens)
+        if len(a_idx) == 0:
+            return empty
+        pair_code = codes[a_idx] * np.int64(V) + codes[b_idx]
+        uniq, counts = np.unique(pair_code, return_counts=True)
+        return pa.table(
+            {"pair": pa.array(uniq), "n": pa.array(counts.astype(np.int64))}
+        )
+
+    counted = (
+        ds.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("n", alias_name="n_ab"))
+        .filter(expr=f"n_ab >= {int(min_count)}")
+    )
+    top = topk_by(counted, "n_ab", k, ascending=False, id_column="pair")
+    pair = np.asarray(top["pair"], dtype=np.int64)
+    n_ab = np.asarray(top["n_ab"], dtype=np.int64)
+    a = (pair // V).astype(np.int64)
+    b = (pair % V).astype(np.int64)
+    pmi = np.log(
+        (np.float64(n_docs) * n_ab.astype(np.float64))
+        / (dfs[a].astype(np.float64) * dfs[b].astype(np.float64))
+    )
+    pmi_micros = np.floor(pmi * 1_000_000 + 0.5).astype(np.int64)
+    order = np.lexsort((pair, -n_ab))
+    return pa.table(
+        {
+            "term_a": pa.array(vocab[a][order], pa.string()),
+            "term_b": pa.array(vocab[b][order], pa.string()),
+            "n_ab": pa.array(n_ab[order]),
+            "pmi_micros": pa.array(pmi_micros[order]),
+        }
+    )
