@@ -173,6 +173,9 @@ def run_benchmarks() -> dict:
         knn_ivf_probe,
         knn_ivfpq_probe,
     )
+    from search_engine_ray.dataops.cooccur import pmi_top_pairs
+    from search_engine_ray.dataops.lm import dsir_importance_weights, unigram_lm_scores
+    from search_engine_ray.dataops.pack import pack_sequences
     from search_engine_ray.dataops.textstats import gopher_quality, quality_scores, top_ngrams
     from search_engine_ray.engine.positions import build_position_index, phrase_search
     from search_engine_ray.ioutil import read_parquet_clean
@@ -224,6 +227,11 @@ def run_benchmarks() -> dict:
         ("ann_ivfpq_probe", lambda: knn_ivfpq_probe(ivfpq_dir, queries, k=10, nprobe=6)),
         ("phrase_index_build", _positions_build),
         ("phrase_search", lambda: phrase_search(pos_dir, ["sort", "table"], pos_opt)),
+        ("unigram_lm", lambda: unigram_lm_scores(docs_ds, pos_opt).count()),
+        ("dsir_weights", lambda: dsir_importance_weights(
+            docs_ds, docs_ds.filter(expr="lang == 'en'"), n_buckets=8192).count()),
+        ("pack_sequences", lambda: pack_sequences(docs_path, seq_len=2048).count()),
+        ("pmi_pairs", lambda: pmi_top_pairs(docs_ds, pos_opt, k=50, min_count=2)),
     ]
     n_rounds = int(os.environ.get("SE_RAY_BENCH_OP_ROUNDS", "2"))
     samples: dict[str, list[float]] = {name: [] for name, _ in ops}
