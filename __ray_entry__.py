@@ -1382,6 +1382,69 @@ def q_pmi_pairs(sf_dir: str) -> pa.Table:
     return pmi_top_pairs(_docs_ds(sf_dir), OPT_NOSTEM, k=50, min_count=2)
 
 
+_SPAN_K = 4
+
+
+def q_dup_spans(sf_dir: str) -> pa.Table:
+    """Duplicate-span detection (exact-substring-dedup signal): maximal
+    merged spans of 4-token windows occurring >= 2 times corpus-wide.
+    md5be hash kind so the rolling window hash is SQL-reproducible."""
+    from search_engine_ray.dataops.spandup import duplicate_spans
+
+    ds = duplicate_spans(_docs_ds(sf_dir), k=_SPAN_K, min_count=2, hash_kind="md5be")
+    return pa.concat_tables(
+        pa.table(b) for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+
+
+def _dup_spans_sql(k: int = _SPAN_K, min_count: int = 2) -> str:
+    """DuckDB SQL reproducing dataops.spandup.duplicate_spans(hash_kind=
+    "md5be") bit-exactly: md5be token hash, the same M-multiplier rolling
+    window hash in UHUGEINT arithmetic, occurrence counting, and a
+    gaps-and-islands merge of overlapping/adjacent windows."""
+    W = "18446744073709551616::UHUGEINT"  # 2^64
+    M = "11400714819323198485::UHUGEINT"  # 0x9E3779B97F4A7C15
+
+    def powterm(expr: str, pows: int) -> str:
+        e = f"{expr}::UHUGEINT"
+        for _ in range(pows):
+            e = f"(({e} * {M}) % {W})"
+        return e
+
+    acc = " + ".join(powterm(f"t{j}.hh", k - 1 - j) for j in range(k))
+    joins = "".join(
+        f" JOIN th t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.pos = t0.pos + {j}"
+        for j in range(1, k)
+    )
+    return f"""
+        WITH tl AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tks
+          FROM documents),
+        tok AS (
+          SELECT doc_id, unnest(tks) AS t, unnest(generate_series(1, len(tks))) AS pos
+          FROM tl),
+        th AS (SELECT doc_id, pos,
+                      ('0x' || substr(md5(t), 1, 16))::UBIGINT AS hh FROM tok),
+        shp AS (
+          SELECT t0.doc_id, t0.pos, CAST(({acc}) % {W} AS UBIGINT) AS sh
+          FROM th t0{joins}),
+        cnt AS (SELECT sh, count(*) AS c FROM shp GROUP BY sh),
+        dup AS (SELECT shp.doc_id, shp.pos FROM shp JOIN cnt USING (sh)
+                WHERE cnt.c >= {min_count}),
+        isl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {k}
+                      THEN 1 ELSE 0 END AS brk
+          FROM dup),
+        grp AS (SELECT doc_id, pos,
+                       SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+                FROM isl)
+        SELECT doc_id, MIN(pos) - 1 AS start_tok, MAX(pos) - 1 + {k} AS end_tok
+        FROM grp GROUP BY doc_id, g
+    """
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats": q_doc_stats,
@@ -1434,6 +1497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_bins": q_pack_bins,
         "proximity_match": q_proximity_match,
         "pmi_pairs": q_pmi_pairs,
+        "dup_spans": q_dup_spans,
         "wildcard_terms": q_wildcard_terms,
         "prefix_search_top10": q_prefix_search_top10,
         "rrf_fusion": q_rrf_fusion,
@@ -1877,6 +1941,7 @@ def oracle_sql() -> dict[str, str]:
                    (start + n - 1) // {_SEQ_LEN} AS last_bin
             FROM off WHERE n > 0
         """,
+        "dup_spans": _dup_spans_sql(),
         "pmi_pairs": f"""
             WITH {_TOKS},
             dt AS (SELECT DISTINCT doc_id, t FROM toks),

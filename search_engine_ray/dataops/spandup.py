@@ -1,0 +1,159 @@
+"""Duplicate-span detection — the "exact substring dedup" signal of
+Lee et al. (2022), *Deduplicating Training Data Makes Language Models
+Better*: find every k-token window whose content occurs more than once
+across the corpus, and report the merged duplicated spans per document
+(the spans a curation pass would cut or down-weight).
+
+The exact suffix-array construction of the paper is a single-machine
+algorithm; the distributed shape here is the standard fingerprint
+approximation: rolling k-gram hashes (the same multiplier chain the
+MinHash pipeline uses) stand in for the substrings themselves — a
+64-bit-collision false positive is ~2^-64 per window pair.
+
+Scale shape
+-----------
+1. count: per-batch positional shingles pre-aggregated to
+   (hash, partial_count) rows — the ONE corpus-wide shuffle carries
+   ~12 B/distinct-hash-per-batch, never positions or text.
+2. mark: the duplicated-hash set (output-sized: only hashes with
+   count >= min_count) joins back against per-batch positional shingles
+   with a native hash semi-join.
+3. merge: qualifying (doc_id, pos) rows group by doc; overlapping or
+   adjacent [pos, pos+k) windows merge into maximal spans with one
+   vectorized diff/cumsum pass per group.
+
+Nothing corpus-sized reaches the driver; every shuffle is keyed by hash
+or doc_id and sized by data volume.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from .dedup import _join_parts, _token_lists
+
+_MULT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _positional_shingles(
+    texts: pa.Array, k: int, hash_kind: str
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(doc_idx, pos, shingle_hash) for every k-token window, 0-based
+    token positions, windows never spanning documents — one vectorized
+    rolling pass over the batch's flat token array."""
+    tok_hash, offsets = _token_lists(texts, hash_kind=hash_kind)
+    n = len(tok_hash)
+    n_docs = len(offsets) - 1
+    if n < k:
+        e = np.empty(0, np.int64)
+        return e, e, np.empty(0, np.uint64)
+    doc_lens = np.diff(offsets)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), doc_lens)
+    with np.errstate(over="ignore"):
+        acc = tok_hash[: n - k + 1].copy()
+        for j in range(1, k):
+            acc = acc * _MULT + tok_hash[j : n - k + 1 + j]
+    valid = doc_idx[: n - k + 1] == doc_idx[k - 1 :]
+    d = doc_idx[: n - k + 1][valid]
+    flat_pos = np.arange(n - k + 1, dtype=np.int64)[valid]
+    pos = flat_pos - offsets[d]
+    return d, pos, acc[valid]
+
+
+def _merge_spans(pos: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Merge sorted window starts into maximal [start, end) token spans —
+    windows overlap/touch when the start gap is <= k."""
+    pos = np.sort(pos)
+    brk = np.flatnonzero(np.diff(pos) > k)
+    starts = pos[np.concatenate(([0], brk + 1))]
+    ends = pos[np.concatenate((brk, [len(pos) - 1]))] + k
+    return starts, ends
+
+
+def duplicate_spans(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    min_count: int = 2,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    hash_kind: str = "blake2b",
+) -> ray.data.Dataset:
+    """-> Dataset(doc_id, start_tok, end_tok) of maximal duplicated spans
+    (0-based whitespace-token positions, end exclusive).  A window
+    qualifies when its k-gram occurs >= min_count times corpus-wide
+    (within-doc repeats count)."""
+    from ray.data.aggregate import Sum
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def hash_partials(batch: pa.Table) -> pa.Table:
+        _, _, hashes = _positional_shingles(batch[text_column], k, hash_kind)
+        if len(hashes) == 0:
+            return pa.table({"sh": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+        uniq, counts = np.unique(hashes, return_counts=True)
+        # int64 VIEW of the uint64 hash: a bijection, so counts/joins are
+        # unchanged, and the shuffled key stays Arrow-native through
+        # groupby/join (top-half uint64 values overflow int64 conversion)
+        return pa.table(
+            {"sh": pa.array(uniq.view(np.int64)), "n": pa.array(counts.astype(np.int64))}
+        )
+
+    dup_hashes = (
+        ds.map_batches(hash_partials, batch_format="pyarrow")
+        .groupby("sh")
+        .aggregate(Sum("n", alias_name="n"))
+        .filter(expr=f"n >= {int(min_count)}")
+        .select_columns(["sh"])
+    )
+    # output-sized (duplicated hashes only): materialize to short-circuit
+    # the no-duplicates case and to merge away the filter's schema-less
+    # empty blocks before they reach the join (documented Ray 2.49
+    # behavior — see dedup.minhash_lsh_pairs)
+    dup_hashes = dup_hashes.materialize()
+    n_dup = dup_hashes.count()
+    if n_dup == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_column: pa.array([], pa.int64()),
+                    "start_tok": pa.array([], pa.int64()),
+                    "end_tok": pa.array([], pa.int64()),
+                }
+            )
+        )
+    dup_hashes = dup_hashes.repartition(max(1, n_dup // 1_000_000 + 1))
+
+    def positions(batch: pa.Table) -> pa.Table:
+        d, pos, hashes = _positional_shingles(batch[text_column], k, hash_kind)
+        ids = np.asarray(batch[id_column], dtype=np.int64)
+        return pa.table(
+            {
+                id_column: pa.array(ids[d] if len(d) else np.empty(0, np.int64)),
+                "pos": pa.array(pos),
+                "sh": pa.array(hashes.view(np.int64)),
+            }
+        )
+
+    marked = ds.map_batches(positions, batch_format="pyarrow").join(
+        dup_hashes,
+        join_type="left_semi",
+        num_partitions=_join_parts(8),
+        on=("sh",),
+    )
+
+    def merge(g: "pd.DataFrame") -> "pd.DataFrame":  # noqa: F821
+        import pandas as pd
+
+        starts, ends = _merge_spans(g["pos"].to_numpy(dtype=np.int64), k)
+        return pd.DataFrame(
+            {
+                id_column: np.full(len(starts), int(g[id_column].iloc[0]), dtype=np.int64),
+                "start_tok": starts,
+                "end_tok": ends,
+            }
+        )
+
+    return marked.groupby(id_column).map_groups(merge, batch_format="pandas")
