@@ -1382,6 +1382,42 @@ def q_pmi_pairs(sf_dir: str) -> pa.Table:
     return pmi_top_pairs(_docs_ds(sf_dir), OPT_NOSTEM, k=50, min_count=2)
 
 
+_MLT_DOC = 42
+
+
+def q_more_like_this(sf_dir: str) -> pa.Table:
+    """More-like-this: doc 42's top tf*ln(N//df) terms (the engine's
+    TfIdf idf quirk) as a disjunctive BM25 query, source doc excluded."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.engine.mlt import more_like_this
+    from search_engine_ray.pipelines import documents_index_dir
+
+    index_dir = documents_index_dir(sf_dir, OPT_NOSTEM)
+    r = _reader(sf_dir)
+    src = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    text = src.filter(pa.compute.equal(src["doc_id"], _MLT_DOC))["text"][0].as_py()
+    _, ids, scores = more_like_this(
+        r,
+        index_dir,
+        text,
+        OPT_NOSTEM,
+        exclude_doc=r.doc_id_of(str(_MLT_DOC)),
+        top_terms=10,
+        k=100,  # over-fetch, then re-rank on integer doc_id for ties
+    )
+    docs = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    order = np.lexsort((docs, -scores))[:10]
+    return pa.table(
+        {
+            "doc_id": pa.array(docs[order]),
+            "score_micros": pa.array(_micros(scores[order])),
+        }
+    )
+
+
 _SPAN_K = 4
 
 
@@ -1498,6 +1534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proximity_match": q_proximity_match,
         "pmi_pairs": q_pmi_pairs,
         "dup_spans": q_dup_spans,
+        "more_like_this": q_more_like_this,
         "wildcard_terms": q_wildcard_terms,
         "prefix_search_top10": q_prefix_search_top10,
         "rrf_fusion": q_rrf_fusion,
@@ -1942,6 +1979,35 @@ def oracle_sql() -> dict[str, str]:
             FROM off WHERE n > 0
         """,
         "dup_spans": _dup_spans_sql(),
+        "more_like_this": f"""
+            WITH {_TOKS},
+            nn AS (SELECT count(*) AS n FROM documents),
+            src AS (SELECT t, count(*) AS tf FROM toks
+                    WHERE doc_id = {_MLT_DOC} GROUP BY t),
+            dfa AS (SELECT t, count(DISTINCT doc_id) AS df FROM toks GROUP BY t),
+            w AS (SELECT src.t,
+                         src.tf * ln(CAST(nn.n // dfa.df AS DOUBLE)) AS wt
+                  FROM src JOIN dfa USING (t) CROSS JOIN nn),
+            sel AS (SELECT t FROM w ORDER BY wt DESC, t ASC LIMIT 10),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+            tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks
+                   WHERE t IN (SELECT t FROM sel) GROUP BY doc_id, t),
+            dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            sc AS (
+              SELECT tf.doc_id,
+                     SUM( ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                          * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) ) AS score
+              FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+              WHERE tf.doc_id <> {_MLT_DOC}
+              GROUP BY tf.doc_id
+            ),
+            ranked AS (SELECT doc_id, score,
+                              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM sc)
+            SELECT doc_id, {micros.format(expr="score")} AS score_micros
+            FROM ranked WHERE r <= 10
+        """,
         "pmi_pairs": f"""
             WITH {_TOKS},
             dt AS (SELECT DISTINCT doc_id, t FROM toks),

@@ -156,3 +156,37 @@ def test_rrf_fuse_runs_matches_lists(ray_session):
         assert part["doc"].tolist() == ids.tolist()
         assert part["fused_micros"].tolist() == sc.tolist()
         assert part["fused_rank"].tolist() == list(range(1, 6))
+
+
+def test_more_like_this(index_dir, ray_session):
+    import numpy as np
+
+    from search_engine_ray.config import IndexOptions
+    from search_engine_ray.engine.index_reader import IndexReader
+    from search_engine_ray.engine.mlt import more_like_this, select_query_terms
+
+    opt = IndexOptions(True, True, True)
+    reader = IndexReader(index_dir)
+    # use doc 0's own text: its top term set must retrieve similar docs,
+    # and the source ordinal must be excluded
+    import pyarrow.parquet as pq_
+
+    src_name = reader.doc_names[0]
+    kws, ids, scores = more_like_this(
+        reader, index_dir, "nonexistent tokens only zzz", opt, top_terms=5, k=5
+    )
+    assert kws == [] and len(ids) == 0
+
+    # terms drawn from the index vocabulary: selection is deterministic,
+    # bounded, and qtf=1 each
+    terms_tbl = pq_.read_table(f"{index_dir}/terms.parquet")
+    text = " ".join(terms_tbl["term"].to_pylist()[:20])
+    kws2 = select_query_terms(index_dir, text, opt, reader.n_docs, top_terms=7)
+    assert len(kws2) <= 7 and all(q == 1 for _, q in kws2)
+    assert kws2 == select_query_terms(index_dir, text, opt, reader.n_docs, top_terms=7)
+
+    kws3, ids3, scores3 = more_like_this(
+        reader, index_dir, text, opt, exclude_doc=0, top_terms=7, k=10
+    )
+    assert 0 not in ids3.tolist()
+    assert np.all(np.diff(scores3) <= 1e-12)  # descending scores
