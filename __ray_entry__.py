@@ -1418,6 +1418,17 @@ def q_more_like_this(sf_dir: str) -> pa.Table:
     )
 
 
+def q_snippets(sf_dir: str) -> pa.Table:
+    """Best-passage extraction: the 8-kept-token window with the most
+    query-term hits per doc (ties -> earliest), with the snippet text."""
+    from search_engine_ray.engine.snippets import snippets
+
+    ds = snippets(_docs_ds(sf_dir), ["spark", "hash", "join"], OPT_NOSTEM, window=8)
+    return pa.concat_tables(
+        pa.table(b) for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+
+
 _SPAN_K = 4
 
 
@@ -1535,6 +1546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_pairs": q_pmi_pairs,
         "dup_spans": q_dup_spans,
         "more_like_this": q_more_like_this,
+        "snippets": q_snippets,
         "wildcard_terms": q_wildcard_terms,
         "prefix_search_top10": q_prefix_search_top10,
         "rrf_fusion": q_rrf_fusion,
@@ -1979,6 +1991,36 @@ def oracle_sql() -> dict[str, str]:
             FROM off WHERE n > 0
         """,
         "dup_spans": _dup_spans_sql(),
+        "snippets": f"""
+            WITH raw AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text), '[\\x00-\\x2f:;=?]')) AS t,
+                     unnest(generate_series(1,
+                        len(regexp_split_to_array(lower(text), '[\\x00-\\x2f:;=?]')))) AS pos
+              FROM documents),
+            kept AS (
+              SELECT doc_id, t,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS kp
+              FROM raw
+              WHERE t <> '' AND substr(t, 1, 1) <> '<' AND substr(t, -1, 1) <> '>'
+                AND t NOT IN ({_STOP_LIST})),
+            hits AS (SELECT doc_id, kp FROM kept
+                     WHERE t IN ('spark', 'hash', 'join')),
+            wnd AS (SELECT a.doc_id, a.kp AS s, count(*) AS n_hits
+                    FROM hits a JOIN hits b
+                      ON b.doc_id = a.doc_id AND b.kp >= a.kp AND b.kp < a.kp + 8
+                    GROUP BY a.doc_id, a.kp),
+            best AS (SELECT doc_id, s, n_hits,
+                            row_number() OVER (PARTITION BY doc_id
+                                               ORDER BY n_hits DESC, s ASC) AS r
+                     FROM wnd),
+            sel AS (SELECT doc_id, s, n_hits FROM best WHERE r = 1)
+            SELECT sel.doc_id, sel.s - 1 AS best_start, sel.n_hits,
+                   (SELECT string_agg(k.t, ' ' ORDER BY k.kp) FROM kept k
+                    WHERE k.doc_id = sel.doc_id
+                      AND k.kp >= sel.s AND k.kp < sel.s + 8) AS snippet
+            FROM sel
+        """,
         "more_like_this": f"""
             WITH {_TOKS},
             nn AS (SELECT count(*) AS n FROM documents),

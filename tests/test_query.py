@@ -205,3 +205,40 @@ def test_wand_stale_bounds_guard(setup):
     ids_w, _ = score_topic(reader, kws, "bm25", built, 10, "wand")
     ids_t, _ = score_topic(reader, kws, "bm25", built, 10, "taat")
     assert np.array_equal(ids_w, ids_t)
+
+
+def test_snippet_extraction(ray_session):
+    """Best-window semantics: max hit count, ties -> earliest start,
+    stopword query words dropped, hitless docs omitted."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_ray.config import IndexOptions
+    from search_engine_ray.engine.snippets import snippets
+
+    opt = IndexOptions(case_folding=True, remove_stopwords=True, stemming=False)
+    texts = [
+        "alpha beta gamma alpha delta alpha alpha zeta",   # dense cluster late
+        "beta gamma delta epsilon",                         # single hit
+        "nothing matching here",
+        "alpha " + "x " * 20 + "alpha beta",                # two clusters
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()), "text": pa.array(texts)})
+    )
+    out = (
+        snippets(ds, ["alpha", "beta", "the"], opt, window=3)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc1 kept: [alpha beta gamma alpha delta alpha alpha zeta]
+    # window=3 starting at each hit: [0]=2, [3]=1, [5]=2, [6]=1 -> tie at 0 and 5, earliest wins
+    assert out.loc[1, "best_start"] == 0 and out.loc[1, "n_hits"] == 2
+    assert out.loc[1, "snippet"] == "alpha beta gamma"
+    assert out.loc[2, "n_hits"] == 1 and out.loc[2, "best_start"] == 0
+    assert 3 not in out.index
+    # doc4: [alpha x*20 alpha beta]: window at 21 has 2 hits
+    assert out.loc[4, "best_start"] == 21 and out.loc[4, "n_hits"] == 2
+    assert out.loc[4, "snippet"] == "alpha beta"
