@@ -1418,6 +1418,15 @@ def q_more_like_this(sf_dir: str) -> pa.Table:
     )
 
 
+def q_suggest(sf_dir: str) -> pa.Table:
+    """Query auto-completion: top-3 highest-df completions of 's'."""
+    from search_engine_ray.engine.lexicon import suggest_terms
+    from search_engine_ray.pipelines import documents_index_dir
+
+    index_dir = documents_index_dir(sf_dir, OPT_NOSTEM)
+    return suggest_terms(index_dir, "s", k=3)
+
+
 def q_snippets(sf_dir: str) -> pa.Table:
     """Best-passage extraction: the 8-kept-token window with the most
     query-term hits per doc (ties -> earliest), with the snippet text."""
@@ -1547,6 +1556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": q_dup_spans,
         "more_like_this": q_more_like_this,
         "snippets": q_snippets,
+        "suggest": q_suggest,
         "wildcard_terms": q_wildcard_terms,
         "prefix_search_top10": q_prefix_search_top10,
         "rrf_fusion": q_rrf_fusion,
@@ -2117,6 +2127,12 @@ def oracle_sql() -> dict[str, str]:
             WITH {_TOKS}
             SELECT t AS term, count(DISTINCT doc_id) AS df
             FROM toks WHERE t LIKE '%or%' GROUP BY t
+        """,
+        "suggest": f"""
+            WITH {_TOKS},
+            d AS (SELECT t AS term, count(DISTINCT doc_id) AS df
+                  FROM toks WHERE t LIKE 's%' GROUP BY t)
+            SELECT term, df FROM d ORDER BY df DESC, term ASC LIMIT 3
         """,
         "prefix_search_top10": f"""
             WITH {_TOKS},

@@ -102,3 +102,20 @@ def expand_prefix_query(
         order = sorted(range(len(terms)), key=lambda i: (-dfs[i], terms[i]))[:max_expand]
         terms = [terms[i] for i in sorted(order)]
     return [(t, 1) for t in terms]
+
+
+def suggest_terms(index_dir: str, prefix: str, k: int = 5) -> pa.Table:
+    """Query auto-completion: the k highest-df dictionary terms starting
+    with ``prefix`` (ties -> term ascending) -> (term, df).  Same
+    row-group-pruned range read as prefix_terms; ranking happens on the
+    prefix-matched slice only."""
+    tbl = prefix_terms(index_dir, prefix)
+    terms = tbl["term"].to_pylist()
+    dfs = tbl["df"].to_pylist()
+    order = sorted(range(len(terms)), key=lambda i: (-dfs[i], terms[i]))[:k]
+    return pa.table(
+        {
+            "term": pa.array([terms[i] for i in order], pa.string()),
+            "df": pa.array([dfs[i] for i in order], pa.int64()),
+        }
+    )

@@ -190,3 +190,15 @@ def test_more_like_this(index_dir, ray_session):
     )
     assert 0 not in ids3.tolist()
     assert np.all(np.diff(scores3) <= 1e-12)  # descending scores
+
+
+def test_suggest_terms(index_dir, all_terms):
+    from search_engine_ray.engine.lexicon import suggest_terms
+
+    got = suggest_terms(index_dir, "s", k=3)
+    exp = sorted(
+        ((t, d) for t, d in all_terms.items() if t.startswith("s")),
+        key=lambda r: (-r[1], r[0]),
+    )[:3]
+    assert list(zip(got["term"].to_pylist(), got["df"].to_pylist())) == exp
+    assert suggest_terms(index_dir, "zzzz", k=3).num_rows == 0
