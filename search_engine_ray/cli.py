@@ -181,6 +181,58 @@ def cmd_stats(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_terms(args: argparse.Namespace) -> int:
+    """Dictionary queries: prefix range probe, wildcard scan, or top-df
+    auto-completion — pure metadata reads, no Ray session needed."""
+    from .engine.lexicon import match_terms, prefix_terms, suggest_terms
+
+    if args.suggest is not None:
+        tbl = suggest_terms(args.index_dir, args.suggest, k=args.limit or 5)
+    elif args.pattern is not None:
+        tbl = match_terms(args.index_dir, args.pattern, limit=args.limit)
+    elif args.prefix is not None:
+        tbl = prefix_terms(args.index_dir, args.prefix, limit=args.limit)
+    else:
+        print("one of --prefix / --pattern / --suggest is required", file=sys.stderr)
+        return 2
+    for t, d in zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()):
+        print(f"{t}\t{d}")
+    return 0
+
+
+def cmd_mlt(args: argparse.Namespace) -> int:
+    """More-like-this: rank the corpus against a source document's text."""
+    from .engine.index_reader import IndexReader
+    from .engine.mlt import more_like_this
+
+    from .config import IndexOptions
+
+    reader = IndexReader(args.index_dir)
+    options = IndexOptions.from_dict(reader.stats["options"])
+    if args.doc is not None:
+        ordinal = reader.doc_id_of(args.doc)
+        if ordinal < 0:
+            print(f"error: doc {args.doc!r} not in index", file=sys.stderr)
+            return 2
+        if args.text is None:
+            print("--text is required with --doc (the index stores no forward text)", file=sys.stderr)
+            return 2
+        exclude = ordinal
+    else:
+        exclude = None
+    if args.text is None:
+        print("one of --text (and optionally --doc to exclude) is required", file=sys.stderr)
+        return 2
+    kws, ids, scores = more_like_this(
+        reader, args.index_dir, args.text, options,
+        exclude_doc=exclude, top_terms=args.top_terms, k=args.k,
+    )
+    print(json.dumps({"query_terms": [t for t, _ in kws]}))
+    for rank, (d, s) in enumerate(zip(ids.tolist(), scores.tolist()), 1):
+        print(f"{reader.doc_names[d]}\t{rank}\t{s}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="search_engine_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -220,6 +272,22 @@ def main(argv: list[str] | None = None) -> int:
     pt.add_argument("index_dir")
     pt.add_argument("--stopword-df-threshold", type=int, default=100_000)
     pt.set_defaults(fn=cmd_stats)
+
+    pl = sub.add_parser("terms", help="dictionary prefix/wildcard/suggest queries")
+    pl.add_argument("index_dir")
+    pl.add_argument("--prefix")
+    pl.add_argument("--pattern", help="fnmatch-style wildcard (* and ?)")
+    pl.add_argument("--suggest", metavar="PREFIX", help="top-df completions")
+    pl.add_argument("--limit", type=int, default=None)
+    pl.set_defaults(fn=cmd_terms)
+
+    pm = sub.add_parser("mlt", help="more-like-this: rank corpus against a source text")
+    pm.add_argument("index_dir")
+    pm.add_argument("--text", help="source document text")
+    pm.add_argument("--doc", help="source doc name to exclude from results")
+    pm.add_argument("--top-terms", type=int, default=10)
+    pm.add_argument("--k", type=int, default=10)
+    pm.set_defaults(fn=cmd_mlt)
 
     args = p.parse_args(argv)
     try:

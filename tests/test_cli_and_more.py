@@ -179,3 +179,41 @@ def test_uint16_tf_saturation():
     assert tfs.tolist() == [65535]
     # doc_len still counts every kept token (WriteableIndex.cs:68 semantics)
     assert _docs["doc_len"][0].as_py() == 70_000
+
+
+def test_cli_terms_and_mlt(cli_corpus, capsys, tmp_path):
+    """terms (prefix/pattern/suggest) and mlt subcommands."""
+    index_dir = f"{BASE}/index-lex"
+    rc = main(["index", cli_corpus, index_dir,
+               "IndexOptions(CaseFolding,RemoveStopWords,DoStemming)", "--overwrite"])
+    assert rc == 0
+    capsys.readouterr()
+
+    reader = IndexReader(index_dir)
+    vocab = sorted(reader._df)
+    prefix = vocab[0][0]  # first letter of first term -> nonempty result
+
+    assert main(["terms", index_dir, "--prefix", prefix]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    exp = [t for t in vocab if t.startswith(prefix)]
+    assert [l.split("\t")[0] for l in out] == exp
+
+    assert main(["terms", index_dir, "--suggest", prefix, "--limit", "3"]) == 0
+    out2 = capsys.readouterr().out.strip().splitlines()
+    assert len(out2) == min(3, len(exp))
+    dfs = [int(l.split("\t")[1]) for l in out2]
+    assert dfs == sorted(dfs, reverse=True)
+
+    assert main(["terms", index_dir, "--pattern", f"{prefix}*"]) == 0
+    out3 = capsys.readouterr().out.strip().splitlines()
+    assert [l.split("\t")[0] for l in out3] == exp
+
+    assert main(["terms", index_dir]) == 2  # no mode flag
+    capsys.readouterr()
+
+    text = " ".join(vocab[:8])
+    assert main(["mlt", index_dir, "--text", text, "--k", "5"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    header = json.loads(lines[0])
+    assert 0 < len(header["query_terms"]) <= 10
+    assert 1 <= len(lines) - 1 <= 5
