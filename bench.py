@@ -176,6 +176,8 @@ def run_benchmarks() -> dict:
     from search_engine_ray.dataops.cooccur import pmi_top_pairs
     from search_engine_ray.dataops.lm import dsir_importance_weights, unigram_lm_scores
     from search_engine_ray.dataops.pack import pack_sequences
+    from search_engine_ray.dataops.spandup import duplicate_spans
+    from search_engine_ray.engine.snippets import snippets
     from search_engine_ray.dataops.textstats import gopher_quality, quality_scores, top_ngrams
     from search_engine_ray.engine.positions import build_position_index, phrase_search
     from search_engine_ray.ioutil import read_parquet_clean
@@ -232,6 +234,9 @@ def run_benchmarks() -> dict:
             docs_ds, docs_ds.filter(expr="lang == 'en'"), n_buckets=8192).count()),
         ("pack_sequences", lambda: pack_sequences(docs_path, seq_len=2048).count()),
         ("pmi_pairs", lambda: pmi_top_pairs(docs_ds, pos_opt, k=50, min_count=2)),
+        ("dup_spans", lambda: duplicate_spans(docs_ds, k=8, min_count=2).count()),
+        ("snippets", lambda: snippets(
+            docs_ds, ["sort", "table", "hash"], pos_opt, window=8).count()),
     ]
     n_rounds = int(os.environ.get("SE_RAY_BENCH_OP_ROUNDS", "2"))
     samples: dict[str, list[float]] = {name: [] for name, _ in ops}
