@@ -1427,6 +1427,37 @@ def q_suggest(sf_dir: str) -> pa.Table:
     return suggest_terms(index_dir, "s", k=3)
 
 
+def q_curate_web(sf_dir: str) -> pa.Table:
+    """The composed WEB curation pipeline as ONE SQL-checked unit:
+    domain cap (3/domain over derived urls) -> exact text dedup ->
+    Gopher gate (30/1 thresholds) -> decontamination drop (test set =
+    the 3 lowest-doc_id docs, the _decontaminate_sql convention)."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.pipelines import curate_web_corpus
+
+    def add_url(batch: pa.Table) -> pa.Table:
+        urls = _derive_url_expr_py(
+            np.asarray(batch["doc_id"], dtype=np.int64),
+            batch["source"].to_pylist(),
+            batch["lang"].to_pylist(),
+        )
+        return batch.append_column("url", pa.array(urls, pa.string()))
+
+    src = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    order = pa.compute.sort_indices(src["doc_id"])
+    test_texts = src.take(order[:3])["text"].to_pylist()
+
+    ds = _docs_ds(sf_dir).map_batches(add_url, batch_format="pyarrow")
+    out = curate_web_corpus(ds, test_texts, domain_cap_n=3)
+    tbl = pa.concat_tables(
+        pa.table(b) for b in out.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    return tbl.drop_columns(["url"])
+
+
 def q_snippets(sf_dir: str) -> pa.Table:
     """Best-passage extraction: the 8-kept-token window with the most
     query-term hits per doc (ties -> earliest), with the snippet text."""
@@ -1557,6 +1588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "more_like_this": q_more_like_this,
         "snippets": q_snippets,
         "suggest": q_suggest,
+        "curate_web": q_curate_web,
         "wildcard_terms": q_wildcard_terms,
         "prefix_search_top10": q_prefix_search_top10,
         "rrf_fusion": q_rrf_fusion,
@@ -1788,6 +1820,85 @@ def _url_parts_sql() -> str:
     """
 
 
+def _curate_web_sql(n: int = 8) -> str:
+    """Composed curation oracle: domain cap -> exact dedup (min doc_id per
+    md5 WITHIN the capped set) -> Gopher pass (30/1) -> decontamination
+    (any shared word-8-gram with the 3 lowest-doc_id docs).  Gopher and
+    contamination are per-doc predicates, so they are computed over the
+    full table and intersected; the dedup winner is computed within the
+    capped survivor set (order matters there)."""
+    joined = " || ' ' || ".join(f"tk[i+{j}]" for j in range(n))
+    return (
+        _url_parts_sql()
+        + f""",
+        capped AS (
+          SELECT doc_id FROM (
+            SELECT doc_id,
+                   row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+            FROM parts) WHERE rn <= 3),
+        dd AS (
+          SELECT doc_id FROM (
+            SELECT doc_id,
+                   row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM documents WHERE doc_id IN (SELECT doc_id FROM capped))
+          WHERE rn = 1),
+        gwl AS (
+          SELECT doc_id, text,
+                 list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+          FROM documents),
+        gwords AS (SELECT doc_id, unnest(ws) AS w FROM gwl),
+        gwstats AS (
+          SELECT doc_id, count(*) AS n_words,
+                 COALESCE(sum(length(w)), 0) AS word_chars,
+                 sum(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1 ELSE 0 END) AS n_alpha_words,
+                 count(DISTINCT CASE WHEN lower(w) IN
+                       ('the','be','to','of','and','that','have','with')
+                       THEN lower(w) END) AS n_stop_words
+          FROM gwords GROUP BY doc_id),
+        glines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS ln FROM gwl),
+        glstats AS (
+          SELECT doc_id, count(*) AS n_lines,
+                 sum(CASE WHEN regexp_matches(ln, '^\\s*[-*•]') THEN 1 ELSE 0 END) AS n_bullet_lines,
+                 sum(CASE WHEN regexp_matches(ln, '(\\.\\.\\.|…)\\s*$') THEN 1 ELSE 0 END) AS n_ellipsis_lines
+          FROM glines GROUP BY doc_id),
+        gsyms AS (
+          SELECT doc_id,
+                 (length(text) - length(replace(text, '#', '')))
+                 + (length(text) - length(replace(text, '...', ''))) // 3 AS n_symbols
+          FROM documents),
+        gpass AS (
+          SELECT d.doc_id
+          FROM documents d
+          LEFT JOIN gwstats w USING (doc_id)
+          JOIN glstats l USING (doc_id)
+          JOIN gsyms s USING (doc_id)
+          WHERE COALESCE(w.n_words, 0) >= 30 AND COALESCE(w.n_words, 0) <= 100000
+            AND 3 * COALESCE(w.n_words, 0) <= COALESCE(w.word_chars, 0)
+            AND COALESCE(w.word_chars, 0) <= 10 * COALESCE(w.n_words, 0)
+            AND 10 * s.n_symbols < COALESCE(w.n_words, 0)
+            AND 10 * l.n_bullet_lines < 9 * l.n_lines
+            AND 10 * l.n_ellipsis_lines < 3 * l.n_lines
+            AND 5 * COALESCE(w.n_alpha_words, 0) > 4 * COALESCE(w.n_words, 0)
+            AND COALESCE(w.n_stop_words, 0) >= 1),
+        dtk AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+          FROM documents),
+        dsh AS (
+          SELECT DISTINCT doc_id, {joined} AS s
+          FROM dtk, UNNEST(generate_series(1, greatest(len(tk) - {n - 1}, 0))) AS g(i)),
+        dtsh AS (SELECT DISTINCT s FROM dsh
+                 WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 3)),
+        contam AS (SELECT DISTINCT dsh.doc_id FROM dsh JOIN dtsh USING (s))
+        SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+        FROM documents d
+        WHERE d.doc_id IN (SELECT doc_id FROM dd)
+          AND d.doc_id IN (SELECT doc_id FROM gpass)
+          AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+    """
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     micros = _SQL_MICROS
     return {
@@ -2001,6 +2112,7 @@ def oracle_sql() -> dict[str, str]:
             FROM off WHERE n > 0
         """,
         "dup_spans": _dup_spans_sql(),
+        "curate_web": _curate_web_sql(),
         "snippets": f"""
             WITH raw AS (
               SELECT doc_id,

@@ -271,3 +271,79 @@ def curate_corpus(
     if sample_fraction is not None:
         gated = deterministic_sample(gated, sample_fraction, id_column=id_column)
     return gated
+
+
+def curate_web_corpus(
+    ds,
+    test_texts: list[str],
+    domain_cap_n: int = 3,
+    sample_fraction: float | None = None,
+    url_column: str = "url",
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    min_words: int = 30,
+    min_stop_words: int = 1,
+):
+    """The composed WEB curation pipeline — the end-to-end recipe a
+    Common-Crawl-scale training-data run chains together, every stage one
+    of this package's operators:
+
+      1. per-registered-domain cap (anti SEO-farm; urlops.cap_per_domain)
+      2. exact text dedup        (dedup.exact_dedup_apply)
+      3. Gopher quality gate     (textstats.gopher_quality, pass flag)
+      4. benchmark decontamination (clean.decontaminate, drop mode)
+      5. optional deterministic subsample (sample.deterministic_sample)
+
+    Survivor filtering is by native left_semi joins keyed on the id —
+    every shuffle is id-keyed and survivor-sized; predicates are exact
+    integers so the whole chain is SQL-reproducible end to end.
+
+    Returns the surviving corpus Dataset (original columns)."""
+    import pyarrow.compute as pc
+
+    from .dataops.clean import decontaminate
+    from .dataops.dedup import _join_parts, exact_dedup_apply
+    from .dataops.sample import deterministic_sample
+    from .dataops.textstats import gopher_quality
+    from .dataops.urlops import cap_per_domain
+
+    jp = _join_parts(8)
+
+    capped_ids = cap_per_domain(
+        ds, domain_cap_n, url_column=url_column, keep_columns=(id_column,)
+    ).select_columns([id_column])
+    survivors = ds.join(capped_ids, "left_semi", jp, on=(id_column,))
+
+    survivors = exact_dedup_apply(
+        survivors, text_column=text_column, id_column=id_column
+    )
+
+    gq = gopher_quality(
+        survivors,
+        text_column=text_column,
+        id_column=id_column,
+        min_words=min_words,
+        min_stop_words=min_stop_words,
+    )
+
+    def pass_ids(batch):
+        keep = pc.equal(batch["gopher_pass"], True)
+        return batch.filter(keep).select([id_column])
+
+    gq_ids = gq.map_batches(pass_ids, batch_format="pyarrow")
+    # survivor-sized; materialize+repartition merges the filter's
+    # schema-less empty blocks before the join (Ray 2.49 behavior)
+    gq_ids = gq_ids.materialize()
+    if gq_ids.count() == 0:
+        return survivors.limit(0)
+    gq_ids = gq_ids.repartition(max(1, gq_ids.count() // 1_000_000 + 1))
+    survivors = survivors.join(gq_ids, "left_semi", jp, on=(id_column,))
+
+    survivors = decontaminate(
+        survivors, test_texts, text_column=text_column, id_column=id_column, mode="drop"
+    )
+    if sample_fraction is not None:
+        survivors = deterministic_sample(
+            survivors, sample_fraction, id_column=id_column
+        )
+    return survivors

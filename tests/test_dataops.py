@@ -959,3 +959,39 @@ def test_ivfpq_index_probe(emb_ds, emb_tbl, ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         approx.reset_index(drop=True), again.reset_index(drop=True)
     )
+
+
+def test_curate_web_corpus(ray_session):
+    """Composed web curation: domain cap, exact dedup, Gopher gate, and
+    decontamination each drop exactly the docs they should."""
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_ray.pipelines import curate_web_corpus
+
+    def good(d):
+        # 36 words, mean length in [3,10], 'the' satisfies the stop-word
+        # minimum, all words alphanumeric; vocab disjoint across docs so
+        # no cross-doc 8-grams exist
+        return "the " + " ".join(f"d{d}w{j}" for j in range(35))
+
+    rows = [
+        (0, "https://a.com/1", good(0)),   # the decontamination test doc
+        (1, "https://a.com/2", good(1)),
+        (2, "https://a.com/3", good(2)),
+        (3, "https://a.com/4", good(3)),   # 4th on a.com -> domain-capped
+        (4, "https://b.com/1", good(1)),   # exact dup of doc1 -> deduped
+        (5, "https://c.com/1", "short text"),  # fails Gopher min_words
+        (6, "https://d.com/1", good(6)),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "url": pa.array([r[1] for r in rows], pa.string()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+    )
+    out = curate_web_corpus(ds, test_texts=[rows[0][2]], domain_cap_n=3).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [1, 2, 6]
