@@ -1458,6 +1458,49 @@ def q_curate_web(sf_dir: str) -> pa.Table:
     return tbl.drop_columns(["url"])
 
 
+def q_bm25_filtered_top10(sf_dir: str) -> pa.Table:
+    """Metadata-filtered retrieval: BM25 over the standard query with
+    candidates restricted to lang='en' docs — the filter applies inside
+    accumulation (exact ranking, not a lossy post-filter); idf stays
+    corpus-wide, matching the unfiltered index statistics."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.pipelines import bm25_filtered_scores_f64
+
+    r = _reader(sf_dir)
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    allowed = np.zeros(r.n_docs, dtype=bool)
+    for d, la in zip(docs["doc_id"].to_pylist(), docs["lang"].to_pylist()):
+        o = r.doc_id_of(str(d))
+        if o >= 0 and la == "en":
+            allowed[o] = True
+    ids, scores = bm25_filtered_scores_f64(r, BM25_QUERY, allowed)
+    ids, scores = ids[:10], scores[:10]
+    doc_ids = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids), "score_micros": pa.array(_micros(scores))}
+    )
+
+
+def q_facet_counts(sf_dir: str) -> pa.Table:
+    """Search-result faceting: boolean-OR match set for ('table',
+    'window') counted per lang — mask broadcast once, stateless partial
+    counts, one tiny groupby."""
+    from search_engine_ray.pipelines import facet_counts
+
+    r = _reader(sf_dir)
+    out = facet_counts(r, ["table", "window"], _docs_ds(sf_dir), "lang").to_pandas()
+    out = out.sort_values("facet", ignore_index=True)
+    return pa.table(
+        {
+            "facet": pa.array(out["facet"], pa.string()),
+            "n_docs": pa.array(out["n_docs"].astype(np.int64)),
+        }
+    )
+
+
 def q_snippets(sf_dir: str) -> pa.Table:
     """Best-passage extraction: the 8-kept-token window with the most
     query-term hits per doc (ties -> earliest), with the snippet text."""
@@ -1589,6 +1632,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snippets": q_snippets,
         "suggest": q_suggest,
         "curate_web": q_curate_web,
+        "bm25_filtered_top10": q_bm25_filtered_top10,
+        "facet_counts": q_facet_counts,
         "wildcard_terms": q_wildcard_terms,
         "prefix_search_top10": q_prefix_search_top10,
         "rrf_fusion": q_rrf_fusion,
@@ -2113,6 +2158,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dup_spans": _dup_spans_sql(),
         "curate_web": _curate_web_sql(),
+        "bm25_filtered_top10": f"""
+            WITH {_TOKS},
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+            tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks
+                   WHERE t IN ('spark','hash','join') GROUP BY doc_id, t),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            sc AS (
+              SELECT tf.doc_id,
+                     SUM( ln((st.n - df.df + 0.5) / (df.df + 0.5))
+                          * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) ) AS score
+              FROM tf
+              JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+              JOIN documents d ON d.doc_id = tf.doc_id AND d.lang = 'en'
+              GROUP BY tf.doc_id
+            ),
+            ranked AS (SELECT doc_id, score,
+                              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM sc)
+            SELECT doc_id, {micros.format(expr="score")} AS score_micros
+            FROM ranked WHERE r <= 10
+        """,
+        "facet_counts": f"""
+            WITH {_TOKS},
+            hitdocs AS (SELECT DISTINCT doc_id FROM toks
+                        WHERE t IN ('table', 'window'))
+            SELECT d.lang AS facet, count(*) AS n_docs
+            FROM documents d JOIN hitdocs USING (doc_id)
+            GROUP BY d.lang
+        """,
         "snippets": f"""
             WITH raw AS (
               SELECT doc_id,

@@ -347,3 +347,104 @@ def curate_web_corpus(
             survivors, sample_fraction, id_column=id_column
         )
     return survivors
+
+
+def bm25_filtered_scores_f64(
+    reader: IndexReader,
+    keywords: list[tuple[str, int]],
+    allowed: "np.ndarray",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k3: float = 100.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Metadata-filtered BM25: identical scoring to bm25_scores_f64, with
+    candidates restricted to the ``allowed`` boolean mask over doc
+    ordinals (e.g. lang == 'en').
+
+    The filter applies INSIDE accumulation (posting entries of disallowed
+    docs add nothing), so the returned ranking is exact — not a
+    post-filter of an unfiltered top-k, which can under-fill k.  At
+    cluster scale the mask is one bit per doc (125 MB per 10^9 docs),
+    broadcast once via ray.put to scorer actors."""
+    import numpy as np
+
+    n = reader.n_docs
+    avgdl = reader.avgdl
+    allowed = np.asarray(allowed, dtype=bool)
+    if allowed.shape != (n,):
+        raise ValueError(f"allowed mask must have shape ({n},)")
+    scores = np.zeros(n, dtype=np.float64)
+    touched = np.zeros(n, dtype=bool)
+    for term, qtf in keywords:
+        tp = reader.postings(term)
+        if tp is None:
+            continue
+        ids, tfs, dls = tp.arrays()
+        ok = allowed[ids]
+        if not ok.any():
+            continue
+        ids, tfs, dls = ids[ok], tfs[ok], dls[ok]
+        idf = np.log((n - tp.df + 0.5) / (tp.df + 0.5))
+        qterm = ((k3 + 1) * qtf) / (k3 + qtf)
+        scores[ids] += idf * (tfs * (k1 + 1)) / (tfs + k1 * (1 - b + b * (dls / avgdl))) * qterm
+        touched[ids] = True
+    cand = np.flatnonzero(touched)
+    order = np.lexsort((cand, -scores[cand]))
+    return cand[order], scores[cand][order]
+
+
+def facet_counts(
+    reader: IndexReader,
+    terms: list[str],
+    docs_ds,
+    facet_column: str,
+    id_column: str = "doc_id",
+):
+    """Search-result faceting: count matching documents (boolean OR over
+    ``terms``) per value of ``facet_column`` -> Dataset(facet, n_docs).
+
+    The match set is an ordinal bitmask resident with the reader (one bit
+    per doc); the facet pass is a stateless map_batches over the docs
+    table — per batch, a vectorized mask lookup + partial value counts —
+    followed by one tiny groupby-sum.  Nothing result-sized is shuffled;
+    the mask broadcast is ray.put-once."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .engine.boolean import boolean_or
+
+    match = boolean_or(reader, terms)
+    mask = np.zeros(reader.n_docs, dtype=bool)
+    mask[match] = True
+    # external ids -> ordinals: doc names are the stringified ids
+    name_to_ord = {int(nm): i for i, nm in enumerate(reader.doc_names)}
+    ord_of = np.full(max(name_to_ord) + 1 if name_to_ord else 1, -1, dtype=np.int64)
+    for nm, i in name_to_ord.items():
+        ord_of[nm] = i
+    mask_ref = ray.put((mask, ord_of))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m, om = ray.get(mask_ref)
+        ids = np.asarray(batch[id_column], dtype=np.int64)
+        in_range = (ids >= 0) & (ids < len(om))
+        ords = np.where(in_range, om[np.clip(ids, 0, len(om) - 1)], -1)
+        hit = (ords >= 0) & m[np.clip(ords, 0, len(m) - 1)]
+        vals = batch[facet_column].combine_chunks()
+        uniq, counts = np.unique(
+            np.asarray(vals.filter(pa.array(hit)).to_pylist(), dtype=object),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "facet": pa.array(uniq.tolist(), pa.string()),
+                "n_docs": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("facet")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )

@@ -242,3 +242,69 @@ def test_snippet_extraction(ray_session):
     # doc4: [alpha x*20 alpha beta]: window at 21 has 2 hits
     assert out.loc[4, "best_start"] == 21 and out.loc[4, "n_hits"] == 2
     assert out.loc[4, "snippet"] == "alpha beta"
+
+
+def test_filtered_bm25_and_facets(ray_session, tmp_path):
+    """Filtered scoring restricts candidates but keeps corpus-wide idf;
+    facet counts equal brute-force per-value match counts."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    from search_engine_ray.config import BuildConfig
+    from search_engine_ray.engine.build import build_index
+    from search_engine_ray.engine.index_reader import IndexReader
+    from search_engine_ray.pipelines import (
+        bm25_filtered_scores_f64,
+        bm25_scores_f64,
+        facet_counts,
+    )
+
+    texts = [
+        "alpha beta", "alpha gamma", "beta gamma", "alpha beta gamma",
+        "delta", "alpha alpha beta",
+    ]
+    langs = ["en", "fr", "en", "en", "fr", "fr"]
+    corpus = str(tmp_path / "corpus")
+    import os as _os
+
+    _os.makedirs(corpus)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(langs),
+        }
+    )
+    pq_.write_table(tbl, f"{corpus}/docs.parquet")
+    index_dir = str(tmp_path / "idx")
+    build_index(
+        corpus, index_dir,
+        BuildConfig(
+            block_entries=4, frags_per_shard=2,
+            options=IndexOptions(stemming=False),
+        ),
+        overwrite=True, source_column="text", name_column="doc_id",
+    )
+    r = IndexReader(index_dir)
+    kws = [("alpha", 1), ("beta", 1)]
+    allowed = np.array([r.doc_names[i] in {"0", "2", "3"} for i in range(r.n_docs)])
+    f_ids, f_scores = bm25_filtered_scores_f64(r, kws, allowed)
+    assert set(int(r.doc_names[d]) for d in f_ids) <= {0, 2, 3}
+    # scores of allowed docs equal their unfiltered scores (idf unchanged)
+    u_ids, u_scores = bm25_scores_f64(r, kws)
+    u_map = {int(r.doc_names[d]): s for d, s in zip(u_ids, u_scores)}
+    for d, s in zip(f_ids, f_scores):
+        assert s == u_map[int(r.doc_names[d])]
+    with __import__("pytest").raises(ValueError):
+        bm25_filtered_scores_f64(r, kws, allowed[:-1])
+
+    ds = ray.data.from_arrow(tbl)
+    fc = facet_counts(r, ["alpha"], ds, "lang").to_pandas()
+    got = dict(zip(fc["facet"], fc["n_docs"]))
+    exp = {}
+    for t, la in zip(texts, langs):
+        if "alpha" in t.split():
+            exp[la] = exp.get(la, 0) + 1
+    assert got == exp
