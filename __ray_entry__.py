@@ -1501,6 +1501,54 @@ def q_facet_counts(sf_dir: str) -> pa.Table:
     )
 
 
+def q_fuzzy_terms(sf_dir: str) -> pa.Table:
+    """Fuzzy dictionary match: terms within Levenshtein distance 1 of
+    'fash' -> (term, df, dist); length-pruned scan + batched DP kernel
+    (engine/lexicon.levenshtein_dists, char-level == DuckDB's)."""
+    from search_engine_ray.engine.lexicon import fuzzy_terms
+    from search_engine_ray.pipelines import documents_index_dir
+
+    index_dir = documents_index_dir(sf_dir, OPT_NOSTEM)
+    return fuzzy_terms(index_dir, "fash", max_dist=1)
+
+
+def q_spell_correct(sf_dir: str) -> pa.Table:
+    """Did-you-mean: top-3 corrections for the misspelling 'dat'
+    (dist <= 2, 5 candidates at sf0.01), ranked closest-then-most-
+    frequent (dist asc, df desc, term asc)."""
+    from search_engine_ray.engine.lexicon import spell_correct
+    from search_engine_ray.pipelines import documents_index_dir
+
+    index_dir = documents_index_dir(sf_dir, OPT_NOSTEM)
+    return spell_correct(index_dir, "dat", max_dist=2, k=3)
+
+
+def q_bm25_boosted_top10(sf_dir: str) -> pa.Table:
+    """Static document priors: BM25 with a per-source multiplicative
+    boost (src0 -> 2.0, src1 -> 1.5, else 1.0) applied to the summed
+    score — the source-quality-prior ranking a web engine runs."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.pipelines import bm25_boosted_scores_f64
+
+    r = _reader(sf_dir)
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    boost_of = {"src0": 2.0, "src1": 1.5}
+    boost = np.ones(r.n_docs, dtype=np.float64)
+    for d, src in zip(docs["doc_id"].to_pylist(), docs["source"].to_pylist()):
+        o = r.doc_id_of(str(d))
+        if o >= 0:
+            boost[o] = boost_of.get(src, 1.0)
+    ids, scores = bm25_boosted_scores_f64(r, BM25_QUERY, boost)
+    ids, scores = ids[:10], scores[:10]
+    doc_ids = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids), "score_micros": pa.array(_micros(scores))}
+    )
+
+
 def q_snippets(sf_dir: str) -> pa.Table:
     """Best-passage extraction: the 8-kept-token window with the most
     query-term hits per doc (ties -> earliest), with the snippet text."""
@@ -1634,6 +1682,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_web": q_curate_web,
         "bm25_filtered_top10": q_bm25_filtered_top10,
         "facet_counts": q_facet_counts,
+        "fuzzy_terms": q_fuzzy_terms,
+        "spell_correct": q_spell_correct,
+        "bm25_boosted_top10": q_bm25_boosted_top10,
         "wildcard_terms": q_wildcard_terms,
         "prefix_search_top10": q_prefix_search_top10,
         "rrf_fusion": q_rrf_fusion,
@@ -2187,6 +2238,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.lang AS facet, count(*) AS n_docs
             FROM documents d JOIN hitdocs USING (doc_id)
             GROUP BY d.lang
+        """,
+        "fuzzy_terms": f"""
+            WITH {_TOKS},
+            d AS (SELECT t AS term, count(DISTINCT doc_id) AS df FROM toks GROUP BY t)
+            SELECT term, df, CAST(levenshtein(term, 'fash') AS BIGINT) AS dist
+            FROM d WHERE levenshtein(term, 'fash') <= 1
+        """,
+        "spell_correct": f"""
+            WITH {_TOKS},
+            d AS (SELECT t AS term, count(DISTINCT doc_id) AS df FROM toks GROUP BY t),
+            c AS (SELECT term, df, CAST(levenshtein(term, 'dat') AS BIGINT) AS dist
+                  FROM d WHERE levenshtein(term, 'dat') <= 2)
+            SELECT term, df, dist FROM c
+            ORDER BY dist ASC, df DESC, term ASC LIMIT 3
+        """,
+        "bm25_boosted_top10": f"""
+            WITH {_TOKS},
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+            tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks
+                   WHERE t IN ('spark','hash','join') GROUP BY doc_id, t),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            sc AS (
+              SELECT tf.doc_id,
+                     SUM( ln((st.n - df.df + 0.5) / (df.df + 0.5))
+                          * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) ) AS score
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+              GROUP BY tf.doc_id
+            ),
+            boosted AS (
+              SELECT sc.doc_id,
+                     sc.score * (CASE d.source WHEN 'src0' THEN 2.0
+                                               WHEN 'src1' THEN 1.5
+                                               ELSE 1.0 END) AS score
+              FROM sc JOIN documents d USING (doc_id)
+            ),
+            ranked AS (SELECT doc_id, score,
+                              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM boosted)
+            SELECT doc_id, {micros.format(expr="score")} AS score_micros
+            FROM ranked WHERE r <= 10
         """,
         "snippets": f"""
             WITH raw AS (

@@ -182,21 +182,40 @@ def cmd_stats(args: argparse.Namespace) -> int:
 
 
 def cmd_terms(args: argparse.Namespace) -> int:
-    """Dictionary queries: prefix range probe, wildcard scan, or top-df
-    auto-completion — pure metadata reads, no Ray session needed."""
-    from .engine.lexicon import match_terms, prefix_terms, suggest_terms
+    """Dictionary queries: prefix range probe, wildcard scan, top-df
+    auto-completion, fuzzy match, or spell correction — pure metadata
+    reads, no Ray session needed."""
+    from .engine.lexicon import (
+        fuzzy_terms,
+        match_terms,
+        prefix_terms,
+        spell_correct,
+        suggest_terms,
+    )
 
-    if args.suggest is not None:
+    if args.fuzzy is not None:
+        tbl = fuzzy_terms(args.index_dir, args.fuzzy, max_dist=args.max_dist)
+        if args.limit:
+            tbl = tbl.slice(0, args.limit)
+    elif args.spell is not None:
+        tbl = spell_correct(
+            args.index_dir, args.spell, max_dist=args.max_dist, k=args.limit or 3
+        )
+    elif args.suggest is not None:
         tbl = suggest_terms(args.index_dir, args.suggest, k=args.limit or 5)
     elif args.pattern is not None:
         tbl = match_terms(args.index_dir, args.pattern, limit=args.limit)
     elif args.prefix is not None:
         tbl = prefix_terms(args.index_dir, args.prefix, limit=args.limit)
     else:
-        print("one of --prefix / --pattern / --suggest is required", file=sys.stderr)
+        print(
+            "one of --prefix / --pattern / --suggest / --fuzzy / --spell is required",
+            file=sys.stderr,
+        )
         return 2
-    for t, d in zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()):
-        print(f"{t}\t{d}")
+    dists = tbl["dist"].to_pylist() if "dist" in tbl.column_names else None
+    for i, (t, d) in enumerate(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist())):
+        print(f"{t}\t{d}" + (f"\t{dists[i]}" if dists is not None else ""))
     return 0
 
 
@@ -278,6 +297,9 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--prefix")
     pl.add_argument("--pattern", help="fnmatch-style wildcard (* and ?)")
     pl.add_argument("--suggest", metavar="PREFIX", help="top-df completions")
+    pl.add_argument("--fuzzy", metavar="TERM", help="edit-distance dictionary match")
+    pl.add_argument("--spell", metavar="TERM", help="did-you-mean corrections")
+    pl.add_argument("--max-dist", type=int, default=1)
     pl.add_argument("--limit", type=int, default=None)
     pl.set_defaults(fn=cmd_terms)
 

@@ -448,3 +448,31 @@ def facet_counts(
         .groupby("facet")
         .aggregate(Sum("n_docs", alias_name="n_docs"))
     )
+
+
+def bm25_boosted_scores_f64(
+    reader: IndexReader,
+    keywords: list[tuple[str, int]],
+    boost: "np.ndarray",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k3: float = 100.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Static document priors: BM25 with a per-document multiplicative
+    boost (source-quality prior, e.g. wiki 2.0 / curated 1.5 / web 1.0)
+    applied AFTER term accumulation — one multiply on the summed score,
+    so float ordering inside the sum is unchanged vs bm25_scores_f64 and
+    the oracle stays micros-exact.
+
+    ``boost`` is float64 per doc ordinal; at cluster scale it ships the
+    same way the filtered-retrieval mask does (8 B/doc, ray.put once to
+    scorer actors)."""
+    import numpy as np
+
+    boost = np.asarray(boost, dtype=np.float64)
+    if boost.shape != (reader.n_docs,):
+        raise ValueError(f"boost must have shape ({reader.n_docs},)")
+    ids, scores = bm25_scores_f64(reader, keywords, k1=k1, b=b, k3=k3)
+    scores = scores * boost[ids]
+    order = np.lexsort((ids, -scores))
+    return ids[order], scores[order]

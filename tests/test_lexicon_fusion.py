@@ -202,3 +202,87 @@ def test_suggest_terms(index_dir, all_terms):
     )[:3]
     assert list(zip(got["term"].to_pylist(), got["df"].to_pylist())) == exp
     assert suggest_terms(index_dir, "zzzz", k=3).num_rows == 0
+
+
+def _ref_lev(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        ndp = [i] + [0] * len(b)
+        for j in range(1, len(b) + 1):
+            ndp[j] = min(dp[j] + 1, ndp[j - 1] + 1, dp[j - 1] + (a[i - 1] != b[j - 1]))
+        dp = ndp
+    return dp[len(b)]
+
+
+def test_levenshtein_kernel_matches_reference():
+    import random
+
+    from search_engine_ray.engine.lexicon import levenshtein_dists
+
+    random.seed(11)
+    for _ in range(50):
+        q = "".join(random.choice("abcdé") for _ in range(random.randint(0, 6)))
+        ws = ["".join(random.choice("abcdé") for _ in range(random.randint(0, 8)))
+              for _ in range(12)] + ["", q]
+        assert levenshtein_dists(ws, q).tolist() == [_ref_lev(w, q) for w in ws]
+
+
+def test_fuzzy_terms_and_spell(index_dir, all_terms, ray_session):
+    import ray.data
+
+    from search_engine_ray.engine.lexicon import (
+        fuzzy_terms,
+        fuzzy_terms_ds,
+        spell_correct,
+    )
+
+    q = sorted(all_terms)[len(all_terms) // 2]  # a real dictionary term
+    for query, d in ((q, 1), (q[:-1] + "z", 1), ("xqzzy", 2)):
+        got = fuzzy_terms(index_dir, query, max_dist=d)
+        exp = sorted(
+            (t, all_terms[t], _ref_lev(t, query))
+            for t in all_terms
+            if _ref_lev(t, query) <= d
+        )
+        assert list(zip(*[got[c].to_pylist() for c in ("term", "df", "dist")])) == exp
+        # distributed variant returns the same row set
+        terms_tbl = pq.read_table(os.path.join(index_dir, "terms.parquet"))
+        ds = ray.data.from_arrow(terms_tbl).repartition(4)
+        got_ds = fuzzy_terms_ds(ds, query, max_dist=d).to_pandas()
+        if len(got_ds) == 0:
+            assert exp == []
+        else:
+            assert sorted(zip(got_ds["term"], got_ds["df"], got_ds["dist"])) == exp
+    # spell ranking: dist asc, df desc, term asc
+    sc = spell_correct(index_dir, q[:-1] + "z", max_dist=2, k=5)
+    rows = list(zip(sc["dist"].to_pylist(),
+                    [-x for x in sc["df"].to_pylist()],
+                    sc["term"].to_pylist()))
+    assert rows == sorted(rows)
+    cands = [(_ref_lev(t, q[:-1] + "z"), -all_terms[t], t)
+             for t in all_terms if _ref_lev(t, q[:-1] + "z") <= 2]
+    assert rows == sorted(cands)[:5]
+
+
+def test_bm25_boosted_scores(index_dir, ray_session):
+    import numpy as np
+
+    from search_engine_ray.engine.index_reader import IndexReader
+    from search_engine_ray.pipelines import bm25_boosted_scores_f64, bm25_scores_f64
+
+    r = IndexReader(index_dir)
+    t = pq.read_table(os.path.join(index_dir, "terms.parquet"))
+    kws = [(t["term"][i].as_py(), 1) for i in range(0, min(40, t.num_rows), 13)]
+    rng = np.random.default_rng(5)
+    boost = rng.choice([1.0, 1.5, 2.0], size=r.n_docs)
+    b_ids, b_scores = bm25_boosted_scores_f64(r, kws, boost)
+    u_ids, u_scores = bm25_scores_f64(r, kws)
+    exp = {d: s * boost[d] for d, s in zip(u_ids, u_scores)}
+    assert set(b_ids.tolist()) == set(u_ids.tolist())
+    for d, s in zip(b_ids, b_scores):
+        assert s == exp[d]
+    # sorted by boosted score desc, doc asc
+    key = [(-s, d) for d, s in zip(b_ids, b_scores)]
+    assert key == sorted(key)
+    with pytest.raises(ValueError):
+        bm25_boosted_scores_f64(r, kws, boost[:-1])
