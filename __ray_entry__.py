@@ -1501,6 +1501,53 @@ def q_facet_counts(sf_dir: str) -> pa.Table:
     )
 
 
+def q_bm25_deleted_top10(sf_dir: str) -> pa.Table:
+    """Index maintenance: tombstone the unfiltered top-3 BM25 docs
+    (delete without rebuild, engine/maintenance.py), then rank — results
+    are rows 4..13 of the original ranking (scores of survivors
+    UNCHANGED: corpus-wide stats, the Lucene tombstone contract).  The
+    engine path (score_topic auto-falls-back to TAAT with the deleted
+    mask) is asserted rank-identical to the f64 oracle path inside the
+    query."""
+    import shutil
+
+    from search_engine_ray.engine.index_reader import IndexReader
+    from search_engine_ray.engine.maintenance import delete_docs
+    from search_engine_ray.engine.search import score_topic
+    from search_engine_ray.pipelines import (
+        bm25_filtered_scores_f64,
+        bm25_scores_f64,
+        documents_index_dir,
+    )
+
+    base = documents_index_dir(sf_dir, OPT_NOSTEM)
+    r0 = _reader(sf_dir)
+    ids0, _ = bm25_scores_f64(r0, BM25_QUERY)
+    victims = [str(r0.doc_names[d]) for d in ids0[:3]]
+
+    tomb_dir = base.rstrip("/") + "-tomb3"
+    marker = os.path.join(tomb_dir, ".tomb-complete")
+    if not os.path.exists(marker):
+        shutil.rmtree(tomb_dir, ignore_errors=True)
+        shutil.copytree(base, tomb_dir)
+        delete_docs(tomb_dir, victims)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    r = IndexReader(tomb_dir)
+    mask = r.deleted_mask()
+    ids, scores = bm25_filtered_scores_f64(r, BM25_QUERY, ~mask)
+    ids, scores = ids[:10], scores[:10]
+    # engine path: auto falls back to TAAT under tombstones; rank-identical
+    e_ids, _ = score_topic(r, BM25_QUERY, scorer="bm25", k=10)
+    assert [str(r.doc_names[d]) for d in e_ids] == [
+        str(r.doc_names[d]) for d in ids
+    ], "tombstoned engine ranking diverged from the f64 oracle path"
+    doc_ids = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids), "score_micros": pa.array(_micros(scores))}
+    )
+
+
 def q_fuzzy_terms(sf_dir: str) -> pa.Table:
     """Fuzzy dictionary match: terms within Levenshtein distance 1 of
     'fash' -> (term, df, dist); length-pruned scan + batched DP kernel
@@ -1685,6 +1732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_terms": q_fuzzy_terms,
         "spell_correct": q_spell_correct,
         "bm25_boosted_top10": q_bm25_boosted_top10,
+        "bm25_deleted_top10": q_bm25_deleted_top10,
         "wildcard_terms": q_wildcard_terms,
         "prefix_search_top10": q_prefix_search_top10,
         "rrf_fusion": q_rrf_fusion,
@@ -2238,6 +2286,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.lang AS facet, count(*) AS n_docs
             FROM documents d JOIN hitdocs USING (doc_id)
             GROUP BY d.lang
+        """,
+        "bm25_deleted_top10": f"""
+            WITH {_TOKS},
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+            tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks
+                   WHERE t IN ('spark','hash','join') GROUP BY doc_id, t),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            sc AS (
+              SELECT tf.doc_id,
+                     SUM( ln((st.n - df.df + 0.5) / (df.df + 0.5))
+                          * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) ) AS score
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+              GROUP BY tf.doc_id
+            ),
+            ranked AS (SELECT doc_id, score,
+                              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM sc)
+            SELECT doc_id, {micros.format(expr="score")} AS score_micros
+            FROM ranked WHERE r > 3 AND r <= 13
         """,
         "fuzzy_terms": f"""
             WITH {_TOKS},

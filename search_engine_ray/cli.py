@@ -181,6 +181,21 @@ def cmd_stats(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_delete(args: argparse.Namespace) -> int:
+    """Tombstone documents (delete without rebuild) or clear tombstones."""
+    from .engine.maintenance import clear_tombstones, delete_docs, tombstoned_names
+
+    if args.clear:
+        print(json.dumps({"cleared": clear_tombstones(args.index_dir)}))
+        return 0
+    if args.names:
+        total = delete_docs(args.index_dir, args.names)
+        print(json.dumps({"n_tombstoned": total}))
+        return 0
+    print(json.dumps({"tombstoned": tombstoned_names(args.index_dir)}))
+    return 0
+
+
 def cmd_terms(args: argparse.Namespace) -> int:
     """Dictionary queries: prefix range probe, wildcard scan, top-df
     auto-completion, fuzzy match, or spell correction — pure metadata
@@ -291,6 +306,12 @@ def main(argv: list[str] | None = None) -> int:
     pt.add_argument("index_dir")
     pt.add_argument("--stopword-df-threshold", type=int, default=100_000)
     pt.set_defaults(fn=cmd_stats)
+
+    pd_ = sub.add_parser("delete", help="tombstone documents (delete without rebuild)")
+    pd_.add_argument("index_dir")
+    pd_.add_argument("names", nargs="*", help="doc names to tombstone; none = list current")
+    pd_.add_argument("--clear", action="store_true", help="drop all tombstones")
+    pd_.set_defaults(fn=cmd_delete)
 
     pl = sub.add_parser("terms", help="dictionary prefix/wildcard/suggest queries")
     pl.add_argument("index_dir")

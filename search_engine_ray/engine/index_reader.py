@@ -124,6 +124,24 @@ class IndexReader:
         else:
             self._dataset = pads.dataset(os.path.join(index_dir, "postings"))
 
+    def deleted_mask(self) -> np.ndarray | None:
+        """Boolean mask over doc ordinals of tombstoned docs (see
+        engine/maintenance.py), or None when the index has no tombstones.
+        Resolved once per reader (once per query actor); names absent
+        from the docs table are skipped."""
+        if not hasattr(self, "_deleted_mask"):
+            p = os.path.join(self.index_dir, "tombstones.parquet")
+            if not os.path.exists(p):
+                self._deleted_mask = None
+            else:
+                mask = np.zeros(self.n_docs, dtype=bool)
+                for name in pq.read_table(p, columns=["name"])["name"].to_pylist():
+                    o = self.doc_id_of(name)
+                    if o >= 0:
+                        mask[o] = True
+                self._deleted_mask = mask if mask.any() else None
+        return self._deleted_mask
+
     def doc_id_of(self, name: str) -> int:
         """Name -> docID (the reference's O(n) IsDocumentInIndex,
         WriteableIndex.cs:43-46, as an O(1) lazily-built hash lookup).

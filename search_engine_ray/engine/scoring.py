@@ -55,7 +55,8 @@ def _topk_from_dense(scores: np.ndarray, touched: np.ndarray, k: int) -> tuple[n
 
 
 def taat_bm25(
-    reader: IndexReader, keywords: list[tuple[str, int]], params: BM25Params, k: int = 1000
+    reader: IndexReader, keywords: list[tuple[str, int]], params: BM25Params, k: int = 1000,
+    exclude: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     n = reader.n_docs
     avgdl = reader.avgdl
@@ -72,11 +73,14 @@ def taat_bm25(
         contrib = (idf * (tfs * (params.k1 + 1)) / (tfs + params.k1 * doc_term) * qterm).astype(np.float32)
         scores[ids] = scores[ids] + contrib
         touched[ids] = True
+    if exclude is not None:
+        touched &= ~exclude
     return _topk_from_dense(scores, touched, k)
 
 
 def taat_tfidf(
-    reader: IndexReader, keywords: list[tuple[str, int]], k: int = 1000
+    reader: IndexReader, keywords: list[tuple[str, int]], k: int = 1000,
+    exclude: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     n = reader.n_docs
     scores = np.zeros(n, dtype=np.float32)
@@ -90,6 +94,8 @@ def taat_tfidf(
         contrib = (np.log1p(tfs) * idf).astype(np.float32)
         scores[ids] = scores[ids] + contrib
         touched[ids] = True
+    if exclude is not None:
+        touched &= ~exclude
     return _topk_from_dense(scores, touched, k)
 
 
@@ -147,7 +153,8 @@ def adpt_contrib(cds: np.ndarray, qtf: int, k1: np.float32, ig1: np.float32) -> 
 
 
 def taat_bm25_adpt(
-    reader: IndexReader, keywords: list[tuple[str, int]], params: BM25Params, k: int = 1000
+    reader: IndexReader, keywords: list[tuple[str, int]], params: BM25Params, k: int = 1000,
+    exclude: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     n = reader.n_docs
     avgdl = reader.avgdl
@@ -164,6 +171,8 @@ def taat_bm25_adpt(
         contrib = adpt_contrib(cds, qtf, k1, ig1)
         scores[ids] = scores[ids] + contrib
         touched[ids] = True
+    if exclude is not None:
+        touched &= ~exclude
     return _topk_from_dense(scores, touched, k)
 
 

@@ -86,6 +86,20 @@ def score_topic(
     params = params or BM25Params()
     requested = method
     method = _resolve_method(reader, keywords, method, k)
+    deleted = reader.deleted_mask()
+    if deleted is not None and method == "wand":
+        # WAND's block-max bounds were computed at BUILD time and still
+        # count tombstoned postings — pruning against them with docs
+        # removed from the result set is incorrect.  Same discipline as
+        # the stale-params guard below: auto falls back to exhaustive
+        # TAAT, an explicit method='wand' request is an error (see
+        # engine/maintenance.py).
+        if requested == "wand":
+            raise ValueError(
+                "method='wand' is unavailable on an index with tombstones; "
+                "use method='taat' or rebuild (compact) the index"
+            )
+        method = "taat"
     if scorer == "bm25" and method == "wand":
         # WAND prunes against block metadata (ub_tfn/lb_tfn) computed at
         # BUILD time with the index's k1/b; different query-time params make
@@ -105,14 +119,14 @@ def score_topic(
     if scorer == "bm25":
         if method == "wand":
             return wand_topk(reader, keywords, params, k, kind="bm25")
-        return taat_bm25(reader, keywords, params, k)
+        return taat_bm25(reader, keywords, params, k, exclude=deleted)
     if scorer == "tfidf":
         if method == "wand":
             return wand_topk(reader, keywords, params, k, kind="tfidf")
-        return taat_tfidf(reader, keywords, k)
+        return taat_tfidf(reader, keywords, k, exclude=deleted)
     if scorer == "bm25adpt":
         # needs the full tf distribution per term -> always exhaustive
-        return taat_bm25_adpt(reader, keywords, params, k)
+        return taat_bm25_adpt(reader, keywords, params, k, exclude=deleted)
     custom = _CUSTOM_SCORERS.get(scorer)
     if custom is not None:
         return custom(reader, keywords, params, k)

@@ -74,6 +74,28 @@ class _ShardIndexView:
         else:
             self.doc_lo, self.doc_hi = 0, 0
 
+        # tombstones (engine/maintenance.py): resolved PER SHARD — the
+        # docs read is filtered to this shard's doc range AND the
+        # tombstoned name set, so no actor ever holds a global name map
+        # and the read is tombstone-sized, not shard-sized.
+        self.deleted_local: np.ndarray | None = None
+        tomb_path = os.path.join(index_dir, "tombstones.parquet")
+        if os.path.exists(tomb_path) and self.doc_hi > self.doc_lo:
+            names = pq.read_table(tomb_path, columns=["name"])["name"].to_pylist()
+            if names:
+                hit = pads.dataset(os.path.join(index_dir, "docs")).to_table(
+                    columns=["doc_id"],
+                    filter=(
+                        (pads.field("doc_id") >= self.doc_lo)
+                        & (pads.field("doc_id") < self.doc_hi)
+                        & pads.field("name").isin(names)
+                    ),
+                )
+                if hit.num_rows:
+                    self.deleted_local = (
+                        np.asarray(hit["doc_id"], dtype=np.int64) - self.doc_lo
+                    )
+
     # TAAT scorers index a dense array by doc id: present the shard's doc
     # range as [0, width) and translate in postings()/output.
     @property
@@ -183,6 +205,8 @@ def _shard_scores(view: _ShardIndexView, keywords, scorer: str, params: BM25Para
             raise ValueError(f"unknown sharded scorer {scorer!r}")
         scores[ids] = scores[ids] + contrib
         touched[ids] = True
+    if view.deleted_local is not None:
+        touched[view.deleted_local] = False
     cand = np.flatnonzero(touched)
     if len(cand) == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)

@@ -1,0 +1,143 @@
+"""Tombstone deletes (engine/maintenance.py): query-time exclusion with
+unchanged survivor scores, WAND fallback discipline, idempotent union,
+clear, and CLI surface."""
+
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from search_engine_ray.config import BM25Params, BuildConfig
+from search_engine_ray.corpus.pages import write_pages_parquet
+from search_engine_ray.engine.build import build_index
+from search_engine_ray.engine.index_reader import IndexReader
+from search_engine_ray.engine.maintenance import (
+    clear_tombstones,
+    delete_docs,
+    tombstoned_names,
+)
+from search_engine_ray.engine.search import score_topic
+
+BASE = "/tmp/se_ray_maint"
+
+
+@pytest.fixture(scope="module")
+def index_dir(ray_session):
+    shutil.rmtree(BASE, ignore_errors=True)
+    corpus = f"{BASE}/corpus"
+    write_pages_parquet(corpus, 120, seed=21, n_files=2, row_group_size=64)
+    out = f"{BASE}/index"
+    build_index(corpus, out, BuildConfig(block_entries=16, frags_per_shard=2), overwrite=True)
+    return out
+
+
+def _kws(index_dir, n=3):
+    t = pq.read_table(os.path.join(index_dir, "terms.parquet"))
+    order = np.argsort(-np.asarray(t["df"]))[:n]
+    return [(t["term"][int(i)].as_py(), 1) for i in order]
+
+
+def test_delete_excludes_and_keeps_scores(index_dir):
+    kws = _kws(index_dir)
+    r0 = IndexReader(index_dir)
+    assert r0.deleted_mask() is None
+    base_ids, base_scores = score_topic(r0, kws, scorer="bm25", k=50, method="taat")
+    assert len(base_ids) >= 10
+
+    work = f"{BASE}/idx_del"
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(index_dir, work)
+    victims = [str(r0.doc_names[d]) for d in base_ids[:2]]
+    assert delete_docs(work, victims) == 2
+    r = IndexReader(work)
+    mask = r.deleted_mask()
+    assert mask is not None and mask.sum() == 2
+
+    for scorer in ("bm25", "tfidf", "bm25adpt"):
+        b_ids, b_scores = score_topic(r0, kws, scorer=scorer, k=50, method="taat")
+        d_ids, d_scores = score_topic(r, kws, scorer=scorer, k=50)
+        names_b = [str(r0.doc_names[i]) for i in b_ids]
+        names_d = [str(r.doc_names[i]) for i in d_ids]
+        # tombstoned docs gone; survivor order and scores unchanged
+        assert set(names_d).isdisjoint(victims)
+        exp = [(n, s) for n, s in zip(names_b, b_scores) if n not in victims][:50]
+        assert list(zip(names_d, d_scores))[: len(exp)] == exp
+
+
+def test_wand_fallback_and_explicit_raise(index_dir):
+    kws = _kws(index_dir)
+    work = f"{BASE}/idx_wand"
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(index_dir, work)
+    r0 = IndexReader(index_dir)
+    base_ids, _ = score_topic(r0, kws, scorer="bm25", k=20, method="taat")
+    delete_docs(work, [str(r0.doc_names[base_ids[0]])])
+    r = IndexReader(work)
+    # auto silently falls back to TAAT (identical to explicit taat)
+    a_ids, a_scores = score_topic(r, kws, scorer="bm25", k=20, method="auto")
+    t_ids, t_scores = score_topic(r, kws, scorer="bm25", k=20, method="taat")
+    assert a_ids.tolist() == t_ids.tolist()
+    np.testing.assert_array_equal(a_scores, t_scores)
+    with pytest.raises(ValueError, match="tombstones"):
+        score_topic(r, kws, scorer="bm25", k=20, method="wand", params=BM25Params())
+
+
+def test_delete_union_clear_and_errors(index_dir):
+    work = f"{BASE}/idx_union"
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(index_dir, work)
+    assert tombstoned_names(work) == []
+    assert delete_docs(work, ["b", "a"]) == 2
+    assert delete_docs(work, ["a", "c"]) == 3  # idempotent union
+    assert tombstoned_names(work) == ["a", "b", "c"]
+    # unresolvable names don't break the reader mask (none match -> None)
+    assert IndexReader(work).deleted_mask() is None
+    assert clear_tombstones(work) == 3
+    assert tombstoned_names(work) == []
+    with pytest.raises(FileNotFoundError):
+        delete_docs(f"{BASE}/not_an_index", ["x"])
+
+
+def test_delete_cli(index_dir):
+    work = f"{BASE}/idx_cli"
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(index_dir, work)
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    out = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray", "delete", work, "docA", "docB"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+    )
+    assert out.returncode == 0 and '"n_tombstoned": 2' in out.stdout
+    out = subprocess.run(
+        [sys.executable, "-m", "search_engine_ray", "delete", work, "--clear"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+    )
+    assert out.returncode == 0 and '"cleared": 2' in out.stdout
+
+
+def test_sharded_search_respects_tombstones(index_dir, ray_session):
+    from search_engine_ray.engine.sharded_search import search_topics_sharded
+
+    kws = _kws(index_dir)
+    work = f"{BASE}/idx_shard"
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(index_dir, work)
+    r0 = IndexReader(index_dir)
+    base_ids, _ = score_topic(r0, kws, scorer="bm25", k=20, method="taat")
+    victims = [str(r0.doc_names[d]) for d in base_ids[:2]]
+    delete_docs(work, victims)
+    r = IndexReader(work)
+    topics = [(1, kws)]
+    for scorer in ("bm25", "tfidf", "bm25adpt"):
+        sharded = search_topics_sharded(work, topics, scorer=scorer, k=20).to_pandas()
+        local_ids, local_scores = score_topic(r, kws, scorer=scorer, k=20)
+        # bit-identical to whole-index TAAT under the same tombstones
+        assert sharded["doc_id"].tolist() == local_ids.tolist()
+        np.testing.assert_array_equal(
+            sharded["score"].to_numpy(), local_scores.astype(np.float32)
+        )
+        assert set(str(r.doc_names[d]) for d in sharded["doc_id"]).isdisjoint(victims)
