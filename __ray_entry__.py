@@ -1548,6 +1548,48 @@ def q_bm25_deleted_top10(sf_dir: str) -> pa.Table:
     )
 
 
+def q_bm25_compacted_top10(sf_dir: str) -> pa.Table:
+    """Index compaction: tombstone the unfiltered top-3 BM25 docs, then
+    COMPACT (engine/maintenance.compact_index — docIDs renumbered, df /
+    avgdl / n_docs exactly recomputed, WAND valid again) and rank.
+    Unlike the tombstone gate, survivor SCORES change (stats now exclude
+    the deleted docs) — the oracle recomputes BM25 over the retained
+    subset from scratch."""
+    import shutil
+
+    from search_engine_ray.engine.index_reader import IndexReader
+    from search_engine_ray.engine.maintenance import compact_index, delete_docs
+    from search_engine_ray.pipelines import (
+        bm25_scores_f64,
+        documents_index_dir,
+    )
+
+    base = documents_index_dir(sf_dir, OPT_NOSTEM)
+    r0 = _reader(sf_dir)
+    ids0, _ = bm25_scores_f64(r0, BM25_QUERY)
+    victims = [str(r0.doc_names[d]) for d in ids0[:3]]
+
+    comp_dir = base.rstrip("/") + "-compact3"
+    marker = os.path.join(comp_dir, ".compact-complete")
+    if not os.path.exists(marker):
+        tomb_dir = comp_dir + "-src"
+        shutil.rmtree(tomb_dir, ignore_errors=True)
+        shutil.rmtree(comp_dir, ignore_errors=True)
+        shutil.copytree(base, tomb_dir)
+        delete_docs(tomb_dir, victims)
+        compact_index(tomb_dir, comp_dir)
+        shutil.rmtree(tomb_dir, ignore_errors=True)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    r = IndexReader(comp_dir)
+    ids, scores = bm25_scores_f64(r, BM25_QUERY)
+    ids, scores = ids[:10], scores[:10]
+    doc_ids = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids), "score_micros": pa.array(_micros(scores))}
+    )
+
+
 def q_fuzzy_terms(sf_dir: str) -> pa.Table:
     """Fuzzy dictionary match: terms within Levenshtein distance 1 of
     'fash' -> (term, df, dist); length-pruned scan + batched DP kernel
@@ -1733,6 +1775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spell_correct": q_spell_correct,
         "bm25_boosted_top10": q_bm25_boosted_top10,
         "bm25_deleted_top10": q_bm25_deleted_top10,
+        "bm25_compacted_top10": q_bm25_compacted_top10,
         "wildcard_terms": q_wildcard_terms,
         "prefix_search_top10": q_prefix_search_top10,
         "rrf_fusion": q_rrf_fusion,
@@ -2286,6 +2329,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.lang AS facet, count(*) AS n_docs
             FROM documents d JOIN hitdocs USING (doc_id)
             GROUP BY d.lang
+        """,
+        "bm25_compacted_top10": f"""
+            WITH {_TOKS},
+            -- pass 1: the ORIGINAL ranking, to pick the 3 tombstoned docs
+            dl0 AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            st0 AS (SELECT (SELECT count(*) FROM documents) AS n,
+                           (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+            tf0 AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks
+                    WHERE t IN ('spark','hash','join') GROUP BY doc_id, t),
+            df0 AS (SELECT term, count(*) AS df FROM tf0 GROUP BY term),
+            sc0 AS (
+              SELECT tf0.doc_id,
+                     SUM( ln((st0.n - df0.df + 0.5) / (df0.df + 0.5))
+                          * (tf0.tf * (1.2 + 1)) / (tf0.tf + 1.2 * (1 - 0.75 + 0.75 * (dl0.dl / st0.avgdl))) ) AS score
+              FROM tf0 JOIN df0 USING (term) JOIN dl0 USING (doc_id) CROSS JOIN st0
+              GROUP BY tf0.doc_id
+            ),
+            victims AS (SELECT doc_id FROM sc0
+                        ORDER BY score DESC, doc_id ASC LIMIT 3),
+            -- pass 2: recompute EVERYTHING over the retained subset
+            rtoks AS (SELECT * FROM toks WHERE doc_id NOT IN (SELECT doc_id FROM victims)),
+            dl AS (SELECT doc_id, count(*) AS dl FROM rtoks GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents
+                           WHERE doc_id NOT IN (SELECT doc_id FROM victims)) AS n,
+                          (SELECT count(*) FROM rtoks) * 1.0 /
+                          (SELECT count(*) FROM documents
+                           WHERE doc_id NOT IN (SELECT doc_id FROM victims)) AS avgdl),
+            tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM rtoks
+                   WHERE t IN ('spark','hash','join') GROUP BY doc_id, t),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            sc AS (
+              SELECT tf.doc_id,
+                     SUM( ln((st.n - df.df + 0.5) / (df.df + 0.5))
+                          * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) ) AS score
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+              GROUP BY tf.doc_id
+            ),
+            ranked AS (SELECT doc_id, score,
+                              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM sc)
+            SELECT doc_id, {micros.format(expr="score")} AS score_micros
+            FROM ranked WHERE r <= 10
         """,
         "bm25_deleted_top10": f"""
             WITH {_TOKS},

@@ -196,6 +196,23 @@ def cmd_delete(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_compact(args: argparse.Namespace) -> int:
+    """Physically apply tombstones: rewrite without deleted docs, dense
+    docIDs, exact recomputed stats (engine/maintenance.compact_index)."""
+    import ray
+
+    from .engine.maintenance import compact_index
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=args.num_cpus,
+            include_dashboard=False, logging_level="ERROR",
+        )
+    stats = compact_index(args.index_dir, args.out_dir, overwrite=args.overwrite)
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_terms(args: argparse.Namespace) -> int:
     """Dictionary queries: prefix range probe, wildcard scan, top-df
     auto-completion, fuzzy match, or spell correction — pure metadata
@@ -306,6 +323,13 @@ def main(argv: list[str] | None = None) -> int:
     pt.add_argument("index_dir")
     pt.add_argument("--stopword-df-threshold", type=int, default=100_000)
     pt.set_defaults(fn=cmd_stats)
+
+    pc_ = sub.add_parser("compact", help="rewrite the index without tombstoned docs")
+    pc_.add_argument("index_dir")
+    pc_.add_argument("out_dir")
+    pc_.add_argument("--overwrite", action="store_true")
+    pc_.add_argument("--num-cpus", type=int, default=8)
+    pc_.set_defaults(fn=cmd_compact)
 
     pd_ = sub.add_parser("delete", help="tombstone documents (delete without rebuild)")
     pd_.add_argument("index_dir")

@@ -85,6 +85,69 @@ def add_merge_keys(batch: pa.Table, frags_per_shard: int, term_buckets: int) -> 
 
 
 
+
+
+def encode_blocks(
+    terms_u: pa.Array,
+    term_flat_starts: "np.ndarray",
+    term_flat_ends: "np.ndarray",
+    doc_ids: "np.ndarray",
+    tfs: "np.ndarray",
+    dls: "np.ndarray",
+    shard: int,
+    block_entries: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+) -> pa.Table:
+    """Vectorized block layout + score-bound metadata + delta/VByte
+    encode for per-term flat posting ranges (globally docID-sorted within
+    each term).  Shared by the build merge and index compaction."""
+    bk = block_entries
+    term_lens = term_flat_ends - term_flat_starts
+    n_blocks_t = (term_lens + bk - 1) // bk
+    total_blocks = int(n_blocks_t.sum())
+    bt = np.repeat(np.arange(len(term_lens)), n_blocks_t)  # term idx per block
+    blk_no = np.arange(total_blocks) - np.repeat(
+        np.concatenate(([0], np.cumsum(n_blocks_t)[:-1])), n_blocks_t
+    )
+    blk_starts = term_flat_starts[bt] + blk_no * bk
+    blk_ends = np.minimum(blk_starts + bk, term_flat_ends[bt])
+
+    norm = 1.0 - b + b * (dls.astype(np.float64) / avgdl)
+    tfn = tfs / (tfs + k1 * norm)
+    logtf = np.log1p(tfs)
+    ub_tfn = np.maximum.reduceat(tfn, blk_starts)
+    lb_tfn = np.minimum.reduceat(tfn, blk_starts)
+    ub_logtf = np.maximum.reduceat(logtf, blk_starts)
+
+    gaps = doc_ids.copy()
+    gaps[1:] -= doc_ids[:-1]
+    gaps[blk_starts] = doc_ids[blk_starts]
+    docs_u8, docs_ends = vbyte_encode_offsets(gaps.astype(np.uint64))
+    tfs_u8, tfs_ends = vbyte_encode_offsets(tfs.astype(np.uint64))
+    dls_u8, dls_ends = vbyte_encode_offsets(dls.astype(np.uint64))
+
+    nvals = len(doc_ids)
+    return pa.table(
+        {
+            "term": terms_u.take(pa.array(bt)),
+            "shard": pa.array(np.full(total_blocks, shard, dtype=np.int32)),
+            "block_no": pa.array(blk_no.astype(np.int32)),
+            "n": pa.array((blk_ends - blk_starts).astype(np.int32)),
+            "first_doc": pa.array(doc_ids[blk_starts], pa.int64()),
+            "last_doc": pa.array(doc_ids[blk_ends - 1], pa.int64()),
+            "docs_enc": _sliced_binary(docs_u8, docs_ends, blk_starts, nvals),
+            "tfs_enc": _sliced_binary(tfs_u8, tfs_ends, blk_starts, nvals),
+            "dls_enc": _sliced_binary(dls_u8, dls_ends, blk_starts, nvals),
+            "ub_tfn": pa.array(ub_tfn.astype(np.float32)),
+            "lb_tfn": pa.array(lb_tfn.astype(np.float32)),
+            "ub_logtf": pa.array(ub_logtf.astype(np.float32)),
+        },
+        schema=POSTINGS_SCHEMA,
+    )
+
+
 def make_merge_fn(config: BuildConfig, avgdl: float):
     """map_groups callable for one (bucket, shard) group — many terms, one pass."""
     k1 = config.bm25.k1
@@ -188,50 +251,10 @@ def make_merge_fn(config: BuildConfig, avgdl: float):
         term_codes_u = codes[row_term_change]
         terms_u = denc.dictionary.take(pa.array(term_codes_u))
 
-        # vectorized block layout: blocks never span terms
-        n_blocks_t = (term_lens + bk - 1) // bk
-        total_blocks = int(n_blocks_t.sum())
-        bt = np.repeat(np.arange(len(term_lens)), n_blocks_t)  # term idx per block
-        blk_no = np.arange(total_blocks) - np.repeat(
-            np.concatenate(([0], np.cumsum(n_blocks_t)[:-1])), n_blocks_t
-        )
-        blk_starts = term_flat_starts[bt] + blk_no * bk
-        blk_ends = np.minimum(blk_starts + bk, term_flat_ends[bt])
-
-        # score-bound metadata per block
-        norm = 1.0 - b + b * (dls.astype(np.float64) / avgdl)
-        tfn = tfs / (tfs + k1 * norm)
-        logtf = np.log1p(tfs)
-        ub_tfn = np.maximum.reduceat(tfn, blk_starts)
-        lb_tfn = np.minimum.reduceat(tfn, blk_starts)
-        ub_logtf = np.maximum.reduceat(logtf, blk_starts)
-
-        # delta-gap docIDs with the gap reset at block starts, then ONE
-        # vbyte encode per column, sliced zero-copy per block
-        gaps = doc_ids.copy()
-        gaps[1:] -= doc_ids[:-1]
-        gaps[blk_starts] = doc_ids[blk_starts]
-        docs_u8, docs_ends = vbyte_encode_offsets(gaps.astype(np.uint64))
-        tfs_u8, tfs_ends = vbyte_encode_offsets(tfs.astype(np.uint64))
-        dls_u8, dls_ends = vbyte_encode_offsets(dls.astype(np.uint64))
-
-        nvals = len(doc_ids)
-        merged_tbl = pa.table(
-            {
-                "term": terms_u.take(pa.array(bt)),
-                "shard": pa.array(np.full(total_blocks, shard, dtype=np.int32)),
-                "block_no": pa.array(blk_no.astype(np.int32)),
-                "n": pa.array((blk_ends - blk_starts).astype(np.int32)),
-                "first_doc": pa.array(doc_ids[blk_starts], pa.int64()),
-                "last_doc": pa.array(doc_ids[blk_ends - 1], pa.int64()),
-                "docs_enc": _sliced_binary(docs_u8, docs_ends, blk_starts, nvals),
-                "tfs_enc": _sliced_binary(tfs_u8, tfs_ends, blk_starts, nvals),
-                "dls_enc": _sliced_binary(dls_u8, dls_ends, blk_starts, nvals),
-                "ub_tfn": pa.array(ub_tfn.astype(np.float32)),
-                "lb_tfn": pa.array(lb_tfn.astype(np.float32)),
-                "ub_logtf": pa.array(ub_logtf.astype(np.float32)),
-            },
-            schema=POSTINGS_SCHEMA,
+        # vectorized block layout + encode (shared with compaction)
+        merged_tbl = encode_blocks(
+            terms_u, term_flat_starts, term_flat_ends, doc_ids, tfs, dls,
+            shard, bk, k1, b, avgdl,
         )
         if pt_table is not None:
             return pa.concat_tables([pt_table, merged_tbl])

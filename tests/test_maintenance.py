@@ -141,3 +141,90 @@ def test_sharded_search_respects_tombstones(index_dir, ray_session):
             sharded["score"].to_numpy(), local_scores.astype(np.float32)
         )
         assert set(str(r.doc_names[d]) for d in sharded["doc_id"]).isdisjoint(victims)
+
+
+def test_compact_equals_fresh_build(index_dir, ray_session):
+    """Compaction == fresh build over the retained corpus: identical
+    stats, terms table, decoded per-term postings, and bit-identical
+    rankings; WAND is valid again afterwards."""
+    import pyarrow as pa
+
+    from search_engine_ray.engine.maintenance import compact_index
+
+    work = f"{BASE}/idx_compact_src"
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(index_dir, work)
+    r0 = IndexReader(index_dir)
+    # delete first, last, and two mid docs (by ordinal) for edge coverage
+    victims_ord = [0, 5, 57, r0.n_docs - 1]
+    victims = [str(r0.doc_names[i]) for i in victims_ord]
+    delete_docs(work, victims + ["not-a-doc"])
+
+    out = f"{BASE}/idx_compacted"
+    shutil.rmtree(out, ignore_errors=True)
+    stats = compact_index(work, out)
+    assert stats["n_docs"] == r0.n_docs - 4
+    assert stats["n_compacted_out"] == 4
+
+    # fresh build over the retained corpus (same row order)
+    import pyarrow.dataset as pads
+
+    corpus_tbl = pads.dataset(f"{BASE}/corpus").to_table()
+    keep = [n not in set(victims) for n in corpus_tbl["url"].to_pylist()]
+    retained = corpus_tbl.filter(pa.array(keep))
+    fresh_corpus = f"{BASE}/corpus_retained"
+    shutil.rmtree(fresh_corpus, ignore_errors=True)
+    os.makedirs(fresh_corpus)
+    pq.write_table(retained, f"{fresh_corpus}/pages.parquet", row_group_size=64)
+    fresh = f"{BASE}/idx_fresh"
+    build_index(
+        fresh_corpus, fresh,
+        BuildConfig(block_entries=16, frags_per_shard=2), overwrite=True,
+    )
+
+    rc, rf = IndexReader(out), IndexReader(fresh)
+    assert rc.n_docs == rf.n_docs
+    assert rc.avgdl == rf.avgdl
+    assert rc.doc_names.tolist() == rf.doc_names.tolist()
+    assert rc.doc_lens.tolist() == rf.doc_lens.tolist()
+    tc = pq.read_table(os.path.join(out, "terms.parquet"))
+    tf_ = pq.read_table(os.path.join(fresh, "terms.parquet"))
+    assert tc.equals(tf_)
+    # decoded postings identical per term
+    for term in tc["term"].to_pylist():
+        pc_, pf_ = rc.postings(term), rf.postings(term)
+        ic, tc_a, dc = pc_.arrays()
+        if_, tf_a, df_ = pf_.arrays()
+        np.testing.assert_array_equal(ic, if_)
+        np.testing.assert_array_equal(tc_a, tf_a)
+        np.testing.assert_array_equal(dc, df_)
+        assert pc_.df == pf_.df
+
+    kws = _kws(index_dir)
+    for scorer in ("bm25", "tfidf", "bm25adpt"):
+        c_ids, c_scores = score_topic(rc, kws, scorer=scorer, k=30, method="taat")
+        f_ids, f_scores = score_topic(rf, kws, scorer=scorer, k=30, method="taat")
+        np.testing.assert_array_equal(c_ids, f_ids)
+        np.testing.assert_array_equal(c_scores, f_scores)
+    # tombstones gone; WAND valid and identical to TAAT on the compacted index
+    assert rc.deleted_mask() is None
+    w_ids, w_scores = score_topic(rc, kws, scorer="bm25", k=30, method="wand")
+    t_ids, t_scores = score_topic(rc, kws, scorer="bm25", k=30, method="taat")
+    np.testing.assert_array_equal(w_ids, t_ids)
+    np.testing.assert_array_equal(w_scores, t_scores)
+
+
+def test_compact_noop_without_tombstones(index_dir, ray_session):
+    from search_engine_ray.engine.maintenance import compact_index
+
+    out = f"{BASE}/idx_compact_noop"
+    shutil.rmtree(out, ignore_errors=True)
+    stats = compact_index(index_dir, out)
+    r0, rc = IndexReader(index_dir), IndexReader(out)
+    assert stats["n_compacted_out"] == 0
+    assert rc.n_docs == r0.n_docs and rc.avgdl == r0.avgdl
+    kws = _kws(index_dir)
+    a, sa = score_topic(r0, kws, scorer="bm25", k=20, method="taat")
+    c, sc = score_topic(rc, kws, scorer="bm25", k=20, method="taat")
+    np.testing.assert_array_equal(a, c)
+    np.testing.assert_array_equal(sa, sc)
