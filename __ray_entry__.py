@@ -22,6 +22,7 @@ here calls ray.init()/ray.shutdown().
 
 from __future__ import annotations
 
+import hashlib
 import os
 from collections.abc import Callable
 from typing import Any
@@ -1590,6 +1591,57 @@ def q_bm25_compacted_top10(sf_dir: str) -> pa.Table:
     )
 
 
+def q_bm25_merged_top10(sf_dir: str) -> pa.Table:
+    """Index union merge: the documents table is indexed in two halves,
+    the two indexes are union-merged (docID rebase + re-bound with the
+    merged avgdl, engine/maintenance.merge_indexes), and the standard
+    query runs on the result.  The oracle is the UNSPLIT full-corpus
+    BM25 — the merge must be score-equivalent to one build."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.config import BuildConfig
+    from search_engine_ray.engine.build import build_index
+    from search_engine_ray.engine.index_reader import IndexReader
+    from search_engine_ray.engine.maintenance import merge_indexes
+    from search_engine_ray.pipelines import _CACHE_ROOT, bm25_scores_f64
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"merged|{os.path.abspath(src)}|{os.path.getmtime(src)}|{OPT_NOSTEM.to_dict()}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(_CACHE_ROOT, f"docidx-merged-{key}")
+    merged = os.path.join(root, "merged")
+    marker = os.path.join(root, ".merged-complete")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        tbl = pq.read_table(src)
+        half = tbl.num_rows // 2
+        cfg = BuildConfig(options=OPT_NOSTEM)
+        sides = []
+        for name, part in (("a", tbl.slice(0, half)), ("b", tbl.slice(half))):
+            cdir = os.path.join(root, f"corpus_{name}")
+            os.makedirs(cdir, exist_ok=True)
+            pq.write_table(part, os.path.join(cdir, "docs.parquet"))
+            idir = os.path.join(root, f"index_{name}")
+            build_index(
+                cdir, idir, cfg, overwrite=True,
+                source_column="text", name_column="doc_id",
+            )
+            sides.append(idir)
+        merge_indexes(sides[0], sides[1], merged, overwrite=True)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    r = IndexReader(merged)
+    ids, scores = bm25_scores_f64(r, BM25_QUERY)
+    ids, scores = ids[:10], scores[:10]
+    doc_ids = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids), "score_micros": pa.array(_micros(scores))}
+    )
+
+
 def q_fuzzy_terms(sf_dir: str) -> pa.Table:
     """Fuzzy dictionary match: terms within Levenshtein distance 1 of
     'fash' -> (term, df, dist); length-pruned scan + batched DP kernel
@@ -1776,6 +1828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_boosted_top10": q_bm25_boosted_top10,
         "bm25_deleted_top10": q_bm25_deleted_top10,
         "bm25_compacted_top10": q_bm25_compacted_top10,
+        "bm25_merged_top10": q_bm25_merged_top10,
         "wildcard_terms": q_wildcard_terms,
         "prefix_search_top10": q_prefix_search_top10,
         "rrf_fusion": q_rrf_fusion,
@@ -2088,7 +2141,7 @@ def _curate_web_sql(n: int = 8) -> str:
 
 def oracle_sql() -> dict[str, str]:
     micros = _SQL_MICROS
-    return {
+    out = {
         "simhash": _simhash_sql(),
         # brute-force cross-join over the twin-seeded set: LSH blocking is
         # approximate in general, but scaled twins land in their vector's own
@@ -2992,3 +3045,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, sid
         """,
     }
+    # the merge gate's oracle IS the unsplit full-corpus ranking: merging
+    # two half-indexes must be score-equivalent to one build
+    out["bm25_merged_top10"] = out["bm25_top10"]
+    return out

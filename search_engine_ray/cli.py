@@ -213,6 +213,22 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_merge(args: argparse.Namespace) -> int:
+    """Union-merge two indexes (docID rebase + re-bound) into one."""
+    import ray
+
+    from .engine.maintenance import merge_indexes
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=args.num_cpus,
+            include_dashboard=False, logging_level="ERROR",
+        )
+    stats = merge_indexes(args.a_dir, args.b_dir, args.out_dir, overwrite=args.overwrite)
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_terms(args: argparse.Namespace) -> int:
     """Dictionary queries: prefix range probe, wildcard scan, top-df
     auto-completion, fuzzy match, or spell correction — pure metadata
@@ -330,6 +346,14 @@ def main(argv: list[str] | None = None) -> int:
     pc_.add_argument("--overwrite", action="store_true")
     pc_.add_argument("--num-cpus", type=int, default=8)
     pc_.set_defaults(fn=cmd_compact)
+
+    pg_ = sub.add_parser("merge", help="union-merge two indexes into one")
+    pg_.add_argument("a_dir")
+    pg_.add_argument("b_dir")
+    pg_.add_argument("out_dir")
+    pg_.add_argument("--overwrite", action="store_true")
+    pg_.add_argument("--num-cpus", type=int, default=8)
+    pg_.set_defaults(fn=cmd_merge)
 
     pd_ = sub.add_parser("delete", help="tombstone documents (delete without rebuild)")
     pd_.add_argument("index_dir")

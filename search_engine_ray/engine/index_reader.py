@@ -134,11 +134,10 @@ class IndexReader:
             if not os.path.exists(p):
                 self._deleted_mask = None
             else:
-                mask = np.zeros(self.n_docs, dtype=bool)
-                for name in pq.read_table(p, columns=["name"])["name"].to_pylist():
-                    o = self.doc_id_of(name)
-                    if o >= 0:
-                        mask[o] = True
+                names = pq.read_table(p, columns=["name"])["name"].to_pylist()
+                # isin (not a name->id dict): a union-merged index can hold
+                # DUPLICATE names — every copy of a tombstoned name hides
+                mask = np.isin(self.doc_names, np.asarray(names, dtype=object))
                 self._deleted_mask = mask if mask.any() else None
         return self._deleted_mask
 

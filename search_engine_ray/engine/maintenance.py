@@ -268,3 +268,204 @@ def compact_index(index_dir: str, out_dir: str, overwrite: bool = False) -> dict
     with open(os.path.join(out_dir, "stats.json"), "w") as fh:
         json.dump(new_stats, fh)
     return new_stats
+
+
+def merge_indexes(a_dir: str, b_dir: str, out_dir: str, overwrite: bool = False) -> dict:
+    """Union-merge two independently built indexes into one (the segment
+    merge a long-lived engine runs when corpora are indexed in parts):
+    A's docIDs are kept, B's are rebased by ``n_docs(A)``, B's shard ids
+    shift past A's (doc-range shards stay disjoint, so blocks stay
+    globally docID-ordered per term) and every block is re-encoded with
+    the merged avgdl — block score bounds depend on avgdl, so neither
+    side's bounds survive as-is (same discipline as compaction).
+
+    Scores after the merge are IDENTICAL to a fresh build over the
+    concatenated corpus (tested bit-identical per term).  No
+    re-tokenization: the rewrite is decode -> rebase -> re-block via the
+    build merge's encode_blocks kernel, one groupby(bucket, shard) pass
+    over both postings sets.  Tombstones of both inputs are carried over
+    by name union.
+
+    Requires identical IndexOptions, BM25 params, and block_entries on
+    both inputs (raises otherwise).
+    """
+    import json
+    import shutil
+    import time
+
+    import numpy as np
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data
+
+    from .merge import POSTINGS_SCHEMA, encode_blocks, term_bucket_array
+
+    stats = {}
+    for side, d in (("a", a_dir), ("b", b_dir)):
+        with open(os.path.join(d, "stats.json")) as fh:
+            stats[side] = json.load(fh)
+    for key in ("options", "bm25", "block_entries"):
+        if stats["a"][key] != stats["b"][key]:
+            raise ValueError(
+                f"merge_indexes requires matching {key}: "
+                f"{stats['a'][key]!r} != {stats['b'][key]!r}"
+            )
+    if overwrite and os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=False)
+    phases: dict[str, float] = {}
+
+    n_a = stats["a"]["n_docs"]
+    new_n_docs = n_a + stats["b"]["n_docs"]
+    new_sum_dl = stats["a"]["sum_dl"] + stats["b"]["sum_dl"]
+    new_avgdl = new_sum_dl / new_n_docs if new_n_docs else 0.0
+    k1 = stats["a"]["bm25"]["k1"]
+    b = stats["a"]["bm25"]["b"]
+    bk = stats["a"]["block_entries"]
+    term_buckets = max(stats["a"].get("term_buckets", 64), stats["b"].get("term_buckets", 64))
+
+    _t = time.perf_counter()
+    shards_a = pads.dataset(os.path.join(a_dir, "postings")).to_table(columns=["shard"])
+    shard_off_b = (
+        int(pa.compute.max(shards_a["shard"]).as_py()) + 1 if shards_a.num_rows else 0
+    )
+    phases["plan"] = time.perf_counter() - _t
+
+    def keyed(side_dir: str, doc_off: int, shard_off: int):
+        def add_keys(batch: pa.Table) -> pa.Table:
+            term_col = (
+                batch["term"].combine_chunks()
+                if isinstance(batch["term"], pa.ChunkedArray)
+                else batch["term"]
+            )
+            if shard_off:
+                batch = batch.set_column(
+                    batch.schema.get_field_index("shard"),
+                    "shard",
+                    pa.compute.cast(
+                        pa.compute.add(batch["shard"], shard_off), pa.int32()
+                    ),
+                )
+            n = batch.num_rows
+            return batch.append_column(
+                "bucket", term_bucket_array(term_col, term_buckets)
+            ).append_column(
+                "doc_off", pa.array(np.full(n, doc_off, dtype=np.int64))
+            )
+
+        return ray.data.read_parquet(os.path.join(side_dir, "postings")).map_batches(
+            add_keys, batch_format="pyarrow"
+        )
+
+    def rewrite_group(group: pa.Table) -> pa.Table:
+        from .codec import decode_concat_rows
+
+        if group.num_rows == 0:
+            return POSTINGS_SCHEMA.empty_table()
+        shard = group["shard"][0].as_py()
+        doc_off = group["doc_off"][0].as_py()  # constant: shards never mix sides
+        term_col = (
+            group["term"].combine_chunks()
+            if isinstance(group["term"], pa.ChunkedArray)
+            else group["term"]
+        )
+        denc = term_col.dictionary_encode()
+        codes = np.asarray(denc.indices, dtype=np.int64)
+        order = np.lexsort((np.asarray(group["first_doc"]), codes))
+        tbl = group.select(["n", "docs_enc", "tfs_enc", "dls_enc"]).take(pa.array(order))
+        codes = codes[order]
+
+        row_lens = np.asarray(tbl["n"], dtype=np.int64)
+        doc_ids = decode_concat_rows(tbl["docs_enc"], row_lens, delta=True) + doc_off
+        tfs = decode_concat_rows(tbl["tfs_enc"], row_lens, delta=False)
+        dls = decode_concat_rows(tbl["dls_enc"], row_lens, delta=False)
+
+        entry_codes = np.repeat(codes, row_lens)
+        change = np.empty(len(entry_codes), dtype=bool)
+        change[0] = True
+        np.not_equal(entry_codes[1:], entry_codes[:-1], out=change[1:])
+        term_flat_starts = np.flatnonzero(change)
+        term_flat_ends = np.append(term_flat_starts[1:], len(entry_codes))
+        terms_u = denc.dictionary.take(pa.array(entry_codes[term_flat_starts]))
+
+        return encode_blocks(
+            terms_u, term_flat_starts, term_flat_ends, doc_ids, tfs, dls,
+            shard, bk, k1, b, new_avgdl,
+        )
+
+    _t = time.perf_counter()
+    out_postings = os.path.join(out_dir, "postings")
+    (
+        keyed(a_dir, 0, 0)
+        .union(keyed(b_dir, n_a, shard_off_b))
+        .groupby(["bucket", "shard"])
+        .map_groups(rewrite_group, batch_format="pyarrow")
+        .write_parquet(out_postings)
+    )
+    if not os.path.isdir(out_postings):
+        os.makedirs(out_postings, exist_ok=True)
+        pq.write_table(
+            POSTINGS_SCHEMA.empty_table(), os.path.join(out_postings, "part-empty.parquet")
+        )
+    phases["postings"] = time.perf_counter() - _t
+
+    # docs: A as-is, B rebased
+    _t = time.perf_counter()
+
+    def rebase_docs(off: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            if not off:
+                return batch
+            return batch.set_column(
+                batch.schema.get_field_index("doc_id"),
+                "doc_id",
+                pa.compute.add(batch["doc_id"], off),
+            )
+
+        return fn
+
+    out_docs = os.path.join(out_dir, "docs")
+    ray.data.read_parquet(os.path.join(a_dir, "docs")).map_batches(
+        rebase_docs(0), batch_format="pyarrow"
+    ).union(
+        ray.data.read_parquet(os.path.join(b_dir, "docs")).map_batches(
+            rebase_docs(n_a), batch_format="pyarrow"
+        )
+    ).write_parquet(out_docs)
+    phases["docs"] = time.perf_counter() - _t
+
+    # terms/df + stats from block metadata
+    _t = time.perf_counter()
+    meta_tbl = pads.dataset(out_postings).to_table(columns=["term", "n"])
+    terms_tbl = (
+        meta_tbl.group_by("term").aggregate([("n", "sum")]).rename_columns(["term", "df"])
+    )
+    terms_tbl = terms_tbl.sort_by("term")
+    terms_tbl = terms_tbl.set_column(
+        1, "df", pa.compute.cast(terms_tbl["df"], pa.int64())
+    )
+    pq.write_table(terms_tbl, os.path.join(out_dir, "terms.parquet"))
+    phases["terms"] = time.perf_counter() - _t
+
+    merged_tombs = set(tombstoned_names(a_dir)) | set(tombstoned_names(b_dir))
+    if merged_tombs:
+        pq.write_table(
+            pa.table({"name": pa.array(sorted(merged_tombs), pa.string())}),
+            os.path.join(out_dir, TOMBSTONES_FILE),
+        )
+
+    new_stats = dict(
+        stats["a"],
+        n_docs=int(new_n_docs),
+        sum_dl=int(new_sum_dl),
+        avgdl=new_avgdl,
+        n_terms=int(terms_tbl.num_rows),
+        n_postings=int(pa.compute.sum(terms_tbl["df"]).as_py() or 0),
+        n_fragments=stats["a"].get("n_fragments", 0) + stats["b"].get("n_fragments", 0),
+        term_buckets=term_buckets,
+        merged_from=[os.path.abspath(a_dir), os.path.abspath(b_dir)],
+        phase_sec={k: round(v, 3) for k, v in phases.items()},
+    )
+    with open(os.path.join(out_dir, "stats.json"), "w") as fh:
+        json.dump(new_stats, fh)
+    return new_stats

@@ -228,3 +228,92 @@ def test_compact_noop_without_tombstones(index_dir, ray_session):
     c, sc = score_topic(rc, kws, scorer="bm25", k=20, method="taat")
     np.testing.assert_array_equal(a, c)
     np.testing.assert_array_equal(sa, sc)
+
+
+def test_merge_indexes_equals_full_build(index_dir, ray_session):
+    """merge(A, B) == fresh build over the concatenated corpus: stats,
+    df, decoded per-term postings, and bit-identical scores for all
+    three scorers; WAND valid on the merged index."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    from search_engine_ray.engine.maintenance import merge_indexes
+
+    corpus_tbl = pads.dataset(f"{BASE}/corpus").to_table()
+    half = corpus_tbl.num_rows // 2
+    cfg = BuildConfig(block_entries=16, frags_per_shard=2)
+    dirs = {}
+    for name, tbl in (("a", corpus_tbl.slice(0, half)), ("b", corpus_tbl.slice(half))):
+        cdir = f"{BASE}/corpus_{name}"
+        shutil.rmtree(cdir, ignore_errors=True)
+        os.makedirs(cdir)
+        pq.write_table(tbl, f"{cdir}/pages.parquet", row_group_size=32)
+        idir = f"{BASE}/index_{name}"
+        build_index(cdir, idir, cfg, overwrite=True)
+        dirs[name] = idir
+
+    out = f"{BASE}/index_merged"
+    shutil.rmtree(out, ignore_errors=True)
+    stats = merge_indexes(dirs["a"], dirs["b"], out)
+
+    rm_, rf = IndexReader(out), IndexReader(index_dir)  # index_dir = full build
+    assert rm_.n_docs == rf.n_docs
+    assert rm_.avgdl == rf.avgdl
+    assert stats["sum_dl"] == rf.stats["sum_dl"]
+    assert rm_.doc_names.tolist() == rf.doc_names.tolist()
+    assert rm_.doc_lens.tolist() == rf.doc_lens.tolist()
+    tm = pq.read_table(os.path.join(out, "terms.parquet"))
+    tf_ = pq.read_table(os.path.join(index_dir, "terms.parquet"))
+    assert tm.equals(tf_)
+    for term in tm["term"].to_pylist():
+        pm_, pf_ = rm_.postings(term), rf.postings(term)
+        for x, y in zip(pm_.arrays(), pf_.arrays()):
+            np.testing.assert_array_equal(x, y)
+        assert pm_.df == pf_.df
+
+    kws = _kws(index_dir)
+    for scorer in ("bm25", "tfidf", "bm25adpt"):
+        m_ids, m_scores = score_topic(rm_, kws, scorer=scorer, k=30, method="taat")
+        f_ids, f_scores = score_topic(rf, kws, scorer=scorer, k=30, method="taat")
+        np.testing.assert_array_equal(m_ids, f_ids)
+        np.testing.assert_array_equal(m_scores, f_scores)
+    w_ids, w_scores = score_topic(rm_, kws, scorer="bm25", k=30, method="wand")
+    t_ids, t_scores = score_topic(rm_, kws, scorer="bm25", k=30, method="taat")
+    np.testing.assert_array_equal(w_ids, t_ids)
+    np.testing.assert_array_equal(w_scores, t_scores)
+
+
+def test_merge_indexes_rejects_mismatched_options(index_dir, ray_session):
+    from search_engine_ray.config import IndexOptions
+    from search_engine_ray.engine.maintenance import merge_indexes
+
+    other = f"{BASE}/index_nostem"
+    build_index(
+        f"{BASE}/corpus", other,
+        BuildConfig(block_entries=16, frags_per_shard=2, options=IndexOptions(stemming=False)),
+        overwrite=True,
+    )
+    with pytest.raises(ValueError, match="options"):
+        merge_indexes(index_dir, other, f"{BASE}/index_bad")
+
+
+def test_merge_indexes_carries_tombstones(index_dir, ray_session):
+    from search_engine_ray.engine.maintenance import merge_indexes
+
+    a = f"{BASE}/idx_ma"
+    b = f"{BASE}/idx_mb"
+    for d in (a, b):
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.copytree(index_dir, d)
+    r0 = IndexReader(index_dir)
+    delete_docs(a, [str(r0.doc_names[0])])
+    delete_docs(b, [str(r0.doc_names[1])])
+    out = f"{BASE}/idx_mab"
+    shutil.rmtree(out, ignore_errors=True)
+    merge_indexes(a, b, out)
+    assert tombstoned_names(out) == sorted(
+        [str(r0.doc_names[0]), str(r0.doc_names[1])]
+    )
+    # both names hidden from results (both copies of each doc)
+    rm_ = IndexReader(out)
+    assert rm_.deleted_mask().sum() == 4
