@@ -212,6 +212,44 @@ def run_benchmarks() -> dict:
             docs_path, pos_dir, pos_opt, source_column="text", name_column="doc_id"
         )
 
+    # maintenance ops: tombstone ~1% of the documents index and compact;
+    # union-merge two half-indexes.  Setup (copies, half builds, deletes)
+    # is untimed — the timed op is the postings rewrite itself.
+    from search_engine_ray.engine.maintenance import (
+        compact_index,
+        delete_docs,
+        merge_indexes,
+    )
+
+    maint_root = f"/tmp/se_ray_bench/maint-{NUM_CPUS}"
+    shutil.rmtree(maint_root, ignore_errors=True)
+    os.makedirs(maint_root)
+    compact_src = os.path.join(maint_root, "tombstoned")
+    shutil.copytree(index_dir, compact_src)
+    _docs_n = pq.read_metadata(docs_path).num_rows
+    delete_docs(compact_src, [str(i) for i in range(0, _docs_n, 100)])
+    half_tbl = pq.read_table(docs_path)
+    _half = half_tbl.num_rows // 2
+    half_dirs = []
+    for _nm, _part in (("a", half_tbl.slice(0, _half)), ("b", half_tbl.slice(_half))):
+        _cd = os.path.join(maint_root, f"corpus_{_nm}")
+        os.makedirs(_cd)
+        pq.write_table(_part, os.path.join(_cd, "docs.parquet"))
+        _id = os.path.join(maint_root, f"index_{_nm}")
+        build_index(_cd, _id, BuildConfig(options=IndexOptions(stemming=True)),
+                    source_column="text", name_column="doc_id")
+        half_dirs.append(_id)
+
+    def _compact():
+        out = os.path.join(maint_root, "compacted")
+        shutil.rmtree(out, ignore_errors=True)
+        compact_index(compact_src, out)
+
+    def _merge():
+        out = os.path.join(maint_root, "merged")
+        shutil.rmtree(out, ignore_errors=True)
+        merge_indexes(half_dirs[0], half_dirs[1], out)
+
     ops: list[tuple[str, object]] = [
         ("dedup_exact", lambda: exact_dedup(docs_ds).count()),
         ("dedup_minhash_lsh", lambda: minhash_lsh_pairs(docs_ds, threshold=0.8).count()),
@@ -237,6 +275,8 @@ def run_benchmarks() -> dict:
         ("dup_spans", lambda: duplicate_spans(docs_ds, k=8, min_count=2).count()),
         ("snippets", lambda: snippets(
             docs_ds, ["sort", "table", "hash"], pos_opt, window=8).count()),
+        ("index_compact", _compact),
+        ("index_merge", _merge),
     ]
     n_rounds = int(os.environ.get("SE_RAY_BENCH_OP_ROUNDS", "2"))
     samples: dict[str, list[float]] = {name: [] for name, _ in ops}
