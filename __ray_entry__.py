@@ -1642,6 +1642,25 @@ def q_bm25_merged_top10(sf_dir: str) -> pa.Table:
     )
 
 
+def q_bm25_prf_top10(sf_dir: str) -> pa.Table:
+    """Pseudo-relevance-feedback retrieval: BM25 top-5 docs -> their
+    top-5 feedback terms (tf_sum * ln(N/df), corpus df, query terms
+    excluded) -> re-score with the expanded term set.  The feedback
+    mining is one filtered map_batches over the docs table (vectorized
+    isin against the broadcast 5-id set), no shuffle."""
+    from search_engine_ray.pipelines import prf_expanded_bm25_f64
+
+    r = _reader(sf_dir)
+    ids, scores, _terms = prf_expanded_bm25_f64(
+        r, _docs_ds(sf_dir), BM25_QUERY, OPT_NOSTEM, fb_docs=5, fb_terms=5
+    )
+    ids, scores = ids[:10], scores[:10]
+    doc_ids = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids), "score_micros": pa.array(_micros(scores))}
+    )
+
+
 def q_fuzzy_terms(sf_dir: str) -> pa.Table:
     """Fuzzy dictionary match: terms within Levenshtein distance 1 of
     'fash' -> (term, df, dist); length-pruned scan + batched DP kernel
@@ -1829,6 +1848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_deleted_top10": q_bm25_deleted_top10,
         "bm25_compacted_top10": q_bm25_compacted_top10,
         "bm25_merged_top10": q_bm25_merged_top10,
+        "bm25_prf_top10": q_bm25_prf_top10,
         "wildcard_terms": q_wildcard_terms,
         "prefix_search_top10": q_prefix_search_top10,
         "rrf_fusion": q_rrf_fusion,
@@ -2411,6 +2431,50 @@ def oracle_sql() -> dict[str, str]:
                            WHERE doc_id NOT IN (SELECT doc_id FROM victims)) AS avgdl),
             tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM rtoks
                    WHERE t IN ('spark','hash','join') GROUP BY doc_id, t),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            sc AS (
+              SELECT tf.doc_id,
+                     SUM( ln((st.n - df.df + 0.5) / (df.df + 0.5))
+                          * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) ) AS score
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+              GROUP BY tf.doc_id
+            ),
+            ranked AS (SELECT doc_id, score,
+                              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM sc)
+            SELECT doc_id, {micros.format(expr="score")} AS score_micros
+            FROM ranked WHERE r <= 10
+        """,
+        "bm25_prf_top10": f"""
+            WITH {_TOKS},
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+            -- pass 1: initial ranking picks the 5 feedback docs
+            tf0 AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks
+                    WHERE t IN ('spark','hash','join') GROUP BY doc_id, t),
+            df0 AS (SELECT term, count(*) AS df FROM tf0 GROUP BY term),
+            sc0 AS (
+              SELECT tf0.doc_id,
+                     SUM( ln((st.n - df0.df + 0.5) / (df0.df + 0.5))
+                          * (tf0.tf * (1.2 + 1)) / (tf0.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) ) AS score
+              FROM tf0 JOIN df0 USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+              GROUP BY tf0.doc_id
+            ),
+            fb AS (SELECT doc_id FROM sc0 ORDER BY score DESC, doc_id ASC LIMIT 5),
+            -- feedback terms: tf over the 5 docs, corpus-wide df
+            ftf AS (SELECT t AS term, count(*) AS tf FROM toks
+                    JOIN fb USING (doc_id)
+                    WHERE t NOT IN ('spark','hash','join') GROUP BY t),
+            fdf AS (SELECT t AS term, count(DISTINCT doc_id) AS df FROM toks GROUP BY t),
+            fsel AS (SELECT ftf.term
+                     FROM ftf JOIN fdf USING (term) CROSS JOIN st
+                     ORDER BY ftf.tf * ln(st.n * 1.0 / fdf.df) DESC, ftf.term ASC
+                     LIMIT 5),
+            qterms AS (SELECT term FROM fsel
+                       UNION SELECT unnest(['spark','hash','join']) AS term),
+            -- pass 2: BM25 over the expanded term set (all qtf=1)
+            tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks
+                   WHERE t IN (SELECT term FROM qterms) GROUP BY doc_id, t),
             df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
             sc AS (
               SELECT tf.doc_id,

@@ -476,3 +476,37 @@ def bm25_boosted_scores_f64(
     scores = scores * boost[ids]
     order = np.lexsort((ids, -scores))
     return ids[order], scores[order]
+
+
+def prf_expanded_bm25_f64(
+    reader: IndexReader,
+    docs_ds,
+    keywords: list[tuple[str, int]],
+    options,
+    fb_docs: int = 5,
+    fb_terms: int = 5,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+) -> tuple[np.ndarray, np.ndarray, list[str]]:
+    """Pseudo-relevance feedback retrieval (engine/prf.py): initial BM25
+    top-``fb_docs``, mine their top-``fb_terms`` terms (tf_sum * ln(N/df),
+    corpus df), re-score with the expanded term set (expansions at
+    qtf=1).  Returns (doc_ids, scores, expansion_terms)."""
+    from .engine.prf import feedback_terms
+
+    ids0, _ = bm25_scores_f64(reader, keywords)
+    fb_ids = [str(reader.doc_names[d]) for d in ids0[:fb_docs]]
+    expansions = feedback_terms(
+        docs_ds,
+        fb_ids,
+        options,
+        reader._df,
+        reader.n_docs,
+        exclude={t for t, _ in keywords},
+        fb_terms=fb_terms,
+        id_column=id_column,
+        text_column=text_column,
+    )
+    expanded = list(keywords) + [(t, 1) for t, _ in expansions]
+    ids, scores = bm25_scores_f64(reader, expanded)
+    return ids, scores, [t for t, _ in expansions]

@@ -286,3 +286,57 @@ def test_bm25_boosted_scores(index_dir, ray_session):
     assert key == sorted(key)
     with pytest.raises(ValueError):
         bm25_boosted_scores_f64(r, kws, boost[:-1])
+
+
+def test_prf_feedback_terms_and_expansion(index_dir, all_terms, ray_session):
+    """feedback_terms equals the brute-force tf_sum*ln(N/df) ranking over
+    the feedback docs; expanded retrieval equals manual keyword union."""
+    import math
+
+    import ray.data
+
+    from search_engine_ray.config import IndexOptions
+    from search_engine_ray.corpus.pages import generate_pages_table
+    from search_engine_ray.engine.index_reader import IndexReader
+    from search_engine_ray.engine.prf import feedback_terms
+    from search_engine_ray.pipelines import bm25_scores_f64, prf_expanded_bm25_f64
+    from search_engine_ray.text.vectorized import tokenize_batch
+
+    r = IndexReader(index_dir)
+    opts = IndexOptions()  # index fixture uses defaults (stemming on)
+    docs_tbl = generate_pages_table(48, seed=7)
+    ds = ray.data.from_arrow(docs_tbl).repartition(3)
+
+    kws = sorted(all_terms, key=lambda t: -all_terms[t])[:2]
+    kws = [(t, 1) for t in kws]
+    urls = docs_tbl["url"].to_pylist()
+    fb_ids = [urls[0], urls[3], urls[7]]
+
+    got = feedback_terms(
+        ds, fb_ids, opts, r._df, r.n_docs, exclude={t for t, _ in kws},
+        fb_terms=8, text_column="text", id_column="url",
+    )
+    # brute force over the same 3 docs
+    import numpy as np
+    import pyarrow as pa
+
+    texts = pa.array([docs_tbl["text"][urls.index(u)].as_py() for u in fb_ids])
+    tb = tokenize_batch(texts, opts)
+    counts = np.bincount(tb.term_codes, minlength=len(tb.terms))
+    exp = []
+    for t, c in zip(tb.terms, counts):
+        if t in {k for k, _ in kws} or t not in r._df or c == 0:
+            continue
+        exp.append((t, float(c) * math.log(r.n_docs / r._df[t])))
+    exp.sort(key=lambda x: (-x[1], x[0]))
+    assert got == exp[:8]
+
+    # expanded retrieval == manual union scoring
+    ids, scores, terms = prf_expanded_bm25_f64(
+        r, ds, kws, opts, fb_docs=3, fb_terms=4, text_column="text",
+        id_column="url",
+    )
+    assert len(terms) <= 4 and not set(terms) & {t for t, _ in kws}
+    m_ids, m_scores = bm25_scores_f64(r, list(kws) + [(t, 1) for t in terms])
+    np.testing.assert_array_equal(ids, m_ids)
+    np.testing.assert_array_equal(scores, m_scores)
