@@ -431,15 +431,14 @@ def facet_counts(
         in_range = (ids >= 0) & (ids < len(om))
         ords = np.where(in_range, om[np.clip(ids, 0, len(om) - 1)], -1)
         hit = (ords >= 0) & m[np.clip(ords, 0, len(m) - 1)]
-        vals = batch[facet_column].combine_chunks()
-        uniq, counts = np.unique(
-            np.asarray(vals.filter(pa.array(hit)).to_pylist(), dtype=object),
-            return_counts=True,
-        )
+        import pyarrow.compute as pc
+
+        vals = batch[facet_column].combine_chunks().filter(pa.array(hit))
+        vc = pc.value_counts(vals)  # one vectorized pass, no Python objects
         return pa.table(
             {
-                "facet": pa.array(uniq.tolist(), pa.string()),
-                "n_docs": pa.array(counts.astype(np.int64)),
+                "facet": pc.cast(vc.field("values"), pa.string()),
+                "n_docs": pc.cast(vc.field("counts"), pa.int64()),
             }
         )
 
