@@ -1661,6 +1661,32 @@ def q_bm25_prf_top10(sf_dir: str) -> pa.Table:
     )
 
 
+def q_trending_per_window(sf_dir: str) -> pa.Table:
+    """Grouped top-k: the 2 most frequent event types per 1h tumbling
+    window (ties -> event_type asc) — windowed counts then
+    dataops.sample.topk_per_key (per-batch partial top-k per key, one
+    groupby finish; never a global sort)."""
+    from search_engine_ray.dataops.sample import topk_per_key
+    from search_engine_ray.dataops.windows import tumbling_window_agg
+
+    events = read_parquet_clean(os.path.join(sf_dir, "events.parquet"))
+    counts = tumbling_window_agg(events, window_seconds=3600).select_columns(
+        ["key", "window_start_us", "n"]
+    )
+    top = topk_per_key(
+        counts, key_column="window_start_us", value_column="n", k=2,
+        tie_columns=("key",),
+    ).to_pandas()
+    top = top.sort_values(["window_start_us", "key"], ignore_index=True)
+    return pa.table(
+        {
+            "window_start_us": pa.array(top["window_start_us"].astype(np.int64)),
+            "event_type": pa.array(top["key"], pa.string()),
+            "n": pa.array(top["n"].astype(np.int64)),
+        }
+    )
+
+
 def q_fuzzy_terms(sf_dir: str) -> pa.Table:
     """Fuzzy dictionary match: terms within Levenshtein distance 1 of
     'fash' -> (term, df, dist); length-pruned scan + batched DP kernel
@@ -1849,6 +1875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_compacted_top10": q_bm25_compacted_top10,
         "bm25_merged_top10": q_bm25_merged_top10,
         "bm25_prf_top10": q_bm25_prf_top10,
+        "trending_per_window": q_trending_per_window,
         "wildcard_terms": q_wildcard_terms,
         "prefix_search_top10": q_prefix_search_top10,
         "rrf_fusion": q_rrf_fusion,
@@ -2443,6 +2470,18 @@ def oracle_sql() -> dict[str, str]:
                               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM sc)
             SELECT doc_id, {micros.format(expr="score")} AS score_micros
             FROM ranked WHERE r <= 10
+        """,
+        "trending_per_window": """
+            WITH c AS (
+              SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+                     event_type, count(*) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            r AS (SELECT window_start_us, event_type, n,
+                         row_number() OVER (PARTITION BY window_start_us
+                                            ORDER BY n DESC, event_type ASC) AS rk
+                  FROM c)
+            SELECT window_start_us, event_type, n FROM r WHERE rk <= 2
         """,
         "bm25_prf_top10": f"""
             WITH {_TOKS},

@@ -212,3 +212,42 @@ def stratified_sample(
         return batch.filter(pa.array(h < thr))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def topk_per_key(
+    ds: ray.data.Dataset,
+    key_column: str,
+    value_column: str,
+    k: int,
+    ascending: bool = False,
+    tie_columns: tuple[str, ...] = (),
+) -> ray.data.Dataset:
+    """Grouped top-k: the k rows with the largest (or smallest)
+    ``value_column`` within each key — trending items per window, best
+    docs per domain, hottest users per cohort.
+
+    Two-phase like head_per_key: each batch keeps at most its local
+    top-k per key (bounds the shuffle to k rows per (key, batch) — never
+    a global sort), then one groupby finishes each key.  Ties break by
+    ``tie_columns`` ascending (pass enough columns for a total order to
+    make the result deterministic)."""
+    by = [value_column, *tie_columns]
+    asc = [ascending] + [True] * len(tie_columns)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(by, ascending=asc, kind="stable")
+            .groupby(key_column, sort=False)
+            .head(k),
+            preserve_index=False,
+        ).cast(batch.schema)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(by, ascending=asc, kind="stable").head(k)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_column)
+        .map_groups(finish, batch_format="pandas")
+    )

@@ -995,3 +995,37 @@ def test_curate_web_corpus(ray_session):
     )
     out = curate_web_corpus(ds, test_texts=[rows[0][2]], domain_cap_n=3).to_pandas()
     assert sorted(out["doc_id"].tolist()) == [1, 2, 6]
+
+
+def test_topk_per_key(ray_session):
+    """Grouped top-k equals the brute-force per-key ranking; partials
+    bound the shuffle (every batch emits <= k rows per key)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_ray.dataops.sample import topk_per_key
+
+    rng = np.random.default_rng(3)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "grp": rng.integers(0, 7, size=n),
+            "val": rng.integers(0, 50, size=n).astype(np.int64),
+            "id": np.arange(n, dtype=np.int64),
+        }
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(6)
+    for ascending in (False, True):
+        got = topk_per_key(
+            ds, "grp", "val", k=3, ascending=ascending, tie_columns=("id",)
+        ).to_pandas()
+        exp = (
+            df.sort_values(["val", "id"], ascending=[ascending, True], kind="stable")
+            .groupby("grp", sort=False)
+            .head(3)
+        )
+        key = lambda d: sorted(map(tuple, d[["grp", "val", "id"]].to_numpy()))
+        assert key(got) == key(exp)
+        assert got.groupby("grp").size().max() <= 3
