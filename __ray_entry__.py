@@ -1687,6 +1687,56 @@ def q_trending_per_window(sf_dir: str) -> pa.Table:
     )
 
 
+def q_index_fsck(sf_dir: str) -> pa.Table:
+    """Whole-index integrity gate: fsck decodes EVERY posting block of
+    the documents index (same vectorized kernel queries use), checks
+    block invariants + dictionary/stats cross-checks, and reports the
+    collection totals — which the oracle recomputes from the raw text.
+    violations must be 0."""
+    from search_engine_ray.engine.maintenance import fsck_index
+    from search_engine_ray.pipelines import documents_index_dir
+
+    index_dir = documents_index_dir(sf_dir, OPT_NOSTEM)
+    rep = fsck_index(index_dir)
+    return pa.table(
+        {
+            "n_docs": pa.array([rep["n_docs"]], pa.int64()),
+            "n_terms": pa.array([rep["n_terms"]], pa.int64()),
+            "n_postings": pa.array([rep["n_postings"]], pa.int64()),
+            "violations": pa.array([rep["violations"]], pa.int64()),
+        }
+    )
+
+
+def q_bm25_pruned_top10(sf_dir: str) -> pa.Table:
+    """Static pruning gate: 'hash' is pruned from the index (stopword
+    promotion, engine/maintenance.prune_terms), then the standard 3-term
+    query runs — the pruned term silently skips (absent-term semantics),
+    so the oracle scores only ('spark','join'); every surviving term's
+    postings are untouched, so scores are exact."""
+    import shutil
+
+    from search_engine_ray.engine.index_reader import IndexReader
+    from search_engine_ray.engine.maintenance import prune_terms
+    from search_engine_ray.pipelines import bm25_scores_f64, documents_index_dir
+
+    base = documents_index_dir(sf_dir, OPT_NOSTEM)
+    out = base.rstrip("/") + "-pruned"
+    marker = os.path.join(out, ".pruned-complete")
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        prune_terms(base, out, terms=["hash"])
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    r = IndexReader(out)
+    ids, scores = bm25_scores_f64(r, BM25_QUERY)
+    ids, scores = ids[:10], scores[:10]
+    doc_ids = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids), "score_micros": pa.array(_micros(scores))}
+    )
+
+
 def q_fuzzy_terms(sf_dir: str) -> pa.Table:
     """Fuzzy dictionary match: terms within Levenshtein distance 1 of
     'fash' -> (term, df, dist); length-pruned scan + batched DP kernel
@@ -1876,6 +1926,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_merged_top10": q_bm25_merged_top10,
         "bm25_prf_top10": q_bm25_prf_top10,
         "trending_per_window": q_trending_per_window,
+        "index_fsck": q_index_fsck,
+        "bm25_pruned_top10": q_bm25_pruned_top10,
         "wildcard_terms": q_wildcard_terms,
         "prefix_search_top10": q_prefix_search_top10,
         "rrf_fusion": q_rrf_fusion,
@@ -2470,6 +2522,33 @@ def oracle_sql() -> dict[str, str]:
                               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM sc)
             SELECT doc_id, {micros.format(expr="score")} AS score_micros
             FROM ranked WHERE r <= 10
+        """,
+        "bm25_pruned_top10": f"""
+            WITH {_TOKS},
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+            tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks
+                   WHERE t IN ('spark','join') GROUP BY doc_id, t),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            sc AS (
+              SELECT tf.doc_id,
+                     SUM( ln((st.n - df.df + 0.5) / (df.df + 0.5))
+                          * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) ) AS score
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+              GROUP BY tf.doc_id
+            ),
+            ranked AS (SELECT doc_id, score,
+                              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM sc)
+            SELECT doc_id, {micros.format(expr="score")} AS score_micros
+            FROM ranked WHERE r <= 10
+        """,
+        "index_fsck": f"""
+            WITH {_TOKS}
+            SELECT (SELECT count(*) FROM documents) AS n_docs,
+                   (SELECT count(DISTINCT t) FROM toks) AS n_terms,
+                   (SELECT count(*) FROM (SELECT DISTINCT doc_id, t FROM toks)) AS n_postings,
+                   0 AS violations
         """,
         "trending_per_window": """
             WITH c AS (

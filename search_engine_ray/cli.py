@@ -229,6 +229,42 @@ def cmd_merge(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_fsck(args: argparse.Namespace) -> int:
+    """Verify index integrity (block invariants, dictionary/stats
+    cross-checks).  Exit code 1 when violations are found."""
+    import ray
+
+    from .engine.maintenance import fsck_index
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=args.num_cpus,
+            include_dashboard=False, logging_level="ERROR",
+        )
+    report = fsck_index(args.index_dir)
+    print(json.dumps(report))
+    return 0 if report["violations"] == 0 else 1
+
+
+def cmd_prune(args: argparse.Namespace) -> int:
+    """Static index pruning: drop high-df terms (stopword promotion)."""
+    import ray
+
+    from .engine.maintenance import prune_terms
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=args.num_cpus,
+            include_dashboard=False, logging_level="ERROR",
+        )
+    stats = prune_terms(
+        args.index_dir, args.out_dir, df_threshold=args.df_threshold,
+        terms=args.terms or None, overwrite=args.overwrite,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_terms(args: argparse.Namespace) -> int:
     """Dictionary queries: prefix range probe, wildcard scan, top-df
     auto-completion, fuzzy match, or spell correction — pure metadata
@@ -346,6 +382,20 @@ def main(argv: list[str] | None = None) -> int:
     pc_.add_argument("--overwrite", action="store_true")
     pc_.add_argument("--num-cpus", type=int, default=8)
     pc_.set_defaults(fn=cmd_compact)
+
+    pp_ = sub.add_parser("prune", help="drop high-df terms (stopword promotion)")
+    pp_.add_argument("index_dir")
+    pp_.add_argument("out_dir")
+    pp_.add_argument("--df-threshold", type=int, default=None)
+    pp_.add_argument("--terms", nargs="*", default=[])
+    pp_.add_argument("--overwrite", action="store_true")
+    pp_.add_argument("--num-cpus", type=int, default=8)
+    pp_.set_defaults(fn=cmd_prune)
+
+    pf_ = sub.add_parser("fsck", help="verify index integrity")
+    pf_.add_argument("index_dir")
+    pf_.add_argument("--num-cpus", type=int, default=8)
+    pf_.set_defaults(fn=cmd_fsck)
 
     pg_ = sub.add_parser("merge", help="union-merge two indexes into one")
     pg_.add_argument("a_dir")

@@ -469,3 +469,223 @@ def merge_indexes(a_dir: str, b_dir: str, out_dir: str, overwrite: bool = False)
     with open(os.path.join(out_dir, "stats.json"), "w") as fh:
         json.dump(new_stats, fh)
     return new_stats
+
+
+def fsck_index(index_dir: str) -> dict:
+    """Index integrity verification (the ops tool a long-lived index
+    needs): decode EVERY posting block distributed and check the
+    invariants the query engine relies on, then cross-check the
+    dictionary and stats tables against what the blocks actually hold.
+
+    Per (term, shard) checks (one map_batches over postings, groupby-free
+    — blocks of a term-shard are verified within their read batch by
+    sorting locally, cross-batch order is implied by disjoint doc
+    ranges):
+
+    - block docIDs strictly increasing, within [first_doc, last_doc]
+    - n == decoded length; tf >= 1; dl >= 1; docIDs within [0, n_docs)
+    - ub_tfn / lb_tfn / ub_logtf are valid bounds for the block
+
+    Global cross-checks: per-term df equals terms.parquet; sum of df
+    equals stats n_postings; docs table doc_ids dense in [0, n_docs);
+    doc_len in postings equals the docs table value for every entry.
+
+    Returns a report dict with ``violations`` (0 = healthy) and
+    counters.  Scale shape: postings stream through tasks (decode is the
+    same vectorized kernel queries use), only (term, df_partial) rows
+    and violation counts leave each task."""
+    import json
+
+    import numpy as np
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data
+
+    from .codec import decode_concat_rows
+
+    with open(os.path.join(index_dir, "stats.json")) as fh:
+        stats = json.load(fh)
+    n_docs = stats["n_docs"]
+    k1 = stats["bm25"]["k1"]
+    b = stats["bm25"]["b"]
+    avgdl = stats["avgdl"]
+
+    docs_tbl = pads.dataset(os.path.join(index_dir, "docs")).to_table(
+        columns=["doc_id", "doc_len"]
+    )
+    ids = np.sort(np.asarray(docs_tbl["doc_id"], dtype=np.int64))
+    docs_dense = bool(len(ids) == n_docs and (ids == np.arange(n_docs)).all())
+    dl_of = np.zeros(n_docs, dtype=np.int64)
+    dl_of[np.asarray(docs_tbl["doc_id"], dtype=np.int64)] = np.asarray(
+        docs_tbl["doc_len"], dtype=np.int64
+    )
+    dl_ref = ray.put(dl_of)
+
+    def check(batch: pa.Table) -> pa.Table:
+        dl_map = ray.get(dl_ref)
+        viol = 0
+        row_lens = np.asarray(batch["n"], dtype=np.int64)
+        doc_ids = decode_concat_rows(batch["docs_enc"], row_lens, delta=True)
+        tfs = decode_concat_rows(batch["tfs_enc"], row_lens, delta=False)
+        dls = decode_concat_rows(batch["dls_enc"], row_lens, delta=False)
+        starts = np.concatenate(([0], np.cumsum(row_lens)[:-1]))
+        ends = np.cumsum(row_lens)
+        firsts = np.asarray(batch["first_doc"], dtype=np.int64)
+        lasts = np.asarray(batch["last_doc"], dtype=np.int64)
+        # strictly increasing within each block: diffs > 0 except at starts
+        d = np.diff(doc_ids)
+        ok_incr = np.ones(len(doc_ids), dtype=bool)
+        if len(doc_ids) > 1:
+            ok_incr[1:] = d > 0
+        ok_incr[starts] = True
+        viol += int((~ok_incr).sum())
+        viol += int((doc_ids[starts] != firsts).sum())
+        viol += int((doc_ids[ends - 1] != lasts).sum())
+        viol += int(((doc_ids < 0) | (doc_ids >= n_docs)).sum())
+        viol += int((tfs < 1).sum()) + int((dls < 1).sum())
+        viol += int((dls != dl_map[np.clip(doc_ids, 0, n_docs - 1)]).sum())
+        # block bounds
+        tfn = tfs / (tfs + k1 * (1.0 - b + b * (dls.astype(np.float64) / avgdl)))
+        logtf = np.log1p(tfs)
+        ub = np.maximum.reduceat(tfn, starts) if len(tfn) else np.empty(0)
+        lb = np.minimum.reduceat(tfn, starts) if len(tfn) else np.empty(0)
+        ul = np.maximum.reduceat(logtf, starts) if len(logtf) else np.empty(0)
+        eps = 1e-6  # bounds may be LOOSE (pass-through rows), never tight-low
+        viol += int((np.asarray(batch["ub_tfn"], dtype=np.float64) < ub - eps).sum())
+        viol += int((np.asarray(batch["lb_tfn"], dtype=np.float64) > lb + eps).sum())
+        viol += int((np.asarray(batch["ub_logtf"], dtype=np.float64) < ul - eps).sum())
+        out = pa.table(
+            {
+                "term": batch["term"],
+                "df_part": pa.array(row_lens),
+                "violations": pa.array(np.full(batch.num_rows, 0, dtype=np.int64)),
+            }
+        )
+        if viol and batch.num_rows:
+            # attribute batch violations to the first row (summed globally)
+            v = np.zeros(batch.num_rows, dtype=np.int64)
+            v[0] = viol
+            out = out.set_column(2, "violations", pa.array(v))
+        return out
+
+    agg = (
+        ray.data.read_parquet(os.path.join(index_dir, "postings"))
+        .map_batches(check, batch_format="pyarrow")
+        .groupby("term")
+        .sum(["df_part", "violations"])
+        .to_pandas()  # dictionary-sized
+    )
+    df_col = "sum(df_part)" if "sum(df_part)" in agg.columns else "df_part"
+    v_col = "sum(violations)" if "sum(violations)" in agg.columns else "violations"
+    violations = int(agg[v_col].sum())
+
+    terms_tbl = pq.read_table(os.path.join(index_dir, "terms.parquet"))
+    dict_df = dict(zip(terms_tbl["term"].to_pylist(), terms_tbl["df"].to_pylist()))
+    got_df = dict(zip(agg["term"], agg[df_col].astype(int)))
+    df_mismatches = sum(
+        1 for t in set(dict_df) | set(got_df) if dict_df.get(t, 0) != got_df.get(t, 0)
+    )
+    n_postings = int(agg[df_col].sum())
+    return {
+        "n_docs": n_docs,
+        "docs_dense": docs_dense,
+        "n_terms": int(len(got_df)),
+        "n_terms_dict": int(terms_tbl.num_rows),
+        "n_postings": n_postings,
+        "n_postings_stats": stats["n_postings"],
+        "df_mismatches": int(df_mismatches),
+        "violations": violations
+        + df_mismatches
+        + (0 if docs_dense else 1)
+        + (0 if n_postings == stats["n_postings"] else 1)
+        + (0 if len(got_df) == terms_tbl.num_rows else 1),
+    }
+
+
+def prune_terms(
+    index_dir: str,
+    out_dir: str,
+    df_threshold: int | None = None,
+    terms: list[str] | None = None,
+    overwrite: bool = False,
+) -> dict:
+    """Static index pruning ("stopword promotion"): drop the postings of
+    high-df terms — explicit ``terms`` and/or every term with
+    ``df > df_threshold`` (the candidates diagnostics.index_stats
+    surfaces).  The standard trick for head terms that were not in the
+    build-time stopword list but behave like stopwords at corpus scale.
+
+    ONLY the dropped terms change: remaining postings pass through as-is
+    (a filtered parquet rewrite — no decode/re-encode; docIDs, doc
+    lengths, avgdl, every kept term's df and block bounds are untouched),
+    so scoring with any query over surviving terms is bit-identical to
+    the unpruned index.  Queries containing a pruned term silently skip
+    it — exactly the reference's absent-term semantics (J1).
+
+    Returns the new stats dict with ``n_pruned_terms``."""
+    import json
+    import shutil
+    import time
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data
+
+    from .merge import POSTINGS_SCHEMA
+
+    with open(os.path.join(index_dir, "stats.json")) as fh:
+        stats = json.load(fh)
+    terms_tbl = pq.read_table(os.path.join(index_dir, "terms.parquet"))
+    drop = set(terms or [])
+    if df_threshold is not None:
+        for t, d in zip(terms_tbl["term"].to_pylist(), terms_tbl["df"].to_pylist()):
+            if d > df_threshold:
+                drop.add(t)
+    if overwrite and os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=False)
+    phases: dict[str, float] = {}
+    drop_arr = pa.array(sorted(drop), pa.string())
+
+    def flt(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.is_in(batch["term"], value_set=drop_arr))
+        return batch.filter(keep)
+
+    _t = time.perf_counter()
+    out_postings = os.path.join(out_dir, "postings")
+    (
+        ray.data.read_parquet(os.path.join(index_dir, "postings"))
+        .map_batches(flt, batch_format="pyarrow")
+        .write_parquet(out_postings)
+    )
+    if not os.path.isdir(out_postings):
+        os.makedirs(out_postings, exist_ok=True)
+        pq.write_table(
+            POSTINGS_SCHEMA.empty_table(), os.path.join(out_postings, "part-empty.parquet")
+        )
+    phases["postings"] = time.perf_counter() - _t
+
+    # docs unchanged (doc stats keep their build-time semantics)
+    _t = time.perf_counter()
+    shutil.copytree(os.path.join(index_dir, "docs"), os.path.join(out_dir, "docs"))
+    tomb = os.path.join(index_dir, TOMBSTONES_FILE)
+    if os.path.exists(tomb):
+        shutil.copy(tomb, os.path.join(out_dir, TOMBSTONES_FILE))
+    phases["docs"] = time.perf_counter() - _t
+
+    keep_mask = pc.invert(pc.is_in(terms_tbl["term"], value_set=drop_arr))
+    new_terms = terms_tbl.filter(keep_mask)
+    pq.write_table(new_terms, os.path.join(out_dir, "terms.parquet"))
+
+    new_stats = dict(
+        stats,
+        n_terms=int(new_terms.num_rows),
+        n_postings=int(pa.compute.sum(new_terms["df"]).as_py() or 0),
+        n_pruned_terms=len(drop),
+        pruned_from=os.path.abspath(index_dir),
+        phase_sec={k: round(v, 3) for k, v in phases.items()},
+    )
+    with open(os.path.join(out_dir, "stats.json"), "w") as fh:
+        json.dump(new_stats, fh)
+    return new_stats

@@ -317,3 +317,71 @@ def test_merge_indexes_carries_tombstones(index_dir, ray_session):
     # both names hidden from results (both copies of each doc)
     rm_ = IndexReader(out)
     assert rm_.deleted_mask().sum() == 4
+
+
+def test_fsck_healthy_and_corrupted(index_dir, ray_session):
+    import glob
+
+    import pyarrow as pa
+
+    from search_engine_ray.engine.maintenance import fsck_index
+
+    rep = fsck_index(index_dir)
+    assert rep["violations"] == 0 and rep["df_mismatches"] == 0
+    assert rep["docs_dense"] and rep["n_postings"] == rep["n_postings_stats"]
+
+    # corrupt one block's first_doc -> metadata check must fire
+    work = f"{BASE}/idx_fsck"
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(index_dir, work)
+    f = sorted(glob.glob(f"{work}/postings/*.parquet"))[0]
+    tbl = pq.read_table(f)
+    fd = tbl["first_doc"].to_pylist()
+    fd[0] += 1
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("first_doc"), "first_doc", pa.array(fd, pa.int64())
+    )
+    pq.write_table(tbl, f)
+    rep2 = fsck_index(work)
+    assert rep2["violations"] > 0
+
+
+def test_prune_terms(index_dir, ray_session):
+    """Pruned terms vanish; every kept term's postings and scoring are
+    bit-identical to the unpruned index; queries containing a pruned
+    term silently skip it (absent-term semantics)."""
+    from search_engine_ray.engine.maintenance import prune_terms
+
+    r0 = IndexReader(index_dir)
+    t = pq.read_table(os.path.join(index_dir, "terms.parquet"))
+    order = np.argsort(-np.asarray(t["df"]))
+    hot = [t["term"][int(i)].as_py() for i in order[:2]]
+    threshold = int(t["df"][int(order[2])].as_py())  # drops exactly the top-2
+
+    out = f"{BASE}/idx_pruned"
+    shutil.rmtree(out, ignore_errors=True)
+    stats = prune_terms(index_dir, out, df_threshold=threshold)
+    assert stats["n_pruned_terms"] == 2
+    r = IndexReader(out)
+    assert r.n_docs == r0.n_docs and r.avgdl == r0.avgdl
+    for term in hot:
+        assert r.postings(term) is None
+    # kept postings identical
+    kept = [t["term"][int(i)].as_py() for i in order[2:12]]
+    for term in kept:
+        for x, y in zip(r.postings(term).arrays(), r0.postings(term).arrays()):
+            np.testing.assert_array_equal(x, y)
+    # mixed query: pruned term skipped == querying original without it
+    kws_mixed = [(hot[0], 1)] + [(k, 1) for k in kept[:2]]
+    p_ids, p_scores = score_topic(r, kws_mixed, scorer="bm25", k=20, method="taat")
+    o_ids, o_scores = score_topic(
+        r0, [(k, 1) for k in kept[:2]], scorer="bm25", k=20, method="taat"
+    )
+    np.testing.assert_array_equal(p_ids, o_ids)
+    np.testing.assert_array_equal(p_scores, o_scores)
+    # explicit terms arg unions with the threshold
+    out2 = f"{BASE}/idx_pruned2"
+    shutil.rmtree(out2, ignore_errors=True)
+    stats2 = prune_terms(index_dir, out2, terms=[kept[0]])
+    assert stats2["n_pruned_terms"] == 1
+    assert IndexReader(out2).postings(kept[0]) is None
