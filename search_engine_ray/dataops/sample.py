@@ -66,21 +66,9 @@ def head_per_key(
     Two-phase: each batch keeps at most its local first-n per key (bounds
     the shuffle to n rows per (key, batch)), then one groupby finishes."""
 
-    def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        return pa.Table.from_pandas(
-            df.sort_values(order_column, kind="stable").groupby(key_column, sort=False).head(n),
-            preserve_index=False,
-        ).cast(batch.schema)
-
-    def finish(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(order_column, kind="stable").head(n)
-
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(key_column)
-        .map_groups(finish, batch_format="pandas")
-    )
+    # head-by-order is grouped top-k with ascending order — one shared
+    # two-phase implementation (see topk_per_key below)
+    return topk_per_key(ds, key_column, order_column, n, ascending=True)
 
 
 def topk_by(

@@ -13,6 +13,15 @@ import numpy as np
 from .index_reader import IndexReader
 
 
+def _drop_deleted(reader: IndexReader, ids: "np.ndarray") -> "np.ndarray":
+    """Tombstoned docs never appear in results (engine/maintenance.py) —
+    applied to every boolean surface, same contract as score_topic."""
+    mask = reader.deleted_mask()
+    if mask is None or len(ids) == 0:
+        return ids
+    return ids[~mask[ids]]
+
+
 def boolean_and(reader: IndexReader, terms: list[str]) -> np.ndarray:
     """docIDs (ascending) containing ALL terms; empty if any term is absent."""
     tps = []
@@ -38,7 +47,9 @@ def boolean_and(reader: IndexReader, terms: list[str]) -> np.ndarray:
             parts.append(blk.decode()[0])
         ids = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
         current = current[np.isin(current, ids, assume_unique=True)]
-    return current if current is not None else np.empty(0, dtype=np.int64)
+    if current is None:
+        return np.empty(0, dtype=np.int64)
+    return _drop_deleted(reader, current)
 
 
 def boolean_or(reader: IndexReader, terms: list[str]) -> np.ndarray:
@@ -50,7 +61,7 @@ def boolean_or(reader: IndexReader, terms: list[str]) -> np.ndarray:
             parts.append(tp.arrays()[0])
     if not parts:
         return np.empty(0, dtype=np.int64)
-    return np.unique(np.concatenate(parts))
+    return _drop_deleted(reader, np.unique(np.concatenate(parts)))
 
 
 def boolean_and_not(
@@ -76,4 +87,4 @@ def boolean_and_not(
         if parts:
             ids = np.concatenate(parts)
             current = current[~np.isin(current, ids, assume_unique=True)]
-    return current
+    return current  # boolean_and already dropped tombstoned docs

@@ -248,8 +248,9 @@ def compact_index(index_dir: str, out_dir: str, overwrite: bool = False) -> dict
     terms_tbl = (
         meta_tbl.group_by("term").aggregate([("n", "sum")]).rename_columns(["term", "df"])
     )
-    terms_tbl = terms_tbl.sort_by("term").set_column(
-        1, "df", pa.compute.cast(terms_tbl.sort_by("term")["df"], pa.int64())
+    terms_tbl = terms_tbl.sort_by("term")
+    terms_tbl = terms_tbl.set_column(
+        1, "df", pa.compute.cast(terms_tbl["df"], pa.int64())
     )
     pq.write_table(terms_tbl, os.path.join(out_dir, "terms.parquet"))
     phases["terms"] = time.perf_counter() - _t
@@ -268,6 +269,33 @@ def compact_index(index_dir: str, out_dir: str, overwrite: bool = False) -> dict
     with open(os.path.join(out_dir, "stats.json"), "w") as fh:
         json.dump(new_stats, fh)
     return new_stats
+
+
+def _max_shard(postings_dir: str) -> int:
+    """Largest shard id in a postings directory, from parquet row-group
+    MIN/MAX statistics only — nothing posting-sized reaches the driver.
+    Falls back to a pruned column scan for files without stats."""
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(postings_dir)
+    idx = ds.schema.get_field_index("shard")
+    mx = -1
+    need_scan = []
+    for frag in ds.get_fragments():
+        md = frag.metadata
+        ok = False
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is not None and st.has_min_max:
+                mx = max(mx, int(st.max))
+                ok = True
+        if not ok and md.num_row_groups:
+            need_scan.append(frag)
+    for frag in need_scan:
+        t = frag.to_table(columns=["shard"])
+        if t.num_rows:
+            mx = max(mx, int(pa.compute.max(t["shard"]).as_py()))
+    return mx
 
 
 def merge_indexes(a_dir: str, b_dir: str, out_dir: str, overwrite: bool = False) -> dict:
@@ -325,10 +353,7 @@ def merge_indexes(a_dir: str, b_dir: str, out_dir: str, overwrite: bool = False)
     term_buckets = max(stats["a"].get("term_buckets", 64), stats["b"].get("term_buckets", 64))
 
     _t = time.perf_counter()
-    shards_a = pads.dataset(os.path.join(a_dir, "postings")).to_table(columns=["shard"])
-    shard_off_b = (
-        int(pa.compute.max(shards_a["shard"]).as_py()) + 1 if shards_a.num_rows else 0
-    )
+    shard_off_b = _max_shard(os.path.join(a_dir, "postings")) + 1
     phases["plan"] = time.perf_counter() - _t
 
     def keyed(side_dir: str, doc_off: int, shard_off: int):
@@ -513,12 +538,15 @@ def fsck_index(index_dir: str) -> dict:
     docs_tbl = pads.dataset(os.path.join(index_dir, "docs")).to_table(
         columns=["doc_id", "doc_len"]
     )
-    ids = np.sort(np.asarray(docs_tbl["doc_id"], dtype=np.int64))
+    ids_arr = np.asarray(docs_tbl["doc_id"], dtype=np.int64)
+    ids = np.sort(ids_arr)
     docs_dense = bool(len(ids) == n_docs and (ids == np.arange(n_docs)).all())
+    # a corrupt docs table (ids outside [0, n_docs)) is itself a finding —
+    # count it and keep going rather than crashing the integrity tool
+    in_range = (ids_arr >= 0) & (ids_arr < n_docs)
+    bad_doc_rows = int((~in_range).sum())
     dl_of = np.zeros(n_docs, dtype=np.int64)
-    dl_of[np.asarray(docs_tbl["doc_id"], dtype=np.int64)] = np.asarray(
-        docs_tbl["doc_len"], dtype=np.int64
-    )
+    dl_of[ids_arr[in_range]] = np.asarray(docs_tbl["doc_len"], dtype=np.int64)[in_range]
     dl_ref = ray.put(dl_of)
 
     def check(batch: pa.Table) -> pa.Table:
@@ -594,8 +622,10 @@ def fsck_index(index_dir: str) -> dict:
         "n_postings": n_postings,
         "n_postings_stats": stats["n_postings"],
         "df_mismatches": int(df_mismatches),
+        "bad_doc_rows": bad_doc_rows,
         "violations": violations
         + df_mismatches
+        + bad_doc_rows
         + (0 if docs_dense else 1)
         + (0 if n_postings == stats["n_postings"] else 1)
         + (0 if len(got_df) == terms_tbl.num_rows else 1),

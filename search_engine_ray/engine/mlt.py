@@ -80,6 +80,10 @@ def more_like_this(
     if not keywords:
         return [], np.empty(0, np.int64), np.empty(0, np.float64)
     ids, scores = bm25_scores_f64(reader, keywords)
+    deleted = reader.deleted_mask()
+    if deleted is not None and len(ids):
+        keep = ~deleted[ids]
+        ids, scores = ids[keep], scores[keep]
     if exclude_doc is not None:
         keep = ids != exclude_doc
         ids, scores = ids[keep], scores[keep]

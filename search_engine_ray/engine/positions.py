@@ -303,6 +303,7 @@ def phrase_search(
     index_dir: str,
     phrase: list[str],
     options: IndexOptions | None = None,
+    exclude_doc_ids=None,
 ) -> pa.Table:
     """Docs containing the exact phrase (consecutive kept-token ordinals),
     with occurrence counts.  Query words are normalized like the query
@@ -352,6 +353,12 @@ def phrase_search(
         return empty
     docs = cand >> _POS_BITS
     uniq, counts = np.unique(docs, return_counts=True)
+    if exclude_doc_ids is not None and len(uniq):
+        # the positions sidecar is a separate artifact with no tombstone
+        # file of its own — callers holding a tombstoned MAIN index pass
+        # its deleted doc ids here (or rebuild the sidecar after compact)
+        keep = ~np.isin(uniq, np.asarray(list(exclude_doc_ids), dtype=np.int64))
+        uniq, counts = uniq[keep], counts[keep]
     return pa.table(
         {"doc_id": pa.array(uniq), "n_matches": pa.array(counts.astype(np.int64))}
     )
@@ -363,6 +370,7 @@ def proximity_search(
     term_b: str,
     window: int,
     options: IndexOptions | None = None,
+    exclude_doc_ids=None,
 ) -> pa.Table:
     """Docs where (normalized) ``term_a`` and ``term_b`` occur within
     ``window`` kept-token positions of each other, with the number of
@@ -416,6 +424,9 @@ def proximity_search(
     uniq, idx = np.unique(docs, return_inverse=True)
     per_doc = np.zeros(len(uniq), dtype=np.int64)
     np.add.at(per_doc, idx, counts[keep])
+    if exclude_doc_ids is not None and len(uniq):
+        km = ~np.isin(uniq, np.asarray(list(exclude_doc_ids), dtype=np.int64))
+        uniq, per_doc = uniq[km], per_doc[km]
     return pa.table(
         {"doc_id": pa.array(uniq), "n_pairs": pa.array(per_doc)}
     )

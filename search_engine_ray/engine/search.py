@@ -129,6 +129,13 @@ def score_topic(
         return taat_bm25_adpt(reader, keywords, params, k, exclude=deleted)
     custom = _CUSTOM_SCORERS.get(scorer)
     if custom is not None:
+        if deleted is not None:
+            # the registry signature carries no exclude mask; failing loud
+            # beats silently returning tombstoned docs
+            raise ValueError(
+                f"custom scorer {scorer!r} does not support tombstoned "
+                "indexes; compact the index first (engine/maintenance.py)"
+            )
         return custom(reader, keywords, params, k)
     raise ValueError(f"unknown scorer {scorer!r}")
 

@@ -403,34 +403,30 @@ def facet_counts(
     """Search-result faceting: count matching documents (boolean OR over
     ``terms``) per value of ``facet_column`` -> Dataset(facet, n_docs).
 
-    The match set is an ordinal bitmask resident with the reader (one bit
-    per doc); the facet pass is a stateless map_batches over the docs
-    table — per batch, a vectorized mask lookup + partial value counts —
-    followed by one tiny groupby-sum.  Nothing result-sized is shuffled;
-    the mask broadcast is ray.put-once."""
+    The matched doc NAMES (sized by the match set, not the corpus) are
+    broadcast once via ray.put; the facet pass is a stateless map_batches
+    over the docs table — per batch a vectorized is_in against the
+    broadcast name set + partial value counts — followed by one tiny
+    groupby-sum.  Works for any doc-name scheme (urls, ints); tombstoned
+    docs never count (boolean_or already drops them)."""
     import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as _pc
     import ray
     from ray.data.aggregate import Sum
 
     from .engine.boolean import boolean_or
 
     match = boolean_or(reader, terms)
-    mask = np.zeros(reader.n_docs, dtype=bool)
-    mask[match] = True
-    # external ids -> ordinals: doc names are the stringified ids
-    name_to_ord = {int(nm): i for i, nm in enumerate(reader.doc_names)}
-    ord_of = np.full(max(name_to_ord) + 1 if name_to_ord else 1, -1, dtype=np.int64)
-    for nm, i in name_to_ord.items():
-        ord_of[nm] = i
-    mask_ref = ray.put((mask, ord_of))
+    matched_names = pa.array(
+        sorted(str(n) for n in reader.doc_names[match]), pa.string()
+    )
+    names_ref = ray.put(matched_names)
 
     def partial(batch: pa.Table) -> pa.Table:
-        m, om = ray.get(mask_ref)
-        ids = np.asarray(batch[id_column], dtype=np.int64)
-        in_range = (ids >= 0) & (ids < len(om))
-        ords = np.where(in_range, om[np.clip(ids, 0, len(om) - 1)], -1)
-        hit = (ords >= 0) & m[np.clip(ords, 0, len(m) - 1)]
+        names = ray.get(names_ref)
+        ids = _pc.cast(batch[id_column], pa.string())
+        hit = np.asarray(_pc.is_in(ids, value_set=names))
         import pyarrow.compute as pc
 
         vals = batch[facet_column].combine_chunks().filter(pa.array(hit))

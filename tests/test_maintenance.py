@@ -385,3 +385,69 @@ def test_prune_terms(index_dir, ray_session):
     stats2 = prune_terms(index_dir, out2, terms=[kept[0]])
     assert stats2["n_pruned_terms"] == 1
     assert IndexReader(out2).postings(kept[0]) is None
+
+
+def test_tombstones_cover_all_query_surfaces(index_dir, ray_session):
+    """Boolean, MLT, and custom scorers also honor tombstones: deleted
+    docs never appear in boolean results, MLT drops them, and a custom
+    scorer (whose registry signature has no exclude mask) fails loud."""
+    from search_engine_ray.config import IndexOptions
+    from search_engine_ray.engine.boolean import boolean_and, boolean_or
+    from search_engine_ray.engine.mlt import more_like_this
+    from search_engine_ray.engine.search import register_scorer, score_topic
+
+    kws = _kws(index_dir)
+    terms = [t for t, _ in kws]
+    work = f"{BASE}/idx_surfaces"
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(index_dir, work)
+    r0 = IndexReader(index_dir)
+    base_or = boolean_or(r0, terms)
+    victims_ord = base_or[:2].tolist()
+    delete_docs(work, [str(r0.doc_names[d]) for d in victims_ord])
+    r = IndexReader(work)
+
+    got_or = boolean_or(r, terms)
+    assert set(got_or.tolist()) == set(base_or.tolist()) - set(victims_ord)
+    got_and = boolean_and(r, terms[:2])
+    assert not set(got_and.tolist()) & set(victims_ord)
+
+    _kws_txt = " ".join(terms)
+    _, mlt_ids, _ = more_like_this(r, work, _kws_txt, IndexOptions(), k=50)
+    assert not set(mlt_ids.tolist()) & set(victims_ord)
+
+    register_scorer("t_const", lambda rd, kw, p, k: (np.arange(3), np.ones(3, np.float32)))
+    try:
+        with pytest.raises(ValueError, match="custom scorer"):
+            score_topic(r, kws, scorer="t_const", k=5)
+        # fine on an un-tombstoned index
+        ids, _ = score_topic(r0, kws, scorer="t_const", k=5)
+        assert ids.tolist() == [0, 1, 2]
+    finally:
+        from search_engine_ray.engine import search as _s
+
+        _s._CUSTOM_SCORERS.pop("t_const", None)
+
+
+def test_fsck_survives_corrupt_docs_table(index_dir, ray_session):
+    """An out-of-range doc_id in the docs table is REPORTED (bad_doc_rows,
+    violations > 0), not an IndexError crash."""
+    import glob
+
+    import pyarrow as pa
+
+    from search_engine_ray.engine.maintenance import fsck_index
+
+    work = f"{BASE}/idx_fsck_docs"
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(index_dir, work)
+    f = sorted(glob.glob(f"{work}/docs/*.parquet"))[0]
+    tbl = pq.read_table(f)
+    ids = tbl["doc_id"].to_pylist()
+    ids[0] = 10_000_000  # way outside [0, n_docs)
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("doc_id"), "doc_id", pa.array(ids, pa.int64())
+    )
+    pq.write_table(tbl, f)
+    rep = fsck_index(work)
+    assert rep["bad_doc_rows"] == 1 and rep["violations"] >= 1
