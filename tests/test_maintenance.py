@@ -451,3 +451,69 @@ def test_fsck_survives_corrupt_docs_table(index_dir, ray_session):
     pq.write_table(tbl, f)
     rep = fsck_index(work)
     assert rep["bad_doc_rows"] == 1 and rep["violations"] >= 1
+
+
+def test_lifecycle_merge_compact_fsck(index_dir, ray_session):
+    """Full maintenance lifecycle: two half-indexes with tombstones ->
+    union merge (tombstones carried) -> compaction (duplicate-free here,
+    victims physically dropped) -> fsck clean -> scores bit-identical to
+    a fresh build over the retained concatenated corpus."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    from search_engine_ray.engine.maintenance import (
+        compact_index,
+        fsck_index,
+        merge_indexes,
+    )
+
+    corpus_tbl = pads.dataset(f"{BASE}/corpus").to_table()
+    half = corpus_tbl.num_rows // 2
+    cfg = BuildConfig(block_entries=16, frags_per_shard=2)
+    dirs = {}
+    for name, tbl in (("a", corpus_tbl.slice(0, half)), ("b", corpus_tbl.slice(half))):
+        cdir = f"{BASE}/lc_corpus_{name}"
+        shutil.rmtree(cdir, ignore_errors=True)
+        os.makedirs(cdir)
+        pq.write_table(tbl, f"{cdir}/pages.parquet", row_group_size=32)
+        idir = f"{BASE}/lc_index_{name}"
+        build_index(cdir, idir, cfg, overwrite=True)
+        dirs[name] = idir
+    # tombstone one doc in each half (by its own reader's names)
+    victims = []
+    for name in ("a", "b"):
+        rn = IndexReader(dirs[name])
+        victims.append(str(rn.doc_names[1]))
+        delete_docs(dirs[name], [victims[-1]])
+
+    merged = f"{BASE}/lc_merged"
+    shutil.rmtree(merged, ignore_errors=True)
+    merge_indexes(dirs["a"], dirs["b"], merged)
+    assert sorted(tombstoned_names(merged)) == sorted(victims)
+
+    compacted = f"{BASE}/lc_compacted"
+    shutil.rmtree(compacted, ignore_errors=True)
+    stats = compact_index(merged, compacted)
+    assert stats["n_compacted_out"] == 2
+    rep = fsck_index(compacted)
+    assert rep["violations"] == 0
+
+    # fresh build over retained concat corpus
+    keep = [u not in set(victims) for u in corpus_tbl["url"].to_pylist()]
+    retained = corpus_tbl.filter(pa.array(keep))
+    fresh_corpus = f"{BASE}/lc_corpus_retained"
+    shutil.rmtree(fresh_corpus, ignore_errors=True)
+    os.makedirs(fresh_corpus)
+    pq.write_table(retained, f"{fresh_corpus}/pages.parquet", row_group_size=32)
+    fresh = f"{BASE}/lc_fresh"
+    build_index(fresh_corpus, fresh, cfg, overwrite=True)
+
+    rc, rf = IndexReader(compacted), IndexReader(fresh)
+    assert rc.n_docs == rf.n_docs and rc.avgdl == rf.avgdl
+    assert rc.doc_names.tolist() == rf.doc_names.tolist()
+    kws = _kws(index_dir)
+    for scorer in ("bm25", "tfidf", "bm25adpt"):
+        c_ids, c_scores = score_topic(rc, kws, scorer=scorer, k=30, method="taat")
+        f_ids, f_scores = score_topic(rf, kws, scorer=scorer, k=30, method="taat")
+        np.testing.assert_array_equal(c_ids, f_ids)
+        np.testing.assert_array_equal(c_scores, f_scores)
