@@ -1737,6 +1737,58 @@ def q_bm25_pruned_top10(sf_dir: str) -> pa.Table:
     )
 
 
+def q_lmd_top10(sf_dir: str) -> pa.Table:
+    """Query-likelihood / Dirichlet-smoothing retrieval (scorer #4,
+    beyond the reference's three) — run through the PUBLIC scorer
+    registry (engine.search.register_scorer + score_topic), proving the
+    extension surface end-to-end; the registry result is asserted
+    rank-identical to the direct f64 path inside the query."""
+    from search_engine_ray.engine.search import register_scorer, score_topic
+    from search_engine_ray.pipelines import lmd_scores_f64
+
+    r = _reader(sf_dir)
+    ids, scores = lmd_scores_f64(r, BM25_QUERY, mu=2000.0)
+    ids, scores = ids[:10], scores[:10]
+    register_scorer(
+        "lmd", lambda rd, kw, p, k: (lambda t: (t[0][:k], t[1][:k]))(
+            lmd_scores_f64(rd, kw, mu=2000.0)
+        )
+    )
+    reg_ids, _ = score_topic(r, BM25_QUERY, scorer="lmd", k=10)
+    assert reg_ids.tolist() == ids.tolist(), "registry path diverged"
+    doc_ids = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids), "score_micros": pa.array(_micros(scores))}
+    )
+
+
+def q_bm25_collapsed_top10(sf_dir: str) -> pa.Table:
+    """Result collapsing (field collapse): the BM25 ranking keeps only
+    the best result per source (one-result-per-site), then top-10.  The
+    collapse is ranking-sized (cumcount over k rows), never a corpus
+    pass."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.pipelines import bm25_scores_f64, collapse_ranking
+
+    r = _reader(sf_dir)
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    group_of = np.empty(r.n_docs, dtype=object)
+    for d, src_ in zip(docs["doc_id"].to_pylist(), docs["source"].to_pylist()):
+        o = r.doc_id_of(str(d))
+        if o >= 0:
+            group_of[o] = src_
+    ids, scores = bm25_scores_f64(r, BM25_QUERY)
+    ids, scores = collapse_ranking(ids, scores, group_of, per_group=1)
+    ids, scores = ids[:10], scores[:10]
+    doc_ids = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids), "score_micros": pa.array(_micros(scores))}
+    )
+
+
 def q_fuzzy_terms(sf_dir: str) -> pa.Table:
     """Fuzzy dictionary match: terms within Levenshtein distance 1 of
     'fash' -> (term, df, dist); length-pruned scan + batched DP kernel
@@ -1928,6 +1980,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trending_per_window": q_trending_per_window,
         "index_fsck": q_index_fsck,
         "bm25_pruned_top10": q_bm25_pruned_top10,
+        "lmd_top10": q_lmd_top10,
+        "bm25_collapsed_top10": q_bm25_collapsed_top10,
         "wildcard_terms": q_wildcard_terms,
         "prefix_search_top10": q_prefix_search_top10,
         "rrf_fusion": q_rrf_fusion,
@@ -2517,6 +2571,53 @@ def oracle_sql() -> dict[str, str]:
                           * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) ) AS score
               FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
               GROUP BY tf.doc_id
+            ),
+            ranked AS (SELECT doc_id, score,
+                              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM sc)
+            SELECT doc_id, {micros.format(expr="score")} AS score_micros
+            FROM ranked WHERE r <= 10
+        """,
+        "bm25_collapsed_top10": f"""
+            WITH {_TOKS},
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+            tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks
+                   WHERE t IN ('spark','hash','join') GROUP BY doc_id, t),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            sc AS (
+              SELECT tf.doc_id,
+                     SUM( ln((st.n - df.df + 0.5) / (df.df + 0.5))
+                          * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) ) AS score
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+              GROUP BY tf.doc_id
+            ),
+            grouped AS (
+              SELECT sc.doc_id, sc.score,
+                     row_number() OVER (PARTITION BY d.source
+                                        ORDER BY sc.score DESC, sc.doc_id ASC) AS g
+              FROM sc JOIN documents d USING (doc_id)
+            ),
+            ranked AS (SELECT doc_id, score,
+                              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+                       FROM grouped WHERE g = 1)
+            SELECT doc_id, {micros.format(expr="score")} AS score_micros
+            FROM ranked WHERE r <= 10
+        """,
+        "lmd_top10": f"""
+            WITH {_TOKS},
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            c AS (SELECT count(*) * 1.0 AS total FROM toks),
+            tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks
+                   WHERE t IN ('spark','hash','join') GROUP BY doc_id, t),
+            cf AS (SELECT t AS term, count(*) * 1.0 AS cf FROM toks
+                   WHERE t IN ('spark','hash','join') GROUP BY t),
+            sc AS (
+              SELECT tf.doc_id,
+                     SUM( ln(1.0 + tf.tf / (2000.0 * (cf.cf / c.total))) )
+                     + 3 * ln(2000.0 / (dl.dl + 2000.0)) AS score
+              FROM tf JOIN cf USING (term) JOIN dl USING (doc_id) CROSS JOIN c
+              GROUP BY tf.doc_id, dl.dl
             ),
             ranked AS (SELECT doc_id, score,
                               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM sc)

@@ -218,6 +218,7 @@ def run_benchmarks() -> dict:
     from search_engine_ray.engine.maintenance import (
         compact_index,
         delete_docs,
+        fsck_index,
         merge_indexes,
     )
 
@@ -277,6 +278,7 @@ def run_benchmarks() -> dict:
             docs_ds, ["sort", "table", "hash"], pos_opt, window=8).count()),
         ("index_compact", _compact),
         ("index_merge", _merge),
+        ("index_fsck", lambda: fsck_index(index_dir)),
     ]
     n_rounds = int(os.environ.get("SE_RAY_BENCH_OP_ROUNDS", "2"))
     samples: dict[str, list[float]] = {name: [] for name, _ in ops}

@@ -505,3 +505,65 @@ def prf_expanded_bm25_f64(
     expanded = list(keywords) + [(t, 1) for t, _ in expansions]
     ids, scores = bm25_scores_f64(reader, expanded)
     return ids, scores, [t for t, _ in expansions]
+
+
+def lmd_scores_f64(
+    reader: IndexReader,
+    keywords: list[tuple[str, int]],
+    mu: float = 2000.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Query-likelihood with Dirichlet smoothing (a 4th scorer beyond the
+    reference's three) — the rank-equivalent matching-docs form:
+
+        score(d) = sum_{t in q and d} qtf_t * ln(1 + tf/(mu * cf_t/|C|))
+                 + (sum_t qtf_t) * ln(mu / (dl_d + mu))
+
+    cf_t (collection term frequency) is summed from the term's postings
+    at scoring time — the same read scoring already does; |C| = sum_dl
+    from build stats.  Ties -> ascending docID.  Registered as scorer
+    'lmd' via engine.search.register_scorer (the extension surface the
+    reference exposes via its Scorer classes, SURVEY §2.10)."""
+    n = reader.n_docs
+    c_total = float(reader.stats["sum_dl"])
+    scores = np.zeros(n, dtype=np.float64)
+    touched = np.zeros(n, dtype=bool)
+    dl_dense = np.zeros(n, dtype=np.float64)
+    qtf_total = 0
+    for term, qtf in keywords:
+        qtf_total += qtf
+        tp = reader.postings(term)
+        if tp is None:
+            continue
+        ids, tfs, dls = tp.arrays()
+        cf = float(tfs.sum())
+        p_c = mu * (cf / c_total)
+        scores[ids] += qtf * np.log(1.0 + tfs / p_c)
+        dl_dense[ids] = dls
+        touched[ids] = True
+    cand = np.flatnonzero(touched)
+    if len(cand) == 0:
+        return cand, scores[cand]
+    scores[cand] += qtf_total * np.log(mu / (dl_dense[cand] + mu))
+    order = np.lexsort((cand, -scores[cand]))
+    return cand[order], scores[cand][order]
+
+
+def collapse_ranking(
+    ids: "np.ndarray",
+    scores: "np.ndarray",
+    group_of: "np.ndarray",
+    per_group: int = 1,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Search-result collapsing (field collapse): keep only the best
+    ``per_group`` results per group (source/domain/site), preserving the
+    incoming rank order — the one-result-per-site rule of web search.
+
+    Operates on the RANKING (k rows), not the corpus: group ids are
+    looked up per result; a ranking-sized cumcount keeps the first
+    ``per_group`` hits of each group."""
+    import pandas as pd
+
+    groups = group_of[ids]
+    cc = pd.Series(np.zeros(len(ids))).groupby(pd.Series(groups)).cumcount().to_numpy()
+    keep = cc < per_group
+    return ids[keep], scores[keep]

@@ -308,3 +308,95 @@ def test_filtered_bm25_and_facets(ray_session, tmp_path):
         if "alpha" in t.split():
             exp[la] = exp.get(la, 0) + 1
     assert got == exp
+
+
+def test_lmd_scorer_matches_brute_force(ray_session, tmp_path):
+    """LM-Dirichlet scores equal a from-the-raw-text brute force, and the
+    public scorer registry routes to it."""
+    import math
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from search_engine_ray.config import BuildConfig, IndexOptions
+    from search_engine_ray.engine.build import build_index
+    from search_engine_ray.engine.index_reader import IndexReader
+    from search_engine_ray.engine.search import register_scorer, score_topic
+    from search_engine_ray.pipelines import lmd_scores_f64
+
+    texts = [
+        "alpha beta alpha", "alpha gamma", "beta gamma gamma", "delta epsilon",
+        "alpha beta gamma delta", "beta beta beta",
+    ]
+    corpus = str(tmp_path / "c")
+    _os.makedirs(corpus)
+    pq_.write_table(
+        pa.table({"doc_id": pa.array(range(6), pa.int64()), "text": pa.array(texts)}),
+        f"{corpus}/d.parquet",
+    )
+    idx = str(tmp_path / "i")
+    build_index(
+        corpus, idx,
+        BuildConfig(block_entries=4, frags_per_shard=2, options=IndexOptions(stemming=False)),
+        overwrite=True, source_column="text", name_column="doc_id",
+    )
+    r = IndexReader(idx)
+    kws = [("alpha", 1), ("beta", 2)]
+    mu = 500.0
+    ids, scores = lmd_scores_f64(r, kws, mu=mu)
+
+    # brute force from the raw texts
+    toks = [t.split() for t in texts]
+    C = sum(len(t) for t in toks)
+    cf = {w: sum(t.count(w) for t in toks) for w in ("alpha", "beta")}
+    exp = {}
+    for d, t in enumerate(toks):
+        s = 0.0
+        matched = False
+        for w, qtf in kws:
+            tf = t.count(w)
+            if tf:
+                matched = True
+                s += qtf * math.log(1.0 + tf / (mu * (cf[w] / C)))
+        if matched:
+            exp[str(d)] = s + (1 + 2) * math.log(mu / (len(t) + mu))
+    got = {str(r.doc_names[d]): s for d, s in zip(ids, scores)}
+    assert set(got) == set(exp)
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-12
+    # descending with docID tiebreak
+    key = [(-s, int(r.doc_names[d])) for d, s in zip(ids, scores)]
+    assert key == sorted(key)
+    # registry route
+    register_scorer("lmd_test", lambda rd, kw, p, k: lmd_scores_f64(rd, kw, mu=mu))
+    try:
+        reg_ids, reg_scores = score_topic(r, kws, scorer="lmd_test", k=10)
+        assert reg_ids.tolist() == ids.tolist()[:10]
+    finally:
+        from search_engine_ray.engine import search as _s
+
+        _s._CUSTOM_SCORERS.pop("lmd_test", None)
+
+
+def test_collapse_ranking():
+    """Field collapse keeps the first per_group hits per group in rank
+    order; per_group > 1 keeps that many."""
+    import numpy as np
+
+    from search_engine_ray.pipelines import collapse_ranking
+
+    ids = np.array([7, 3, 9, 1, 4, 8], dtype=np.int64)
+    scores = np.array([9.0, 8.0, 7.0, 6.0, 5.0, 4.0])
+    group_of = np.empty(10, dtype=object)
+    for i, g in enumerate(["a", "b", "a", "a", "b", "c", "c", "a", "b", "b"]):
+        group_of[i] = g
+    # groups of ids: 7->a, 3->a, 9->b, 1->b, 4->b, 8->b
+    c_ids, c_scores = collapse_ranking(ids, scores, group_of, per_group=1)
+    assert c_ids.tolist() == [7, 9] and c_scores.tolist() == [9.0, 7.0]
+    c_ids2, _ = collapse_ranking(ids, scores, group_of, per_group=2)
+    assert c_ids2.tolist() == [7, 3, 9, 1]
+    e_ids, e_scores = collapse_ranking(
+        np.empty(0, np.int64), np.empty(0), group_of, per_group=1
+    )
+    assert len(e_ids) == 0 and len(e_scores) == 0
