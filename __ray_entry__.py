@@ -1746,6 +1746,8 @@ def q_lmd_top10(sf_dir: str) -> pa.Table:
     from search_engine_ray.engine.search import register_scorer, score_topic
     from search_engine_ray.pipelines import lmd_scores_f64
 
+    from search_engine_ray.engine import search as _search_mod
+
     r = _reader(sf_dir)
     ids, scores = lmd_scores_f64(r, BM25_QUERY, mu=2000.0)
     ids, scores = ids[:10], scores[:10]
@@ -1754,8 +1756,11 @@ def q_lmd_top10(sf_dir: str) -> pa.Table:
             lmd_scores_f64(rd, kw, mu=2000.0)
         )
     )
-    reg_ids, _ = score_topic(r, BM25_QUERY, scorer="lmd", k=10)
-    assert reg_ids.tolist() == ids.tolist(), "registry path diverged"
+    try:
+        reg_ids, _ = score_topic(r, BM25_QUERY, scorer="lmd", k=10)
+        assert reg_ids.tolist() == ids.tolist(), "registry path diverged"
+    finally:
+        _search_mod._CUSTOM_SCORERS.pop("lmd", None)
     doc_ids = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
     return pa.table(
         {"doc_id": pa.array(doc_ids), "score_micros": pa.array(_micros(scores))}
@@ -1775,11 +1780,12 @@ def q_bm25_collapsed_top10(sf_dir: str) -> pa.Table:
     docs = pq.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
     )
-    group_of = np.empty(r.n_docs, dtype=object)
-    for d, src_ in zip(docs["doc_id"].to_pylist(), docs["source"].to_pylist()):
-        o = r.doc_id_of(str(d))
-        if o >= 0:
-            group_of[o] = src_
+    # vectorized docID->source: dense table ids index an object array once;
+    # ordinal -> source via the int-parsed doc-name vector (no per-row loop)
+    tbl_ids = np.asarray(docs["doc_id"], dtype=np.int64)
+    src_by_docid = np.empty(int(tbl_ids.max()) + 1 if len(tbl_ids) else 1, dtype=object)
+    src_by_docid[tbl_ids] = np.asarray(docs["source"].to_pylist(), dtype=object)
+    group_of = src_by_docid[r.doc_names.astype(np.int64)]
     ids, scores = bm25_scores_f64(r, BM25_QUERY)
     ids, scores = collapse_ranking(ids, scores, group_of, per_group=1)
     ids, scores = ids[:10], scores[:10]

@@ -541,8 +541,6 @@ def lmd_scores_f64(
         dl_dense[ids] = dls
         touched[ids] = True
     cand = np.flatnonzero(touched)
-    if len(cand) == 0:
-        return cand, scores[cand]
     scores[cand] += qtf_total * np.log(mu / (dl_dense[cand] + mu))
     order = np.lexsort((cand, -scores[cand]))
     return cand[order], scores[cand][order]
@@ -559,11 +557,17 @@ def collapse_ranking(
     incoming rank order — the one-result-per-site rule of web search.
 
     Operates on the RANKING (k rows), not the corpus: group ids are
-    looked up per result; a ranking-sized cumcount keeps the first
-    ``per_group`` hits of each group."""
-    import pandas as pd
-
+    looked up per result and counted with a plain dict over the k rows.
+    Results whose group is None are ALWAYS kept (an ungrouped doc is its
+    own group — never silently dropped)."""
+    counts: dict = {}
+    keep = np.ones(len(ids), dtype=bool)
     groups = group_of[ids]
-    cc = pd.Series(np.zeros(len(ids))).groupby(pd.Series(groups)).cumcount().to_numpy()
-    keep = cc < per_group
+    for i, g in enumerate(groups):
+        if g is None:
+            continue
+        seen = counts.get(g, 0)
+        if seen >= per_group:
+            keep[i] = False
+        counts[g] = seen + 1
     return ids[keep], scores[keep]

@@ -400,3 +400,18 @@ def test_collapse_ranking():
         np.empty(0, np.int64), np.empty(0), group_of, per_group=1
     )
     assert len(e_ids) == 0 and len(e_scores) == 0
+
+
+def test_collapse_ranking_keeps_ungrouped():
+    """Results with a None group are never silently dropped."""
+    import numpy as np
+
+    from search_engine_ray.pipelines import collapse_ranking
+
+    ids = np.array([5, 7, 9], dtype=np.int64)
+    scores = np.array([3.0, 2.0, 1.0])
+    group_of = np.empty(10, dtype=object)
+    group_of[7] = "a"
+    group_of[9] = "a"
+    c_ids, c_scores = collapse_ranking(ids, scores, group_of, per_group=1)
+    assert c_ids.tolist() == [5, 7] and c_scores.tolist() == [3.0, 2.0]
