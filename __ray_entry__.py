@@ -1795,6 +1795,69 @@ def q_bm25_collapsed_top10(sf_dir: str) -> pa.Table:
     )
 
 
+def q_bm25_upsert_top10(sf_dir: str) -> pa.Table:
+    """Upsert gate: doc 7 is re-indexed with the text 'spark join spark
+    table' (old version tombstoned at the pre-append watermark, new
+    version live).  Index statistics now include BOTH versions (df /
+    avgdl count the dead postings until compaction — the documented
+    Lucene contract), and the ranking sees only the live one.  The
+    oracle models exactly that: stats over all 501 versions, candidates
+    exclude the dead one."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.config import BuildConfig
+    from search_engine_ray.engine.build import build_index
+    from search_engine_ray.engine.index_reader import IndexReader
+    from search_engine_ray.engine.maintenance import upsert_docs
+    from search_engine_ray.pipelines import _CACHE_ROOT, bm25_scores_f64
+
+    src_pq = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"upsert|{os.path.abspath(src_pq)}|{os.path.getmtime(src_pq)}|{OPT_NOSTEM.to_dict()}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(_CACHE_ROOT, f"docidx-upsert-{key}")
+    idx = os.path.join(root, "index")
+    marker = os.path.join(root, ".upsert-complete")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        corpus = os.path.join(root, "corpus")
+        os.makedirs(corpus)
+        shutil.copyfile(src_pq, os.path.join(corpus, "a-documents.parquet"))
+        cfg = BuildConfig(options=OPT_NOSTEM)
+        build_index(
+            corpus, idx, cfg, overwrite=True,
+            source_column="text", name_column="doc_id",
+        )
+        upd = os.path.join(root, "update.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([7], pa.int64()),
+                    "text": pa.array(["spark join spark table"]),
+                }
+            ),
+            upd,
+        )
+        upsert_docs(
+            idx, corpus, upd, config=cfg,
+            source_column="text", name_column="doc_id",
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    r = IndexReader(idx)
+    mask = r.deleted_mask()
+    assert mask is not None and int(mask.sum()) == 1, "exactly one dead version"
+    ids, scores = bm25_scores_f64(r, BM25_QUERY)
+    keep = ~mask[ids]
+    ids, scores = ids[keep][:10], scores[keep][:10]
+    doc_ids = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids), "score_micros": pa.array(_micros(scores))}
+    )
+
+
 def q_fuzzy_terms(sf_dir: str) -> pa.Table:
     """Fuzzy dictionary match: terms within Levenshtein distance 1 of
     'fash' -> (term, df, dist); length-pruned scan + batched DP kernel
@@ -1988,6 +2051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_pruned_top10": q_bm25_pruned_top10,
         "lmd_top10": q_lmd_top10,
         "bm25_collapsed_top10": q_bm25_collapsed_top10,
+        "bm25_upsert_top10": q_bm25_upsert_top10,
         "wildcard_terms": q_wildcard_terms,
         "prefix_search_top10": q_prefix_search_top10,
         "rrf_fusion": q_rrf_fusion,
@@ -2580,6 +2644,41 @@ def oracle_sql() -> dict[str, str]:
             ),
             ranked AS (SELECT doc_id, score,
                               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM sc)
+            SELECT doc_id, {micros.format(expr="score")} AS score_micros
+            FROM ranked WHERE r <= 10
+        """,
+        "bm25_upsert_top10": f"""
+            WITH allver AS (
+              SELECT doc_id, text, 0 AS v FROM documents
+              UNION ALL SELECT CAST(7 AS BIGINT) AS doc_id,
+                               'spark join spark table' AS text, 1 AS v
+            ),
+            toks AS (
+              SELECT doc_id, v, t
+              FROM allver,
+                   UNNEST(regexp_split_to_array(lower(text), '[\\x00-\\x2f:;=?]')) AS u(t)
+              WHERE t <> '' AND substr(t, 1, 1) <> '<' AND substr(t, -1, 1) <> '>'
+                AND t NOT IN ({_STOP_LIST})
+            ),
+            dl AS (SELECT doc_id, v, count(*) AS dl FROM toks GROUP BY doc_id, v),
+            st AS (SELECT (SELECT count(*) FROM allver) AS n,
+                          (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM allver) AS avgdl),
+            tf AS (SELECT doc_id, v, t AS term, count(*) AS tf FROM toks
+                   WHERE t IN ('spark','hash','join') GROUP BY doc_id, v, t),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            sc AS (
+              SELECT tf.doc_id, tf.v,
+                     SUM( ln((st.n - df.df + 0.5) / (df.df + 0.5))
+                          * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) ) AS score
+              FROM tf JOIN df USING (term)
+              JOIN dl ON dl.doc_id = tf.doc_id AND dl.v = tf.v
+              CROSS JOIN st
+              GROUP BY tf.doc_id, tf.v
+            ),
+            live AS (SELECT doc_id, score FROM sc
+                     WHERE NOT (doc_id = 7 AND v = 0)),
+            ranked AS (SELECT doc_id, score,
+                              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM live)
             SELECT doc_id, {micros.format(expr="score")} AS score_micros
             FROM ranked WHERE r <= 10
         """,

@@ -265,6 +265,26 @@ def cmd_prune(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_upsert(args: argparse.Namespace) -> int:
+    """Upsert documents: tombstone old versions at the pre-append
+    watermark + incremental append of the update file."""
+    import ray
+
+    from .engine.maintenance import upsert_docs
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=args.num_cpus,
+            include_dashboard=False, logging_level="ERROR",
+        )
+    stats = upsert_docs(
+        args.index_dir, args.corpus_dir, args.update_file,
+        source_column=args.source_column, name_column=args.name_column,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_terms(args: argparse.Namespace) -> int:
     """Dictionary queries: prefix range probe, wildcard scan, top-df
     auto-completion, fuzzy match, or spell correction — pure metadata
@@ -382,6 +402,15 @@ def main(argv: list[str] | None = None) -> int:
     pc_.add_argument("--overwrite", action="store_true")
     pc_.add_argument("--num-cpus", type=int, default=8)
     pc_.set_defaults(fn=cmd_compact)
+
+    pu_ = sub.add_parser("upsert", help="replace/add documents without rebuild")
+    pu_.add_argument("index_dir")
+    pu_.add_argument("corpus_dir")
+    pu_.add_argument("update_file")
+    pu_.add_argument("--source-column", default="html")
+    pu_.add_argument("--name-column", default="url")
+    pu_.add_argument("--num-cpus", type=int, default=8)
+    pu_.set_defaults(fn=cmd_upsert)
 
     pp_ = sub.add_parser("prune", help="drop high-df terms (stopword promotion)")
     pp_.add_argument("index_dir")

@@ -134,10 +134,19 @@ class IndexReader:
             if not os.path.exists(p):
                 self._deleted_mask = None
             else:
-                names = pq.read_table(p, columns=["name"])["name"].to_pylist()
+                from .maintenance import read_tombstones
+
+                entries = read_tombstones(p)
                 # isin (not a name->id dict): a union-merged index can hold
-                # DUPLICATE names — every copy of a tombstoned name hides
-                mask = np.isin(self.doc_names, np.asarray(names, dtype=object))
+                # DUPLICATE names — every copy of a tombstoned name hides;
+                # bounded entries (upserts) hide only ordinals < before_id
+                mask = np.isin(
+                    self.doc_names, np.asarray(list(entries), dtype=object)
+                )
+                for i in np.flatnonzero(mask):  # tombstone-sized loop
+                    b = entries.get(self.doc_names[i])
+                    if b is not None and i >= b:
+                        mask[i] = False
                 self._deleted_mask = mask if mask.any() else None
         return self._deleted_mask
 

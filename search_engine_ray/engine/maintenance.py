@@ -12,8 +12,11 @@ build is already resumable and incremental, engine/build.py).
 
 Scale shape
 -----------
-``tombstones.parquet`` holds one ``name`` column — proportional to the
-number of DELETED docs, not the corpus.  Readers turn it into a boolean
+``tombstones.parquet`` holds ``(name, before_id)`` rows — proportional
+to the number of DELETED docs, not the corpus.  ``before_id`` is NULL
+for a plain delete (every version of the name is dead) and a docID
+bound for an UPSERT (only versions with ordinal < before_id are dead —
+the re-indexed newer version stays live).  Readers turn it into a boolean
 mask over doc ordinals once per actor (``IndexReader.deleted_mask``,
 1 bit/doc in RAM — 125 MB per 10^9 docs, same footprint as the
 filtered-retrieval mask).  At 10^12-doc scale the name->ordinal
@@ -43,29 +46,69 @@ def _path(index_dir: str) -> str:
     return os.path.join(index_dir, TOMBSTONES_FILE)
 
 
+def read_tombstones(path_or_dir: str) -> dict[str, int | None]:
+    """name -> before_id bound (None = every version dead).  Accepts an
+    index dir or the tombstones file path; {} when absent.  Rows for the
+    same name collapse to the dominating bound (None beats any number,
+    larger bound beats smaller — it hides a superset of versions)."""
+    p = path_or_dir if path_or_dir.endswith(".parquet") else _path(path_or_dir)
+    if not os.path.exists(p):
+        return {}
+    tbl = pq.read_table(p)
+    names = tbl["name"].to_pylist()
+    bounds = (
+        tbl["before_id"].to_pylist()
+        if "before_id" in tbl.column_names
+        else [None] * len(names)
+    )
+    out: dict[str, int | None] = {}
+    for n, b in zip(names, bounds):
+        if n in out and (out[n] is None or (b is not None and b <= out[n])):
+            continue
+        out[n] = None if b is None else int(b)
+    return out
+
+
+def _write_tombstones(index_dir: str, entries: dict[str, int | None]) -> None:
+    names = sorted(entries)
+    tmp = _path(index_dir) + ".tmp"
+    pq.write_table(
+        pa.table(
+            {
+                "name": pa.array(names, pa.string()),
+                "before_id": pa.array([entries[n] for n in names], pa.int64()),
+            }
+        ),
+        tmp,
+    )
+    os.replace(tmp, _path(index_dir))
+
+
 def tombstoned_names(index_dir: str) -> list[str]:
     """Currently tombstoned doc names (sorted; empty list if none)."""
-    p = _path(index_dir)
-    if not os.path.exists(p):
-        return []
-    return sorted(pq.read_table(p, columns=["name"])["name"].to_pylist())
+    return sorted(read_tombstones(index_dir))
 
 
-def delete_docs(index_dir: str, names) -> int:
+def delete_docs(index_dir: str, names, before_id: int | None = None) -> int:
     """Tombstone ``names`` (idempotent union with any existing set).
-    Returns the total number of tombstoned docs after the update.
+    Returns the total number of tombstoned names after the update.
 
-    Names that are not in the index are recorded anyway (they may arrive
-    before a pending incremental append lands) — the reader's mask build
-    simply skips unresolvable names."""
+    ``before_id=None`` (plain delete) hides EVERY version of the name;
+    an integer bound hides only versions with ordinal < before_id (the
+    upsert primitive).  Names that are not in the index are recorded
+    anyway (they may arrive before a pending incremental append lands) —
+    the reader's mask build simply skips unresolvable names."""
     if not os.path.exists(os.path.join(index_dir, "stats.json")):
         raise FileNotFoundError(f"{index_dir} is not an index directory")
-    merged = set(tombstoned_names(index_dir)) | {str(n) for n in names}
-    out = sorted(merged)
-    tmp = _path(index_dir) + ".tmp"
-    pq.write_table(pa.table({"name": pa.array(out, pa.string())}), tmp)
-    os.replace(tmp, _path(index_dir))
-    return len(out)
+    merged = read_tombstones(index_dir)
+    for n in names:
+        n = str(n)
+        prior = merged.get(n, -1)
+        if prior is None or (before_id is not None and prior != -1 and prior >= before_id):
+            continue  # existing bound already dominates
+        merged[n] = before_id
+    _write_tombstones(index_dir, merged)
+    return len(merged)
 
 
 def clear_tombstones(index_dir: str) -> int:
@@ -127,12 +170,23 @@ def compact_index(index_dir: str, out_dir: str, overwrite: bool = False) -> dict
     # resolve tombstoned names -> ordinals + their doc lens (tombstone-sized)
     _t = time.perf_counter()
     docs_ds_meta = pads.dataset(os.path.join(index_dir, "docs"))
-    if names:
+    entries = read_tombstones(index_dir)
+    if entries:
         hit = docs_ds_meta.to_table(
-            columns=["doc_id", "doc_len"], filter=pads.field("name").isin(names)
+            columns=["doc_id", "doc_len", "name"],
+            filter=pads.field("name").isin(list(entries)),
         )
-        deleted_ids = np.sort(np.asarray(hit["doc_id"], dtype=np.int64))
-        deleted_dl = int(pa.compute.sum(hit["doc_len"]).as_py() or 0)
+        pairs = [
+            (int(d), int(dl))
+            for d, dl, n in zip(
+                hit["doc_id"].to_pylist(),
+                hit["doc_len"].to_pylist(),
+                hit["name"].to_pylist(),
+            )
+            if entries.get(n) is None or d < entries[n]
+        ]
+        deleted_ids = np.sort(np.asarray([p[0] for p in pairs], dtype=np.int64))
+        deleted_dl = int(sum(p[1] for p in pairs))
     else:
         deleted_ids = np.empty(0, dtype=np.int64)
         deleted_dl = 0
@@ -472,10 +526,29 @@ def merge_indexes(a_dir: str, b_dir: str, out_dir: str, overwrite: bool = False)
     pq.write_table(terms_tbl, os.path.join(out_dir, "terms.parquet"))
     phases["terms"] = time.perf_counter() - _t
 
-    merged_tombs = set(tombstoned_names(a_dir)) | set(tombstoned_names(b_dir))
+    # carry tombstones over: A's bounds unchanged, B's docID bounds
+    # shift by n_a (B's ordinals were rebased); unbounded stays unbounded
+    ta = read_tombstones(a_dir)
+    tb = {
+        n: (None if b is None else b + n_a) for n, b in read_tombstones(b_dir).items()
+    }
+    merged_tombs: dict[str, int | None] = dict(ta)
+    for n, b in tb.items():
+        prior = merged_tombs.get(n, -1)
+        if prior is None or (b is not None and prior != -1 and prior >= b):
+            continue
+        merged_tombs[n] = b
     if merged_tombs:
+        names_s = sorted(merged_tombs)
         pq.write_table(
-            pa.table({"name": pa.array(sorted(merged_tombs), pa.string())}),
+            pa.table(
+                {
+                    "name": pa.array(names_s, pa.string()),
+                    "before_id": pa.array(
+                        [merged_tombs[n] for n in names_s], pa.int64()
+                    ),
+                }
+            ),
             os.path.join(out_dir, TOMBSTONES_FILE),
         )
 
@@ -719,3 +792,83 @@ def prune_terms(
     with open(os.path.join(out_dir, "stats.json"), "w") as fh:
         json.dump(new_stats, fh)
     return new_stats
+
+
+def upsert_docs(
+    index_dir: str,
+    corpus_dir: str,
+    update_file: str,
+    config=None,
+    source_column: str = "html",
+    name_column: str = "url",
+) -> dict:
+    """Update-or-insert: replace existing documents with new versions (and
+    add brand-new ones) WITHOUT a rebuild — the missing verb between
+    incremental append (engine/build.py) and tombstone delete.
+
+    Mechanics (both halves are existing primitives):
+
+    1. every name in ``update_file`` that is already indexed is
+       TOMBSTONED (the old version disappears from results immediately);
+    2. ``update_file`` is moved into ``corpus_dir`` under a name that
+       sorts after every existing corpus file, and the resumable build
+       extends the index with only the new fragments (old fragments and
+       docIDs untouched, merge re-run).
+
+    Queries then see exactly one live version per name (the new one) —
+    verified by test_upsert_docs.  A later ``compact_index`` drops the
+    dead versions physically.  Returns the post-append stats dict plus
+    ``n_replaced``."""
+    from ..config import BuildConfig
+    from .build import build_index
+
+    config = config or BuildConfig()
+    upd = pq.read_table(update_file, columns=[name_column])
+    names = [str(n) for n in upd[name_column].to_pylist()]
+    reader_names = set()
+    docs_dir = os.path.join(index_dir, "docs")
+    if os.path.isdir(docs_dir):
+        import pyarrow.dataset as pads
+
+        hit = pads.dataset(docs_dir).to_table(
+            columns=["name"], filter=pads.field("name").isin(names)
+        )
+        reader_names = set(hit["name"].to_pylist())
+    replaced = sorted(reader_names)
+    if replaced:
+        import json
+
+        with open(os.path.join(index_dir, "stats.json")) as fh:
+            n_before = json.load(fh)["n_docs"]
+        # bound the tombstone at the pre-append docID watermark: only the
+        # OLD versions die; the re-indexed versions (ordinals >= n_before)
+        # stay live
+        delete_docs(index_dir, replaced, before_id=n_before)
+
+    # place the update file so it sorts after every existing corpus file
+    existing = sorted(
+        f for f in os.listdir(corpus_dir) if f.endswith(".parquet")
+    )
+    seq = 0
+    prefix = "zz-upsert-"
+    for f in existing:
+        if f.startswith(prefix):
+            try:
+                seq = max(seq, int(f[len(prefix):].split(".")[0]) + 1)
+            except ValueError:
+                pass
+    dest_name = f"{prefix}{seq:06d}.parquet"
+    if existing and dest_name <= existing[-1] and not existing[-1].startswith(prefix):
+        raise ValueError(
+            f"cannot place update after existing corpus file {existing[-1]!r}; "
+            "rename corpus files to sort before 'zz-upsert-*'"
+        )
+    import shutil
+
+    shutil.copyfile(update_file, os.path.join(corpus_dir, dest_name))
+    stats = build_index(
+        corpus_dir, index_dir, config,
+        source_column=source_column, name_column=name_column,
+    )
+    stats = dict(stats, n_replaced=len(replaced))
+    return stats

@@ -81,20 +81,29 @@ class _ShardIndexView:
         self.deleted_local: np.ndarray | None = None
         tomb_path = os.path.join(index_dir, "tombstones.parquet")
         if os.path.exists(tomb_path) and self.doc_hi > self.doc_lo:
-            names = pq.read_table(tomb_path, columns=["name"])["name"].to_pylist()
-            if names:
+            from .maintenance import read_tombstones
+
+            entries = read_tombstones(tomb_path)
+            if entries:
                 hit = pads.dataset(os.path.join(index_dir, "docs")).to_table(
-                    columns=["doc_id"],
+                    columns=["doc_id", "name"],
                     filter=(
                         (pads.field("doc_id") >= self.doc_lo)
                         & (pads.field("doc_id") < self.doc_hi)
-                        & pads.field("name").isin(names)
+                        & pads.field("name").isin(list(entries))
                     ),
                 )
                 if hit.num_rows:
-                    self.deleted_local = (
-                        np.asarray(hit["doc_id"], dtype=np.int64) - self.doc_lo
-                    )
+                    ids_ = np.asarray(hit["doc_id"], dtype=np.int64)
+                    dead = [
+                        d
+                        for d, n in zip(ids_, hit["name"].to_pylist())
+                        if entries.get(n) is None or d < entries[n]
+                    ]
+                    if dead:
+                        self.deleted_local = (
+                            np.asarray(dead, dtype=np.int64) - self.doc_lo
+                        )
 
     # TAAT scorers index a dense array by doc id: present the shard's doc
     # range as [0, width) and translate in postings()/output.

@@ -517,3 +517,90 @@ def test_lifecycle_merge_compact_fsck(index_dir, ray_session):
         f_ids, f_scores = score_topic(rf, kws, scorer=scorer, k=30, method="taat")
         np.testing.assert_array_equal(c_ids, f_ids)
         np.testing.assert_array_equal(c_scores, f_scores)
+
+
+def test_upsert_docs(ray_session, tmp_path):
+    """Upsert replaces old versions (tombstoned at the pre-append
+    watermark) while the re-indexed new versions stay live; plain
+    deletes still hide every version; compaction physically drops only
+    the dead versions."""
+    import pyarrow as pa
+
+    from search_engine_ray.engine.maintenance import (
+        compact_index,
+        fsck_index,
+        read_tombstones,
+        upsert_docs,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    texts = ["alpha beta", "gamma delta", "epsilon zeta"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(texts),
+            }
+        ),
+        f"{corpus}/a-docs.parquet",
+    )
+    idx = str(tmp_path / "idx")
+    cfg = BuildConfig(block_entries=4, frags_per_shard=2)
+    from search_engine_ray.config import IndexOptions
+
+    cfg = BuildConfig(
+        block_entries=4, frags_per_shard=2, options=IndexOptions(stemming=False)
+    )
+    build_index(
+        corpus, idx, cfg, overwrite=True, source_column="text", name_column="doc_id"
+    )
+
+    # upsert: doc 1 changes text; doc 3 is new
+    upd = str(tmp_path / "update.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 3], pa.int64()),
+                "text": pa.array(["omega chi", "alpha omega"]),
+            }
+        ),
+        upd,
+    )
+    stats = upsert_docs(
+        idx, corpus, upd, config=cfg, source_column="text", name_column="doc_id"
+    )
+    assert stats["n_replaced"] == 1 and stats["n_docs"] == 5  # 3 old + 2 appended
+    assert read_tombstones(idx) == {"1": 3}  # bounded at the watermark
+
+    r = IndexReader(idx)
+    mask = r.deleted_mask()
+    assert mask is not None and mask.sum() == 1
+    assert r.doc_names[np.flatnonzero(mask)[0]] == "1"  # the OLD version only
+    # old text's term no longer matches doc 1; new text does
+    from search_engine_ray.engine.boolean import boolean_or
+
+    gamma_docs = {str(r.doc_names[d]) for d in boolean_or(r, ["gamma"])}
+    assert "1" not in gamma_docs
+    omega_docs = {str(r.doc_names[d]) for d in boolean_or(r, ["omega"])}
+    assert omega_docs == {"1", "3"}
+
+    # rankings only ever see the live version
+    kws = [("omega", 1), ("alpha", 1)]
+    ids, _ = score_topic(r, kws, scorer="bm25", k=10)
+    names = [str(r.doc_names[d]) for d in ids]
+    assert names.count("1") == 1 and names.count("3") == 1
+
+    # compact physically drops the dead version; fsck clean
+    out = str(tmp_path / "compacted")
+    cstats = compact_index(idx, out)
+    assert cstats["n_compacted_out"] == 1 and cstats["n_docs"] == 4
+    rc = IndexReader(out)
+    assert rc.deleted_mask() is None
+    assert sorted(rc.doc_names.tolist()) == ["0", "1", "2", "3"]
+    assert fsck_index(out)["violations"] == 0
+    omega_c = {str(rc.doc_names[d]) for d in boolean_or(rc, ["omega"])}
+    assert omega_c == {"1", "3"}
+    assert not boolean_or(rc, ["gamma"]).size or "1" not in {
+        str(rc.doc_names[d]) for d in boolean_or(rc, ["gamma"])
+    }
