@@ -26,10 +26,10 @@ global name map.
 
 Query semantics: tombstoned docs never appear in results; scores of
 surviving docs are UNCHANGED (corpus-wide idf — the Lucene contract).
-The WAND path's block-max bounds still count tombstoned postings, so
-``score_topic`` falls back to exhaustive TAAT when tombstones exist
-(auto mode; an explicit method='wand' request raises) — the same
-stale-bounds discipline used for query-time BM25 params.
+WAND composes exactly: block-max bounds computed over all postings are
+still valid upper bounds for the live docs, and dead docs are dropped
+at window evaluation before entering the heap — WAND stays available
+and bit-identical to masked TAAT (tested).
 """
 
 from __future__ import annotations

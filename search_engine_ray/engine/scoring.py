@@ -297,7 +297,14 @@ def wand_topk(
     params: BM25Params,
     k: int = 1000,
     kind: str = "bm25",
+    exclude: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
+    """``exclude``: boolean mask of tombstoned doc ordinals.  Dead docs
+    are dropped at window evaluation (never enter the heap); block-max
+    bounds computed over all postings remain VALID upper bounds for the
+    live docs (removing docs can only lower a block's max), so pruning
+    stays conservative-correct — results are bit-identical to TAAT with
+    the same mask (tested)."""
     n = reader.n_docs
     cursors: list[_Cursor] = []
     qpos = 0
@@ -382,6 +389,9 @@ def wand_topk(
                     scratch[rel] = scratch[rel] + contrib
                     touched[rel] = True
                 cand = np.flatnonzero(touched)
+                if exclude is not None and len(cand):
+                    live_keep = ~exclude[pivot_doc + cand]
+                    cand = cand[live_keep]
                 cand_scores = scratch[cand]
                 # bulk pre-filter against the window-entry threshold
                 # (threshold only rises, so this is conservative-correct)

@@ -87,19 +87,10 @@ def score_topic(
     requested = method
     method = _resolve_method(reader, keywords, method, k)
     deleted = reader.deleted_mask()
-    if deleted is not None and method == "wand":
-        # WAND's block-max bounds were computed at BUILD time and still
-        # count tombstoned postings — pruning against them with docs
-        # removed from the result set is incorrect.  Same discipline as
-        # the stale-params guard below: auto falls back to exhaustive
-        # TAAT, an explicit method='wand' request is an error (see
-        # engine/maintenance.py).
-        if requested == "wand":
-            raise ValueError(
-                "method='wand' is unavailable on an index with tombstones; "
-                "use method='taat' or rebuild (compact) the index"
-            )
-        method = "taat"
+    # tombstones and WAND compose: block-max bounds computed over ALL
+    # postings stay valid upper bounds for the live docs, and dead docs
+    # are dropped at window evaluation before they can enter the heap
+    # (engine/scoring.wand_topk) — no fallback needed.
     if scorer == "bm25" and method == "wand":
         # WAND prunes against block metadata (ub_tfn/lb_tfn) computed at
         # BUILD time with the index's k1/b; different query-time params make
@@ -118,11 +109,11 @@ def score_topic(
             method = "taat"
     if scorer == "bm25":
         if method == "wand":
-            return wand_topk(reader, keywords, params, k, kind="bm25")
+            return wand_topk(reader, keywords, params, k, kind="bm25", exclude=deleted)
         return taat_bm25(reader, keywords, params, k, exclude=deleted)
     if scorer == "tfidf":
         if method == "wand":
-            return wand_topk(reader, keywords, params, k, kind="tfidf")
+            return wand_topk(reader, keywords, params, k, kind="tfidf", exclude=deleted)
         return taat_tfidf(reader, keywords, k, exclude=deleted)
     if scorer == "bm25adpt":
         # needs the full tf distribution per term -> always exhaustive

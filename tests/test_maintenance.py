@@ -68,22 +68,31 @@ def test_delete_excludes_and_keeps_scores(index_dir):
         assert list(zip(names_d, d_scores))[: len(exp)] == exp
 
 
-def test_wand_fallback_and_explicit_raise(index_dir):
+def test_wand_exact_under_tombstones(index_dir):
+    """WAND with tombstones is EXACT: dead docs dropped at window eval,
+    bounds stay conservative — bit-identical to TAAT with the same mask
+    at every k, for bm25 and tfidf."""
     kws = _kws(index_dir)
     work = f"{BASE}/idx_wand"
     shutil.rmtree(work, ignore_errors=True)
     shutil.copytree(index_dir, work)
     r0 = IndexReader(index_dir)
     base_ids, _ = score_topic(r0, kws, scorer="bm25", k=20, method="taat")
-    delete_docs(work, [str(r0.doc_names[base_ids[0]])])
+    victims = [str(r0.doc_names[d]) for d in base_ids[:3]]
+    delete_docs(work, victims)
     r = IndexReader(work)
-    # auto silently falls back to TAAT (identical to explicit taat)
+    for scorer in ("bm25", "tfidf"):
+        for k in (1, 3, 20, 1000):
+            w_ids, w_scores = score_topic(r, kws, scorer=scorer, k=k, method="wand")
+            t_ids, t_scores = score_topic(r, kws, scorer=scorer, k=k, method="taat")
+            assert w_ids.tolist() == t_ids.tolist(), (scorer, k)
+            np.testing.assert_array_equal(w_scores, t_scores)
+            assert not {str(r.doc_names[d]) for d in w_ids} & set(victims)
+    # auto also excludes
     a_ids, a_scores = score_topic(r, kws, scorer="bm25", k=20, method="auto")
     t_ids, t_scores = score_topic(r, kws, scorer="bm25", k=20, method="taat")
     assert a_ids.tolist() == t_ids.tolist()
     np.testing.assert_array_equal(a_scores, t_scores)
-    with pytest.raises(ValueError, match="tombstones"):
-        score_topic(r, kws, scorer="bm25", k=20, method="wand", params=BM25Params())
 
 
 def test_delete_union_clear_and_errors(index_dir):
