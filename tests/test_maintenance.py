@@ -613,3 +613,42 @@ def test_upsert_docs(ray_session, tmp_path):
     assert not boolean_or(rc, ["gamma"]).size or "1" not in {
         str(rc.doc_names[d]) for d in boolean_or(rc, ["gamma"])
     }
+
+
+def test_double_upsert_keeps_only_newest(ray_session, tmp_path):
+    """Upserting the same doc twice leaves exactly the newest version
+    live (tombstone bounds collapse to the dominating watermark)."""
+    import pyarrow as pa
+
+    from search_engine_ray.config import IndexOptions
+    from search_engine_ray.engine.boolean import boolean_or
+    from search_engine_ray.engine.maintenance import read_tombstones, upsert_docs
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["alpha one", "beta two"])}),
+        f"{corpus}/a-docs.parquet",
+    )
+    idx = str(tmp_path / "idx")
+    cfg = BuildConfig(block_entries=4, frags_per_shard=2,
+                      options=IndexOptions(stemming=False))
+    build_index(corpus, idx, cfg, overwrite=True,
+                source_column="text", name_column="doc_id")
+    for i, text in enumerate(["gamma three", "delta four"]):
+        upd = str(tmp_path / f"u{i}.parquet")
+        pq.write_table(
+            pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": pa.array([text])}), upd,
+        )
+        upsert_docs(idx, corpus, upd, config=cfg,
+                    source_column="text", name_column="doc_id")
+    r = IndexReader(idx)
+    assert r.n_docs == 4  # 2 base + 2 upserted versions
+    assert read_tombstones(idx) == {"1": 3}  # dominating watermark
+    assert r.deleted_mask().sum() == 2  # both old versions dead
+    live = {str(r.doc_names[d]) for d in boolean_or(r, ["delta"])}
+    assert live == {"1"}
+    for dead_term in ("beta", "gamma"):
+        assert "1" not in {str(r.doc_names[d]) for d in boolean_or(r, [dead_term])}
