@@ -285,6 +285,99 @@ def cmd_upsert(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_query(args: argparse.Namespace) -> int:
+    """Ad-hoc single query: normalize the words like the query path,
+    score with any registered scorer (bm25 / tfidf / bm25adpt / lmd) or
+    run a boolean AND/OR, print one JSON line per result."""
+    import json as _json
+
+    stats_path = os.path.join(args.index_dir, "stats.json")
+    if not os.path.exists(stats_path):
+        print(f"error: {args.index_dir} is not a built index", file=sys.stderr)
+        return 2
+    from .engine.index_reader import IndexReader
+    from .text.tokenizer import split_query_line, normalize_query_word
+
+    with open(stats_path) as fh:
+        stats = json.load(fh)
+    opts = IndexOptions.from_dict(stats["options"])
+    words = split_query_line(args.query)
+    terms, seen = [], {}
+    for w in words:
+        t = normalize_query_word(
+            w, case_folding=opts.case_folding,
+            remove_stopwords=opts.remove_stopwords, stemming=opts.stemming,
+        )
+        if not t:
+            continue
+        if t in seen:
+            seen[t] += 1
+        else:
+            seen[t] = 1
+            terms.append(t)
+    keywords = [(t, seen[t]) for t in terms]
+    reader = IndexReader(args.index_dir)
+    if args.boolean:
+        from .engine.boolean import boolean_and, boolean_or
+
+        fn = boolean_and if args.boolean == "and" else boolean_or
+        ids = fn(reader, [t for t, _ in keywords])[: args.k]
+        for d in ids:
+            print(_json.dumps({"doc": str(reader.doc_names[d])}))
+        return 0
+    if args.scorer == "lmd":
+        from .engine.search import register_scorer
+        from .pipelines import lmd_scores_f64
+
+        register_scorer(
+            "lmd", lambda rd, kw, p, k: (lambda t: (t[0][:k], t[1][:k]))(
+                lmd_scores_f64(rd, kw)
+            )
+        )
+    from .engine.search import score_topic
+
+    ids, scores = score_topic(
+        reader, keywords, scorer=args.scorer, k=args.k, method=args.method
+    )
+    for rank, (d, s) in enumerate(zip(ids, scores), 1):
+        print(_json.dumps(
+            {"rank": rank, "doc": str(reader.doc_names[d]), "score": float(s)}
+        ))
+    return 0
+
+
+def cmd_phrase(args: argparse.Namespace) -> int:
+    """Exact-phrase or proximity query over the positional sidecar
+    (build it first with `positions`)."""
+    import json as _json
+
+    from .engine.positions import phrase_search, proximity_search
+
+    if args.near is not None:
+        a, b = args.words[0], args.words[1]
+        tbl = proximity_search(args.positions_dir, a, b, args.near)
+        col = "n_pairs"
+    else:
+        tbl = phrase_search(args.positions_dir, args.words)
+        col = "n_matches"
+    for d, n in zip(tbl["doc_id"].to_pylist(), tbl[col].to_pylist()):
+        print(_json.dumps({"doc_id": int(d), col: int(n)}))
+    return 0
+
+
+def cmd_positions(args: argparse.Namespace) -> int:
+    """Build the positional sidecar index (phrase/proximity retrieval)."""
+    _ensure_ray(args.num_cpus)
+    from .engine.positions import build_position_index
+
+    stats = build_position_index(
+        args.corpus, args.positions_dir, parse_index_options(args.options),
+        source_column=args.source_column, name_column=args.name_column,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_terms(args: argparse.Namespace) -> int:
     """Dictionary queries: prefix range probe, wildcard scan, top-df
     auto-completion, fuzzy match, or spell correction — pure metadata
@@ -450,6 +543,33 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--max-dist", type=int, default=1)
     pl.add_argument("--limit", type=int, default=None)
     pl.set_defaults(fn=cmd_terms)
+
+    pq_ = sub.add_parser("query", help="ad-hoc single query (any scorer or boolean)")
+    pq_.add_argument("index_dir")
+    pq_.add_argument("query")
+    pq_.add_argument("--scorer", default="bm25",
+                     choices=["bm25", "tfidf", "bm25adpt", "lmd"])
+    pq_.add_argument("--method", default="auto", choices=["auto", "taat", "wand"])
+    pq_.add_argument("--boolean", choices=["and", "or"], default=None)
+    pq_.add_argument("--k", type=int, default=10)
+    pq_.set_defaults(fn=cmd_query)
+
+    pps = sub.add_parser("positions", help="build the positional sidecar index")
+    pps.add_argument("corpus")
+    pps.add_argument("positions_dir")
+    pps.add_argument("options", nargs="?",
+                     default="IndexOptions(CaseFolding,RemoveStopWords)")
+    pps.add_argument("--source-column", default="html")
+    pps.add_argument("--name-column", default="url")
+    pps.add_argument("--num-cpus", type=int, default=8)
+    pps.set_defaults(fn=cmd_positions)
+
+    pph = sub.add_parser("phrase", help="exact-phrase / proximity query (positional sidecar)")
+    pph.add_argument("positions_dir")
+    pph.add_argument("words", nargs="+")
+    pph.add_argument("--near", type=int, default=None,
+                     help="proximity window (2 words required)")
+    pph.set_defaults(fn=cmd_phrase)
 
     pm = sub.add_parser("mlt", help="more-like-this: rank corpus against a source text")
     pm.add_argument("index_dir")

@@ -217,3 +217,58 @@ def test_cli_terms_and_mlt(cli_corpus, capsys, tmp_path):
     header = json.loads(lines[0])
     assert 0 < len(header["query_terms"]) <= 10
     assert 1 <= len(lines) - 1 <= 5
+
+
+def test_cli_query_positions_phrase(ray_session, tmp_path):
+    """CLI ad-hoc query (scorers, boolean, lmd), positional sidecar build
+    and phrase/near queries."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    ["alpha beta gamma", "beta gamma delta", "alpha delta"]
+                ),
+            }
+        ),
+        f"{corpus}/docs.parquet",
+    )
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+
+    def run(*argv):
+        out = subprocess.run(
+            [_sys.executable, "-m", "search_engine_ray", *argv],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+        )
+        assert out.returncode == 0, out.stderr[-800:]
+        return [l for l in out.stdout.splitlines() if l.startswith("{")]
+
+    idx = str(tmp_path / "idx")
+    run("index", corpus, idx, "IndexOptions(CaseFolding,RemoveStopWords)",
+        "--source-column", "text", "--name-column", "doc_id", "--num-cpus", "2")
+
+    rows = [_json.loads(l) for l in run("query", idx, "alpha beta", "--k", "5")]
+    assert rows and rows[0]["rank"] == 1 and "score" in rows[0]
+    docs_and = {_json.loads(l)["doc"] for l in run(
+        "query", idx, "alpha beta", "--boolean", "and")}
+    assert docs_and == {"0"}
+    lmd_rows = [_json.loads(l) for l in run(
+        "query", idx, "alpha beta", "--scorer", "lmd", "--k", "3")]
+    assert lmd_rows and lmd_rows[0]["rank"] == 1
+
+    pos = str(tmp_path / "pos")
+    run("positions", corpus, pos, "IndexOptions(CaseFolding,RemoveStopWords)",
+        "--source-column", "text", "--name-column", "doc_id", "--num-cpus", "2")
+    ph = [_json.loads(l) for l in run("phrase", pos, "alpha", "beta")]
+    assert [(r["doc_id"], r["n_matches"]) for r in ph] == [(0, 1)]
+    nr = [_json.loads(l) for l in run("phrase", pos, "alpha", "gamma", "--near", "2")]
+    assert [(r["doc_id"], r["n_pairs"]) for r in nr] == [(0, 1)]
