@@ -325,6 +325,42 @@ def cmd_query(args: argparse.Namespace) -> int:
         for d in ids:
             print(_json.dumps({"doc": str(reader.doc_names[d])}))
         return 0
+    if args.facets:
+        if not args.docs_table:
+            print("error: --facets needs --docs-table", file=sys.stderr)
+            return 2
+        _ensure_ray(args.num_cpus)
+        from .ioutil import read_parquet_clean
+        from .pipelines import facet_counts
+
+        out = facet_counts(
+            reader, [t for t, _ in keywords],
+            read_parquet_clean(args.docs_table), args.facets,
+            id_column=args.id_column,
+        ).to_pandas().sort_values("facet", ignore_index=True)
+        for f, n in zip(out["facet"], out["n_docs"]):
+            print(_json.dumps({"facet": str(f), "n_docs": int(n)}))
+        return 0
+    if args.prf:
+        if not args.docs_table:
+            print("error: --prf needs --docs-table", file=sys.stderr)
+            return 2
+        _ensure_ray(args.num_cpus)
+        from .ioutil import read_parquet_clean
+        from .pipelines import prf_expanded_bm25_f64
+
+        ids, scores, expansions = prf_expanded_bm25_f64(
+            reader, read_parquet_clean(args.docs_table), keywords, opts,
+            fb_docs=args.prf_docs, fb_terms=args.prf,
+            id_column=args.id_column, text_column=args.text_column,
+        )
+        ids, scores = ids[: args.k], scores[: args.k]
+        print(_json.dumps({"expansion_terms": expansions}))
+        for rank, (d, s) in enumerate(zip(ids, scores), 1):
+            print(_json.dumps(
+                {"rank": rank, "doc": str(reader.doc_names[d]), "score": float(s)}
+            ))
+        return 0
     if args.scorer == "lmd":
         from .engine.search import register_scorer
         from .pipelines import lmd_scores_f64
@@ -339,6 +375,25 @@ def cmd_query(args: argparse.Namespace) -> int:
     ids, scores = score_topic(
         reader, keywords, scorer=args.scorer, k=args.k, method=args.method
     )
+    if args.collapse:
+        if not args.docs_table:
+            print("error: --collapse needs --docs-table", file=sys.stderr)
+            return 2
+        import numpy as np
+        import pyarrow.parquet as _pq
+
+        from .pipelines import collapse_ranking
+
+        t = _pq.read_table(args.docs_table, columns=[args.id_column, args.collapse])
+        by_name = dict(
+            zip((str(v) for v in t[args.id_column].to_pylist()),
+                t[args.collapse].to_pylist())
+        )
+        group_of = np.asarray(
+            [by_name.get(str(n)) for n in reader.doc_names], dtype=object
+        )
+        ids, scores = collapse_ranking(ids, scores, group_of, per_group=1)
+        ids, scores = ids[: args.k], scores[: args.k]
     for rank, (d, s) in enumerate(zip(ids, scores), 1):
         print(_json.dumps(
             {"rank": rank, "doc": str(reader.doc_names[d]), "score": float(s)}
@@ -552,6 +607,18 @@ def main(argv: list[str] | None = None) -> int:
     pq_.add_argument("--method", default="auto", choices=["auto", "taat", "wand"])
     pq_.add_argument("--boolean", choices=["and", "or"], default=None)
     pq_.add_argument("--k", type=int, default=10)
+    pq_.add_argument("--docs-table", default=None,
+                     help="corpus parquet for --facets/--collapse/--prf")
+    pq_.add_argument("--id-column", default="doc_id")
+    pq_.add_argument("--text-column", default="text")
+    pq_.add_argument("--facets", metavar="COL", default=None,
+                     help="facet counts of the boolean-OR match set by COL")
+    pq_.add_argument("--collapse", metavar="COL", default=None,
+                     help="keep only the best result per COL value")
+    pq_.add_argument("--prf", metavar="N_TERMS", type=int, default=None,
+                     help="pseudo-relevance-feedback expansion")
+    pq_.add_argument("--prf-docs", type=int, default=5)
+    pq_.add_argument("--num-cpus", type=int, default=4)
     pq_.set_defaults(fn=cmd_query)
 
     pps = sub.add_parser("positions", help="build the positional sidecar index")

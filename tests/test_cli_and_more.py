@@ -272,3 +272,49 @@ def test_cli_query_positions_phrase(ray_session, tmp_path):
     assert [(r["doc_id"], r["n_matches"]) for r in ph] == [(0, 1)]
     nr = [_json.loads(l) for l in run("phrase", pos, "alpha", "gamma", "--near", "2")]
     assert [(r["doc_id"], r["n_pairs"]) for r in nr] == [(0, 1)]
+
+
+def test_cli_query_facets_collapse_prf(ray_session, tmp_path):
+    """query --facets/--collapse/--prf over a docs table."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["alpha beta", "alpha beta beta", "alpha gamma", "delta"]
+            ),
+            "lang": pa.array(["en", "fr", "en", "fr"]),
+        }
+    )
+    pq_.write_table(docs, f"{corpus}/docs.parquet")
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+
+    def run(*argv):
+        out = subprocess.run(
+            [_sys.executable, "-m", "search_engine_ray", *argv],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+        )
+        assert out.returncode == 0, out.stderr[-800:]
+        return [_json.loads(l) for l in out.stdout.splitlines() if l.startswith("{")]
+
+    idx = str(tmp_path / "idx")
+    run("index", corpus, idx, "IndexOptions(CaseFolding,RemoveStopWords)",
+        "--source-column", "text", "--name-column", "doc_id", "--num-cpus", "2")
+    fc = run("query", idx, "alpha", "--facets", "lang",
+             "--docs-table", f"{corpus}/docs.parquet", "--num-cpus", "2")
+    assert {(r["facet"], r["n_docs"]) for r in fc} == {("en", 2), ("fr", 1)}
+    col = run("query", idx, "alpha beta", "--collapse", "lang",
+              "--docs-table", f"{corpus}/docs.parquet")
+    langs = {docs["lang"][int(r["doc"])].as_py() for r in col}
+    assert len(langs) == len(col)  # one result per lang
+    prf = run("query", idx, "beta", "--prf", "2",
+              "--docs-table", f"{corpus}/docs.parquet", "--num-cpus", "2")
+    assert "expansion_terms" in prf[0] and len(prf) > 1
