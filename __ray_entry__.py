@@ -1858,6 +1858,33 @@ def q_bm25_upsert_top10(sf_dir: str) -> pa.Table:
     )
 
 
+def q_bm25plus_top10(sf_dir: str) -> pa.Table:
+    """BM25+ retrieval (Lv & Zhai lower-bounded tf normalization, the
+    5th scorer) — like lmd, driven through the public scorer registry
+    and asserted rank-identical to the direct f64 path."""
+    from search_engine_ray.engine import search as _search_mod
+    from search_engine_ray.engine.search import register_scorer, score_topic
+    from search_engine_ray.pipelines import bm25plus_scores_f64
+
+    r = _reader(sf_dir)
+    ids, scores = bm25plus_scores_f64(r, BM25_QUERY)
+    ids, scores = ids[:10], scores[:10]
+    register_scorer(
+        "bm25plus", lambda rd, kw, p, k: (lambda t: (t[0][:k], t[1][:k]))(
+            bm25plus_scores_f64(rd, kw)
+        )
+    )
+    try:
+        reg_ids, _ = score_topic(r, BM25_QUERY, scorer="bm25plus", k=10)
+        assert reg_ids.tolist() == ids.tolist(), "registry path diverged"
+    finally:
+        _search_mod._CUSTOM_SCORERS.pop("bm25plus", None)
+    doc_ids = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids), "score_micros": pa.array(_micros(scores))}
+    )
+
+
 def q_fuzzy_terms(sf_dir: str) -> pa.Table:
     """Fuzzy dictionary match: terms within Levenshtein distance 1 of
     'fash' -> (term, df, dist); length-pruned scan + batched DP kernel
@@ -2052,6 +2079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lmd_top10": q_lmd_top10,
         "bm25_collapsed_top10": q_bm25_collapsed_top10,
         "bm25_upsert_top10": q_bm25_upsert_top10,
+        "bm25plus_top10": q_bm25plus_top10,
         "wildcard_terms": q_wildcard_terms,
         "prefix_search_top10": q_prefix_search_top10,
         "rrf_fusion": q_rrf_fusion,
@@ -2639,6 +2667,26 @@ def oracle_sql() -> dict[str, str]:
               SELECT tf.doc_id,
                      SUM( ln((st.n - df.df + 0.5) / (df.df + 0.5))
                           * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) ) AS score
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+              GROUP BY tf.doc_id
+            ),
+            ranked AS (SELECT doc_id, score,
+                              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM sc)
+            SELECT doc_id, {micros.format(expr="score")} AS score_micros
+            FROM ranked WHERE r <= 10
+        """,
+        "bm25plus_top10": f"""
+            WITH {_TOKS},
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+            tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks
+                   WHERE t IN ('spark','hash','join') GROUP BY doc_id, t),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            sc AS (
+              SELECT tf.doc_id,
+                     SUM( ln((st.n + 1.0) / df.df)
+                          * ((tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) + 1.0) ) AS score
               FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
               GROUP BY tf.doc_id
             ),

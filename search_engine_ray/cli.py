@@ -361,14 +361,14 @@ def cmd_query(args: argparse.Namespace) -> int:
                 {"rank": rank, "doc": str(reader.doc_names[d]), "score": float(s)}
             ))
         return 0
-    if args.scorer == "lmd":
+    if args.scorer in ("lmd", "bm25plus"):
         from .engine.search import register_scorer
-        from .pipelines import lmd_scores_f64
+        from .pipelines import bm25plus_scores_f64, lmd_scores_f64
 
+        fn = lmd_scores_f64 if args.scorer == "lmd" else bm25plus_scores_f64
         register_scorer(
-            "lmd", lambda rd, kw, p, k: (lambda t: (t[0][:k], t[1][:k]))(
-                lmd_scores_f64(rd, kw)
-            )
+            args.scorer,
+            lambda rd, kw, p, k: (lambda t: (t[0][:k], t[1][:k]))(fn(rd, kw)),
         )
     from .engine.search import score_topic
 
@@ -603,7 +603,7 @@ def main(argv: list[str] | None = None) -> int:
     pq_.add_argument("index_dir")
     pq_.add_argument("query")
     pq_.add_argument("--scorer", default="bm25",
-                     choices=["bm25", "tfidf", "bm25adpt", "lmd"])
+                     choices=["bm25", "tfidf", "bm25adpt", "lmd", "bm25plus"])
     pq_.add_argument("--method", default="auto", choices=["auto", "taat", "wand"])
     pq_.add_argument("--boolean", choices=["and", "or"], default=None)
     pq_.add_argument("--k", type=int, default=10)

@@ -571,3 +571,35 @@ def collapse_ranking(
             keep[i] = False
         counts[g] = seen + 1
     return ids[keep], scores[keep]
+
+
+def bm25plus_scores_f64(
+    reader: IndexReader,
+    keywords: list[tuple[str, int]],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k3: float = 100.0,
+    delta: float = 1.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """BM25+ (Lv & Zhai 2011): lower-bounds the tf normalization with
+    ``delta`` so very long documents keep credit for matching a term at
+    all — score = sum qterm * ln((N+1)/df) * ((k1+1)tf/(tf+K) + delta),
+    K = k1(1-b+b dl/avgdl).  Fifth scorer; matching-docs form (docs with
+    no query term score 0 both here and in the oracle)."""
+    n = reader.n_docs
+    avgdl = reader.avgdl
+    scores = np.zeros(n, dtype=np.float64)
+    touched = np.zeros(n, dtype=bool)
+    for term, qtf in keywords:
+        tp = reader.postings(term)
+        if tp is None:
+            continue
+        ids, tfs, dls = tp.arrays()
+        idf = np.log((n + 1.0) / tp.df)
+        qterm = ((k3 + 1) * qtf) / (k3 + qtf)
+        K = k1 * (1 - b + b * (dls / avgdl))
+        scores[ids] += idf * ((tfs * (k1 + 1)) / (tfs + K) + delta) * qterm
+        touched[ids] = True
+    cand = np.flatnonzero(touched)
+    order = np.lexsort((cand, -scores[cand]))
+    return cand[order], scores[cand][order]

@@ -415,3 +415,51 @@ def test_collapse_ranking_keeps_ungrouped():
     group_of[9] = "a"
     c_ids, c_scores = collapse_ranking(ids, scores, group_of, per_group=1)
     assert c_ids.tolist() == [5, 7] and c_scores.tolist() == [3.0, 2.0]
+
+
+def test_bm25plus_long_doc_lower_bound(ray_session, tmp_path):
+    """BM25+ keeps credit for a term match in a very long doc (the delta
+    lower bound) where plain BM25's tf normalization goes to ~0; scores
+    match a brute force from the raw texts."""
+    import math
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from search_engine_ray.config import BuildConfig, IndexOptions
+    from search_engine_ray.engine.build import build_index
+    from search_engine_ray.engine.index_reader import IndexReader
+    from search_engine_ray.pipelines import bm25plus_scores_f64
+
+    long_doc = "alpha " + "filler " * 4000
+    texts = ["alpha beta", long_doc.strip(), "beta gamma"]
+    corpus = str(tmp_path / "c")
+    _os.makedirs(corpus)
+    pq_.write_table(
+        pa.table({"doc_id": pa.array(range(3), pa.int64()), "text": pa.array(texts)}),
+        f"{corpus}/d.parquet",
+    )
+    idx = str(tmp_path / "i")
+    build_index(
+        corpus, idx,
+        BuildConfig(block_entries=4, frags_per_shard=2, options=IndexOptions(stemming=False)),
+        overwrite=True, source_column="text", name_column="doc_id",
+    )
+    r = IndexReader(idx)
+    ids, scores = bm25plus_scores_f64(r, [("alpha", 1)])
+    got = {str(r.doc_names[d]): s for d, s in zip(ids, scores)}
+    toks = [t.split() for t in texts]
+    n, avgdl = 3, sum(len(t) for t in toks) / 3
+    df = sum(1 for t in toks if "alpha" in t)
+    exp = {}
+    for d, t in enumerate(toks):
+        tf = t.count("alpha")
+        if tf:
+            K = 1.2 * (1 - 0.75 + 0.75 * len(t) / avgdl)
+            exp[str(d)] = math.log((n + 1) / df) * ((tf * 2.2) / (tf + K) + 1.0)
+    assert set(got) == set(exp)
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-12
+    # the delta floor: even the 4000-token doc scores > idf * delta * qterm... i.e. > 0
+    assert got["1"] > math.log((n + 1) / df) * 1.0 * 0.99
