@@ -591,7 +591,10 @@ def fsck_index(index_dir: str) -> dict:
     Returns a report dict with ``violations`` (0 = healthy) and
     counters.  Scale shape: postings stream through tasks (decode is the
     same vectorized kernel queries use), only (term, df_partial) rows
-    and violation counts leave each task."""
+    and violation counts leave each task.  The doc_len cross-check array
+    ships once via ray.put (8 B/doc — the same footprint precedent as
+    the filtered-retrieval mask and compaction remap; at 10^12-doc scale
+    it shrinks to per-shard slices like those do)."""
     import json
 
     import numpy as np
