@@ -229,7 +229,7 @@ def topk_per_key(
             .groupby(key_column, sort=False)
             .head(k),
             preserve_index=False,
-        ).cast(batch.schema)
+        ).cast(batch.schema).replace_schema_metadata(None)
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(by, ascending=asc, kind="stable").head(k)

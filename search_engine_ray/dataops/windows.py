@@ -44,7 +44,9 @@ def tumbling_window_agg(
             min_value=("value", "min"),
             max_value=("value", "max"),
         )
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        # strip pandas schema metadata: dict-typed metadata defeats Ray's
+        # block-schema dedup (hash warning) on every shuffle batch
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     from ray.data.aggregate import Max, Min, Sum
 
@@ -98,7 +100,9 @@ def hopping_window_agg(
         agg = df.groupby(["key", "window_start_us"], as_index=False).agg(
             n=("value", "size"), sum_value=("value", "sum")
         )
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        # strip pandas schema metadata: dict-typed metadata defeats Ray's
+        # block-schema dedup (hash warning) on every shuffle batch
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     from ray.data.aggregate import Sum
 
