@@ -1885,6 +1885,28 @@ def q_bm25plus_top10(sf_dir: str) -> pa.Table:
     )
 
 
+def q_bm25_proximity_top10(sf_dir: str) -> pa.Table:
+    """Proximity-boosted BM25 (sequential-dependence lite): bm25 +
+    0.5 * ln(1 + within-4 pair count) summed over the adjacent query
+    pairs ('spark','hash') and ('hash','join'), pair counts from the
+    positional sidecar."""
+    from search_engine_ray.pipelines import (
+        bm25_proximity_boosted_f64,
+        documents_positions_dir,
+    )
+
+    r = _reader(sf_dir)
+    pos_dir = documents_positions_dir(sf_dir, OPT_NOSTEM)
+    ids, scores = bm25_proximity_boosted_f64(
+        r, pos_dir, BM25_QUERY, window=4, lam=0.5, options=OPT_NOSTEM
+    )
+    ids, scores = ids[:10], scores[:10]
+    doc_ids = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids), "score_micros": pa.array(_micros(scores))}
+    )
+
+
 def q_fuzzy_terms(sf_dir: str) -> pa.Table:
     """Fuzzy dictionary match: terms within Levenshtein distance 1 of
     'fash' -> (term, df, dist); length-pruned scan + batched DP kernel
@@ -2080,6 +2102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_collapsed_top10": q_bm25_collapsed_top10,
         "bm25_upsert_top10": q_bm25_upsert_top10,
         "bm25plus_top10": q_bm25plus_top10,
+        "bm25_proximity_top10": q_bm25_proximity_top10,
         "wildcard_terms": q_wildcard_terms,
         "prefix_search_top10": q_prefix_search_top10,
         "rrf_fusion": q_rrf_fusion,
@@ -2672,6 +2695,50 @@ def oracle_sql() -> dict[str, str]:
             ),
             ranked AS (SELECT doc_id, score,
                               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM sc)
+            SELECT doc_id, {micros.format(expr="score")} AS score_micros
+            FROM ranked WHERE r <= 10
+        """,
+        "bm25_proximity_top10": f"""
+            WITH {_TOKS},
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+            tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks
+                   WHERE t IN ('spark','hash','join') GROUP BY doc_id, t),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            sc AS (
+              SELECT tf.doc_id,
+                     SUM( ln((st.n - df.df + 0.5) / (df.df + 0.5))
+                          * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) ) AS score
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+              GROUP BY tf.doc_id
+            ),
+            raw AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text), '[\\x00-\\x2f:;=?]')) AS t,
+                     unnest(generate_series(1,
+                        len(regexp_split_to_array(lower(text), '[\\x00-\\x2f:;=?]')))) AS pos
+              FROM documents),
+            kept AS (
+              SELECT doc_id, t,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS kp
+              FROM raw
+              WHERE t <> '' AND substr(t, 1, 1) <> '<' AND substr(t, -1, 1) <> '>'
+                AND t NOT IN ({_STOP_LIST})),
+            pairs AS (
+              SELECT a.doc_id, count(*) AS n_pairs
+              FROM kept a JOIN kept b
+                ON b.doc_id = a.doc_id AND abs(a.kp - b.kp) <= 4
+              WHERE (a.t = 'spark' AND b.t = 'hash')
+                 OR (a.t = 'hash' AND b.t = 'join')
+              GROUP BY a.doc_id),
+            boosted AS (
+              SELECT sc.doc_id,
+                     sc.score + 0.5 * ln(1 + COALESCE(pairs.n_pairs, 0)) AS score
+              FROM sc LEFT JOIN pairs USING (doc_id)
+            ),
+            ranked AS (SELECT doc_id, score,
+                              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM boosted)
             SELECT doc_id, {micros.format(expr="score")} AS score_micros
             FROM ranked WHERE r <= 10
         """,

@@ -603,3 +603,34 @@ def bm25plus_scores_f64(
     cand = np.flatnonzero(touched)
     order = np.lexsort((cand, -scores[cand]))
     return cand[order], scores[cand][order]
+
+
+def bm25_proximity_boosted_f64(
+    reader: IndexReader,
+    pos_dir: str,
+    keywords: list[tuple[str, int]],
+    window: int = 4,
+    lam: float = 0.5,
+    options=None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Proximity-boosted BM25 (sequential-dependence lite, Metzler &
+    Croft): final = bm25 + lam * ln(1 + pairs), where ``pairs`` sums the
+    within-``window`` co-occurrences of each ADJACENT query-term pair
+    from the positional sidecar.  The pair probe reads only the two
+    terms' position rows (positions.proximity_search); the boost table
+    is pair-output-sized, never a corpus pass."""
+    from .engine.positions import proximity_search
+
+    ids, scores = bm25_scores_f64(reader, keywords)
+    boost = np.zeros(reader.n_docs, dtype=np.float64)
+    for (t1, _), (t2, _) in zip(keywords, keywords[1:]):
+        tbl = proximity_search(pos_dir, t1, t2, window, options=options)
+        for name, n_pairs in zip(
+            tbl["doc_id"].to_pylist(), tbl["n_pairs"].to_pylist()
+        ):
+            o = reader.doc_id_of(str(name))
+            if o >= 0:
+                boost[o] += float(n_pairs)
+    scores = scores + lam * np.log1p(boost[ids])
+    order = np.lexsort((ids, -scores))
+    return ids[order], scores[order]

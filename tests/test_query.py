@@ -463,3 +463,55 @@ def test_bm25plus_long_doc_lower_bound(ray_session, tmp_path):
         assert abs(got[k] - exp[k]) < 1e-12
     # the delta floor: even the 4000-token doc scores > idf * delta * qterm... i.e. > 0
     assert got["1"] > math.log((n + 1) / df) * 1.0 * 0.99
+
+
+def test_bm25_proximity_boosted(ray_session, tmp_path):
+    """Proximity boost = bm25 + lam*ln(1+pairs) with pair counts from the
+    sidecar; docs with adjacent query terms outrank equal-bm25 docs."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from search_engine_ray.config import BuildConfig, IndexOptions
+    from search_engine_ray.engine.build import build_index
+    from search_engine_ray.engine.index_reader import IndexReader
+    from search_engine_ray.engine.positions import build_position_index, proximity_search
+    from search_engine_ray.pipelines import (
+        bm25_proximity_boosted_f64,
+        bm25_scores_f64,
+    )
+
+    # docs 0/1 have identical term bags; only 0 has the terms adjacent
+    texts = ["alpha beta filler filler", "alpha filler filler beta", "alpha gamma"]
+    corpus = str(tmp_path / "c")
+    _os.makedirs(corpus)
+    pq_.write_table(
+        pa.table({"doc_id": pa.array(range(3), pa.int64()), "text": pa.array(texts)}),
+        f"{corpus}/d.parquet",
+    )
+    opts = IndexOptions(stemming=False)
+    idx = str(tmp_path / "i")
+    build_index(
+        corpus, idx, BuildConfig(block_entries=4, frags_per_shard=2, options=opts),
+        overwrite=True, source_column="text", name_column="doc_id",
+    )
+    pos = str(tmp_path / "p")
+    build_position_index(corpus, pos, opts, source_column="text", name_column="doc_id")
+
+    r = IndexReader(idx)
+    kws = [("alpha", 1), ("beta", 1)]
+    b_ids, b_scores = bm25_scores_f64(r, kws)
+    p_ids, p_scores = bm25_proximity_boosted_f64(r, pos, kws, window=1, lam=0.5, options=opts)
+    base = {int(r.doc_names[d]): s for d, s in zip(b_ids, b_scores)}
+    boosted = {int(r.doc_names[d]): s for d, s in zip(p_ids, p_scores)}
+    import math
+
+    pairs0 = proximity_search(pos, "alpha", "beta", 1, options=opts)
+    n0 = dict(zip(pairs0["doc_id"].to_pylist(), pairs0["n_pairs"].to_pylist()))
+    for doc in base:
+        assert abs(boosted[doc] - (base[doc] + 0.5 * math.log1p(n0.get(doc, 0)))) < 1e-12
+    # identical bm25 bags: the adjacent one wins after the boost
+    assert abs(base[0] - base[1]) < 1e-9
+    assert boosted[0] > boosted[1]
+    assert int(r.doc_names[p_ids[0]]) == 0
