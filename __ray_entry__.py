@@ -50,7 +50,7 @@ _TOKS = f"""
   toks AS (
     SELECT doc_id, t
     FROM documents,
-         UNNEST(regexp_split_to_array(lower(text), '[\\x00-\\x2f:;=?]')) AS u(t)
+         UNNEST(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\\x00-\\x2f:;=?]')) AS u(t)
     WHERE t <> '' AND substr(t, 1, 1) <> '<' AND substr(t, -1, 1) <> '>'
       AND t NOT IN ({_STOP_LIST})
   )
@@ -2003,7 +2003,7 @@ def _dup_spans_sql(k: int = _SPAN_K, min_count: int = 2) -> str:
     return f"""
         WITH tl AS (
           SELECT doc_id,
-                 list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tks
+                 list_filter(regexp_split_to_array(text, '[\\t\\n\\x0B\\x0C\\r ]+'), x -> x <> '') AS tks
           FROM documents),
         tok AS (
           SELECT doc_id, unnest(tks) AS t, unnest(generate_series(1, len(tks))) AS pos
@@ -2142,7 +2142,7 @@ def _decontaminate_sql(n: int = 8) -> str:
     return f"""
         WITH tk AS (
           SELECT doc_id,
-                 list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+                 list_filter(regexp_split_to_array(text, '[\\t\\n\\x0B\\x0C\\r ]+'), x -> x <> '') AS tk
           FROM documents),
         sh AS (
           SELECT DISTINCT doc_id, {joined} AS s
@@ -2172,7 +2172,7 @@ def _simhash_sql() -> str:
         WITH stoks AS (
           SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h
           FROM documents,
-               UNNEST(regexp_split_to_array(text, '\\s+')) AS u(t)
+               UNNEST(regexp_split_to_array(text, '[\\t\\n\\x0B\\x0C\\r ]+')) AS u(t)
           WHERE t <> ''
         ),
         bits AS (
@@ -2221,7 +2221,7 @@ def _minhash_cte(threshold: float = 0.6) -> str:
     return f"""
         tl AS (
           SELECT doc_id,
-                 list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tks
+                 list_filter(regexp_split_to_array(text, '[\\t\\n\\x0B\\x0C\\r ]+'), x -> x <> '') AS tks
           FROM documents
         ),
         tok AS (
@@ -2358,22 +2358,22 @@ def _curate_web_sql(n: int = 8) -> str:
           WHERE rn = 1),
         gwl AS (
           SELECT doc_id, text,
-                 list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+                 list_filter(regexp_split_to_array(text, '[\\t\\n\\x0B\\x0C\\r ]+'), x -> x <> '') AS ws
           FROM documents),
         gwords AS (SELECT doc_id, unnest(ws) AS w FROM gwl),
         gwstats AS (
           SELECT doc_id, count(*) AS n_words,
                  COALESCE(sum(length(w)), 0) AS word_chars,
                  sum(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1 ELSE 0 END) AS n_alpha_words,
-                 count(DISTINCT CASE WHEN lower(w) IN
+                 count(DISTINCT CASE WHEN translate(w, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') IN
                        ('the','be','to','of','and','that','have','with')
-                       THEN lower(w) END) AS n_stop_words
+                       THEN translate(w, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') END) AS n_stop_words
           FROM gwords GROUP BY doc_id),
         glines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS ln FROM gwl),
         glstats AS (
           SELECT doc_id, count(*) AS n_lines,
-                 sum(CASE WHEN regexp_matches(ln, '^\\s*[-*•]') THEN 1 ELSE 0 END) AS n_bullet_lines,
-                 sum(CASE WHEN regexp_matches(ln, '(\\.\\.\\.|…)\\s*$') THEN 1 ELSE 0 END) AS n_ellipsis_lines
+                 sum(CASE WHEN regexp_matches(ln, '^[\\t\\n\\x0B\\x0C\\r ]*[-*•]') THEN 1 ELSE 0 END) AS n_bullet_lines,
+                 sum(CASE WHEN regexp_matches(ln, '(\\.\\.\\.|…)[\\t\\n\\x0B\\x0C\\r ]*$') THEN 1 ELSE 0 END) AS n_ellipsis_lines
           FROM glines GROUP BY doc_id),
         gsyms AS (
           SELECT doc_id,
@@ -2396,7 +2396,7 @@ def _curate_web_sql(n: int = 8) -> str:
             AND COALESCE(w.n_stop_words, 0) >= 1),
         dtk AS (
           SELECT doc_id,
-                 list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+                 list_filter(regexp_split_to_array(text, '[\\t\\n\\x0B\\x0C\\r ]+'), x -> x <> '') AS tk
           FROM documents),
         dsh AS (
           SELECT DISTINCT doc_id, {joined} AS s
@@ -2476,7 +2476,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_quantiles": """
             WITH tc AS (
-              SELECT len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n
+              SELECT len(list_filter(regexp_split_to_array(text, '[\\t\\n\\x0B\\x0C\\r ]+'), x -> x <> '')) AS n
               FROM documents
             )
         """
@@ -2516,8 +2516,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
               len(list_filter(str_split(text, chr(10)), x -> x <> '')) AS n_lines,
               len(list_distinct(list_filter(str_split(text, chr(10)), x -> x <> ''))) AS n_distinct_lines,
-              len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens,
-              len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS n_distinct_tokens
+              len(list_filter(regexp_split_to_array(text, '[\t\n\x0B\x0C\r ]+'), x -> x <> '')) AS n_tokens,
+              len(list_distinct(list_filter(regexp_split_to_array(text, '[\t\n\x0B\x0C\r ]+'), x -> x <> ''))) AS n_distinct_tokens
             FROM documents
         """,
         "dedup_apply": """
@@ -2585,7 +2585,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      ('0x' || substr(md5(t), 1, 16))::UBIGINT % {_DSIR_BUCKETS} AS b
               FROM documents,
-                   UNNEST(regexp_split_to_array(text, '\\s+')) AS u(t)
+                   UNNEST(regexp_split_to_array(text, '[\\t\\n\\x0B\\x0C\\r ]+')) AS u(t)
               WHERE t <> ''),
             raw_cnt AS (SELECT b, count(*) AS c FROM stoks GROUP BY b),
             tgt_cnt AS (SELECT s.b, count(*) AS c
@@ -2613,7 +2613,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pack_sequences": f"""
             WITH tc AS (
-              SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n
+              SELECT doc_id, len(regexp_extract_all(text, '[^\\t\\n\\x0B\\x0C\\r ]+')) AS n
               FROM documents),
             off AS (
               SELECT doc_id, n,
@@ -2715,9 +2715,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             raw AS (
               SELECT doc_id,
-                     unnest(regexp_split_to_array(lower(text), '[\\x00-\\x2f:;=?]')) AS t,
+                     unnest(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\\x00-\\x2f:;=?]')) AS t,
                      unnest(generate_series(1,
-                        len(regexp_split_to_array(lower(text), '[\\x00-\\x2f:;=?]')))) AS pos
+                        len(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\\x00-\\x2f:;=?]')))) AS pos
               FROM documents),
             kept AS (
               SELECT doc_id, t,
@@ -2771,7 +2771,7 @@ def oracle_sql() -> dict[str, str]:
             toks AS (
               SELECT doc_id, v, t
               FROM allver,
-                   UNNEST(regexp_split_to_array(lower(text), '[\\x00-\\x2f:;=?]')) AS u(t)
+                   UNNEST(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\\x00-\\x2f:;=?]')) AS u(t)
               WHERE t <> '' AND substr(t, 1, 1) <> '<' AND substr(t, -1, 1) <> '>'
                 AND t NOT IN ({_STOP_LIST})
             ),
@@ -2991,9 +2991,9 @@ def oracle_sql() -> dict[str, str]:
         "snippets": f"""
             WITH raw AS (
               SELECT doc_id,
-                     unnest(regexp_split_to_array(lower(text), '[\\x00-\\x2f:;=?]')) AS t,
+                     unnest(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\\x00-\\x2f:;=?]')) AS t,
                      unnest(generate_series(1,
-                        len(regexp_split_to_array(lower(text), '[\\x00-\\x2f:;=?]')))) AS pos
+                        len(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\\x00-\\x2f:;=?]')))) AS pos
               FROM documents),
             kept AS (
               SELECT doc_id, t,
@@ -3072,9 +3072,9 @@ def oracle_sql() -> dict[str, str]:
         "proximity_match": f"""
             WITH raw AS (
               SELECT doc_id,
-                     unnest(regexp_split_to_array(lower(text), '[\\x00-\\x2f:;=?]')) AS t,
+                     unnest(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\\x00-\\x2f:;=?]')) AS t,
                      unnest(generate_series(1,
-                        len(regexp_split_to_array(lower(text), '[\\x00-\\x2f:;=?]')))) AS pos
+                        len(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\\x00-\\x2f:;=?]')))) AS pos
               FROM documents),
             kept AS (
               SELECT doc_id, t,
@@ -3092,7 +3092,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pack_bins": f"""
             WITH tc AS (
-              SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n
+              SELECT doc_id, len(regexp_extract_all(text, '[^\\t\\n\\x0B\\x0C\\r ]+')) AS n
               FROM documents),
             off AS (
               SELECT doc_id, n,
@@ -3201,14 +3201,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)
         """,
         "token_count": r"""
-            SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens FROM documents
+            SELECT doc_id, len(regexp_extract_all(text, '[^\t\n\x0B\x0C\r ]+')) AS n_tokens FROM documents
         """,
         "phrase_match": f"""
             WITH raw AS (
               SELECT doc_id,
-                     unnest(regexp_split_to_array(lower(text), '[\\x00-\\x2f:;=?]')) AS t,
+                     unnest(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\\x00-\\x2f:;=?]')) AS t,
                      unnest(generate_series(1,
-                        len(regexp_split_to_array(lower(text), '[\\x00-\\x2f:;=?]')))) AS pos
+                        len(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\\x00-\\x2f:;=?]')))) AS pos
               FROM documents),
             kept AS (
               SELECT doc_id, t,
@@ -3226,7 +3226,7 @@ def oracle_sql() -> dict[str, str]:
         "top_bigrams": r"""
             WITH tl AS (
               SELECT doc_id,
-                     list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tks
+                     list_filter(regexp_split_to_array(text, '[\t\n\x0B\x0C\r ]+'), x -> x <> '') AS tks
               FROM documents),
             tok AS (
               SELECT doc_id, unnest(tks) AS t,
@@ -3250,22 +3250,22 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": r"""
             WITH wl AS (
               SELECT doc_id, text,
-                     list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+                     list_filter(regexp_split_to_array(text, '[\t\n\x0B\x0C\r ]+'), x -> x <> '') AS ws
               FROM documents),
             words AS (SELECT doc_id, unnest(ws) AS w FROM wl),
             wstats AS (
               SELECT doc_id, count(*) AS n_words,
                      COALESCE(sum(length(w)), 0) AS word_chars,
                      sum(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1 ELSE 0 END) AS n_alpha_words,
-                     count(DISTINCT CASE WHEN lower(w) IN
+                     count(DISTINCT CASE WHEN translate(w, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') IN
                            ('the','be','to','of','and','that','have','with')
-                           THEN lower(w) END) AS n_stop_words
+                           THEN translate(w, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') END) AS n_stop_words
               FROM words GROUP BY doc_id),
             lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS ln FROM wl),
             lstats AS (
               SELECT doc_id, count(*) AS n_lines,
-                     sum(CASE WHEN regexp_matches(ln, '^\s*[-*•]') THEN 1 ELSE 0 END) AS n_bullet_lines,
-                     sum(CASE WHEN regexp_matches(ln, '(\.\.\.|…)\s*$') THEN 1 ELSE 0 END) AS n_ellipsis_lines
+                     sum(CASE WHEN regexp_matches(ln, '^[\t\n\x0B\x0C\r ]*[-*•]') THEN 1 ELSE 0 END) AS n_bullet_lines,
+                     sum(CASE WHEN regexp_matches(ln, '(\.\.\.|…)[\t\n\x0B\x0C\r ]*$') THEN 1 ELSE 0 END) AS n_ellipsis_lines
               FROM lines GROUP BY doc_id),
             syms AS (
               SELECT doc_id,
@@ -3294,7 +3294,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_token_count": r"""
             SELECT doc_id,
-                   len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+                   len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\t\n\x0B\x0C\r ]+'))
                      AS n_bpe_tokens
             FROM documents
         """,
@@ -3302,10 +3302,10 @@ def oracle_sql() -> dict[str, str]:
             WITH base AS (
               SELECT doc_id,
                      length(text) AS n_chars,
-                     len(list_filter(regexp_extract_all(text, '\\S+'), x -> x <> '')) AS n_tokens,
-                     len(list_filter(regexp_extract_all(text, '\\S+'),
-                         x -> lower(x) IN ({_STOP_LIST}))) AS n_stop,
-                     len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+                     len(list_filter(regexp_extract_all(text, '[^\\t\\n\\x0B\\x0C\\r ]+'), x -> x <> '')) AS n_tokens,
+                     len(list_filter(regexp_extract_all(text, '[^\\t\\n\\x0B\\x0C\\r ]+'),
+                         x -> translate(x, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') IN ({_STOP_LIST}))) AS n_stop,
+                     len(regexp_extract_all(text, '[^A-Za-z0-9\\t\\n\\x0B\\x0C\\r ]')) AS n_punct,
                      len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
                      len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
               FROM documents
@@ -3372,7 +3372,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE r <= 5
         """,
         "ngram_jaccard": r"""
-            WITH tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents),
+            WITH tk AS (SELECT doc_id, regexp_extract_all(text, '[^\t\n\x0B\x0C\r ]+') AS tk FROM documents),
             sh AS (
               SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
               FROM tk, UNNEST(generate_series(1, greatest(len(tk) - 2, 0))) AS g(i)
@@ -3390,7 +3390,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_components": r"""
             WITH RECURSIVE
-            tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents),
+            tk AS (SELECT doc_id, regexp_extract_all(text, '[^\t\n\x0B\x0C\r ]+') AS tk FROM documents),
             sh AS (
               SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
               FROM tk, UNNEST(generate_series(1, greatest(len(tk) - 2, 0))) AS g(i)
@@ -3429,9 +3429,9 @@ def oracle_sql() -> dict[str, str]:
             q AS (
               SELECT doc_id,
                      length(text) AS n_chars,
-                     len(list_filter(regexp_extract_all(text, '\\S+'), x -> x <> '')) AS n_tokens,
-                     len(list_filter(regexp_extract_all(text, '\\S+'),
-                         x -> lower(x) IN ({_STOP_LIST}))) AS n_stop,
+                     len(list_filter(regexp_extract_all(text, '[^\\t\\n\\x0B\\x0C\\r ]+'), x -> x <> '')) AS n_tokens,
+                     len(list_filter(regexp_extract_all(text, '[^\\t\\n\\x0B\\x0C\\r ]+'),
+                         x -> translate(x, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') IN ({_STOP_LIST}))) AS n_stop,
                      len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
               FROM surv
             )

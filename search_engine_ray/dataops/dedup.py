@@ -38,6 +38,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from ..text.ws import WS_RE
+
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
@@ -58,7 +60,7 @@ def _token_lists(texts: pa.Array, hash_kind: str = "blake2b") -> tuple[np.ndarra
     hash_kind "blake2b" (default, fastest) or "md5be" (first 8 md5 bytes,
     big-endian — SQL-reproducible: ``('0x' || substr(md5(t),1,16))::UBIGINT``
     in DuckDB; used by simhash so its output is oracle-checkable)."""
-    lists = pc.split_pattern_regex(pc.fill_null(texts, ""), pattern=r"\s+")
+    lists = pc.split_pattern_regex(pc.fill_null(texts, ""), pattern=WS_RE)
     flat = pc.list_flatten(lists)
     flat = flat.filter(pc.greater(pc.binary_length(flat), 0))
     # cheap 64-bit token hash, vectorized via python loop on the

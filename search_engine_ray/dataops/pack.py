@@ -37,11 +37,12 @@ import ray
 import ray.data
 
 from ..engine.reader import Fragment, plan_fragments, read_fragment
+from ..text.ws import NONWS_RE
 
 
 def _ws_token_counts(texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
     """Whitespace-run token count per row, one vectorized kernel."""
-    counts = pc.count_substring_regex(pc.fill_null(texts, ""), pattern=r"\S+")
+    counts = pc.count_substring_regex(pc.fill_null(texts, ""), pattern=NONWS_RE)
     return np.asarray(counts, dtype=np.int64)
 
 

@@ -12,9 +12,13 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..text.stopwords import STOPWORDS_TUPLE
+from ..text.ws import WS_CHARS, WS_RE
 
 _STOP_ARR = pa.array(STOPWORDS_TUPLE, pa.string())
-_WS = r"\s+"
+# Explicit ASCII-whitespace class (text/ws.py): the same escaped pattern
+# string runs in Arrow RE2 here and in the DuckDB oracle, so no `\s`
+# vintage disagreement can flip integer token counts (r3 verdict #1).
+_WS = WS_RE
 
 
 def _text_col(batch: pa.Table, column: str) -> pa.Array:
@@ -42,7 +46,7 @@ def token_count_batch(batch: pa.Table, text_column: str = "text", id_column: str
 # GPT-style pre-tokenizer classes, RE2-compatible (no lookahead — RE2 and
 # hence pyarrow/DuckDB reject it): a token is an optional leading space
 # followed by a letter run, a digit run, or a punctuation run.
-_BPE_ISH = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+_BPE_ISH = rf" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9{WS_CHARS}]+"
 
 
 def bpe_token_count_batch(
@@ -77,7 +81,7 @@ def quality_batch(batch: pa.Table, text_column: str = "text", id_column: str = "
 
     n_upper = count_matches(r"[A-Z]")
     n_alpha = count_matches(r"[A-Za-z]")
-    n_punct = count_matches(r"[^A-Za-z0-9\s]")
+    n_punct = count_matches(rf"[^A-Za-z0-9{WS_CHARS}]")
 
     lists = pc.split_pattern_regex(texts, pattern=_WS)
     flat = pc.list_flatten(lists)
@@ -171,8 +175,8 @@ class LangId:
 # SQL oracle hash-matches without float thresholds.
 _GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 _GOPHER_STOP_ARR = pa.array(_GOPHER_STOPS, pa.string())
-_BULLET_RE = r"^\s*[-*•]"
-_ELLIPSIS_RE = r"(\.\.\.|…)\s*$"
+_BULLET_RE = rf"^[{WS_CHARS}]*[-*•]"
+_ELLIPSIS_RE = rf"(\.\.\.|…)[{WS_CHARS}]*$"
 
 
 def gopher_quality_batch(

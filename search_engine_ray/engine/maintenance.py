@@ -89,7 +89,9 @@ def tombstoned_names(index_dir: str) -> list[str]:
     return sorted(read_tombstones(index_dir))
 
 
-def delete_docs(index_dir: str, names, before_id: int | None = None) -> int:
+def delete_docs(
+    index_dir: str, names, before_id: int | None = None, override: bool = False
+) -> int:
     """Tombstone ``names`` (idempotent union with any existing set).
     Returns the total number of tombstoned names after the update.
 
@@ -97,15 +99,24 @@ def delete_docs(index_dir: str, names, before_id: int | None = None) -> int:
     an integer bound hides only versions with ordinal < before_id (the
     upsert primitive).  Names that are not in the index are recorded
     anyway (they may arrive before a pending incremental append lands) —
-    the reader's mask build simply skips unresolvable names."""
+    the reader's mask build simply skips unresolvable names.
+
+    ``override=True`` REPLACES any existing entry instead of unioning.
+    Upsert needs this: after a plain delete the name holds a ``None``
+    (everything-dead) bound which union semantics would keep, hiding the
+    re-indexed version forever; the upsert's watermark bound must win so
+    the new version (ordinal >= before_id) is live."""
     if not os.path.exists(os.path.join(index_dir, "stats.json")):
         raise FileNotFoundError(f"{index_dir} is not an index directory")
     merged = read_tombstones(index_dir)
     for n in names:
         n = str(n)
-        prior = merged.get(n, -1)
-        if prior is None or (before_id is not None and prior != -1 and prior >= before_id):
-            continue  # existing bound already dominates
+        if not override:
+            prior = merged.get(n, -1)
+            if prior is None or (
+                before_id is not None and prior != -1 and prior >= before_id
+            ):
+                continue  # existing bound already dominates
         merged[n] = before_id
     _write_tombstones(index_dir, merged)
     return len(merged)
@@ -845,8 +856,10 @@ def upsert_docs(
             n_before = json.load(fh)["n_docs"]
         # bound the tombstone at the pre-append docID watermark: only the
         # OLD versions die; the re-indexed versions (ordinals >= n_before)
-        # stay live
-        delete_docs(index_dir, replaced, before_id=n_before)
+        # stay live.  override: a prior plain delete left a None
+        # (everything-dead) bound that would otherwise dominate and hide
+        # the new version too — the watermark must replace it.
+        delete_docs(index_dir, replaced, before_id=n_before, override=True)
 
     # place the update file so it sorts after every existing corpus file
     existing = sorted(

@@ -16,6 +16,7 @@ import pyarrow as pa
 from .config import BuildConfig, IndexOptions
 from .engine.build import build_index
 from .engine.index_reader import IndexReader
+from .text.ws import WS_RE
 
 _CACHE_ROOT = os.environ.get("SE_RAY_CACHE", "/tmp/se_ray_cache")
 _READERS: dict[str, IndexReader] = {}
@@ -246,7 +247,7 @@ def curate_corpus(
         n_alpha = np.asarray(
             pc.count_substring_regex(texts, pattern=r"[A-Za-z]"), dtype=np.int64
         )
-        lists = pc.split_pattern_regex(texts, pattern=r"\s+")
+        lists = pc.split_pattern_regex(texts, pattern=WS_RE)
         flat = pc.list_flatten(lists)
         lens_pre = np.asarray(pc.list_value_length(lists), dtype=np.int64)
         doc_idx = np.repeat(np.arange(n), lens_pre)

@@ -652,3 +652,55 @@ def test_double_upsert_keeps_only_newest(ray_session, tmp_path):
     assert live == {"1"}
     for dead_term in ("beta", "gamma"):
         assert "1" not in {str(r.doc_names[d]) for d in boolean_or(r, [dead_term])}
+
+
+def test_upsert_after_plain_delete_revives_name(ray_session, tmp_path):
+    """A plain delete leaves a None (everything-dead) tombstone bound;
+    a later upsert of the same name must REPLACE that bound with its
+    watermark so the re-indexed version is live (round-3 advice:
+    union semantics silently kept the None bound and the new version
+    stayed hidden forever)."""
+    import pyarrow as pa
+
+    from search_engine_ray.config import IndexOptions
+    from search_engine_ray.engine.boolean import boolean_or
+    from search_engine_ray.engine.maintenance import (
+        delete_docs,
+        read_tombstones,
+        upsert_docs,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["alpha one", "beta two"])}),
+        f"{corpus}/a-docs.parquet",
+    )
+    idx = str(tmp_path / "idx")
+    cfg = BuildConfig(block_entries=4, frags_per_shard=2,
+                      options=IndexOptions(stemming=False))
+    build_index(corpus, idx, cfg, overwrite=True,
+                source_column="text", name_column="doc_id")
+
+    delete_docs(idx, ["1"])  # plain delete: every version dead
+    assert read_tombstones(idx) == {"1": None}
+
+    upd = str(tmp_path / "u.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array(["gamma three"])}), upd,
+    )
+    upsert_docs(idx, corpus, upd, config=cfg,
+                source_column="text", name_column="doc_id")
+
+    # the watermark bound replaced the None bound
+    assert read_tombstones(idx) == {"1": 2}
+    r = IndexReader(idx)
+    # the NEW version is live and queryable...
+    live = {str(r.doc_names[d]) for d in boolean_or(r, ["gamma"])}
+    assert live == {"1"}
+    # ...and the old version stays dead
+    assert "1" not in {str(r.doc_names[d]) for d in boolean_or(r, ["beta"])}
+    ids, _ = score_topic(r, [("gamma", 1)], scorer="bm25", k=10)
+    assert [str(r.doc_names[d]) for d in ids] == ["1"]
