@@ -409,7 +409,14 @@ def cmd_phrase(args: argparse.Namespace) -> int:
     from .engine.positions import phrase_search, proximity_search
 
     if args.near is not None:
-        a, b = args.words[0], args.words[1]
+        if len(args.words) != 2:
+            print(
+                "usage: phrase <positions_dir> WORD1 WORD2 --near N "
+                "(--near takes exactly two words)",
+                file=sys.stderr,
+            )
+            return 2
+        a, b = args.words
         tbl = proximity_search(args.positions_dir, a, b, args.near)
         col = "n_pairs"
     else:

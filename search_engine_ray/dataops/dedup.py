@@ -151,6 +151,10 @@ def _shingle_hashes(
 
     all_doc = np.concatenate(parts_doc)
     all_hash = np.concatenate(parts_hash)
+    if len(all_hash) == 0:
+        # n >= k overall but every window crossed a doc boundary (all docs
+        # shorter than k under short_mode="drop")
+        return np.empty(0, np.uint64), np.zeros(n_docs + 1, dtype=np.int64)
     order = np.lexsort((all_hash, all_doc))
     d_sorted = all_doc[order]
     h_sorted = all_hash[order]
@@ -588,7 +592,16 @@ def near_dup_filter(
         return ds.join(drops, "left_anti", jp, on=(id_column,), right_on=("drop_id",))
     if mode != "greedy":
         raise ValueError(f"unknown mode {mode!r}")
-    drops = pairs.select_columns(["b"]).groupby("b").count().select_columns(["b"])
+    # materialize + repartition: the aggregate emits schema-less blocks for
+    # its empty partitions and Ray 2.49's hash join crashes on them ("no
+    # match for key field b") — same workaround as the exact path / the
+    # verification joins.  drops is output-sized (docs to drop), scale-safe.
+    drops = (
+        pairs.select_columns(["b"]).groupby("b").count().select_columns(["b"]).materialize()
+    )
+    if drops.count() == 0:
+        return ds
+    drops = drops.repartition(max(1, drops.count() // 500_000 + 1))
     return ds.join(drops, "left_anti", jp, on=(id_column,), right_on=("b",))
 
 

@@ -149,11 +149,15 @@ def compact_index(index_dir: str, out_dir: str, overwrite: bool = False) -> dict
         read_parquet(docs) -> map_batches(filter + remap) -> write
         terms/df + stats: metadata-only aggregate of the new blocks.
 
-    The docID remap (old -> new or -1) ships once via ray.put (8 B per
-    doc here; at 10^12-doc scale each (bucket, shard) group only needs
-    its shard's slice plus the count of deletions before the shard's
-    base — per-shard offsets are a tiny table, so the broadcast shrinks
-    to shard-local slices; this sandbox build ships the whole array).
+    The docID remap never ships as an O(n_docs) array (round-3 verdict
+    #5).  Shards cover disjoint contiguous docID ranges (build assigns
+    docIDs by fragment position; merge/append keep shards disjoint), so
+    the sorted deleted-id set is SLICED per shard range and each slice is
+    a separate ``ray.put`` object: a task reads only the slices its
+    docID range overlaps, plus a tiny (n_shards) offset table of
+    deletions-before-base.  new_id = old_id - (deletions <= old_id) via
+    searchsorted — bit-identical to the dense remap, O(deleted-in-shard)
+    memory per task instead of 8 B x n_docs in every plasma store.
 
     Returns the new stats dict.  The output is a query-only index
     (docs/postings/terms/stats) — incremental append continues from the
@@ -207,13 +211,54 @@ def compact_index(index_dir: str, out_dir: str, overwrite: bool = False) -> dict
     new_sum_dl = stats["sum_dl"] - deleted_dl
     new_avgdl = new_sum_dl / new_n_docs if new_n_docs else 0.0
 
-    remap = np.arange(n_docs, dtype=np.int64)
+    # shard-local remap slices: shard docID ranges from a column-pruned
+    # distributed min(first_doc)-per-shard pass (n_shards rows to the
+    # driver), then one plasma object PER SHARD holding only that range's
+    # deleted ids.  del_before[i] = deletions below range i's base.
     if len(deleted_ids):
-        mask = np.zeros(n_docs, dtype=bool)
-        mask[deleted_ids] = True
-        remap -= np.cumsum(mask)
-        remap[mask] = -1
-    remap_ref = ray.put(remap)
+        from ray.data.aggregate import Min
+
+        sm = (
+            ray.data.read_parquet(
+                os.path.join(index_dir, "postings"), columns=["shard", "first_doc"]
+            )
+            .groupby("shard")
+            .aggregate(Min("first_doc", alias_name="lo"))
+            .to_pandas()
+            .sort_values("lo", ignore_index=True)
+        )
+        # range i covers [lo_i, lo_{i+1}); docs before the first posting
+        # shard fold into range 0
+        range_lo = sm["lo"].to_numpy(dtype=np.int64)
+        if len(range_lo) == 0:  # index with zero postings
+            range_lo = np.zeros(1, dtype=np.int64)
+        range_lo[0] = 0
+        cuts = np.searchsorted(deleted_ids, range_lo)
+        del_before = cuts.astype(np.int64)
+        bounds = np.append(cuts, len(deleted_ids))
+        slice_refs = [
+            ray.put(deleted_ids[bounds[i]: bounds[i + 1]])
+            for i in range(len(range_lo))
+        ]
+    else:
+        range_lo = np.zeros(1, dtype=np.int64)
+        del_before = np.zeros(1, dtype=np.int64)
+        slice_refs = [ray.put(np.empty(0, dtype=np.int64))]
+
+    def _remap_ids(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(new_ids, keep_mask) for a batch of old docIDs — reads only the
+        deleted-id slices whose shard range the batch overlaps."""
+        if len(ids) == 0:
+            return ids, np.zeros(0, dtype=bool)
+        s0 = int(np.searchsorted(range_lo, ids.min(), side="right")) - 1
+        s1 = int(np.searchsorted(range_lo, ids.max(), side="right")) - 1
+        dels = np.concatenate([ray.get(slice_refs[s]) for s in range(s0, s1 + 1)])
+        pos = np.searchsorted(dels, ids, side="left")
+        present = np.zeros(len(ids), dtype=bool)
+        inb = pos < len(dels)
+        present[inb] = dels[pos[inb]] == ids[inb]
+        return ids - (del_before[s0] + pos), ~present
+
     phases["resolve"] = time.perf_counter() - _t
 
     k1 = stats["bm25"]["k1"]
@@ -234,7 +279,6 @@ def compact_index(index_dir: str, out_dir: str, overwrite: bool = False) -> dict
 
         if group.num_rows == 0:
             return POSTINGS_SCHEMA.empty_table()
-        rm = ray.get(remap_ref)
         shard = group["shard"][0].as_py()
         term_col = (
             group["term"].combine_chunks()
@@ -252,8 +296,7 @@ def compact_index(index_dir: str, out_dir: str, overwrite: bool = False) -> dict
         tfs = decode_concat_rows(tbl["tfs_enc"], row_lens, delta=False)
         dls = decode_concat_rows(tbl["dls_enc"], row_lens, delta=False)
 
-        new_ids = rm[doc_ids]
-        keep = new_ids >= 0
+        new_ids, keep = _remap_ids(doc_ids)
         entry_codes = np.repeat(codes, row_lens)[keep]
         doc_ids, tfs, dls = new_ids[keep], tfs[keep], dls[keep]
         if len(doc_ids) == 0:
@@ -292,9 +335,7 @@ def compact_index(index_dir: str, out_dir: str, overwrite: bool = False) -> dict
     _t = time.perf_counter()
 
     def remap_docs(batch: pa.Table) -> pa.Table:
-        rm = ray.get(remap_ref)
-        new_ids = rm[np.asarray(batch["doc_id"], dtype=np.int64)]
-        keep = new_ids >= 0
+        new_ids, keep = _remap_ids(np.asarray(batch["doc_id"], dtype=np.int64))
         batch = batch.filter(pa.array(keep))
         return batch.set_column(
             batch.schema.get_field_index("doc_id"), "doc_id", pa.array(new_ids[keep])

@@ -162,11 +162,18 @@ def dedup_pages(input_path: str, out_dir: str, key: str = "url") -> str:
     reference makes "one doc per name" the CALLER's responsibility;
     WriteableIndex.cs:27-30).  Keeps the first row per key (ties by the
     deterministic input order), then sorts by key so the deduped corpus has
-    a deterministic layout — docID assignment downstream stays stable."""
-    import pandas as pd
+    a deterministic layout — docID assignment downstream stays stable.
+
+    Shape (round-3 verdict #6): the first-per-key decision runs on TINY
+    (key, _pos) rows — one native Min aggregate, never a per-key pandas
+    group and never the html payload through the decision shuffle — then a
+    native left_semi join applies the keep-set to the full rows (the same
+    aggregate + semi-join shape as dataops.dedup.exact_dedup_apply)."""
     import pyarrow as pa
     import ray.data
+    from ray.data.aggregate import Min
 
+    from .dataops.dedup import _join_parts
     from .engine.reader import Fragment, plan_fragments, read_fragment
 
     # fragment-wise read attaches the deterministic global row position so
@@ -187,13 +194,20 @@ def dedup_pages(input_path: str, out_dir: str, key: str = "url") -> str:
             )
         return pa.concat_tables(parts)
 
-    def first_per_key(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("_pos").head(1)
-
-    deduped = (
-        frag_ds.map_batches(load, batch_size=1)
+    keyed = frag_ds.map_batches(load, batch_size=1)
+    # decision stage: payload-free (key, _pos) rows only; keep-set is one
+    # row per distinct key.  materialize + repartition merges the
+    # aggregate's schema-less empty partitions before the join (Ray 2.49).
+    keep = (
+        keyed.select_columns([key, "_pos"])
         .groupby(key)
-        .map_groups(first_per_key, batch_format="pandas")
+        .aggregate(Min("_pos", alias_name="_keep_pos"))
+        .select_columns(["_keep_pos"])
+        .materialize()
+    )
+    keep = keep.repartition(max(1, keep.count() // 500_000 + 1))
+    deduped = (
+        keyed.join(keep, "left_semi", _join_parts(16), on=("_pos",), right_on=("_keep_pos",))
         .drop_columns(["_pos"])
         .sort(key)
     )
@@ -487,10 +501,17 @@ def prf_expanded_bm25_f64(
     """Pseudo-relevance feedback retrieval (engine/prf.py): initial BM25
     top-``fb_docs``, mine their top-``fb_terms`` terms (tf_sum * ln(N/df),
     corpus df), re-score with the expanded term set (expansions at
-    qtf=1).  Returns (doc_ids, scores, expansion_terms)."""
+    qtf=1).  Returns (doc_ids, scores, expansion_terms).
+
+    Tombstone-aware like every other query surface: deleted docs are
+    dropped from BOTH the feedback set (a dead doc must not seed
+    expansions) and the final ranking (round-3 advice)."""
     from .engine.prf import feedback_terms
 
+    dmask = reader.deleted_mask()
     ids0, _ = bm25_scores_f64(reader, keywords)
+    if dmask is not None:
+        ids0 = ids0[~dmask[ids0]]
     fb_ids = [str(reader.doc_names[d]) for d in ids0[:fb_docs]]
     expansions = feedback_terms(
         docs_ds,
@@ -505,6 +526,9 @@ def prf_expanded_bm25_f64(
     )
     expanded = list(keywords) + [(t, 1) for t, _ in expansions]
     ids, scores = bm25_scores_f64(reader, expanded)
+    if dmask is not None:
+        keep = ~dmask[ids]
+        ids, scores = ids[keep], scores[keep]
     return ids, scores, [t for t, _ in expansions]
 
 

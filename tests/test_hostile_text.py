@@ -1,0 +1,174 @@
+"""Hostile-text conformance fixture (round-3 verdict, task 3).
+
+The driver regenerates its corpus, and round 3 proved that text the local
+testdata never exercised (odd whitespace, CRLF, astral codepoints) can
+flip integer token counts between the engine's Arrow RE2 and DuckDB's
+RE2 when the two disagree about a character class.  After pinning the
+explicit ``[\\t\\n\\x0B\\x0C\\r ]`` class (text/ws.py) this fixture is the
+regression net: a small documents table packed with every character that
+has EVER split differently — vertical tab, form feed, NBSP, thin space,
+U+2028/U+2029, CRLF, astral codepoints, fullwidth letters, ligatures,
+empty and whitespace-only docs — over which every whitespace- or
+casefold-sensitive ``queries()`` entry must hash-match its
+``oracle_sql()`` in DuckDB, exactly like the driver gate.
+"""
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+# every class of character that has ever tokenized differently across
+# RE2 vintages / engines, plus structural edge cases
+HOSTILE_TEXTS = [
+    "",  # empty doc
+    " \t\v\f\r\n ",  # whitespace-only (incl. \v: the RE2-vintage flip)
+    "a\vb c\fd",  # VT + FF between tokens — in the pinned class
+    "a b",  # NBSP is NOT whitespace here: one token
+    "thin space and narrow",  # U+2009/U+202F not in class
+    "line1\r\nline2\rline3\nline4",  # CRLF / bare CR / LF
+    "x y z",  # line/paragraph separators: one token
+    "emoji \U0001f600\U0001f680 astral \U0001d518\U0001d52b\U0001d526",
+    "UPPER lower MiXeD ÀÉÎ Ⅰ ﬀ ＡＢＣ",
+    "... starts with ellipsis\n• bullet line\n- dash bullet\n* star\nends with ellipsis ...",
+    "ends with unicode ellipsis …\n…\nplain",
+    "tab\tseparated\ttokens here",
+    "multiple   spaces    between",
+    "trailing whitespace \t\v",
+    "\fleading formfeed",
+    "ütf8 ümlaut ß ñ naïve",
+    "<tag>xml</tag> content <a href=x>link</a>",
+    "!!! ??? ...",  # punctuation-only tokens
+    "the the the the repeated repeated tokens tokens",  # dup material
+    "the the the the repeated repeated tokens tokens",  # exact dup of ^
+    "0 1 22 333 4444 numbers 0x2f :;=? delim bytes",
+    "Mixed NBSP and \v VT and   LS in one doc",
+    "word"  # single token, no whitespace at all
+]
+
+# queries() entries whose oracle depends on whitespace tokenization,
+# ascii vs unicode casefolding, or line splitting — the surfaces the
+# explicit class has to pin.  All are documents-only pipelines.
+CHECKED = [
+    "token_count",
+    "bpe_token_count",
+    "quality",
+    "gopher_quality",
+    "doc_stats",
+    "term_stats",
+    "top_terms",
+    "collection_stats",
+    "token_quantiles",
+    "top_bigrams",
+    "pack_sequences",
+    "pack_bins",
+    "unigram_lm",
+    "dsir_weights",
+    "simhash",
+    "ngram_jaccard",
+    "dedup_components",
+    "dup_spans",
+    "paragraph_dedup",
+    "repetition",
+    "dedup_exact",
+    "dedup_apply",
+    "minhash_pairs",
+    "near_dup_apply",
+    "decontaminate",
+    "lang_distribution",
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("hostile")
+    n = len(HOSTILE_TEXTS)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(1, n + 1)), pa.int64()),
+            "text": pa.array(HOSTILE_TEXTS, pa.string()),
+            "lang": pa.array(
+                ["en" if i % 3 else "de" for i in range(n)], pa.string()
+            ),
+            "source": pa.array(
+                [f"src{i % 4}" for i in range(n)], pa.string()
+            ),
+            "n_chars": pa.array([len(t) for t in HOSTILE_TEXTS], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def hostile_con(hostile_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{hostile_dir}/documents.parquet')"
+    )
+    return con
+
+
+def _to_df(result) -> pd.DataFrame:
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def test_hostile_text_gate_conformance(ray_session, hostile_dir, hostile_con):
+    import __ray_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures = []
+    for name in CHECKED:
+        assert name in qs and name in oracles, f"{name} missing from contract"
+        try:
+            got = _normalize(_to_df(qs[name](hostile_dir)))
+            exp = _normalize(hostile_con.execute(oracles[name]).df())
+        except Exception as ex:  # noqa: BLE001 - collect per-query failures
+            failures.append(f"{name}: raised {type(ex).__name__}: {ex}")
+            continue
+        if list(got.columns) != list(exp.columns):
+            failures.append(f"{name}: columns {list(got.columns)} != {list(exp.columns)}")
+            continue
+        if len(got) != len(exp):
+            failures.append(f"{name}: rows {len(got)} != {len(exp)}")
+            continue
+        for c in got.columns:
+            gv, xv = np.asarray(got[c]), np.asarray(exp[c])
+            if np.issubdtype(gv.dtype, np.floating) or np.issubdtype(
+                xv.dtype, np.floating
+            ):
+                ok = np.allclose(
+                    gv.astype(np.float64), xv.astype(np.float64), rtol=0, atol=1e-9
+                )
+            else:
+                ok = (gv == xv).all()
+            if not ok:
+                bad = np.flatnonzero(gv != xv)[:3] if gv.dtype == xv.dtype else []
+                failures.append(
+                    f"{name}: column {c} differs"
+                    + (f" (e.g. rows {bad.tolist()}: {gv[bad]} vs {xv[bad]})" if len(bad) else "")
+                )
+                break
+    assert not failures, "\n".join(failures)

@@ -340,3 +340,49 @@ def test_prf_feedback_terms_and_expansion(index_dir, all_terms, ray_session):
     m_ids, m_scores = bm25_scores_f64(r, list(kws) + [(t, 1) for t in terms])
     np.testing.assert_array_equal(ids, m_ids)
     np.testing.assert_array_equal(scores, m_scores)
+
+
+def test_prf_excludes_tombstoned_docs(index_dir, all_terms, ray_session, tmp_path):
+    """PRF honors tombstones like every other query surface (round-3
+    advice): a deleted doc appears in neither the final ranking nor the
+    feedback set that seeds expansions."""
+    import shutil
+
+    import numpy as np
+    import ray.data
+
+    from search_engine_ray.config import IndexOptions
+    from search_engine_ray.corpus.pages import generate_pages_table
+    from search_engine_ray.engine.index_reader import IndexReader
+    from search_engine_ray.engine.maintenance import delete_docs
+    from search_engine_ray.pipelines import bm25_scores_f64, prf_expanded_bm25_f64
+
+    work = str(tmp_path / "idx_prf_tomb")
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(index_dir, work)
+    opts = IndexOptions()
+    docs_tbl = generate_pages_table(48, seed=7)
+    ds = ray.data.from_arrow(docs_tbl).repartition(3)
+
+    kws = sorted(all_terms, key=lambda t: -all_terms[t])[:2]
+    kws = [(t, 1) for t in kws]
+    r0 = IndexReader(work)
+    ids0, _, _ = prf_expanded_bm25_f64(
+        r0, ds, kws, opts, fb_docs=3, fb_terms=4,
+        text_column="text", id_column="url",
+    )
+    # tombstone the top PRF hit, re-run on a fresh reader
+    victim = str(r0.doc_names[ids0[0]])
+    delete_docs(work, [victim])
+    r = IndexReader(work)
+    ids, scores, terms = prf_expanded_bm25_f64(
+        r, ds, kws, opts, fb_docs=3, fb_terms=4,
+        text_column="text", id_column="url",
+    )
+    assert victim not in {str(r.doc_names[d]) for d in ids}
+    # the surviving ranking equals manual expanded scoring with the dead
+    # doc masked — i.e. the tombstone filter, not a score change
+    m_ids, m_scores = bm25_scores_f64(r, list(kws) + [(t, 1) for t in terms])
+    mk = ~r.deleted_mask()[m_ids]
+    np.testing.assert_array_equal(ids, m_ids[mk])
+    np.testing.assert_array_equal(scores, m_scores[mk])

@@ -88,7 +88,7 @@ def test_unigram_lm_oov_floor(docs_ds, ray_session):
     import ray.data
 
     lm = train_unigram_lm(docs_ds, OPTS)
-    _, _, total = lm
+    _, _, _, total = lm
     other = ray.data.from_arrow(
         pa.table({"doc_id": pa.array([1], pa.int64()), "text": pa.array(["zzzunknown zzzunknown"])})
     )
@@ -146,3 +146,45 @@ def test_dsir_importance_weights(docs_ds, ray_session):
     assert (
         tgt_rows["weight_micros"] / tgt_rows["n_tokens"]
     ).mean() > 0 or (other_rows["weight_micros"] <= tgt_rows["weight_micros"].max()).all()
+
+
+def test_train_unigram_lm_prune(docs_ds, ray_session):
+    """min_count prunes the tail INSIDE the Dataset (verdict r3 #3) while
+    total stays the full pre-prune token count; pruned tokens score OOV
+    and are counted in n_oov with zero sum_known_count contribution."""
+    import math
+
+    full = train_unigram_lm(docs_ds, OPTS)
+    pruned = train_unigram_lm(docs_ds, OPTS, min_count=2)
+    terms_f, counts_f, _, total_f = full
+    terms_p, counts_p, logp_p, total_p = pruned
+    assert total_p == total_f  # full pre-prune total
+    assert (counts_p >= 2).all()
+    assert set(terms_p) == {t for t, c in zip(terms_f, counts_f) if c >= 2}
+    # max_vocab keeps the most frequent N
+    top2 = train_unigram_lm(docs_ds, OPTS, max_vocab=2)
+    assert len(top2[0]) == 2
+    assert sorted(top2[1].tolist(), reverse=True) == sorted(
+        counts_f.tolist(), reverse=True
+    )[:2]
+
+    out = unigram_lm_scores(docs_ds, OPTS, lm=pruned).to_pandas()
+    # integer identities: every token is known or OOV; known-count sums
+    # are reproducible from the pruned model
+    toks = _brute_tokens()
+    cnt = {}
+    for ts in toks.values():
+        for t in ts:
+            cnt[t] = cnt.get(t, 0) + 1
+    kept = {t: c for t, c in cnt.items() if c >= 2}
+    out = out.set_index("doc_id")
+    oov_m = math.floor(math.log(1.0 / (total_f + 1)) * 1_000_000 + 0.5)
+    for d, ts in toks.items():
+        assert out.loc[d, "n_oov"] == sum(1 for t in ts if t not in kept)
+        assert out.loc[d, "sum_known_count"] == sum(kept.get(t, 0) for t in ts)
+        exp = sum(
+            math.floor(math.log(kept[t] / total_f) * 1_000_000 + 0.5)
+            if t in kept else oov_m
+            for t in ts
+        )
+        assert out.loc[d, "sum_logp_micros"] == exp

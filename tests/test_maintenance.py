@@ -704,3 +704,42 @@ def test_upsert_after_plain_delete_revives_name(ray_session, tmp_path):
     assert "1" not in {str(r.doc_names[d]) for d in boolean_or(r, ["beta"])}
     ids, _ = score_topic(r, [("gamma", 1)], scorer="bm25", k=10)
     assert [str(r.doc_names[d]) for d in ids] == ["1"]
+
+
+def test_compact_broadcast_is_shard_local(index_dir, ray_session, tmp_path,
+                                          monkeypatch):
+    """compact_index never ships an O(n_docs) remap: every ray.put made
+    during compaction is bounded by the DELETED-id count (per-shard
+    slices), not the corpus size (round-3 verdict #5)."""
+    import ray as _ray
+
+    from search_engine_ray.engine import maintenance as mnt
+
+    work = f"{BASE}/idx_compact_bcast_src"
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(index_dir, work)
+    r0 = IndexReader(index_dir)
+    victims = [str(r0.doc_names[i]) for i in (3, 11)]
+    delete_docs(work, victims)
+
+    put_sizes = []
+    real_put = _ray.put
+
+    def spy_put(obj, **kw):
+        if isinstance(obj, np.ndarray):
+            put_sizes.append(len(obj))
+        return real_put(obj, **kw)
+
+    monkeypatch.setattr(_ray, "put", spy_put)
+    out = f"{BASE}/idx_compact_bcast_out"
+    shutil.rmtree(out, ignore_errors=True)
+    stats = mnt.compact_index(work, out)
+    assert stats["n_compacted_out"] == 2
+    assert put_sizes, "expected per-shard slice puts"
+    # every broadcast object holds at most the deleted-id set — nothing
+    # proportional to n_docs
+    assert max(put_sizes) <= 2, put_sizes
+    assert sum(put_sizes) == 2
+    # and the result still queries correctly
+    r = IndexReader(out)
+    assert r.n_docs == r0.n_docs - 2
