@@ -36,6 +36,12 @@ from .merge import add_merge_keys, make_merge_fn, POSTINGS_SCHEMA
 from .reader import plan_fragments
 from .segments import SegmentBuilder, build_segments_batch
 
+# terms finalization: at most this many (term, shard) block-metadata rows
+# aggregate driver-side into ONE terms.parquet; above it the finalization
+# is fully distributed and writes a sorted terms/ directory.  Module-level
+# so tests can force the distributed branch on small corpora.
+TERMS_DRIVER_MAX_ROWS = 5_000_000
+
 
 def build_index(
     input_path: str | list[str],
@@ -177,14 +183,18 @@ def build_index(
 
     # terms table: df per term (A4 materialized) — aggregate over block
     # metadata only, no posting payload moves.  Small metadata (the common
-    # case up to ~millions of terms x shards) aggregates driver-side in one
-    # arrow pass; past the threshold it becomes a Ray groupby.
+    # case up to ~millions of terms x shards) aggregates driver-side into
+    # ONE sorted terms.parquet; past the threshold the whole finalization
+    # stays distributed — groupby.sum -> sort -> write a sorted terms/
+    # DIRECTORY (round-3 verdict #7: at 10^9+ distinct web-scale tokens a
+    # driver collect OOMs).  All readers accept both layouts via
+    # engine.terms_io.
     import pyarrow.dataset as pads
 
     _t = time.perf_counter()
     meta_ds = pads.dataset(postings_dir)
     approx_rows = sum(f.count_rows() for f in meta_ds.get_fragments())
-    if approx_rows <= 5_000_000:
+    if approx_rows <= TERMS_DRIVER_MAX_ROWS:
         meta_tbl = meta_ds.to_table(columns=["term", "n"])
         terms_df = (
             meta_tbl.group_by("term")
@@ -193,33 +203,50 @@ def build_index(
             .to_pandas()
             .sort_values("term", ignore_index=True)
         )
-    else:
-        post_meta = ray.data.read_parquet(postings_dir, columns=["term", "n"])
-        terms_df = (
-            post_meta.groupby("term")
-            .sum("n")
-            .to_pandas()
-            .rename(columns={"sum(n)": "df"})
-            .sort_values("term", ignore_index=True)
+        n_terms = int(len(terms_df))
+        tmp = terms_path + ".tmp"
+        pq.write_table(
+            pa.table(
+                {
+                    "term": pa.array(terms_df["term"], pa.string()),
+                    "df": pa.array(terms_df["df"].astype(np.int64), pa.int64()),
+                }
+            ),
+            tmp,
         )
-    tmp = terms_path + ".tmp"
-    pq.write_table(
-        pa.table(
-            {
-                "term": pa.array(terms_df["term"], pa.string()),
-                "df": pa.array(terms_df["df"].astype(np.int64), pa.int64()),
-            }
-        ),
-        tmp,
-    )
-    os.replace(tmp, terms_path)
+        os.replace(tmp, terms_path)
+    else:
+        import pyarrow.compute as _pc
+
+        def _rename(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {"term": b["term"], "df": _pc.cast(b["sum(n)"], pa.int64())}
+            )
+
+        terms_dir = os.path.join(index_dir, "terms")
+        tmp_dir = terms_dir + ".tmp"
+        if os.path.isdir(tmp_dir):
+            import shutil as _sh
+
+            _sh.rmtree(tmp_dir)
+        (
+            ray.data.read_parquet(postings_dir, columns=["term", "n"])
+            .groupby("term")
+            .sum("n")
+            .map_batches(_rename, batch_format="pyarrow")
+            .sort("term")
+            .write_parquet(tmp_dir)
+        )
+        os.replace(tmp_dir, terms_dir)
+        meta = pads.dataset(terms_dir)
+        n_terms = sum(f.count_rows() for f in meta.get_fragments())
     phases["terms"] = time.perf_counter() - _t
 
     stats = {
         "n_docs": n_docs,
         "sum_dl": sum_dl,
         "avgdl": avgdl,
-        "n_terms": int(len(terms_df)),
+        "n_terms": int(n_terms),
         "n_postings": int(manifests["n_postings"].sum()),
         "n_fragments": len(fragments),
         "options": config.options.to_dict(),

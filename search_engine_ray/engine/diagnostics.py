@@ -14,7 +14,9 @@ import os
 
 
 def index_stats(index_dir: str, stopword_df_threshold: int = 100_000) -> dict:
-    terms = pq.read_table(os.path.join(index_dir, "terms.parquet"))
+    from .terms_io import read_terms_table
+
+    terms = read_terms_table(index_dir)
     term_strs = terms["term"].to_pylist()
     dfs = np.asarray(terms["df"], dtype=np.int64)
     term_lens = np.asarray([len(t) for t in term_strs], dtype=np.int64)

@@ -105,7 +105,9 @@ class IndexReader:
         self.n_docs: int = self.stats["n_docs"]
         self.avgdl: float = self.stats["avgdl"]
 
-        terms_tbl = pq.read_table(os.path.join(index_dir, "terms.parquet"))
+        from .terms_io import read_terms_table
+
+        terms_tbl = read_terms_table(index_dir)
         self._df: dict[str, int] = dict(
             zip(terms_tbl["term"].to_pylist(), terms_tbl["df"].to_pylist())
         )

@@ -30,6 +30,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
 
+from .terms_io import read_terms_table, terms_dataset
+
 
 def _prefix_upper(prefix: str) -> str | None:
     """Smallest string greater than every string with this prefix
@@ -46,7 +48,7 @@ def prefix_terms(index_dir: str, prefix: str, limit: int | None = None) -> pa.Ta
     ascending.  Row-group-pruned range read over the sorted terms table."""
     if prefix == "":
         raise ValueError("empty prefix would scan the whole dictionary; use match_terms")
-    dset = pads.dataset(os.path.join(index_dir, "terms.parquet"))
+    dset = terms_dataset(index_dir)
     filt = pc.field("term") >= prefix
     upper = _prefix_upper(prefix)
     if upper is not None:
@@ -74,7 +76,7 @@ def match_terms(index_dir: str, pattern: str, limit: int | None = None) -> pa.Ta
     if literal:
         tbl = prefix_terms(index_dir, literal)
     else:
-        tbl = pads.dataset(os.path.join(index_dir, "terms.parquet")).to_table()
+        tbl = read_terms_table(index_dir)
     # hand-rolled translation: fnmatch.translate emits atomic groups RE2
     # rejects; match_substring_regex SEARCHES, so anchor both ends
     regex = "^" + "".join(
@@ -172,9 +174,7 @@ def fuzzy_terms(index_dir: str, query: str, max_dist: int = 1) -> pa.Table:
     near-length candidates.  For dictionaries too large for one driver
     scan, ``fuzzy_terms_ds`` runs the identical prune+kernel per batch as
     a stateless map_batches — each batch is independent, no shuffle."""
-    tbl = pads.dataset(os.path.join(index_dir, "terms.parquet")).to_table(
-        columns=["term", "df"]
-    )
+    tbl = read_terms_table(index_dir, columns=["term", "df"])
     return _fuzzy_filter(tbl, query, max_dist).sort_by("term")
 
 

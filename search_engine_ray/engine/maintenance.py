@@ -735,7 +735,9 @@ def fsck_index(index_dir: str) -> dict:
     v_col = "sum(violations)" if "sum(violations)" in agg.columns else "violations"
     violations = int(agg[v_col].sum())
 
-    terms_tbl = pq.read_table(os.path.join(index_dir, "terms.parquet"))
+    from .terms_io import read_terms_table
+
+    terms_tbl = read_terms_table(index_dir)
     dict_df = dict(zip(terms_tbl["term"].to_pylist(), terms_tbl["df"].to_pylist()))
     got_df = dict(zip(agg["term"], agg[df_col].astype(int)))
     df_mismatches = sum(
@@ -794,7 +796,9 @@ def prune_terms(
 
     with open(os.path.join(index_dir, "stats.json")) as fh:
         stats = json.load(fh)
-    terms_tbl = pq.read_table(os.path.join(index_dir, "terms.parquet"))
+    from .terms_io import read_terms_table
+
+    terms_tbl = read_terms_table(index_dir)
     drop = set(terms or [])
     if df_threshold is not None:
         for t, d in zip(terms_tbl["term"].to_pylist(), terms_tbl["df"].to_pylist()):

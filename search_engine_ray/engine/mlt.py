@@ -49,7 +49,9 @@ def select_query_terms(
     if not toks:
         return []
     terms, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-    dset = pads.dataset(os.path.join(index_dir, "terms.parquet"))
+    from .terms_io import terms_dataset
+
+    dset = terms_dataset(index_dir)
     df_tbl = dset.to_table(filter=pc.field("term").isin(terms.tolist()))
     df_map = dict(zip(df_tbl["term"].to_pylist(), df_tbl["df"].to_pylist()))
     rows = []

@@ -53,11 +53,12 @@ class _ShardIndexView:
         with open(os.path.join(index_dir, "stats.json")) as fh:
             self.stats = json.load(fh)
         self.avgdl = self.stats["avgdl"]
-        terms_path = os.path.join(index_dir, "terms.parquet")
+        from .terms_io import read_terms_table, terms_dataset
+
         if terms is None:
-            terms_tbl = pq.read_table(terms_path)
+            terms_tbl = read_terms_table(index_dir)
         else:
-            terms_tbl = pads.dataset(terms_path).to_table(
+            terms_tbl = terms_dataset(index_dir).to_table(
                 filter=pads.field("term").isin(list(terms))
             )
         self._df = dict(zip(terms_tbl["term"].to_pylist(), terms_tbl["df"].to_pylist()))
@@ -292,7 +293,9 @@ def search_topics_sharded(
 
         with open(os.path.join(index_dir, "stats.json")) as fh:
             stats = json.load(fh)
-        terms_tbl = pq.read_table(os.path.join(index_dir, "terms.parquet"))
+        from .terms_io import read_terms_table
+
+        terms_tbl = read_terms_table(index_dir)
         df_map = dict(zip(terms_tbl["term"].to_pylist(), terms_tbl["df"].to_pylist()))
         q_terms = sorted({t for _, kws in topics for t, _ in kws if t in df_map})
         hist_ds = ray.data.from_items([{"shard": s} for s in shards]).map_batches(

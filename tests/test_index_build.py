@@ -354,3 +354,56 @@ def test_proximity_search(ray_session, tmp_path):
 
     with _pytest.raises(ValueError):
         proximity_search(idx, "alpha", "beta", -1, opt)
+
+
+def test_distributed_terms_directory_layout(built, ray_session, monkeypatch):
+    """Forcing the distributed terms-finalization branch (round-3 verdict
+    #7: no driver-side collect at 10^9 terms) yields a sorted terms/
+    DIRECTORY that every reader surface treats identically to the
+    single-file layout: same df map, same lexicon probes, same stats,
+    same rankings."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.engine import build as build_mod
+    from search_engine_ray.engine.diagnostics import index_stats
+    from search_engine_ray.engine.index_reader import IndexReader
+    from search_engine_ray.engine.lexicon import fuzzy_terms, prefix_terms
+    from search_engine_ray.engine.search import score_topic
+    from search_engine_ray.engine.terms_io import read_terms_table, terms_source
+
+    corpus_dir, index_dir, stats, oracle = built
+
+    monkeypatch.setattr(build_mod, "TERMS_DRIVER_MAX_ROWS", 0)
+    out = f"{BASE}/index_terms_dir"
+    config = BuildConfig(block_entries=16, frags_per_shard=2)
+    stats2 = build_index(corpus_dir, out, config, term_buckets=8, overwrite=True)
+
+    src = terms_source(out)
+    assert os.path.isdir(src), "expected a terms/ directory layout"
+    assert not os.path.exists(os.path.join(out, "terms.parquet"))
+    assert stats2["n_terms"] == stats["n_terms"]
+    assert stats2["n_docs"] == stats["n_docs"]
+
+    # identical, globally sorted terms table
+    ref = pq.read_table(os.path.join(index_dir, "terms.parquet"))
+    got = read_terms_table(out)
+    assert got["term"].to_pylist() == ref["term"].to_pylist()
+    assert got["df"].to_pylist() == ref["df"].to_pylist()
+
+    # readers: df map, lexicon probes, diagnostics, ranking
+    r_ref, r_dir = IndexReader(index_dir), IndexReader(out)
+    assert r_ref._df == r_dir._df
+    some_prefix = next(t for t in r_ref._df if len(t) >= 2)[:2]
+    assert prefix_terms(out, some_prefix).to_pylist() == \
+        prefix_terms(index_dir, some_prefix).to_pylist()
+    probe = max(r_ref._df, key=len)
+    assert fuzzy_terms(out, probe, 1).to_pylist() == \
+        fuzzy_terms(index_dir, probe, 1).to_pylist()
+    assert index_stats(out)["n_terms"] == index_stats(index_dir)["n_terms"]
+    kws = [(t, 1) for t in sorted(r_ref._df, key=lambda t: -r_ref._df[t])[:3]]
+    for scorer in ("bm25", "tfidf"):
+        i1, s1 = score_topic(r_ref, kws, scorer=scorer, k=15)
+        i2, s2 = score_topic(r_dir, kws, scorer=scorer, k=15)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_array_equal(s1, s2)
