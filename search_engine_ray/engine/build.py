@@ -143,7 +143,6 @@ def build_index(
 
     # ---- stage 2: the term shuffle ----
     postings_dir = os.path.join(index_dir, "postings")
-    terms_path = os.path.join(index_dir, "terms.parquet")
     if os.path.isdir(postings_dir):
         shutil.rmtree(postings_dir)  # idempotent re-run of an interrupted merge
 
@@ -185,61 +184,14 @@ def build_index(
     # metadata only, no posting payload moves.  Small metadata (the common
     # case up to ~millions of terms x shards) aggregates driver-side into
     # ONE sorted terms.parquet; past the threshold the whole finalization
-    # stays distributed — groupby.sum -> sort -> write a sorted terms/
-    # DIRECTORY (round-3 verdict #7: at 10^9+ distinct web-scale tokens a
-    # driver collect OOMs).  All readers accept both layouts via
-    # engine.terms_io.
-    import pyarrow.dataset as pads
+    # stays distributed — groupby.sum -> sort -> a sorted terms/ DIRECTORY
+    # (round-3 verdict #7: at 10^9+ distinct web-scale tokens a driver
+    # collect OOMs).  All readers accept both layouts via engine.terms_io;
+    # compact and merge share the same writer.
+    from .terms_io import finalize_terms
 
     _t = time.perf_counter()
-    meta_ds = pads.dataset(postings_dir)
-    approx_rows = sum(f.count_rows() for f in meta_ds.get_fragments())
-    if approx_rows <= TERMS_DRIVER_MAX_ROWS:
-        meta_tbl = meta_ds.to_table(columns=["term", "n"])
-        terms_df = (
-            meta_tbl.group_by("term")
-            .aggregate([("n", "sum")])
-            .rename_columns(["term", "df"])
-            .to_pandas()
-            .sort_values("term", ignore_index=True)
-        )
-        n_terms = int(len(terms_df))
-        tmp = terms_path + ".tmp"
-        pq.write_table(
-            pa.table(
-                {
-                    "term": pa.array(terms_df["term"], pa.string()),
-                    "df": pa.array(terms_df["df"].astype(np.int64), pa.int64()),
-                }
-            ),
-            tmp,
-        )
-        os.replace(tmp, terms_path)
-    else:
-        import pyarrow.compute as _pc
-
-        def _rename(b: pa.Table) -> pa.Table:
-            return pa.table(
-                {"term": b["term"], "df": _pc.cast(b["sum(n)"], pa.int64())}
-            )
-
-        terms_dir = os.path.join(index_dir, "terms")
-        tmp_dir = terms_dir + ".tmp"
-        if os.path.isdir(tmp_dir):
-            import shutil as _sh
-
-            _sh.rmtree(tmp_dir)
-        (
-            ray.data.read_parquet(postings_dir, columns=["term", "n"])
-            .groupby("term")
-            .sum("n")
-            .map_batches(_rename, batch_format="pyarrow")
-            .sort("term")
-            .write_parquet(tmp_dir)
-        )
-        os.replace(tmp_dir, terms_dir)
-        meta = pads.dataset(terms_dir)
-        n_terms = sum(f.count_rows() for f in meta.get_fragments())
+    n_terms, _ = finalize_terms(postings_dir, index_dir, TERMS_DRIVER_MAX_ROWS)
     phases["terms"] = time.perf_counter() - _t
 
     stats = {

@@ -348,17 +348,12 @@ def compact_index(index_dir: str, out_dir: str, overwrite: bool = False) -> dict
     )
     phases["docs"] = time.perf_counter() - _t
 
-    # terms/df + stats from block metadata only
+    # terms/df + stats from block metadata only (shared writer — stays
+    # distributed past the driver threshold, terms_io.finalize_terms)
     _t = time.perf_counter()
-    meta_tbl = pads.dataset(out_postings).to_table(columns=["term", "n"])
-    terms_tbl = (
-        meta_tbl.group_by("term").aggregate([("n", "sum")]).rename_columns(["term", "df"])
-    )
-    terms_tbl = terms_tbl.sort_by("term")
-    terms_tbl = terms_tbl.set_column(
-        1, "df", pa.compute.cast(terms_tbl["df"], pa.int64())
-    )
-    pq.write_table(terms_tbl, os.path.join(out_dir, "terms.parquet"))
+    from .terms_io import finalize_terms
+
+    n_terms_out, n_postings_out = finalize_terms(out_postings, out_dir)
     phases["terms"] = time.perf_counter() - _t
 
     new_stats = dict(
@@ -366,8 +361,8 @@ def compact_index(index_dir: str, out_dir: str, overwrite: bool = False) -> dict
         n_docs=int(new_n_docs),
         sum_dl=int(new_sum_dl),
         avgdl=new_avgdl,
-        n_terms=int(terms_tbl.num_rows),
-        n_postings=int(pa.compute.sum(terms_tbl["df"]).as_py() or 0),
+        n_terms=int(n_terms_out),
+        n_postings=int(n_postings_out),
         compacted_from=os.path.abspath(index_dir),
         n_compacted_out=len(deleted_ids),
         phase_sec={k: round(v, 3) for k, v in phases.items()},
@@ -565,17 +560,11 @@ def merge_indexes(a_dir: str, b_dir: str, out_dir: str, overwrite: bool = False)
     ).write_parquet(out_docs)
     phases["docs"] = time.perf_counter() - _t
 
-    # terms/df + stats from block metadata
+    # terms/df + stats from block metadata (shared writer, terms_io)
     _t = time.perf_counter()
-    meta_tbl = pads.dataset(out_postings).to_table(columns=["term", "n"])
-    terms_tbl = (
-        meta_tbl.group_by("term").aggregate([("n", "sum")]).rename_columns(["term", "df"])
-    )
-    terms_tbl = terms_tbl.sort_by("term")
-    terms_tbl = terms_tbl.set_column(
-        1, "df", pa.compute.cast(terms_tbl["df"], pa.int64())
-    )
-    pq.write_table(terms_tbl, os.path.join(out_dir, "terms.parquet"))
+    from .terms_io import finalize_terms
+
+    n_terms_out, n_postings_out = finalize_terms(out_postings, out_dir)
     phases["terms"] = time.perf_counter() - _t
 
     # carry tombstones over: A's bounds unchanged, B's docID bounds
@@ -609,8 +598,8 @@ def merge_indexes(a_dir: str, b_dir: str, out_dir: str, overwrite: bool = False)
         n_docs=int(new_n_docs),
         sum_dl=int(new_sum_dl),
         avgdl=new_avgdl,
-        n_terms=int(terms_tbl.num_rows),
-        n_postings=int(pa.compute.sum(terms_tbl["df"]).as_py() or 0),
+        n_terms=int(n_terms_out),
+        n_postings=int(n_postings_out),
         n_fragments=stats["a"].get("n_fragments", 0) + stats["b"].get("n_fragments", 0),
         term_buckets=term_buckets,
         merged_from=[os.path.abspath(a_dir), os.path.abspath(b_dir)],

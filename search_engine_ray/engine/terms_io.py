@@ -54,6 +54,67 @@ def terms_dataset(index_dir: str) -> pads.Dataset:
     return pads.dataset(src)
 
 
+def finalize_terms(
+    postings_dir: str, index_dir: str, driver_max_rows: int = 5_000_000
+) -> tuple[int, int]:
+    """Write the terms table for ``index_dir`` from postings block
+    metadata (term, n) — the shared finalization used by build, compact
+    and merge.  Returns (n_terms, n_postings = sum of df).
+
+    Small metadata aggregates driver-side into one sorted terms.parquet;
+    above ``driver_max_rows`` block-metadata rows everything stays
+    distributed (groupby.sum -> sort -> sorted terms/ directory; counts
+    via metadata / a column-pruned distributed sum)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    meta_ds = pads.dataset(postings_dir)
+    approx_rows = sum(f.count_rows() for f in meta_ds.get_fragments())
+    terms_path = os.path.join(index_dir, TERMS_FILE)
+    terms_dir = os.path.join(index_dir, TERMS_DIR)
+    if approx_rows <= driver_max_rows:
+        meta_tbl = meta_ds.to_table(columns=["term", "n"])
+        tbl = (
+            meta_tbl.group_by("term")
+            .aggregate([("n", "sum")])
+            .rename_columns(["term", "df"])
+            .sort_by("term")
+        )
+        tbl = tbl.set_column(1, "df", pc.cast(tbl["df"], pa.int64()))
+        tmp = terms_path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, terms_path)
+        if os.path.isdir(terms_dir):  # stale other-layout leftovers
+            shutil.rmtree(terms_dir)
+        return int(tbl.num_rows), int(pc.sum(tbl["df"]).as_py() or 0)
+
+    import ray.data
+
+    def _rename(b: pa.Table) -> pa.Table:
+        return pa.table({"term": b["term"], "df": pc.cast(b["sum(n)"], pa.int64())})
+
+    tmp_dir = terms_dir + ".tmp"
+    if os.path.isdir(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    (
+        ray.data.read_parquet(postings_dir, columns=["term", "n"])
+        .groupby("term")
+        .sum("n")
+        .map_batches(_rename, batch_format="pyarrow")
+        .sort("term")
+        .write_parquet(tmp_dir)
+    )
+    if os.path.isdir(terms_dir):
+        shutil.rmtree(terms_dir)
+    os.replace(tmp_dir, terms_dir)
+    if os.path.exists(terms_path):
+        os.remove(terms_path)
+    n_terms = sum(f.count_rows() for f in pads.dataset(terms_dir).get_fragments())
+    n_postings = int(ray.data.read_parquet(terms_dir, columns=["df"]).sum("df") or 0)
+    return n_terms, n_postings
+
+
 def read_terms_table(index_dir: str, columns: list[str] | None = None) -> pa.Table:
     """The full terms table, globally sorted by term.
 
