@@ -172,3 +172,122 @@ def test_hostile_text_gate_conformance(ray_session, hostile_dir, hostile_con):
                 )
                 break
     assert not failures, "\n".join(failures)
+
+
+# ---------------------------------------------------------------------------
+# multi-fragment variant: the 23-doc fixture above is one parquet file /
+# one row group, so it never exercises cross-fragment docID bases, the
+# packing operators' two-phase fragment prefix sum, or multi-batch
+# aggregation paths.  This corpus interleaves the hostile texts with
+# deterministic unicode-soup documents across THREE files x 32-row row
+# groups (12 fragments), and re-checks the fragment/offset-sensitive
+# gates.
+# ---------------------------------------------------------------------------
+
+_SOUP_TOKENS = (
+    "alpha", "Beta", "GAMMA", "δέλτα", "εψιλον", "zeta42", "η­τα",
+    "θ", "ι", "κάππα", "λ́", "mu", "NU", "ξι", "0x2f", "123",
+    "...", "•", "—", "\U0001f600", "\U0001d518", "ＡＢ", "ﬀi", "ß",
+    "<tag>", "</tag>", "a=b", "c:d;e?f", "naïve", "Ⅻ",
+)
+_SOUP_WS = [" ", "  ", "\t", "\n", "\v", "\f", "\r\n", " ", "  ", " "]
+
+
+def _soup_doc(i: int) -> str:
+    """Deterministic pseudo-random document: token/whitespace choices
+    driven by sha256 of the doc index (no RNG state, reproducible)."""
+    import hashlib
+
+    h = hashlib.sha256(f"hostile-soup-{i}".encode()).digest()
+    n = h[0] % 60  # 0..59 tokens; some docs empty
+    parts = []
+    for j in range(n):
+        hj = hashlib.sha256(f"hostile-soup-{i}-{j}".encode()).digest()
+        parts.append(_SOUP_TOKENS[hj[0] % len(_SOUP_TOKENS)])
+        parts.append(_SOUP_WS[hj[1] % len(_SOUP_WS)])
+    return "".join(parts)
+
+
+FRAGMENT_SENSITIVE = [
+    "pack_sequences",
+    "pack_bins",
+    "token_count",
+    "doc_stats",
+    "term_stats",
+    "gopher_quality",
+    "unigram_lm",
+    "dsir_weights",
+    "dup_spans",
+    "minhash_pairs",
+    "dedup_components",
+    "paragraph_dedup",
+    "simhash",
+    "decontaminate",
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_multi_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("hostile_multi")
+    texts = []
+    for i in range(360):
+        if i % 5 == 0:
+            texts.append(HOSTILE_TEXTS[(i // 5) % len(HOSTILE_TEXTS)])
+        else:
+            texts.append(_soup_doc(i))
+    n = len(texts)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(1, n + 1)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en" if i % 3 else "de" for i in range(n)], pa.string()),
+            "source": pa.array([f"src{i % 4}" for i in range(n)], pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    # documents.parquet as a DIRECTORY of 3 files x 32-row row groups —
+    # both _docs_ds (ray read_parquet) and plan_fragments accept it
+    doc_dir = os.path.join(str(d), "documents.parquet")
+    os.makedirs(doc_dir)
+    per = n // 3
+    for k in range(3):
+        part = tbl.slice(k * per, per if k < 2 else n - 2 * per)
+        pq.write_table(
+            part, os.path.join(doc_dir, f"part-{k:02d}.parquet"), row_group_size=32
+        )
+    return str(d)
+
+
+def test_hostile_multi_fragment_conformance(ray_session, hostile_multi_dir):
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{hostile_multi_dir}/documents.parquet/*.parquet')"
+    )
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures = []
+    for name in FRAGMENT_SENSITIVE:
+        try:
+            got = _normalize(_to_df(qs[name](hostile_multi_dir)))
+            exp = _normalize(con.execute(oracles[name]).df())
+        except Exception as ex:  # noqa: BLE001
+            failures.append(f"{name}: raised {type(ex).__name__}: {ex}")
+            continue
+        if list(got.columns) != list(exp.columns):
+            failures.append(f"{name}: columns {list(got.columns)} != {list(exp.columns)}")
+            continue
+        if len(got) != len(exp):
+            failures.append(f"{name}: rows {len(got)} != {len(exp)}")
+            continue
+        for c in got.columns:
+            gv, xv = np.asarray(got[c]), np.asarray(exp[c])
+            if np.issubdtype(gv.dtype, np.floating) or np.issubdtype(xv.dtype, np.floating):
+                ok = np.allclose(gv.astype(np.float64), xv.astype(np.float64), rtol=0, atol=1e-9)
+            else:
+                ok = (gv == xv).all()
+            if not ok:
+                failures.append(f"{name}: column {c} differs")
+                break
+    assert not failures, "\n".join(failures)
