@@ -216,20 +216,42 @@ def compact_index(index_dir: str, out_dir: str, overwrite: bool = False) -> dict
     # driver), then one plasma object PER SHARD holding only that range's
     # deleted ids.  del_before[i] = deletions below range i's base.
     if len(deleted_ids):
-        from ray.data.aggregate import Min
-
-        sm = (
-            ray.data.read_parquet(
-                os.path.join(index_dir, "postings"), columns=["shard", "first_doc"]
-            )
-            .groupby("shard")
-            .aggregate(Min("first_doc", alias_name="lo"))
-            .to_pandas()
-            .sort_values("lo", ignore_index=True)
-        )
+        # per-shard min(first_doc) from parquet row-group MIN/MAX statistics
+        # only (postings files are written one (bucket, shard) group per
+        # task, so row groups are single-shard; mixed row groups fall back
+        # to a column-pruned scan of just that fragment) — metadata-only,
+        # nothing posting-sized reaches the driver
+        shard_lo: dict[int, int] = {}
+        post_ds = pads.dataset(os.path.join(index_dir, "postings"))
+        s_idx = post_ds.schema.get_field_index("shard")
+        f_idx = post_ds.schema.get_field_index("first_doc")
+        for frag in post_ds.get_fragments():
+            md = frag.metadata
+            pending = []
+            for rg in range(md.num_row_groups):
+                ss = md.row_group(rg).column(s_idx).statistics
+                fs = md.row_group(rg).column(f_idx).statistics
+                if (
+                    ss is not None and ss.has_min_max and fs is not None
+                    and fs.has_min_max and int(ss.min) == int(ss.max)
+                ):
+                    s = int(ss.min)
+                    lo = int(fs.min)
+                    if s not in shard_lo or lo < shard_lo[s]:
+                        shard_lo[s] = lo
+                elif md.row_group(rg).num_rows:
+                    pending.append(rg)
+            if pending:
+                t = frag.to_table(columns=["shard", "first_doc"])
+                sh = np.asarray(t["shard"], dtype=np.int64)
+                fd = np.asarray(t["first_doc"], dtype=np.int64)
+                for s in np.unique(sh):
+                    lo = int(fd[sh == s].min())
+                    if int(s) not in shard_lo or lo < shard_lo[int(s)]:
+                        shard_lo[int(s)] = lo
         # range i covers [lo_i, lo_{i+1}); docs before the first posting
         # shard fold into range 0
-        range_lo = sm["lo"].to_numpy(dtype=np.int64)
+        range_lo = np.sort(np.asarray(list(shard_lo.values()), dtype=np.int64))
         if len(range_lo) == 0:  # index with zero postings
             range_lo = np.zeros(1, dtype=np.int64)
         range_lo[0] = 0
