@@ -805,6 +805,17 @@ def q_minhash_pairs(sf_dir: str) -> pa.Table:
     )
 
 
+def q_heavy_hitters(sf_dir: str) -> pa.Table:
+    """Exact distributed heavy hitters (dataops/sketch.py): all terms
+    with count * 50 >= total_tokens via local-candidacy filter + exact
+    recount — only candidate-sized rows move (no full-vocabulary
+    shuffle), yet the result is exact and integer-threshold
+    SQL-reproducible."""
+    from search_engine_ray.dataops.sketch import heavy_hitters
+
+    return heavy_hitters(_docs_ds(sf_dir), k=50)
+
+
 def q_fingerprints(sf_dir: str):
     from search_engine_ray.dataops.textstats import fingerprints
 
@@ -2189,6 +2200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,
         "kmeans": q_kmeans,
         "kmeans_assign": q_kmeans_assign,
+        "heavy_hitters": q_heavy_hitters,
         "fingerprints": q_fingerprints,
         "media_features": q_media_features,
     }
@@ -3262,6 +3274,16 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT md5(text) AS dup_key, min(doc_id) AS keep_doc_id, count(*) AS n_copies
             FROM documents GROUP BY md5(text)
+        """,
+        "heavy_hitters": r"""
+            WITH tok AS (
+              SELECT t FROM documents,
+                   UNNEST(regexp_split_to_array(text, '[\t\n\x0B\x0C\r ]+')) AS u(t)
+              WHERE t <> ''),
+            tot AS (SELECT count(*) AS n FROM tok)
+            SELECT t AS term, count(*) AS "count"
+            FROM tok, tot GROUP BY t, tot.n
+            HAVING count(*) * 50 >= tot.n
         """,
         "token_count": r"""
             SELECT doc_id, len(regexp_extract_all(text, '[^\t\n\x0B\x0C\r ]+')) AS n_tokens FROM documents

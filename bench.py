@@ -251,6 +251,11 @@ def run_benchmarks() -> dict:
         shutil.rmtree(out, ignore_errors=True)
         merge_indexes(half_dirs[0], half_dirs[1], out)
 
+    from search_engine_ray.dataops.sketch import heavy_hitters as _heavy_hitters
+
+    def _hh(ds):
+        return _heavy_hitters(ds, k=50).num_rows
+
     ops: list[tuple[str, object]] = [
         ("dedup_exact", lambda: exact_dedup(docs_ds).count()),
         ("dedup_minhash_lsh", lambda: minhash_lsh_pairs(docs_ds, threshold=0.8).count()),
@@ -264,6 +269,7 @@ def run_benchmarks() -> dict:
         ("kmeans_fit_k8x3", lambda: kmeans_fit(emb_ds, k=8, n_iter=3)[1].count()),
         ("gopher_quality", lambda: gopher_quality(docs_ds).count()),
         ("top_bigrams", lambda: top_ngrams(docs_ds, n=2, k=25)),
+        ("heavy_hitters", lambda: _hh(docs_ds)),
         ("ann_ivfpq_build", _ivfpq_build),
         ("ann_ivfpq_probe", lambda: knn_ivfpq_probe(ivfpq_dir, queries, k=10, nprobe=6)),
         ("phrase_index_build", _positions_build),

@@ -83,6 +83,7 @@ CHECKED = [
     "near_dup_apply",
     "decontaminate",
     "lang_distribution",
+    "heavy_hitters",
 ]
 
 
