@@ -1107,6 +1107,115 @@ def q_media_features(sf_dir: str) -> pa.Table:
     )
 
 
+def q_pricing_summary(sf_dir: str) -> pa.Table:
+    """Grouped exact-decimal rollup, TPC-H Q1 shape (dataops/relational.py):
+    integer-cents arithmetic with overflow-proof (hi, lo) sum pairs; one
+    partial-aggregated streaming pass over a 7-column pruned read."""
+    from search_engine_ray.dataops.relational import (
+        PRICING_SUMMARY_COLUMNS,
+        pricing_summary,
+    )
+
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=PRICING_SUMMARY_COLUMNS
+    )
+    return pricing_summary(li, cutoff="1998-09-02")
+
+
+def q_customers_per_region(sf_dir: str) -> pa.Table:
+    """Dimension broadcast join (relational.broadcast_join): nation x region
+    pre-joined driver-side (25 rows), ray.put once, searchsorted probe per
+    batch — the customer fact side streams, no shuffle join."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.dataops.relational import customers_per_region
+
+    cust = read_parquet_clean(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    return customers_per_region(cust, nation, region)
+
+
+def q_top_customers_by_revenue(sf_dir: str) -> pa.Table:
+    """Fact-fact hash join + grouped top-k, TPC-H Q10 shape: per-batch
+    (order -> revenue) partials before the groupby, native hash join to
+    orders, tree-reduced topk_by — the driver holds k rows only."""
+    from search_engine_ray.dataops.relational import top_customers_by_revenue
+
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    )
+    return top_customers_by_revenue(li, orders, k=20)
+
+
+def q_orders_per_month(sf_dir: str) -> pa.Table:
+    """Calendar rollup: integer ym = year*100+month keys (no timestamp in
+    the checked columns), exact integer-cents totals, 2-column pruned read."""
+    from search_engine_ray.dataops.relational import orders_per_month
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderdate", "o_totalprice"]
+    )
+    return orders_per_month(orders)
+
+
+def q_customers_without_orders(sf_dir: str) -> pa.Table:
+    """Distributed anti-join: distinct custkeys of 2001+ orders
+    (partial-uniqued, NOT broadcast) left_anti-joined against the
+    customer table; the date predicate keeps the gate non-vacuous at
+    every SF.  Result streams — collected here only because the gate
+    needs a table."""
+    from search_engine_ray.dataops.relational import customers_without_orders
+
+    cust = read_parquet_clean(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_acctbal"]
+    )
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_orderdate"]
+    )
+    out = customers_without_orders(cust, orders, since="2001-01-01").to_pandas()
+    if out.empty:  # empty join output loses its schema (Ray 2.49)
+        return pa.table(
+            {
+                "c_custkey": pa.array([], pa.int64()),
+                "acctbal_c": pa.array([], pa.int64()),
+            }
+        )
+    out = out.sort_values("c_custkey", ignore_index=True)
+    return pa.table(
+        {
+            "c_custkey": pa.array(out["c_custkey"].astype(np.int64)),
+            "acctbal_c": pa.array(out["acctbal_c"].astype(np.int64)),
+        }
+    )
+
+
+def q_distinct_users_per_type(sf_dir: str) -> pa.Table:
+    """Exact grouped count-distinct (relational.count_distinct): two
+    bounded dedup levels — per-batch pair dedup, pair groupby, partial
+    counts, key groupby.  The HyperLogLog shape, answered exactly; no
+    value set ever collects anywhere."""
+    from search_engine_ray.dataops.relational import count_distinct
+
+    events = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    out = count_distinct(events, key="event_type", value="user_id")
+    return pa.table(
+        {
+            "event_type": out["event_type"].cast(pa.string()),
+            "n_users": out["n_distinct"].cast(pa.int64()),
+        }
+    )
+
+
 # ===========================================================================
 # driver surface
 # ===========================================================================
@@ -2203,6 +2312,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q_heavy_hitters,
         "fingerprints": q_fingerprints,
         "media_features": q_media_features,
+        "pricing_summary": q_pricing_summary,
+        "customers_per_region": q_customers_per_region,
+        "top_customers_by_revenue": q_top_customers_by_revenue,
+        "orders_per_month": q_orders_per_month,
+        "customers_without_orders": q_customers_without_orders,
+        "distinct_users_per_type": q_distinct_users_per_type,
     }
 
 
@@ -3631,6 +3746,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, MIN(tsu) AS session_start_us, MAX(tsu) AS session_end_us,
                    COUNT(*) AS n_events
             FROM s GROUP BY user_id, sid
+        """,
+        # ---- relational wing (dataops/relational.py): exact integer-cents
+        # arithmetic — floor(x*100+0.5) is the identical IEEE-double
+        # expression on both sides; big sums carried as (// 10^6, % 10^6)
+        # pairs so neither side ever sums past int64
+        "pricing_summary": """
+            WITH l AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(floor(l_quantity*100 + 0.5) AS BIGINT) // 100 AS qty,
+                     CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS base_c,
+                     CAST(floor(l_discount*100 + 0.5) AS BIGINT) AS disc_pct,
+                     CAST(floor(l_tax*100 + 0.5) AS BIGINT) AS tax_pct
+              FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'),
+            v AS (SELECT *, base_c*(100-disc_pct) AS disc_c2,
+                         base_c*(100-disc_pct)*(100+tax_pct) AS charge_c4 FROM l)
+            SELECT l_returnflag, l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(qty) AS BIGINT) AS sum_qty,
+                   CAST(sum(base_c // 1000000) AS BIGINT) AS sum_base_hi,
+                   CAST(sum(base_c % 1000000) AS BIGINT) AS sum_base_lo,
+                   CAST(sum(disc_c2 // 1000000) AS BIGINT) AS sum_disc_hi,
+                   CAST(sum(disc_c2 % 1000000) AS BIGINT) AS sum_disc_lo,
+                   CAST(sum(charge_c4 // 1000000) AS BIGINT) AS sum_charge_hi,
+                   CAST(sum(charge_c4 % 1000000) AS BIGINT) AS sum_charge_lo,
+                   CAST(sum(disc_pct) AS BIGINT) AS sum_disc_pct
+            FROM v GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "customers_per_region": """
+            SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT)
+                     AS sum_acctbal_c
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "top_customers_by_revenue": """
+            WITH orv AS (
+              SELECT l_orderkey,
+                     sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)
+                         * (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT))) AS rev
+              FROM lineitem GROUP BY l_orderkey),
+            cr AS (SELECT o_custkey, CAST(sum(rev) AS BIGINT) AS rev_c2
+                   FROM orv JOIN orders ON l_orderkey = o_orderkey
+                   GROUP BY o_custkey)
+            SELECT o_custkey, rev_c2 FROM cr
+            ORDER BY rev_c2 DESC, o_custkey LIMIT 20
+        """,
+        "orders_per_month": """
+            SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT) AS ym,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+                     AS sum_total_c
+            FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey,
+                   CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS acctbal_c
+            FROM customer WHERE c_custkey NOT IN (
+              SELECT o_custkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+            ORDER BY c_custkey
+        """,
+        "distinct_users_per_type": """
+            SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
     }
     # the merge gate's oracle IS the unsplit full-corpus ranking: merging

@@ -256,6 +256,28 @@ def run_benchmarks() -> dict:
     def _hh(ds):
         return _heavy_hitters(ds, k=50).num_rows
 
+    from search_engine_ray.dataops.relational import (
+        PRICING_SUMMARY_COLUMNS,
+        pricing_summary,
+        top_customers_by_revenue,
+    )
+
+    def _pricing():
+        li = read_parquet_clean(
+            os.path.join(SF_DIR, "lineitem.parquet"), columns=PRICING_SUMMARY_COLUMNS
+        )
+        return pricing_summary(li).num_rows
+
+    def _top_cust():
+        li = read_parquet_clean(
+            os.path.join(SF_DIR, "lineitem.parquet"),
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        )
+        orders = read_parquet_clean(
+            os.path.join(SF_DIR, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+        )
+        return top_customers_by_revenue(li, orders, k=20).num_rows
+
     ops: list[tuple[str, object]] = [
         ("dedup_exact", lambda: exact_dedup(docs_ds).count()),
         ("dedup_minhash_lsh", lambda: minhash_lsh_pairs(docs_ds, threshold=0.8).count()),
@@ -270,6 +292,8 @@ def run_benchmarks() -> dict:
         ("gopher_quality", lambda: gopher_quality(docs_ds).count()),
         ("top_bigrams", lambda: top_ngrams(docs_ds, n=2, k=25)),
         ("heavy_hitters", lambda: _hh(docs_ds)),
+        ("pricing_summary", _pricing),
+        ("top_customers_by_revenue", _top_cust),
         ("ann_ivfpq_build", _ivfpq_build),
         ("ann_ivfpq_probe", lambda: knn_ivfpq_probe(ivfpq_dir, queries, k=10, nprobe=6)),
         ("phrase_index_build", _positions_build),
