@@ -1216,6 +1216,22 @@ def q_distinct_users_per_type(sf_dir: str) -> pa.Table:
     )
 
 
+def q_lang_token_quantiles(sf_dir: str) -> pa.Table:
+    """Exact per-language token-count quantiles
+    (sample.grouped_int_quantiles): per-batch (lang, n_tokens) count
+    partials -> one distinct-pair groupby -> tiny histogram on the
+    driver — key-cardinality x value-cardinality rows move, never the
+    corpus."""
+    from search_engine_ray.dataops.sample import grouped_int_quantiles
+    from search_engine_ray.dataops.textstats import token_count_batch
+
+    def with_lang(batch: pa.Table) -> pa.Table:
+        return token_count_batch(batch).append_column("lang", batch["lang"])
+
+    tl = _docs_ds(sf_dir).map_batches(with_lang, batch_format="pyarrow")
+    return grouped_int_quantiles(tl, "lang", "n_tokens")
+
+
 # ===========================================================================
 # driver surface
 # ===========================================================================
@@ -2318,6 +2334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_per_month": q_orders_per_month,
         "customers_without_orders": q_customers_without_orders,
         "distinct_users_per_type": q_distinct_users_per_type,
+        "lang_token_quantiles": q_lang_token_quantiles,
     }
 
 
@@ -3812,6 +3829,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY event_type ORDER BY event_type
         """,
+        "lang_token_quantiles": r"""
+            WITH tc AS (
+              SELECT lang,
+                     len(list_filter(regexp_split_to_array(text, '[\t\n\x0B\x0C\r ]+'),
+                                     x -> x <> '')) AS n
+              FROM documents
+            )
+            SELECT lang, q_micros, value FROM ("""
+        + " UNION ALL ".join(
+            f"SELECT lang, {int(q * 1_000_000)} AS q_micros, "
+            f"CAST(percentile_disc({q}) WITHIN GROUP (ORDER BY n) AS BIGINT) AS value "
+            f"FROM tc GROUP BY lang"
+            for q in (0.25, 0.5, 0.75, 0.9, 0.99)
+        )
+        + ") ORDER BY lang, q_micros",
     }
     # the merge gate's oracle IS the unsplit full-corpus ranking: merging
     # two half-indexes must be score-equivalent to one build

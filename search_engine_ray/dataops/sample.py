@@ -172,6 +172,70 @@ def exact_int_quantiles(
     )
 
 
+def grouped_int_quantiles(
+    ds: ray.data.Dataset,
+    key_column: str,
+    column: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+) -> pa.Table:
+    """EXACT per-key quantiles of an integer-valued column
+    (``percentile_disc`` semantics per group: the smallest value whose
+    within-key cumulative count reaches ceil(q * n_key)).
+
+    Same shape as :func:`exact_int_quantiles`, grouped: per-batch
+    (key, value) count partials (Arrow group_by) -> ONE native groupby
+    sum over the DISTINCT pairs -> the (key, value, count) histogram on
+    the driver.  Exactness costs a shuffle of #distinct-pairs rows —
+    bounded by key-cardinality x value-cardinality (languages x token
+    counts: thousands), never the corpus.  Output sorted by
+    (key, q_micros)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select([key_column, column])
+            .group_by([key_column, column])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns([key_column, "value", "cnt"])
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key_column, "value"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    t = pa.concat_tables(
+        [pa.table(b) for b in hist.iter_batches(batch_size=None, batch_format="pyarrow")]
+    ).sort_by([(key_column, "ascending"), ("value", "ascending")])
+    keys = t[key_column].to_pylist()
+    values = np.asarray(t["value"], dtype=np.int64)
+    counts = np.asarray(t["cnt"], dtype=np.int64)
+    out_k: list = []
+    out_q: list[int] = []
+    out_v: list[int] = []
+    i = 0
+    while i < len(keys):
+        j = i
+        while j < len(keys) and keys[j] == keys[i]:
+            j += 1
+        cum = np.cumsum(counts[i:j])
+        n = int(cum[-1])
+        for q in qs:
+            target = max(1, int(np.ceil(q * n)))
+            idx = int(np.searchsorted(cum, target, side="left"))
+            out_k.append(keys[i])
+            out_q.append(int(round(q * 1_000_000)))
+            out_v.append(int(values[i:j][min(idx, j - i - 1)]))
+        i = j
+    return pa.table(
+        {
+            key_column: pa.array(out_k),
+            "q_micros": pa.array(out_q, pa.int64()),
+            "value": pa.array(out_v, pa.int64()),
+        }
+    )
+
+
 def stratified_sample(
     ds: ray.data.Dataset,
     key_column: str,

@@ -769,6 +769,49 @@ def test_exact_int_quantiles(docs_ds, docs_tbl, ray_session):
         assert value == exp, (q, value, exp)
 
 
+def test_grouped_int_quantiles(docs_ds, docs_tbl, ray_session):
+    """Per-key percentile_disc == the per-group brute force, for every
+    key and q, at several partitionings."""
+    import pyarrow as pa
+
+    from search_engine_ray.dataops.sample import grouped_int_quantiles
+    from search_engine_ray.dataops.textstats import token_count_batch
+
+    def with_lang(batch: pa.Table) -> pa.Table:
+        return token_count_batch(batch).append_column("lang", batch["lang"])
+
+    qs = (0.25, 0.5, 0.9)
+    tl = docs_ds.map_batches(with_lang, batch_format="pyarrow")
+    got = grouped_int_quantiles(tl, "lang", "n_tokens", qs=qs)
+
+    langs = docs_tbl["lang"].to_pylist()
+    texts = docs_tbl["text"].to_pylist()
+    brute: dict[str, list[int]] = {}
+    for lang, x in zip(langs, texts):
+        brute.setdefault(lang, []).append(len([t for t in (x or "").split() if t]))
+    rows = list(
+        zip(
+            got["lang"].to_pylist(),
+            got["q_micros"].to_pylist(),
+            got["value"].to_pylist(),
+        )
+    )
+    assert [r[0] for r in rows] == sorted(r[0] for r in rows)
+    assert len(rows) == len(brute) * len(qs)
+    for lang, q_micros, value in rows:
+        counts = np.sort(np.array(brute[lang]))
+        exp = counts[max(1, int(np.ceil(q_micros / 1e6 * len(counts)))) - 1]
+        assert value == exp, (lang, q_micros, value, exp)
+    # partition invariance
+    got7 = grouped_int_quantiles(
+        docs_ds.repartition(7).map_batches(with_lang, batch_format="pyarrow"),
+        "lang",
+        "n_tokens",
+        qs=qs,
+    )
+    assert got7.equals(got)
+
+
 def test_kmeans_matches_numpy_reference(emb_ds, emb_tbl, ray_session):
     """Distributed Lloyd's == single-machine numpy Lloyd's: same init (k
     lowest ids), same iteration count -> identical assignments and
