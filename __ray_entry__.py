@@ -1232,6 +1232,34 @@ def q_lang_token_quantiles(sf_dir: str) -> pa.Table:
     return grouped_int_quantiles(tl, "lang", "n_tokens")
 
 
+def q_suppliers_per_region(sf_dir: str) -> pa.Table:
+    """The generic acctbal_per_region rollup over the supplier table —
+    same broadcast-dimension shape as customers_per_region."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.dataops.relational import suppliers_per_region
+
+    sup = read_parquet_clean(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey", "s_acctbal"],
+    )
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    return suppliers_per_region(sup, nation, region)
+
+
+def q_part_size_quantiles(sf_dir: str) -> pa.Table:
+    """grouped_int_quantiles reused over a relational table: exact
+    per-brand part-size percentiles (brand x size distinct-pair
+    histogram — dozens of rows at any scale)."""
+    from search_engine_ray.dataops.sample import grouped_int_quantiles
+
+    part = read_parquet_clean(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_brand", "p_size"]
+    )
+    return grouped_int_quantiles(part, "p_brand", "p_size")
+
+
 # ===========================================================================
 # driver surface
 # ===========================================================================
@@ -2335,6 +2363,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": q_customers_without_orders,
         "distinct_users_per_type": q_distinct_users_per_type,
         "lang_token_quantiles": q_lang_token_quantiles,
+        "suppliers_per_region": q_suppliers_per_region,
+        "part_size_quantiles": q_part_size_quantiles,
     }
 
 
@@ -3844,6 +3874,22 @@ def oracle_sql() -> dict[str, str]:
             for q in (0.25, 0.5, 0.75, 0.9, 0.99)
         )
         + ") ORDER BY lang, q_micros",
+        "suppliers_per_region": """
+            SELECT r_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+                   CAST(sum(CAST(floor(s_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT)
+                     AS sum_acctbal_c
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "part_size_quantiles": "SELECT p_brand, q_micros, value FROM ("
+        + " UNION ALL ".join(
+            f"SELECT p_brand, {int(q * 1_000_000)} AS q_micros, "
+            f"CAST(percentile_disc({q}) WITHIN GROUP (ORDER BY p_size) AS BIGINT) AS value "
+            f"FROM part GROUP BY p_brand"
+            for q in (0.25, 0.5, 0.75, 0.9, 0.99)
+        )
+        + ") ORDER BY p_brand, q_micros",
     }
     # the merge gate's oracle IS the unsplit full-corpus ranking: merging
     # two half-indexes must be score-equivalent to one build

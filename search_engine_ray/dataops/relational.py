@@ -224,20 +224,26 @@ def broadcast_join(
     return ds.map_batches(probe, batch_format="pyarrow")
 
 
-def customers_per_region(
-    customer: ray.data.Dataset, nation: pa.Table, region: pa.Table
+def acctbal_per_region(
+    ds: ray.data.Dataset,
+    nation: pa.Table,
+    region: pa.Table,
+    nationkey_column: str,
+    balance_column: str,
+    count_name: str = "n_rows",
 ) -> pa.Table:
-    """Customer count + exact account-balance sum per region: the two
-    tiny dimension tables are pre-joined driver-side (25 rows) and
-    broadcast once; the customer fact side streams through one
-    partial-aggregated pass (5 groups x n_batches rows shuffle)."""
+    """Row count + exact account-balance sum per region for ANY fact
+    table carrying a nationkey (customer, supplier, ...): the two tiny
+    dimension tables are pre-joined driver-side (25 rows) and broadcast
+    once; the fact side streams through one partial-aggregated pass
+    (5 groups x n_batches rows shuffle)."""
     from ray.data.aggregate import Sum
 
     dim = nation.join(
         region, keys="n_regionkey", right_keys="r_regionkey", join_type="inner"
     ).select(["n_nationkey", "r_name"])
     enriched = broadcast_join(
-        customer, dim, on="c_nationkey", right_on="n_nationkey", columns=["r_name"]
+        ds, dim, on=nationkey_column, right_on="n_nationkey", columns=["r_name"]
     )
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -245,7 +251,7 @@ def customers_per_region(
             return pa.table(
                 {
                     "r_name": pa.array([], pa.string()),
-                    "n_customers": pa.array([], pa.int64()),
+                    count_name: pa.array([], pa.int64()),
                     "sum_acctbal_c": pa.array([], pa.int64()),
                 }
             )
@@ -255,11 +261,11 @@ def customers_per_region(
         denc = key.dictionary_encode()
         codes = np.asarray(denc.indices, dtype=np.int64)
         g = len(denc.dictionary)
-        bal_c = money_cents(batch["c_acctbal"])
+        bal_c = money_cents(batch[balance_column])
         return pa.table(
             {
                 "r_name": denc.dictionary.cast(pa.string()),
-                "n_customers": pa.array(np.bincount(codes, minlength=g).astype(np.int64)),
+                count_name: pa.array(np.bincount(codes, minlength=g).astype(np.int64)),
                 "sum_acctbal_c": pa.array(_group_sum(codes, g, bal_c)),
             }
         )
@@ -268,7 +274,7 @@ def customers_per_region(
         enriched.map_batches(partial, batch_format="pyarrow")
         .groupby("r_name")
         .aggregate(
-            Sum("n_customers", alias_name="n_customers"),
+            Sum(count_name, alias_name=count_name),
             Sum("sum_acctbal_c", alias_name="sum_acctbal_c"),
         )
         .sort("r_name")
@@ -277,9 +283,29 @@ def customers_per_region(
     return pa.table(
         {
             "r_name": pa.array(out["r_name"], pa.string()),
-            "n_customers": pa.array(out["n_customers"].astype(np.int64)),
+            count_name: pa.array(out[count_name].astype(np.int64)),
             "sum_acctbal_c": pa.array(out["sum_acctbal_c"].astype(np.int64)),
         }
+    )
+
+
+def customers_per_region(
+    customer: ray.data.Dataset, nation: pa.Table, region: pa.Table
+) -> pa.Table:
+    """Customer count + exact account-balance sum per region (see
+    :func:`acctbal_per_region`)."""
+    return acctbal_per_region(
+        customer, nation, region, "c_nationkey", "c_acctbal", "n_customers"
+    )
+
+
+def suppliers_per_region(
+    supplier: ray.data.Dataset, nation: pa.Table, region: pa.Table
+) -> pa.Table:
+    """Supplier count + exact account-balance sum per region (see
+    :func:`acctbal_per_region`)."""
+    return acctbal_per_region(
+        supplier, nation, region, "s_nationkey", "s_acctbal", "n_suppliers"
     )
 
 

@@ -78,12 +78,20 @@ def tables():
             "r_name": pa.array(["AFRICA", "ASIA", "EUROPE"]),
         }
     )
+    supplier = pa.table(
+        {
+            "s_suppkey": pa.array(np.arange(1, 41), pa.int64()),
+            "s_nationkey": pa.array(RNG.integers(0, 5, 40).astype(np.int32)),
+            "s_acctbal": pa.array(np.round(RNG.uniform(-999, 9999, 40), 2)),
+        }
+    )
     return {
         "lineitem": li,
         "orders": orders,
         "customer": customer,
         "nation": nation,
         "region": region,
+        "supplier": supplier,
     }
 
 
@@ -203,6 +211,23 @@ def test_customers_per_region_vs_duckdb(ray_session, tables, con):
                   CAST(sum(CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT)
                     AS sum_acctbal_c
            FROM customer JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           GROUP BY r_name ORDER BY r_name"""
+    ).fetch_arrow_table()
+    assert got.equals(exp)
+
+
+def test_suppliers_per_region_vs_duckdb(ray_session, tables, con):
+    from search_engine_ray.dataops.relational import suppliers_per_region
+
+    got = suppliers_per_region(
+        _ds(tables["supplier"], 3), tables["nation"], tables["region"]
+    )
+    exp = con.execute(
+        """SELECT r_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+                  CAST(sum(CAST(floor(s_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT)
+                    AS sum_acctbal_c
+           FROM supplier JOIN nation ON s_nationkey = n_nationkey
            JOIN region ON n_regionkey = r_regionkey
            GROUP BY r_name ORDER BY r_name"""
     ).fetch_arrow_table()
