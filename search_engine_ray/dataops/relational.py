@@ -365,7 +365,10 @@ def top_customers_by_revenue(
             {"o_custkey": pa.array([], pa.int64()), "rev_c2": pa.array([], pa.int64())}
         )
     order_rev = order_rev.repartition(max(1, n_orders // 100_000 + 1))
-    jp = _join_parts(join_partitions)
+    # partitions sized by the known row count (~16 B/row): tiny inputs pay
+    # 2 aggregator actors, 100-TB inputs get the full requested width
+    # (the dedup.py join-sizing convention)
+    jp = _join_parts(min(join_partitions, (n_orders * 16) // (128 << 20) + 2))
     joined = order_rev.join(
         orders.select_columns(["o_orderkey", "o_custkey"]),
         "inner",
@@ -503,8 +506,9 @@ def customers_without_orders(
         .select_columns(["o_custkey"])
     )
     okeys = okeys.materialize()
-    okeys = okeys.repartition(max(1, okeys.count() // 100_000 + 1))
-    jp = _join_parts(join_partitions)
+    n_keys = okeys.count()
+    okeys = okeys.repartition(max(1, n_keys // 100_000 + 1))
+    jp = _join_parts(min(join_partitions, (n_keys * 8) // (128 << 20) + 2))
     out = customer.select_columns(["c_custkey", "c_acctbal"]).join(
         okeys, "left_anti", jp, on=("c_custkey",), right_on=("o_custkey",)
     )
