@@ -1260,6 +1260,59 @@ def q_part_size_quantiles(sf_dir: str) -> pa.Table:
     return grouped_int_quantiles(part, "p_brand", "p_size")
 
 
+_SEMDEDUP_SCALE = 1.01
+_SEMDEDUP_TAU = 0.85
+_SEMDEDUP_K = 8
+
+
+def q_semantic_dedup(sf_dir: str) -> pa.Table:
+    """SemDeDup (cluster.semantic_dedup, Abbas et al. 2023): k-means
+    (deterministic lowest-id init, n_iter=0 so the oracle reproduces the
+    centroids) + within-cluster drop of any vector with cos >= tau to a
+    lower-id clustermate.  Twin-seeded (x1.01 copies of every 10th
+    vector) so the drop set is non-vacuous; the oracle cross-joins the
+    same derived set."""
+    from search_engine_ray.dataops.cluster import semantic_dedup
+
+    def to_f64(batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"].combine_chunks().cast(pa.list_(pa.float64()))
+        return pa.table({"vec_id": batch["vec_id"], "embedding": emb})
+
+    def twins(batch: pa.Table) -> pa.Table:
+        t = to_f64(batch)
+        ids = np.asarray(t["vec_id"], dtype=np.int64)
+        t = t.filter(pa.array(ids % _EMB_TWIN_MOD == 0))
+        emb = t["embedding"].combine_chunks()
+        flat = pa.compute.multiply(emb.values, _SEMDEDUP_SCALE)
+        scaled = pa.ListArray.from_arrays(emb.offsets, flat)
+        return pa.table(
+            {
+                "vec_id": pa.compute.add(t["vec_id"], _EMB_TWIN_OFFSET),
+                "embedding": scaled,
+            }
+        )
+
+    base = read_parquet_clean(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    seeded = base.map_batches(to_f64, batch_format="pyarrow").union(
+        base.map_batches(twins, batch_format="pyarrow")
+    )
+    out = (
+        semantic_dedup(seeded, k=_SEMDEDUP_K, tau=_SEMDEDUP_TAU, n_iter=0)
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    assert not out["keep"].all(), "semantic_dedup gate must be non-vacuous"
+    return pa.table(
+        {
+            "vec_id": pa.array(out["vec_id"].astype(np.int64)),
+            "cluster": pa.array(out["cluster"].astype(np.int64)),
+            "keep": pa.array(out["keep"].astype(bool)),
+        }
+    )
+
+
 # ===========================================================================
 # driver surface
 # ===========================================================================
@@ -2365,6 +2418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_token_quantiles": q_lang_token_quantiles,
         "suppliers_per_region": q_suppliers_per_region,
         "part_size_quantiles": q_part_size_quantiles,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -3890,6 +3944,39 @@ def oracle_sql() -> dict[str, str]:
             for q in (0.25, 0.5, 0.75, 0.9, 0.99)
         )
         + ") ORDER BY p_brand, q_micros",
+        # SemDeDup over the same derived (twin-seeded) set the query builds;
+        # centroids are the k lowest-id vectors (the deterministic k-means
+        # init), assignment is argmin L2 with ties -> lowest cid — the
+        # kmeans_assign oracle conventions
+        "semantic_dedup": f"""
+            WITH base AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            derived AS (
+              SELECT vec_id, e FROM base
+              UNION ALL
+              SELECT vec_id + {_EMB_TWIN_OFFSET} AS vec_id,
+                     list_transform(e, x -> x * {_SEMDEDUP_SCALE}) AS e
+              FROM base WHERE vec_id % {_EMB_TWIN_MOD} = 0),
+            cents AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e
+              FROM derived ORDER BY vec_id LIMIT {_SEMDEDUP_K}),
+            d AS (
+              SELECT derived.vec_id, c.cid, list_distance(derived.e, c.e) AS dist
+              FROM derived CROSS JOIN cents c),
+            a AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                FROM d) WHERE rn = 1)
+            SELECT x.vec_id, CAST(x.cid AS BIGINT) AS cluster,
+                   NOT EXISTS (
+                     SELECT 1 FROM a y JOIN derived ey ON y.vec_id = ey.vec_id
+                     WHERE y.cid = x.cid AND y.vec_id < x.vec_id
+                       AND list_cosine_similarity(ex.e, ey.e) >= {_SEMDEDUP_TAU}
+                   ) AS keep
+            FROM a x JOIN derived ex ON x.vec_id = ex.vec_id
+            ORDER BY x.vec_id
+        """,
     }
     # the merge gate's oracle IS the unsplit full-corpus ranking: merging
     # two half-indexes must be score-equivalent to one build

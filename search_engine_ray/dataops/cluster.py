@@ -156,3 +156,79 @@ def kmeans_fit(
         cents = new
 
     return cents, kmeans_assign(ds, cents, column=column, id_column=id_column)
+
+
+def semantic_dedup(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    tau: float = 0.85,
+    n_iter: int = 0,
+    column: str = "embedding",
+    id_column: str = "vec_id",
+    max_cluster: int = 100_000,
+) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster
+    the embedding space, then within each cluster DROP every vector with
+    cosine >= ``tau`` to any LOWER-id vector of the same cluster — one
+    representative survives per semantic-duplicate set.  The drop
+    predicate references the ORIGINAL cluster membership only (never the
+    kept set), so the decision is order- and partition-independent and,
+    with ``n_iter=0`` (centroids = the k lowest-id vectors, the repo's
+    deterministic k-means init), fully SQL-reproducible.
+
+    Shape: centroids broadcast once; assignment is one streaming matmul
+    pass; the pairwise stage is ``groupby(cluster).map_groups`` — the
+    only stage that co-locates vectors, inherent to SemDeDup — with a
+    BLOCKED in-cluster matmul (1024-row strips, never an O(c^2) sim
+    matrix in memory).  Clusters beyond ``max_cluster`` keep their
+    overflow unexamined (kept, with a warning): at real scale k must
+    grow with n precisely so clusters stay bounded — the paper uses
+    ~0.1% of n.  Returns a streaming (id, cluster, keep) Dataset."""
+    if not 0.0 < tau <= 1.0:
+        raise ValueError("tau must be in (0, 1]")
+    if n_iter > 0:
+        cents, _ = kmeans_fit(ds, k=k, n_iter=n_iter, column=column, id_column=id_column)
+    else:
+        cents = _init_centroids(ds, k, column, id_column)
+    cents_ref = ray.put(np.ascontiguousarray(cents, dtype=np.float64))
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        a = _assign(_matrix(batch, column), ray.get(cents_ref))
+        return batch.select([id_column, column]).append_column(
+            "cluster", pa.array(a, pa.int32())
+        )
+
+    assigned = ds.map_batches(assign_batch, batch_format="pyarrow")
+
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_column, ignore_index=True)
+        n = len(g)
+        lim = min(n, max_cluster)
+        if n > max_cluster:
+            import warnings
+
+            warnings.warn(
+                f"semantic_dedup: cluster {int(g['cluster'].iloc[0])} has {n} "
+                f"vectors > max_cluster={max_cluster}; overflow kept unexamined "
+                f"(raise k so clusters stay bounded)"
+            )
+        m = np.stack(g[column].to_numpy()[:lim]).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        # zero vectors have undefined cosine: define it 0 (never >= tau > 0)
+        mn = m / np.where(norms == 0.0, 1.0, norms)[:, None]
+        drop = np.zeros(n, dtype=bool)
+        cols = np.arange(lim)[None, :]
+        for s in range(0, lim, 1024):
+            e = min(s + 1024, lim)
+            sims = mn[s:e] @ mn.T  # (strip, lim)
+            hit = (sims >= tau) & (cols > np.arange(s, e)[:, None])
+            drop[:lim] |= hit.any(axis=0)
+        return pd.DataFrame(
+            {
+                id_column: g[id_column],
+                "cluster": g["cluster"].astype("int32"),
+                "keep": ~drop,
+            }
+        )
+
+    return assigned.groupby("cluster").map_groups(dedup_group, batch_format="pandas")

@@ -812,6 +812,40 @@ def test_grouped_int_quantiles(docs_ds, docs_tbl, ray_session):
     assert got7.equals(got)
 
 
+def test_semantic_dedup_matches_brute_force(emb_ds, emb_tbl, ray_session):
+    """SemDeDup == the single-machine reference: same deterministic
+    centroids, same assignment, drop j iff some lower-id clustermate has
+    cos >= tau; partition-invariant."""
+    from search_engine_ray.dataops.cluster import semantic_dedup
+
+    k, tau = 4, 0.35  # low tau so random vectors produce real drops
+    got = semantic_dedup(emb_ds, k=k, tau=tau).to_pandas()
+    got = got.sort_values("vec_id", ignore_index=True)
+
+    ids = np.asarray(emb_tbl["vec_id"], dtype=np.int64)
+    m = np.stack([np.asarray(e, dtype=np.float64) for e in emb_tbl["embedding"].to_pylist()])
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    cents = m[:k]
+    d2 = (m * m).sum(1)[:, None] - 2.0 * (m @ cents.T) + (cents * cents).sum(1)[None, :]
+    assign = np.argmin(d2, axis=1)
+    mn = m / np.linalg.norm(m, axis=1)[:, None]
+    keep = np.ones(len(ids), dtype=bool)
+    for j in range(len(ids)):
+        for i in range(j):
+            if assign[i] == assign[j] and mn[i] @ mn[j] >= tau:
+                keep[j] = False
+                break
+    assert int((~keep).sum()) > 0, "fixture must produce drops"
+    assert got["vec_id"].tolist() == ids.tolist()
+    assert got["cluster"].tolist() == assign.tolist()
+    assert got["keep"].tolist() == keep.tolist()
+
+    got3 = semantic_dedup(emb_ds.repartition(3), k=k, tau=tau).to_pandas()
+    got3 = got3.sort_values("vec_id", ignore_index=True)
+    assert got3["keep"].tolist() == keep.tolist()
+
+
 def test_kmeans_matches_numpy_reference(emb_ds, emb_tbl, ray_session):
     """Distributed Lloyd's == single-machine numpy Lloyd's: same init (k
     lowest ids), same iteration count -> identical assignments and
