@@ -1313,6 +1313,39 @@ def q_semantic_dedup(sf_dir: str) -> pa.Table:
     )
 
 
+_BPE_MIN_COUNT = 2
+_BPE_MAX_VOCAB = 20_000
+
+
+def q_bpe_pair_counts(sf_dir: str) -> pa.Table:
+    """The SQL-checkable face of BPE training (dataops/bpe.py): rank-1
+    adjacent character-pair counts over the pruned word dictionary —
+    the one corpus pass; the merge loop iterates on the bounded
+    dictionary driver-side (see q:bpe_merges, rows-only)."""
+    from search_engine_ray.dataops.bpe import top_pair_counts
+
+    return top_pair_counts(
+        _docs_ds(sf_dir), k=20, min_count=_BPE_MIN_COUNT, max_vocab=_BPE_MAX_VOCAB
+    )
+
+
+def q_bpe_merges(sf_dir: str) -> pa.Table:
+    """First 30 BPE merges (Sennrich conventions; sequential by nature so
+    no SQL oracle — pytest pins the loop against an independent
+    expanded-corpus reference; rank 1 is SQL-pinned via
+    q:bpe_pair_counts)."""
+    from search_engine_ray.dataops.bpe import train_bpe
+
+    out = train_bpe(
+        _docs_ds(sf_dir),
+        n_merges=30,
+        min_count=_BPE_MIN_COUNT,
+        max_vocab=_BPE_MAX_VOCAB,
+    )
+    assert out.num_rows > 0, "bpe_merges gate must be non-vacuous"
+    return out
+
+
 # ===========================================================================
 # driver surface
 # ===========================================================================
@@ -2419,6 +2452,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_per_region": q_suppliers_per_region,
         "part_size_quantiles": q_part_size_quantiles,
         "semantic_dedup": q_semantic_dedup,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "bpe_merges": q_bpe_merges,
     }
 
 
@@ -3976,6 +4011,23 @@ def oracle_sql() -> dict[str, str]:
                    ) AS keep
             FROM a x JOIN derived ex ON x.vec_id = ex.vec_id
             ORDER BY x.vec_id
+        """,
+        # rank-1 of BPE training; the sequential merge loop itself is
+        # rows-only (q:bpe_merges) and pytest-pinned
+        "bpe_pair_counts": rf"""
+            WITH words AS (
+              SELECT t AS w, CAST(count(*) AS BIGINT) AS c
+              FROM documents,
+                   UNNEST(regexp_split_to_array(text, '[\t\n\x0B\x0C\r ]+')) AS u(t)
+              WHERE t <> '' GROUP BY t HAVING count(*) >= {_BPE_MIN_COUNT}),
+            pruned AS (SELECT w, c FROM words ORDER BY c DESC, w LIMIT {_BPE_MAX_VOCAB}),
+            pairs AS (
+              SELECT substring(w, CAST(i AS INT), 1) AS lhs,
+                     substring(w, CAST(i AS INT) + 1, 1) AS rhs, c
+              FROM pruned, UNNEST(generate_series(1, length(w) - 1)) AS g(i))
+            SELECT lhs, rhs, CAST(sum(c) AS BIGINT) AS count
+            FROM pairs GROUP BY lhs, rhs
+            ORDER BY count DESC, lhs, rhs LIMIT 20
         """,
     }
     # the merge gate's oracle IS the unsplit full-corpus ranking: merging

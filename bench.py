@@ -251,6 +251,7 @@ def run_benchmarks() -> dict:
         shutil.rmtree(out, ignore_errors=True)
         merge_indexes(half_dirs[0], half_dirs[1], out)
 
+    from search_engine_ray.dataops.bpe import train_bpe
     from search_engine_ray.dataops.sketch import heavy_hitters as _heavy_hitters
 
     def _hh(ds):
@@ -292,6 +293,7 @@ def run_benchmarks() -> dict:
         ("gopher_quality", lambda: gopher_quality(docs_ds).count()),
         ("top_bigrams", lambda: top_ngrams(docs_ds, n=2, k=25)),
         ("heavy_hitters", lambda: _hh(docs_ds)),
+        ("bpe_train_30", lambda: train_bpe(docs_ds, n_merges=30, min_count=2, max_vocab=20000).num_rows),
         ("pricing_summary", _pricing),
         ("top_customers_by_revenue", _top_cust),
         ("ann_ivfpq_build", _ivfpq_build),
