@@ -84,6 +84,8 @@ CHECKED = [
     "decontaminate",
     "lang_distribution",
     "heavy_hitters",
+    "bpe_pair_counts",
+    "lang_token_quantiles",
 ]
 
 
