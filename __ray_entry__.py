@@ -981,14 +981,11 @@ _EMB_TWIN_MOD = 10
 _EMB_TWIN_SCALE = 1.5
 
 
-def q_emb_near_dup(sf_dir: str) -> pa.Table:
-    """Embedding near-dup pairs (LSH blocking + exact in-bucket verify) over
-    the twin-seeded corpus — SQL-checked: the oracle cross-joins the same
-    derived set, so a NON-EMPTY exact pair match is asserted (the r2 gate
-    returned 0 rows and checked nothing)."""
-    import ray.data
-
-    from search_engine_ray.dataops.similarity import embedding_near_dup_pairs
+def _twin_seeded(sf_dir: str, scale: float):
+    """The embeddings table (as float64) unioned with ``scale``-scaled
+    twins of every ``_EMB_TWIN_MOD``-th vector — the derived set both
+    embedding gates and their oracles cross-join, so a cosine threshold
+    is guaranteed non-vacuous hits (cos(x, c*x) == 1)."""
 
     def to_f64(batch: pa.Table) -> pa.Table:
         emb = batch["embedding"].combine_chunks().cast(pa.list_(pa.float64()))
@@ -999,7 +996,7 @@ def q_emb_near_dup(sf_dir: str) -> pa.Table:
         ids = np.asarray(t["vec_id"], dtype=np.int64)
         t = t.filter(pa.array(ids % _EMB_TWIN_MOD == 0))
         emb = t["embedding"].combine_chunks()
-        flat = pa.compute.multiply(emb.values, _EMB_TWIN_SCALE)
+        flat = pa.compute.multiply(emb.values, scale)
         scaled = pa.ListArray.from_arrays(emb.offsets, flat)
         return pa.table(
             {
@@ -1011,9 +1008,19 @@ def q_emb_near_dup(sf_dir: str) -> pa.Table:
     base = read_parquet_clean(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
-    seeded = base.map_batches(to_f64, batch_format="pyarrow").union(
+    return base.map_batches(to_f64, batch_format="pyarrow").union(
         base.map_batches(twins, batch_format="pyarrow")
     )
+
+
+def q_emb_near_dup(sf_dir: str) -> pa.Table:
+    """Embedding near-dup pairs (LSH blocking + exact in-bucket verify) over
+    the twin-seeded corpus — SQL-checked: the oracle cross-joins the same
+    derived set, so a NON-EMPTY exact pair match is asserted (the r2 gate
+    returned 0 rows and checked nothing)."""
+    from search_engine_ray.dataops.similarity import embedding_near_dup_pairs
+
+    seeded = _twin_seeded(sf_dir, _EMB_TWIN_SCALE)
     out = embedding_near_dup_pairs(seeded, threshold=0.9)
     schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("cos_sim", pa.float64())])
     batches = [pa.table(b) for b in out.iter_batches(batch_size=None, batch_format="pyarrow")]
@@ -1274,30 +1281,7 @@ def q_semantic_dedup(sf_dir: str) -> pa.Table:
     same derived set."""
     from search_engine_ray.dataops.cluster import semantic_dedup
 
-    def to_f64(batch: pa.Table) -> pa.Table:
-        emb = batch["embedding"].combine_chunks().cast(pa.list_(pa.float64()))
-        return pa.table({"vec_id": batch["vec_id"], "embedding": emb})
-
-    def twins(batch: pa.Table) -> pa.Table:
-        t = to_f64(batch)
-        ids = np.asarray(t["vec_id"], dtype=np.int64)
-        t = t.filter(pa.array(ids % _EMB_TWIN_MOD == 0))
-        emb = t["embedding"].combine_chunks()
-        flat = pa.compute.multiply(emb.values, _SEMDEDUP_SCALE)
-        scaled = pa.ListArray.from_arrays(emb.offsets, flat)
-        return pa.table(
-            {
-                "vec_id": pa.compute.add(t["vec_id"], _EMB_TWIN_OFFSET),
-                "embedding": scaled,
-            }
-        )
-
-    base = read_parquet_clean(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-    seeded = base.map_batches(to_f64, batch_format="pyarrow").union(
-        base.map_batches(twins, batch_format="pyarrow")
-    )
+    seeded = _twin_seeded(sf_dir, _SEMDEDUP_SCALE)
     out = (
         semantic_dedup(seeded, k=_SEMDEDUP_K, tau=_SEMDEDUP_TAU, n_iter=0)
         .to_pandas()
@@ -3535,6 +3519,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT t AS term, count(*) AS "count"
             FROM tok, tot GROUP BY t, tot.n
             HAVING count(*) * 50 >= tot.n
+            ORDER BY term
         """,
         "token_count": r"""
             SELECT doc_id, len(regexp_extract_all(text, '[^\t\n\x0B\x0C\r ]+')) AS n_tokens FROM documents

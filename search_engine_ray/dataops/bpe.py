@@ -29,7 +29,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..text.ws import WS_RE
+from ..text.ws import ws_token_flat
 
 
 def word_counts(
@@ -44,13 +44,7 @@ def word_counts(
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        lists = pc.split_pattern_regex(
-            pc.fill_null(batch[text_column], ""), pattern=WS_RE
-        )
-        flat = pc.list_flatten(lists)
-        flat = flat.filter(pc.greater(pc.binary_length(flat), 0))
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
+        flat = ws_token_flat(batch[text_column])
         if len(flat) == 0:
             return pa.table(
                 {"word": pa.array([], pa.string()), "count": pa.array([], pa.int64())}

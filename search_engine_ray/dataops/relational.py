@@ -18,7 +18,10 @@ Ray-Data-first shapes:
   lo < 10^6 and hi < 2.3e5 per row push the overflow horizon past 10^12
   rows per group, and the true sum is recoverable as
   ``hi*10^6 + lo`` in arbitrary precision.  SQL reproduces both columns
-  with integer ``//`` and ``%``.
+  with integer ``//`` and ``%`` — for NON-NEGATIVE values only (numpy
+  floors, SQL truncates; ``_split_cols`` enforces the precondition, and
+  signed columns like acctbal keep plain int64 sums, whose horizon at
+  <=10^6 cents/row is 10^12 rows anyway).
 - **Partial aggregation before every shuffle.** Each fact-table pass
   folds per-batch group sums inside ``map_batches`` (``np.add.at`` on
   int64 — never float ``bincount`` weights), so the groupby exchange
@@ -68,7 +71,13 @@ def _group_sum(codes: np.ndarray, n_groups: int, vals: np.ndarray) -> np.ndarray
 
 
 def _split_cols(name: str, codes: np.ndarray, n_groups: int, vals: np.ndarray) -> dict:
-    """The overflow-proof (hi, lo) decomposition of a per-group sum."""
+    """The overflow-proof (hi, lo) decomposition of a per-group sum.
+
+    NON-NEGATIVE values only: numpy's ``//``/``%`` floor while SQL's
+    truncate, so the two sides disagree on every negative row — callers
+    with signed columns (acctbal) must keep plain int64 sums instead."""
+    if len(vals) and int(vals.min()) < 0:
+        raise ValueError(f"{name}: (hi, lo) split requires non-negative values")
     return {
         f"{name}_hi": pa.array(_group_sum(codes, n_groups, vals // _MOD)),
         f"{name}_lo": pa.array(_group_sum(codes, n_groups, vals % _MOD)),
@@ -128,6 +137,11 @@ def pricing_summary(lineitem: ray.data.Dataset, cutoff: str = "1998-09-02") -> p
         disc_c2 = base_c * (100 - disc_pct)
         charge_c4 = disc_c2 * (100 + tax_pct)
         flags = [s.split("|") for s in denc.dictionary.to_pylist()]
+        if any(len(f) != 2 for f in flags):
+            raise ValueError(
+                "pricing_summary: flag values must not contain '|' "
+                f"(got {[f for f in flags if len(f) != 2][:3]})"
+            )
         cols = {
             "l_returnflag": pa.array([f[0] for f in flags], pa.string()),
             "l_linestatus": pa.array([f[1] for f in flags], pa.string()),
@@ -507,11 +521,6 @@ def customers_without_orders(
     )
     okeys = okeys.materialize()
     n_keys = okeys.count()
-    okeys = okeys.repartition(max(1, n_keys // 100_000 + 1))
-    jp = _join_parts(min(join_partitions, (n_keys * 8) // (128 << 20) + 2))
-    out = customer.select_columns(["c_custkey", "c_acctbal"]).join(
-        okeys, "left_anti", jp, on=("c_custkey",), right_on=("o_custkey",)
-    )
 
     def proj(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -521,6 +530,17 @@ def customers_without_orders(
             }
         )
 
+    cust = customer.select_columns(["c_custkey", "c_acctbal"])
+    if n_keys == 0:
+        # no qualifying orders -> every customer qualifies; skip the join
+        # (an empty post-aggregate dataset feeds the join schema-less
+        # blocks and crashes it — Ray 2.49)
+        return cust.map_batches(proj, batch_format="pyarrow")
+    okeys = okeys.repartition(max(1, n_keys // 100_000 + 1))
+    jp = _join_parts(min(join_partitions, (n_keys * 8) // (128 << 20) + 2))
+    out = cust.join(
+        okeys, "left_anti", jp, on=("c_custkey",), right_on=("o_custkey",)
+    )
     return out.map_batches(proj, batch_format="pyarrow")
 
 

@@ -152,9 +152,14 @@ def exact_int_quantiles(
         .groupby("value")
         .aggregate(Sum("cnt", alias_name="cnt"))
     )
-    t = pa.concat_tables(
-        [pa.table(b) for b in hist.iter_batches(batch_size=None, batch_format="pyarrow")]
-    ).sort_by([("value", "ascending")])
+    blocks = [
+        pa.table(b) for b in hist.iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    if not blocks:
+        return pa.table(
+            {"q_micros": pa.array([], pa.int64()), "value": pa.array([], pa.int64())}
+        )
+    t = pa.concat_tables(blocks).sort_by([("value", "ascending")])
     values = np.asarray(t["value"], dtype=np.int64)
     counts = np.asarray(t["cnt"], dtype=np.int64)
     cum = np.cumsum(counts)
@@ -199,14 +204,29 @@ def grouped_int_quantiles(
         )
         return g.rename_columns([key_column, "value", "cnt"])
 
+    key_type = ds.schema().base_schema.field(key_column).type
+    empty = pa.table(
+        {
+            key_column: pa.array([], key_type),
+            "q_micros": pa.array([], pa.int64()),
+            "value": pa.array([], pa.int64()),
+        }
+    )
     hist = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby([key_column, "value"])
         .aggregate(Sum("cnt", alias_name="cnt"))
     )
-    t = pa.concat_tables(
-        [pa.table(b) for b in hist.iter_batches(batch_size=None, batch_format="pyarrow")]
-    ).sort_by([(key_column, "ascending"), ("value", "ascending")])
+    blocks = [
+        pa.table(b) for b in hist.iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    if not blocks:
+        return empty
+    t = pa.concat_tables(blocks).sort_by(
+        [(key_column, "ascending"), ("value", "ascending")]
+    )
+    if t.num_rows == 0:
+        return empty
     keys = t[key_column].to_pylist()
     values = np.asarray(t["value"], dtype=np.int64)
     counts = np.asarray(t["cnt"], dtype=np.int64)
@@ -229,7 +249,7 @@ def grouped_int_quantiles(
         i = j
     return pa.table(
         {
-            key_column: pa.array(out_k),
+            key_column: pa.array(out_k, key_type),
             "q_micros": pa.array(out_q, pa.int64()),
             "value": pa.array(out_v, pa.int64()),
         }

@@ -35,17 +35,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..text.ws import WS_RE
-
-
-
-def _ws_token_flat(texts: pa.Array | pa.ChunkedArray) -> pa.Array:
-    lists = pc.split_pattern_regex(pc.fill_null(texts, ""), pattern=WS_RE)
-    flat = pc.list_flatten(lists)
-    flat = flat.filter(pc.greater(pc.binary_length(flat), 0))
-    if isinstance(flat, pa.ChunkedArray):
-        flat = flat.combine_chunks()
-    return flat
+from ..text.ws import ws_token_flat as _ws_token_flat
 
 
 def heavy_hitters(

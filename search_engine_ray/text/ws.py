@@ -44,3 +44,22 @@ _LOWER = "abcdefghijklmnopqrstuvwxyz"
 def sql_ascii_lower(expr: str) -> str:
     """DuckDB expression equal to pyarrow.compute.ascii_lower(expr)."""
     return f"translate({expr}, '{_UPPER}', '{_LOWER}')"
+
+
+def ws_token_flat(texts):
+    """Flattened non-empty whitespace tokens of a string column — THE
+    pinned tokenize-and-flatten sequence every whitespace-counting
+    operator (heavy hitters, BPE word counts) must share, so a class or
+    null-handling change lands everywhere at once.
+
+    Accepts a pyarrow Array/ChunkedArray, returns a combined pyarrow
+    StringArray."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    lists = pc.split_pattern_regex(pc.fill_null(texts, ""), pattern=WS_RE)
+    flat = pc.list_flatten(lists)
+    flat = flat.filter(pc.greater(pc.binary_length(flat), 0))
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    return flat

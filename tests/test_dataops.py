@@ -812,6 +812,25 @@ def test_grouped_int_quantiles(docs_ds, docs_tbl, ray_session):
     assert got7.equals(got)
 
 
+def test_grouped_int_quantiles_empty(ray_session):
+    """Zero input rows -> typed empty table, not a concat crash (found by
+    code review)."""
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_ray.dataops.sample import grouped_int_quantiles
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"lang": pa.array([], pa.string()), "n_tokens": pa.array([], pa.int64())}
+        )
+    )
+    got = grouped_int_quantiles(ds, "lang", "n_tokens")
+    assert got.num_rows == 0
+    assert got.column_names == ["lang", "q_micros", "value"]
+    assert got.schema.field("lang").type == pa.string()
+
+
 def test_semantic_dedup_matches_brute_force(emb_ds, emb_tbl, ray_session):
     """SemDeDup == the single-machine reference: same deterministic
     centroids, same assignment, drop j iff some lower-id clustermate has

@@ -304,6 +304,17 @@ def test_customers_without_orders_since_vs_duckdb(ray_session, tables, con):
     assert out["acctbal_c"].tolist() == exp["acctbal_c"].to_pylist()
 
 
+def test_customers_without_orders_empty_keyset(ray_session, tables):
+    """No order passes the cutoff -> EVERY customer qualifies (the empty
+    post-aggregate keyset must not reach the join: schema-less empty
+    blocks crash it — found by code review)."""
+    out = customers_without_orders(
+        _ds(tables["customer"]), _ds(tables["orders"]), since="2099-01-01"
+    ).to_pandas()
+    assert len(out) == 150
+    assert sorted(out["c_custkey"]) == list(range(1, 151))
+
+
 def test_count_distinct_vs_duckdb(ray_session, tables, con):
     # distinct customers per order-month: string-free int key AND the
     # string-keyed variant, both vs DuckDB
