@@ -1330,6 +1330,45 @@ def q_bpe_merges(sf_dir: str) -> pa.Table:
     return out
 
 
+def q_nfc_normalize(sf_dir: str) -> pa.Table:
+    """Unicode NFC canonicalization (clean.normalize_nfc: vectorized
+    ASCII fast path, per-string normalize only on the non-ASCII
+    minority).  Checked as (doc_id, md5, code-point length) of the
+    normalized text vs DuckDB's utf8proc nfc_normalize."""
+    import hashlib
+
+    from search_engine_ray.dataops.clean import normalize_nfc
+
+    def digest(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        texts = batch["text"].to_pylist()
+        md5s = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "nfc_md5": pa.array(md5s, pa.string()),
+                "n_chars_nfc": pc.utf8_length(
+                    pc.fill_null(batch["text"], "")
+                ).cast(pa.int64()),
+            }
+        )
+
+    out = (
+        normalize_nfc(_docs_ds(sf_dir))
+        .map_batches(digest, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].astype(np.int64)),
+            "nfc_md5": pa.array(out["nfc_md5"], pa.string()),
+            "n_chars_nfc": pa.array(out["n_chars_nfc"].astype(np.int64)),
+        }
+    )
+
+
 # ===========================================================================
 # driver surface
 # ===========================================================================
@@ -2438,6 +2477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": q_semantic_dedup,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_merges": q_bpe_merges,
+        "nfc_normalize": q_nfc_normalize,
     }
 
 
@@ -4013,6 +4053,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT lhs, rhs, CAST(sum(c) AS BIGINT) AS count
             FROM pairs GROUP BY lhs, rhs
             ORDER BY count DESC, lhs, rhs LIMIT 20
+        """,
+        "nfc_normalize": """
+            SELECT doc_id,
+                   md5(nfc_normalize(coalesce(text, ''))) AS nfc_md5,
+                   CAST(length(nfc_normalize(coalesce(text, ''))) AS BIGINT)
+                     AS n_chars_nfc
+            FROM documents ORDER BY doc_id
         """,
     }
     # the merge gate's oracle IS the unsplit full-corpus ranking: merging

@@ -158,3 +158,44 @@ def repetition_stats(
         )
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def normalize_nfc(
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+) -> ray.data.Dataset:
+    """Unicode NFC normalization of a text column — the canonicalization
+    pass a web corpus needs before hashing/dedup (the same logical text
+    arrives composed AND decomposed; md5-exact dedup misses the aliases).
+
+    Hot-path shape: ``pc.string_is_ascii`` splits each batch vectorized;
+    ASCII rows (the overwhelming bulk of web text, and NFC-invariant by
+    definition) pass through untouched, and only the non-ASCII minority
+    pays the per-string ``unicodedata.normalize`` call — the one
+    Unicode-correct implementation available without a C extension.
+    Python's unicodedata and DuckDB's utf8proc implement the same
+    normalization standard, so the op is SQL-checkable via
+    ``nfc_normalize()`` (pinned by the hostile-text fixture's
+    ligature/fullwidth/astral rows)."""
+    import unicodedata
+
+    def norm(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch[text_column], "")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ascii_mask = np.asarray(pc.string_is_ascii(col))
+        if ascii_mask.all():
+            out = col
+        else:
+            vals = col.to_pylist()
+            out = pa.array(
+                [
+                    v if is_a else unicodedata.normalize("NFC", v)
+                    for v, is_a in zip(vals, ascii_mask)
+                ],
+                pa.string(),
+            )
+        i = batch.column_names.index(text_column)
+        return batch.set_column(i, text_column, out)
+
+    return ds.map_batches(norm, batch_format="pyarrow")

@@ -812,6 +812,37 @@ def test_grouped_int_quantiles(docs_ds, docs_tbl, ray_session):
     assert got7.equals(got)
 
 
+def test_normalize_nfc(ray_session):
+    """Composed == decomposed after NFC; ASCII untouched (fast path);
+    matches Python's unicodedata on every row."""
+    import unicodedata
+
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_ray.dataops.clean import normalize_nfc
+
+    texts = [
+        "cafe\u0301",  # decomposed e + combining acute -> café
+        "café",  # precomposed
+        "plain ascii only",
+        "A\u030a ring",  # A + combining ring -> Å
+        "",
+        "ＡＢＣ fullwidth stays (NFC != NFKC)",
+        "astral \U0001d518 ok",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+        )
+    )
+    out = normalize_nfc(ds).to_pandas().sort_values("doc_id", ignore_index=True)
+    exp = [unicodedata.normalize("NFC", t) for t in texts]
+    assert out["text"].tolist() == exp
+    assert out["text"][0] == out["text"][1] == "café"
+    assert out["text"][5].startswith("Ａ")  # NFC keeps fullwidth
+
+
 def test_grouped_int_quantiles_empty(ray_session):
     """Zero input rows -> typed empty table, not a concat crash (found by
     code review)."""

@@ -86,6 +86,7 @@ CHECKED = [
     "heavy_hitters",
     "bpe_pair_counts",
     "lang_token_quantiles",
+    "nfc_normalize",
 ]
 
 
