@@ -1369,6 +1369,77 @@ def q_nfc_normalize(sf_dir: str) -> pa.Table:
     )
 
 
+def q_dedup_incremental(sf_dir: str) -> pa.Table:
+    """Incremental ingest dedup (dedup.build_hash_store /
+    dedup_against_store): the standing corpus persists as a
+    hash-bucketed parquet store; a deterministic 'new batch' (copies of
+    every 100th doc = seen; ' NEWLY CRAWLED' variants of others = unseen,
+    one group duplicated intra-batch) anti-joins against only the store
+    partitions it touches.  Survivors = unseen content, min-id winner
+    per duplicate set."""
+    import tempfile
+
+    from search_engine_ray.dataops.dedup import (
+        add_content_hash,
+        build_hash_store,
+        dedup_against_store,
+    )
+
+    docs = _docs_ds(sf_dir)
+    store = tempfile.mkdtemp(prefix="se-ray-hashstore-")
+    build_hash_store(docs, store)
+
+    def make_batch(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        parts = []
+        seen = ids % 100 == 0
+        if seen.any():
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(ids[seen] + 500_000),
+                        "text": text.filter(pa.array(seen)),
+                    }
+                )
+            )
+        for mod, off in ((100, 600_000), (200, 700_000)):
+            m = ids % mod == 1
+            if m.any():
+                suffixed = pa.compute.binary_join_element_wise(
+                    text.filter(pa.array(m)),
+                    pa.array([" NEWLY CRAWLED"] * int(m.sum()), pa.string()),
+                    "",
+                )
+                parts.append(
+                    pa.table({"doc_id": pa.array(ids[m] + off), "text": suffixed})
+                )
+        if not parts:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+            )
+        return pa.concat_tables(parts)
+
+    new_batch = docs.select_columns(["doc_id", "text"]).map_batches(
+        make_batch, batch_format="pyarrow"
+    )
+    out = dedup_against_store(new_batch, store)
+    hashed = out.map_batches(add_content_hash, batch_format="pyarrow").to_pandas()
+    import shutil
+
+    shutil.rmtree(store, ignore_errors=True)
+    hashed = hashed.sort_values("doc_id", ignore_index=True)
+    assert len(hashed) > 0, "dedup_incremental gate must be non-vacuous"
+    return pa.table(
+        {
+            "doc_id": pa.array(hashed["doc_id"].astype(np.int64)),
+            "dup_key": pa.array(hashed["dup_key"], pa.string()),
+        }
+    )
+
+
 # ===========================================================================
 # driver surface
 # ===========================================================================
@@ -2478,6 +2549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_merges": q_bpe_merges,
         "nfc_normalize": q_nfc_normalize,
+        "dedup_incremental": q_dedup_incremental,
     }
 
 
@@ -4060,6 +4132,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(nfc_normalize(coalesce(text, ''))) AS BIGINT)
                      AS n_chars_nfc
             FROM documents ORDER BY doc_id
+        """,
+        "dedup_incremental": """
+            WITH newb AS (
+              SELECT doc_id + 500000 AS doc_id, text
+              FROM documents WHERE doc_id % 100 = 0
+              UNION ALL
+              SELECT doc_id + 600000, text || ' NEWLY CRAWLED'
+              FROM documents WHERE doc_id % 100 = 1
+              UNION ALL
+              SELECT doc_id + 700000, text || ' NEWLY CRAWLED'
+              FROM documents WHERE doc_id % 200 = 1),
+            unseen AS (
+              SELECT doc_id, md5(text) AS dup_key FROM newb
+              WHERE md5(text) NOT IN (SELECT md5(text) FROM documents))
+            SELECT min(doc_id) AS doc_id, dup_key
+            FROM unseen GROUP BY dup_key ORDER BY doc_id
         """,
     }
     # the merge gate's oracle IS the unsplit full-corpus ranking: merging

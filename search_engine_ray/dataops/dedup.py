@@ -916,3 +916,156 @@ def paragraph_dedup(
         )
 
     return agg.map_batches(decode, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# incremental dedup against a persisted hash store
+# --------------------------------------------------------------------------
+
+
+def build_hash_store(
+    ds: ray.data.Dataset,
+    store_dir: str,
+    text_column: str = "text",
+) -> int:
+    """Persist the corpus's DISTINCT content hashes as a hash-bucketed
+    parquet directory (``bucket=XX/`` partitions keyed on the first md5
+    byte) — the standing state an incremental-ingest pipeline dedups
+    daily batches against.  Hash-only rows (~40 B each): the store for a
+    10^10-doc corpus is a few hundred GB of parquet, read as a streaming
+    join side, never a driver object.  Returns the distinct-hash count.
+
+    The partition layout is the scale contract: a small new batch prunes
+    its read to the buckets it actually touches (``dedup_against_store``)
+    and appends survivors as NEW FILES in existing partitions — no
+    rewrite of standing state, resumable by construction."""
+    from ray.data.aggregate import Count
+
+    hashed = ds.map_batches(
+        add_content_hash, fn_kwargs=dict(text_column=text_column), batch_format="pyarrow"
+    ).select_columns(["dup_key"])
+    distinct = hashed.groupby("dup_key").aggregate(Count(alias_name="_n"))
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        keys = batch["dup_key"]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        return pa.table(
+            {"dup_key": keys, "bucket": pc.utf8_slice_codeunits(keys, 0, 2)}
+        )
+
+    distinct = distinct.materialize()
+    n = distinct.count()
+    distinct.map_batches(with_bucket, batch_format="pyarrow").write_parquet(
+        store_dir, partition_cols=["bucket"]
+    )
+    return n
+
+
+def dedup_against_store(
+    new_ds: ray.data.Dataset,
+    store_dir: str,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    update_store: bool = False,
+    join_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Survivors of a NEW batch against the standing hash store: rows
+    whose content is unseen both in the store AND earlier (lower id)
+    within the batch itself.  The incremental-ingest shape: the corpus
+    is never re-read — only hash rows move.
+
+    Read pruning: the new batch's distinct bucket set (<= 256 ids, a tiny
+    driver list) selects which store partitions are read at all, so a
+    small daily batch joins against a fraction of the standing state.
+    With ``update_store=True`` the survivors' hashes append as new files
+    into their partitions (APPEND mode — standing files untouched)."""
+    import os
+
+    from .. import ioutil
+
+    hashed = new_ds.map_batches(
+        add_content_hash, fn_kwargs=dict(text_column=text_column), batch_format="pyarrow"
+    )
+    hashed = hashed.materialize()  # hashed once, reused by three consumers
+
+    # intra-batch winners: min id per content
+    from ray.data.aggregate import Min
+
+    keep = (
+        hashed.select_columns(["dup_key", id_column])
+        .groupby("dup_key")
+        .aggregate(Min(id_column, alias_name="_keep"))
+    )
+    keep = keep.materialize()
+    if keep.count() == 0:
+        return hashed.limit(0).drop_columns(["dup_key"])
+    keep = keep.repartition(max(1, keep.count() // 100_000 + 1))
+    jp = _join_parts(join_partitions)
+    intra = hashed.join(
+        keep,
+        "inner",
+        jp,
+        on=("dup_key", id_column),
+        right_on=("dup_key", "_keep"),
+    )
+
+    # store-side pruned anti-join: only the buckets this batch touches.
+    # Distinct buckets are computed DISTRIBUTED (<= 256 rows per batch
+    # partial) — never the hash column itself on the driver.
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        keys = batch["dup_key"]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        uniq = pc.unique(pc.utf8_slice_codeunits(keys, 0, 2))
+        return pa.table({"bucket": uniq})
+
+    buckets = sorted(
+        {
+            v
+            for b in hashed.select_columns(["dup_key"])
+            .map_batches(bucket_partial, batch_format="pyarrow")
+            .iter_batches(batch_size=None, batch_format="pyarrow")
+            for v in pa.table(b)["bucket"].to_pylist()
+        }
+    )
+    part_dirs = [
+        os.path.join(store_dir, f"bucket={b}")
+        for b in buckets
+        if os.path.isdir(os.path.join(store_dir, f"bucket={b}"))
+    ]
+    # ray.data.read_parquet accepts ONE directory or a list of FILES —
+    # expand the pruned partitions to their parquet files
+    part_dirs = [
+        os.path.join(d, f)
+        for d in part_dirs
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    intra = intra.materialize()
+    if intra.count() == 0:
+        return intra
+    intra = intra.repartition(max(1, intra.count() // 100_000 + 1))
+    if part_dirs:
+        store = ioutil.read_parquet_clean(part_dirs, columns=["dup_key"])
+        out = intra.join(
+            store, "left_anti", jp, on=("dup_key",), right_on=("dup_key",)
+        )
+    else:
+        out = intra
+    out = out.materialize()
+
+    if update_store and out.count() > 0:
+
+        def with_bucket(batch: pa.Table) -> pa.Table:
+            keys = batch["dup_key"]
+            if isinstance(keys, pa.ChunkedArray):
+                keys = keys.combine_chunks()
+            return pa.table(
+                {"dup_key": keys, "bucket": pc.utf8_slice_codeunits(keys, 0, 2)}
+            )
+
+        out.select_columns(["dup_key"]).map_batches(
+            with_bucket, batch_format="pyarrow"
+        ).write_parquet(store_dir, partition_cols=["bucket"])
+    return out.drop_columns(["dup_key"])

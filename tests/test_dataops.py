@@ -812,6 +812,51 @@ def test_grouped_int_quantiles(docs_ds, docs_tbl, ray_session):
     assert got7.equals(got)
 
 
+def test_incremental_dedup_against_store(docs_ds, docs_tbl, ray_session, tmp_path):
+    """Daily-ingest shape: standing hash store + new batch -> survivors
+    are exactly the unseen contents (and first-within-batch); with
+    update_store a SECOND pass over the same batch drops everything."""
+    import ray.data
+
+    from search_engine_ray.dataops.dedup import build_hash_store, dedup_against_store
+
+    store = str(tmp_path / "store")
+    n_distinct = build_hash_store(docs_ds, store)
+    assert n_distinct == docs_tbl.num_rows  # corpus has distinct texts
+
+    # new batch: 3 docs copied from the corpus (seen), 2 genuinely new
+    # texts (one duplicated inside the batch)
+    base = docs_tbl.to_pandas().head(3)
+    newdf = pd.DataFrame(
+        {
+            "doc_id": [90_001, 90_002, 90_003, 90_004, 90_005],
+            "text": [
+                base["text"].iloc[0],  # seen in store
+                base["text"].iloc[1],  # seen in store
+                "a genuinely new document about quasars",
+                "another new document entirely",
+                "a genuinely new document about quasars",  # intra-batch dup
+            ],
+        }
+    )
+    new_ds = ray.data.from_pandas(newdf).repartition(3)
+    out = dedup_against_store(new_ds, store, update_store=True).to_pandas()
+    assert sorted(out["doc_id"]) == [90_003, 90_004]  # min-id winner kept
+    assert "dup_key" not in out.columns
+
+    # the survivors' hashes were appended: replaying the batch yields none
+    again = dedup_against_store(new_ds, store)
+    assert again.count() == 0
+
+    # a batch touching no existing bucket... (empty store dir case)
+    empty_store = str(tmp_path / "empty")
+    import os
+
+    os.makedirs(empty_store)
+    fresh = dedup_against_store(new_ds, empty_store).to_pandas()
+    assert sorted(fresh["doc_id"]) == [90_001, 90_002, 90_003, 90_004]
+
+
 def test_normalize_nfc(ray_session):
     """Composed == decomposed after NFC; ASCII untouched (fast path);
     matches Python's unicodedata on every row."""
