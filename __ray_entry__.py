@@ -1440,6 +1440,39 @@ def q_dedup_incremental(sf_dir: str) -> pa.Table:
     )
 
 
+def q_bpe_encode(sf_dir: str) -> pa.Table:
+    """Encode side of BPE (bpe.bpe_encode_counts: actor-pool stage,
+    ranks built once per actor, per-actor word memo).  Rows-only — the
+    merge list is sequentially trained — but SELF-CHECKING: per doc,
+    word_count <= n_bpe_tokens <= char_count must hold, and at least one
+    doc must actually compress (token count below its character count)."""
+    from search_engine_ray.dataops.bpe import bpe_encode_counts, train_bpe
+    from search_engine_ray.dataops.textstats import token_count_batch
+
+    docs = _docs_ds(sf_dir)
+    merges = train_bpe(
+        docs, n_merges=30, min_count=_BPE_MIN_COUNT, max_vocab=_BPE_MAX_VOCAB
+    )
+    out = (
+        bpe_encode_counts(docs, merges)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    words = (
+        docs.map_batches(token_count_batch, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert (out["n_bpe_tokens"] >= words["n_tokens"]).all(), "below word floor"
+    assert (out["n_bpe_tokens"] < words["n_tokens"].mask(words["n_tokens"] == 0, 1) * 64).all()
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].astype(np.int64)),
+            "n_bpe_tokens": pa.array(out["n_bpe_tokens"].astype(np.int64)),
+        }
+    )
+
+
 # ===========================================================================
 # driver surface
 # ===========================================================================
@@ -2550,6 +2583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": q_bpe_merges,
         "nfc_normalize": q_nfc_normalize,
         "dedup_incremental": q_dedup_incremental,
+        "bpe_encode": q_bpe_encode,
     }
 
 

@@ -171,3 +171,93 @@ def top_pair_counts(
             "count": pa.array([c for _, c in rows], pa.int64()),
         }
     )
+
+
+class _BPEEncoder:
+    """Actor-pool encode stage: the merge ranks build ONCE per actor
+    (``__init__``), and a per-actor word->length memo persists across
+    batches — under a Zipf vocabulary most words in every later batch
+    are already encoded."""
+
+    def __init__(self, merges_ref):
+        ranks_tbl = ray.get(merges_ref)
+        self.ranks = {
+            (l, r): i
+            for i, (l, r) in enumerate(
+                zip(ranks_tbl["lhs"].to_pylist(), ranks_tbl["rhs"].to_pylist())
+            )
+        }
+        self.memo: dict[str, int] = {}
+
+    def _encode_len(self, word: str) -> int:
+        n = self.memo.get(word)
+        if n is not None:
+            return n
+        syms = list(word)
+        while len(syms) > 1:
+            best_rank, best_pair = None, None
+            for i in range(len(syms) - 1):
+                r = self.ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_pair = r, (syms[i], syms[i + 1])
+            if best_pair is None:
+                break
+            syms = list(_merge_word(tuple(syms), best_pair))
+        self.memo[word] = len(syms)
+        return len(syms)
+
+    def __call__(
+        self, batch: pa.Table, text_column: str = "text", id_column: str = "doc_id"
+    ) -> pa.Table:
+        from ..text.ws import WS_RE
+
+        lists = pc.split_pattern_regex(
+            pc.fill_null(batch[text_column], ""), pattern=WS_RE
+        )
+        flat = pc.list_flatten(lists)
+        nonempty = np.asarray(pc.greater(pc.binary_length(flat), 0))
+        lens_pre = np.asarray(pc.list_value_length(lists), dtype=np.int64)
+        doc_idx = np.repeat(np.arange(len(lens_pre)), lens_pre)[nonempty]
+        flat = flat.filter(pa.array(nonempty))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        out = np.zeros(len(lens_pre), dtype=np.int64)
+        if len(flat):
+            denc = flat.dictionary_encode()
+            # encode each DISTINCT word once (memo persists across batches)
+            uniq_lens = np.fromiter(
+                (self._encode_len(w) for w in denc.dictionary.to_pylist()),
+                dtype=np.int64,
+                count=len(denc.dictionary),
+            )
+            per_token = uniq_lens[np.asarray(denc.indices, dtype=np.int64)]
+            np.add.at(out, doc_idx, per_token)
+        return pa.table(
+            {id_column: batch[id_column], "n_bpe_tokens": pa.array(out)}
+        )
+
+
+def bpe_encode_counts(
+    ds: ray.data.Dataset,
+    merges: pa.Table,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    concurrency: int | tuple[int, int] = (1, 8),
+    batch_size: int = 4096,
+) -> ray.data.Dataset:
+    """Per-doc token count under the TRAINED merge list — the encode side
+    of BPE, as an ACTOR-POOL stage: merge ranks are broadcast once
+    (``ray.put``) and built per actor in ``__init__``; a per-actor word
+    memo amortizes encoding across batches (Zipf vocabulary: later
+    batches are nearly all memo hits).  Greedy lowest-rank merging — the
+    GPT-2 ``bpe()`` loop — applied to whitespace words of the pinned
+    class."""
+    merges_ref = ray.put(merges.select(["lhs", "rhs"]).combine_chunks())
+    return ds.map_batches(
+        _BPEEncoder,
+        fn_constructor_args=(merges_ref,),
+        fn_kwargs=dict(text_column=text_column, id_column=id_column),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )

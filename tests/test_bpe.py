@@ -102,6 +102,57 @@ def test_train_bpe_first_merges_sanity(docs_ds, ray_session):
     assert ("l", "o") in pairs or ("lo", "w") in pairs or ("o", "w") in pairs
 
 
+def _brute_encode_len(word: str, merges: list[tuple[str, str]]) -> int:
+    """Independent GPT-2-style bpe() loop: repeatedly apply the
+    lowest-rank present pair greedily left-to-right."""
+    ranks = {p: i for i, p in enumerate(merges)}
+    syms = list(word)
+    while len(syms) > 1:
+        present = [
+            ranks[(syms[i], syms[i + 1])]
+            for i in range(len(syms) - 1)
+            if (syms[i], syms[i + 1]) in ranks
+        ]
+        if not present:
+            break
+        l, r = merges[min(present)]
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
+def test_bpe_encode_counts(docs_ds, ray_session):
+    import re
+
+    from search_engine_ray.dataops.bpe import bpe_encode_counts, train_bpe
+
+    merges_tbl = train_bpe(docs_ds, n_merges=8, min_count=2, max_vocab=None)
+    merges = list(zip(merges_tbl["lhs"].to_pylist(), merges_tbl["rhs"].to_pylist()))
+    out = (
+        bpe_encode_counts(docs_ds, merges_tbl, concurrency=2)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    exp = []
+    for t in TEXTS:
+        words = [w for w in re.split("[\t\n\x0b\x0c\r ]+", t) if w]
+        exp.append(sum(_brute_encode_len(w, merges) for w in words))
+    assert out["n_bpe_tokens"].tolist() == exp
+    # merges compress: fewer tokens than characters, at least one per word
+    n_words = sum(
+        len([w for w in re.split("[\t\n\x0b\x0c\r ]+", t) if w]) for t in TEXTS
+    )
+    assert sum(exp) >= n_words
+    assert sum(exp) < sum(len(t) for t in TEXTS)
+
+
 def test_top_pair_counts_vs_duckdb(docs_ds, ray_session):
     got = top_pair_counts(docs_ds, k=10, min_count=2, max_vocab=None)
     con = duckdb.connect()
