@@ -1473,6 +1473,24 @@ def q_bpe_encode(sf_dir: str) -> pa.Table:
     )
 
 
+def q_export_shards(sf_dir: str) -> pa.Table:
+    """Training-shard export (dataops/export.py): md5be(id) % 16 hash
+    sharding — deterministic, partition/retry-invariant — written as
+    shard=K/ parquet partitions; the returned manifest counts the
+    ACTUALLY WRITTEN files (sink verified, not the plan) and the oracle
+    recomputes the assignment in SQL."""
+    import shutil
+    import tempfile
+
+    from search_engine_ray.dataops.export import export_training_shards
+
+    out_dir = tempfile.mkdtemp(prefix="se-ray-shards-")
+    try:
+        return export_training_shards(_docs_ds(sf_dir), out_dir, n_shards=16)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 # ===========================================================================
 # driver surface
 # ===========================================================================
@@ -2584,6 +2602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nfc_normalize": q_nfc_normalize,
         "dedup_incremental": q_dedup_incremental,
         "bpe_encode": q_bpe_encode,
+        "export_shards": q_export_shards,
     }
 
 
@@ -4182,6 +4201,16 @@ def oracle_sql() -> dict[str, str]:
               WHERE md5(text) NOT IN (SELECT md5(text) FROM documents))
             SELECT min(doc_id) AS doc_id, dup_key
             FROM unseen GROUP BY dup_key ORDER BY doc_id
+        """,
+        "export_shards": """
+            WITH s AS (
+              SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                          % 16 AS BIGINT) AS shard
+              FROM documents),
+            g AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs FROM s GROUP BY shard)
+            SELECT gs.shard, COALESCE(g.n_docs, 0) AS n_docs
+            FROM (SELECT CAST(UNNEST(generate_series(0, 15)) AS BIGINT) AS shard) gs
+            LEFT JOIN g ON g.shard = gs.shard ORDER BY gs.shard
         """,
     }
     # the merge gate's oracle IS the unsplit full-corpus ranking: merging

@@ -857,6 +857,36 @@ def test_incremental_dedup_against_store(docs_ds, docs_tbl, ray_session, tmp_pat
     assert sorted(fresh["doc_id"]) == [90_001, 90_002, 90_003, 90_004]
 
 
+def test_export_training_shards(docs_ds, docs_tbl, ray_session, tmp_path):
+    """Deterministic hash sharding: manifest matches brute force, shard
+    membership is partition-invariant, and the written files round-trip
+    every row into its assigned shard."""
+    import os
+
+    import ray.data
+
+    from search_engine_ray.dataops.export import export_training_shards, shard_of_ids
+
+    out = str(tmp_path / "shards")
+    manifest = export_training_shards(docs_ds, out, n_shards=8)
+    ids = np.asarray(docs_tbl["doc_id"], dtype=np.int64)
+    exp = np.bincount(shard_of_ids(ids, 8), minlength=8)
+    assert manifest["shard"].to_pylist() == list(range(8))
+    assert manifest["n_docs"].to_pylist() == exp.tolist()
+    assert int(manifest["n_docs"][0].as_py() >= 0) is not None
+    assert sum(manifest["n_docs"].to_pylist()) == len(ids)
+    # round-trip: every row landed in its assigned partition
+    back = ray.data.read_parquet(out).to_pandas()
+    got_assign = dict(zip(back["doc_id"].astype(np.int64), back["shard"].astype(np.int64)))
+    brute = dict(zip(ids, shard_of_ids(ids, 8)))
+    assert got_assign == brute
+    assert os.path.isdir(os.path.join(out, "shard=0"))
+    # partition invariance of the manifest
+    out2 = str(tmp_path / "shards2")
+    m2 = export_training_shards(docs_ds.repartition(7), out2, n_shards=8)
+    assert m2.equals(manifest)
+
+
 def test_normalize_nfc(ray_session):
     """Composed == decomposed after NFC; ASCII untouched (fast path);
     matches Python's unicodedata on every row."""
