@@ -1491,6 +1491,30 @@ def q_export_shards(sf_dir: str) -> pa.Table:
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_mix_sources(sf_dir: str) -> pa.Table:
+    """Weighted corpus mixing (sample.mix_sources, the Pile/Dolma recipe
+    step): integer parts scaled to the largest mix the data supports
+    (K = min(n_s // w_s)), integer-micros keep thresholds, membership by
+    the deterministic id-hash — all reproduced exactly by the oracle."""
+    from search_engine_ray.dataops.sample import mix_sources
+
+    sampled, _plan = mix_sources(
+        _docs_ds(sf_dir), {"src0": 6, "src1": 3, "src2": 1}
+    )
+    out = (
+        sampled.select_columns(["doc_id", "source"])
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert len(out) > 0, "mix_sources gate must be non-vacuous"
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].astype(np.int64)),
+            "source": pa.array(out["source"], pa.string()),
+        }
+    )
+
+
 # ===========================================================================
 # driver surface
 # ===========================================================================
@@ -2603,6 +2627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": q_dedup_incremental,
         "bpe_encode": q_bpe_encode,
         "export_shards": q_export_shards,
+        "mix_sources": q_mix_sources,
     }
 
 
@@ -4201,6 +4226,18 @@ def oracle_sql() -> dict[str, str]:
               WHERE md5(text) NOT IN (SELECT md5(text) FROM documents))
             SELECT min(doc_id) AS doc_id, dup_key
             FROM unseen GROUP BY dup_key ORDER BY doc_id
+        """,
+        "mix_sources": """
+            WITH w(source, wgt) AS (VALUES ('src0', 6), ('src1', 3), ('src2', 1)),
+            n AS (SELECT source, CAST(count(*) AS BIGINT) AS c
+                  FROM documents GROUP BY source),
+            kk AS (SELECT min(c // wgt) AS k FROM n JOIN w USING (source)),
+            thr AS (SELECT w.source, (wgt * k * 1000000) // c AS t
+                    FROM w JOIN n USING (source) CROSS JOIN kk)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN thr ON d.source = thr.source
+            WHERE ((d.doc_id % 100003) * 2654435761 + 12345) % 1000000 < thr.t
+            ORDER BY d.doc_id
         """,
         "export_shards": """
             WITH s AS (

@@ -286,6 +286,59 @@ def stratified_sample(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def mix_sources(
+    ds: ray.data.Dataset,
+    parts: dict[str, int],
+    key_column: str = "source",
+    id_column: str = "doc_id",
+) -> tuple[ray.data.Dataset, pa.Table]:
+    """Weighted corpus mixing (the Pile/Dolma recipe step): target output
+    proportions given as INTEGER parts per source (e.g. web:6, wiki:3,
+    books:1), scaled to the largest mix the data supports — the binding
+    source is kept (almost) fully, the rest downsample to match.
+
+    All arithmetic is integer so a SQL oracle reproduces the exact kept
+    set: ``K = min(n_s // w_s)`` scales the recipe to the data,
+    ``thr_s = w_s * K * 10^6 // n_s`` is each source's keep threshold in
+    hash micros, and membership is the repo's deterministic id-hash
+    (``sample_hash``) — reproducible across runs, partitionings and
+    cluster sizes.  Unweighted sources drop.  Returns (sampled Dataset —
+    one shuffle-free filter pass — and the integer mixing plan
+    (source, n_rows, weight, threshold_micros))."""
+    from ray.data.aggregate import Count
+
+    if not parts or any(w < 1 for w in parts.values()):
+        raise ValueError("parts must be a non-empty dict of positive integers")
+    counts = (
+        ds.select_columns([key_column])
+        .groupby(key_column)
+        .aggregate(Count(alias_name="n_rows"))
+        .to_pandas()
+    )
+    n_by_key = dict(zip(counts[key_column], counts["n_rows"].astype(np.int64)))
+    missing = sorted(set(parts) - set(n_by_key))
+    if missing:
+        raise ValueError(f"mix_sources: no rows for weighted sources {missing}")
+    k_scale = min(int(n_by_key[s]) // w for s, w in parts.items())
+    thr = {s: (w * k_scale * _M) // int(n_by_key[s]) for s, w in parts.items()}
+    plan = pa.table(
+        {
+            key_column: pa.array(sorted(parts), pa.string()),
+            "n_rows": pa.array([int(n_by_key[s]) for s in sorted(parts)], pa.int64()),
+            "weight": pa.array([parts[s] for s in sorted(parts)], pa.int64()),
+            "threshold_micros": pa.array([thr[s] for s in sorted(parts)], pa.int64()),
+        }
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        h = sample_hash(np.asarray(batch[id_column], dtype=np.int64))
+        keys = batch[key_column].to_pylist()
+        t = np.fromiter((thr.get(k, 0) for k in keys), dtype=np.int64, count=len(keys))
+        return batch.filter(pa.array(h < t))
+
+    return ds.map_batches(keep, batch_format="pyarrow"), plan
+
+
 def topk_per_key(
     ds: ray.data.Dataset,
     key_column: str,

@@ -857,6 +857,36 @@ def test_incremental_dedup_against_store(docs_ds, docs_tbl, ray_session, tmp_pat
     assert sorted(fresh["doc_id"]) == [90_001, 90_002, 90_003, 90_004]
 
 
+def test_mix_sources(docs_ds, docs_tbl, ray_session):
+    """Integer mixing plan matches brute force; membership is the
+    deterministic id-hash; unweighted sources drop; invalid input raises."""
+    from search_engine_ray.dataops.sample import mix_sources, sample_hash
+
+    parts = {"src0": 5, "src1": 3, "src2": 1}
+    sampled, plan = mix_sources(docs_ds, parts)
+    df = docs_tbl.to_pandas()
+    n = df.groupby("source").size().to_dict()
+    k_scale = min(n[s] // w for s, w in parts.items())
+    thr = {s: (w * k_scale * 1_000_000) // n[s] for s, w in parts.items()}
+    assert plan["threshold_micros"].to_pylist() == [
+        thr[s] for s in sorted(parts)
+    ]
+    out = sampled.to_pandas().sort_values("doc_id", ignore_index=True)
+    h = sample_hash(df["doc_id"].to_numpy(np.int64))
+    exp_keep = df[
+        [thr.get(s, 0) > hv for s, hv in zip(df["source"], h)]
+    ]["doc_id"].sort_values(ignore_index=True)
+    assert out["doc_id"].tolist() == exp_keep.tolist()
+    assert set(out["source"]) <= set(parts)
+    # invariance to partitioning
+    sampled2, _ = mix_sources(docs_ds.repartition(5), parts)
+    assert sorted(sampled2.to_pandas()["doc_id"]) == out["doc_id"].tolist()
+    with pytest.raises(ValueError, match="positive"):
+        mix_sources(docs_ds, {"src0": 0})
+    with pytest.raises(ValueError, match="no rows"):
+        mix_sources(docs_ds, {"no_such_source": 1})
+
+
 def test_export_training_shards(docs_ds, docs_tbl, ray_session, tmp_path):
     """Deterministic hash sharding: manifest matches brute force, shard
     membership is partition-invariant, and the written files round-trip
