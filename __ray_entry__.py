@@ -1515,6 +1515,30 @@ def q_mix_sources(sf_dir: str) -> pa.Table:
     )
 
 
+def q_chunk_documents(sf_dir: str) -> pa.Table:
+    """RAG chunking (dataops/chunk.py): overlapping 64-token windows,
+    step 56 — one vectorized flat-map (chunk boundaries are numpy
+    arithmetic; chunk text is one repeated-index take + binary_join),
+    no shuffle.  The oracle rebuilds every chunk with list slicing."""
+    from search_engine_ray.dataops.chunk import chunk_documents
+
+    out = (
+        chunk_documents(_docs_ds(sf_dir), chunk_tokens=64, overlap=8)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"], ignore_index=True)
+    )
+    assert (out["chunk_id"] > 0).any(), "chunk gate needs multi-chunk docs"
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].astype(np.int64)),
+            "chunk_id": pa.array(out["chunk_id"].astype(np.int64)),
+            "start_token": pa.array(out["start_token"].astype(np.int64)),
+            "n_tokens": pa.array(out["n_tokens"].astype(np.int64)),
+            "text": pa.array(out["text"], pa.string()),
+        }
+    )
+
+
 # ===========================================================================
 # driver surface
 # ===========================================================================
@@ -2628,6 +2652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode": q_bpe_encode,
         "export_shards": q_export_shards,
         "mix_sources": q_mix_sources,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -4226,6 +4251,24 @@ def oracle_sql() -> dict[str, str]:
               WHERE md5(text) NOT IN (SELECT md5(text) FROM documents))
             SELECT min(doc_id) AS doc_id, dup_key
             FROM unseen GROUP BY dup_key ORDER BY doc_id
+        """,
+        "chunk_documents": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '[\t\n\x0B\x0C\r ]+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            n AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+            c AS (
+              SELECT doc_id, t, n,
+                     CAST(g.x AS BIGINT) AS chunk_id,
+                     CAST(g.x AS BIGINT) * 56 AS s
+              FROM n, UNNEST(generate_series(0,
+                     CAST(greatest(1, ceil((n - 8) / 56.0)) AS BIGINT) - 1)) AS g(x))
+            SELECT doc_id, chunk_id, s AS start_token,
+                   CAST(least(64, n - s) AS BIGINT) AS n_tokens,
+                   array_to_string(t[s + 1 : least(s + 64, n)], ' ') AS text
+            FROM c ORDER BY doc_id, chunk_id
         """,
         "mix_sources": """
             WITH w(source, wgt) AS (VALUES ('src0', 6), ('src1', 3), ('src2', 1)),

@@ -1,0 +1,101 @@
+"""Document chunking — the RAG/embedding-prep stage: split each doc into
+overlapping token windows, each chunk carrying (doc_id, chunk_id,
+start_token, n_tokens, text).
+
+Vectorized end-to-end: tokens come from ONE ``split_pattern_regex`` pass
+(the pinned class, text/ws.py); chunk boundaries are numpy arithmetic
+over the per-doc token counts; chunk text materializes with a single
+``take`` (repeated indices encode the overlap) + ``binary_join`` — no
+Python loop over docs or chunks.  Chunk text is the canonical
+single-space join of its tokens, so a SQL oracle reproduces it exactly
+(``array_to_string(toks[s:e], ' ')``).
+
+Scale: a pure flat-map (rows out ~= tokens/step per doc), no shuffle, no
+state; output is ~(1 + overlap/step)x the token volume of the input —
+size ``chunk_tokens``/``overlap`` accordingly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..text.ws import WS_RE
+
+
+def chunk_documents(
+    ds: ray.data.Dataset,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> ray.data.Dataset:
+    """(doc_id, chunk_id, start_token, n_tokens, text) rows; chunks start
+    every ``chunk_tokens - overlap`` tokens; the last chunk may be short;
+    empty/whitespace-only docs produce no chunks."""
+    if chunk_tokens < 1:
+        raise ValueError("chunk_tokens must be >= 1")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must be in [0, chunk_tokens)")
+    step = chunk_tokens - overlap
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(
+            pc.fill_null(batch[text_column], ""), pattern=WS_RE
+        )
+        flat = pc.list_flatten(lists)
+        nonempty = np.asarray(pc.greater(pc.binary_length(flat), 0))
+        lens_pre = np.asarray(pc.list_value_length(lists), dtype=np.int64)
+        doc_idx_tok = np.repeat(np.arange(len(lens_pre)), lens_pre)[nonempty]
+        flat = flat.filter(pa.array(nonempty))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n_tok = np.bincount(doc_idx_tok, minlength=len(lens_pre)).astype(np.int64)
+        tok_starts = np.concatenate(([0], np.cumsum(n_tok)[:-1]))
+
+        # chunks per doc: ceil((n - overlap) / step) for n > 0, clamped >= 1
+        n_chunks = np.where(
+            n_tok > 0, np.maximum(1, -(-(n_tok - overlap) // step)), 0
+        ).astype(np.int64)
+        total = int(n_chunks.sum())
+        empty = pa.table(
+            {
+                id_column: pa.array([], batch[id_column].type),
+                "chunk_id": pa.array([], pa.int64()),
+                "start_token": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+            }
+        )
+        if total == 0:
+            return empty
+        doc_of_chunk = np.repeat(np.arange(len(lens_pre)), n_chunks)
+        chunk_starts_global = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+        chunk_id = np.arange(total) - chunk_starts_global[doc_of_chunk]
+        start_token = chunk_id * step
+        chunk_len = np.minimum(chunk_tokens, n_tok[doc_of_chunk] - start_token)
+
+        # one take with repeated indices materializes every chunk's tokens
+        offs = np.concatenate(([0], np.cumsum(chunk_len)))
+        idx = (
+            np.repeat(tok_starts[doc_of_chunk] + start_token, chunk_len)
+            + np.arange(int(offs[-1]))
+            - np.repeat(offs[:-1], chunk_len)
+        )
+        toks = flat.take(pa.array(idx, pa.int64()))
+        chunk_lists = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), toks)
+        text = pc.binary_join(chunk_lists, " ")
+
+        return pa.table(
+            {
+                id_column: batch[id_column].take(pa.array(doc_of_chunk)),
+                "chunk_id": pa.array(chunk_id),
+                "start_token": pa.array(start_token),
+                "n_tokens": pa.array(chunk_len),
+                "text": text,
+            }
+        )
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
