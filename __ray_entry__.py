@@ -1379,14 +1379,23 @@ def q_dedup_incremental(sf_dir: str) -> pa.Table:
     per duplicate set."""
     import tempfile
 
+    docs = _docs_ds(sf_dir)
+    store = tempfile.mkdtemp(prefix="se-ray-hashstore-")
+    try:
+        return _dedup_incremental_inner(sf_dir, docs, store)
+    finally:
+        import shutil
+
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def _dedup_incremental_inner(sf_dir: str, docs, store: str) -> pa.Table:
     from search_engine_ray.dataops.dedup import (
         add_content_hash,
         build_hash_store,
         dedup_against_store,
     )
 
-    docs = _docs_ds(sf_dir)
-    store = tempfile.mkdtemp(prefix="se-ray-hashstore-")
     build_hash_store(docs, store)
 
     def make_batch(batch: pa.Table) -> pa.Table:
@@ -1427,9 +1436,6 @@ def q_dedup_incremental(sf_dir: str) -> pa.Table:
     )
     out = dedup_against_store(new_batch, store)
     hashed = out.map_batches(add_content_hash, batch_format="pyarrow").to_pandas()
-    import shutil
-
-    shutil.rmtree(store, ignore_errors=True)
     hashed = hashed.sort_values("doc_id", ignore_index=True)
     assert len(hashed) > 0, "dedup_incremental gate must be non-vacuous"
     return pa.table(
@@ -1458,13 +1464,30 @@ def q_bpe_encode(sf_dir: str) -> pa.Table:
         .to_pandas()
         .sort_values("doc_id", ignore_index=True)
     )
+    def bounds(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from search_engine_ray.text.ws import WS_RE
+
+        t = token_count_batch(batch)
+        nonws = pc.utf8_length(
+            pc.replace_substring_regex(
+                pc.fill_null(batch["text"], ""), pattern=WS_RE, replacement=""
+            )
+        )
+        return t.append_column("nonws_chars", nonws.cast(pa.int64()))
+
     words = (
-        docs.map_batches(token_count_batch, batch_format="pyarrow")
+        docs.map_batches(bounds, batch_format="pyarrow")
         .to_pandas()
         .sort_values("doc_id", ignore_index=True)
     )
+    # the documented invariants: every word is >= 1 token, and a word can
+    # never encode to more symbols than its characters
     assert (out["n_bpe_tokens"] >= words["n_tokens"]).all(), "below word floor"
-    assert (out["n_bpe_tokens"] < words["n_tokens"].mask(words["n_tokens"] == 0, 1) * 64).all()
+    assert (out["n_bpe_tokens"] <= words["nonws_chars"]).all(), "above char ceiling"
+    # at least one doc actually compressed (merges did something)
+    assert (out["n_bpe_tokens"] < words["nonws_chars"]).any(), "no compression"
     return pa.table(
         {
             "doc_id": pa.array(out["doc_id"].astype(np.int64)),

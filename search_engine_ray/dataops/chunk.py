@@ -85,7 +85,9 @@ def chunk_documents(
             - np.repeat(offs[:-1], chunk_len)
         )
         toks = flat.take(pa.array(idx, pa.int64()))
-        chunk_lists = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), toks)
+        # int64 offsets: a batch of long docs can push the repeated-token
+        # total past 2^31 (overlap amplifies it) — large_list never overflows
+        chunk_lists = pa.LargeListArray.from_arrays(pa.array(offs, pa.int64()), toks)
         text = pc.binary_join(chunk_lists, " ")
 
         return pa.table(

@@ -187,13 +187,16 @@ def normalize_nfc(
         if ascii_mask.all():
             out = col
         else:
-            vals = col.to_pylist()
-            out = pa.array(
-                [
-                    v if is_a else unicodedata.normalize("NFC", v)
-                    for v, is_a in zip(vals, ascii_mask)
-                ],
-                pa.string(),
+            # ROW-granular fast path: only the non-ASCII subset crosses
+            # into Python (one small to_pylist + normalize); ASCII rows —
+            # the bulk of every real batch — stay zero-copy Arrow and
+            # recombine via if_else against a null-scattered replacement
+            idx = np.flatnonzero(~ascii_mask)
+            sub = col.take(pa.array(idx, pa.int64())).to_pylist()
+            repl = np.full(len(col), None, dtype=object)
+            repl[idx] = [unicodedata.normalize("NFC", v) for v in sub]
+            out = pc.if_else(
+                pa.array(ascii_mask), col, pa.array(repl, pa.string())
             )
         i = batch.column_names.index(text_column)
         return batch.set_column(i, text_column, out)

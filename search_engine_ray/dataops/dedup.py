@@ -923,6 +923,15 @@ def paragraph_dedup(
 # --------------------------------------------------------------------------
 
 
+def _store_bucket(keys: pa.Array) -> pa.Array:
+    """The hash store's on-disk partition key: first 2 hex chars of the
+    content md5 (256 buckets).  ONE definition — the store layout is a
+    contract between build, pruned reads and appends."""
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    return pc.utf8_slice_codeunits(keys, 0, 2)
+
+
 def build_hash_store(
     ds: ray.data.Dataset,
     store_dir: str,
@@ -948,11 +957,7 @@ def build_hash_store(
 
     def with_bucket(batch: pa.Table) -> pa.Table:
         keys = batch["dup_key"]
-        if isinstance(keys, pa.ChunkedArray):
-            keys = keys.combine_chunks()
-        return pa.table(
-            {"dup_key": keys, "bucket": pc.utf8_slice_codeunits(keys, 0, 2)}
-        )
+        return pa.table({"dup_key": keys, "bucket": _store_bucket(keys)})
 
     distinct = distinct.materialize()
     n = distinct.count()
@@ -1014,11 +1019,7 @@ def dedup_against_store(
     # Distinct buckets are computed DISTRIBUTED (<= 256 rows per batch
     # partial) — never the hash column itself on the driver.
     def bucket_partial(batch: pa.Table) -> pa.Table:
-        keys = batch["dup_key"]
-        if isinstance(keys, pa.ChunkedArray):
-            keys = keys.combine_chunks()
-        uniq = pc.unique(pc.utf8_slice_codeunits(keys, 0, 2))
-        return pa.table({"bucket": uniq})
+        return pa.table({"bucket": pc.unique(_store_bucket(batch["dup_key"]))})
 
     buckets = sorted(
         {
@@ -1042,9 +1043,9 @@ def dedup_against_store(
         for f in sorted(os.listdir(d))
         if f.endswith(".parquet")
     ]
+    # (intra is never empty here: hashed is non-empty, so keep has >= 1
+    # group and every group's min row inner-joins back)
     intra = intra.materialize()
-    if intra.count() == 0:
-        return intra
     intra = intra.repartition(max(1, intra.count() // 100_000 + 1))
     if part_dirs:
         store = ioutil.read_parquet_clean(part_dirs, columns=["dup_key"])
@@ -1059,11 +1060,7 @@ def dedup_against_store(
 
         def with_bucket(batch: pa.Table) -> pa.Table:
             keys = batch["dup_key"]
-            if isinstance(keys, pa.ChunkedArray):
-                keys = keys.combine_chunks()
-            return pa.table(
-                {"dup_key": keys, "bucket": pc.utf8_slice_codeunits(keys, 0, 2)}
-            )
+            return pa.table({"dup_key": keys, "bucket": _store_bucket(keys)})
 
         out.select_columns(["dup_key"]).map_batches(
             with_bucket, batch_format="pyarrow"

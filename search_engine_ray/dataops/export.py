@@ -53,6 +53,19 @@ def export_training_shards(
 
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
+    # the output is a DERIVED artifact: always overwrite — appending next
+    # to a partial failed run's files would double-count rows in both the
+    # shards and the manifest (the sig_dir convention, dedup.py)
+    import os
+    import shutil
+
+    if "://" in out_dir:
+        raise ValueError(
+            "out_dir must be a local path (remote URIs cannot be safely "
+            "cleared before the overwrite)"
+        )
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
 
     def with_shard(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_column], dtype=np.int64)

@@ -320,6 +320,12 @@ def mix_sources(
     if missing:
         raise ValueError(f"mix_sources: no rows for weighted sources {missing}")
     k_scale = min(int(n_by_key[s]) // w for s, w in parts.items())
+    if k_scale == 0:
+        short = sorted(s for s, w in parts.items() if int(n_by_key[s]) < w)
+        raise ValueError(
+            f"mix_sources: sources {short} have fewer rows than their weight "
+            "— the recipe cannot be satisfied even once (lower the weights)"
+        )
     thr = {s: (w * k_scale * _M) // int(n_by_key[s]) for s, w in parts.items()}
     plan = pa.table(
         {
