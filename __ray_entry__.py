@@ -1550,7 +1550,11 @@ def q_chunk_documents(sf_dir: str) -> pa.Table:
         .to_pandas()
         .sort_values(["doc_id", "chunk_id"], ignore_index=True)
     )
-    assert (out["chunk_id"] > 0).any(), "chunk gate needs multi-chunk docs"
+    # non-vacuity: multi-chunk docs must appear unless the corpus simply
+    # has no doc longer than one chunk (the hostile fixture's short docs)
+    assert (out["chunk_id"] > 0).any() or (out["n_tokens"] < 64).all(), (
+        "chunk gate needs multi-chunk docs"
+    )
     return pa.table(
         {
             "doc_id": pa.array(out["doc_id"].astype(np.int64)),

@@ -87,6 +87,8 @@ CHECKED = [
     "bpe_pair_counts",
     "lang_token_quantiles",
     "nfc_normalize",
+    "chunk_documents",
+    "dedup_incremental",
 ]
 
 
