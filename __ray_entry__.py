@@ -1566,6 +1566,73 @@ def q_chunk_documents(sf_dir: str) -> pa.Table:
     )
 
 
+def q_distinct_users_per_window(sf_dir: str) -> pa.Table:
+    """Streaming-analytics staple: COUNT(DISTINCT user) per 1h tumbling
+    window — relational.count_distinct composed over a derived integer
+    window key (epoch-us floor), so the exchange stays bounded by
+    distinct (window, user) pairs."""
+    import pyarrow.compute as pc
+
+    from search_engine_ray.dataops.relational import count_distinct
+
+    events = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"]
+    )
+
+    def with_window(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())
+        win = pc.multiply(pc.divide(us, 3_600_000_000), 3_600_000_000)
+        return pa.table(
+            {"window_start_us": win.cast(pa.int64()), "user_id": batch["user_id"]}
+        )
+
+    keyed = events.map_batches(with_window, batch_format="pyarrow")
+    out = count_distinct(keyed, key="window_start_us", value="user_id")
+    return pa.table(
+        {
+            "window_start_us": out["window_start_us"].cast(pa.int64()),
+            "n_users": out["n_distinct"].cast(pa.int64()),
+        }
+    )
+
+
+def q_quantile_gate(sf_dir: str) -> pa.Table:
+    """Quantile-gated curation: keep docs whose token count reaches their
+    own language's p25 — grouped_int_quantiles' tiny per-lang table rides
+    into one filter pass as a plain dict (no join, no second shuffle)."""
+    from search_engine_ray.dataops.sample import grouped_int_quantiles
+    from search_engine_ray.dataops.textstats import token_count_batch
+
+    def with_lang(batch: pa.Table) -> pa.Table:
+        return token_count_batch(batch).append_column("lang", batch["lang"])
+
+    tl = _docs_ds(sf_dir).map_batches(with_lang, batch_format="pyarrow")
+    q = grouped_int_quantiles(tl, "lang", "n_tokens", qs=(0.25,))
+    floor = dict(zip(q["lang"].to_pylist(), q["value"].to_pylist()))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        thr = np.fromiter(
+            (floor.get(l, 0) for l in batch["lang"].to_pylist()),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        n = np.asarray(batch["n_tokens"], dtype=np.int64)
+        return batch.filter(pa.array(n >= thr))
+
+    out = (
+        tl.map_batches(keep, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].astype(np.int64)),
+            "lang": pa.array(out["lang"], pa.string()),
+            "n_tokens": pa.array(out["n_tokens"].astype(np.int64)),
+        }
+    )
+
+
 # ===========================================================================
 # driver surface
 # ===========================================================================
@@ -2680,6 +2747,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_shards": q_export_shards,
         "mix_sources": q_mix_sources,
         "chunk_documents": q_chunk_documents,
+        "distinct_users_per_window": q_distinct_users_per_window,
+        "quantile_gate": q_quantile_gate,
     }
 
 
@@ -4278,6 +4347,25 @@ def oracle_sql() -> dict[str, str]:
               WHERE md5(text) NOT IN (SELECT md5(text) FROM documents))
             SELECT min(doc_id) AS doc_id, dup_key
             FROM unseen GROUP BY dup_key ORDER BY doc_id
+        """,
+        "distinct_users_per_window": """
+            SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "quantile_gate": r"""
+            WITH tc AS (
+              SELECT doc_id, lang,
+                     len(list_filter(regexp_split_to_array(text, '[\t\n\x0B\x0C\r ]+'),
+                                     x -> x <> '')) AS n
+              FROM documents),
+            q AS (SELECT lang,
+                         CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n) AS BIGINT)
+                           AS p25
+                  FROM tc GROUP BY lang)
+            SELECT doc_id, tc.lang, CAST(n AS BIGINT) AS n_tokens
+            FROM tc JOIN q ON tc.lang = q.lang
+            WHERE n >= p25 ORDER BY doc_id
         """,
         "chunk_documents": r"""
             WITH toks AS (
