@@ -1633,6 +1633,97 @@ def q_quantile_gate(sf_dir: str) -> pa.Table:
     )
 
 
+_PAGERANK_ITERS = 3
+
+
+def q_pagerank_events(sf_dir: str) -> pa.Table:
+    """Exact-integer PageRank (dataops/graph.py) over the bipartite
+    user<->event-type graph (users = 2*id, types = 2*rank+1, edges both
+    directions per distinct (user, type)).  3 power iterations; every
+    per-edge contribution floored in integer micros, so the unrolled SQL
+    oracle matches bit-for-bit."""
+    import pyarrow.compute as pc
+
+    from search_engine_ray.dataops.graph import pagerank
+
+    events = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
+    )
+    types = sorted(
+        r["event_type"]
+        for r in events.groupby("event_type").count().take_all()
+    )
+    tid = {t: 2 * i + 1 for i, t in enumerate(types)}
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["user_id"], dtype=np.int64)
+        t = np.fromiter(
+            (tid[x] for x in batch["event_type"].to_pylist()),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        pairs = np.unique(np.stack([u, t], axis=1), axis=0)
+        src = np.concatenate([2 * pairs[:, 0], pairs[:, 1]])
+        dst = np.concatenate([pairs[:, 1], 2 * pairs[:, 0]])
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    from ray.data.aggregate import Count
+
+    edges = (
+        events.map_batches(mk_edges, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["src", "dst"])
+        .materialize()
+    )
+    n_users = events.select_columns(["user_id"]).groupby("user_id").count().count()
+    n_nodes = n_users + len(types)
+    out = (
+        pagerank(edges, n_nodes=n_nodes, n_iter=_PAGERANK_ITERS)
+        .to_pandas()
+        .sort_values("node", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "node": pa.array(out["node"].astype(np.int64)),
+            "rank_micros": pa.array(out["rank_micros"].astype(np.int64)),
+        }
+    )
+
+
+def _pagerank_oracle_sql() -> str:
+    prev = "r0"
+    iters = []
+    for i in range(1, _PAGERANK_ITERS + 1):
+        iters.append(
+            f"""r{i} AS (
+              SELECT no.node,
+                     (15 * 1000000) // (100 * nn.n) + COALESCE(s.c, 0) AS r
+              FROM nodes no CROSS JOIN nn
+              LEFT JOIN (
+                SELECT e.dst AS node,
+                       SUM((85 * p.r) // (100 * deg.outdeg)) AS c
+                FROM e JOIN deg USING (src) JOIN {prev} p ON p.node = e.src
+                GROUP BY e.dst) s ON s.node = no.node)"""
+        )
+        prev = f"r{i}"
+    return f"""
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        ty AS (SELECT event_type,
+                      2 * (row_number() OVER (ORDER BY event_type) - 1) + 1 AS tid
+               FROM (SELECT DISTINCT event_type FROM events)),
+        e AS (SELECT 2 * user_id AS src, tid AS dst FROM ut JOIN ty USING (event_type)
+              UNION ALL
+              SELECT tid AS src, 2 * user_id AS dst FROM ut JOIN ty USING (event_type)),
+        nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+        r0 AS (SELECT node, CAST(1000000 AS BIGINT) // nn.n AS r FROM nodes, nn),
+        {", ".join(iters)}
+        SELECT node, CAST(r AS BIGINT) AS rank_micros FROM {prev} ORDER BY node
+    """
+
+
 # ===========================================================================
 # driver surface
 # ===========================================================================
@@ -2749,6 +2840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": q_chunk_documents,
         "distinct_users_per_window": q_distinct_users_per_window,
         "quantile_gate": q_quantile_gate,
+        "pagerank_events": q_pagerank_events,
     }
 
 
@@ -4348,6 +4440,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, dup_key
             FROM unseen GROUP BY dup_key ORDER BY doc_id
         """,
+        "pagerank_events": _pagerank_oracle_sql(),
         "distinct_users_per_window": """
             SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users

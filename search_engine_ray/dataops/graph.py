@@ -1,0 +1,138 @@
+"""Iterative graph algorithms — exact-integer PageRank.
+
+The second iterative distributed workload after k-means (cluster.py):
+per iteration the corpus-scale state (edge list, rank vector) stays in
+the object store as Datasets; the driver only orchestrates.  Shape per
+iteration: one hash join (ranks onto edges by src — both sides
+node/edge-scale, so a JOIN, never a broadcast), one vectorized
+``map_batches`` emitting per-edge contributions, one groupby-sum, and a
+left join back onto the node set so rankless nodes keep the base mass.
+
+Exactness: every per-edge contribution is floored in INTEGER micros
+(``(d * r) // (100 * outdeg)``) before summation, so the result is
+independent of summation order, partitioning and libm — a SQL oracle
+unrolls the same iterations with ``//`` and matches bit-for-bit (the
+round-3 lesson: floor the terms, not the sums).  Dangling nodes
+(outdeg 0) leak their damped mass — the standard simplification,
+documented so the oracle models the same dynamics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from .dedup import _join_parts
+
+_M = 1_000_000
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    n_nodes: int,
+    n_iter: int = 3,
+    damping_pct: int = 85,
+    src_column: str = "src",
+    dst_column: str = "dst",
+    join_partitions: int = 8,
+) -> ray.data.Dataset:
+    """(node, rank_micros) after ``n_iter`` exact-integer power
+    iterations over a directed edge list.  ``n_nodes`` is the node-space
+    size (ranks initialise to ``10^6 // n_nodes`` micros; nodes that
+    never appear as a dst hold the base mass).  Returns a streaming
+    node-sized Dataset."""
+    from ray.data.aggregate import Count, Sum
+
+    if not 0 <= damping_pct <= 100:
+        raise ValueError("damping_pct must be in [0, 100]")
+    if n_nodes < 1:
+        raise ValueError("n_nodes must be >= 1")
+    base = ((100 - damping_pct) * _M) // (100 * n_nodes)
+    r0 = _M // n_nodes
+    jp = _join_parts(join_partitions)
+
+    def distinct_nodes(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch[src_column], dtype=np.int64)
+        d = np.asarray(batch[dst_column], dtype=np.int64)
+        return pa.table({"node": pa.array(np.unique(np.concatenate([s, d])))})
+
+    nodes = (
+        edges.map_batches(distinct_nodes, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["node"])
+        .materialize()
+    )
+
+    outdeg = (
+        edges.select_columns([src_column])
+        .groupby(src_column)
+        .aggregate(Count(alias_name="outdeg"))
+    )
+    outdeg = outdeg.materialize()
+    outdeg = outdeg.repartition(max(1, outdeg.count() // 500_000 + 1))
+    # annotate every edge with its src outdegree ONCE (edge-sized join)
+    edges_deg = edges.select_columns([src_column, dst_column]).join(
+        outdeg, "inner", jp, on=(src_column,), right_on=(src_column,)
+    )
+    edges_deg = edges_deg.materialize()
+    n_edges = edges_deg.count()
+    edges_deg = edges_deg.repartition(max(1, n_edges // 500_000 + 1))
+
+    def init_ranks(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch["node"],
+                "rank_micros": pa.array(
+                    np.full(batch.num_rows, r0, dtype=np.int64)
+                ),
+            }
+        )
+
+    ranks = nodes.map_batches(init_ranks, batch_format="pyarrow").materialize()
+
+    for _ in range(n_iter):
+        joined = edges_deg.join(
+            ranks, "inner", jp, on=(src_column,), right_on=("node",)
+        )
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            r = np.asarray(batch["rank_micros"], dtype=np.int64)
+            deg = np.asarray(batch["outdeg"], dtype=np.int64)
+            c = (damping_pct * r) // (100 * deg)  # floored per edge
+            return pa.table(
+                {
+                    "node": pa.array(np.asarray(batch[dst_column], dtype=np.int64)),
+                    "c": pa.array(c),
+                }
+            )
+
+        inbound = (
+            joined.map_batches(contrib, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("c", alias_name="c"))
+        )
+        inbound = inbound.materialize()
+        inbound = inbound.repartition(max(1, inbound.count() // 500_000 + 1))
+        merged = nodes.join(
+            inbound, "left_outer", jp, on=("node",), right_on=("node",)
+        )
+
+        def fold(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            c = pc.fill_null(batch["c"], 0)
+            return pa.table(
+                {
+                    "node": batch["node"],
+                    "rank_micros": pa.array(
+                        base + np.asarray(c, dtype=np.int64)
+                    ),
+                }
+            )
+
+        ranks = merged.map_batches(fold, batch_format="pyarrow").materialize()
+
+    return ranks
