@@ -1691,6 +1691,121 @@ def q_pagerank_events(sf_dir: str) -> pa.Table:
     )
 
 
+def q_shipping_priority(sf_dir: str) -> pa.Table:
+    """Three-way join + filtered grouped revenue + top-k (the TPC-H Q3
+    shape, dataops/relational.py:shipping_priority): every side pruned by
+    its predicate before any exchange, two native hash joins, exact
+    integer cents*pct revenue, tree-reduced top-k — the driver holds k
+    rows.  Dates ride as integer ymd; no timestamp is hashed."""
+    from search_engine_ray.dataops.relational import shipping_priority
+
+    cust = read_parquet_clean(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    return shipping_priority(
+        cust, orders, li, segment="HOUSEHOLD", cutoff="1995-03-15", k=10
+    )
+
+
+def q_running_revenue(sf_dir: str) -> pa.Table:
+    """Partition-ordered window function (dataops/window_fns.py:
+    running_sum): per-customer cumulative order total — the SQL
+    ``SUM(...) OVER (PARTITION BY ... ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)`` shape.  Keys hash-bucket (one shuffle, never a global
+    sort); each bucket finishes in ONE vectorized lexsort + segmented
+    cumsum kernel.  Exact: integer cents, total order via the
+    (date, orderkey) tiebreak."""
+    from search_engine_ray.dataops.relational import money_cents
+    from search_engine_ray.dataops.window_fns import running_sum
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+                "o_custkey": batch["o_custkey"].cast(pa.int64()),
+                "date_us": batch["o_orderdate"].cast(pa.int64()),
+                "total_c": pa.array(money_cents(batch["o_totalprice"])),
+            }
+        )
+
+    out = (
+        running_sum(
+            orders.map_batches(prep, batch_format="pyarrow"),
+            key="o_custkey",
+            order_cols=("date_us",),
+            value_col="total_c",
+            id_col="o_orderkey",
+            out_name="run_c",
+        )
+        .to_pandas()
+        .sort_values("o_orderkey", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "o_orderkey": pa.array(out["o_orderkey"].astype(np.int64)),
+            "o_custkey": pa.array(out["o_custkey"].astype(np.int64)),
+            "run_c": pa.array(out["run_c"].astype(np.int64)),
+        }
+    )
+
+
+def q_event_gaps(sf_dir: str) -> pa.Table:
+    """LAG window function (dataops/window_fns.py:lag_delta): per-user
+    time since the previous event in integer microseconds (-1 sentinel on
+    each user's first event — fixed-type column instead of NULL).  Same
+    bucketed one-kernel-per-bucket shape as running_sum."""
+    from search_engine_ray.dataops.window_fns import lag_delta
+
+    events = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"].cast(pa.int64()),
+                "user_id": batch["user_id"].cast(pa.int64()),
+                "ts_us": batch["ts"].cast(pa.int64()),
+            }
+        )
+
+    out = (
+        lag_delta(
+            events.map_batches(prep, batch_format="pyarrow"),
+            key="user_id",
+            order_cols=("ts_us",),
+            value_col="ts_us",
+            id_col="event_id",
+            out_name="gap_us",
+            fill=-1,
+        )
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "event_id": pa.array(out["event_id"].astype(np.int64)),
+            "user_id": pa.array(out["user_id"].astype(np.int64)),
+            "gap_us": pa.array(out["gap_us"].astype(np.int64)),
+        }
+    )
+
+
 def _pagerank_oracle_sql() -> str:
     prev = "r0"
     iters = []
@@ -2841,6 +2956,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_window": q_distinct_users_per_window,
         "quantile_gate": q_quantile_gate,
         "pagerank_events": q_pagerank_events,
+        "shipping_priority": q_shipping_priority,
+        "running_revenue": q_running_revenue,
+        "event_gaps": q_event_gaps,
     }
 
 
@@ -4441,6 +4559,40 @@ def oracle_sql() -> dict[str, str]:
             FROM unseen GROUP BY dup_key ORDER BY doc_id
         """,
         "pagerank_events": _pagerank_oracle_sql(),
+        "shipping_priority": """
+            WITH ql AS (
+              SELECT l_orderkey,
+                     SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)
+                         * (100 - CAST(floor(l_discount*100 + 0.5) AS BIGINT)))
+                       AS rev_c2
+              FROM lineitem WHERE l_shipdate > TIMESTAMP '1995-03-15'
+              GROUP BY l_orderkey),
+            qo AS (
+              SELECT o_orderkey,
+                     CAST(year(o_orderdate)*10000 + month(o_orderdate)*100
+                          + day(o_orderdate) AS BIGINT) AS ymd
+              FROM orders JOIN customer ON c_custkey = o_custkey
+              WHERE o_orderdate < TIMESTAMP '1995-03-15'
+                AND c_mktsegment = 'HOUSEHOLD')
+            SELECT l_orderkey, rev_c2, ymd
+            FROM ql JOIN qo ON l_orderkey = o_orderkey
+            ORDER BY rev_c2 DESC, l_orderkey LIMIT 10
+        """,
+        "running_revenue": """
+            SELECT o_orderkey, o_custkey,
+                   SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+                     OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey
+                           ROWS UNBOUNDED PRECEDING) AS run_c
+            FROM orders ORDER BY o_orderkey
+        """,
+        "event_gaps": """
+            SELECT event_id, user_id,
+                   COALESCE(epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id), -1)
+                     AS gap_us
+            FROM events ORDER BY event_id
+        """,
         "distinct_users_per_window": """
             SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users

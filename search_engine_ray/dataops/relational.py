@@ -585,3 +585,132 @@ def count_distinct(ds: ray.data.Dataset, key: str, value: str) -> pa.Table:
             "n_distinct": pa.array(out["n_distinct"].astype(np.int64), pa.int64()),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# shipping priority (three-way join + filtered grouped revenue + top-k)
+# --------------------------------------------------------------------------
+
+
+def shipping_priority(
+    customer: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    lineitem: ray.data.Dataset,
+    segment: str = "HOUSEHOLD",
+    cutoff: str = "1995-03-15",
+    k: int = 10,
+    join_partitions: int = 16,
+) -> pa.Table:
+    """Top-k unshipped orders by exact discounted revenue for one market
+    segment (the TPC-H Q3 shape): customers in ``segment``, orders placed
+    before ``cutoff``, revenue from lineitems shipped after it.
+
+    Scale shape: each side is pruned by its predicate BEFORE any
+    exchange — lineitem folds per-batch (orderkey -> revenue) partials
+    over post-cutoff rows only, orders keeps two columns of pre-cutoff
+    rows, customer contributes just the segment's keys.  Both joins are
+    native hash joins (every side is fact-scale in TPC-H — nothing is
+    broadcast), with the post-aggregate materialize+repartition hygiene,
+    and the result ends in the tree-reduced ``topk_by`` so the driver
+    holds k rows.  Dates ride as integer ymd = y*10000+m*100+d — no
+    timestamp is ever hashed or shuffled."""
+    from ray.data.aggregate import Sum
+
+    cut = pa.scalar(_dt.datetime.fromisoformat(cutoff), type=pa.timestamp("us"))
+
+    def c_keys(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["c_mktsegment"], pa.scalar(segment))
+        return pa.table(
+            {"c_custkey": batch.filter(m)["c_custkey"].cast(pa.int64())}
+        )
+
+    def o_proj(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less(batch["o_orderdate"], cut))
+        d = batch["o_orderdate"]
+        ymd = (
+            pc.multiply(pc.year(d).cast(pa.int64()), pa.scalar(10000, pa.int64()))
+        )
+        ymd = pc.add(ymd, pc.multiply(pc.month(d).cast(pa.int64()), pa.scalar(100, pa.int64())))
+        ymd = pc.add(ymd, pc.day(d).cast(pa.int64()))
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+                "o_custkey": batch["o_custkey"].cast(pa.int64()),
+                "ymd": ymd,
+            }
+        )
+
+    def l_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch["l_shipdate"], cut))
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "rev_c2": pa.array([], pa.int64()),
+                }
+            )
+        ok = np.asarray(batch["l_orderkey"], dtype=np.int64)
+        rev = money_cents(batch["l_extendedprice"]) * (
+            100 - money_cents(batch["l_discount"])
+        )
+        uk, inv = np.unique(ok, return_inverse=True)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(uk),
+                "rev_c2": pa.array(_group_sum(inv, len(uk), rev)),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "l_orderkey": pa.array([], pa.int64()),
+            "rev_c2": pa.array([], pa.int64()),
+            "ymd": pa.array([], pa.int64()),
+        }
+    )
+    jp = _join_parts(join_partitions)
+    # the segment's key set is customer/segment-sized — materialized so an
+    # empty side is caught (an all-empty join input crashes Ray 2.49's
+    # hash shuffle) and the join partitions see a stable schema
+    seg_keys = customer.map_batches(c_keys, batch_format="pyarrow").materialize()
+    if seg_keys.count() == 0:
+        return empty
+    qual_orders = orders.map_batches(o_proj, batch_format="pyarrow").join(
+        seg_keys,
+        "inner",
+        jp,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    # join outputs carry schema-inconsistent empty blocks (Ray 2.49) that
+    # crash a downstream join — same hygiene as after aggregates
+    qual_orders = qual_orders.select_columns(["o_orderkey", "ymd"]).materialize()
+    n_q = qual_orders.count()
+    if n_q == 0:
+        return empty
+    qual_orders = qual_orders.repartition(max(1, n_q // 100_000 + 1))
+    order_rev = (
+        lineitem.map_batches(l_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_c2", alias_name="rev_c2"))
+    )
+    # post-aggregate join hygiene (see module docstring / dataops/dedup.py)
+    order_rev = order_rev.materialize()
+    if order_rev.count() == 0:
+        return empty
+    joined = order_rev.join(
+        qual_orders,
+        "inner",
+        jp,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    top = topk_by(joined, "rev_c2", k, id_column="l_orderkey")
+    # rev_c2 <= ~1e13 per order: exact in topk_by's float64 ordering
+    return pa.table(
+        {
+            "l_orderkey": top["l_orderkey"].cast(pa.int64()),
+            "rev_c2": top["rev_c2"].cast(pa.int64()),
+            "ymd": top["ymd"].cast(pa.int64()),
+        }
+    )

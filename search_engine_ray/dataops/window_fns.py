@@ -1,0 +1,156 @@
+"""Partition-ordered window functions — the SQL
+``f(...) OVER (PARTITION BY key ORDER BY ...)`` shape as a Ray Data
+stage: per-key running sums and lag deltas over event/order streams.
+
+Scale shape
+-----------
+A window function needs every row of a key together and in order —
+but it does NOT need a global sort.  Rows hash-bucket by key
+(``n_buckets`` groups, one shuffle), and each bucket is finished by ONE
+vectorized kernel: a single ``np.lexsort`` over (key, order..., id)
+followed by a segmented cumulative pass — never a Python loop over keys
+or rows.  At 100 TB, size ``n_buckets`` so a bucket (≈ input/n_buckets)
+fits a worker's heap; distinct keys spread uniformly via a Knuth
+multiplicative hash.  The inherent limit is per-KEY, not per-bucket: a
+single key's rows are sequentially dependent by definition, so one key
+with billions of rows is a skew problem no engine can shard further
+(SQL engines serialize it on one thread too).
+
+Determinism
+-----------
+Ordering inside a key is (order_cols..., id_col) ascending — callers
+pass an id that makes the order total, so output is independent of
+partitioning and batch order (the same contract a SQL
+``ORDER BY o, id ROWS UNBOUNDED PRECEDING`` frame gives).  Values are
+int64 (callers convert money to cents / timestamps to epoch-us first),
+so sums are exact and order-independent.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+_KNUTH = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bucket_of(keys: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Deterministic bucket per key (all rows of a key share a bucket)."""
+    return ((keys.astype(np.uint64) * _KNUTH) >> np.uint64(33)) % np.uint64(n_buckets)
+
+
+def _run_kernel(v: np.ndarray, boundary: np.ndarray, fill: int) -> np.ndarray:
+    """Segmented cumulative sum: running total restarting at each
+    segment start (``boundary[i]`` marks the first row of a key)."""
+    cs = np.cumsum(v)
+    starts = np.flatnonzero(boundary)
+    offs = np.zeros(len(starts), dtype=np.int64)
+    if len(starts) > 1:
+        offs[1:] = cs[starts[1:] - 1]
+    seg = np.cumsum(boundary) - 1
+    return cs - offs[seg]
+
+
+def _lag_kernel(v: np.ndarray, boundary: np.ndarray, fill: int) -> np.ndarray:
+    """Segmented delta vs the previous row: ``v - lag(v)`` within the
+    key, ``fill`` on each key's first row."""
+    out = np.empty_like(v)
+    out[1:] = v[1:] - v[:-1]
+    out[boundary] = fill
+    return out
+
+
+def _windowed(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    id_col: str,
+    kernel: Callable[[np.ndarray, np.ndarray, int], np.ndarray],
+    out_name: str,
+    fill: int,
+    n_buckets: int,
+) -> ray.data.Dataset:
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1 (got {n_buckets})")
+    cols: list[str] = []
+    for c in (id_col, key, *order_cols, value_col):
+        if c not in cols:
+            cols.append(c)
+
+    def proj(batch: pa.Table) -> pa.Table:
+        batch = batch.select(cols)
+        b = _bucket_of(np.asarray(batch[key], dtype=np.int64), n_buckets)
+        return batch.append_column("_bucket", pa.array(b.astype(np.int64)))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:  # keep schema on degenerate groups
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    key: pa.array([], pa.int64()),
+                    out_name: pa.array([], pa.int64()),
+                }
+            )
+        k = np.asarray(group[key], dtype=np.int64)
+        ids = np.asarray(group[id_col], dtype=np.int64)
+        orders = [np.asarray(group[c]) for c in order_cols]
+        # lexsort: LAST key is primary -> (key, order_cols..., id) asc
+        perm = np.lexsort((ids, *reversed(orders), k))
+        ks = k[perm]
+        boundary = np.empty(len(ks), dtype=bool)
+        boundary[0] = True
+        np.not_equal(ks[1:], ks[:-1], out=boundary[1:])
+        v = np.asarray(group[value_col], dtype=np.int64)[perm]
+        return pa.table(
+            {
+                id_col: pa.array(ids[perm]),
+                key: pa.array(ks),
+                out_name: pa.array(kernel(v, boundary, fill)),
+            }
+        )
+
+    return (
+        ds.map_batches(proj, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def running_sum(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    id_col: str,
+    out_name: str = "run",
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """``SUM(value) OVER (PARTITION BY key ORDER BY order_cols..., id
+    ROWS UNBOUNDED PRECEDING)`` — per-row cumulative int64 sum within
+    each key.  Output: one row per input row with (id, key, out_name)."""
+    return _windowed(
+        ds, key, order_cols, value_col, id_col, _run_kernel, out_name, 0, n_buckets
+    )
+
+
+def lag_delta(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    id_col: str,
+    out_name: str = "delta",
+    fill: int = -1,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """``value - LAG(value) OVER (PARTITION BY key ORDER BY
+    order_cols..., id)`` — per-row delta vs the key's previous row,
+    ``fill`` on each key's first row (int64 sentinel instead of NULL so
+    the column stays fixed-type).  Output: (id, key, out_name)."""
+    return _windowed(
+        ds, key, order_cols, value_col, id_col, _lag_kernel, out_name, fill, n_buckets
+    )

@@ -341,3 +341,61 @@ def test_count_distinct_partition_invariant(ray_session, tables):
             _ds(tables["lineitem"], parts), "l_linestatus", "l_orderkey"
         )
         assert got.equals(base)
+
+
+def test_shipping_priority_vs_duckdb(ray_session, tables, con):
+    from search_engine_ray.dataops.relational import shipping_priority
+
+    # segment column built here (module fixture has none): deterministic
+    seg = pa.array(
+        ["HOUSEHOLD" if k % 3 == 0 else "MACHINERY" for k in range(1, 151)]
+    )
+    cust = tables["customer"].append_column("c_mktsegment", seg)
+    c2 = duckdb.connect()
+    c2.register("customer", cust)
+    c2.register("orders", tables["orders"])
+    c2.register("lineitem", tables["lineitem"])
+    exp = c2.sql(
+        """
+        WITH ql AS (
+          SELECT l_orderkey,
+                 SUM(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)
+                     * (100 - CAST(floor(l_discount*100+0.5) AS BIGINT))) AS rev_c2
+          FROM lineitem WHERE l_shipdate > TIMESTAMP '1997-06-01'
+          GROUP BY l_orderkey),
+        qo AS (
+          SELECT o_orderkey,
+                 CAST(year(o_orderdate)*10000 + month(o_orderdate)*100
+                      + day(o_orderdate) AS BIGINT) AS ymd
+          FROM orders JOIN customer ON c_custkey = o_custkey
+          WHERE o_orderdate < TIMESTAMP '1997-06-01'
+            AND c_mktsegment = 'HOUSEHOLD')
+        SELECT l_orderkey, rev_c2, ymd FROM ql JOIN qo ON l_orderkey = o_orderkey
+        ORDER BY rev_c2 DESC, l_orderkey LIMIT 10
+        """
+    ).arrow()
+    got = shipping_priority(
+        _ds(cust), _ds(tables["orders"]), _ds(tables["lineitem"]),
+        segment="HOUSEHOLD", cutoff="1997-06-01", k=10,
+    )
+    assert got.num_rows == 10  # non-vacuous
+    assert got.equals(exp.cast(got.schema))
+    # partition invariance
+    got2 = shipping_priority(
+        _ds(cust, 1), _ds(tables["orders"], 9), _ds(tables["lineitem"], 2),
+        segment="HOUSEHOLD", cutoff="1997-06-01", k=10,
+    )
+    assert got2.equals(got)
+
+
+def test_shipping_priority_empty_segment(ray_session, tables):
+    from search_engine_ray.dataops.relational import shipping_priority
+
+    seg = pa.array(["MACHINERY"] * 150)
+    cust = tables["customer"].append_column("c_mktsegment", seg)
+    got = shipping_priority(
+        _ds(cust), _ds(tables["orders"]), _ds(tables["lineitem"]),
+        segment="HOUSEHOLD", cutoff="1997-06-01", k=10,
+    )
+    assert got.num_rows == 0
+    assert got.schema.names == ["l_orderkey", "rev_c2", "ymd"]

@@ -1,0 +1,110 @@
+"""Partition-ordered window functions (dataops/window_fns.py):
+running_sum / lag_delta vs brute-force references and DuckDB window
+oracles, plus partition invariance (results must not depend on how rows
+are batched or which bucket count is used)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from search_engine_ray.dataops.window_fns import lag_delta, running_sum
+
+
+def _toy(n=500, keys=17, seed=7):
+    rng = np.random.default_rng(seed)
+    return pa.table(
+        {
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "k": pa.array(rng.integers(0, keys, n).astype(np.int64)),
+            "o": pa.array(rng.integers(0, 50, n).astype(np.int64)),  # ties!
+            "v": pa.array(rng.integers(-1000, 1000, n).astype(np.int64)),
+        }
+    )
+
+
+def _brute(tbl: pa.Table):
+    df = tbl.to_pandas().sort_values(["k", "o", "id"], ignore_index=True)
+    df["run"] = df.groupby("k")["v"].cumsum()
+    df["delta"] = df["v"] - df.groupby("k")["v"].shift(1)
+    first = df.groupby("k").cumcount() == 0
+    df.loc[first, "delta"] = -1
+    return df.astype({"delta": np.int64}).sort_values("id", ignore_index=True)
+
+
+@pytest.mark.parametrize("n_buckets,n_blocks", [(8, 1), (3, 7), (64, 4)])
+def test_window_fns_match_brute_force(ray_session, n_buckets, n_blocks):
+    tbl = _toy()
+    ds = ray.data.from_arrow(tbl).repartition(n_blocks)
+    exp = _brute(tbl)
+    got_r = (
+        running_sum(ds, "k", ("o",), "v", "id", out_name="run", n_buckets=n_buckets)
+        .to_pandas()
+        .sort_values("id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got_r, exp[["id", "k", "run"]], check_dtype=False)
+    got_l = (
+        lag_delta(ds, "k", ("o",), "v", "id", out_name="delta", n_buckets=n_buckets)
+        .to_pandas()
+        .sort_values("id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got_l, exp[["id", "k", "delta"]], check_dtype=False)
+
+
+def test_window_fns_match_duckdb(ray_session):
+    tbl = _toy(n=800, keys=9, seed=11)
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp_r = con.sql(
+        """SELECT id, k, SUM(v) OVER (PARTITION BY k ORDER BY o, id
+           ROWS UNBOUNDED PRECEDING) AS run FROM t ORDER BY id"""
+    ).df()
+    got_r = (
+        running_sum(ds, "k", ("o",), "v", "id", out_name="run")
+        .to_pandas()
+        .sort_values("id", ignore_index=True)
+    )
+    assert (got_r[["id", "k", "run"]].values == exp_r.values).all()
+    exp_l = con.sql(
+        """SELECT id, k, COALESCE(v - lag(v) OVER (PARTITION BY k ORDER BY o, id), -1)
+           AS delta FROM t ORDER BY id"""
+    ).df()
+    got_l = (
+        lag_delta(ds, "k", ("o",), "v", "id", out_name="delta")
+        .to_pandas()
+        .sort_values("id", ignore_index=True)
+    )
+    assert (got_l[["id", "k", "delta"]].values == exp_l.values).all()
+
+
+def test_window_fns_single_key_and_single_rows(ray_session):
+    # one key (worst skew: everything in one bucket) and n=1
+    tbl = pa.table(
+        {
+            "id": pa.array([0, 1, 2], pa.int64()),
+            "k": pa.array([5, 5, 5], pa.int64()),
+            "o": pa.array([2, 1, 1], pa.int64()),
+            "v": pa.array([10, 20, 30], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    got = (
+        running_sum(ds, "k", ("o",), "v", "id", out_name="run", n_buckets=4)
+        .to_pandas()
+        .sort_values("id", ignore_index=True)
+    )
+    # order within k=5: (o=1,id=1), (o=1,id=2), (o=2,id=0)
+    assert got["run"].tolist() == [60, 20, 50]
+    one = ray.data.from_arrow(tbl.slice(0, 1))
+    got1 = lag_delta(one, "k", ("o",), "v", "id").to_pandas()
+    assert got1["delta"].tolist() == [-1]
+
+
+def test_window_fns_validation(ray_session):
+    tbl = _toy(n=10)
+    ds = ray.data.from_arrow(tbl)
+    with pytest.raises(ValueError, match="n_buckets"):
+        running_sum(ds, "k", ("o",), "v", "id", n_buckets=0)
