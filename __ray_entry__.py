@@ -1806,6 +1806,62 @@ def q_event_gaps(sf_dir: str) -> pa.Table:
     )
 
 
+def q_funnel(sf_dir: str) -> pa.Table:
+    """Ordered event funnel with a 24 h conversion window
+    (dataops/olap.py:funnel_counts): view -> click -> purchase, each step
+    one type-pruned pass + partial-aggregated groupby + user-cardinality
+    hash join.  Exact int64 microsecond window arithmetic."""
+    from search_engine_ray.dataops.olap import funnel_counts
+
+    events = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts"],
+    )
+    return funnel_counts(
+        events, ["view", "click", "purchase"], within_us=24 * 3600 * 10**6
+    )
+
+
+def q_docs_rollup(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP(source, lang) over documents
+    (dataops/olap.py:rollup_counts): all three subtotal levels from ONE
+    streaming pass — each batch derives its coarser partials from its
+    fine partial locally, so one groupby carries every level."""
+    from search_engine_ray.dataops.olap import rollup_counts
+
+    docs = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "lang", "n_chars"],
+    )
+    return rollup_counts(docs, dims=("source", "lang"), value_col="n_chars")
+
+
+_PIVOT_SOURCES = sorted(f"src{i}" for i in range(20))
+
+
+def q_lang_source_pivot(sf_dir: str) -> pa.Table:
+    """Wide pivot (dataops/olap.py:pivot_counts): lang rows x one count
+    column per source — the bounded column domain IS the schema; values
+    outside it fail loud.  One pass of per-batch count matrices."""
+    from search_engine_ray.dataops.olap import pivot_counts
+
+    docs = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "source"]
+    )
+    return pivot_counts(docs, "lang", "source", _PIVOT_SOURCES)
+
+
+def _pivot_oracle_sql() -> str:
+    cases = ", ".join(
+        f"CAST(sum(CASE WHEN source='{s}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f' AS "{s}"'
+        for s in _PIVOT_SOURCES
+    )
+    return (
+        f"SELECT lang, {cases} FROM documents GROUP BY lang ORDER BY lang"
+    )
+
+
 def _pagerank_oracle_sql() -> str:
     prev = "r0"
     iters = []
@@ -2959,6 +3015,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": q_shipping_priority,
         "running_revenue": q_running_revenue,
         "event_gaps": q_event_gaps,
+        "funnel_counts": q_funnel,
+        "docs_rollup": q_docs_rollup,
+        "lang_source_pivot": q_lang_source_pivot,
     }
 
 
@@ -4593,6 +4652,33 @@ def oracle_sql() -> dict[str, str]:
                      AS gap_us
             FROM events ORDER BY event_id
         """,
+        "funnel_counts": """
+            WITH s1 AS (SELECT user_id, min(ts) t FROM events
+                        WHERE event_type='view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) t
+                   FROM events e JOIN s1 USING(user_id)
+                   WHERE e.event_type='click' AND e.ts > s1.t
+                     AND epoch_us(e.ts) <= epoch_us(s1.t) + 86400000000
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) t
+                   FROM events e JOIN s2 USING(user_id)
+                   WHERE e.event_type='purchase' AND e.ts > s2.t
+                     AND epoch_us(e.ts) <= epoch_us(s2.t) + 86400000000
+                   GROUP BY e.user_id)
+            SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+                   CAST(count(*) AS BIGINT) AS n_users FROM s1
+            UNION ALL SELECT 2, 'click', count(*) FROM s2
+            UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+            ORDER BY step
+        """,
+        "docs_rollup": """
+            SELECT COALESCE(source, 'ALL') AS source,
+                   COALESCE(lang, 'ALL') AS lang,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_val
+            FROM documents GROUP BY ROLLUP(source, lang) ORDER BY 1, 2
+        """,
+        "lang_source_pivot": _pivot_oracle_sql(),
         "distinct_users_per_window": """
             SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users

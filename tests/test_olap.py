@@ -1,0 +1,131 @@
+"""OLAP / event-analytics operators (dataops/olap.py) vs DuckDB:
+ordered funnels (with and without a conversion window), ROLLUP
+subtotals, wide pivots — plus partition invariance and validation."""
+
+import datetime as dt
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from search_engine_ray.dataops.olap import funnel_counts, pivot_counts, rollup_counts
+
+RNG = np.random.default_rng(99)
+N_EV = 3000
+N_USERS = 60
+
+
+@pytest.fixture(scope="module")
+def events():
+    base = dt.datetime(2024, 1, 1)
+    ts = pa.array(
+        [base + dt.timedelta(seconds=int(s)) for s in RNG.integers(0, 10**6, N_EV)],
+        pa.timestamp("us"),
+    )
+    return pa.table(
+        {
+            "user_id": pa.array(RNG.integers(0, N_USERS, N_EV), pa.int64()),
+            "event_type": pa.array(RNG.choice(["view", "click", "buy", "noise"], N_EV)),
+            "ts": ts,
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return pa.table(
+        {
+            "source": pa.array([f"s{i % 4}" for i in range(500)]),
+            "lang": pa.array([["en", "de", "fr"][i % 3] for i in range(500)]),
+            "n_chars": pa.array(RNG.integers(10, 5000, 500).astype(np.int64)),
+        }
+    )
+
+
+def _ds(tbl, parts=5):
+    return ray.data.from_arrow(tbl).repartition(parts)
+
+
+def _funnel_sql(con, within_us=None):
+    w1 = f"AND epoch_us(e.ts) <= epoch_us(s1.t) + {within_us}" if within_us else ""
+    w2 = f"AND epoch_us(e.ts) <= epoch_us(s2.t) + {within_us}" if within_us else ""
+    return con.sql(
+        f"""
+        WITH s1 AS (SELECT user_id, min(ts) t FROM events
+                    WHERE event_type='view' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, min(e.ts) t FROM events e JOIN s1 USING(user_id)
+               WHERE e.event_type='click' AND e.ts > s1.t {w1} GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, min(e.ts) t FROM events e JOIN s2 USING(user_id)
+               WHERE e.event_type='buy' AND e.ts > s2.t {w2} GROUP BY e.user_id)
+        SELECT 1 AS step, 'view' AS step_name,
+               CAST(count(*) AS BIGINT) AS n_users FROM s1
+        UNION ALL SELECT 2, 'click', count(*) FROM s2
+        UNION ALL SELECT 3, 'buy', count(*) FROM s3 ORDER BY step
+        """
+    ).arrow()
+
+
+def test_funnel_vs_duckdb(ray_session, events):
+    con = duckdb.connect()
+    con.register("events", events)
+    got = funnel_counts(_ds(events), ["view", "click", "buy"])
+    exp = _funnel_sql(con)
+    assert got.equals(exp.cast(got.schema))
+    # with a conversion window the funnel must actually narrow
+    w = 3600 * 10**6
+    got_w = funnel_counts(_ds(events), ["view", "click", "buy"], within_us=w)
+    exp_w = _funnel_sql(con, within_us=w)
+    assert got_w.equals(exp_w.cast(got_w.schema))
+    assert got_w["n_users"][1].as_py() < got["n_users"][1].as_py()
+    assert got_w["n_users"][2].as_py() > 0  # non-vacuous
+
+
+def test_funnel_partition_invariant_and_dead_step(ray_session, events):
+    base = funnel_counts(_ds(events, 1), ["view", "click", "buy"])
+    got = funnel_counts(_ds(events, 11), ["view", "click", "buy"])
+    assert got.equals(base)
+    dead = funnel_counts(_ds(events), ["view", "nosuch", "buy"])
+    assert dead["n_users"].to_pylist()[1:] == [0, 0]  # truncates downstream
+    with pytest.raises(ValueError, match="non-empty"):
+        funnel_counts(_ds(events), [])
+    with pytest.raises(ValueError, match="within_us"):
+        funnel_counts(_ds(events), ["view"], within_us=0)
+
+
+def test_rollup_vs_duckdb(ray_session, docs):
+    con = duckdb.connect()
+    con.register("documents", docs)
+    got = rollup_counts(_ds(docs), dims=("source", "lang"), value_col="n_chars")
+    exp = con.sql(
+        """SELECT COALESCE(source,'ALL') AS source, COALESCE(lang,'ALL') AS lang,
+                  CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(sum(n_chars) AS BIGINT) AS sum_val
+           FROM documents GROUP BY ROLLUP(source, lang) ORDER BY 1, 2"""
+    ).arrow()
+    assert got.equals(exp.cast(got.schema))
+    assert rollup_counts(_ds(docs, 1), ("source", "lang"), "n_chars").equals(got)
+    bad = docs.set_column(0, "source", pa.array(["ALL"] * 500))
+    with pytest.raises(Exception, match="ALL"):
+        rollup_counts(_ds(bad), ("source", "lang"), "n_chars")
+
+
+def test_pivot_vs_duckdb(ray_session, docs):
+    con = duckdb.connect()
+    con.register("documents", docs)
+    doms = ["s0", "s1", "s2", "s3"]
+    got = pivot_counts(_ds(docs), "lang", "source", doms)
+    cases = ", ".join(
+        f"CAST(sum(CASE WHEN source='{s}' THEN 1 ELSE 0 END) AS BIGINT) AS \"{s}\""
+        for s in doms
+    )
+    exp = con.sql(
+        f"SELECT lang, {cases} FROM documents GROUP BY lang ORDER BY lang"
+    ).arrow()
+    assert got.equals(exp.cast(got.schema))
+    assert pivot_counts(_ds(docs, 1), "lang", "source", doms).equals(got)
+    with pytest.raises(Exception, match="outside the declared domain"):
+        pivot_counts(_ds(docs), "lang", "source", ["s0", "s1"])
+    with pytest.raises(ValueError, match="unique"):
+        pivot_counts(_ds(docs), "lang", "source", ["s0", "s0"])
