@@ -1806,6 +1806,91 @@ def q_event_gaps(sf_dir: str) -> pa.Table:
     )
 
 
+def q_order_seq(sf_dir: str) -> pa.Table:
+    """ROW_NUMBER window function (dataops/window_fns.py:row_number):
+    each customer's orders numbered 1..n in (date, orderkey) order —
+    same bucketed one-kernel-per-bucket shape as running_sum."""
+    from search_engine_ray.dataops.window_fns import row_number
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+                "o_custkey": batch["o_custkey"].cast(pa.int64()),
+                "date_us": batch["o_orderdate"].cast(pa.int64()),
+            }
+        )
+
+    out = (
+        row_number(
+            orders.map_batches(prep, batch_format="pyarrow"),
+            key="o_custkey",
+            order_cols=("date_us",),
+            id_col="o_orderkey",
+            out_name="seq",
+        )
+        .to_pandas()
+        .sort_values("o_orderkey", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "o_orderkey": pa.array(out["o_orderkey"].astype(np.int64)),
+            "o_custkey": pa.array(out["o_custkey"].astype(np.int64)),
+            "seq": pa.array(out["seq"].astype(np.int64)),
+        }
+    )
+
+
+def q_rolling_revenue(sf_dir: str) -> pa.Table:
+    """Trailing sliding-window sum (dataops/window_fns.py:rolling_sum):
+    each customer's last-3-orders total in integer cents — the SQL ROWS
+    BETWEEN 2 PRECEDING AND CURRENT ROW frame, computed as a segmented
+    running-sum difference (one vectorized kernel per bucket)."""
+    from search_engine_ray.dataops.relational import money_cents
+    from search_engine_ray.dataops.window_fns import rolling_sum
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+                "o_custkey": batch["o_custkey"].cast(pa.int64()),
+                "date_us": batch["o_orderdate"].cast(pa.int64()),
+                "total_c": pa.array(money_cents(batch["o_totalprice"])),
+            }
+        )
+
+    out = (
+        rolling_sum(
+            orders.map_batches(prep, batch_format="pyarrow"),
+            key="o_custkey",
+            order_cols=("date_us",),
+            value_col="total_c",
+            id_col="o_orderkey",
+            window=3,
+            out_name="last3_c",
+        )
+        .to_pandas()
+        .sort_values("o_orderkey", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "o_orderkey": pa.array(out["o_orderkey"].astype(np.int64)),
+            "o_custkey": pa.array(out["o_custkey"].astype(np.int64)),
+            "last3_c": pa.array(out["last3_c"].astype(np.int64)),
+        }
+    )
+
+
 def q_funnel(sf_dir: str) -> pa.Table:
     """Ordered event funnel with a 24 h conversion window
     (dataops/olap.py:funnel_counts): view -> click -> purchase, each step
@@ -3015,6 +3100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": q_shipping_priority,
         "running_revenue": q_running_revenue,
         "event_gaps": q_event_gaps,
+        "order_seq": q_order_seq,
+        "rolling_revenue": q_rolling_revenue,
         "funnel_counts": q_funnel,
         "docs_rollup": q_docs_rollup,
         "lang_source_pivot": q_lang_source_pivot,
@@ -4651,6 +4738,20 @@ def oracle_sql() -> dict[str, str]:
                      OVER (PARTITION BY user_id ORDER BY ts, event_id), -1)
                      AS gap_us
             FROM events ORDER BY event_id
+        """,
+        "order_seq": """
+            SELECT o_orderkey, o_custkey,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS seq
+            FROM orders ORDER BY o_orderkey
+        """,
+        "rolling_revenue": """
+            SELECT o_orderkey, o_custkey,
+                   SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+                     OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS last3_c
+            FROM orders ORDER BY o_orderkey
         """,
         "funnel_counts": """
             WITH s1 AS (SELECT user_id, min(ts) t FROM events

@@ -63,6 +63,36 @@ def _lag_kernel(v: np.ndarray, boundary: np.ndarray, fill: int) -> np.ndarray:
     return out
 
 
+def _rownum_kernel(v: np.ndarray, boundary: np.ndarray, fill: int) -> np.ndarray:
+    """Segmented 1-based row number (``ROW_NUMBER() OVER (...)``):
+    position within the key, restarting at each segment start."""
+    n = len(v)
+    idx = np.arange(1, n + 1, dtype=np.int64)
+    starts = np.flatnonzero(boundary)
+    seg = np.cumsum(boundary) - 1
+    return idx - idx[starts][seg] + 1
+
+
+def _make_rolling_kernel(window: int):
+    """Segmented sliding sum over the trailing ``window`` rows
+    (``SUM(v) OVER (... ROWS BETWEEN window-1 PRECEDING AND CURRENT
+    ROW)``): the running sum minus itself shifted by ``window``, clamped
+    at each segment start."""
+
+    def kernel(v: np.ndarray, boundary: np.ndarray, fill: int) -> np.ndarray:
+        run = _run_kernel(v, boundary, fill)
+        starts = np.flatnonzero(boundary)
+        seg = np.cumsum(boundary) - 1
+        pos = np.arange(len(v), dtype=np.int64) - starts[seg]  # 0-based in-segment
+        out = run.copy()
+        far = pos >= window  # rows with a full window behind them
+        idx = np.flatnonzero(far)
+        out[idx] -= run[idx - window]
+        return out
+
+    return kernel
+
+
 def _windowed(
     ds: ray.data.Dataset,
     key: str,
@@ -153,4 +183,50 @@ def lag_delta(
     the column stays fixed-type).  Output: (id, key, out_name)."""
     return _windowed(
         ds, key, order_cols, value_col, id_col, _lag_kernel, out_name, fill, n_buckets
+    )
+
+
+def row_number(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: Sequence[str],
+    id_col: str,
+    out_name: str = "row_num",
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """``ROW_NUMBER() OVER (PARTITION BY key ORDER BY order_cols...,
+    id)`` — 1-based position within the key.  Output: (id, key,
+    out_name)."""
+    # the kernel ignores values; reuse the id column as a typed stand-in
+    return _windowed(
+        ds, key, order_cols, id_col, id_col, _rownum_kernel, out_name, 0, n_buckets
+    )
+
+
+def rolling_sum(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    id_col: str,
+    window: int,
+    out_name: str = "rsum",
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """``SUM(value) OVER (PARTITION BY key ORDER BY order_cols..., id
+    ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)`` — trailing
+    sliding-window int64 sum (partial windows at each key's start, the
+    SQL ROWS-frame semantics).  Output: (id, key, out_name)."""
+    if window < 1:
+        raise ValueError(f"rolling_sum: window must be >= 1 (got {window})")
+    return _windowed(
+        ds,
+        key,
+        order_cols,
+        value_col,
+        id_col,
+        _make_rolling_kernel(window),
+        out_name,
+        0,
+        n_buckets,
     )

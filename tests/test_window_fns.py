@@ -108,3 +108,36 @@ def test_window_fns_validation(ray_session):
     ds = ray.data.from_arrow(tbl)
     with pytest.raises(ValueError, match="n_buckets"):
         running_sum(ds, "k", ("o",), "v", "id", n_buckets=0)
+
+
+def test_row_number_and_rolling_sum_vs_duckdb(ray_session):
+    from search_engine_ray.dataops.window_fns import rolling_sum, row_number
+
+    tbl = _toy(n=700, keys=13, seed=23)
+    ds = ray.data.from_arrow(tbl).repartition(6)
+    con = duckdb.connect()
+    con.register("t", tbl)
+    got_rn = (
+        row_number(ds, "k", ("o",), "id", out_name="rn", n_buckets=16)
+        .to_pandas()
+        .sort_values("id", ignore_index=True)
+    )
+    exp_rn = con.sql(
+        """SELECT id, k, ROW_NUMBER() OVER (PARTITION BY k ORDER BY o, id) AS rn
+           FROM t ORDER BY id"""
+    ).df()
+    assert (got_rn[["id", "k", "rn"]].values == exp_rn.values).all()
+    for w in (1, 4):
+        got_rs = (
+            rolling_sum(ds, "k", ("o",), "v", "id", window=w, out_name="rs")
+            .to_pandas()
+            .sort_values("id", ignore_index=True)
+        )
+        exp_rs = con.sql(
+            f"""SELECT id, k, SUM(v) OVER (PARTITION BY k ORDER BY o, id
+                ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS rs
+                FROM t ORDER BY id"""
+        ).df()
+        assert (got_rs[["id", "k", "rs"]].values == exp_rs.values).all()
+    with pytest.raises(ValueError, match="window"):
+        rolling_sum(ds, "k", ("o",), "v", "id", window=0)
