@@ -1806,6 +1806,39 @@ def q_event_gaps(sf_dir: str) -> pa.Table:
     )
 
 
+def q_mmr_rerank(sf_dir: str) -> pa.Table:
+    """MMR diversity re-ranking (similarity.mmr_rerank) over the
+    embeddings table.  Greedy and float-scored, so no SQL oracle
+    (rows-only gate) — instead SELF-CHECKING: the first pick must equal
+    the cosine top-1, lam=1 must reproduce the plain cosine ranking,
+    picks must be unique and drawn from the candidate set, and the
+    lam=0.3 ranking must actually diverge from pure relevance order."""
+    from search_engine_ray.dataops.similarity import knn_brute_force, mmr_rerank
+
+    tbl = _emb_tbl(sf_dir)
+    q = np.asarray(tbl["embedding"][0].as_py(), dtype=np.float64)
+    ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
+    out = mmr_rerank(ds, q, k=20, lam=0.3, n_candidates=100)
+    top = knn_brute_force(ds, q[None, :], k=100)
+    top_ids = top["vec_id"].to_pylist()
+    got_ids = out["vec_id"].to_pylist()
+    assert len(got_ids) == 20 and len(set(got_ids)) == 20
+    assert got_ids[0] == top_ids[0], "first MMR pick must be the cosine top-1"
+    assert set(got_ids) <= set(top_ids), "picks must come from the candidate set"
+    lam1 = mmr_rerank(ds, q, k=20, lam=1.0, n_candidates=100)
+    assert lam1["vec_id"].to_pylist() == top_ids[:20], "lam=1 must equal cosine order"
+    assert got_ids != top_ids[:20], "lam=0.3 must actually diversify"
+    return pa.table(
+        {
+            "rank": out["rank"].cast(pa.int64()),
+            "vec_id": out["vec_id"].cast(pa.int64()),
+            "mmr_score_micros": pa.array(
+                _micros(np.asarray(out["mmr_score"], dtype=np.float64))
+            ),
+        }
+    )
+
+
 def q_order_seq(sf_dir: str) -> pa.Table:
     """ROW_NUMBER window function (dataops/window_fns.py:row_number):
     each customer's orders numbered 1..n in (date, orderkey) order —
@@ -3100,6 +3133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": q_shipping_priority,
         "running_revenue": q_running_revenue,
         "event_gaps": q_event_gaps,
+        "mmr_rerank": q_mmr_rerank,
         "order_seq": q_order_seq,
         "rolling_revenue": q_rolling_revenue,
         "funnel_counts": q_funnel,

@@ -734,3 +734,99 @@ def embedding_near_dup_pairs(
                   "cos_sim": pa.array([], pa.float64())})
     )
     return out.union(empty)
+
+
+# --------------------------------------------------------------------------
+# MMR diversity re-ranking
+# --------------------------------------------------------------------------
+
+
+def mmr_rerank(
+    ds: ray.data.Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    lam: float = 0.5,
+    n_candidates: int = 100,
+    column: str = "embedding",
+    id_column: str = "vec_id",
+) -> pa.Table:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick k of the top-``n_candidates`` cosine hits,
+    trading relevance against redundancy —
+    ``argmax lam*sim(q,d) - (1-lam)*max_{s in picked} sim(d,s)``.
+    ``lam=1`` degenerates to the plain cosine ranking; smaller ``lam``
+    spreads picks across clusters (the RAG context-diversification /
+    search-result-diversification step).
+
+    Scale shape: candidate retrieval is the distributed exact top-n
+    (``knn_brute_force`` — broadcast query, per-batch partial top-k);
+    candidate vectors come back in ONE filtered streaming pass
+    (vectorized ``isin`` against the broadcast id set).  Only the greedy
+    loop — inherently sequential, k iterations over an
+    (n_candidates x n_candidates) sim matrix — runs on the driver, over
+    a bounded n_candidates x dim slice, never the corpus.  Ties break by
+    ascending id; with float sims equal only on identical vectors, the
+    result is partition-invariant."""
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"mmr_rerank: lam must be in [0, 1] (got {lam})")
+    if k < 1 or n_candidates < k:
+        raise ValueError(
+            f"mmr_rerank: need 1 <= k <= n_candidates (got k={k}, "
+            f"n_candidates={n_candidates})"
+        )
+    q = np.asarray(query, dtype=np.float64).reshape(1, -1)
+    cand = knn_brute_force(ds, q, k=n_candidates, column=column, id_column=id_column)
+    cand_ids = np.asarray(cand[id_column], dtype=np.int64)
+    if len(cand_ids) == 0:
+        return pa.table(
+            {
+                "rank": pa.array([], pa.int64()),
+                id_column: pa.array([], pa.int64()),
+                "mmr_score": pa.array([], pa.float64()),
+            }
+        )
+    ids_ref = ray.put(np.sort(cand_ids))
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        ids = np.asarray(batch[id_column], dtype=np.int64)
+        pos = np.searchsorted(wanted, ids)
+        pos[pos >= len(wanted)] = 0
+        mask = wanted[pos] == ids
+        return batch.filter(pa.array(mask)).select([id_column, column])
+
+    rows = ds.map_batches(fetch, batch_format="pyarrow").take_all()
+    got_ids = np.asarray([r[id_column] for r in rows], dtype=np.int64)
+    emb = _normalize(
+        np.stack([np.asarray(r[column], dtype=np.float64) for r in rows])
+    )
+    # align to candidate rank order (knn output is (score desc, id asc))
+    order = {int(v): i for i, v in enumerate(got_ids)}
+    emb = emb[[order[int(v)] for v in cand_ids]]
+    qn = _normalize(q)[0]
+    sim_q = emb @ qn
+    pair = emb @ emb.T
+    n = len(cand_ids)
+    picked: list[int] = []
+    picked_scores: list[float] = []
+    max_red = np.full(n, -np.inf)
+    alive = np.ones(n, dtype=bool)
+    for _ in range(min(k, n)):
+        if picked:
+            score = lam * sim_q - (1.0 - lam) * max_red
+        else:
+            score = sim_q.copy()
+        score[~alive] = -np.inf
+        # argmax with ascending-id tie break: ids are unique, sims may tie
+        best = np.lexsort((cand_ids, -score))[0]
+        picked.append(best)
+        picked_scores.append(float(score[best]))
+        alive[best] = False
+        np.maximum(max_red, pair[:, best], out=max_red)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(picked) + 1, dtype=np.int64)),
+            id_column: pa.array(cand_ids[picked]),
+            "mmr_score": pa.array(np.asarray(picked_scores, dtype=np.float64)),
+        }
+    )

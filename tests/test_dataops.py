@@ -1267,3 +1267,63 @@ def test_topk_per_key(ray_session):
         key = lambda d: sorted(map(tuple, d[["grp", "val", "id"]].to_numpy()))
         assert key(got) == key(exp)
         assert got.groupby("grp").size().max() <= 3
+
+
+def test_mmr_rerank_matches_reference_and_diversifies(ray_session):
+    """MMR (similarity.mmr_rerank) vs an independent per-step numpy
+    reference; lam=1 degenerates to the cosine ranking; a small lam must
+    spread picks across clusters where plain top-k stays in one."""
+    import ray.data
+
+    from search_engine_ray.dataops.similarity import knn_brute_force, mmr_rerank
+
+    rng = np.random.default_rng(5)
+    # two tight clusters + noise: cluster 0 is closest to the query
+    c0 = rng.normal(0, 0.01, (20, 16)) + np.eye(16)[0]
+    c1 = rng.normal(0, 0.01, (20, 16)) + np.eye(16)[1] * 0.8 + np.eye(16)[0] * 0.5
+    vecs = np.vstack([c0, c1])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+            "embedding": pa.array([list(map(float, v)) for v in vecs]),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    q = np.eye(16)[0]
+
+    got = mmr_rerank(ds, q, k=8, lam=0.3, n_candidates=40)
+
+    # independent reference: brute-force greedy over all 40
+    def ref_mmr(vv, qq, k, lam):
+        vn = vv / np.linalg.norm(vv, axis=1, keepdims=True)
+        qn = qq / np.linalg.norm(qq)
+        simq = vn @ qn
+        pair = vn @ vn.T
+        picked = []
+        for _ in range(k):
+            best, best_s = None, None
+            for i in range(len(vv)):
+                if i in picked:
+                    continue
+                red = max((pair[i][j] for j in picked), default=None)
+                s = simq[i] if red is None else lam * simq[i] - (1 - lam) * red
+                if best is None or s > best_s or (s == best_s and i < best):
+                    best, best_s = i, s
+            picked.append(best)
+        return picked
+
+    assert got["vec_id"].to_pylist() == ref_mmr(vecs, q, 8, 0.3)
+    # lam=1 == plain cosine order
+    top = knn_brute_force(ds, q[None, :], k=8)
+    lam1 = mmr_rerank(ds, q, k=8, lam=1.0, n_candidates=40)
+    assert lam1["vec_id"].to_pylist() == top["vec_id"].to_pylist()
+    # diversification: top-8 cosine stays in cluster 0; MMR reaches cluster 1
+    assert all(v < 20 for v in top["vec_id"].to_pylist())
+    assert any(v >= 20 for v in got["vec_id"].to_pylist())
+    # partition invariance
+    got1 = mmr_rerank(ray.data.from_arrow(tbl), q, k=8, lam=0.3, n_candidates=40)
+    assert got1.equals(got)
+    with pytest.raises(ValueError, match="lam"):
+        mmr_rerank(ds, q, k=3, lam=1.5)
+    with pytest.raises(ValueError, match="n_candidates"):
+        mmr_rerank(ds, q, k=10, n_candidates=5)
