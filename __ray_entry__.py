@@ -1806,6 +1806,65 @@ def q_event_gaps(sf_dir: str) -> pa.Table:
     )
 
 
+def q_jsonl_roundtrip(sf_dir: str) -> pa.Table:
+    """JSONL source (sources/jsonl.py): the documents table dumped once
+    to newline-delimited JSON (one plain + one gzipped file, the Dolma/
+    Pile interchange shape; build-once locked), then streamed back via
+    ``read_jsonl`` with the column contract enforced.  Checked as
+    (doc_id, lang, source, n_chars, md5(text)) — a lossless ingest
+    roundtrip against the parquet ground truth."""
+    import gzip
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.sources.jsonl import read_jsonl, write_jsonl
+
+    jd = os.path.join(
+        "/tmp/se_ray_cache", "jsonl-" + sf_dir.strip("/").replace("/", "_")
+    )
+
+    def _build() -> None:
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        half = tbl.num_rows // 2
+        write_jsonl(tbl.slice(0, half), os.path.join(jd, "a.jsonl"))
+        rows = tbl.slice(half).to_pylist()
+        with gzip.open(os.path.join(jd, "b.jsonl.gz"), "wt", encoding="utf-8") as f:
+            import json as _json
+
+            for r in rows:
+                f.write(_json.dumps(r, ensure_ascii=False) + "\n")
+
+    os.makedirs(jd, exist_ok=True)
+    _build_once(jd, ".jsonl-complete", _build)
+    ds = read_jsonl(
+        [os.path.join(jd, "a.jsonl"), os.path.join(jd, "b.jsonl.gz")],
+        {
+            "doc_id": pa.int64(),
+            "text": pa.string(),
+            "lang": pa.string(),
+            "source": pa.string(),
+            "n_chars": pa.int64(),
+        },
+    )
+    out = ds.to_pandas().sort_values("doc_id", ignore_index=True)
+    md5s = [
+        hashlib.md5(t.encode("utf-8")).hexdigest() for t in out["text"].tolist()
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].astype(np.int64)),
+            "lang": pa.array(out["lang"], pa.string()),
+            "source": pa.array(out["source"], pa.string()),
+            "n_chars": pa.array(out["n_chars"].astype(np.int64)),
+            "text_md5": pa.array(md5s, pa.string()),
+        }
+    )
+
+
 def q_mmr_rerank(sf_dir: str) -> pa.Table:
     """MMR diversity re-ranking (similarity.mmr_rerank) over the
     embeddings table.  Greedy and float-scored, so no SQL oracle
@@ -3133,6 +3192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": q_shipping_priority,
         "running_revenue": q_running_revenue,
         "event_gaps": q_event_gaps,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "mmr_rerank": q_mmr_rerank,
         "order_seq": q_order_seq,
         "rolling_revenue": q_rolling_revenue,
@@ -4772,6 +4832,10 @@ def oracle_sql() -> dict[str, str]:
                      OVER (PARTITION BY user_id ORDER BY ts, event_id), -1)
                      AS gap_us
             FROM events ORDER BY event_id
+        """,
+        "jsonl_roundtrip": """
+            SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+            FROM documents ORDER BY doc_id
         """,
         "order_seq": """
             SELECT o_orderkey, o_custkey,
