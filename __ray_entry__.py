@@ -1806,6 +1806,31 @@ def q_event_gaps(sf_dir: str) -> pa.Table:
     )
 
 
+def q_bigram_lm(sf_dir: str) -> pa.Table:
+    """Conditional bigram LM self-perplexity (dataops/lm.py:
+    bigram_lm_scores): p(w2|w1) with context totals from the unpruned
+    aggregate, pair dictionary pruned at min_count=2 inside the Dataset.
+    Checked columns are the transcendental-free integers (n_bigrams,
+    n_known, sum_pair_count, sum_ctx_count); floored-ln micros stay
+    pytest-pinned — the unigram_lm convention."""
+    from search_engine_ray.dataops.lm import bigram_lm_scores
+
+    out = (
+        bigram_lm_scores(_docs_ds(sf_dir), min_count=2)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].astype(np.int64)),
+            "n_bigrams": pa.array(out["n_bigrams"].astype(np.int64)),
+            "n_known": pa.array(out["n_known"].astype(np.int64)),
+            "sum_pair_count": pa.array(out["sum_pair_count"].astype(np.int64)),
+            "sum_ctx_count": pa.array(out["sum_ctx_count"].astype(np.int64)),
+        }
+    )
+
+
 def q_jsonl_roundtrip(sf_dir: str) -> pa.Table:
     """JSONL source (sources/jsonl.py): the documents table dumped once
     to newline-delimited JSON (one plain + one gzipped file, the Dolma/
@@ -3192,6 +3217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": q_shipping_priority,
         "running_revenue": q_running_revenue,
         "event_gaps": q_event_gaps,
+        "bigram_lm": q_bigram_lm,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "mmr_rerank": q_mmr_rerank,
         "order_seq": q_order_seq,
@@ -4836,6 +4862,34 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_roundtrip": """
             SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
             FROM documents ORDER BY doc_id
+        """,
+        "bigram_lm": r"""
+            WITH tl AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '[\t\n\x0B\x0C\r ]'),
+                                 x -> x <> '') AS tks
+              FROM documents),
+            tok AS (
+              SELECT doc_id, unnest(tks) AS t,
+                     unnest(generate_series(1, len(tks))) AS pos FROM tl),
+            bg AS (
+              SELECT x.doc_id, x.t AS w1, y.t AS w2
+              FROM tok x JOIN tok y ON y.doc_id = x.doc_id AND y.pos = x.pos + 1),
+            cnt AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+            ctx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS ct FROM cnt GROUP BY w1),
+            kept AS (SELECT * FROM cnt WHERE c >= 2)
+            SELECT d.doc_id,
+                   CAST(count(bg.w1) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(sum(CASE WHEN kept.c IS NOT NULL THEN 1 END), 0)
+                        AS BIGINT) AS n_known,
+                   CAST(COALESCE(sum(kept.c), 0) AS BIGINT) AS sum_pair_count,
+                   CAST(COALESCE(sum(CASE WHEN kept.c IS NOT NULL THEN ctx.ct END), 0)
+                        AS BIGINT) AS sum_ctx_count
+            FROM documents d
+            LEFT JOIN bg ON bg.doc_id = d.doc_id
+            LEFT JOIN kept ON kept.w1 = bg.w1 AND kept.w2 = bg.w2
+            LEFT JOIN ctx ON ctx.w1 = bg.w1
+            GROUP BY d.doc_id ORDER BY d.doc_id
         """,
         "order_seq": """
             SELECT o_orderkey, o_custkey,

@@ -286,3 +286,216 @@ def dsir_importance_weights(
         )
 
     return raw_ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# bigram LM
+# ---------------------------------------------------------------------------
+
+
+def _ws_bigram_arrays(texts) -> tuple[np.ndarray, np.ndarray]:
+    """(w1 array, w2 array) of adjacent whitespace-token pairs per doc —
+    the pinned WS_RE split (text/ws.py), empties dropped, adjacency over
+    KEPT tokens, never across doc boundaries.  Vectorized: one split,
+    one flatten + parent-index mask, one shift."""
+    import pyarrow.compute as pc
+
+    from ..text.ws import WS_RE
+
+    lists = pc.split_pattern_regex(pc.fill_null(texts, ""), pattern=WS_RE)
+    flat = pc.list_flatten(lists)
+    par = pc.list_parent_indices(lists)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    if isinstance(par, pa.ChunkedArray):
+        par = par.combine_chunks()
+    keep = pc.greater(pc.binary_length(flat), 0)
+    toks = flat.filter(keep).to_numpy(zero_copy_only=False)
+    docs = np.asarray(par)[np.asarray(keep)]
+    if len(toks) < 2:
+        return np.empty(0, dtype=object), np.empty(0, dtype=object)
+    adj = docs[:-1] == docs[1:]
+    return toks[:-1][adj], toks[1:][adj]
+
+
+def bigram_counts(ds: ray.data.Dataset, text_column: str = "text") -> ray.data.Dataset:
+    """(w1, w2, count) over the corpus — per-batch vectorized partials,
+    one groupby-sum of distinct-bigram-sized rows (tokens never contain
+    whitespace, so the internal 'w1 w2' join key is collision-free)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w1, w2 = _ws_bigram_arrays(batch[text_column])
+        if len(w1) == 0:
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "count": pa.array([], pa.int64()),
+                }
+            )
+        joined = np.char.add(np.char.add(w1.astype(str), " "), w2.astype(str))
+        uniq, cnt = np.unique(joined, return_counts=True)
+        parts = np.char.partition(uniq, " ")
+        return pa.table(
+            {
+                "w1": pa.array(parts[:, 0], pa.string()),
+                "w2": pa.array(parts[:, 2], pa.string()),
+                "count": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("count", alias_name="count"))
+    )
+
+
+def train_bigram_lm(
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    min_count: int = 1,
+    max_vocab: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
+    """-> (pairs sorted ascending as 'w1 w2', pair counts, pair
+    logp_micros, contexts sorted, context totals, total_bigrams).
+
+    The conditional model p(w2|w1) = c(w1,w2) / c(w1,*): context totals
+    come from the UNPRUNED bigram aggregate (a second vocabulary-sized
+    groupby over the same distributed counts), so pruning the pair
+    dictionary never distorts the probabilities — exactly the
+    train_unigram_lm pruning convention (min_count / max_vocab applied
+    INSIDE the Dataset; only the pruned dictionary reaches the driver)."""
+    cds = bigram_counts(ds, text_column).materialize()
+    total = int(cds.sum("count") or 0)
+
+    def ctx_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"w1": pa.array([], pa.string()), "count": pa.array([], pa.int64())}
+            )
+        return (
+            batch.select(["w1", "count"])
+            .group_by("w1")
+            .aggregate([("count", "sum")])
+            .rename_columns(["w1", "count"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    ctx_tbl = (
+        cds.map_batches(ctx_partial, batch_format="pyarrow")
+        .groupby("w1")
+        .aggregate(Sum("count", alias_name="count"))
+        .sort("w1")
+        .to_pandas()
+    )
+    pruned = cds
+    if min_count > 1:
+        pruned = pruned.filter(expr=f"count >= {min_count}")
+    if max_vocab is not None:
+        pruned = pruned.sort(
+            ["count", "w1", "w2"], descending=[True, False, False]
+        ).limit(max_vocab)
+    ptbl = pruned.to_pandas()
+    pairs = (ptbl["w1"] + " " + ptbl["w2"]).to_numpy(dtype=object)
+    order = np.argsort(pairs)
+    pairs = pairs[order]
+    pcounts = ptbl["count"].to_numpy(dtype=np.int64)[order]
+    ctxs = ctx_tbl["w1"].to_numpy(dtype=object)
+    ctotals = ctx_tbl["count"].to_numpy(dtype=np.int64)
+    # p(w2|w1) = c(pair)/c(ctx): logp per pruned pair
+    cpos = np.searchsorted(ctxs, ptbl["w1"].to_numpy(dtype=object)[order])
+    denom = ctotals[cpos]  # every pruned pair's context exists unpruned
+    logp = np.floor(
+        np.log(pcounts.astype(np.float64) / denom.astype(np.float64)) * 1_000_000
+        + 0.5
+    ).astype(np.int64)
+    return pairs, pcounts, logp, ctxs, ctotals, total
+
+
+def bigram_lm_scores(
+    ds: ray.data.Dataset,
+    lm: tuple | None = None,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    min_count: int = 1,
+    max_vocab: int | None = None,
+) -> ray.data.Dataset:
+    """Per-document conditional-bigram cross-entropy -> (doc_id,
+    n_bigrams, n_known, sum_pair_count, sum_ctx_count, sum_logp_micros).
+
+    The first FOUR integer columns are transcendental-free (bigram count,
+    in-model bigram count, sums of model pair / context counts over known
+    bigrams) — the driver-gate surface; the floored-ln micros column is
+    pytest-pinned only (the unigram_lm round-3 lesson).  Unknown bigrams
+    score ln(1/(total+1)) micros.  When ``lm`` is None the model trains
+    on ``ds`` itself (self-perplexity — the boilerplate/repetition
+    signal)."""
+    if lm is None:
+        lm = train_bigram_lm(ds, text_column, min_count=min_count, max_vocab=max_vocab)
+    pairs, pcounts, logp, ctxs, ctotals, total = lm
+    oov = int(np.floor(np.log(1.0 / (total + 1)) * 1_000_000 + 0.5))
+    model_ref = ray.put((pairs, pcounts, logp, ctxs, ctotals))
+
+    class BigramScorer:
+        def __init__(self):
+            (self.pairs, self.pcounts, self.logp, self.ctxs, self.ctotals) = ray.get(
+                model_ref
+            )
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            n_rows = len(batch)
+            w1, w2 = _ws_bigram_arrays(batch[text_column])
+            nbig = np.zeros(n_rows, dtype=np.int64)
+            nknown = np.zeros(n_rows, dtype=np.int64)
+            psum = np.zeros(n_rows, dtype=np.int64)
+            csum = np.zeros(n_rows, dtype=np.int64)
+            lsum = np.zeros(n_rows, dtype=np.int64)
+            if len(w1):
+                # doc index per bigram: recompute the same mask shape
+                import pyarrow.compute as pc
+
+                from ..text.ws import WS_RE
+
+                lists = pc.split_pattern_regex(
+                    pc.fill_null(batch[text_column], ""), pattern=WS_RE
+                )
+                flat = pc.list_flatten(lists)
+                par = pc.list_parent_indices(lists)
+                if isinstance(flat, pa.ChunkedArray):
+                    flat = flat.combine_chunks()
+                if isinstance(par, pa.ChunkedArray):
+                    par = par.combine_chunks()
+                keep = pc.greater(pc.binary_length(flat), 0)
+                docs = np.asarray(par)[np.asarray(keep)]
+                adj = docs[:-1] == docs[1:]
+                bdoc = docs[:-1][adj]
+                joined = np.char.add(np.char.add(w1.astype(str), " "), w2.astype(str))
+                pos = np.searchsorted(self.pairs, joined)
+                posc = np.minimum(pos, max(len(self.pairs) - 1, 0))
+                known = (
+                    self.pairs[posc] == joined
+                    if len(self.pairs)
+                    else np.zeros(len(joined), bool)
+                )
+                cpos = np.searchsorted(self.ctxs, w1.astype(str))
+                cposc = np.minimum(cpos, max(len(self.ctxs) - 1, 0))
+                np.add.at(nbig, bdoc, 1)
+                np.add.at(nknown, bdoc, known.astype(np.int64))
+                np.add.at(psum, bdoc, np.where(known, self.pcounts[posc], 0))
+                np.add.at(csum, bdoc, np.where(known, self.ctotals[cposc], 0))
+                np.add.at(lsum, bdoc, np.where(known, self.logp[posc], oov))
+            return pa.table(
+                {
+                    id_column: batch[id_column],
+                    "n_bigrams": pa.array(nbig),
+                    "n_known": pa.array(nknown),
+                    "sum_pair_count": pa.array(psum),
+                    "sum_ctx_count": pa.array(csum),
+                    "sum_logp_micros": pa.array(lsum),
+                }
+            )
+
+    return ds.map_batches(BigramScorer, batch_format="pyarrow", concurrency=(1, 8))

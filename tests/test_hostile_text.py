@@ -89,6 +89,7 @@ CHECKED = [
     "nfc_normalize",
     "chunk_documents",
     "dedup_incremental",
+    "bigram_lm",
 ]
 
 
@@ -229,6 +230,7 @@ FRAGMENT_SENSITIVE = [
     "paragraph_dedup",
     "simhash",
     "decontaminate",
+    "bigram_lm",
 ]
 
 

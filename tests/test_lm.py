@@ -188,3 +188,108 @@ def test_train_unigram_lm_prune(docs_ds, ray_session):
             for t in ts
         )
         assert out.loc[d, "sum_logp_micros"] == exp
+
+
+def test_bigram_lm_scores_match_brute_force_and_duckdb(ray_session):
+    """bigram_lm_scores (dataops/lm.py): integer gate columns vs a
+    per-doc Python reference AND the DuckDB adjacency oracle; floored-ln
+    micros pinned vs numpy; partition invariance."""
+    import duckdb
+
+    import ray.data
+    from search_engine_ray.dataops.lm import bigram_lm_scores, train_bigram_lm
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat sat\tthe cat  sat",
+        "on the mat the cat",
+        "",
+        "one",
+        "zz yy zz yy zz",
+    ] * 3
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    lm = train_bigram_lm(ds, min_count=2)
+    pairs, pcounts, logp, ctxs, ctotals, total = lm
+    out = (
+        bigram_lm_scores(ds, lm=lm)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+    # brute-force reference
+    import re
+
+    def toks(t):
+        return [w for w in re.split(r"[\t\n\x0B\x0C\r ]", t) if w]
+
+    all_big = {}
+    for t in texts:
+        ws = toks(t)
+        for a, b in zip(ws, ws[1:]):
+            all_big[(a, b)] = all_big.get((a, b), 0) + 1
+    ctx = {}
+    for (a, _), c in all_big.items():
+        ctx[a] = ctx.get(a, 0) + c
+    kept = {k: v for k, v in all_big.items() if v >= 2}
+    assert total == sum(all_big.values())
+    assert sorted(pairs) == sorted(f"{a} {b}" for a, b in kept)
+    oov = int(np.floor(np.log(1.0 / (total + 1)) * 1e6 + 0.5))
+    for i, t in enumerate(texts):
+        ws = toks(t)
+        bgs = list(zip(ws, ws[1:]))
+        row = out.iloc[i]
+        assert row["n_bigrams"] == len(bgs)
+        assert row["n_known"] == sum(1 for b in bgs if b in kept)
+        assert row["sum_pair_count"] == sum(kept.get(b, 0) for b in bgs)
+        assert row["sum_ctx_count"] == sum(ctx[b[0]] for b in bgs if b in kept)
+        exp_l = sum(
+            int(np.floor(np.log(kept[b] / ctx[b[0]]) * 1e6 + 0.5)) if b in kept else oov
+            for b in bgs
+        )
+        assert row["sum_logp_micros"] == exp_l
+
+    # DuckDB oracle for the transcendental-free columns
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    exp = con.sql(r"""
+        WITH tl AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '[\t\n\x0B\x0C\r ]'),
+                             x -> x <> '') AS tks
+          FROM documents),
+        tok AS (
+          SELECT doc_id, unnest(tks) AS t,
+                 unnest(generate_series(1, len(tks))) AS pos FROM tl),
+        bg AS (
+          SELECT x.doc_id, x.t AS w1, y.t AS w2
+          FROM tok x JOIN tok y ON y.doc_id = x.doc_id AND y.pos = x.pos + 1),
+        cnt AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+        ctx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS ct FROM cnt GROUP BY w1),
+        kept AS (SELECT * FROM cnt WHERE c >= 2)
+        SELECT d.doc_id,
+               CAST(count(bg.w1) AS BIGINT) AS n_bigrams,
+               CAST(COALESCE(sum(CASE WHEN kept.c IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_known,
+               CAST(COALESCE(sum(kept.c), 0) AS BIGINT) AS sum_pair_count,
+               CAST(COALESCE(sum(CASE WHEN kept.c IS NOT NULL THEN ctx.ct END), 0) AS BIGINT) AS sum_ctx_count
+        FROM documents d
+        LEFT JOIN bg ON bg.doc_id = d.doc_id
+        LEFT JOIN kept ON kept.w1 = bg.w1 AND kept.w2 = bg.w2
+        LEFT JOIN ctx ON ctx.w1 = bg.w1
+        GROUP BY d.doc_id ORDER BY d.doc_id
+    """).df()
+    cols = ["doc_id", "n_bigrams", "n_known", "sum_pair_count", "sum_ctx_count"]
+    assert (out[cols].values == exp[cols].values).all()
+
+    # partition invariance
+    out1 = (
+        bigram_lm_scores(ray.data.from_arrow(tbl), lm=lm)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert out1.equals(out)
