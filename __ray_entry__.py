@@ -1806,6 +1806,24 @@ def q_event_gaps(sf_dir: str) -> pa.Table:
     )
 
 
+def q_range_export(sf_dir: str) -> pa.Table:
+    """Range-partitioned sorted export (dataops/export.py:
+    range_partition_export): the distributed sort as a sink — exact
+    percentile_disc split points, searchsorted bucket assignment, local
+    sort per bucket, disjoint ascending file ranges asserted.  Checked as
+    the written-output manifest vs a DuckDB reproduction of boundaries
+    and per-bucket stats."""
+    from search_engine_ray.dataops.export import range_partition_export
+
+    docs = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+    out_dir = os.path.join(
+        "/tmp/se_ray_cache", "rangeexp-" + sf_dir.strip("/").replace("/", "_")
+    )
+    return range_partition_export(docs, out_dir, key="n_chars", n_partitions=8)
+
+
 def q_bigram_lm(sf_dir: str) -> pa.Table:
     """Conditional bigram LM self-perplexity (dataops/lm.py:
     bigram_lm_scores): p(w2|w1) with context totals from the unpruned
@@ -3217,6 +3235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": q_shipping_priority,
         "running_revenue": q_running_revenue,
         "event_gaps": q_event_gaps,
+        "range_export": q_range_export,
         "bigram_lm": q_bigram_lm,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "mmr_rerank": q_mmr_rerank,
@@ -4862,6 +4881,22 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_roundtrip": """
             SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
             FROM documents ORDER BY doc_id
+        """,
+        "range_export": """
+            WITH bnds AS (
+              SELECT DISTINCT unnest(
+                percentile_disc([0.125,0.25,0.375,0.5,0.625,0.75,0.875])
+                  WITHIN GROUP (ORDER BY n_chars)) AS b FROM documents),
+            bk AS (SELECT doc_id, n_chars,
+                          (SELECT count(*) FROM bnds WHERE b <= n_chars) AS part
+                   FROM documents)
+            SELECT CAST(part AS BIGINT) AS part,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(min(n_chars) AS BIGINT) AS min_key,
+                   CAST(max(n_chars) AS BIGINT) AS max_key,
+                   CAST(min(doc_id) AS BIGINT) AS min_id,
+                   CAST(max(doc_id) AS BIGINT) AS max_id
+            FROM bk GROUP BY part ORDER BY part
         """,
         "bigram_lm": r"""
             WITH tl AS (

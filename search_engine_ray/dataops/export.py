@@ -89,3 +89,113 @@ def export_training_shards(
             "n_docs": pa.array([int(got.get(s, 0)) for s in range(n_shards)], pa.int64()),
         }
     )
+
+
+def range_partition_export(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    key: str,
+    n_partitions: int = 8,
+    id_column: str = "doc_id",
+) -> pa.Table:
+    """Range-partitioned SORTED export — the distributed sort as a sink:
+    ``part-K.parquet`` files whose key ranges are disjoint and ascending
+    (every key in file K is strictly below every key in file K+1), each
+    file sorted by (key, id) inside.  Reading the files in name order
+    yields the global ``ORDER BY key, id`` — without ever funnelling the
+    corpus through one sorter.
+
+    Scale shape: split points are EXACT percentile_disc quantiles of the
+    key (``exact_int_quantiles`` — distinct-value-sized shuffle, the
+    bounded-cardinality precondition documented there); bucket assignment
+    is one searchsorted per batch against the n-1 broadcast boundaries;
+    each bucket then sorts locally inside ``groupby().map_groups`` —
+    corpus/n_partitions rows per sorter, size ``n_partitions`` so that
+    fits a worker.  Equal keys always land in one bucket (ties never
+    straddle files).  Returns the (part, n_rows, min/max key and id)
+    manifest, counted from what was actually WRITTEN, with the
+    disjoint-ascending-range invariant asserted."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from .sample import exact_int_quantiles
+
+    if n_partitions < 1:
+        raise ValueError("n_partitions must be >= 1")
+    if "://" in out_dir:
+        raise ValueError("out_dir must be a local path")
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)  # derived artifact: overwrite, never append
+    os.makedirs(out_dir, exist_ok=True)
+
+    qs = tuple(i / n_partitions for i in range(1, n_partitions))
+    qt = exact_int_quantiles(ds, key, qs=qs) if qs else None
+    bounds = (
+        np.unique(np.asarray(qt["value"], dtype=np.int64))
+        if qt is not None and qt.num_rows
+        else np.empty(0, dtype=np.int64)
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch[key], dtype=np.int64)
+        b = np.searchsorted(bounds, v, side="right").astype(np.int64)
+        return batch.append_column("_part", pa.array(b))
+
+    def write_part(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "part": pa.array([], pa.int64()),
+                "n_rows": pa.array([], pa.int64()),
+                "min_key": pa.array([], pa.int64()),
+                "max_key": pa.array([], pa.int64()),
+                "min_id": pa.array([], pa.int64()),
+                "max_id": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        part = int(group["_part"][0].as_py())
+        k = np.asarray(group[key], dtype=np.int64)
+        ids = np.asarray(group[id_column], dtype=np.int64)
+        order = np.lexsort((ids, k))
+        body = group.drop_columns(["_part"]).take(pa.array(order))
+        path = os.path.join(out_dir, f"part-{part:05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(body, tmp)
+        os.replace(tmp, path)
+        written = pq.read_table(path, columns=[key, id_column])
+        wk = np.asarray(written[key], dtype=np.int64)
+        wi = np.asarray(written[id_column], dtype=np.int64)
+        return pa.table(
+            {
+                "part": pa.array([part], pa.int64()),
+                "n_rows": pa.array([written.num_rows], pa.int64()),
+                "min_key": pa.array([int(wk.min())], pa.int64()),
+                "max_key": pa.array([int(wk.max())], pa.int64()),
+                "min_id": pa.array([int(wi.min())], pa.int64()),
+                "max_id": pa.array([int(wi.max())], pa.int64()),
+            }
+        )
+
+    manifest = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(write_part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    manifest = manifest.sort_values("part", ignore_index=True)
+    mins = manifest["min_key"].to_numpy(dtype=np.int64)
+    maxs = manifest["max_key"].to_numpy(dtype=np.int64)
+    if len(mins) > 1 and not (maxs[:-1] < mins[1:]).all():
+        raise AssertionError(
+            "range_partition_export: partition key ranges overlap — "
+            "boundary assignment is broken"
+        )
+    return pa.table(
+        {
+            c: pa.array(manifest[c].astype(np.int64))
+            for c in ["part", "n_rows", "min_key", "max_key", "min_id", "max_id"]
+        }
+    )

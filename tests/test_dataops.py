@@ -1327,3 +1327,75 @@ def test_mmr_rerank_matches_reference_and_diversifies(ray_session):
         mmr_rerank(ds, q, k=3, lam=1.5)
     with pytest.raises(ValueError, match="n_candidates"):
         mmr_rerank(ds, q, k=10, n_candidates=5)
+
+
+def test_range_partition_export(ray_session, tmp_path):
+    """range_partition_export (dataops/export.py): files form disjoint
+    ascending key ranges, each internally sorted; reading in name order
+    yields the global ORDER BY; manifest matches a DuckDB reproduction
+    of the quantile boundaries; overwrite-not-append; partition
+    invariance."""
+    import os
+
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from search_engine_ray.dataops.export import range_partition_export
+
+    rng = np.random.default_rng(17)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(900, dtype=np.int64)),
+            "n_chars": pa.array(rng.integers(0, 300, 900).astype(np.int64)),
+        }
+    )
+    out = str(tmp_path / "rp")
+    ds = ray.data.from_arrow(tbl).repartition(7)
+    man = range_partition_export(ds, out, key="n_chars", n_partitions=8)
+
+    # disjoint ascending ranges + global order on read-back in name order
+    files = sorted(os.listdir(out))
+    assert files == [f"part-{int(p):05d}.parquet" for p in man["part"].to_pylist()]
+    back = pa.concat_tables(pq.read_table(os.path.join(out, f)) for f in files)
+    kv = np.asarray(back["n_chars"], dtype=np.int64)
+    iv = np.asarray(back["doc_id"], dtype=np.int64)
+    order = np.lexsort((iv, kv))
+    assert (order == np.arange(len(order))).all()  # already globally sorted
+    assert back.num_rows == 900 and int(man["n_rows"].to_pandas().sum()) == 900
+
+    # manifest vs DuckDB-reproduced boundaries
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = con.sql("""
+        WITH bnds AS (
+          SELECT DISTINCT unnest(
+            percentile_disc([0.125,0.25,0.375,0.5,0.625,0.75,0.875])
+              WITHIN GROUP (ORDER BY n_chars)) AS b FROM t),
+        bk AS (SELECT doc_id, n_chars,
+                      (SELECT count(*) FROM bnds WHERE b <= n_chars) AS part FROM t)
+        SELECT part, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(min(n_chars) AS BIGINT) AS min_key,
+               CAST(max(n_chars) AS BIGINT) AS max_key,
+               CAST(min(doc_id) AS BIGINT) AS min_id,
+               CAST(max(doc_id) AS BIGINT) AS max_id
+        FROM bk GROUP BY part ORDER BY part
+    """).arrow()
+    assert man.equals(exp.cast(man.schema))
+
+    # overwrite, not append: re-export over a subset replaces everything
+    man2 = range_partition_export(
+        ray.data.from_arrow(tbl.slice(0, 100)), out, key="n_chars", n_partitions=4
+    )
+    back2 = pa.concat_tables(
+        pq.read_table(os.path.join(out, f)) for f in sorted(os.listdir(out))
+    )
+    assert back2.num_rows == 100 == int(man2["n_rows"].to_pandas().sum())
+
+    # partition invariance of the manifest
+    man3 = range_partition_export(
+        ray.data.from_arrow(tbl), str(tmp_path / "rp3"), key="n_chars", n_partitions=8
+    )
+    assert man3.equals(man)
+    with pytest.raises(ValueError, match="n_partitions"):
+        range_partition_export(ds, str(tmp_path / "x"), key="n_chars", n_partitions=0)
