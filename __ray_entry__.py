@@ -1806,6 +1806,29 @@ def q_event_gaps(sf_dir: str) -> pa.Table:
     )
 
 
+def q_props_extract(sf_dir: str) -> pa.Table:
+    """Vectorized JSON-column extraction (dataops/jsoncol.py): each
+    batch's props strings parsed in ONE pyarrow C++ NDJSON call — no
+    per-row json.loads — then typed-cast.  Checked per event against
+    DuckDB json_extract."""
+    from search_engine_ray.dataops.jsoncol import extract_json_fields
+
+    events = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "props"]
+    )
+    out = (
+        extract_json_fields(events, "props", {"k": pa.int64()}, keep=("event_id",))
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "event_id": pa.array(out["event_id"].astype(np.int64)),
+            "k": pa.array(out["k"].astype(np.int64)),
+        }
+    )
+
+
 def q_range_export(sf_dir: str) -> pa.Table:
     """Range-partitioned sorted export (dataops/export.py:
     range_partition_export): the distributed sort as a sink — exact
@@ -3235,6 +3258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": q_shipping_priority,
         "running_revenue": q_running_revenue,
         "event_gaps": q_event_gaps,
+        "props_extract": q_props_extract,
         "range_export": q_range_export,
         "bigram_lm": q_bigram_lm,
         "jsonl_roundtrip": q_jsonl_roundtrip,
@@ -4881,6 +4905,13 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_roundtrip": """
             SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
             FROM documents ORDER BY doc_id
+        """,
+        "props_extract": """
+            SELECT event_id,
+                   CAST(json_extract(CASE WHEN props IS NULL OR props = ''
+                                          THEN '{}' ELSE props END,
+                                     '$.k') AS BIGINT) AS k
+            FROM events ORDER BY event_id
         """,
         "range_export": """
             WITH bnds AS (

@@ -1399,3 +1399,52 @@ def test_range_partition_export(ray_session, tmp_path):
     assert man3.equals(man)
     with pytest.raises(ValueError, match="n_partitions"):
         range_partition_export(ds, str(tmp_path / "x"), key="n_chars", n_partitions=0)
+
+
+def test_extract_json_fields(ray_session):
+    """jsoncol.extract_json_fields vs DuckDB json_extract: typed fields,
+    null/empty/missing-field handling, newline rejection, collisions."""
+    import duckdb
+
+    import ray.data
+    from search_engine_ray.dataops.jsoncol import extract_json_fields, parse_json_batch
+
+    props = [
+        '{"k": 7, "tag": "a"}',
+        '{"k": -3}',
+        "{}",
+        None,
+        "",
+        '{"tag": "z", "k": 0}',
+    ] * 4
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(len(props), dtype=np.int64)),
+            "props": pa.array(props, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    out = (
+        extract_json_fields(
+            ds, "props", {"k": pa.int64(), "tag": pa.string()}, keep=("event_id",)
+        )
+        .to_pandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = con.sql(
+        """SELECT event_id,
+                  CAST(json_extract(p, '$.k') AS BIGINT) AS k,
+                  CAST(json_extract_string(p, '$.tag') AS VARCHAR) AS tag
+           FROM (SELECT event_id,
+                        CASE WHEN props IS NULL OR props = '' THEN '{}'
+                             ELSE props END AS p FROM t)
+           ORDER BY event_id"""
+    ).df()
+    assert (out["k"].fillna(-999).values == exp["k"].fillna(-999).values).all()
+    assert (out["tag"].fillna("-").values == exp["tag"].fillna("-").values).all()
+    with pytest.raises(ValueError, match="newline"):
+        parse_json_batch(pa.array(['{\n"k": 1}']), {"k": pa.int64()})
+    with pytest.raises(ValueError, match="collision"):
+        extract_json_fields(ds, "props", {"event_id": pa.int64()}, keep=("event_id",))
