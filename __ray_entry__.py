@@ -1806,6 +1806,32 @@ def q_event_gaps(sf_dir: str) -> pa.Table:
     )
 
 
+def q_event_transitions(sf_dir: str) -> pa.Table:
+    """Per-user Markov transition matrix (dataops/olap.py:
+    transition_counts): LAG-adjacency over each user's (ts, event_id)
+    ordered stream folded to a types x types count table — bucketed
+    one-kernel-per-bucket, |types|^2 partial rows per bucket."""
+    from search_engine_ray.dataops.olap import transition_counts
+
+    events = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    return transition_counts(events)
+
+
+def q_label_centroids(sf_dir: str) -> pa.Table:
+    """Per-label centroid sums in exact integer micros
+    (cluster.grouped_vector_sums): the class-prototype aggregate, long
+    (label, dim, sum_micros, n) format, per-batch np.add.at partials —
+    float32 components widened exactly to float64 then floored ONCE, the
+    identical expression the SQL oracle evaluates."""
+    from search_engine_ray.dataops.cluster import grouped_vector_sums
+
+    emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
+    return grouped_vector_sums(emb)
+
+
 def q_props_extract(sf_dir: str) -> pa.Table:
     """Vectorized JSON-column extraction (dataops/jsoncol.py): each
     batch's props strings parsed in ONE pyarrow C++ NDJSON call — no
@@ -3258,6 +3284,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": q_shipping_priority,
         "running_revenue": q_running_revenue,
         "event_gaps": q_event_gaps,
+        "event_transitions": q_event_transitions,
+        "label_centroids": q_label_centroids,
         "props_extract": q_props_extract,
         "range_export": q_range_export,
         "bigram_lm": q_bigram_lm,
@@ -4905,6 +4933,23 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_roundtrip": """
             SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
             FROM documents ORDER BY doc_id
+        """,
+        "event_transitions": """
+            WITH s AS (
+              SELECT event_type AS t,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS pt
+              FROM events)
+            SELECT pt AS from_type, t AS to_type, CAST(count(*) AS BIGINT) AS n
+            FROM s WHERE pt IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "label_centroids": """
+            SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
+                   CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000
+                                       + 0.5) AS BIGINT)) AS BIGINT) AS sum_micros,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+            GROUP BY label, i ORDER BY label, dim
         """,
         "props_extract": """
             SELECT event_id,

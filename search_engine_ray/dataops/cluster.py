@@ -232,3 +232,82 @@ def semantic_dedup(
         )
 
     return assigned.groupby("cluster").map_groups(dedup_group, batch_format="pandas")
+
+
+def grouped_vector_sums(
+    ds: ray.data.Dataset,
+    label_column: str = "label",
+    vec_column: str = "embedding",
+) -> pa.Table:
+    """Per-label centroid SUMS in exact integer micros — long format
+    (label, dim, sum_micros, n): each vector component floored ONCE to
+    ``floor(x * 10^6 + 0.5)`` int64 (after an exact float32->float64
+    widening, the identical expression a SQL oracle evaluates), then
+    summed — the class-prototype / per-cluster-mean building block with
+    order/partition/libm-invariant results.  The true centroid is
+    ``sum_micros / (n * 10^6)`` in whatever precision the consumer wants.
+
+    Scale shape: per-batch ``np.add.at`` partials over (label x dim)
+    matrices -> one groupby-sum of (n_labels x dim)-sized rows; the
+    corpus never shuffles."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                label_column: pa.array([], pa.int64()),
+                "dim": pa.array([], pa.int64()),
+                "sum_micros": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        import pyarrow.compute as pc
+
+        labels = np.asarray(batch[label_column], dtype=np.int64)
+        col = batch[vec_column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # list_flatten honors offsets (plain .values would leak slack
+        # from sliced arrays); ragged rows fail the divisibility check
+        flat = np.asarray(pc.list_flatten(col), dtype=np.float64)
+        if len(flat) % len(labels) != 0:
+            raise ValueError(
+                f"{vec_column}: ragged vector lengths "
+                f"({len(flat)} values / {len(labels)} rows)"
+            )
+        d = len(flat) // len(labels)
+        mat = flat.reshape(len(labels), d)
+        micros = np.floor(mat * 1_000_000.0 + 0.5).astype(np.int64)
+        ul, inv = np.unique(labels, return_inverse=True)
+        g = len(ul)
+        sums = np.zeros((g, d), dtype=np.int64)
+        np.add.at(sums, inv, micros)
+        counts = np.bincount(inv, minlength=g).astype(np.int64)
+        return pa.table(
+            {
+                label_column: pa.array(np.repeat(ul, d)),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), g)),
+                "sum_micros": pa.array(sums.reshape(-1)),
+                "n": pa.array(np.repeat(counts, d)),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([label_column, "dim"])
+        .aggregate(
+            Sum("sum_micros", alias_name="sum_micros"), Sum("n", alias_name="n")
+        )
+        .sort([label_column, "dim"])
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            label_column: pa.array(out[label_column].astype(np.int64)),
+            "dim": pa.array(out["dim"].astype(np.int64)),
+            "sum_micros": pa.array(out["sum_micros"].astype(np.int64)),
+            "n": pa.array(out["n"].astype(np.int64)),
+        }
+    )

@@ -281,3 +281,89 @@ def pivot_counts(
     for c in domain:
         d[str(c)] = pa.array(out[str(c)].astype(np.int64))
     return pa.table(d)
+
+
+def transition_counts(
+    events: ray.data.Dataset,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    n_buckets: int = 256,
+) -> pa.Table:
+    """Per-key event transition matrix (the Markov-chain / user-journey
+    aggregate): counts of consecutive (from_type, to_type) pairs within
+    each key's (ts, id)-ordered stream — ``LAG(type) OVER (PARTITION BY
+    key ORDER BY ts, id)`` folded to a types x types table.
+
+    Scale shape: keys hash-bucket (the window_fns shape — one shuffle,
+    never a global sort); each bucket is ONE vectorized kernel (lexsort,
+    adjacency mask, dictionary-encoded pair bincount) emitting at most
+    |types|^2 partial rows; a tiny final groupby sums them."""
+    from ray.data.aggregate import Sum
+
+    from .window_fns import _bucket_of
+
+    def proj(batch: pa.Table) -> pa.Table:
+        b = _bucket_of(np.asarray(batch[key], dtype=np.int64), n_buckets)
+        return pa.table(
+            {
+                key: batch[key].cast(pa.int64()),
+                "_ts": batch[ts_col].cast(pa.int64()),
+                "_id": batch[id_col].cast(pa.int64()),
+                "_ty": batch[type_col].cast(pa.string()),
+                "_bucket": pa.array(b.astype(np.int64)),
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "from_type": pa.array([], pa.string()),
+                "to_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows < 2:
+            return empty
+        k = np.asarray(group[key], dtype=np.int64)
+        ts = np.asarray(group["_ts"], dtype=np.int64)
+        ids = np.asarray(group["_id"], dtype=np.int64)
+        ty = group["_ty"]
+        if isinstance(ty, pa.ChunkedArray):
+            ty = ty.combine_chunks()
+        denc = ty.dictionary_encode()
+        codes = np.asarray(denc.indices, dtype=np.int64)
+        g = len(denc.dictionary)
+        perm = np.lexsort((ids, ts, k))
+        ks, cs = k[perm], codes[perm]
+        adj = ks[:-1] == ks[1:]
+        pair = cs[:-1][adj] * g + cs[1:][adj]
+        if len(pair) == 0:
+            return empty
+        up, cnt = np.unique(pair, return_counts=True)
+        types = denc.dictionary.to_pylist()
+        return pa.table(
+            {
+                "from_type": pa.array([types[p // g] for p in up], pa.string()),
+                "to_type": pa.array([types[p % g] for p in up], pa.string()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    out = (
+        events.map_batches(proj, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["from_type", "to_type"])
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "from_type": pa.array(out["from_type"], pa.string()),
+            "to_type": pa.array(out["to_type"], pa.string()),
+            "n": pa.array(out["n"].astype(np.int64)),
+        }
+    )

@@ -129,3 +129,67 @@ def test_pivot_vs_duckdb(ray_session, docs):
         pivot_counts(_ds(docs), "lang", "source", ["s0", "s1"])
     with pytest.raises(ValueError, match="unique"):
         pivot_counts(_ds(docs), "lang", "source", ["s0", "s0"])
+
+
+def test_transition_counts_vs_duckdb(ray_session, events):
+    from search_engine_ray.dataops.olap import transition_counts
+
+    con = duckdb.connect()
+    con.register("events", events)
+    ev = events.append_column(
+        "event_id", pa.array(np.arange(events.num_rows, dtype=np.int64))
+    )
+    con2 = duckdb.connect()
+    con2.register("events", ev)
+    got = transition_counts(_ds(ev), n_buckets=16)
+    exp = con2.sql(
+        """WITH s AS (
+             SELECT event_type AS t,
+                    lag(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS pt
+             FROM events)
+           SELECT pt AS from_type, t AS to_type, CAST(count(*) AS BIGINT) AS n
+           FROM s WHERE pt IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).arrow()
+    assert got.equals(exp.cast(got.schema))
+    # total transitions = total events - number of users
+    n_users = len(set(ev["user_id"].to_pylist()))
+    assert int(got["n"].to_pandas().sum()) == ev.num_rows - n_users
+    assert transition_counts(_ds(ev, 1), n_buckets=3).equals(got)
+
+
+def test_grouped_vector_sums_vs_duckdb(ray_session):
+    import ray.data
+
+    from search_engine_ray.dataops.cluster import grouped_vector_sums
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(0, 1, (200, 8)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "label": pa.array(rng.integers(0, 5, 200).astype(np.int64)),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    got = grouped_vector_sums(ray.data.from_arrow(tbl).repartition(6))
+    con = duckdb.connect()
+    con.register("e", tbl)
+    exp = con.sql(
+        """SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+                  CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                                AS BIGINT)) AS BIGINT) AS sum_micros,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM e, unnest(generate_series(1, len(embedding))) AS g(i)
+           GROUP BY label, i ORDER BY label, dim"""
+    ).arrow()
+    assert got.equals(exp.cast(got.schema))
+    assert grouped_vector_sums(ray.data.from_arrow(tbl)).equals(got)
+    ragged = pa.table(
+        {
+            "label": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array([[1.0, 2.0], [1.0]], pa.list_(pa.float32())),
+        }
+    )
+    with pytest.raises(Exception, match="ragged"):
+        grouped_vector_sums(ray.data.from_arrow(ragged))
