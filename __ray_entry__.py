@@ -2117,7 +2117,9 @@ def q_lang_source_pivot(sf_dir: str) -> pa.Table:
     docs = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["lang", "source"]
     )
-    return pivot_counts(docs, "lang", "source", _PIVOT_SOURCES)
+    # on_unknown="ignore": a regenerated corpus with extra sources must
+    # hash-mismatch against the CASE-WHEN oracle, not crash the gate
+    return pivot_counts(docs, "lang", "source", _PIVOT_SOURCES, on_unknown="ignore")
 
 
 def _pivot_oracle_sql() -> str:

@@ -228,14 +228,19 @@ def pivot_counts(
     row_col: str,
     col_col: str,
     col_values: Sequence[str],
+    on_unknown: str = "error",
 ) -> pa.Table:
     """Wide pivot: one output row per ``row_col`` value, one int64 count
     column per entry of ``col_values`` (the bounded, caller-fixed column
     domain — it becomes the schema, which is why it cannot be
     discovered on the fly).  Values of ``col_col`` outside the domain
-    fail loud rather than vanish."""
+    fail loud by default (``on_unknown="error"``) rather than vanish;
+    ``on_unknown="ignore"`` counts them nowhere (the SQL CASE-WHEN
+    semantics) for callers whose domain is a fixed report schema."""
     from ray.data.aggregate import Sum
 
+    if on_unknown not in ("error", "ignore"):
+        raise ValueError(f"pivot_counts: bad on_unknown {on_unknown!r}")
     cols = list(col_values)
     if len(set(cols)) != len(cols) or not cols:
         raise ValueError("pivot_counts: col_values must be non-empty and unique")
@@ -257,11 +262,15 @@ def pivot_counts(
             cv = cv.combine_chunks()
         idx = pc.index_in(cv, value_set=pa.array(domain, pa.string()))
         if idx.null_count:
-            missing = pc.unique(cv.filter(pc.is_null(idx))).to_pylist()
-            raise ValueError(
-                f"pivot_counts: {col_col} value(s) outside the declared "
-                f"domain: {sorted(missing)[:5]}"
-            )
+            if on_unknown == "error":
+                missing = pc.unique(cv.filter(pc.is_null(idx))).to_pylist()
+                raise ValueError(
+                    f"pivot_counts: {col_col} value(s) outside the declared "
+                    f"domain: {sorted(missing)[:5]}"
+                )
+            known = pc.is_valid(idx)
+            idx = idx.filter(known)
+            rcodes = rcodes[np.asarray(known)]
         ccodes = np.asarray(idx, dtype=np.int64)
         mat = np.zeros((nr, len(domain)), dtype=np.int64)
         np.add.at(mat, (rcodes, ccodes), 1)

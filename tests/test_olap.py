@@ -193,3 +193,19 @@ def test_grouped_vector_sums_vs_duckdb(ray_session):
     )
     with pytest.raises(Exception, match="ragged"):
         grouped_vector_sums(ray.data.from_arrow(ragged))
+
+
+def test_pivot_on_unknown_ignore(ray_session, docs):
+    doms = ["s0", "s1"]
+    got = pivot_counts(_ds(docs), "lang", "source", doms, on_unknown="ignore")
+    con = duckdb.connect()
+    con.register("documents", docs)
+    exp = con.sql(
+        """SELECT lang,
+                  CAST(sum(CASE WHEN source='s0' THEN 1 ELSE 0 END) AS BIGINT) AS "s0",
+                  CAST(sum(CASE WHEN source='s1' THEN 1 ELSE 0 END) AS BIGINT) AS "s1"
+           FROM documents GROUP BY lang ORDER BY lang"""
+    ).arrow()
+    assert got.equals(exp.cast(got.schema))
+    with pytest.raises(ValueError, match="on_unknown"):
+        pivot_counts(_ds(docs), "lang", "source", doms, on_unknown="drop")
