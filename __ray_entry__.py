@@ -1806,6 +1806,31 @@ def q_event_gaps(sf_dir: str) -> pa.Table:
     )
 
 
+def q_emb_quantize(sf_dir: str) -> pa.Table:
+    """SQ8 scalar quantization (similarity.quantize_embeddings): int8
+    clamp/floor per component, float32 widened exactly first — checked
+    flattened as (vec_id, dim, q) vs the identical SQL expression."""
+    from search_engine_ray.dataops.similarity import quantize_embeddings
+
+    emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
+    out = (
+        quantize_embeddings(emb)
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    qmat = np.stack(out["q"].to_numpy()).astype(np.int64)
+    n, d = qmat.shape
+    return pa.table(
+        {
+            "vec_id": pa.array(
+                np.repeat(out["vec_id"].to_numpy(dtype=np.int64), d)
+            ),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
+            "q": pa.array(qmat.reshape(-1)),
+        }
+    )
+
+
 def q_event_transitions(sf_dir: str) -> pa.Table:
     """Per-user Markov transition matrix (dataops/olap.py:
     transition_counts): LAG-adjacency over each user's (ts, event_id)
@@ -3286,6 +3311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": q_shipping_priority,
         "running_revenue": q_running_revenue,
         "event_gaps": q_event_gaps,
+        "emb_quantize": q_emb_quantize,
         "event_transitions": q_event_transitions,
         "label_centroids": q_label_centroids,
         "props_extract": q_props_extract,
@@ -4935,6 +4961,14 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_roundtrip": """
             SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
             FROM documents ORDER BY doc_id
+        """,
+        "emb_quantize": """
+            SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+                   GREATEST(-127, LEAST(127,
+                     CAST(floor(CAST(embedding[i] AS DOUBLE) * 127.0 + 0.5)
+                          AS BIGINT))) AS q
+            FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+            ORDER BY vec_id, dim
         """,
         "event_transitions": """
             WITH s AS (

@@ -1448,3 +1448,42 @@ def test_extract_json_fields(ray_session):
         parse_json_batch(pa.array(['{\n"k": 1}']), {"k": pa.int64()})
     with pytest.raises(ValueError, match="collision"):
         extract_json_fields(ds, "props", {"event_id": pa.int64()}, keep=("event_id",))
+
+
+def test_quantize_embeddings(ray_session):
+    """similarity.quantize_embeddings (SQ8): clamp/floor parity with a
+    numpy reference and DuckDB, list offsets correct on sliced arrays."""
+    import duckdb
+
+    import ray.data
+    from search_engine_ray.dataops.similarity import quantize_embeddings
+
+    rng = np.random.default_rng(8)
+    vecs = (rng.normal(0, 1.2, (120, 6)).astype(np.float32))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(120, dtype=np.int64)),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    out = (
+        quantize_embeddings(ray.data.from_arrow(tbl).repartition(5))
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    ref = np.clip(np.floor(vecs.astype(np.float64) * 127.0 + 0.5), -127, 127)
+    got = np.stack(out["q"].to_numpy()).astype(np.int64)
+    assert (got == ref.astype(np.int64)).all()
+    # DuckDB parity on the flattened long form
+    con = duckdb.connect()
+    con.register("e", tbl)
+    exp = con.sql(
+        """SELECT vec_id, i - 1 AS dim,
+                  GREATEST(-127, LEAST(127,
+                    CAST(floor(CAST(embedding[i] AS DOUBLE) * 127.0 + 0.5)
+                         AS BIGINT))) AS q
+           FROM e, unnest(generate_series(1, len(embedding))) AS g(i)
+           ORDER BY vec_id, dim"""
+    ).df()
+    assert (got.reshape(-1) == exp["q"].to_numpy()).all()
