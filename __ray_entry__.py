@@ -1887,14 +1887,17 @@ def q_range_export(sf_dir: str) -> pa.Table:
     sort per bucket, disjoint ascending file ranges asserted.  Checked as
     the written-output manifest vs a DuckDB reproduction of boundaries
     and per-bucket stats."""
+    import tempfile
+
     from search_engine_ray.dataops.export import range_partition_export
 
     docs = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
     )
-    out_dir = os.path.join(
-        "/tmp/se_ray_cache", "rangeexp-" + sf_dir.strip("/").replace("/", "_")
-    )
+    # per-process scratch (the q_export_shards convention): a shared
+    # cache path would let two concurrent drivers rmtree each other's
+    # in-flight output
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="se_ray_rangeexp_"), "out")
     return range_partition_export(docs, out_dir, key="n_chars", n_partitions=8)
 
 

@@ -270,14 +270,15 @@ def grouped_vector_sums(
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         # list_flatten honors offsets (plain .values would leak slack
-        # from sliced arrays); ragged rows fail the divisibility check
-        flat = np.asarray(pc.list_flatten(col), dtype=np.float64)
-        if len(flat) % len(labels) != 0:
+        # from sliced arrays); lengths must be UNIFORM — divisibility
+        # alone would let ragged rows reshape into misaligned vectors
+        lens = np.unique(np.asarray(pc.list_value_length(col), dtype=np.int64))
+        if len(lens) != 1:
             raise ValueError(
-                f"{vec_column}: ragged vector lengths "
-                f"({len(flat)} values / {len(labels)} rows)"
+                f"{vec_column}: ragged vector lengths {lens[:5].tolist()}"
             )
-        d = len(flat) // len(labels)
+        flat = np.asarray(pc.list_flatten(col), dtype=np.float64)
+        d = int(lens[0])
         mat = flat.reshape(len(labels), d)
         micros = np.floor(mat * 1_000_000.0 + 0.5).astype(np.int64)
         ul, inv = np.unique(labels, return_inverse=True)

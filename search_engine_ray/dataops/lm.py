@@ -293,15 +293,18 @@ def dsir_importance_weights(
 # ---------------------------------------------------------------------------
 
 
-def _ws_bigram_arrays(texts) -> tuple[np.ndarray, np.ndarray]:
-    """(w1 array, w2 array) of adjacent whitespace-token pairs per doc —
+def _ws_bigram_arrays(texts) -> tuple[pa.Array, pa.Array, np.ndarray]:
+    """(w1, w2, doc_index) of adjacent whitespace-token pairs per doc —
     the pinned WS_RE split (text/ws.py), empties dropped, adjacency over
     KEPT tokens, never across doc boundaries.  Vectorized: one split,
-    one flatten + parent-index mask, one shift."""
+    one flatten + parent-index mask, one shift.  Tokens stay ARROW
+    string arrays end to end — a numpy U-dtype round trip would silently
+    truncate tokens at embedded NULs and diverge from the SQL oracle."""
     import pyarrow.compute as pc
 
     from ..text.ws import WS_RE
 
+    empty = pa.array([], pa.string())
     lists = pc.split_pattern_regex(pc.fill_null(texts, ""), pattern=WS_RE)
     flat = pc.list_flatten(lists)
     par = pc.list_parent_indices(lists)
@@ -310,12 +313,16 @@ def _ws_bigram_arrays(texts) -> tuple[np.ndarray, np.ndarray]:
     if isinstance(par, pa.ChunkedArray):
         par = par.combine_chunks()
     keep = pc.greater(pc.binary_length(flat), 0)
-    toks = flat.filter(keep).to_numpy(zero_copy_only=False)
+    toks = flat.filter(keep)
     docs = np.asarray(par)[np.asarray(keep)]
-    if len(toks) < 2:
-        return np.empty(0, dtype=object), np.empty(0, dtype=object)
-    adj = docs[:-1] == docs[1:]
-    return toks[:-1][adj], toks[1:][adj]
+    n = len(toks)
+    if n < 2:
+        return empty, empty, np.empty(0, dtype=np.int64)
+    adj = pa.array(docs[:-1] == docs[1:])
+    w1 = toks.slice(0, n - 1).filter(adj)
+    w2 = toks.slice(1, n - 1).filter(adj)
+    bdoc = docs[:-1][np.asarray(adj)].astype(np.int64)
+    return w1, w2, bdoc
 
 
 def bigram_counts(ds: ray.data.Dataset, text_column: str = "text") -> ray.data.Dataset:
@@ -325,7 +332,7 @@ def bigram_counts(ds: ray.data.Dataset, text_column: str = "text") -> ray.data.D
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        w1, w2 = _ws_bigram_arrays(batch[text_column])
+        w1, w2, _ = _ws_bigram_arrays(batch[text_column])
         if len(w1) == 0:
             return pa.table(
                 {
@@ -334,14 +341,17 @@ def bigram_counts(ds: ray.data.Dataset, text_column: str = "text") -> ray.data.D
                     "count": pa.array([], pa.int64()),
                 }
             )
-        joined = np.char.add(np.char.add(w1.astype(str), " "), w2.astype(str))
-        uniq, cnt = np.unique(joined, return_counts=True)
-        parts = np.char.partition(uniq, " ")
+        # arrow group_by keeps tokens binary-exact (NUL-safe)
+        g = (
+            pa.table({"w1": w1, "w2": w2})
+            .group_by(["w1", "w2"])
+            .aggregate([([], "count_all")])
+        )
         return pa.table(
             {
-                "w1": pa.array(parts[:, 0], pa.string()),
-                "w2": pa.array(parts[:, 2], pa.string()),
-                "count": pa.array(cnt.astype(np.int64)),
+                "w1": g["w1"],
+                "w2": g["w2"],
+                "count": g["count_all"].cast(pa.int64()),
             }
         )
 
@@ -446,33 +456,21 @@ def bigram_lm_scores(
             )
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
             n_rows = len(batch)
-            w1, w2 = _ws_bigram_arrays(batch[text_column])
+            w1, w2, bdoc = _ws_bigram_arrays(batch[text_column])
             nbig = np.zeros(n_rows, dtype=np.int64)
             nknown = np.zeros(n_rows, dtype=np.int64)
             psum = np.zeros(n_rows, dtype=np.int64)
             csum = np.zeros(n_rows, dtype=np.int64)
             lsum = np.zeros(n_rows, dtype=np.int64)
             if len(w1):
-                # doc index per bigram: recompute the same mask shape
-                import pyarrow.compute as pc
-
-                from ..text.ws import WS_RE
-
-                lists = pc.split_pattern_regex(
-                    pc.fill_null(batch[text_column], ""), pattern=WS_RE
+                # NUL-safe join: arrow strings, then Python-str objects
+                joined = pc.binary_join_element_wise(w1, w2, " ").to_numpy(
+                    zero_copy_only=False
                 )
-                flat = pc.list_flatten(lists)
-                par = pc.list_parent_indices(lists)
-                if isinstance(flat, pa.ChunkedArray):
-                    flat = flat.combine_chunks()
-                if isinstance(par, pa.ChunkedArray):
-                    par = par.combine_chunks()
-                keep = pc.greater(pc.binary_length(flat), 0)
-                docs = np.asarray(par)[np.asarray(keep)]
-                adj = docs[:-1] == docs[1:]
-                bdoc = docs[:-1][adj]
-                joined = np.char.add(np.char.add(w1.astype(str), " "), w2.astype(str))
+                w1o = w1.to_numpy(zero_copy_only=False)
                 pos = np.searchsorted(self.pairs, joined)
                 posc = np.minimum(pos, max(len(self.pairs) - 1, 0))
                 known = (
@@ -480,7 +478,7 @@ def bigram_lm_scores(
                     if len(self.pairs)
                     else np.zeros(len(joined), bool)
                 )
-                cpos = np.searchsorted(self.ctxs, w1.astype(str))
+                cpos = np.searchsorted(self.ctxs, w1o)
                 cposc = np.minimum(cpos, max(len(self.ctxs) - 1, 0))
                 np.add.at(nbig, bdoc, 1)
                 np.add.at(nknown, bdoc, known.astype(np.int64))

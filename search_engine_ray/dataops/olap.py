@@ -244,6 +244,10 @@ def pivot_counts(
     cols = list(col_values)
     if len(set(cols)) != len(cols) or not cols:
         raise ValueError("pivot_counts: col_values must be non-empty and unique")
+    if row_col in cols:
+        raise ValueError(
+            f"pivot_counts: col_values entry {row_col!r} collides with row_col"
+        )
     domain = np.asarray(sorted(cols))
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -264,9 +268,12 @@ def pivot_counts(
         if idx.null_count:
             if on_unknown == "error":
                 missing = pc.unique(cv.filter(pc.is_null(idx))).to_pylist()
+                shown = sorted(m for m in missing if m is not None)[:5]
+                if any(m is None for m in missing):
+                    shown.append("<null>")
                 raise ValueError(
                     f"pivot_counts: {col_col} value(s) outside the declared "
-                    f"domain: {sorted(missing)[:5]}"
+                    f"domain: {shown}"
                 )
             known = pc.is_valid(idx)
             idx = idx.filter(known)

@@ -328,25 +328,15 @@ def suppliers_per_region(
 # --------------------------------------------------------------------------
 
 
-def top_customers_by_revenue(
-    lineitem: ray.data.Dataset,
-    orders: ray.data.Dataset,
-    k: int = 20,
-    join_partitions: int = 16,
-) -> pa.Table:
-    """Top-k customers by exact discounted revenue (the TPC-H Q10 shape,
-    integer cents x pct so a SQL oracle reproduces it bit-for-bit).
-
-    Scale shape: lineitem folds per-batch (orderkey -> rev) partials
-    BEFORE its groupby so the first exchange moves ~one row per
-    (order, batch); orders joins via the native hash join (both sides
-    fact-scale — no broadcast); the customer rollup ends in the
-    tree-reduced ``topk_by`` so the driver only ever holds k rows.
-    Customer names/dims for the k winners are a driver-side filtered
-    lookup, not a corpus join."""
-    from ray.data.aggregate import Sum
+def _order_revenue_partial(date_col: str | None = None, after=None):
+    """Per-batch (l_orderkey -> exact discounted revenue) partial — the
+    load-bearing integer cents*pct expression shared by every revenue
+    rollup (Q10, Q3).  ``date_col``/``after`` optionally pre-filter to
+    rows shipped strictly after the cutoff."""
 
     def l_partial(batch: pa.Table) -> pa.Table:
+        if date_col is not None:
+            batch = batch.filter(pc.greater(batch[date_col], after))
         if batch.num_rows == 0:
             return pa.table(
                 {
@@ -365,6 +355,29 @@ def top_customers_by_revenue(
                 "rev_c2": pa.array(_group_sum(inv, len(uk), rev)),
             }
         )
+
+    return l_partial
+
+
+def top_customers_by_revenue(
+    lineitem: ray.data.Dataset,
+    orders: ray.data.Dataset,
+    k: int = 20,
+    join_partitions: int = 16,
+) -> pa.Table:
+    """Top-k customers by exact discounted revenue (the TPC-H Q10 shape,
+    integer cents x pct so a SQL oracle reproduces it bit-for-bit).
+
+    Scale shape: lineitem folds per-batch (orderkey -> rev) partials
+    BEFORE its groupby so the first exchange moves ~one row per
+    (order, batch); orders joins via the native hash join (both sides
+    fact-scale — no broadcast); the customer rollup ends in the
+    tree-reduced ``topk_by`` so the driver only ever holds k rows.
+    Customer names/dims for the k winners are a driver-side filtered
+    lookup, not a corpus join."""
+    from ray.data.aggregate import Sum
+
+    l_partial = _order_revenue_partial()
 
     order_rev = (
         lineitem.map_batches(l_partial, batch_format="pyarrow")
@@ -640,26 +653,7 @@ def shipping_priority(
             }
         )
 
-    def l_partial(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pc.greater(batch["l_shipdate"], cut))
-        if batch.num_rows == 0:
-            return pa.table(
-                {
-                    "l_orderkey": pa.array([], pa.int64()),
-                    "rev_c2": pa.array([], pa.int64()),
-                }
-            )
-        ok = np.asarray(batch["l_orderkey"], dtype=np.int64)
-        rev = money_cents(batch["l_extendedprice"]) * (
-            100 - money_cents(batch["l_discount"])
-        )
-        uk, inv = np.unique(ok, return_inverse=True)
-        return pa.table(
-            {
-                "l_orderkey": pa.array(uk),
-                "rev_c2": pa.array(_group_sum(inv, len(uk), rev)),
-            }
-        )
+    l_partial = _order_revenue_partial(date_col="l_shipdate", after=cut)
 
     empty = pa.table(
         {

@@ -815,10 +815,16 @@ def mmr_rerank(
         if picked:
             score = lam * sim_q - (1.0 - lam) * max_red
         else:
-            score = sim_q.copy()
+            # empty picked set: redundancy term is 0, so the first score
+            # is lam*sim_q — SAME SCALE as every later rank (argmax over
+            # lam*sim is argmax over sim, so the pick is the cosine top-1
+            # either way)
+            score = lam * sim_q
         score[~alive] = -np.inf
-        # argmax with ascending-id tie break: ids are unique, sims may tie
-        best = np.lexsort((cand_ids, -score))[0]
+        # argmax; score ties break toward relevance, then ascending id
+        # (keeps the first pick = cosine top-1 even at lam=0)
+        sq = np.where(alive, sim_q, -np.inf)
+        best = np.lexsort((cand_ids, -sq, -score))[0]
         picked.append(best)
         picked_scores.append(float(score[best]))
         alive[best] = False

@@ -90,9 +90,30 @@ def jsonl_to_parquet(
     if not files:
         raise ValueError(f"jsonl_to_parquet: no JSONL files under {src!r}")
     os.makedirs(out_dir, exist_ok=True)
+    # outputs are named by input-path hash, not rank: if the input set
+    # changes between runs, rank-based names would silently map existing
+    # outputs to the WRONG inputs (skip-if-exists then drops a file and
+    # duplicates another).  The sorted-input rank prefix is kept only so
+    # downstream sorted-filename docID planning follows input order.
+    # Caveat (documented): removing an input orphans its old output —
+    # use one out_dir per corpus snapshot.
+    import hashlib
+
     outs = [
-        os.path.join(out_dir, f"part-{i:05d}.parquet") for i in range(len(files))
+        os.path.join(
+            out_dir,
+            f"part-{i:05d}-{hashlib.md5(f.encode()).hexdigest()[:10]}.parquet",
+        )
+        for i, f in enumerate(files)
     ]
+    stale = set(os.listdir(out_dir)) - {os.path.basename(o) for o in outs}
+    stale = {s for s in stale if s.endswith(".parquet")}
+    if stale:
+        raise ValueError(
+            f"jsonl_to_parquet: {out_dir} holds outputs from a different "
+            f"input set ({sorted(stale)[:3]}…) — use a fresh out_dir per "
+            "corpus snapshot"
+        )
     todo = [(f, o) for f, o in zip(files, outs) if not os.path.exists(o)]
 
     @ray.remote

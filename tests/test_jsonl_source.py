@@ -44,10 +44,11 @@ def test_jsonl_to_parquet_resumable(ray_session, corpus):
     out = tmp_path / "pq"
     cols = {"doc_id": pa.int64(), "text": pa.string(), "lang": pa.string()}
     outs = jsonl_to_parquet(str(tmp_path), str(out), cols)
-    assert [os.path.basename(o) for o in outs] == [
-        "part-00000.parquet",
-        "part-00001.parquet",
-    ]
+    names = [os.path.basename(o) for o in outs]
+    # rank prefix (sorted-input order for docID planning) + path hash
+    # (resume safety when the input set changes)
+    assert names[0].startswith("part-00000-") and names[1].startswith("part-00001-")
+    assert names[0].endswith(".parquet") and len(set(names)) == 2
     back = pa.concat_tables(pq.read_table(o) for o in outs)
     assert sorted(back.to_pylist(), key=lambda r: r["doc_id"]) == rows
     # resume: poison one output, retouch the other — only missing is rebuilt
@@ -59,3 +60,16 @@ def test_jsonl_to_parquet_resumable(ray_session, corpus):
     assert pq.read_table(outs[1]).num_rows == 27
     with pytest.raises(ValueError, match="no JSONL files"):
         jsonl_to_parquet(str(tmp_path / "pq"), str(out))  # parquet dir has none
+
+
+def test_jsonl_to_parquet_rejects_stale_outputs(ray_session, corpus):
+    tmp_path, rows = corpus
+    out = tmp_path / "pq2"
+    cols = {"doc_id": pa.int64(), "text": pa.string(), "lang": pa.string()}
+    # adding an input later is SAFE (hash naming keeps the mapping):
+    jsonl_to_parquet(str(tmp_path / "a.jsonl"), str(out), cols)
+    outs = jsonl_to_parquet(str(tmp_path), str(out), cols)
+    assert len(outs) == 2 and all(os.path.exists(o) for o in outs)
+    # but a REMOVED input leaves an orphan output: fail loud
+    with pytest.raises(ValueError, match="different input set"):
+        jsonl_to_parquet(str(tmp_path / "b.jsonl.gz"), str(out), cols)

@@ -206,6 +206,9 @@ def test_bigram_lm_scores_match_brute_force_and_duckdb(ray_session):
         "",
         "one",
         "zz yy zz yy zz",
+        # embedded NUL: a numpy U-dtype round trip would truncate
+        # 'nul\x00tok' to 'nul' and merge distinct bigrams (review fix)
+        "nul\x00tok zz nul\x00tok zz nul",
     ] * 3
     tbl = pa.table(
         {
