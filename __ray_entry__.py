@@ -1806,6 +1806,37 @@ def q_event_gaps(sf_dir: str) -> pa.Table:
     )
 
 
+def q_lang_char_rank(sf_dir: str) -> pa.Table:
+    """STRING-partitioned window function (window_fns.row_number over a
+    string key): per-language rank of documents by (n_chars, doc_id) —
+    buckets come from a content-hashed dictionary (unique values hashed
+    once per batch), equal keys grouped by per-bucket dictionary codes."""
+    from search_engine_ray.dataops.window_fns import row_number
+
+    docs = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    out = (
+        row_number(
+            docs,
+            key="lang",
+            order_cols=("n_chars",),
+            id_col="doc_id",
+            out_name="rank_in_lang",
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].astype(np.int64)),
+            "lang": pa.array(out["lang"], pa.string()),
+            "rank_in_lang": pa.array(out["rank_in_lang"].astype(np.int64)),
+        }
+    )
+
+
 def q_emb_quantize(sf_dir: str) -> pa.Table:
     """SQ8 scalar quantization (similarity.quantize_embeddings): int8
     clamp/floor per component, float32 widened exactly first — checked
@@ -3314,6 +3345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": q_shipping_priority,
         "running_revenue": q_running_revenue,
         "event_gaps": q_event_gaps,
+        "lang_char_rank": q_lang_char_rank,
         "emb_quantize": q_emb_quantize,
         "event_transitions": q_event_transitions,
         "label_centroids": q_label_centroids,
@@ -4963,6 +4995,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "jsonl_roundtrip": """
             SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+            FROM documents ORDER BY doc_id
+        """,
+        "lang_char_rank": """
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY n_chars, doc_id) AS rank_in_lang
             FROM documents ORDER BY doc_id
         """,
         "emb_quantize": """

@@ -42,6 +42,34 @@ def _bucket_of(keys: np.ndarray, n_buckets: int) -> np.ndarray:
     return ((keys.astype(np.uint64) * _KNUTH) >> np.uint64(33)) % np.uint64(n_buckets)
 
 
+def _bucket_of_strings(col, n_buckets: int) -> np.ndarray:
+    """Bucket per STRING key: blake2b on the batch's dictionary (unique
+    values only — the dedup._token_lists pattern), gathered back through
+    the codes.  Cross-batch consistent because the hash is content-based."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    denc = pc.dictionary_encode(col)
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    uniq = denc.dictionary.to_pylist()
+    uh = np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b((u or "").encode(), digest_size=8).digest(), "little"
+            )
+            for u in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    codes = np.asarray(denc.indices, dtype=np.int64)
+    if len(codes) == 0:
+        return np.empty(0, dtype=np.uint64)
+    return uh[codes] % np.uint64(n_buckets)
+
+
 def _run_kernel(v: np.ndarray, boundary: np.ndarray, fill: int) -> np.ndarray:
     """Segmented cumulative sum: running total restarting at each
     segment start (``boundary[i]`` marks the first row of a key)."""
@@ -113,19 +141,41 @@ def _windowed(
 
     def proj(batch: pa.Table) -> pa.Table:
         batch = batch.select(cols)
-        b = _bucket_of(np.asarray(batch[key], dtype=np.int64), n_buckets)
+        kcol = batch[key]
+        if pa.types.is_string(kcol.type) or pa.types.is_large_string(kcol.type):
+            b = _bucket_of_strings(kcol, n_buckets)
+        else:
+            b = _bucket_of(np.asarray(kcol, dtype=np.int64), n_buckets)
         return batch.append_column("_bucket", pa.array(b.astype(np.int64)))
 
     def per_bucket(group: pa.Table) -> pa.Table:
+        kcol = group[key]
+        string_key = pa.types.is_string(kcol.type) or pa.types.is_large_string(
+            kcol.type
+        )
         if group.num_rows == 0:  # keep schema on degenerate groups
             return pa.table(
                 {
                     id_col: pa.array([], pa.int64()),
-                    key: pa.array([], pa.int64()),
+                    key: pa.array([], pa.string() if string_key else pa.int64()),
                     out_name: pa.array([], pa.int64()),
                 }
             )
-        k = np.asarray(group[key], dtype=np.int64)
+        if string_key:
+            # group equal keys via per-bucket dictionary codes: any total
+            # order works — per-row output depends only on WITHIN-key
+            # order, so first-occurrence code order stays deterministic
+            import pyarrow.compute as pc
+
+            denc = pc.dictionary_encode(
+                kcol.combine_chunks() if isinstance(kcol, pa.ChunkedArray) else kcol
+            )
+            if isinstance(denc, pa.ChunkedArray):
+                denc = denc.combine_chunks()
+            # nulls get code -1: their own group, distinct from ""
+            k = np.asarray(pc.fill_null(denc.indices, -1), dtype=np.int64)
+        else:
+            k = np.asarray(kcol, dtype=np.int64)
         ids = np.asarray(group[id_col], dtype=np.int64)
         orders = [np.asarray(group[c]) for c in order_cols]
         # lexsort: LAST key is primary -> (key, order_cols..., id) asc
@@ -135,10 +185,13 @@ def _windowed(
         boundary[0] = True
         np.not_equal(ks[1:], ks[:-1], out=boundary[1:])
         v = np.asarray(group[value_col], dtype=np.int64)[perm]
+        key_out = (
+            kcol.take(pa.array(perm)) if string_key else pa.array(ks)
+        )
         return pa.table(
             {
                 id_col: pa.array(ids[perm]),
-                key: pa.array(ks),
+                key: key_out,
                 out_name: pa.array(kernel(v, boundary, fill)),
             }
         )

@@ -141,3 +141,57 @@ def test_row_number_and_rolling_sum_vs_duckdb(ray_session):
         assert (got_rs[["id", "k", "rs"]].values == exp_rs.values).all()
     with pytest.raises(ValueError, match="window"):
         rolling_sum(ds, "k", ("o",), "v", "id", window=0)
+
+
+def test_string_key_windows_vs_duckdb(ray_session):
+    from search_engine_ray.dataops.window_fns import (
+        rolling_sum,
+        row_number,
+        running_sum,
+    )
+
+    rng = np.random.default_rng(31)
+    tbl = pa.table(
+        {
+            "id": pa.array(np.arange(600, dtype=np.int64)),
+            "lang": pa.array([["en", "de", "fr", "zh", ""][i] for i in
+                              rng.integers(0, 5, 600)]),
+            "o": pa.array(rng.integers(0, 40, 600).astype(np.int64)),
+            "v": pa.array(rng.integers(0, 100, 600).astype(np.int64)),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    con = duckdb.connect()
+    con.register("t", tbl)
+    got = (
+        row_number(ds, "lang", ("o",), "id", out_name="rn", n_buckets=7)
+        .to_pandas()
+        .sort_values("id", ignore_index=True)
+    )
+    exp = con.sql(
+        """SELECT id, lang, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY o, id)
+           AS rn FROM t ORDER BY id"""
+    ).df()
+    assert (got[["id", "lang", "rn"]].values == exp.values).all()
+    got2 = (
+        running_sum(ds, "lang", ("o",), "v", "id", out_name="run", n_buckets=3)
+        .to_pandas()
+        .sort_values("id", ignore_index=True)
+    )
+    exp2 = con.sql(
+        """SELECT id, lang, SUM(v) OVER (PARTITION BY lang ORDER BY o, id
+           ROWS UNBOUNDED PRECEDING) AS run FROM t ORDER BY id"""
+    ).df()
+    assert (got2[["id", "lang", "run"]].values == exp2.values).all()
+    # partition invariance with string keys
+    got3 = (
+        rolling_sum(ray.data.from_arrow(tbl), "lang", ("o",), "v", "id",
+                    window=3, out_name="rs")
+        .to_pandas().sort_values("id", ignore_index=True)
+    )
+    got4 = (
+        rolling_sum(ds, "lang", ("o",), "v", "id", window=3, out_name="rs",
+                    n_buckets=2)
+        .to_pandas().sort_values("id", ignore_index=True)
+    )
+    assert got3.equals(got4)
