@@ -1837,6 +1837,43 @@ def q_lang_char_rank(sf_dir: str) -> pa.Table:
     )
 
 
+def q_bloom_seen(sf_dir: str) -> pa.Table:
+    """Sharded Bloom-filter membership (membership.build_bloom /
+    bloom_probe): filter built over the ENGLISH documents' text, all
+    documents probed.  A deliberately tiny filter (2 shards x 256 bits
+    vs 218 x 3 insertions) forces real false positives, so the gate
+    checks the full Bloom semantics — md5be-half hashes +
+    Kirsch-Mitzenmacher positions are reproduced in SQL via EXISTS.
+    Self-check: no false negatives (every inserted key reads True)."""
+    from search_engine_ray.dataops.membership import bloom_probe, build_bloom
+
+    docs = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "text"],
+    )
+    def only_en(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.equal(b["lang"], "en")).select(["text"])
+
+    en = docs.map_batches(only_en, batch_format="pyarrow")
+    bloom = build_bloom(en, "text", n_bits=256, n_hashes=3, n_shards=2)
+    out = (
+        bloom_probe(docs, "text", bloom, out_column="maybe_seen")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert bool(out.loc[out["lang"] == "en", "maybe_seen"].all()), (
+        "bloom false negative"
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].astype(np.int64)),
+            "maybe_seen": pa.array(out["maybe_seen"].astype(bool)),
+        }
+    )
+
+
 def q_emb_quantize(sf_dir: str) -> pa.Table:
     """SQ8 scalar quantization (similarity.quantize_embeddings): int8
     clamp/floor per component, float32 widened exactly first — checked
@@ -3346,6 +3383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_revenue": q_running_revenue,
         "event_gaps": q_event_gaps,
         "lang_char_rank": q_lang_char_rank,
+        "bloom_seen": q_bloom_seen,
         "emb_quantize": q_emb_quantize,
         "event_transitions": q_event_transitions,
         "label_centroids": q_label_centroids,
@@ -5002,6 +5040,30 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (PARTITION BY lang
                                       ORDER BY n_chars, doc_id) AS rank_in_lang
             FROM documents ORDER BY doc_id
+        """,
+        "bloom_seen": """
+            -- Bloom membership model: maybe_seen iff EVERY one of the
+            -- probe key's 3 Kirsch-Mitzenmacher positions (md5be halves,
+            -- pre-reduced mod 256) is set by SOME inserted (lang='en')
+            -- key in the SAME shard (h1 % 2).
+            WITH h AS (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5(text), 1,16))::UBIGINT AS h1,
+                       ('0x' || substr(md5(text),17,16))::UBIGINT AS h2
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, lang, h1 % 2 AS shard,
+                       (h1 % 256 + i.i * (h2 % 256)) % 256 AS pos
+                FROM h, (SELECT unnest(range(3)) AS i) i
+            ),
+            ins AS (SELECT DISTINCT shard, pos FROM pos WHERE lang = 'en')
+            SELECT doc_id, bool_and(hit) AS maybe_seen FROM (
+                SELECT p.doc_id, p.pos,
+                       EXISTS(SELECT 1 FROM ins i
+                              WHERE i.shard = p.shard AND i.pos = p.pos) AS hit
+                FROM pos p)
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "emb_quantize": """
             SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
