@@ -1874,6 +1874,38 @@ def q_bloom_seen(sf_dir: str) -> pa.Table:
     )
 
 
+def q_hll_user_registers(sf_dir: str) -> pa.Table:
+    """HyperLogLog register table over events.user_id (sketch.
+    hll_registers, p=6): per-batch <=2^p-row partials -> groupby MAX —
+    the approximate-distinct sketch whose REGISTERS are deterministic
+    given the md5be hash, so the gate is SQL-exact (rho via integer
+    bit-length, ``length(bin(w))``, never float log2); the float
+    estimate stays lib-side (pytest-pinned to the 1.04/sqrt(m) bound).
+    Self-check: the estimate lands within 3 standard errors of the
+    true distinct count."""
+    from search_engine_ray.dataops.sketch import hll_estimate, hll_registers
+
+    events = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    )
+    regs = hll_registers(events, "user_id", p=6)
+    est = hll_estimate(regs, p=6)
+    # exact truth from the repo's own two-level distinct (relational wing)
+    from search_engine_ray.dataops.relational import count_distinct
+
+    def one_key(b: pa.Table) -> pa.Table:
+        return b.append_column("_one", pa.array(np.zeros(b.num_rows, np.int64)))
+
+    events2 = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    ).map_batches(one_key, batch_format="pyarrow")
+    true = int(count_distinct(events2, "_one", "user_id")["n_distinct"][0].as_py())
+    assert abs(est - true) / max(true, 1) < 3 * 1.04 / np.sqrt(64), (
+        f"hll estimate {est} too far from true {true}"
+    )
+    return regs
+
+
 def q_emb_quantize(sf_dir: str) -> pa.Table:
     """SQ8 scalar quantization (similarity.quantize_embeddings): int8
     clamp/floor per component, float32 widened exactly first — checked
@@ -3384,6 +3416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": q_event_gaps,
         "lang_char_rank": q_lang_char_rank,
         "bloom_seen": q_bloom_seen,
+        "hll_user_registers": q_hll_user_registers,
         "emb_quantize": q_emb_quantize,
         "event_transitions": q_event_transitions,
         "label_centroids": q_label_centroids,
@@ -5064,6 +5097,24 @@ def oracle_sql() -> dict[str, str]:
                               WHERE i.shard = p.shard AND i.pos = p.pos) AS hit
                 FROM pos p)
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        "hll_user_registers": """
+            -- HLL register table, p=6: reg = top 6 bits of the md5be
+            -- first half of CAST(user_id AS VARCHAR); rho = 1 + leading
+            -- zeros of the 58-bit suffix, via integer bit-length
+            -- (length(bin(w))) — float-free.
+            WITH h AS (
+                SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,16))::UBIGINT AS h1
+                FROM events
+            ),
+            r AS (
+                SELECT CAST(h1 >> 58 AS BIGINT) AS reg,
+                       h1 & ((1::UBIGINT << 58) - 1) AS w
+                FROM h
+            )
+            SELECT reg, MAX(CASE WHEN w = 0 THEN 59
+                                 ELSE 58 - length(bin(w)) + 1 END) AS rho
+            FROM r GROUP BY reg ORDER BY reg
         """,
         "emb_quantize": """
             SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,

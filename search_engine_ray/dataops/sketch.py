@@ -133,3 +133,90 @@ def heavy_hitters(
             "count": pa.array(out["count"].astype(np.int64), pa.int64()),
         }
     )
+
+
+def _hll_reg_rho(h1: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register, rho) per hash: register = top p bits of h1; rho = 1 +
+    leading zeros of the remaining (64-p)-bit suffix (the HyperLogLog
+    observable, Flajolet et al. 2007).  Bit positions come from a
+    vectorized ``np.unpackbits`` over the big-endian byte view — never a
+    float log2, whose rounding at 2^k boundaries would break the
+    integer-exact SQL oracle (``64-p - length(bin(w)) + 1``)."""
+    q = 64 - p
+    reg = (h1 >> np.uint64(q)).astype(np.int64)
+    w = h1 & np.uint64((1 << q) - 1)
+    if len(w) == 0:
+        return reg, np.empty(0, np.int64)
+    bits = np.unpackbits(
+        w.astype(">u8").view(np.uint8).reshape(-1, 8), axis=1
+    )  # column 0 = bit 63 (always 0 for w < 2^q when p >= 1)
+    first_one = np.argmax(bits, axis=1)  # 0 when w == 0 -> guarded below
+    rho = np.where(w == 0, q + 1, first_one - p + 1).astype(np.int64)
+    return reg, rho
+
+
+def hll_registers(
+    ds: ray.data.Dataset,
+    key_column: str,
+    p: int = 6,
+) -> pa.Table:
+    """Distributed HyperLogLog register table: (reg, rho) with rho = the
+    MAX observable per register over all keys — ascending reg, registers
+    no key reached are absent (matching the SQL GROUP BY model).
+
+    The sketch property that makes this scale: per-batch partials reduce
+    each batch to <= 2^p rows before the shuffle, so counting distinct
+    urls across 100 TB exchanges kilobytes.  Deterministic and
+    partition-invariant because MAX commutes and the hash (md5be first
+    half, non-strings via their decimal VARCHAR cast) is content-based —
+    the register table is SQL-reproducible bit-for-bit, so the driver
+    gate checks the REGISTERS; the float estimate stays lib-side."""
+    from ray.data.aggregate import Max
+
+    from .membership import md5_halves
+
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h1, _ = md5_halves(batch[key_column])
+        reg, rho = _hll_reg_rho(h1, p)
+        if len(reg) == 0:
+            return pa.table(
+                {"reg": pa.array([], pa.int64()), "rho": pa.array([], pa.int64())}
+            )
+        regmax = np.zeros(1 << p, dtype=np.int64)
+        np.maximum.at(regmax, reg, rho)
+        hit = np.flatnonzero(regmax)
+        return pa.table({"reg": pa.array(hit), "rho": pa.array(regmax[hit])})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("reg")
+        .aggregate(Max("rho"))
+        .sort("reg")
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "reg": pa.array(out["reg"].to_numpy().astype(np.int64)),
+            "rho": pa.array(out["max(rho)"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+def hll_estimate(registers: pa.Table, p: int = 6) -> float:
+    """Bias-corrected HLL cardinality estimate from a register table
+    (absent registers count as rho=0), with the standard small-range
+    linear-counting correction.  Float by nature — pytest-pinned against
+    the 1.04/sqrt(m) error bound, never SQL-gated."""
+    m = 1 << p
+    rho = np.zeros(m, dtype=np.int64)
+    reg = np.asarray(registers["reg"], dtype=np.int64)
+    rho[reg] = np.asarray(registers["rho"], dtype=np.int64)
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1 + 1.079 / m))
+    raw = alpha * m * m / np.sum(np.exp2(-rho.astype(np.float64)))
+    zeros = int(np.count_nonzero(rho == 0))
+    if raw <= 2.5 * m and zeros:
+        return float(m * np.log(m / zeros))
+    return float(raw)

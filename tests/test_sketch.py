@@ -3,6 +3,8 @@
 import numpy as np
 import pyarrow as pa
 import pytest
+import ray
+import ray.data
 
 from search_engine_ray.dataops.sketch import heavy_hitters
 
@@ -71,3 +73,58 @@ def test_heavy_hitters_empty_corpus(ray_session):
     got = heavy_hitters(ds, k=10)
     assert got.num_rows == 0
     assert got.column_names == ["term", "count"]
+
+
+def test_hll_registers_match_duckdb_and_partition_invariant(ray_session):
+    import duckdb
+
+    from search_engine_ray.dataops.sketch import hll_estimate, hll_registers
+
+    rng = np.random.default_rng(17)
+    keys = [f"u{int(v)}" for v in rng.integers(0, 5000, 20000)]
+    tbl = pa.table({"k": pa.array(keys, pa.string())})
+    p = 6
+    got = hll_registers(ray.data.from_arrow(tbl).repartition(7), "k", p=p)
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = con.sql(f"""
+        WITH h AS (SELECT ('0x' || substr(md5(k),1,16))::UBIGINT AS h1 FROM t),
+        r AS (SELECT CAST(h1 >> {64 - p} AS BIGINT) AS reg,
+                     h1 & ((1::UBIGINT << {64 - p}) - 1) AS w FROM h)
+        SELECT reg, MAX(CASE WHEN w = 0 THEN {64 - p + 1}
+                        ELSE {64 - p} - length(bin(w)) + 1 END) AS rho
+        FROM r GROUP BY reg ORDER BY reg
+    """).arrow()
+    assert got.equals(exp.cast(got.schema))
+    # partition invariance
+    got1 = hll_registers(ray.data.from_arrow(tbl).repartition(1), "k", p=p)
+    assert got.equals(got1)
+    # estimate within 3 standard errors of the true distinct count
+    true = len(set(keys))
+    est = hll_estimate(got, p=p)
+    assert abs(est - true) / true < 3 * 1.04 / np.sqrt(1 << p)
+
+
+def test_hll_edges(ray_session):
+    import pytest
+
+    from search_engine_ray.dataops.sketch import (
+        _hll_reg_rho,
+        hll_estimate,
+        hll_registers,
+    )
+
+    # rho of w=0 is q+1; rho of the highest suffix bit is 1
+    p, q = 6, 58
+    h_zero = np.array([0b111111 << q], dtype=np.uint64)  # suffix all zero
+    reg, rho = _hll_reg_rho(h_zero, p)
+    assert int(reg[0]) == 63 and int(rho[0]) == q + 1
+    h_top = np.array([(1 << (q - 1))], dtype=np.uint64)  # reg 0, suffix MSB set
+    reg, rho = _hll_reg_rho(h_top, p)
+    assert int(reg[0]) == 0 and int(rho[0]) == 1
+    with pytest.raises(ValueError, match=r"\[4, 16\]"):
+        hll_registers(ray.data.from_arrow(pa.table({"k": pa.array(["a"])})), "k", p=2)
+    # small-range correction: tiny true cardinality -> near-exact estimate
+    small = ray.data.from_arrow(pa.table({"k": pa.array([f"x{i}" for i in range(8)])}))
+    est = hll_estimate(hll_registers(small, "k", p=6), p=6)
+    assert abs(est - 8) < 2
