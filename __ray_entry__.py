@@ -1906,6 +1906,61 @@ def q_hll_user_registers(sf_dir: str) -> pa.Table:
     return regs
 
 
+def q_quality_terciles(sf_dir: str) -> pa.Table:
+    """CCNet-style head/middle/tail corpus split (window_fns.group_tile
+    over the unigram-LM integer density): per language, documents order
+    by descending in-vocabulary density (mean corpus count of the doc's
+    known tokens, integer micros — transcendental-free, unlike raw
+    perplexity) and split into 3 equi-depth tiles; tile 0 is the "head"
+    CCNet would keep.  One lang-keyed shuffle; the doc_id->lang hash
+    join runs Dataset-native."""
+    from search_engine_ray.dataops.dedup import _join_parts
+    from search_engine_ray.dataops.lm import train_unigram_lm, unigram_lm_scores
+    from search_engine_ray.dataops.window_fns import group_tile
+
+    ds = _docs_ds(sf_dir)
+    lm = train_unigram_lm(ds, OPT_NOSTEM, min_count=2)
+
+    def density(b: pa.Table) -> pa.Table:
+        n = np.asarray(b["n_tokens"], np.int64)
+        skc = np.asarray(b["sum_known_count"], np.int64)
+        # int64 headroom guard: numpy would wrap silently where SQL errors
+        assert skc.size == 0 or int(skc.max()) < (1 << 62) // 1_000_000
+        d = (skc * 1_000_000) // np.maximum(n, 1)
+        return pa.table({"doc_id": b["doc_id"], "neg_density": pa.array(-d)})
+
+    dens = (
+        unigram_lm_scores(ds, OPT_NOSTEM, lm=lm)
+        .map_batches(density, batch_format="pyarrow")
+        .materialize()
+    )
+    langs = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    ).materialize()
+    joined = langs.join(
+        dens, "inner", _join_parts(8), on=("doc_id",), right_on=("doc_id",)
+    ).materialize().repartition(4)
+    out = (
+        group_tile(
+            joined,
+            key="lang",
+            order_cols=("neg_density",),
+            id_col="doc_id",
+            n_tiles=3,
+            out_name="bucket",
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].astype(np.int64)),
+            "lang": pa.array(out["lang"], pa.string()),
+            "bucket": pa.array(out["bucket"].astype(np.int64)),
+        }
+    )
+
+
 def q_emb_quantize(sf_dir: str) -> pa.Table:
     """SQ8 scalar quantization (similarity.quantize_embeddings): int8
     clamp/floor per component, float32 widened exactly first — checked
@@ -3417,6 +3472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_char_rank": q_lang_char_rank,
         "bloom_seen": q_bloom_seen,
         "hll_user_registers": q_hll_user_registers,
+        "quality_terciles": q_quality_terciles,
         "emb_quantize": q_emb_quantize,
         "event_transitions": q_event_transitions,
         "label_centroids": q_label_centroids,
@@ -5115,6 +5171,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT reg, MAX(CASE WHEN w = 0 THEN 59
                                  ELSE 58 - length(bin(w)) + 1 END) AS rho
             FROM r GROUP BY reg ORDER BY reg
+        """,
+        "quality_terciles": f"""
+            -- CCNet head/middle/tail: per-lang equi-depth terciles by
+            -- descending integer in-vocab density micros (min_count=2
+            -- pruned self-trained unigram LM), the engine's exact
+            -- ((rn-1)*3)//cnt formula (not SQL NTILE).
+            WITH {_TOKS},
+            cnt AS (SELECT t, count(*) AS c FROM toks GROUP BY t
+                    HAVING count(*) >= 2),
+            stats AS (
+                SELECT toks.doc_id,
+                       count(*) AS n_tokens,
+                       CAST(COALESCE(sum(cnt.c), 0) AS BIGINT) AS skc
+                FROM toks LEFT JOIN cnt ON toks.t = cnt.t
+                GROUP BY toks.doc_id
+            ),
+            scored AS (
+                SELECT d.doc_id, d.lang,
+                       (COALESCE(s.skc, 0) * 1000000)
+                         // GREATEST(COALESCE(s.n_tokens, 0), 1) AS density
+                FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
+            )
+            SELECT doc_id, lang,
+                   ((ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY density DESC, doc_id) - 1) * 3)
+                     // (COUNT(*) OVER (PARTITION BY lang)) AS bucket
+            FROM scored ORDER BY doc_id
         """,
         "emb_quantize": """
             SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,

@@ -121,6 +121,22 @@ def _make_rolling_kernel(window: int):
     return kernel
 
 
+def _make_tile_kernel(n_tiles: int):
+    """Segmented 0-based equi-depth tile: ``((pos_in_key) * n_tiles) //
+    key_size`` — the integer-exact NTILE-like bucket (sizes differ by at
+    most 1; the formula, not SQL NTILE's remainder-first convention, so
+    the oracle states the same expression: ``((rn-1)*T)//cnt``)."""
+
+    def kernel(v: np.ndarray, boundary: np.ndarray, fill: int) -> np.ndarray:
+        starts = np.flatnonzero(boundary)
+        seg = np.cumsum(boundary) - 1
+        sizes = np.diff(np.append(starts, len(v)))
+        pos = np.arange(len(v), dtype=np.int64) - starts[seg]
+        return (pos * n_tiles) // sizes[seg]
+
+    return kernel
+
+
 def _windowed(
     ds: ray.data.Dataset,
     key: str,
@@ -253,6 +269,36 @@ def row_number(
     # the kernel ignores values; reuse the id column as a typed stand-in
     return _windowed(
         ds, key, order_cols, id_col, id_col, _rownum_kernel, out_name, 0, n_buckets
+    )
+
+
+def group_tile(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: Sequence[str],
+    id_col: str,
+    n_tiles: int,
+    out_name: str = "tile",
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Equi-depth tile within each key (the CCNet head/middle/tail
+    split shape): rows of a key, ordered by (order_cols..., id)
+    ascending, land in 0-based tile ``(pos * n_tiles) // key_size`` —
+    integer-exact and partition-invariant, equivalent to the SQL
+    ``((ROW_NUMBER() OVER w - 1) * n_tiles) // (COUNT(*) OVER
+    (PARTITION BY key))``.  Output: (id, key, out_name)."""
+    if n_tiles < 1:
+        raise ValueError(f"group_tile: n_tiles must be >= 1 (got {n_tiles})")
+    return _windowed(
+        ds,
+        key,
+        order_cols,
+        id_col,
+        id_col,
+        _make_tile_kernel(n_tiles),
+        out_name,
+        0,
+        n_buckets,
     )
 
 

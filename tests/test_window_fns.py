@@ -195,3 +195,43 @@ def test_string_key_windows_vs_duckdb(ray_session):
         .to_pandas().sort_values("id", ignore_index=True)
     )
     assert got3.equals(got4)
+
+
+def test_group_tile_vs_duckdb(ray_session):
+    from search_engine_ray.dataops.window_fns import group_tile
+
+    rng = np.random.default_rng(43)
+    tbl = pa.table(
+        {
+            "id": pa.array(np.arange(700, dtype=np.int64)),
+            "k": pa.array(rng.integers(0, 9, 700).astype(np.int64)),
+            "lang": pa.array([["en", "de", ""][i] for i in rng.integers(0, 3, 700)]),
+            "o": pa.array(rng.integers(-50, 50, 700).astype(np.int64)),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", tbl)
+    for key, tiles, parts in (("k", 3, 1), ("k", 4, 6), ("lang", 3, 5)):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        got = (
+            group_tile(ds, key, ("o",), "id", n_tiles=tiles, out_name="b", n_buckets=5)
+            .to_pandas()
+            .sort_values("id", ignore_index=True)
+        )
+        exp = con.sql(f"""
+            SELECT id, {key},
+                   ((ROW_NUMBER() OVER (PARTITION BY {key} ORDER BY o, id) - 1)
+                    * {tiles}) // (COUNT(*) OVER (PARTITION BY {key})) AS b
+            FROM t ORDER BY id
+        """).df()
+        assert (got["b"].to_numpy() == exp["b"].to_numpy()).all()
+        assert (got["id"].to_numpy() == exp["id"].to_numpy()).all()
+    # equi-depth: tile sizes within a key differ by at most 1
+    got = (
+        group_tile(ray.data.from_arrow(tbl), "k", ("o",), "id", n_tiles=3)
+        .to_pandas()
+    )
+    sizes = got.groupby(["k", "tile"]).size().groupby(level=0)
+    assert ((sizes.max() - sizes.min()) <= 1).all()
+    with pytest.raises(ValueError, match="n_tiles"):
+        group_tile(ray.data.from_arrow(tbl), "k", ("o",), "id", n_tiles=0)
