@@ -1961,6 +1961,35 @@ def q_quality_terciles(sf_dir: str) -> pa.Table:
     )
 
 
+_CM_WIDTH, _CM_DEPTH = 1024, 3
+
+
+def q_count_min(sf_dir: str) -> pa.Table:
+    """Count-Min sketch grid over documents' whitespace tokens
+    (sketch.count_min_sketch, 3x1024): per-batch local np.add.at grids,
+    sketch-sized exchange, tiny groupby-sum.  Integer + md5be/KM hash
+    -> the whole grid is SQL-bit-reproducible (zero cells absent)."""
+    from search_engine_ray.dataops.sketch import count_min_sketch
+
+    docs = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    return count_min_sketch(docs, width=_CM_WIDTH, depth=_CM_DEPTH)
+
+
+def q_cm_lookup(sf_dir: str) -> pa.Table:
+    """Count-Min point estimates for the fixed probe terms: MIN over
+    each term's depth cells — the integer upper-bound read path,
+    SQL-exact via the same position formula."""
+    from search_engine_ray.dataops.sketch import cm_estimate, count_min_sketch
+
+    docs = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    sk = count_min_sketch(docs, width=_CM_WIDTH, depth=_CM_DEPTH)
+    return cm_estimate(sk, sorted(LOOKUP_TERMS), width=_CM_WIDTH, depth=_CM_DEPTH)
+
+
 def q_emb_quantize(sf_dir: str) -> pa.Table:
     """SQ8 scalar quantization (similarity.quantize_embeddings): int8
     clamp/floor per component, float32 widened exactly first — checked
@@ -3473,6 +3502,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_seen": q_bloom_seen,
         "hll_user_registers": q_hll_user_registers,
         "quality_terciles": q_quality_terciles,
+        "count_min": q_count_min,
+        "cm_lookup": q_cm_lookup,
         "emb_quantize": q_emb_quantize,
         "event_transitions": q_event_transitions,
         "label_centroids": q_label_centroids,
@@ -5198,6 +5229,59 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY density DESC, doc_id) - 1) * 3)
                      // (COUNT(*) OVER (PARTITION BY lang)) AS bucket
             FROM scored ORDER BY doc_id
+        """,
+        "count_min": """
+            -- Count-Min grid, 3x1024: row i bumps bucket
+            -- (h1 + i*h2) mod 1024 per whitespace-token occurrence
+            -- (md5be halves, pinned WS class).
+            WITH toks AS (
+              SELECT t FROM documents,
+                UNNEST(list_filter(regexp_split_to_array(text,
+                       '[\\t\\n\\x0B\\x0C\\r ]+'), x -> x <> '')) AS u(t)
+            ),
+            h AS (
+              SELECT ('0x' || substr(md5(t), 1,16))::UBIGINT % 1024 AS a,
+                     ('0x' || substr(md5(t),17,16))::UBIGINT % 1024 AS b
+              FROM toks
+            )
+            SELECT CAST(i.i AS BIGINT) AS row,
+                   CAST((a + i.i * b) % 1024 AS BIGINT) AS bucket,
+                   count(*) AS count
+            FROM h, (SELECT unnest(range(3)) AS i) i
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "cm_lookup": f"""
+            -- point estimates: MIN over each probe term's 3 cells
+            WITH toks AS (
+              SELECT t FROM documents,
+                UNNEST(list_filter(regexp_split_to_array(text,
+                       '[\\t\\n\\x0B\\x0C\\r ]+'), x -> x <> '')) AS u(t)
+            ),
+            h AS (
+              SELECT ('0x' || substr(md5(t), 1,16))::UBIGINT % 1024 AS a,
+                     ('0x' || substr(md5(t),17,16))::UBIGINT % 1024 AS b
+              FROM toks
+            ),
+            grid AS (
+              SELECT CAST(i.i AS BIGINT) AS row,
+                     CAST((a + i.i * b) % 1024 AS BIGINT) AS bucket,
+                     count(*) AS count
+              FROM h, (SELECT unnest(range(3)) AS i) i
+              GROUP BY 1, 2
+            ),
+            probes AS (
+              SELECT t AS term,
+                     ('0x' || substr(md5(t), 1,16))::UBIGINT % 1024 AS a,
+                     ('0x' || substr(md5(t),17,16))::UBIGINT % 1024 AS b
+              FROM (SELECT unnest([{", ".join("'" + t + "'" for t in sorted(LOOKUP_TERMS))}]) AS t)
+            )
+            SELECT term, MIN(COALESCE(g.count, 0)) AS est
+            FROM (SELECT term,
+                         CAST(i.i AS BIGINT) AS row,
+                         CAST((a + i.i * b) % 1024 AS BIGINT) AS bucket
+                  FROM probes, (SELECT unnest(range(3)) AS i) i) p
+            LEFT JOIN grid g ON g.row = p.row AND g.bucket = p.bucket
+            GROUP BY term ORDER BY term
         """,
         "emb_quantize": """
             SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,

@@ -220,3 +220,95 @@ def hll_estimate(registers: pa.Table, p: int = 6) -> float:
     if raw <= 2.5 * m and zeros:
         return float(m * np.log(m / zeros))
     return float(raw)
+
+
+def count_min_sketch(
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    width: int = 1024,
+    depth: int = 4,
+) -> pa.Table:
+    """Distributed Count-Min sketch over whitespace tokens (Cormode &
+    Muthukrishnan 2005): a (depth x width) counter grid where row i
+    bumps bucket ``(h1 + i*h2) mod width`` per token occurrence.
+
+    Scale shape: each batch folds its tokens into ONE local (depth x
+    width) ``np.add.at`` grid and emits only the nonzero cells, so the
+    exchange is sketch-sized (<= depth*width rows per batch), never
+    vocabulary-sized; a tiny groupby-sum folds the global grid.
+
+    Everything is integer and the hash is the md5be/Kirsch-Mitzenmacher
+    convention (membership.py), so the ENTIRE sketch — and any point
+    estimate, which is just MIN over the term's depth cells — is
+    SQL-reproducible bit-for-bit, unlike the float-noise sketches CM
+    replaces.  Output: (row, bucket, count) ascending, zero cells
+    absent (the SQL GROUP BY model)."""
+    from ray.data.aggregate import Sum
+
+    from .membership import bloom_positions, md5_halves
+
+    if width < 1 or depth < 1:
+        raise ValueError("width and depth must be >= 1")
+    if width > 1 << 32:
+        raise ValueError("width must be <= 2^32 (SQL-overflow-safe domain)")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat = _ws_token_flat(batch[text_column])
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "row": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                    "count": pa.array([], pa.int64()),
+                }
+            )
+        h1, h2 = md5_halves(flat)
+        pos = bloom_positions(h1, h2, depth, width).astype(np.int64)  # (n, depth)
+        grid = np.zeros((depth, width), dtype=np.int64)
+        rows = np.broadcast_to(np.arange(depth, dtype=np.int64), pos.shape)
+        np.add.at(grid, (rows.reshape(-1), pos.reshape(-1)), 1)
+        r, b = np.nonzero(grid)
+        return pa.table(
+            {
+                "row": pa.array(r.astype(np.int64)),
+                "bucket": pa.array(b.astype(np.int64)),
+                "count": pa.array(grid[r, b]),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["row", "bucket"])
+        .aggregate(Sum("count", alias_name="count"))
+        .sort(["row", "bucket"])
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "row": pa.array(out["row"].to_numpy().astype(np.int64)),
+            "bucket": pa.array(out["bucket"].to_numpy().astype(np.int64)),
+            "count": pa.array(out["count"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+def cm_estimate(sketch: pa.Table, terms: list[str], width: int, depth: int) -> pa.Table:
+    """Point-frequency upper bounds from a Count-Min sketch table: per
+    term, MIN over its depth cells (absent cell = 0).  Integer-exact and
+    SQL-reproducible; CM guarantees estimate >= true count."""
+    from .membership import bloom_positions, md5_halves
+
+    grid = np.zeros((depth, width), dtype=np.int64)
+    grid[
+        np.asarray(sketch["row"], dtype=np.int64),
+        np.asarray(sketch["bucket"], dtype=np.int64),
+    ] = np.asarray(sketch["count"], dtype=np.int64)
+    h1, h2 = md5_halves(pa.array(terms, pa.string()))
+    pos = bloom_positions(h1, h2, depth, width).astype(np.int64)
+    est = grid[np.arange(depth)[None, :], pos].min(axis=1)
+    return pa.table(
+        {
+            "term": pa.array(terms, pa.string()),
+            "est": pa.array(est.astype(np.int64)),
+        }
+    )

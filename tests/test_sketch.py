@@ -128,3 +128,60 @@ def test_hll_edges(ray_session):
     small = ray.data.from_arrow(pa.table({"k": pa.array([f"x{i}" for i in range(8)])}))
     est = hll_estimate(hll_registers(small, "k", p=6), p=6)
     assert abs(est - 8) < 2
+
+
+def test_count_min_matches_duckdb_and_bounds(ray_session):
+    import duckdb
+
+    from search_engine_ray.dataops.sketch import cm_estimate, count_min_sketch
+
+    texts = TEXTS + ["b b b q q", "a q z"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    width, depth = 16, 3  # tiny: force real collisions
+    got = count_min_sketch(
+        ray.data.from_arrow(tbl).repartition(4), width=width, depth=depth
+    )
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = con.sql(f"""
+        WITH toks AS (
+          SELECT t FROM t,
+            UNNEST(list_filter(regexp_split_to_array(text,
+                   '[\\t\\n\\x0B\\x0C\\r ]+'), x -> x <> '')) AS u(t)
+        ),
+        h AS (
+          SELECT ('0x' || substr(md5(t), 1,16))::UBIGINT % {width} AS a,
+                 ('0x' || substr(md5(t),17,16))::UBIGINT % {width} AS b
+          FROM toks
+        )
+        SELECT CAST(i.i AS BIGINT) AS row,
+               CAST((a + i.i * b) % {width} AS BIGINT) AS bucket,
+               count(*) AS count
+        FROM h, (SELECT unnest(range({depth})) AS i) i
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """).arrow()
+    assert got.equals(exp.cast(got.schema))
+    # partition invariance
+    got1 = count_min_sketch(ray.data.from_arrow(tbl), width=width, depth=depth)
+    assert got.equals(got1)
+    # estimates: integer upper bounds on true counts, exact when no collision
+    all_toks = [w for t in texts for w in t.split()]
+    import collections
+
+    true = collections.Counter(all_toks)
+    est = cm_estimate(got, sorted(true), width=width, depth=depth)
+    est_map = dict(zip(est["term"].to_pylist(), est["est"].to_pylist()))
+    assert all(est_map[t] >= c for t, c in true.items())
+    # a generous width removes collisions -> exact counts
+    wide = count_min_sketch(ray.data.from_arrow(tbl), width=4096, depth=4)
+    est2 = cm_estimate(wide, sorted(true), width=4096, depth=4)
+    assert dict(zip(est2["term"].to_pylist(), est2["est"].to_pylist())) == dict(true)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match=">= 1"):
+        count_min_sketch(ray.data.from_arrow(tbl), width=0)
