@@ -1990,6 +1990,135 @@ def q_cm_lookup(sf_dir: str) -> pa.Table:
     return cm_estimate(sk, sorted(LOOKUP_TERMS), width=_CM_WIDTH, depth=_CM_DEPTH)
 
 
+# topic 1: rare term (positive idf -> relevant docs dominate the top-10);
+# topic 2: rare+common mix (partial hits); topic 3: all-common terms
+# (negative idf at sf0.01 df levels -> the zero-hit edge case)
+_EVAL_TOPICS = {
+    1: ("dup",),
+    2: ("dup", "key"),
+    3: ("spark", "hash", "join"),
+}
+
+
+def q_trec_eval(sf_dir: str) -> pa.Table:
+    """TREC run evaluation (engine/evaluate.py): the trec_eval step
+    downstream of the reference's run writer.  Run = exact-f64 BM25
+    top-10 per topic; qrels = the engine's own boolean-AND retrieval
+    (docs containing ALL topic terms).  All metric columns are integer
+    (rr/precision terms floored to micros BEFORE summation), so the
+    oracle — per-topic BM25 ranking CTEs + a window-function eval —
+    reproduces them bit-for-bit."""
+    import ray.data
+
+    from search_engine_ray.engine.boolean import boolean_and
+    from search_engine_ray.engine.evaluate import evaluate_run
+    from search_engine_ray.pipelines import bm25_scores_f64
+
+    r = _reader(sf_dir)
+    run_rows = {"topic": [], "doc_id": [], "rank": []}
+    qrel_rows = {"topic": [], "doc_id": []}
+    for tid, terms in _EVAL_TOPICS.items():
+        ids, _ = bm25_scores_f64(r, [(t, 1) for t in terms])
+        for rank, d in enumerate(ids[:10], start=1):
+            run_rows["topic"].append(tid)
+            run_rows["doc_id"].append(int(r.doc_names[d]))
+            run_rows["rank"].append(rank)
+        for d in boolean_and(r, list(terms)):
+            qrel_rows["topic"].append(tid)
+            qrel_rows["doc_id"].append(int(r.doc_names[d]))
+    mk = lambda d: pa.table({c: pa.array(v, pa.int64()) for c, v in d.items()})
+    out = (
+        evaluate_run(
+            ray.data.from_arrow(mk(run_rows)),
+            ray.data.from_arrow(mk(qrel_rows)),
+            k=5,
+        )
+        .to_pandas()
+        .sort_values("topic", ignore_index=True)
+    )
+    return pa.table(
+        {c: pa.array(out[c].astype(np.int64)) for c in out.columns}
+    )
+
+
+def _trec_eval_oracle_sql() -> str:
+    """Per-topic BM25 ranking + qrels CTEs (uniquely named per topic),
+    UNION ALL'd, then the integer window-function eval."""
+    parts = [f"WITH {_TOKS},"]
+    parts.append("""
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM toks) * 1.0
+                            / (SELECT count(*) FROM documents) AS avgdl),""")
+    sel_run, sel_qr = [], []
+    for tid, terms in _EVAL_TOPICS.items():
+        tl = ",".join("'" + t + "'" for t in terms)
+        parts.append(f"""
+            tf{tid} AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks
+                        WHERE t IN ({tl}) GROUP BY doc_id, t),
+            df{tid} AS (SELECT term, count(*) AS df FROM tf{tid} GROUP BY term),
+            sc{tid} AS (
+              SELECT tf{tid}.doc_id,
+                     SUM( ln((st.n - df{tid}.df + 0.5) / (df{tid}.df + 0.5))
+                          * (tf{tid}.tf * (1.2 + 1))
+                          / (tf{tid}.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) )
+                       AS score
+              FROM tf{tid} JOIN df{tid} USING (term) JOIN dl USING (doc_id)
+                   CROSS JOIN st
+              GROUP BY tf{tid}.doc_id
+            ),
+            rk{tid} AS (SELECT doc_id,
+                               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+                        FROM sc{tid}),
+            qr{tid} AS (SELECT doc_id FROM tf{tid} GROUP BY doc_id
+                        HAVING count(DISTINCT term) = {len(terms)}),""")
+        sel_run.append(
+            f"SELECT {tid} AS topic, doc_id, r AS rank FROM rk{tid} WHERE r <= 10"
+        )
+        sel_qr.append(f"SELECT {tid} AS topic, doc_id FROM qr{tid}")
+    parts.append(f"""
+            run AS ({' UNION ALL '.join(sel_run)}),
+            qrels AS ({' UNION ALL '.join(sel_qr)}),
+            tagged AS (
+                SELECT r.topic, r.rank,
+                       CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+                FROM run r LEFT JOIN qrels q
+                  ON r.topic = q.topic AND r.doc_id = q.doc_id
+            ),
+            c AS (SELECT topic, rank, rel,
+                         SUM(rel) OVER (PARTITION BY topic ORDER BY rank) AS cum
+                  FROM tagged),
+            per_run AS (
+                SELECT topic,
+                       count(*) AS n_ret,
+                       SUM(rel) AS n_rel_ret,
+                       SUM(CASE WHEN rel = 1 AND rank <= 5 THEN 1 ELSE 0 END)
+                           AS hits_at_k,
+                       COALESCE(MIN(CASE WHEN rel = 1 THEN rank END), -1)
+                           AS first_rel_rank,
+                       COALESCE(1000000 // MIN(CASE WHEN rel = 1 THEN rank END), 0)
+                           AS rr_micros,
+                       COALESCE(SUM(CASE WHEN rel = 1
+                                         THEN (cum * 1000000) // rank END), 0)
+                           AS sum_prec_micros
+                FROM c GROUP BY topic
+            ),
+            per_qrel AS (SELECT topic, count(*) AS n_rel FROM qrels GROUP BY topic)
+            SELECT t.topic,
+                   COALESCE(r.n_ret, 0) AS n_ret,
+                   COALESCE(q.n_rel, 0) AS n_rel,
+                   COALESCE(r.n_rel_ret, 0) AS n_rel_ret,
+                   COALESCE(r.hits_at_k, 0) AS hits_at_k,
+                   COALESCE(r.first_rel_rank, -1) AS first_rel_rank,
+                   COALESCE(r.rr_micros, 0) AS rr_micros,
+                   COALESCE(r.sum_prec_micros, 0) AS sum_prec_micros
+            FROM (SELECT topic FROM per_run UNION SELECT topic FROM per_qrel) t
+            LEFT JOIN per_run r ON t.topic = r.topic
+            LEFT JOIN per_qrel q ON t.topic = q.topic
+            ORDER BY t.topic""")
+    return "".join(parts)
+
+
 def q_emb_quantize(sf_dir: str) -> pa.Table:
     """SQ8 scalar quantization (similarity.quantize_embeddings): int8
     clamp/floor per component, float32 widened exactly first — checked
@@ -3504,6 +3633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_terciles": q_quality_terciles,
         "count_min": q_count_min,
         "cm_lookup": q_cm_lookup,
+        "trec_eval": q_trec_eval,
         "emb_quantize": q_emb_quantize,
         "event_transitions": q_event_transitions,
         "label_centroids": q_label_centroids,
@@ -5283,6 +5413,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN grid g ON g.row = p.row AND g.bucket = p.bucket
             GROUP BY term ORDER BY term
         """,
+        "trec_eval": _trec_eval_oracle_sql(),
         "emb_quantize": """
             SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
                    GREATEST(-127, LEAST(127,

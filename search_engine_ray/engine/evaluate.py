@@ -1,0 +1,187 @@
+"""TREC-style run evaluation — the trec_eval step downstream of the
+reference's run writer (Program.cs:150-164 emits the 6-field lines
+trec_eval consumes; this module computes the metrics themselves).
+
+Per-topic metrics from a run table (topic, doc_id, rank) and a qrels
+table (topic, doc_id):
+
+- ``n_ret`` / ``n_rel`` / ``n_rel_ret`` — the trec_eval counting row
+- ``hits_at_k`` — P@k numerator (integer; P@k = hits_at_k / k)
+- ``first_rel_rank`` — rank of the first relevant doc, -1 if none
+- ``rr_micros`` — floor(1e6 / first_rel_rank), 0 if none (MRR =
+  mean over topics)
+- ``sum_prec_micros`` — sum over relevant retrieved docs of
+  floor(1e6 * cum_rel / rank) (AP = that / (1e6 * n_rel)): each
+  precision term is FLOORED to integer micros BEFORE the sum, so the
+  result is partition/order/libm-invariant and a SQL oracle
+  reproduces it bit-for-bit — the unigram_lm/pagerank flooring
+  convention.  nDCG needs log2 and stays out of the exact surface.
+
+Scale shape: relevance tagging is ONE (topic, doc_id) hash join (both
+sides topic-scale — never a broadcast); the per-topic fold is the
+window_fns bucket pattern — topics hash into ``n_buckets`` groups, one
+shuffle, and each bucket folds ALL its topics in one vectorized
+lexsort + segmented pass (never a per-topic Python loop).  Qrel rows
+ride the SAME shuffle as flagged rows, so n_rel needs no second
+exchange.  Output is one row per topic appearing in run or qrels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..dataops.dedup import _join_parts
+from ..dataops.window_fns import _bucket_of
+
+_M = 1_000_000
+
+_OUT_FIELDS = (
+    "topic",
+    "n_ret",
+    "n_rel",
+    "n_rel_ret",
+    "hits_at_k",
+    "first_rel_rank",
+    "rr_micros",
+    "sum_prec_micros",
+)
+
+
+def _empty_out() -> pa.Table:
+    return pa.table({f: pa.array([], pa.int64()) for f in _OUT_FIELDS})
+
+
+def evaluate_run(
+    run: ray.data.Dataset,
+    qrels: ray.data.Dataset,
+    k: int = 10,
+    n_buckets: int = 256,
+    join_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Per-topic retrieval metrics.  ``run``: (topic, doc_id, rank) with
+    rank 1-based and unique per topic; ``qrels``: (topic, doc_id)
+    relevant pairs.  All int64.  Returns one row per topic with the
+    integer metric columns documented in the module docstring."""
+    if k < 1:
+        raise ValueError(f"evaluate_run: k must be >= 1 (got {k})")
+
+    qrels = qrels.select_columns(["topic", "doc_id"])
+
+    def flag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "rel", pa.array(np.ones(batch.num_rows, dtype=np.int64))
+        )
+
+    flagged = qrels.map_batches(flag, batch_format="pyarrow").materialize()
+    run = run.select_columns(["topic", "doc_id", "rank"]).materialize()
+    jp = _join_parts(join_partitions)
+    tagged = run.join(
+        flagged,
+        "left_outer",
+        jp,
+        on=("topic", "doc_id"),
+        right_on=("topic", "doc_id"),
+    )
+
+    def run_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = np.asarray(batch["topic"], dtype=np.int64)
+        return pa.table(
+            {
+                "topic": pa.array(t),
+                "rank": pa.array(np.asarray(batch["rank"], dtype=np.int64)),
+                "rel": pa.array(
+                    np.asarray(pc.fill_null(batch["rel"], 0), dtype=np.int64)
+                ),
+                "is_qrel": pa.array(np.zeros(len(t), dtype=np.int64)),
+                "_bucket": pa.array(
+                    _bucket_of(t, n_buckets).astype(np.int64)
+                ),
+            }
+        )
+
+    def qrel_rows(batch: pa.Table) -> pa.Table:
+        t = np.asarray(batch["topic"], dtype=np.int64)
+        return pa.table(
+            {
+                "topic": pa.array(t),
+                "rank": pa.array(np.zeros(len(t), dtype=np.int64)),
+                "rel": pa.array(np.ones(len(t), dtype=np.int64)),
+                "is_qrel": pa.array(np.ones(len(t), dtype=np.int64)),
+                "_bucket": pa.array(
+                    _bucket_of(t, n_buckets).astype(np.int64)
+                ),
+            }
+        )
+
+    unioned = tagged.map_batches(run_rows, batch_format="pyarrow").union(
+        qrels.map_batches(qrel_rows, batch_format="pyarrow")
+    )
+
+    def fold(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _empty_out()
+        t = np.asarray(group["topic"], dtype=np.int64)
+        rank = np.asarray(group["rank"], dtype=np.int64)
+        rel = np.asarray(group["rel"], dtype=np.int64)
+        is_q = np.asarray(group["is_qrel"], dtype=np.int64)
+
+        topics = np.unique(t)
+        seg_of = np.searchsorted(topics, t)  # topic -> dense output slot
+        n = len(topics)
+
+        # int64 np.add.at accumulators, not bincount weights (float64
+        # would silently lose exactness above 2^53)
+        n_rel = np.zeros(n, dtype=np.int64)
+        np.add.at(n_rel, seg_of, is_q)
+
+        rmask = is_q == 0
+        rt, rr, rrel = seg_of[rmask], rank[rmask], rel[rmask]
+        n_ret = np.bincount(rt, minlength=n).astype(np.int64)
+        n_rel_ret = np.zeros(n, dtype=np.int64)
+        np.add.at(n_rel_ret, rt, rrel)
+        hits_at_k = np.zeros(n, dtype=np.int64)
+        np.add.at(hits_at_k, rt, rrel * (rr <= k))
+
+        first = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        hit = rrel == 1
+        np.minimum.at(first, rt[hit], rr[hit])
+        none = first == np.iinfo(np.int64).max
+        rr_micros = np.where(none, 0, _M // np.maximum(first, 1))
+        first = np.where(none, -1, first)
+
+        # cum_rel along (topic, rank): sort run rows, segmented cumsum
+        perm = np.lexsort((rr, rt))
+        st, sr, srel = rt[perm], rr[perm], rrel[perm]
+        boundary = np.empty(len(st), dtype=bool)
+        if len(st):
+            boundary[0] = True
+            np.not_equal(st[1:], st[:-1], out=boundary[1:])
+        cs = np.cumsum(srel)
+        starts = np.flatnonzero(boundary)
+        offs = np.zeros(len(starts), dtype=np.int64)
+        if len(starts) > 1:
+            offs[1:] = cs[starts[1:] - 1]
+        seg = np.cumsum(boundary) - 1
+        cum = cs - offs[seg] if len(st) else cs
+        prec = np.where(srel == 1, (cum * _M) // np.maximum(sr, 1), 0)
+        sum_prec = np.zeros(n, dtype=np.int64)
+        np.add.at(sum_prec, st, prec)
+
+        return pa.table(
+            {
+                "topic": pa.array(topics),
+                "n_ret": pa.array(n_ret),
+                "n_rel": pa.array(n_rel),
+                "n_rel_ret": pa.array(n_rel_ret),
+                "hits_at_k": pa.array(hits_at_k),
+                "first_rel_rank": pa.array(first),
+                "rr_micros": pa.array(rr_micros),
+                "sum_prec_micros": pa.array(sum_prec),
+            }
+        )
+
+    return unioned.groupby("_bucket").map_groups(fold, batch_format="pyarrow")

@@ -1,0 +1,131 @@
+"""TREC run evaluation (engine/evaluate.py) vs a DuckDB window oracle."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+import ray.data
+
+from search_engine_ray.engine.evaluate import evaluate_run
+
+
+def _random_case(seed, n_topics=40, depth=20):
+    rng = np.random.default_rng(seed)
+    run_rows = {"topic": [], "doc_id": [], "rank": []}
+    qrel_rows = {"topic": [], "doc_id": []}
+    for t in range(1, n_topics + 1):
+        n_ret = int(rng.integers(0, depth + 1))
+        docs = rng.choice(10_000, size=n_ret, replace=False)
+        for r, d in enumerate(docs, start=1):
+            run_rows["topic"].append(t)
+            run_rows["doc_id"].append(int(d))
+            run_rows["rank"].append(r)
+        # relevant set: some retrieved, some not
+        n_rel = int(rng.integers(0, 8))
+        rel_docs = set(
+            int(d) for d in rng.choice(docs, size=min(n_rel, n_ret), replace=False)
+        ) | set(int(d) for d in rng.integers(10_000, 10_050, size=rng.integers(0, 3)))
+        for d in sorted(rel_docs):
+            qrel_rows["topic"].append(t)
+            qrel_rows["doc_id"].append(d)
+    mk = lambda d: pa.table({c: pa.array(v, pa.int64()) for c, v in d.items()})
+    return mk(run_rows), mk(qrel_rows)
+
+
+_ORACLE = """
+    WITH tagged AS (
+        SELECT r.topic, r.rank,
+               CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+        FROM run r LEFT JOIN qrels q
+          ON r.topic = q.topic AND r.doc_id = q.doc_id
+    ),
+    c AS (SELECT topic, rank, rel,
+                 SUM(rel) OVER (PARTITION BY topic ORDER BY rank) AS cum
+          FROM tagged),
+    per_run AS (
+        SELECT topic,
+               count(*) AS n_ret,
+               SUM(rel) AS n_rel_ret,
+               SUM(CASE WHEN rel = 1 AND rank <= {k} THEN 1 ELSE 0 END) AS hits_at_k,
+               COALESCE(MIN(CASE WHEN rel = 1 THEN rank END), -1) AS first_rel_rank,
+               COALESCE(1000000 // MIN(CASE WHEN rel = 1 THEN rank END), 0) AS rr_micros,
+               COALESCE(SUM(CASE WHEN rel = 1 THEN (cum * 1000000) // rank END), 0)
+                   AS sum_prec_micros
+        FROM c GROUP BY topic
+    ),
+    per_qrel AS (SELECT topic, count(*) AS n_rel FROM qrels GROUP BY topic),
+    topics AS (SELECT topic FROM per_run UNION SELECT topic FROM per_qrel)
+    SELECT t.topic,
+           COALESCE(r.n_ret, 0) AS n_ret,
+           COALESCE(q.n_rel, 0) AS n_rel,
+           COALESCE(r.n_rel_ret, 0) AS n_rel_ret,
+           COALESCE(r.hits_at_k, 0) AS hits_at_k,
+           COALESCE(r.first_rel_rank, -1) AS first_rel_rank,
+           COALESCE(r.rr_micros, 0) AS rr_micros,
+           COALESCE(r.sum_prec_micros, 0) AS sum_prec_micros
+    FROM topics t
+    LEFT JOIN per_run r ON t.topic = r.topic
+    LEFT JOIN per_qrel q ON t.topic = q.topic
+    ORDER BY t.topic
+"""
+
+
+def _check(run_tbl, qrel_tbl, k, parts, n_buckets):
+    got = (
+        evaluate_run(
+            ray.data.from_arrow(run_tbl).repartition(parts),
+            ray.data.from_arrow(qrel_tbl).repartition(max(1, parts - 1)),
+            k=k,
+            n_buckets=n_buckets,
+        )
+        .to_pandas()
+        .sort_values("topic", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("run", run_tbl)
+    con.register("qrels", qrel_tbl)
+    exp = con.sql(_ORACLE.format(k=k)).df()
+    assert list(got.columns) == list(exp.columns)
+    assert (got.values == exp.values.astype(np.int64)).all(), (got, exp)
+
+
+def test_evaluate_run_vs_duckdb(ray_session):
+    run_tbl, qrel_tbl = _random_case(5)
+    _check(run_tbl, qrel_tbl, k=10, parts=4, n_buckets=7)
+    _check(run_tbl, qrel_tbl, k=1, parts=1, n_buckets=1)  # single bucket/partition
+    _check(run_tbl, qrel_tbl, k=50, parts=6, n_buckets=64)  # k > depth
+
+
+def test_evaluate_run_edges(ray_session):
+    # topic 1: run but no qrels; topic 2: qrels but no run;
+    # topic 3: every retrieved doc relevant
+    run_tbl = pa.table(
+        {
+            "topic": pa.array([1, 1, 3, 3], pa.int64()),
+            "doc_id": pa.array([7, 8, 20, 21], pa.int64()),
+            "rank": pa.array([1, 2, 1, 2], pa.int64()),
+        }
+    )
+    qrel_tbl = pa.table(
+        {
+            "topic": pa.array([2, 2, 3, 3], pa.int64()),
+            "doc_id": pa.array([11, 12, 20, 21], pa.int64()),
+        }
+    )
+    got = (
+        evaluate_run(ray.data.from_arrow(run_tbl), ray.data.from_arrow(qrel_tbl), k=2)
+        .to_pandas()
+        .sort_values("topic", ignore_index=True)
+    )
+    assert got["topic"].tolist() == [1, 2, 3]
+    assert got["n_rel"].tolist() == [0, 2, 2]
+    assert got["n_ret"].tolist() == [2, 0, 2]
+    assert got["first_rel_rank"].tolist() == [-1, -1, 1]
+    assert got["rr_micros"].tolist() == [0, 0, 1_000_000]
+    # AP terms: rank1 -> 1e6, rank2 -> 1e6 -> sum 2e6 for the all-relevant topic
+    assert got["sum_prec_micros"].tolist() == [0, 0, 2_000_000]
+    with pytest.raises(ValueError, match="k must be"):
+        evaluate_run(
+            ray.data.from_arrow(run_tbl), ray.data.from_arrow(qrel_tbl), k=0
+        )
