@@ -2119,6 +2119,22 @@ def _trec_eval_oracle_sql() -> str:
     return "".join(parts)
 
 
+def q_table_profile(sf_dir: str) -> pa.Table:
+    """Table profiling (dataops/profile.py): per-column n / nulls /
+    exact distinct / native-typed min-max in two bounded passes (one
+    fused aggregate scan + one cardinality-bounded pair dedup).
+    Profiled on events' int and string columns — CAST(DOUBLE AS
+    VARCHAR) formatting is engine-specific, so float columns stay out
+    of the SQL gate by design (documented in the module)."""
+    from search_engine_ray.dataops.profile import profile_table
+
+    events = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type"],
+    )
+    return profile_table(events, ["event_id", "user_id", "event_type"])
+
+
 def q_emb_quantize(sf_dir: str) -> pa.Table:
     """SQ8 scalar quantization (similarity.quantize_embeddings): int8
     clamp/floor per component, float32 widened exactly first — checked
@@ -3634,6 +3650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_min": q_count_min,
         "cm_lookup": q_cm_lookup,
         "trec_eval": q_trec_eval,
+        "table_profile": q_table_profile,
         "emb_quantize": q_emb_quantize,
         "event_transitions": q_event_transitions,
         "label_centroids": q_label_centroids,
@@ -5414,6 +5431,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY term ORDER BY term
         """,
         "trec_eval": _trec_eval_oracle_sql(),
+        "table_profile": """
+            SELECT 'event_id' AS col, count(*) AS n,
+                   count(*) - count(event_id) AS n_null,
+                   count(DISTINCT event_id) AS n_distinct,
+                   CAST(MIN(event_id) AS VARCHAR) AS min_str,
+                   CAST(MAX(event_id) AS VARCHAR) AS max_str FROM events
+            UNION ALL
+            SELECT 'event_type', count(*), count(*) - count(event_type),
+                   count(DISTINCT event_type), MIN(event_type), MAX(event_type)
+            FROM events
+            UNION ALL
+            SELECT 'user_id', count(*), count(*) - count(user_id),
+                   count(DISTINCT user_id),
+                   CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+            FROM events
+            ORDER BY col
+        """,
         "emb_quantize": """
             SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
                    GREATEST(-127, LEAST(127,
