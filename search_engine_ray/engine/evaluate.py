@@ -185,3 +185,45 @@ def evaluate_run(
         )
 
     return unioned.groupby("_bucket").map_groups(fold, batch_format="pyarrow")
+
+
+def ndcg_at_k(run: pa.Table, qrels: pa.Table, k: int = 10) -> pa.Table:
+    """Per-topic nDCG@k from the same (topic, doc_id, rank) run and
+    (topic, doc_id) binary qrels.  Float by nature (log2 discounts), so
+    it stays OUT of the SQL-exact surface (pytest-pinned only) — the
+    integer metric core lives in evaluate_run.  Driver-side: run tables
+    are topic x k-sized; callers at corpus scale should aggregate
+    evaluate_run's integer columns instead."""
+    if k < 1:
+        raise ValueError(f"ndcg_at_k: k must be >= 1 (got {k})")
+    t = np.asarray(run["topic"], dtype=np.int64)
+    r = np.asarray(run["rank"], dtype=np.int64)
+    qt = np.asarray(qrels["topic"], dtype=np.int64)
+    qd = np.asarray(qrels["doc_id"], dtype=np.int64)
+    d = np.asarray(run["doc_id"], dtype=np.int64)
+
+    qkey = np.unique(qt.astype(np.uint64) << np.uint64(32) | qd.astype(np.uint64))
+    if (qd >= (1 << 32)).any() or (d >= (1 << 32)).any():
+        raise ValueError("ndcg_at_k: doc_id must fit 32 bits (driver-side helper)")
+    rel = np.isin(t.astype(np.uint64) << np.uint64(32) | d.astype(np.uint64), qkey)
+
+    topics = np.unique(np.concatenate([t, qt]))
+    seg = np.searchsorted(topics, t)
+    n = len(topics)
+    dcg = np.zeros(n, dtype=np.float64)
+    m = (r <= k) & rel
+    np.add.at(dcg, seg[m], 1.0 / np.log2(r[m] + 1.0))
+    n_rel = np.zeros(n, dtype=np.int64)
+    np.add.at(n_rel, np.searchsorted(topics, qt), 1)
+    ideal = np.zeros(n, dtype=np.float64)
+    discounts = 1.0 / np.log2(np.arange(1, k + 1) + 1.0)
+    cumd = np.concatenate(([0.0], np.cumsum(discounts)))
+    ideal = cumd[np.minimum(n_rel, k)]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ndcg = np.where(ideal > 0, dcg / ideal, 0.0)
+    return pa.table(
+        {
+            "topic": pa.array(topics),
+            "ndcg": pa.array(ndcg),
+        }
+    )

@@ -129,3 +129,32 @@ def test_evaluate_run_edges(ray_session):
         evaluate_run(
             ray.data.from_arrow(run_tbl), ray.data.from_arrow(qrel_tbl), k=0
         )
+
+
+def test_ndcg_at_k(ray_session):
+    from search_engine_ray.engine.evaluate import ndcg_at_k
+
+    run = pa.table(
+        {
+            "topic": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+            "doc_id": pa.array([10, 11, 12, 20, 21, 30], pa.int64()),
+            "rank": pa.array([1, 2, 3, 1, 2, 1], pa.int64()),
+        }
+    )
+    qrels = pa.table(
+        {
+            "topic": pa.array([1, 1, 2, 4], pa.int64()),
+            "doc_id": pa.array([11, 12, 99, 40], pa.int64()),
+        }
+    )
+    got = ndcg_at_k(run, qrels, k=3)
+    res = dict(zip(got["topic"].to_pylist(), got["ndcg"].to_pylist()))
+    # topic 1: rel at ranks 2,3 -> dcg = 1/log2(3) + 1/log2(4); ideal (2 rel)
+    # = 1/log2(2) + 1/log2(3)
+    exp1 = (1 / np.log2(3) + 1 / np.log2(4)) / (1 / np.log2(2) + 1 / np.log2(3))
+    assert abs(res[1] - exp1) < 1e-12
+    assert res[2] == 0.0  # relevant doc not retrieved
+    assert res[3] == 0.0  # no qrels at all
+    assert res[4] == 0.0  # qrels but no run
+    with pytest.raises(ValueError, match="k must be"):
+        ndcg_at_k(run, qrels, k=0)
