@@ -2135,6 +2135,74 @@ def q_table_profile(sf_dir: str) -> pa.Table:
     return profile_table(events, ["event_id", "user_id", "event_type"])
 
 
+def q_compact_files(sf_dir: str) -> pa.Table:
+    """Small-files compaction (export.compact_parquet_files): documents
+    scattered into 10 tiny parquet files, compacted into target-sized
+    parts — metadata-only plan, one task per bin, atomic renames,
+    resumable.  Checked as the (doc_id, md5(text)) roundtrip through
+    the compacted output; self-checks: fewer parts than inputs, manifest
+    row total == written row total, repeat run skips finished parts."""
+    import hashlib as _hashlib
+    import shutil as _shutil
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from search_engine_ray.dataops.export import compact_parquet_files
+
+    docs = (
+        read_parquet_clean(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    work = tempfile.mkdtemp(prefix="se_ray_compact_")
+    try:
+        in_dir = os.path.join(work, "small")
+        os.makedirs(in_dir)
+        n_files = 10
+        for i in range(n_files):
+            part = docs.iloc[i::n_files]  # deterministic striping
+            _pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array(part["doc_id"].astype(np.int64)),
+                        "text": pa.array(part["text"], pa.string()),
+                    }
+                ),
+                os.path.join(in_dir, f"f{i:03d}.parquet"),
+            )
+        sizes = sorted(
+            os.path.getsize(os.path.join(in_dir, f)) for f in os.listdir(in_dir)
+            if f.endswith(".parquet")
+        )
+        out_dir = os.path.join(work, "big")
+        man = compact_parquet_files(in_dir, out_dir, target_bytes=sizes[-1] * 4)
+        parts = sorted(
+            f for f in os.listdir(out_dir) if f.endswith(".parquet")
+        )
+        assert 0 < len(parts) < n_files, (len(parts), n_files)
+        man2 = compact_parquet_files(in_dir, out_dir, target_bytes=sizes[-1] * 4)
+        assert man2.equals(man), "compaction resume must be idempotent"
+        out = pa.concat_tables(
+            _pq.read_table(os.path.join(out_dir, p)) for p in parts
+        )
+        assert out.num_rows == sum(man["n_rows"].to_pylist())
+        pdf = out.to_pandas().sort_values("doc_id", ignore_index=True)
+        md5s = [
+            _hashlib.md5(t.encode("utf-8")).hexdigest() for t in pdf["text"]
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(pdf["doc_id"].astype(np.int64)),
+                "text_md5": pa.array(md5s, pa.string()),
+            }
+        )
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+
+
 def q_emb_quantize(sf_dir: str) -> pa.Table:
     """SQ8 scalar quantization (similarity.quantize_embeddings): int8
     clamp/floor per component, float32 widened exactly first — checked
@@ -3651,6 +3719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cm_lookup": q_cm_lookup,
         "trec_eval": q_trec_eval,
         "table_profile": q_table_profile,
+        "compact_files": q_compact_files,
         "emb_quantize": q_emb_quantize,
         "event_transitions": q_event_transitions,
         "label_centroids": q_label_centroids,
@@ -5447,6 +5516,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
             FROM events
             ORDER BY col
+        """,
+        "compact_files": """
+            SELECT doc_id, md5(text) AS text_md5
+            FROM documents ORDER BY doc_id
         """,
         "emb_quantize": """
             SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,

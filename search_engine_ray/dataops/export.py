@@ -199,3 +199,137 @@ def range_partition_export(
             for c in ["part", "n_rows", "min_key", "max_key", "min_id", "max_id"]
         }
     )
+
+
+def plan_compaction(in_dir: str, target_bytes: int) -> list[list[str]]:
+    """Deterministic greedy bin-packing of a directory's parquet files
+    into consecutive target-sized bins, METADATA-ONLY (file sizes from
+    the filesystem, sorted-name order preserved — so compaction never
+    reorders rows across files and a re-run plans identically).  A file
+    larger than the target gets its own bin; bins are never empty."""
+    import os
+
+    if target_bytes < 1:
+        raise ValueError("target_bytes must be >= 1")
+    files = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(in_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    if not files:
+        raise ValueError(f"plan_compaction: no parquet files under {in_dir}")
+    bins: list[list[str]] = []
+    cur: list[str] = []
+    cur_bytes = 0
+    for f in files:
+        sz = os.path.getsize(f)
+        if cur and cur_bytes + sz > target_bytes:
+            bins.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(f)
+        cur_bytes += sz
+    if cur:
+        bins.append(cur)
+    return bins
+
+
+def compact_parquet_files(
+    in_dir: str,
+    out_dir: str,
+    target_bytes: int = 128 << 20,
+    concurrency: int | None = None,
+) -> pa.Table:
+    """The small-files compactor — the maintenance pass every long-lived
+    100 TB parquet lake needs (streaming ingests leave thousands of
+    KB-sized files; readers then pay per-file open/plan cost).  Rewrites
+    ``in_dir`` as ``out_dir/part-{bin:05d}.parquet``, one file per
+    planned bin.
+
+    Scale shape: the plan is metadata-only on the driver; each bin is
+    read and rewritten by ONE task (an actor-pool ``map_batches`` over
+    the bin list — no shuffle, no row ever moves between bins), so the
+    job is embarrassingly parallel and resumable: finished ``part-*``
+    files are skipped on re-run, partial writes are invisible (tmp file
+    + atomic rename).  Row order is preserved end-to-end (sorted-name
+    file order within each bin, bins in name order).
+
+    Returns the manifest (bin, n_files, n_rows) counted from the
+    WRITTEN output — verifying the sink, not the plan."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    bins = plan_compaction(in_dir, target_bytes)
+    os.makedirs(out_dir, exist_ok=True)
+    # resume contract (the index-build convention): a re-run must see the
+    # SAME plan, else stale part files would silently survive — fail loud
+    import hashlib
+    import json
+
+    fp = hashlib.sha256(
+        json.dumps([[f, os.path.getsize(f)] for b in bins for f in b]).encode()
+    ).hexdigest()
+    fp_path = os.path.join(out_dir, ".plan.sha256")
+    if os.path.exists(fp_path):
+        with open(fp_path) as fh:
+            if fh.read().strip() != fp:
+                raise ValueError(
+                    f"compact_parquet_files: input layout changed since the "
+                    f"previous run into {out_dir} — remove the directory to "
+                    "recompact"
+                )
+    else:
+        with open(fp_path, "w") as fh:
+            fh.write(fp)
+
+    plan_tbl = pa.table(
+        {
+            "bin": pa.array(range(len(bins)), pa.int64()),
+            "files": pa.array(bins, pa.list_(pa.string())),
+        }
+    )
+
+    def compact_bin(batch: pa.Table) -> pa.Table:
+        out_rows = {"bin": [], "n_files": [], "n_rows": []}
+        for b, files in zip(
+            batch["bin"].to_pylist(), batch["files"].to_pylist()
+        ):
+            path = os.path.join(out_dir, f"part-{b:05d}.parquet")
+            if not os.path.exists(path):  # resume: skip finished bins
+                t = pa.concat_tables(
+                    [pq.read_table(f) for f in files], promote_options="default"
+                )
+                tmp = path + ".tmp"
+                pq.write_table(t, tmp)
+                os.replace(tmp, path)  # atomic: partial writes invisible
+            out_rows["bin"].append(b)
+            out_rows["n_files"].append(len(files))
+            out_rows["n_rows"].append(pq.read_metadata(path).num_rows)
+        return pa.table(
+            {
+                "bin": pa.array(out_rows["bin"], pa.int64()),
+                "n_files": pa.array(out_rows["n_files"], pa.int64()),
+                "n_rows": pa.array(out_rows["n_rows"], pa.int64()),
+            }
+        )
+
+    manifest = (
+        ray.data.from_arrow(plan_tbl)
+        .map_batches(
+            compact_bin,
+            batch_format="pyarrow",
+            batch_size=1,  # one bin per task -> full parallelism
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+        .to_pandas()
+        .sort_values("bin", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "bin": pa.array(manifest["bin"].astype(np.int64)),
+            "n_files": pa.array(manifest["n_files"].astype(np.int64)),
+            "n_rows": pa.array(manifest["n_rows"].astype(np.int64)),
+        }
+    )

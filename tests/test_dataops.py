@@ -1487,3 +1487,66 @@ def test_quantize_embeddings(ray_session):
            ORDER BY vec_id, dim"""
     ).df()
     assert (got.reshape(-1) == exp["q"].to_numpy()).all()
+
+
+def test_compact_parquet_files(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.dataops.export import (
+        compact_parquet_files,
+        plan_compaction,
+    )
+
+    rng = np.random.default_rng(9)
+    in_dir = str(tmp_path / "small")
+    os.makedirs(in_dir)
+    all_ids = []
+    next_id = 0
+    for i in range(12):
+        n = int(rng.integers(5, 200))
+        ids = list(range(next_id, next_id + n))
+        next_id += n
+        all_ids.extend(ids)
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array([f"t{j}" for j in ids], pa.string())}),
+            os.path.join(in_dir, f"f{i:03d}.parquet"),
+        )
+    sizes = [os.path.getsize(os.path.join(in_dir, f))
+             for f in sorted(os.listdir(in_dir))]
+    target = int(np.median(sizes) * 3)
+    bins = plan_compaction(in_dir, target)
+    assert sum(len(b) for b in bins) == 12
+    assert plan_compaction(in_dir, target) == bins  # deterministic
+
+    out_dir = str(tmp_path / "compacted")
+    man = compact_parquet_files(in_dir, out_dir, target_bytes=target)
+    assert man["bin"].to_pylist() == list(range(len(bins)))
+    assert sum(man["n_rows"].to_pylist()) == len(all_ids)
+    # row ORDER preserved end-to-end: reading parts in name order gives
+    # the original file-name-order concatenation
+    parts = sorted(f for f in os.listdir(out_dir) if f.endswith(".parquet"))
+    assert len(parts) == len(bins) and len(parts) < 12
+    got_ids = []
+    for p in parts:
+        got_ids.extend(pq.read_table(os.path.join(out_dir, p))["doc_id"].to_pylist())
+    assert got_ids == all_ids
+    # resume: re-run touches nothing (mtimes unchanged), same manifest
+    mtimes = {p: os.path.getmtime(os.path.join(out_dir, p)) for p in parts}
+    man2 = compact_parquet_files(in_dir, out_dir, target_bytes=target)
+    assert man2.equals(man)
+    assert all(os.path.getmtime(os.path.join(out_dir, p)) == mtimes[p] for p in parts)
+    # changed input -> fail loud, never silently keep stale parts
+    pq.write_table(
+        pa.table({"doc_id": pa.array([next_id], pa.int64()),
+                  "text": pa.array(["x"], pa.string())}),
+        os.path.join(in_dir, "f999.parquet"),
+    )
+    with pytest.raises(ValueError, match="input layout changed"):
+        compact_parquet_files(in_dir, out_dir, target_bytes=target)
+    # oversized file gets its own bin
+    assert plan_compaction(in_dir, 1) == [[os.path.join(in_dir, f)]
+                                          for f in sorted(os.listdir(in_dir))
+                                          if f.endswith(".parquet")]
