@@ -2203,6 +2203,45 @@ def q_compact_files(sf_dir: str) -> pa.Table:
         _shutil.rmtree(work, ignore_errors=True)
 
 
+def q_shuffle_export(sf_dir: str) -> pa.Table:
+    """Deterministic global training shuffle as a sink
+    (export.shuffled_export): documents written as range-partitioned
+    parquet ordered by md5be('{seed}:{id}') >> 1 — reading files in
+    name order IS the shuffled training order, reproducible across
+    runs/partitionings (unlike random_shuffle) and resumable.  Uniform
+    hash -> uniform split points, no quantile pass.  Checked as
+    (pos, doc_id): the exact shuffle order reproduced in SQL."""
+    import shutil as _shutil
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from search_engine_ray.dataops.export import shuffled_export
+
+    docs = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+    out_dir = tempfile.mkdtemp(prefix="se_ray_shuffle_")
+    try:
+        shuffled_export(docs, out_dir, seed=7, n_partitions=4)
+        parts = sorted(
+            f for f in os.listdir(out_dir) if f.endswith(".parquet")
+        )
+        ids: list[int] = []
+        for p in parts:
+            ids.extend(
+                _pq.read_table(os.path.join(out_dir, p))["doc_id"].to_pylist()
+            )
+        return pa.table(
+            {
+                "pos": pa.array(np.arange(len(ids), dtype=np.int64)),
+                "doc_id": pa.array(np.asarray(ids, dtype=np.int64)),
+            }
+        )
+    finally:
+        _shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def q_emb_quantize(sf_dir: str) -> pa.Table:
     """SQ8 scalar quantization (similarity.quantize_embeddings): int8
     clamp/floor per component, float32 widened exactly first — checked
@@ -3720,6 +3759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trec_eval": q_trec_eval,
         "table_profile": q_table_profile,
         "compact_files": q_compact_files,
+        "shuffle_export": q_shuffle_export,
         "emb_quantize": q_emb_quantize,
         "event_transitions": q_event_transitions,
         "label_centroids": q_label_centroids,
@@ -5520,6 +5560,14 @@ def oracle_sql() -> dict[str, str]:
         "compact_files": """
             SELECT doc_id, md5(text) AS text_md5
             FROM documents ORDER BY doc_id
+        """,
+        "shuffle_export": """
+            SELECT ROW_NUMBER() OVER (
+                     ORDER BY ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)),
+                                              1, 16))::UBIGINT >> 1,
+                              doc_id) - 1 AS pos,
+                   doc_id
+            FROM documents ORDER BY pos
         """,
         "emb_quantize": """
             SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,

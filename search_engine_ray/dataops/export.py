@@ -97,6 +97,7 @@ def range_partition_export(
     key: str,
     n_partitions: int = 8,
     id_column: str = "doc_id",
+    bounds: np.ndarray | None = None,
 ) -> pa.Table:
     """Range-partitioned SORTED export — the distributed sort as a sink:
     ``part-K.parquet`` files whose key ranges are disjoint and ascending
@@ -130,13 +131,21 @@ def range_partition_export(
         shutil.rmtree(out_dir)  # derived artifact: overwrite, never append
     os.makedirs(out_dir, exist_ok=True)
 
-    qs = tuple(i / n_partitions for i in range(1, n_partitions))
-    qt = exact_int_quantiles(ds, key, qs=qs) if qs else None
-    bounds = (
-        np.unique(np.asarray(qt["value"], dtype=np.int64))
-        if qt is not None and qt.num_rows
-        else np.empty(0, dtype=np.int64)
-    )
+    if bounds is not None:
+        # caller-supplied split points: for keys whose distribution is
+        # known a priori (e.g. a uniform hash key), skipping the quantile
+        # pass avoids exact_int_quantiles' bounded-cardinality
+        # precondition — a near-unique key would otherwise shuffle
+        # row-sized distinct pairs just to find split points
+        bounds = np.unique(np.asarray(bounds, dtype=np.int64))
+    else:
+        qs = tuple(i / n_partitions for i in range(1, n_partitions))
+        qt = exact_int_quantiles(ds, key, qs=qs) if qs else None
+        bounds = (
+            np.unique(np.asarray(qt["value"], dtype=np.int64))
+            if qt is not None and qt.num_rows
+            else np.empty(0, dtype=np.int64)
+        )
 
     def assign(batch: pa.Table) -> pa.Table:
         v = np.asarray(batch[key], dtype=np.int64)
@@ -332,4 +341,47 @@ def compact_parquet_files(
             "n_files": pa.array(manifest["n_files"].astype(np.int64)),
             "n_rows": pa.array(manifest["n_rows"].astype(np.int64)),
         }
+    )
+
+
+def shuffled_export(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    seed: int = 0,
+    n_partitions: int = 8,
+    id_column: str = "doc_id",
+) -> pa.Table:
+    """Deterministic global training shuffle as a sink: rows land in
+    ``part-K.parquet`` files ordered by a content-derived pseudo-random
+    key — reading the files in name order IS the shuffled training
+    order, reproducible across runs, partitionings and cluster sizes
+    (``random_shuffle`` gives a different order every run and can't be
+    resumed; this can, because the order is a pure function of
+    (id, seed)).
+
+    The shuffle key is the md5be half of ``"{seed}:{id}"`` — the repo's
+    SQL-reproducible hash convention — shifted into non-negative int64
+    (key >> 1), then delegated to ``range_partition_export``: exact
+    split points, one searchsorted pass, per-bucket local sorts.  Ties
+    are broken by id inside the sink, so even a (astronomically
+    unlikely) key collision stays deterministic."""
+    from .membership import md5_halves
+
+    def with_key(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_column], dtype=np.int64)
+        tagged = pa.array([f"{seed}:{i}" for i in ids], pa.string())
+        h1, _ = md5_halves(tagged)
+        # >> 1: fit uint64 into the sink's int64 key domain, bias-free
+        return batch.append_column(
+            "_shuffle_key", pa.array((h1 >> np.uint64(1)).astype(np.int64))
+        )
+
+    keyed = ds.map_batches(with_key, batch_format="pyarrow")
+    # uniform hash key -> uniform split points: no quantile pass (the
+    # key is near-unique, so exact_int_quantiles' distinct-pair shuffle
+    # would be row-sized — its documented anti-precondition)
+    bounds = (np.arange(1, n_partitions, dtype=np.int64) * ((1 << 63) // n_partitions))
+    return range_partition_export(
+        keyed, out_dir, key="_shuffle_key", n_partitions=n_partitions,
+        id_column=id_column, bounds=bounds,
     )

@@ -1550,3 +1550,56 @@ def test_compact_parquet_files(ray_session, tmp_path):
     assert plan_compaction(in_dir, 1) == [[os.path.join(in_dir, f)]
                                           for f in sorted(os.listdir(in_dir))
                                           if f.endswith(".parquet")]
+
+
+def test_shuffled_export_deterministic_order(ray_session, tmp_path):
+    import os
+
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from search_engine_ray.dataops.export import shuffled_export
+
+    n = 400
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "v": pa.array(np.arange(n, dtype=np.int64) * 7),
+        }
+    )
+
+    def read_order(out_dir):
+        parts = sorted(f for f in os.listdir(out_dir) if f.endswith(".parquet"))
+        ids = []
+        for p in parts:
+            ids.extend(pq.read_table(os.path.join(out_dir, p))["doc_id"].to_pylist())
+        return ids
+
+    o1 = str(tmp_path / "s1")
+    shuffled_export(ray.data.from_arrow(tbl).repartition(5), o1, seed=3,
+                    n_partitions=4)
+    order1 = read_order(o1)
+    # reproducible across runs and partitionings
+    o2 = str(tmp_path / "s2")
+    shuffled_export(ray.data.from_arrow(tbl).repartition(1), o2, seed=3,
+                    n_partitions=4)
+    assert read_order(o2) == order1
+    # a different seed gives a different permutation of the same ids
+    o3 = str(tmp_path / "s3")
+    shuffled_export(ray.data.from_arrow(tbl), o3, seed=4, n_partitions=4)
+    order3 = read_order(o3)
+    assert sorted(order3) == sorted(order1) == list(range(n))
+    assert order3 != order1
+    # the order IS ORDER BY (md5be('{seed}:{id}') >> 1, id) — SQL-checked
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = con.sql("""
+        SELECT doc_id FROM t
+        ORDER BY ('0x' || substr(md5('3:' || CAST(doc_id AS VARCHAR)),1,16))::UBIGINT >> 1,
+                 doc_id
+    """).df()["doc_id"].tolist()
+    assert order1 == exp
+    # actually shuffled: far from identity
+    assert sum(1 for i, d in enumerate(order1) if i == d) < 10
