@@ -2242,6 +2242,30 @@ def q_shuffle_export(sf_dir: str) -> pa.Table:
         _shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def q_user_journeys(sf_dir: str) -> pa.Table:
+    """Per-user ordered journey strings (olap.journey_strings): the SQL
+    string_agg(type, '>' ORDER BY ts, id) GROUP BY user shape — one
+    key-bucketed shuffle, one vectorized LargeList + binary_join kernel
+    per bucket (never a per-key Python loop)."""
+    from search_engine_ray.dataops.olap import journey_strings
+
+    events = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    out = (
+        journey_strings(events)
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "user_id": pa.array(out["user_id"].astype(np.int64)),
+            "journey": pa.array(out["journey"], pa.string()),
+        }
+    )
+
+
 def q_emb_quantize(sf_dir: str) -> pa.Table:
     """SQ8 scalar quantization (similarity.quantize_embeddings): int8
     clamp/floor per component, float32 widened exactly first — checked
@@ -3760,6 +3784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_profile": q_table_profile,
         "compact_files": q_compact_files,
         "shuffle_export": q_shuffle_export,
+        "user_journeys": q_user_journeys,
         "emb_quantize": q_emb_quantize,
         "event_transitions": q_event_transitions,
         "label_centroids": q_label_centroids,
@@ -5568,6 +5593,11 @@ def oracle_sql() -> dict[str, str]:
                               doc_id) - 1 AS pos,
                    doc_id
             FROM documents ORDER BY pos
+        """,
+        "user_journeys": """
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         "emb_quantize": """
             SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,

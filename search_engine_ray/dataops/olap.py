@@ -383,3 +383,83 @@ def transition_counts(
             "n": pa.array(out["n"].astype(np.int64)),
         }
     )
+
+
+def journey_strings(
+    events: ray.data.Dataset,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    sep: str = ">",
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Per-key ordered string aggregation — the SQL ``string_agg(type,
+    sep ORDER BY ts, id) GROUP BY key`` shape: each key's full event
+    stream folded into one journey string (the sequence-mining /
+    prompt-building primitive downstream of transition_counts).
+
+    Scale shape: keys hash-bucket (window_fns — ONE shuffle, never a
+    global sort); each bucket finishes in one vectorized kernel: lexsort
+    (key, ts, id), a ListArray built straight from the segment offsets,
+    and ONE ``pc.binary_join`` over the whole bucket (the chunk.py
+    trick) — no Python loop over keys or rows.  The inherent limit is
+    per-KEY output size (a key's journey string must fit a worker),
+    which is the same bound SQL's string_agg has."""
+    from .window_fns import _bucket_of
+
+    def proj(batch: pa.Table) -> pa.Table:
+        b = _bucket_of(np.asarray(batch[key], dtype=np.int64), n_buckets)
+        return pa.table(
+            {
+                key: batch[key].cast(pa.int64()),
+                "_ts": batch[ts_col].cast(pa.int64()),
+                "_id": batch[id_col].cast(pa.int64()),
+                "_ty": batch[type_col].cast(pa.string()),
+                "_bucket": pa.array(b.astype(np.int64)),
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    key: pa.array([], pa.int64()),
+                    "journey": pa.array([], pa.string()),
+                }
+            )
+        k = np.asarray(group[key], dtype=np.int64)
+        ts = np.asarray(group["_ts"], dtype=np.int64)
+        ids = np.asarray(group["_id"], dtype=np.int64)
+        perm = np.lexsort((ids, ts, k))
+        ks = k[perm]
+        ty = group["_ty"].combine_chunks() if isinstance(
+            group["_ty"], pa.ChunkedArray
+        ) else group["_ty"]
+        ty = ty.take(pa.array(perm))
+        boundary = np.empty(len(ks), dtype=bool)
+        boundary[0] = True
+        np.not_equal(ks[1:], ks[:-1], out=boundary[1:])
+        starts = np.flatnonzero(boundary)
+        # int64 LargeList offsets: a bucket can exceed 2^31 values at
+        # scale (the chunk.py int32-overflow lesson)
+        offsets = np.concatenate([starts, [len(ks)]]).astype(np.int64)
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets), pc.cast(ty, pa.large_string())
+        )
+        joined = pc.cast(
+            pc.binary_join(lists, pa.scalar(sep, pa.large_string())),
+            pa.string(),
+        )
+        return pa.table(
+            {
+                key: pa.array(ks[starts]),
+                "journey": joined,
+            }
+        )
+
+    return (
+        events.map_batches(proj, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

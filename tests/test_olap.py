@@ -209,3 +209,40 @@ def test_pivot_on_unknown_ignore(ray_session, docs):
     assert got.equals(exp.cast(got.schema))
     with pytest.raises(ValueError, match="on_unknown"):
         pivot_counts(_ds(docs), "lang", "source", doms, on_unknown="drop")
+
+
+def test_journey_strings_vs_duckdb(ray_session):
+    import duckdb
+
+    from search_engine_ray.dataops.olap import journey_strings
+
+    rng = np.random.default_rng(21)
+    n = 800
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(rng.integers(0, 60, n).astype(np.int64)),
+            "ts": pa.array(rng.integers(0, 10_000, n).astype(np.int64)),
+            "event_type": pa.array(
+                [["view", "click", "purchase", ""][i] for i in rng.integers(0, 4, n)],
+                pa.string(),
+            ),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = con.sql("""
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
+        FROM t GROUP BY user_id ORDER BY user_id
+    """).df()
+    for parts, buckets in ((1, 1), (5, 7)):
+        got = (
+            journey_strings(
+                ray.data.from_arrow(tbl).repartition(parts), n_buckets=buckets
+            )
+            .to_pandas()
+            .sort_values("user_id", ignore_index=True)
+        )
+        assert got["user_id"].tolist() == exp["user_id"].tolist()
+        assert got["journey"].tolist() == exp["journey"].tolist()
