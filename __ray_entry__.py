@@ -2266,6 +2266,66 @@ def q_user_journeys(sf_dir: str) -> pa.Table:
     )
 
 
+def q_corpus_diff(sf_dir: str) -> pa.Table:
+    """Incremental-ingest table diff (dataops/diff.py): documents vs a
+    deterministically derived v2 (doc_id%17 removed, text||' v2' where
+    doc_id%13, doc_id+1000000 added where doc_id%23).  Sides fold to
+    (id, md5 fingerprint) first, so the only exchange is one id-keyed
+    full-outer join of fingerprint tables; unchanged rows never leave
+    the join pass.  Output (doc_id, status) is the SQL FULL OUTER JOIN
+    classification, bit-reproducible."""
+    from search_engine_ray.dataops.diff import table_diff
+
+    old = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def derive_v2(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        keep = ids % 17 != 0
+        kept = batch.filter(pa.array(keep))
+        kids = np.asarray(kept["doc_id"], dtype=np.int64)
+        changed = kids % 13 == 0
+        texts = pc.if_else(
+            pa.array(changed),
+            pc.binary_join_element_wise(kept["text"], " v2", ""),
+            kept["text"],
+        )
+        add_src = ids % 23 == 0
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate([kids, ids[add_src] + 1_000_000])
+                ),
+                "text": pa.concat_arrays(
+                    [
+                        texts.combine_chunks()
+                        if isinstance(texts, pa.ChunkedArray)
+                        else texts,
+                        pa.array(
+                            ["added"] * int(add_src.sum()), pa.string()
+                        ),
+                    ]
+                ),
+            }
+        )
+
+    new = old.map_batches(derive_v2, batch_format="pyarrow")
+    out = (
+        table_diff(old, new, "doc_id", ["text"])
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].astype(np.int64)),
+            "status": pa.array(out["status"], pa.string()),
+        }
+    )
+
+
 def q_emb_quantize(sf_dir: str) -> pa.Table:
     """SQ8 scalar quantization (similarity.quantize_embeddings): int8
     clamp/floor per component, float32 widened exactly first — checked
@@ -3785,6 +3845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact_files": q_compact_files,
         "shuffle_export": q_shuffle_export,
         "user_journeys": q_user_journeys,
+        "corpus_diff": q_corpus_diff,
         "emb_quantize": q_emb_quantize,
         "event_transitions": q_event_transitions,
         "label_centroids": q_label_centroids,
@@ -5598,6 +5659,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id,
                    string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
             FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "corpus_diff": """
+            -- v2 derivation + fingerprint FULL OUTER JOIN classification
+            WITH v2 AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 17 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, 'added' AS text
+                FROM documents WHERE doc_id % 23 = 0
+            ),
+            o AS (SELECT doc_id, md5(text) AS fp FROM documents),
+            n AS (SELECT doc_id, md5(text) AS fp FROM v2)
+            SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+            WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.fp <> n.fp
+            ORDER BY doc_id
         """,
         "emb_quantize": """
             SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
