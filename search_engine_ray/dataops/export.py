@@ -98,6 +98,7 @@ def range_partition_export(
     n_partitions: int = 8,
     id_column: str = "doc_id",
     bounds: np.ndarray | None = None,
+    drop_key: bool = False,
 ) -> pa.Table:
     """Range-partitioned SORTED export — the distributed sort as a sink:
     ``part-K.parquet`` files whose key ranges are disjoint and ascending
@@ -169,13 +170,17 @@ def range_partition_export(
         k = np.asarray(group[key], dtype=np.int64)
         ids = np.asarray(group[id_column], dtype=np.int64)
         order = np.lexsort((ids, k))
-        body = group.drop_columns(["_part"]).take(pa.array(order))
+        drops = ["_part", key] if drop_key else ["_part"]
+        body = group.drop_columns(drops).take(pa.array(order))
         path = os.path.join(out_dir, f"part-{part:05d}.parquet")
         tmp = path + ".tmp"
         pq.write_table(body, tmp)
         os.replace(tmp, path)
-        written = pq.read_table(path, columns=[key, id_column])
-        wk = np.asarray(written[key], dtype=np.int64)
+        read_cols = [id_column] if drop_key else [key, id_column]
+        written = pq.read_table(path, columns=read_cols)
+        # a dropped key can't be re-read: its stats come from the sorted
+        # in-memory array (id/n_rows still verify the WRITTEN file)
+        wk = k[order] if drop_key else np.asarray(written[key], dtype=np.int64)
         wi = np.asarray(written[id_column], dtype=np.int64)
         return pa.table(
             {
@@ -276,8 +281,13 @@ def compact_parquet_files(
     import hashlib
     import json
 
+    # fingerprint the BIN STRUCTURE (nested) and the target, not just the
+    # flat file list: a re-run with a different target_bytes re-bins the
+    # same files and must refuse, not silently reuse stale parts
     fp = hashlib.sha256(
-        json.dumps([[f, os.path.getsize(f)] for b in bins for f in b]).encode()
+        json.dumps(
+            [target_bytes, [[[f, os.path.getsize(f)] for f in b] for b in bins]]
+        ).encode()
     ).hexdigest()
     fp_path = os.path.join(out_dir, ".plan.sha256")
     if os.path.exists(fp_path):
@@ -384,4 +394,5 @@ def shuffled_export(
     return range_partition_export(
         keyed, out_dir, key="_shuffle_key", n_partitions=n_partitions,
         id_column=id_column, bounds=bounds,
+        drop_key=True,  # internal ordering key — never ship it to trainers
     )

@@ -163,9 +163,12 @@ def build_bloom(
             )
         shard = int(group["shard"][0].as_py())
         pos = np.asarray(group["pos"], dtype=np.int64)
-        bits = np.zeros(n_bits, dtype=np.uint8)
-        bits[pos] = 1
-        packed = np.packbits(bits, bitorder="little")
+        # set bits directly in the PACKED array: an unpacked n_bits-byte
+        # temp would be 8x the bitmap (4 GB at the 2^32 max) per task
+        packed = np.zeros(n_bits // 8, dtype=np.uint8)
+        np.bitwise_or.at(
+            packed, pos >> 3, np.left_shift(np.uint8(1), (pos & 7).astype(np.uint8))
+        )
         return pa.table(
             {
                 "shard": pa.array([shard], pa.int64()),

@@ -405,10 +405,18 @@ def journey_strings(
     and ONE ``pc.binary_join`` over the whole bucket (the chunk.py
     trick) — no Python loop over keys or rows.  The inherent limit is
     per-KEY output size (a key's journey string must fit a worker),
-    which is the same bound SQL's string_agg has."""
+    which is the same bound SQL's string_agg has.  NULL values are
+    skipped (string_agg semantics); a key whose values are ALL null is
+    absent from the output (SQL would emit (key, NULL) — the one
+    documented divergence)."""
     from .window_fns import _bucket_of
 
     def proj(batch: pa.Table) -> pa.Table:
+        # string_agg semantics: NULL values are SKIPPED, never joined
+        # (binary_join would otherwise null the whole key's journey).
+        # Divergence, documented: a key whose values are ALL null is
+        # absent here, where SQL would emit (key, NULL).
+        batch = batch.filter(pc.is_valid(batch[type_col]))
         b = _bucket_of(np.asarray(batch[key], dtype=np.int64), n_buckets)
         return pa.table(
             {

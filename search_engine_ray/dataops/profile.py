@@ -98,7 +98,11 @@ def profile_table(ds: ray.data.Dataset, columns: list[str]) -> pa.Table:
         g = batch.select(["col", "value"]).group_by("col").aggregate(
             [("value", "count")]
         )
-        return g.rename_columns(["col", "n_distinct"])
+        # select by NAME: pyarrow's key/aggregate column order is
+        # version-dependent — a positional rename would silently swap
+        return g.select(["col", "value_count"]).rename_columns(
+            ["col", "n_distinct"]
+        )
 
     nd = (
         pairs.map_batches(count_partial, batch_format="pyarrow")

@@ -43,31 +43,14 @@ def _bucket_of(keys: np.ndarray, n_buckets: int) -> np.ndarray:
 
 
 def _bucket_of_strings(col, n_buckets: int) -> np.ndarray:
-    """Bucket per STRING key: blake2b on the batch's dictionary (unique
-    values only — the dedup._token_lists pattern), gathered back through
-    the codes.  Cross-batch consistent because the hash is content-based."""
-    import hashlib
+    """Bucket per STRING key via membership.md5_halves (the repo's one
+    content-hash convention: hash the batch's dictionary once, gather
+    through codes; nulls hash as "" — they share the empty string's
+    BUCKET but stay a distinct GROUP inside it, see per_bucket)."""
+    from .membership import md5_halves
 
-    import pyarrow.compute as pc
-
-    denc = pc.dictionary_encode(col)
-    if isinstance(denc, pa.ChunkedArray):
-        denc = denc.combine_chunks()
-    uniq = denc.dictionary.to_pylist()
-    uh = np.fromiter(
-        (
-            int.from_bytes(
-                hashlib.blake2b((u or "").encode(), digest_size=8).digest(), "little"
-            )
-            for u in uniq
-        ),
-        dtype=np.uint64,
-        count=len(uniq),
-    )
-    codes = np.asarray(denc.indices, dtype=np.int64)
-    if len(codes) == 0:
-        return np.empty(0, dtype=np.uint64)
-    return uh[codes] % np.uint64(n_buckets)
+    h1, _ = md5_halves(col)
+    return h1 % np.uint64(n_buckets)
 
 
 def _run_kernel(v: np.ndarray, boundary: np.ndarray, fill: int) -> np.ndarray:

@@ -62,12 +62,25 @@ def evaluate_run(
 ) -> ray.data.Dataset:
     """Per-topic retrieval metrics.  ``run``: (topic, doc_id, rank) with
     rank 1-based and unique per topic; ``qrels``: (topic, doc_id)
-    relevant pairs.  All int64.  Returns one row per topic with the
-    integer metric columns documented in the module docstring."""
+    relevant pairs — duplicates are deduplicated first (trec_eval
+    semantics; a duplicate would otherwise inflate every run-side
+    metric through the join).  All int64.  Returns one row per topic
+    with the integer metric columns documented in the module
+    docstring."""
     if k < 1:
         raise ValueError(f"evaluate_run: k must be >= 1 (got {k})")
 
-    qrels = qrels.select_columns(["topic", "doc_id"])
+    # dedup qrels first (trec_eval does the same): a duplicate (topic,
+    # doc_id) pair would fan the join out and silently inflate every
+    # run-side metric.  One (pair-cardinality-bounded) exchange.
+    from ray.data.aggregate import Count as _Count
+
+    qrels = (
+        qrels.select_columns(["topic", "doc_id"])
+        .groupby(["topic", "doc_id"])
+        .aggregate(_Count(alias_name="_n"))
+        .select_columns(["topic", "doc_id"])
+    )
 
     def flag(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -202,9 +215,9 @@ def ndcg_at_k(run: pa.Table, qrels: pa.Table, k: int = 10) -> pa.Table:
     qd = np.asarray(qrels["doc_id"], dtype=np.int64)
     d = np.asarray(run["doc_id"], dtype=np.int64)
 
-    qkey = np.unique(qt.astype(np.uint64) << np.uint64(32) | qd.astype(np.uint64))
     if (qd >= (1 << 32)).any() or (d >= (1 << 32)).any():
         raise ValueError("ndcg_at_k: doc_id must fit 32 bits (driver-side helper)")
+    qkey = np.unique(qt.astype(np.uint64) << np.uint64(32) | qd.astype(np.uint64))
     rel = np.isin(t.astype(np.uint64) << np.uint64(32) | d.astype(np.uint64), qkey)
 
     topics = np.unique(np.concatenate([t, qt]))
@@ -215,7 +228,6 @@ def ndcg_at_k(run: pa.Table, qrels: pa.Table, k: int = 10) -> pa.Table:
     np.add.at(dcg, seg[m], 1.0 / np.log2(r[m] + 1.0))
     n_rel = np.zeros(n, dtype=np.int64)
     np.add.at(n_rel, np.searchsorted(topics, qt), 1)
-    ideal = np.zeros(n, dtype=np.float64)
     discounts = 1.0 / np.log2(np.arange(1, k + 1) + 1.0)
     cumd = np.concatenate(([0.0], np.cumsum(discounts)))
     ideal = cumd[np.minimum(n_rel, k)]

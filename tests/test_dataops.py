@@ -1603,3 +1603,47 @@ def test_shuffled_export_deterministic_order(ray_session, tmp_path):
     assert order1 == exp
     # actually shuffled: far from identity
     assert sum(1 for i, d in enumerate(order1) if i == d) < 10
+
+
+def test_compact_refuses_different_target(ray_session, tmp_path):
+    # review fix: same files, different target_bytes -> different plan
+    # -> must refuse, never silently reuse stale parts
+    import os
+
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.dataops.export import compact_parquet_files
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for i in range(4):
+        pq.write_table(
+            pa.table({"doc_id": pa.array([i], pa.int64())}),
+            os.path.join(in_dir, f"f{i}.parquet"),
+        )
+    out_dir = str(tmp_path / "out")
+    compact_parquet_files(in_dir, out_dir, target_bytes=1)
+    with pytest.raises(ValueError, match="input layout changed"):
+        compact_parquet_files(in_dir, out_dir, target_bytes=1 << 30)
+
+
+def test_shuffled_export_drops_internal_key(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from search_engine_ray.dataops.export import shuffled_export
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(50, dtype=np.int64)),
+            "text": pa.array([f"t{i}" for i in range(50)], pa.string()),
+        }
+    )
+    out = str(tmp_path / "s")
+    shuffled_export(ray.data.from_arrow(tbl), out, seed=1, n_partitions=2)
+    parts = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    schema = pq.read_schema(os.path.join(out, parts[0]))
+    assert schema.names == ["doc_id", "text"]  # no _shuffle_key leak

@@ -158,3 +158,28 @@ def test_ndcg_at_k(ray_session):
     assert res[4] == 0.0  # qrels but no run
     with pytest.raises(ValueError, match="k must be"):
         ndcg_at_k(run, qrels, k=0)
+
+
+def test_evaluate_run_dedups_duplicate_qrels(ray_session):
+    # review fix: duplicate qrel pairs must not inflate metrics
+    run = pa.table(
+        {
+            "topic": pa.array([1, 1], pa.int64()),
+            "doc_id": pa.array([7, 8], pa.int64()),
+            "rank": pa.array([1, 2], pa.int64()),
+        }
+    )
+    qrels = pa.table(
+        {
+            "topic": pa.array([1, 1, 1], pa.int64()),
+            "doc_id": pa.array([7, 7, 9], pa.int64()),  # 7 duplicated
+        }
+    )
+    got = (
+        evaluate_run(ray.data.from_arrow(run), ray.data.from_arrow(qrels), k=2)
+        .to_pandas()
+    )
+    row = got.iloc[0]
+    assert row["n_ret"] == 2 and row["n_rel"] == 2 and row["n_rel_ret"] == 1
+    assert row["hits_at_k"] == 1 and row["rr_micros"] == 1_000_000
+    assert row["sum_prec_micros"] == 1_000_000

@@ -246,3 +246,28 @@ def test_journey_strings_vs_duckdb(ray_session):
         )
         assert got["user_id"].tolist() == exp["user_id"].tolist()
         assert got["journey"].tolist() == exp["journey"].tolist()
+
+
+def test_journey_strings_skip_null_types(ray_session):
+    # review fix: NULL event types are skipped (string_agg semantics);
+    # all-null keys are absent (documented divergence)
+    import duckdb
+
+    from search_engine_ray.dataops.olap import journey_strings
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "ts": pa.array([10, 20, 30, 10, 20], pa.int64()),
+            "event_type": pa.array(["view", None, "click", None, None],
+                                   pa.string()),
+        }
+    )
+    got = journey_strings(ray.data.from_arrow(tbl)).to_pandas()
+    assert got["user_id"].tolist() == [1]  # all-null user 2 absent
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = con.sql("""SELECT string_agg(event_type, '>' ORDER BY ts, event_id)
+                     FROM t WHERE user_id = 1""").fetchone()[0]
+    assert got["journey"].tolist() == [exp] == ["view>click"]

@@ -235,3 +235,24 @@ def test_group_tile_vs_duckdb(ray_session):
     assert ((sizes.max() - sizes.min()) <= 1).all()
     with pytest.raises(ValueError, match="n_tiles"):
         group_tile(ray.data.from_arrow(tbl), "k", ("o",), "id", n_tiles=0)
+
+
+def test_string_key_windows_null_keys(ray_session):
+    # review fix: null string keys must form their own group (distinct
+    # from ""), not crash the bucket hash
+    from search_engine_ray.dataops.window_fns import row_number
+
+    tbl = pa.table(
+        {
+            "id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+            "k": pa.array(["a", None, "", "a", None, ""], pa.string()),
+            "o": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        }
+    )
+    got = (
+        row_number(ray.data.from_arrow(tbl).repartition(3), "k", ("o",), "id",
+                   out_name="rn", n_buckets=4)
+        .to_pandas()
+        .sort_values("id", ignore_index=True)
+    )
+    assert got["rn"].tolist() == [1, 1, 1, 2, 2, 2]
