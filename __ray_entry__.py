@@ -2505,6 +2505,67 @@ def q_jsonl_roundtrip(sf_dir: str) -> pa.Table:
     )
 
 
+def q_csv_roundtrip(sf_dir: str) -> pa.Table:
+    """CSV source (sources/csv.py): the documents table dumped once to
+    CSV (one plain comma file + one gzipped TSV — both delimiter paths;
+    build-once locked), streamed back via ``read_csv`` with the column
+    contract.  Checked as (doc_id, lang, source, n_chars, md5(text)) —
+    a lossless ingest roundtrip against the parquet ground truth."""
+    import gzip
+    import hashlib
+    import io
+
+    import pyarrow.parquet as pq
+    from pyarrow import csv as pacsv
+
+    from search_engine_ray.sources.csv import read_csv, write_csv
+
+    cd = os.path.join(
+        "/tmp/se_ray_cache", "csv-" + sf_dir.strip("/").replace("/", "_")
+    )
+
+    def _build() -> None:
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        half = tbl.num_rows // 2
+        write_csv(tbl.slice(0, half), os.path.join(cd, "a.csv"))
+        buf = io.BytesIO()
+        pacsv.write_csv(
+            tbl.slice(half),
+            buf,
+            write_options=pacsv.WriteOptions(delimiter="\t"),
+        )
+        with gzip.open(os.path.join(cd, "b.tsv.gz"), "wb") as f:
+            f.write(buf.getvalue())
+
+    os.makedirs(cd, exist_ok=True)
+    _build_once(cd, ".csv-complete", _build)
+    contract = {
+        "doc_id": pa.int64(),
+        "text": pa.string(),
+        "lang": pa.string(),
+        "source": pa.string(),
+        "n_chars": pa.int64(),
+    }
+    a = read_csv(os.path.join(cd, "a.csv"), contract)
+    b = read_csv(os.path.join(cd, "b.tsv.gz"), contract, delimiter="\t")
+    out = a.union(b).to_pandas().sort_values("doc_id", ignore_index=True)
+    md5s = [
+        hashlib.md5(t.encode("utf-8")).hexdigest() for t in out["text"].tolist()
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].astype(np.int64)),
+            "lang": pa.array(out["lang"], pa.string()),
+            "source": pa.array(out["source"], pa.string()),
+            "n_chars": pa.array(out["n_chars"].astype(np.int64)),
+            "text_md5": pa.array(md5s, pa.string()),
+        }
+    )
+
+
 def q_mmr_rerank(sf_dir: str) -> pa.Table:
     """MMR diversity re-ranking (similarity.mmr_rerank) over the
     embeddings table.  Greedy and float-scored, so no SQL oracle
@@ -3853,6 +3914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_export": q_range_export,
         "bigram_lm": q_bigram_lm,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "csv_roundtrip": q_csv_roundtrip,
         "mmr_rerank": q_mmr_rerank,
         "order_seq": q_order_seq,
         "rolling_revenue": q_rolling_revenue,
@@ -5494,6 +5556,10 @@ def oracle_sql() -> dict[str, str]:
             FROM events ORDER BY event_id
         """,
         "jsonl_roundtrip": """
+            SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+            FROM documents ORDER BY doc_id
+        """,
+        "csv_roundtrip": """
             SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
             FROM documents ORDER BY doc_id
         """,
