@@ -2566,6 +2566,65 @@ def q_csv_roundtrip(sf_dir: str) -> pa.Table:
     )
 
 
+def q_top_terms_per_lang(sf_dir: str) -> pa.Table:
+    """Grouped frequency top-k (per-batch (lang, term) partial counts ->
+    one pair-bounded groupby-sum -> sample.topk_per_key): the 3 most
+    frequent whitespace tokens per language, ties broken by term
+    ascending — the per-stratum vocabulary report a multilingual corpus
+    audit starts with."""
+    from ray.data.aggregate import Sum
+
+    from search_engine_ray.dataops.sample import topk_per_key
+    from search_engine_ray.text.ws import ws_token_flat
+
+    docs = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
+    )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out_lang, out_term, out_cnt = [], [], []
+        # few langs per batch: one vectorized token pass per lang slice
+        for lg in pc.unique(batch["lang"]).to_pylist():
+            sub = batch.filter(pc.equal(batch["lang"], lg))
+            flat = ws_token_flat(sub["text"])
+            if len(flat) == 0:
+                continue
+            vc = flat.value_counts()
+            terms = vc.field("values").to_pylist()
+            counts = vc.field("counts").to_pylist()
+            out_lang += [lg] * len(terms)
+            out_term += terms
+            out_cnt += counts
+        return pa.table(
+            {
+                "lang": pa.array(out_lang, pa.string()),
+                "term": pa.array(out_term, pa.string()),
+                "count": pa.array(out_cnt, pa.int64()),
+            }
+        )
+
+    counts = (
+        docs.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["lang", "term"])
+        .aggregate(Sum("count", alias_name="count"))
+    )
+    out = (
+        topk_per_key(counts, "lang", "count", k=3, tie_columns=("term",))
+        .to_pandas()
+        .sort_values(["lang", "count", "term"], ascending=[True, False, True],
+                     ignore_index=True)
+    )
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "term": pa.array(out["term"], pa.string()),
+            "count": pa.array(out["count"].astype(np.int64)),
+        }
+    )
+
+
 def q_mmr_rerank(sf_dir: str) -> pa.Table:
     """MMR diversity re-ranking (similarity.mmr_rerank) over the
     embeddings table.  Greedy and float-scored, so no SQL oracle
@@ -3915,6 +3974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lm": q_bigram_lm,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "csv_roundtrip": q_csv_roundtrip,
+        "top_terms_per_lang": q_top_terms_per_lang,
         "mmr_rerank": q_mmr_rerank,
         "order_seq": q_order_seq,
         "rolling_revenue": q_rolling_revenue,
@@ -5562,6 +5622,21 @@ def oracle_sql() -> dict[str, str]:
         "csv_roundtrip": """
             SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
             FROM documents ORDER BY doc_id
+        """,
+        "top_terms_per_lang": """
+            WITH toks AS (
+              SELECT lang, t FROM documents,
+                UNNEST(list_filter(regexp_split_to_array(text,
+                       '[\\t\\n\\x0B\\x0C\\r ]+'), x -> x <> '')) AS u(t)
+            ),
+            cnt AS (SELECT lang, t AS term, count(*) AS count
+                    FROM toks GROUP BY lang, t),
+            rk AS (SELECT lang, term, count,
+                          ROW_NUMBER() OVER (PARTITION BY lang
+                                             ORDER BY count DESC, term) AS r
+                   FROM cnt)
+            SELECT lang, term, count FROM rk WHERE r <= 3
+            ORDER BY lang, count DESC, term
         """,
         "lang_char_rank": """
             SELECT doc_id, lang,
