@@ -257,6 +257,14 @@ def run_benchmarks() -> dict:
     def _hh(ds):
         return _heavy_hitters(ds, k=50).num_rows
 
+    from search_engine_ray.dataops.membership import bloom_probe, build_bloom
+    from search_engine_ray.dataops.sketch import count_min_sketch as _count_min
+    from search_engine_ray.dataops.sketch import hll_registers as _hll_registers
+
+    def _bloom():
+        bf = build_bloom(docs_ds, "text", n_bits=1 << 22, n_hashes=4, n_shards=4)
+        return bloom_probe(docs_ds, "text", bf).count()
+
     from search_engine_ray.dataops.relational import (
         PRICING_SUMMARY_COLUMNS,
         pricing_summary,
@@ -311,6 +319,12 @@ def run_benchmarks() -> dict:
         ("index_compact", _compact),
         ("index_merge", _merge),
         ("index_fsck", lambda: fsck_index(index_dir)),
+        ("bloom_build_probe", _bloom),
+        ("hll_registers", lambda: _hll_registers(
+            read_parquet_clean(os.path.join(SF_DIR, "events.parquet"),
+                               columns=["user_id"]), "user_id", p=12).num_rows),
+        ("count_min_grid", lambda: _count_min(
+            docs_ds, width=1 << 16, depth=4).num_rows),
     ]
     n_rounds = int(os.environ.get("SE_RAY_BENCH_OP_ROUNDS", "2"))
     samples: dict[str, list[float]] = {name: [] for name, _ in ops}
