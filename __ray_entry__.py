@@ -2625,6 +2625,21 @@ def q_top_terms_per_lang(sf_dir: str) -> pa.Table:
     )
 
 
+def q_lang_heavy_hitters(sf_dir: str) -> pa.Table:
+    """Grouped exact heavy hitters (sketch.grouped_heavy_hitters, k=30):
+    every (lang, term) with count*30 >= that language's token total —
+    the per-language head vocabulary at candidate-sized exchange (the
+    local-candidacy lemma holds per group; pass-1 group totals are
+    exact, only candidates recount)."""
+    from search_engine_ray.dataops.sketch import grouped_heavy_hitters
+
+    docs = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
+    )
+    out = grouped_heavy_hitters(docs, "lang", k=30)
+    return out.rename_columns(["lang", "term", "count"])
+
+
 def q_mmr_rerank(sf_dir: str) -> pa.Table:
     """MMR diversity re-ranking (similarity.mmr_rerank) over the
     embeddings table.  Greedy and float-scored, so no SQL oracle
@@ -3975,6 +3990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "csv_roundtrip": q_csv_roundtrip,
         "top_terms_per_lang": q_top_terms_per_lang,
+        "lang_heavy_hitters": q_lang_heavy_hitters,
         "mmr_rerank": q_mmr_rerank,
         "order_seq": q_order_seq,
         "rolling_revenue": q_rolling_revenue,
@@ -5637,6 +5653,20 @@ def oracle_sql() -> dict[str, str]:
                    FROM cnt)
             SELECT lang, term, count FROM rk WHERE r <= 3
             ORDER BY lang, count DESC, term
+        """,
+        "lang_heavy_hitters": """
+            WITH toks AS (
+              SELECT lang, tk FROM documents,
+                UNNEST(list_filter(regexp_split_to_array(text,
+                       '[\\t\\n\\x0B\\x0C\\r ]+'), x -> x <> '')) AS u(tk)
+            ),
+            tot AS (SELECT lang, count(*) AS n FROM toks GROUP BY lang),
+            cnt AS (SELECT lang, tk AS term, count(*) AS count
+                    FROM toks GROUP BY lang, tk)
+            SELECT c.lang, c.term, c.count
+            FROM cnt c JOIN tot USING (lang)
+            WHERE c.count * 30 >= tot.n
+            ORDER BY c.lang, c.term
         """,
         "lang_char_rank": """
             SELECT doc_id, lang,

@@ -312,3 +312,167 @@ def cm_estimate(sketch: pa.Table, terms: list[str], width: int, depth: int) -> p
             "est": pa.array(est.astype(np.int64)),
         }
     )
+
+
+def grouped_heavy_hitters(
+    ds: ray.data.Dataset,
+    group_column: str,
+    k: int = 50,
+    text_column: str = "text",
+) -> pa.Table:
+    """Exact heavy hitters PER GROUP: every (group, term) with
+    ``count * k >= group_total_tokens`` -> (group, term, count),
+    (group, term) ascending.  The per-language / per-source head
+    vocabulary, at the same candidate-sized exchange as the global op.
+
+    The local-candidacy lemma holds per group unchanged: if
+    ``count_g(t) * k >= N_g`` then some batch has
+    ``count_{g,b}(t) * k >= N_{g,b}`` (sum the strict converses).  So
+    pass 1 emits, per batch, at most k candidate rows per group present
+    PLUS one exact total row per group (totals are never thresholded —
+    pass-1 group totals are exact); pass 2 recounts only the broadcast
+    candidate (group, term) pairs.  Group values compare as strings
+    (the SQL VARCHAR grouping convention)."""
+    from ray.data.aggregate import Sum
+
+    from ..text.ws import ws_token_flat_with_row
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def _empty() -> pa.Table:
+        return pa.table(
+            {
+                "group": pa.array([], pa.string()),
+                "term": pa.array([], pa.string()),
+                "count": pa.array([], pa.int64()),
+            }
+        )
+
+    def _esc_pairs(groups: pa.Array, terms: pa.Array) -> pa.Array:
+        # combined (group NUL term) key: unambiguous because a NUL inside
+        # a GROUP value would shift the split boundary — fail loud on it
+        # (the '|' group-key convention from relational.py)
+        if len(groups) and pc.any(
+            pc.match_substring(groups, "\x00")
+        ).as_py():
+            raise ValueError(
+                "grouped_heavy_hitters: group values must not contain NUL"
+            )
+        return pc.binary_join_element_wise(
+            groups.cast(pa.string()), terms.cast(pa.string()), "\x00"
+        )
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        flat, rows = ws_token_flat_with_row(batch[text_column])
+        gcol = batch[group_column]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        gcol = pc.fill_null(gcol.cast(pa.string()), "")
+        if len(flat) == 0:
+            return _empty()
+        tok_groups = gcol.take(pa.array(rows))
+        pair = _esc_pairs(tok_groups, flat)
+        denc = pair.dictionary_encode()
+        codes = np.asarray(denc.indices, dtype=np.int64)
+        pair_counts = np.bincount(codes, minlength=len(denc.dictionary))
+        # per-group batch totals, via the group of each distinct pair
+        gden = tok_groups.dictionary_encode()
+        gcodes = np.asarray(gden.indices, dtype=np.int64)
+        g_tot = np.bincount(gcodes, minlength=len(gden.dictionary))
+        # group code of each distinct PAIR: first occurrence index
+        first_idx = np.zeros(len(denc.dictionary), dtype=np.int64)
+        first_idx[codes[::-1]] = np.arange(len(codes) - 1, -1, -1)
+        pair_g = gcodes[first_idx]
+        keep = pair_counts * k >= g_tot[pair_g]
+        kept = pa.array(np.flatnonzero(keep))
+        pair_vals = denc.dictionary.take(kept).cast(pa.string())
+        out_term = pc.binary_join_element_wise(
+            pa.array(["t"] * len(pair_vals), pa.string()), pair_vals, ""
+        )
+        tot_vals = pc.binary_join_element_wise(
+            pa.array(["n"] * len(gden.dictionary), pa.string()),
+            gden.dictionary.cast(pa.string()),
+            "",
+        )
+        return pa.table(
+            {
+                "term": pa.concat_arrays(
+                    [out_term.combine_chunks() if isinstance(out_term, pa.ChunkedArray) else out_term,
+                     tot_vals.combine_chunks() if isinstance(tot_vals, pa.ChunkedArray) else tot_vals]
+                ),
+                "count": pa.array(
+                    np.concatenate([pair_counts[keep], g_tot]).astype(np.int64)
+                ),
+            }
+        )
+
+    cand = (
+        ds.map_batches(candidates, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("count", alias_name="count"))
+        .to_pandas()
+    )
+    if len(cand) == 0:
+        return _empty()
+    is_total = cand["term"].str.startswith("n")
+    totals = {t[1:]: int(c) for t, c in
+              zip(cand.loc[is_total, "term"], cand.loc[is_total, "count"])}
+    cand_pairs = sorted(t[1:] for t in cand.loc[~is_total, "term"])
+    if not cand_pairs or not totals:
+        return _empty()
+    cand_ref = ray.put(pa.array(cand_pairs, pa.string()))
+
+    def recount(batch: pa.Table) -> pa.Table:
+        cand_arr = ray.get(cand_ref)
+        flat, rows = ws_token_flat_with_row(batch[text_column])
+        if len(flat) == 0:
+            return pa.table(
+                {"pair": pa.array([], pa.string()), "count": pa.array([], pa.int64())}
+            )
+        gcol = batch[group_column]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        gcol = pc.fill_null(gcol.cast(pa.string()), "")
+        pair = _esc_pairs(gcol.take(pa.array(rows)), flat)
+        if isinstance(pair, pa.ChunkedArray):
+            pair = pair.combine_chunks()
+        hit = pair.filter(pc.is_in(pair, value_set=cand_arr))
+        if len(hit) == 0:
+            return pa.table(
+                {"pair": pa.array([], pa.string()), "count": pa.array([], pa.int64())}
+            )
+        denc = hit.dictionary_encode()
+        counts = np.bincount(
+            np.asarray(denc.indices, dtype=np.int64), minlength=len(denc.dictionary)
+        )
+        return pa.table(
+            {
+                "pair": denc.dictionary.cast(pa.string()),
+                "count": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(recount, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("count", alias_name="count"))
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return _empty()
+    groups, terms, counts = [], [], []
+    for p, c in zip(out["pair"], out["count"]):
+        g, t = p.split("\x00", 1)
+        if int(c) * k >= totals.get(g, 0) and totals.get(g, 0) > 0:
+            groups.append(g)
+            terms.append(t)
+            counts.append(int(c))
+    order = sorted(range(len(groups)), key=lambda i: (groups[i], terms[i]))
+    return pa.table(
+        {
+            "group": pa.array([groups[i] for i in order], pa.string()),
+            "term": pa.array([terms[i] for i in order], pa.string()),
+            "count": pa.array([counts[i] for i in order], pa.int64()),
+        }
+    )

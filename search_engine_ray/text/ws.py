@@ -63,3 +63,23 @@ def ws_token_flat(texts):
     if isinstance(flat, pa.ChunkedArray):
         flat = flat.combine_chunks()
     return flat
+
+
+def ws_token_flat_with_row(texts):
+    """(flat non-empty tokens, row index per token) — the ws_token_flat
+    sequence plus provenance, for operators that need each token tied
+    back to its source row (grouped counts).  Same pinned class and
+    null handling."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    lists = pc.split_pattern_regex(pc.fill_null(texts, ""), pattern=WS_RE)
+    flat = pc.list_flatten(lists)
+    lens = np.asarray(pc.list_value_length(lists), dtype=np.int64)
+    rows = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    keep = np.asarray(pc.greater(pc.binary_length(flat), 0))
+    flat = flat.filter(pa.array(keep))
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    return flat, rows[keep]

@@ -185,3 +185,59 @@ def test_count_min_matches_duckdb_and_bounds(ray_session):
 
     with _pytest.raises(ValueError, match=">= 1"):
         count_min_sketch(ray.data.from_arrow(tbl), width=0)
+
+
+def test_grouped_heavy_hitters_vs_duckdb(ray_session):
+    import duckdb
+
+    from search_engine_ray.dataops.sketch import grouped_heavy_hitters
+
+    rng = np.random.default_rng(23)
+    langs = ["en", "de", ""]
+    texts, lang_col = [], []
+    for i in range(120):
+        lg = langs[int(rng.integers(0, 3))]
+        # per-lang skew: different dominant term per group
+        head = {"en": "alpha", "de": "beta", "": "gamma"}[lg]
+        toks = [head] * int(rng.integers(2, 8)) + [
+            f"w{int(v)}" for v in rng.integers(0, 30, rng.integers(3, 12))
+        ]
+        rng.shuffle(toks)
+        texts.append(" ".join(toks))
+        lang_col.append(lg)
+    tbl = pa.table(
+        {"lang": pa.array(lang_col, pa.string()), "text": pa.array(texts, pa.string())}
+    )
+    k = 6
+    got = grouped_heavy_hitters(
+        ray.data.from_arrow(tbl).repartition(5), "lang", k=k
+    )
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = con.sql(f"""
+        WITH toks AS (
+          SELECT lang, tk FROM t,
+            UNNEST(list_filter(regexp_split_to_array(text,
+                   '[\\t\\n\\x0B\\x0C\\r ]+'), x -> x <> '')) AS u(tk)
+        ),
+        tot AS (SELECT lang, count(*) AS n FROM toks GROUP BY lang),
+        cnt AS (SELECT lang, tk AS term, count(*) AS count
+                FROM toks GROUP BY lang, tk)
+        SELECT c.lang AS "group", c.term, c.count
+        FROM cnt c JOIN tot USING (lang)
+        WHERE c.count * {k} >= tot.n
+        ORDER BY c.lang, c.term
+    """).arrow()
+    assert got.equals(exp.cast(got.schema))
+    assert got.num_rows >= 3  # each group's dominant term present
+    # partition invariance
+    got1 = grouped_heavy_hitters(ray.data.from_arrow(tbl), "lang", k=k)
+    assert got.equals(got1)
+    # NUL group fails loud
+    bad = pa.table({"lang": pa.array(["a\x00b"]), "text": pa.array(["x"])})
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NUL"):
+        grouped_heavy_hitters(ray.data.from_arrow(bad), "lang", k=2)
+    with _pytest.raises(ValueError, match=">= 1"):
+        grouped_heavy_hitters(ray.data.from_arrow(tbl), "lang", k=0)
