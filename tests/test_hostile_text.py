@@ -90,6 +90,14 @@ CHECKED = [
     "chunk_documents",
     "dedup_incremental",
     "bigram_lm",
+    # r4 third-session whitespace/casefold-sensitive gates
+    "count_min",
+    "cm_lookup",
+    "top_terms_per_lang",
+    "lang_heavy_hitters",
+    "quality_terciles",
+    "bloom_seen",
+    "lang_char_rank",
 ]
 
 
