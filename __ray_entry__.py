@@ -701,6 +701,54 @@ def q_term_length_hist(sf_dir: str) -> pa.Table:
     return term_length_hist_table(documents_index_dir(sf_dir, OPT_NOSTEM))
 
 
+def q_bm25_maxscore_top10(sf_dir: str) -> pa.Table:
+    """Block-max MaxScore DAAT (engine/scoring.maxscore_topk) — the second
+    dynamic-pruning algorithm beside WAND (essential/non-essential term
+    partitioning, Turtle & Flood 1995).
+
+    Dynamic pruning is not SQL-expressible, so (like bm25_stemmed_wand)
+    this gate is self-checking golden-grade: for every topic and every k
+    the MaxScore top-k must be BIT-IDENTICAL — ids and float32 scores — to
+    both exhaustive TAAT and block-max WAND over the same index before
+    anything is returned.  Topics mix head and tail terms so the
+    essential/non-essential split actually moves during the run."""
+    from search_engine_ray.config import BM25Params
+    from search_engine_ray.engine.scoring import maxscore_topk, taat_bm25, wand_topk
+
+    topics = [
+        (1, BM25_QUERY),
+        (2, [("spark", 2), ("hash", 1)]),
+        (3, [("window", 1), ("join", 1), ("table", 1), ("value", 1)]),
+        (4, [("the", 1), ("spark", 1)]),  # head term dominates the ub order
+    ]
+    r = _reader(sf_dir)
+    params = BM25Params()
+    rows = {"topic": [], "doc_id": [], "rank": [], "score": []}
+    for topic, kws in topics:
+        for k in (3, 10, 100):
+            mi, ms = maxscore_topk(r, kws, params, k, kind="bm25")
+            ti, ts = taat_bm25(r, kws, params, k)
+            wi, ws = wand_topk(r, kws, params, k, kind="bm25")
+            if mi.tolist() != ti.tolist() or ms.tolist() != ts.tolist():
+                raise AssertionError(f"maxscore != taat for topic {topic}, k={k}")
+            if mi.tolist() != wi.tolist() or ms.tolist() != ws.tolist():
+                raise AssertionError(f"maxscore != wand for topic {topic}, k={k}")
+        ids, scores = maxscore_topk(r, kws, params, 10, kind="bm25")
+        for rank, (d, s) in enumerate(zip(ids, scores), 1):
+            rows["topic"].append(topic)
+            rows["doc_id"].append(int(r.doc_names[d]))
+            rows["rank"].append(rank)
+            rows["score"].append(float(s))
+    return pa.table(
+        {
+            "topic": pa.array(rows["topic"], pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+            "score": pa.array(rows["score"], pa.float64()),
+        }
+    )
+
+
 def q_bm25_qtf_top10(sf_dir: str) -> pa.Table:
     """BM25 with a repeated query term (qtf=2) — exercises the
     (k3+1)qtf/(k3+qtf) query-weight (BM25Scorer.cs:53, M7 folding)."""
@@ -3997,6 +4045,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": q_funnel,
         "docs_rollup": q_docs_rollup,
         "lang_source_pivot": q_lang_source_pivot,
+        # rows-only, self-checking (bit-identity vs TAAT and WAND asserted
+        # inside the callable — dynamic pruning is not SQL-expressible)
+        "bm25_maxscore_top10": q_bm25_maxscore_top10,
     }
 
 

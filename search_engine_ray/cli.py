@@ -611,7 +611,7 @@ def main(argv: list[str] | None = None) -> int:
     pq_.add_argument("query")
     pq_.add_argument("--scorer", default="bm25",
                      choices=["bm25", "tfidf", "bm25adpt", "lmd", "bm25plus"])
-    pq_.add_argument("--method", default="auto", choices=["auto", "taat", "wand"])
+    pq_.add_argument("--method", default="auto", choices=["auto", "taat", "wand", "maxscore"])
     pq_.add_argument("--boolean", choices=["and", "or"], default=None)
     pq_.add_argument("--k", type=int, default=10)
     pq_.add_argument("--docs-table", default=None,

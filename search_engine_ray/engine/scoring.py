@@ -415,3 +415,162 @@ def wand_topk(
     ids = np.asarray([-d for _s, d in ranked], dtype=np.int64)
     scores = np.asarray([s for s, _d in ranked], dtype=np.float32)
     return ids, scores
+
+
+# --------------------------------------------------------------------------
+# Block-max MaxScore DAAT (Turtle & Flood 1995 partitioning over the same
+# block-skipping cursors as WAND)
+# --------------------------------------------------------------------------
+
+def maxscore_topk(
+    reader: IndexReader,
+    keywords: list[tuple[str, int]],
+    params: BM25Params,
+    k: int = 1000,
+    kind: str = "bm25",
+    exclude: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """MaxScore top-k, bit-identical to TAAT/WAND (tested).
+
+    Live terms are sorted by ascending term upper bound and split into a
+    NON-ESSENTIAL prefix (cumulative ub <= heap threshold) and an ESSENTIAL
+    suffix.  Only essential cursors enumerate documents (vectorized windows,
+    like WAND's dense path); non-essential cursors are probed per surviving
+    candidate in descending-ub order with early abandon on the remaining-ub
+    bound.  Docs matched only by non-essential terms are skipped outright:
+    per-term ubs carry +_EPS, so such a doc's true score is STRICTLY below
+    the threshold and can never tie into the top-k.
+
+    A global ascending ``frontier`` keeps enumeration strictly doc-ordered
+    across partition changes (a probed-but-not-consumed non-essential posting
+    below the frontier must never re-surface when its term turns essential —
+    that would double-insert the doc), which also makes heap tie behavior
+    (first k in doc order among equal scores) identical to TAAT's
+    ascending-docID tie-break.
+
+    Exact scoring: a candidate's score is re-folded in float32 over its
+    matching terms in QUERY order (the same add order as the TAAT dense
+    accumulator), so scores are bit-identical, not just rank-identical.
+
+    ``exclude`` composes exactly as in :func:`wand_topk`: bounds computed
+    over all postings remain valid for the live docs, and dead docs are
+    dropped before they can enter the heap.
+    """
+    n = reader.n_docs
+    cursors: list[_Cursor] = []
+    qpos = 0
+    for term, qtf in keywords:
+        tp = reader.postings(term)
+        if tp is None or not tp.blocks:
+            continue
+        if kind == "tfidf":
+            idf = math.log(n // tp.df)
+            qterm = 1.0
+        else:
+            idf = math.log((n - tp.df + 0.5) / (tp.df + 0.5))
+            qterm = ((params.k3 + 1) * qtf) / (params.k3 + qtf)
+        cursors.append(_Cursor(tp, qpos, idf, qterm, params, reader.avgdl, kind))
+        qpos += 1
+
+    heap: list[tuple[float, int]] = []  # (score, -doc) min-heap; weakest first
+
+    def threshold() -> float:
+        return heap[0][0] if len(heap) == k else -math.inf
+
+    frontier = 0
+    live = [c for c in cursors if not c.exhausted]
+    while live:
+        # enforce the global frontier: postings below it were either scored
+        # exactly or proven strictly below the threshold in a prior window
+        for c in live:
+            if c.cur < frontier:
+                c.advance_to(frontier)
+        live = [c for c in live if not c.exhausted]
+        if not live:
+            break
+        live.sort(key=lambda c: c.ub)
+        th = threshold()
+        acc = 0.0
+        split = 0
+        while split < len(live) and acc + live[split].ub <= th:
+            acc += live[split].ub
+            split += 1
+        if split == len(live):
+            break  # all terms together cannot beat the threshold
+        ness_desc = live[:split][::-1]  # probe order: descending ub
+        ess = live[split:]
+        ne_total = acc
+
+        w_start = min(c.cur for c in ess)
+        w_end = w_start + _WINDOW_CAP
+        width = w_end - w_start
+        scratch = np.zeros(width, dtype=np.float32)
+        touched = np.zeros(width, dtype=bool)
+        # keep per-term window postings for the exact per-candidate re-fold
+        parts: list[tuple[int, np.ndarray, np.ndarray]] = []
+        for c in sorted(ess, key=lambda c: c.qpos):
+            ids, contrib = c.gather_range(w_end)
+            rel = ids - w_start
+            scratch[rel] = scratch[rel] + contrib
+            touched[rel] = True
+            parts.append((c.qpos, ids, contrib))
+        cand = np.flatnonzero(touched)
+        if exclude is not None and len(cand):
+            cand = cand[~exclude[w_start + cand]]
+        cand_scores = scratch[cand]
+        if len(heap) == k:
+            # conservative bulk pre-filter; +_EPS covers the float32 add-
+            # reordering slack when a non-essential contribution interleaves
+            # into the query-order fold
+            keep = cand_scores.astype(np.float64) + ne_total + _EPS > th
+            cand, cand_scores = cand[keep], cand_scores[keep]
+
+        for rel, ess_score in zip(cand.tolist(), cand_scores.tolist()):
+            doc = w_start + rel
+            th_now = threshold()
+            partial = float(ess_score)
+            remaining = ne_total
+            hits: list[tuple[int, float]] = []
+            abandoned = False
+            for c in ness_desc:
+                if partial + remaining + _EPS <= th_now:
+                    abandoned = True
+                    break
+                remaining -= c.ub
+                if c.exhausted:
+                    continue
+                if c.cur < doc:
+                    c.advance_to(doc)  # candidates ascend, so this is monotone
+                if not c.exhausted and c.cur == doc:
+                    cv = float(c.slice_contrib(c.pos, c.pos + 1)[0])
+                    partial += cv
+                    hits.append((c.qpos, cv))
+            if abandoned:
+                continue
+            if hits:
+                # exact score: fold ALL matching contributions in query order
+                # (float64 intermediate of two float32 values rounds to the
+                # same float32 as a native float32 add)
+                for qp, ids, contrib in parts:
+                    pos = int(np.searchsorted(ids, doc))
+                    if pos < len(ids) and ids[pos] == doc:
+                        hits.append((qp, float(contrib[pos])))
+                hits.sort()
+                s = np.float32(0.0)
+                for _qp, cv in hits:
+                    s = np.float32(s + cv)
+                score = float(s)
+            else:
+                score = float(ess_score)
+            if len(heap) < k:
+                heapq.heappush(heap, (score, -doc))
+            elif score > heap[0][0]:
+                heapq.heapreplace(heap, (score, -doc))
+
+        frontier = w_end
+        live = [c for c in live if not c.exhausted]
+
+    ranked = sorted(heap, key=lambda p: (-p[0], -p[1]))
+    ids = np.asarray([-d for _s, d in ranked], dtype=np.int64)
+    scores = np.asarray([s for s, _d in ranked], dtype=np.float32)
+    return ids, scores

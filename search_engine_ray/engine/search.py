@@ -17,7 +17,7 @@ import pyarrow as pa
 
 from ..config import BM25Params
 from .index_reader import IndexReader
-from .scoring import taat_bm25, taat_bm25_adpt, taat_tfidf, wand_topk
+from .scoring import maxscore_topk, taat_bm25, taat_bm25_adpt, taat_tfidf, wand_topk
 
 RUN_SCHEMA = pa.schema(
     [
@@ -81,17 +81,18 @@ def score_topic(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Returns (doc_ids, scores) ranked desc, ties broken by ascending docID.
 
-    method: "wand" (block-max DAAT), "taat" (exhaustive vectorized), or
-    "auto" (pick by total candidate-posting volume; results identical)."""
+    method: "wand" (block-max DAAT), "maxscore" (essential/non-essential
+    term partitioning DAAT), "taat" (exhaustive vectorized), or "auto"
+    (pick by total candidate-posting volume; results identical)."""
     params = params or BM25Params()
     requested = method
     method = _resolve_method(reader, keywords, method, k)
     deleted = reader.deleted_mask()
-    # tombstones and WAND compose: block-max bounds computed over ALL
-    # postings stay valid upper bounds for the live docs, and dead docs
+    # tombstones and WAND/MaxScore compose: block-max bounds computed over
+    # ALL postings stay valid upper bounds for the live docs, and dead docs
     # are dropped at window evaluation before they can enter the heap
-    # (engine/scoring.wand_topk) — no fallback needed.
-    if scorer == "bm25" and method == "wand":
+    # (engine/scoring.wand_topk / maxscore_topk) — no fallback needed.
+    if scorer == "bm25" and method in ("wand", "maxscore"):
         # WAND prunes against block metadata (ub_tfn/lb_tfn) computed at
         # BUILD time with the index's k1/b; different query-time params make
         # those bounds stale and pruning incorrect.  auto falls back to the
@@ -99,9 +100,9 @@ def score_topic(
         # is an error (ADVICE r1).
         built = reader.stats.get("bm25", {})
         if (built.get("k1"), built.get("b")) != (params.k1, params.b):
-            if requested == "wand":
+            if requested in ("wand", "maxscore"):
                 raise ValueError(
-                    f"method='wand' requires the build-time BM25 params "
+                    f"method={requested!r} requires the build-time BM25 params "
                     f"(k1={built.get('k1')}, b={built.get('b')}); got "
                     f"k1={params.k1}, b={params.b} — use method='taat' or "
                     "rebuild the index with these params"
@@ -110,10 +111,14 @@ def score_topic(
     if scorer == "bm25":
         if method == "wand":
             return wand_topk(reader, keywords, params, k, kind="bm25", exclude=deleted)
+        if method == "maxscore":
+            return maxscore_topk(reader, keywords, params, k, kind="bm25", exclude=deleted)
         return taat_bm25(reader, keywords, params, k, exclude=deleted)
     if scorer == "tfidf":
         if method == "wand":
             return wand_topk(reader, keywords, params, k, kind="tfidf", exclude=deleted)
+        if method == "maxscore":
+            return maxscore_topk(reader, keywords, params, k, kind="tfidf", exclude=deleted)
         return taat_tfidf(reader, keywords, k, exclude=deleted)
     if scorer == "bm25adpt":
         # needs the full tf distribution per term -> always exhaustive

@@ -83,11 +83,12 @@ def test_wand_exact_under_tombstones(index_dir):
     r = IndexReader(work)
     for scorer in ("bm25", "tfidf"):
         for k in (1, 3, 20, 1000):
-            w_ids, w_scores = score_topic(r, kws, scorer=scorer, k=k, method="wand")
-            t_ids, t_scores = score_topic(r, kws, scorer=scorer, k=k, method="taat")
-            assert w_ids.tolist() == t_ids.tolist(), (scorer, k)
-            np.testing.assert_array_equal(w_scores, t_scores)
-            assert not {str(r.doc_names[d]) for d in w_ids} & set(victims)
+            for method in ("wand", "maxscore"):
+                w_ids, w_scores = score_topic(r, kws, scorer=scorer, k=k, method=method)
+                t_ids, t_scores = score_topic(r, kws, scorer=scorer, k=k, method="taat")
+                assert w_ids.tolist() == t_ids.tolist(), (scorer, k, method)
+                np.testing.assert_array_equal(w_scores, t_scores)
+                assert not {str(r.doc_names[d]) for d in w_ids} & set(victims)
     # auto also excludes
     a_ids, a_scores = score_topic(r, kws, scorer="bm25", k=20, method="auto")
     t_ids, t_scores = score_topic(r, kws, scorer="bm25", k=20, method="taat")

@@ -16,7 +16,13 @@ from search_engine_ray.corpus.topics import (
 )
 from search_engine_ray.engine.build import build_index
 from search_engine_ray.engine.index_reader import IndexReader
-from search_engine_ray.engine.scoring import taat_bm25, taat_bm25_adpt, taat_tfidf, wand_topk
+from search_engine_ray.engine.scoring import (
+    maxscore_topk,
+    taat_bm25,
+    taat_bm25_adpt,
+    taat_tfidf,
+    wand_topk,
+)
 from search_engine_ray.engine.search import search_topics, write_trec_run
 from search_engine_ray.oracle.indexer import OracleIndex
 from search_engine_ray.oracle.scorers import score_bm25, score_bm25_adpt, score_tfidf
@@ -128,6 +134,69 @@ def test_wand_equals_taat_tfidf(setup):
         ti, ts = taat_tfidf(reader, keywords, K)
         assert wi.tolist() == ti.tolist()
         assert ws.tolist() == ts.tolist()
+
+
+def test_maxscore_equals_taat_bm25(setup):
+    _oracle, reader, topics = setup
+    params = BM25Params()
+    for _topic, keywords in topics:
+        for k in (3, 10, K, 10_000):
+            mi, ms = maxscore_topk(reader, keywords, params, k, kind="bm25")
+            ti, ts = taat_bm25(reader, keywords, params, k)
+            assert mi.tolist() == ti.tolist(), (keywords, k)
+            assert ms.tolist() == ts.tolist()
+
+
+def test_maxscore_equals_taat_tfidf(setup):
+    _oracle, reader, topics = setup
+    params = BM25Params()
+    for _topic, keywords in topics:
+        mi, ms = maxscore_topk(reader, keywords, params, K, kind="tfidf")
+        ti, ts = taat_tfidf(reader, keywords, K)
+        assert mi.tolist() == ti.tolist()
+        assert ms.tolist() == ts.tolist()
+
+
+def test_maxscore_partition_stress(setup):
+    """Head+tail term mixes at tiny k exercise the essential/non-essential
+    repartitioning, the probe early-abandon, and the frontier (a term that
+    flips from non-essential to essential mid-run must not re-surface
+    already-scored docs — a duplicate heap entry would break rank order)."""
+    _oracle, reader, _topics = setup
+    params = BM25Params()
+    by_df = sorted(reader._df, key=lambda t: -reader._df[t])
+    head, tail = by_df[:5], by_df[-30:]
+    rng = np.random.default_rng(7)
+    for _ in range(40):
+        kws = [(head[int(rng.integers(0, len(head)))], 1)] + [
+            (tail[int(i)], 1) for i in rng.integers(0, len(tail), 2)
+        ]
+        for k in (1, 2, 3, 5):
+            mi, ms = maxscore_topk(reader, kws, params, k, kind="bm25")
+            ti, ts = taat_bm25(reader, kws, params, k)
+            assert mi.tolist() == ti.tolist(), (kws, k)
+            assert ms.tolist() == ts.tolist()
+            # no doc may appear twice in the ranking
+            assert len(set(mi.tolist())) == len(mi)
+
+
+def test_maxscore_stale_bounds_guard(setup):
+    """MaxScore prunes with the same build-time block metadata as WAND, so
+    it shares the stale-params guard."""
+    import pytest as _pytest
+
+    from search_engine_ray.engine.search import score_topic
+
+    _oracle, reader, topics = setup
+    kws = topics[0][1]
+    other = BM25Params(k1=2.0, b=0.4)
+    with _pytest.raises(ValueError, match="build-time BM25 params"):
+        score_topic(reader, kws, "bm25", other, 10, "maxscore")
+    built = BM25Params()
+    ids_m, s_m = score_topic(reader, kws, "bm25", built, 10, "maxscore")
+    ids_t, s_t = score_topic(reader, kws, "bm25", built, 10, "taat")
+    assert np.array_equal(ids_m, ids_t)
+    assert np.array_equal(s_m, s_t)
 
 
 def test_distributed_search_pipeline(setup, tmp_path):
