@@ -325,6 +325,16 @@ def cmd_query(args: argparse.Namespace) -> int:
         for d in ids:
             print(_json.dumps({"doc": str(reader.doc_names[d])}))
         return 0
+    if args.ranked_and:
+        from .config import BM25Params
+        from .engine.scoring import conjunctive_bm25
+
+        ids, scores = conjunctive_bm25(reader, keywords, BM25Params(), k=args.k)
+        for rank, (d, s) in enumerate(zip(ids, scores), 1):
+            print(_json.dumps(
+                {"rank": rank, "doc": str(reader.doc_names[d]), "score": float(s)}
+            ))
+        return 0
     if args.facets:
         if not args.docs_table:
             print("error: --facets needs --docs-table", file=sys.stderr)
@@ -613,6 +623,8 @@ def main(argv: list[str] | None = None) -> int:
                      choices=["bm25", "tfidf", "bm25adpt", "lmd", "bm25plus"])
     pq_.add_argument("--method", default="auto", choices=["auto", "taat", "wand", "maxscore"])
     pq_.add_argument("--boolean", choices=["and", "or"], default=None)
+    pq_.add_argument("--ranked-and", action="store_true",
+                     help="conjunctive BM25: rank only docs containing ALL query terms")
     pq_.add_argument("--k", type=int, default=10)
     pq_.add_argument("--docs-table", default=None,
                      help="corpus parquet for --facets/--collapse/--prf")

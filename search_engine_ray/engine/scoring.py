@@ -417,6 +417,53 @@ def wand_topk(
     return ids, scores
 
 
+def conjunctive_bm25(
+    reader: IndexReader,
+    keywords: list[tuple[str, int]],
+    params: BM25Params,
+    k: int = 1000,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Ranked AND retrieval: BM25 top-k over docs containing ALL query terms.
+
+    The candidate set comes from the block-skipping boolean AND
+    (engine/boolean.py — rarest-term-first, tombstone-aware), then each
+    term's contribution is gathered BLOCK-GRANULARLY: only posting blocks
+    that actually contain a matched doc are decoded, so a head term costs
+    O(matched blocks), not O(postings).  Scores are accumulated float32 in
+    query order — bit-identical to the exhaustive TAAT score of the same
+    docs (tested).  Any query term absent from the index yields an empty
+    result (conjunctive semantics, unlike J1's silent drop)."""
+    from .boolean import boolean_and
+
+    docs = boolean_and(reader, [t for t, _ in keywords])
+    if len(docs) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+    n = reader.n_docs
+    avgdl = reader.avgdl
+    scores = np.zeros(len(docs), dtype=np.float32)
+    for term, qtf in keywords:
+        tp = reader.postings(term)
+        idf = math.log((n - tp.df + 0.5) / (tp.df + 0.5))
+        qterm = ((params.k3 + 1) * qtf) / (params.k3 + qtf)
+        for blk in tp.blocks:
+            lo = int(np.searchsorted(docs, blk.first_doc))
+            hi = int(np.searchsorted(docs, blk.last_doc, side="right"))
+            if lo == hi:
+                continue  # no matched doc in this block: never decoded
+            bids, btfs, bdls = blk.decode()
+            sub = docs[lo:hi]
+            pos = np.searchsorted(bids, sub)
+            tfs = btfs[pos]
+            dls = bdls[pos]
+            doc_term = 1 - params.b + params.b * (dls / avgdl)
+            contrib = (
+                idf * (tfs * (params.k1 + 1)) / (tfs + params.k1 * doc_term) * qterm
+            ).astype(np.float32)
+            scores[lo:hi] = scores[lo:hi] + contrib
+    order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
+    return docs[order], scores[order]
+
+
 # --------------------------------------------------------------------------
 # Block-max MaxScore DAAT (Turtle & Flood 1995 partitioning over the same
 # block-skipping cursors as WAND)

@@ -140,6 +140,33 @@ def bm25_scores_f64(
     return cand[order], scores[cand][order]
 
 
+def conjunctive_bm25_f64(
+    reader: IndexReader, keywords: list[tuple[str, int]], k1: float = 1.2, b: float = 0.75, k3: float = 100.0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Float64 ranked-AND BM25 (DuckDB-oracle twin of
+    engine.scoring.conjunctive_bm25; same candidate set, float64 math so
+    micros match the SQL side exactly)."""
+    from .engine.boolean import boolean_and
+
+    docs = boolean_and(reader, [t for t, _ in keywords])
+    if len(docs) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    n = reader.n_docs
+    avgdl = reader.avgdl
+    scores = np.zeros(len(docs), dtype=np.float64)
+    for term, qtf in keywords:
+        tp = reader.postings(term)
+        ids, tfs, dls = tp.arrays()
+        pos = np.searchsorted(ids, docs)
+        tf = tfs[pos].astype(np.float64)
+        dl = dls[pos].astype(np.float64)
+        idf = np.log((n - tp.df + 0.5) / (tp.df + 0.5))
+        qterm = ((k3 + 1) * qtf) / (k3 + qtf)
+        scores += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * (dl / avgdl))) * qterm
+    order = np.lexsort((docs, -scores))
+    return docs[order], scores[order]
+
+
 def tfidf_scores_f64(reader: IndexReader, keywords: list[tuple[str, int]]) -> tuple[np.ndarray, np.ndarray]:
     n = reader.n_docs
     scores = np.zeros(n, dtype=np.float64)

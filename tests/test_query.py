@@ -180,6 +180,41 @@ def test_maxscore_partition_stress(setup):
             assert len(set(mi.tolist())) == len(mi)
 
 
+def test_conjunctive_bm25_equals_filtered_taat(setup):
+    """Ranked AND == exhaustive TAAT restricted to the boolean-AND doc set,
+    with bit-identical float32 scores (the block-granular gather uses the
+    same elementwise expression and query-order accumulation)."""
+    from search_engine_ray.engine.boolean import boolean_and
+    from search_engine_ray.engine.scoring import conjunctive_bm25
+
+    _oracle, reader, topics = setup
+    params = BM25Params()
+    # random-vocab topics rarely intersect in a 200-doc corpus; add head-term
+    # conjunctions that are guaranteed dense enough to overlap
+    by_df = sorted(reader._df, key=lambda t: -reader._df[t])
+    extra = [(101, [(by_df[0], 1), (by_df[1], 1)]),
+             (102, [(by_df[0], 1), (by_df[1], 2), (by_df[2], 1)])]
+    checked = 0
+    for _topic, keywords in topics + extra:
+        ci, cs = conjunctive_bm25(reader, keywords, params, k=10_000)
+        and_set = set(boolean_and(reader, [t for t, _ in keywords]).tolist())
+        ti, ts = taat_bm25(reader, keywords, params, k=10_000)
+        keep = [j for j, d in enumerate(ti.tolist()) if d in and_set]
+        assert ci.tolist() == [int(ti[j]) for j in keep]
+        assert cs.tolist() == [float(ts[j]) for j in keep]
+        checked += len(ci) > 0
+    assert checked  # at least one topic had a non-empty AND set
+
+
+def test_conjunctive_bm25_oov_is_empty(setup):
+    from search_engine_ray.engine.scoring import conjunctive_bm25
+
+    _oracle, reader, topics = setup
+    kws = topics[0][1] + [("zz-not-a-term", 1)]
+    ids, scores = conjunctive_bm25(reader, kws, BM25Params(), k=10)
+    assert len(ids) == 0 and len(scores) == 0
+
+
 def test_maxscore_stale_bounds_guard(setup):
     """MaxScore prunes with the same build-time block metadata as WAND, so
     it shares the stale-params guard."""
