@@ -766,6 +766,24 @@ def q_bm25_conjunctive_top10(sf_dir: str) -> pa.Table:
     )
 
 
+def q_bm25_synonyms_top10(sf_dir: str) -> pa.Table:
+    """Synonym-group BM25 (pipelines.synonym_bm25_f64 — SynonymQuery
+    semantics: union postings, summed tf, group df).  Groups:
+    {spark, stream} and {join, merge}; the oracle folds tokens to the
+    same groups with a CASE and enforces group df = count(DISTINCT doc)."""
+    from search_engine_ray.pipelines import synonym_bm25_f64
+
+    r = _reader(sf_dir)
+    ids, scores = synonym_bm25_f64(
+        r, [(["spark", "stream"], 1), (["join", "merge"], 1)]
+    )
+    ids, scores = ids[:10], scores[:10]
+    doc_ids = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids), "score_micros": pa.array(_micros(scores))}
+    )
+
+
 def q_bm25_qtf_top10(sf_dir: str) -> pa.Table:
     """BM25 with a repeated query term (qtf=2) — exercises the
     (k3+1)qtf/(k3+qtf) query-weight (BM25Scorer.cs:53, M7 folding)."""
@@ -4066,6 +4084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # inside the callable — dynamic pruning is not SQL-expressible)
         "bm25_maxscore_top10": q_bm25_maxscore_top10,
         "bm25_conjunctive_top10": q_bm25_conjunctive_top10,
+        "bm25_synonyms_top10": q_bm25_synonyms_top10,
     }
 
 
@@ -4529,6 +4548,29 @@ def oracle_sql() -> dict[str, str]:
               FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
               GROUP BY tf.doc_id
               HAVING count(DISTINCT tf.term) = 3
+            ),
+            ranked AS (SELECT doc_id, score,
+                              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM sc)
+            SELECT doc_id, {micros.format(expr="score")} AS score_micros
+            FROM ranked WHERE r <= 10
+        """,
+        "bm25_synonyms_top10": f"""
+            WITH {_TOKS},
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+            tf AS (SELECT doc_id,
+                          CASE WHEN t IN ('spark','stream') THEN 'g1' ELSE 'g2' END AS grp,
+                          count(*) AS tf
+                   FROM toks WHERE t IN ('spark','stream','join','merge')
+                   GROUP BY 1, 2),
+            df AS (SELECT grp, count(*) AS df FROM tf GROUP BY grp),
+            sc AS (
+              SELECT tf.doc_id,
+                     SUM( ln((st.n - df.df + 0.5) / (df.df + 0.5))
+                          * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) ) AS score
+              FROM tf JOIN df USING (grp) JOIN dl USING (doc_id) CROSS JOIN st
+              GROUP BY tf.doc_id
             ),
             ranked AS (SELECT doc_id, score,
                               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM sc)

@@ -325,6 +325,35 @@ def cmd_query(args: argparse.Namespace) -> int:
         for d in ids:
             print(_json.dumps({"doc": str(reader.doc_names[d])}))
         return 0
+    if args.synonyms:
+        from .pipelines import synonym_bm25_f64
+
+        syn: dict[str, list[str]] = {}
+        for grp in args.synonyms.split(";"):
+            words_ = [w.strip() for w in grp.split("=") if w.strip()]
+            if len(words_) < 2:
+                print(f"error: bad synonym group {grp!r} (want a=b[=c...])", file=sys.stderr)
+                return 2
+            members = [
+                normalize_query_word(
+                    w, case_folding=opts.case_folding,
+                    remove_stopwords=opts.remove_stopwords, stemming=opts.stemming,
+                )
+                for w in words_
+            ]
+            members = [m for m in members if m]
+            for m in members:
+                syn[m] = members
+        groups: list[tuple[list[str], int]] = []
+        for t, qtf in keywords:
+            groups.append((syn.get(t, [t]), qtf))
+        ids, scores = synonym_bm25_f64(reader, groups)
+        ids, scores = ids[: args.k], scores[: args.k]
+        for rank, (d, s) in enumerate(zip(ids, scores), 1):
+            print(_json.dumps(
+                {"rank": rank, "doc": str(reader.doc_names[d]), "score": float(s)}
+            ))
+        return 0
     if args.ranked_and:
         from .config import BM25Params
         from .engine.scoring import conjunctive_bm25
@@ -625,6 +654,9 @@ def main(argv: list[str] | None = None) -> int:
     pq_.add_argument("--boolean", choices=["and", "or"], default=None)
     pq_.add_argument("--ranked-and", action="store_true",
                      help="conjunctive BM25: rank only docs containing ALL query terms")
+    pq_.add_argument("--synonyms", default=None, metavar="a=b;c=d",
+                     help="synonym groups: members score as ONE pseudo-term "
+                          "(union postings, summed tf, group df)")
     pq_.add_argument("--k", type=int, default=10)
     pq_.add_argument("--docs-table", default=None,
                      help="corpus parquet for --facets/--collapse/--prf")

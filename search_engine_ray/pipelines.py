@@ -167,6 +167,53 @@ def conjunctive_bm25_f64(
     return docs[order], scores[order]
 
 
+def synonym_bm25_f64(
+    reader: IndexReader,
+    groups: list[tuple[list[str], int]],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k3: float = 100.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Synonym-group BM25 (Lucene SynonymQuery semantics): each group of
+    terms scores as ONE pseudo-term — postings unioned with tf summed per
+    doc, df = number of docs matching ANY member — so adding a synonym
+    never inflates a document's per-concept saturation the way two
+    independent query terms would.
+
+    ``groups``: [(terms, qtf)]; a singleton group degenerates exactly to
+    plain BM25 (tested).  Float64 like the other oracle twins; absent
+    members are dropped, an entirely-absent group contributes nothing."""
+    n = reader.n_docs
+    avgdl = reader.avgdl
+    scores = np.zeros(n, dtype=np.float64)
+    touched = np.zeros(n, dtype=bool)
+    for terms, qtf in groups:
+        parts_ids, parts_tfs, parts_dls = [], [], []
+        for t in terms:
+            tp = reader.postings(t)
+            if tp is None:
+                continue
+            ids, tfs, dls = tp.arrays()
+            parts_ids.append(ids)
+            parts_tfs.append(tfs)
+            parts_dls.append(dls)
+        if not parts_ids:
+            continue
+        all_ids = np.concatenate(parts_ids)
+        uids, inv = np.unique(all_ids, return_inverse=True)
+        tf = np.bincount(inv, weights=np.concatenate(parts_tfs).astype(np.float64))
+        dl = np.zeros(len(uids), dtype=np.float64)
+        dl[inv] = np.concatenate(parts_dls)  # doc length is per-doc, any member wins
+        df = len(uids)
+        idf = np.log((n - df + 0.5) / (df + 0.5))
+        qterm = ((k3 + 1) * qtf) / (k3 + qtf)
+        scores[uids] += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * (dl / avgdl))) * qterm
+        touched[uids] = True
+    cand = np.flatnonzero(touched)
+    order = np.lexsort((cand, -scores[cand]))
+    return cand[order], scores[cand][order]
+
+
 def tfidf_scores_f64(reader: IndexReader, keywords: list[tuple[str, int]]) -> tuple[np.ndarray, np.ndarray]:
     n = reader.n_docs
     scores = np.zeros(n, dtype=np.float64)

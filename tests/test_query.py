@@ -215,6 +215,51 @@ def test_conjunctive_bm25_oov_is_empty(setup):
     assert len(ids) == 0 and len(scores) == 0
 
 
+def test_synonym_bm25_singletons_degenerate_to_bm25(setup):
+    """A query of singleton groups must reproduce plain BM25 exactly."""
+    from search_engine_ray.pipelines import bm25_scores_f64, synonym_bm25_f64
+
+    _oracle, reader, topics = setup
+    for _topic, keywords in topics:
+        si, ss = synonym_bm25_f64(reader, [([t], q) for t, q in keywords])
+        bi, bs = bm25_scores_f64(reader, keywords)
+        assert si.tolist() == bi.tolist()
+        assert ss.tolist() == bs.tolist()
+
+
+def test_synonym_bm25_group_semantics(setup):
+    """Two-member group == brute-force SynonymQuery over the oracle index:
+    union postings, per-doc summed tf, df = |union| — NOT the sum of the
+    members' independent BM25 contributions."""
+    import math
+
+    from search_engine_ray.pipelines import synonym_bm25_f64
+
+    oracle, reader, _topics = setup
+    by_df = sorted(reader._df, key=lambda t: -reader._df[t])
+    t1, t2 = by_df[0], by_df[3]
+    si, ss = synonym_bm25_f64(reader, [([t1, t2], 1)])
+
+    ids1, tfs1 = oracle.postings[t1]
+    ids2, tfs2 = oracle.postings[t2]
+    merged: dict[int, int] = {}
+    for d, tf in list(zip(ids1, tfs1)) + list(zip(ids2, tfs2)):
+        merged[d] = merged.get(d, 0) + tf
+    n, avgdl = oracle.n_docs, oracle.avgdl
+    df = len(merged)
+    idf = math.log((n - df + 0.5) / (df + 0.5))
+    expected = {}
+    for d, tf in merged.items():
+        dl = oracle.doc_lens[d]
+        expected[d] = idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * (dl / avgdl)))
+    # compare via doc NAME to avoid docid-assignment assumptions
+    name_got = {str(reader.doc_names[d]): s for d, s in zip(si.tolist(), ss.tolist())}
+    name_exp = {oracle.doc_names[d]: s for d, s in expected.items()}
+    assert set(name_got) == set(name_exp)
+    for nm in name_exp:
+        assert abs(name_got[nm] - name_exp[nm]) < 1e-9, nm
+
+
 def test_maxscore_stale_bounds_guard(setup):
     """MaxScore prunes with the same build-time block metadata as WAND, so
     it shares the stale-params guard."""
