@@ -325,6 +325,18 @@ def cmd_query(args: argparse.Namespace) -> int:
         for d in ids:
             print(_json.dumps({"doc": str(reader.doc_names[d])}))
         return 0
+    if args.synonyms or args.ranked_and:
+        # these are BM25-only surfaces with their own scoring path — a
+        # silently ignored --scorer/--method would lie to the caller
+        if args.synonyms and args.ranked_and:
+            print("error: --synonyms and --ranked-and are mutually exclusive", file=sys.stderr)
+            return 2
+        if args.scorer != "bm25" or args.method != "auto":
+            print(
+                "error: --synonyms/--ranked-and score BM25 with default "
+                "params; --scorer/--method do not apply", file=sys.stderr,
+            )
+            return 2
     if args.synonyms:
         from .pipelines import synonym_bm25_f64
 

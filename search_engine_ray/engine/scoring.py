@@ -291,20 +291,12 @@ class _Cursor:
         ).astype(np.float32)
 
 
-def wand_topk(
-    reader: IndexReader,
-    keywords: list[tuple[str, int]],
-    params: BM25Params,
-    k: int = 1000,
-    kind: str = "bm25",
-    exclude: np.ndarray | None = None,
-) -> tuple[np.ndarray, np.ndarray]:
-    """``exclude``: boolean mask of tombstoned doc ordinals.  Dead docs
-    are dropped at window evaluation (never enter the heap); block-max
-    bounds computed over all postings remain VALID upper bounds for the
-    live docs (removing docs can only lower a block's max), so pruning
-    stays conservative-correct — results are bit-identical to TAAT with
-    the same mask (tested)."""
+def _build_cursors(
+    reader: IndexReader, keywords: list[tuple[str, int]], params: BM25Params, kind: str
+) -> list[_Cursor]:
+    """Shared by wand_topk/maxscore_topk: one cursor per present term, with
+    the SAME idf expressions as the TAAT scorers (incl. the tfidf integer-
+    division quirk) so every DAAT path stays bit-identical to TAAT."""
     n = reader.n_docs
     cursors: list[_Cursor] = []
     qpos = 0
@@ -320,6 +312,32 @@ def wand_topk(
             qterm = ((params.k3 + 1) * qtf) / (params.k3 + qtf)
         cursors.append(_Cursor(tp, qpos, idf, qterm, params, reader.avgdl, kind))
         qpos += 1
+    return cursors
+
+
+def _ranked_from_heap(heap: list[tuple[float, int]]) -> tuple[np.ndarray, np.ndarray]:
+    """(score desc, docID asc) — the shared DAAT tie-break epilogue."""
+    ranked = sorted(heap, key=lambda p: (-p[0], -p[1]))
+    ids = np.asarray([-d for _s, d in ranked], dtype=np.int64)
+    scores = np.asarray([s for s, _d in ranked], dtype=np.float32)
+    return ids, scores
+
+
+def wand_topk(
+    reader: IndexReader,
+    keywords: list[tuple[str, int]],
+    params: BM25Params,
+    k: int = 1000,
+    kind: str = "bm25",
+    exclude: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """``exclude``: boolean mask of tombstoned doc ordinals.  Dead docs
+    are dropped at window evaluation (never enter the heap); block-max
+    bounds computed over all postings remain VALID upper bounds for the
+    live docs (removing docs can only lower a block's max), so pruning
+    stays conservative-correct — results are bit-identical to TAAT with
+    the same mask (tested)."""
+    cursors = _build_cursors(reader, keywords, params, kind)
 
     heap: list[tuple[float, int]] = []  # (score, -doc) min-heap; weakest first
 
@@ -411,10 +429,7 @@ def wand_topk(
                     c.advance_to(pivot_doc)
         live = [c for c in live if not c.exhausted]
 
-    ranked = sorted(heap, key=lambda p: (-p[0], -p[1]))
-    ids = np.asarray([-d for _s, d in ranked], dtype=np.int64)
-    scores = np.asarray([s for s, _d in ranked], dtype=np.float32)
-    return ids, scores
+    return _ranked_from_heap(heap)
 
 
 def conjunctive_bm25(
@@ -465,8 +480,9 @@ def conjunctive_bm25(
 
 
 # --------------------------------------------------------------------------
-# Block-max MaxScore DAAT (Turtle & Flood 1995 partitioning over the same
-# block-skipping cursors as WAND)
+# MaxScore DAAT (Turtle & Flood 1995 term-upper-bound partitioning over the
+# same block-skipping cursors as WAND; pruning uses TERM-level bounds only —
+# the per-block bound refinement is WAND's, not replicated here)
 # --------------------------------------------------------------------------
 
 def maxscore_topk(
@@ -617,7 +633,4 @@ def maxscore_topk(
         frontier = w_end
         live = [c for c in live if not c.exhausted]
 
-    ranked = sorted(heap, key=lambda p: (-p[0], -p[1]))
-    ids = np.asarray([-d for _s, d in ranked], dtype=np.int64)
-    scores = np.asarray([s for s, _d in ranked], dtype=np.float32)
-    return ids, scores
+    return _ranked_from_heap(heap)

@@ -182,14 +182,17 @@ def synonym_bm25_f64(
 
     ``groups``: [(terms, qtf)]; a singleton group degenerates exactly to
     plain BM25 (tested).  Float64 like the other oracle twins; absent
-    members are dropped, an entirely-absent group contributes nothing."""
+    members are dropped, an entirely-absent group contributes nothing.
+    Duplicate members inside a group (e.g. two surface forms normalizing
+    to the same token) are folded to one, and tombstoned docs never
+    appear in results (same contract as score_topic)."""
     n = reader.n_docs
     avgdl = reader.avgdl
     scores = np.zeros(n, dtype=np.float64)
     touched = np.zeros(n, dtype=bool)
     for terms, qtf in groups:
         parts_ids, parts_tfs, parts_dls = [], [], []
-        for t in terms:
+        for t in dict.fromkeys(terms):  # order-preserving member dedup
             tp = reader.postings(t)
             if tp is None:
                 continue
@@ -209,6 +212,9 @@ def synonym_bm25_f64(
         qterm = ((k3 + 1) * qtf) / (k3 + qtf)
         scores[uids] += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * (dl / avgdl))) * qterm
         touched[uids] = True
+    deleted = reader.deleted_mask()
+    if deleted is not None:
+        touched &= ~deleted
     cand = np.flatnonzero(touched)
     order = np.lexsort((cand, -scores[cand]))
     return cand[order], scores[cand][order]

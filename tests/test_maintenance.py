@@ -68,6 +68,31 @@ def test_delete_excludes_and_keeps_scores(index_dir):
         assert list(zip(names_d, d_scores))[: len(exp)] == exp
 
 
+def test_synonym_and_conjunctive_honor_tombstones(index_dir):
+    """Review finding: synonym_bm25_f64 once returned deleted docs.  Both
+    the synonym path and ranked-AND must keep the 'tombstoned docs never
+    appear in results' invariant every other surface enforces."""
+    from search_engine_ray.config import BM25Params
+    from search_engine_ray.engine.scoring import conjunctive_bm25
+    from search_engine_ray.pipelines import synonym_bm25_f64
+
+    kws = _kws(index_dir)
+    r0 = IndexReader(index_dir)
+    groups = [([t], q) for t, q in kws]
+    base_ids, _ = synonym_bm25_f64(r0, groups)
+    assert len(base_ids) >= 3
+    work = f"{BASE}/idx_syn"
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(index_dir, work)
+    victims = [str(r0.doc_names[d]) for d in base_ids[:2]]
+    delete_docs(work, victims)
+    r = IndexReader(work)
+    s_ids, _ = synonym_bm25_f64(r, groups)
+    assert not {str(r.doc_names[d]) for d in s_ids} & set(victims)
+    c_ids, _ = conjunctive_bm25(r, kws, BM25Params(), k=1000)
+    assert not {str(r.doc_names[d]) for d in c_ids} & set(victims)
+
+
 def test_wand_exact_under_tombstones(index_dir):
     """WAND with tombstones is EXACT: dead docs dropped at window eval,
     bounds stay conservative — bit-identical to TAAT with the same mask

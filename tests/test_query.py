@@ -260,6 +260,19 @@ def test_synonym_bm25_group_semantics(setup):
         assert abs(name_got[nm] - name_exp[nm]) < 1e-9, nm
 
 
+def test_synonym_bm25_duplicate_members_fold(setup):
+    """Two surface forms normalizing to the same token must not double-count
+    the postings (review finding): [t, t] == [t] exactly."""
+    from search_engine_ray.pipelines import synonym_bm25_f64
+
+    _oracle, reader, _topics = setup
+    t = max(reader._df, key=lambda x: (reader._df[x], x))
+    di, ds = synonym_bm25_f64(reader, [([t, t], 1)])
+    si, ss = synonym_bm25_f64(reader, [([t], 1)])
+    assert di.tolist() == si.tolist()
+    assert ds.tolist() == ss.tolist()
+
+
 def test_maxscore_stale_bounds_guard(setup):
     """MaxScore prunes with the same build-time block metadata as WAND, so
     it shares the stale-params guard."""
