@@ -61,13 +61,16 @@ _AUTO_DENSE_MAX_DOCS = 20_000_000
 def _resolve_method(
     reader: IndexReader, keywords: list[tuple[str, int]], method: str, k: int = 1000
 ) -> str:
+    """auto picks MaxScore for the pruning branch: measured 3-7x faster
+    than WAND at every k on the bench corpus (BASELINE.md r4; both are
+    bit-identical to TAAT, so the choice is purely a latency call)."""
     if method != "auto":
         return method
     if reader.n_docs > _AUTO_DENSE_MAX_DOCS:
-        return "wand"
+        return "maxscore"
     total = sum(reader._df.get(t, 0) for t, _ in keywords)
     if k <= _AUTO_WAND_MAX_K and total > _AUTO_WAND_MIN_POSTINGS:
-        return "wand"
+        return "maxscore"
     return "taat"
 
 

@@ -225,17 +225,47 @@ def _shard_scores(view: _ShardIndexView, keywords, scorer: str, params: BM25Para
     return cand[order] + view.doc_lo, s[order]
 
 
+def _shard_scores_daat(view: _ShardIndexView, keywords, params: BM25Params, k: int,
+                       method: str, kind: str):
+    """Per-shard dynamic pruning: WAND or MaxScore over the shard view's
+    block-skipping cursors (block-max metadata travels with the shard).
+    The shard-local top-k contains every global-top-k doc of this shard —
+    per-shard pruning composes exactly with the global merge (tested
+    bit-identical to the sharded TAAT path).  Bounds are never stale here:
+    the scorer params come from the index's own stats.json."""
+    from .scoring import maxscore_topk, wand_topk
+
+    width = view.doc_hi - view.doc_lo
+    if width <= 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+    exclude = None
+    if view.deleted_local is not None:
+        exclude = np.zeros(width, dtype=bool)
+        exclude[view.deleted_local] = True
+    fn = wand_topk if method == "wand" else maxscore_topk
+    ids, scores = fn(view, keywords, params, k, kind=kind, exclude=exclude)
+    return ids + view.doc_lo, scores
+
+
 class ShardScorer:
     """Actor stage: one shard's postings loaded once per actor; the (small)
     topic set is broadcast via constructor kwargs, shard ids stream in."""
 
     def __init__(self, index_dir: str, topics, scorer: str = "bm25", k: int = 1000,
-                 adpt_params: dict | None = None):
+                 adpt_params: dict | None = None, method: str = "taat"):
+        if method not in ("taat", "wand", "maxscore"):
+            raise ValueError(f"unknown sharded method {method!r}")
+        if method != "taat" and scorer not in ("bm25", "tfidf"):
+            raise ValueError(
+                f"sharded method={method!r} supports bm25/tfidf only; "
+                f"{scorer!r} needs the exhaustive path (method='taat')"
+            )
         self.index_dir = index_dir
         self.topics = topics
         self.scorer = scorer
         self.k = k
         self.adpt_params = adpt_params
+        self.method = method
         # pruned dictionary/postings reads: only the topics' terms are needed
         self.term_set = sorted({t for _, kws in topics for t, _ in kws})
         self._views: dict[int, _ShardIndexView] = {}
@@ -251,9 +281,14 @@ class ShardScorer:
                 view = _ShardIndexView(self.index_dir, shard, terms=self.term_set)
                 self._views[shard] = view
             for topic, keywords in self.topics:
-                ids, scores = _shard_scores(
-                    view, keywords, self.scorer, self.params, self.k, self.adpt_params
-                )
+                if self.method != "taat":
+                    ids, scores = _shard_scores_daat(
+                        view, keywords, self.params, self.k, self.method, self.scorer
+                    )
+                else:
+                    ids, scores = _shard_scores(
+                        view, keywords, self.scorer, self.params, self.k, self.adpt_params
+                    )
                 rows["topic"].extend([topic] * len(ids))
                 rows["doc_id"].extend(ids.tolist())
                 rows["score"].extend(scores.tolist())
@@ -272,9 +307,13 @@ def search_topics_sharded(
     scorer: str = "bm25",
     k: int = 1000,
     concurrency=(1, 8),
+    method: str = "taat",
 ) -> pa.Table:
     """Distributed doc-range-sharded scoring; returns (topic, doc_id, score,
-    rank) — bit-identical to whole-index TAAT (tested)."""
+    rank) — bit-identical to whole-index TAAT (tested).  method="wand"/
+    "maxscore" prunes INSIDE each shard (bm25/tfidf): the union of
+    shard-local top-k supersets the global top-k, so the merge result stays
+    bit-identical while each shard decodes only surviving blocks."""
     import ray.data
 
     post_meta = pads.dataset(os.path.join(index_dir, "postings"))
@@ -322,7 +361,7 @@ def search_topics_sharded(
     local = shard_ds.map_batches(
         ShardScorer,
         fn_constructor_kwargs=dict(index_dir=index_dir, topics=topics, scorer=scorer, k=k,
-                                   adpt_params=adpt_params),
+                                   adpt_params=adpt_params, method=method),
         batch_size=1,
         batch_format="pyarrow",
         concurrency=concurrency,

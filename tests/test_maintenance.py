@@ -176,6 +176,14 @@ def test_sharded_search_respects_tombstones(index_dir, ray_session):
             sharded["score"].to_numpy(), local_scores.astype(np.float32)
         )
         assert set(str(r.doc_names[d]) for d in sharded["doc_id"]).isdisjoint(victims)
+    # per-shard DAAT pruning composes with tombstones the same way
+    for method in ("wand", "maxscore"):
+        pruned = search_topics_sharded(work, topics, scorer="bm25", k=20, method=method).to_pandas()
+        local_ids, local_scores = score_topic(r, kws, scorer="bm25", k=20)
+        assert pruned["doc_id"].tolist() == local_ids.tolist(), method
+        np.testing.assert_array_equal(
+            pruned["score"].to_numpy(), local_scores.astype(np.float32)
+        )
 
 
 def test_compact_equals_fresh_build(index_dir, ray_session):

@@ -332,6 +332,36 @@ def test_sharded_search_matches_whole_index(setup):
             assert sub["score"].tolist() == scores.tolist(), (scorer, topic)
 
 
+def test_sharded_daat_pruning_matches_taat(setup):
+    """Per-shard WAND/MaxScore + global merge == the sharded TAAT path ==
+    whole-index TAAT: shard-local pruning can only drop docs outside the
+    shard's own top-k, and the union of shard top-k supersets the global
+    top-k."""
+    from search_engine_ray.engine.sharded_search import search_topics_sharded
+
+    _oracle, reader, topics = setup
+    params = BM25Params()
+    sub_topics = topics[:6] + topics[-1:]
+    for scorer in ("bm25", "tfidf"):
+        base = search_topics_sharded(
+            f"{BASE}/index", sub_topics, scorer=scorer, k=20, method="taat"
+        ).to_pandas()
+        for method in ("wand", "maxscore"):
+            out = search_topics_sharded(
+                f"{BASE}/index", sub_topics, scorer=scorer, k=20, method=method
+            ).to_pandas()
+            assert out["doc_id"].tolist() == base["doc_id"].tolist(), (scorer, method)
+            assert out["score"].tolist() == base["score"].tolist()
+            assert out["topic"].tolist() == base["topic"].tolist()
+
+
+def test_sharded_daat_rejects_adpt(setup):
+    from search_engine_ray.engine.sharded_search import ShardScorer
+
+    with pytest.raises(ValueError, match="exhaustive"):
+        ShardScorer(f"{BASE}/index", [(1, [("a", 1)])], scorer="bm25adpt", method="wand")
+
+
 def test_pruned_reader_matches_preloaded(setup):
     _oracle, reader, topics = setup
     lazy = IndexReader(f"{BASE}/index", preload=False)
