@@ -789,6 +789,27 @@ def q_bm25_synonyms_top10(sf_dir: str) -> pa.Table:
     )
 
 
+def q_value_quantiles_hist(sf_dir: str) -> pa.Table:
+    """Approximate quantiles of the continuous events.value column via the
+    fixed-depth histogram sketch (dataops/sketch.hist_quantiles — exact
+    Min/Max pass, then bucket counts; exchange <= bins rows per batch).
+    Bucketing and edges are pure +,-,*,/ IEEE doubles in a pinned op
+    order (no libm), so the oracle reproduces every row bit-for-bit."""
+    from search_engine_ray.dataops.sketch import hist_quantiles
+
+    ds = read_parquet_clean(os.path.join(sf_dir, "events.parquet"), columns=["value"])
+    t = hist_quantiles(ds, "value", q_pcts=(25, 50, 75, 90, 99), bins=4096)
+    return pa.table(
+        {
+            "q_pct": t["q_pct"],
+            "bucket": t["bucket"],
+            "rank": t["rank"],
+            "cum_count": t["cum_count"],
+            "est_micros": pa.array(_micros(t["est"].to_numpy())),
+        }
+    )
+
+
 def q_bm25_qtf_top10(sf_dir: str) -> pa.Table:
     """BM25 with a repeated query term (qtf=2) — exercises the
     (k3+1)qtf/(k3+qtf) query-weight (BM25Scorer.cs:53, M7 folding)."""
@@ -4090,6 +4111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_maxscore_top10": q_bm25_maxscore_top10,
         "bm25_conjunctive_top10": q_bm25_conjunctive_top10,
         "bm25_synonyms_top10": q_bm25_synonyms_top10,
+        "value_quantiles_hist": q_value_quantiles_hist,
     }
 
 
@@ -4558,6 +4580,29 @@ def oracle_sql() -> dict[str, str]:
                               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM sc)
             SELECT doc_id, {micros.format(expr="score")} AS score_micros
             FROM ranked WHERE r <= 10
+        """,
+        "value_quantiles_hist": f"""
+            WITH mm AS (SELECT min(value) AS mn, max(value) AS mx,
+                               count(value) AS n FROM events),
+            b AS (
+              SELECT CASE WHEN mm.mx = mm.mn THEN 0
+                          ELSE LEAST(CAST(floor((value - mm.mn) / (mm.mx - mm.mn) * 4096) AS BIGINT), 4095)
+                     END AS bucket
+              FROM events, mm WHERE value IS NOT NULL
+            ),
+            hist AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket),
+            cum AS (SELECT bucket, CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum_count FROM hist),
+            qs AS (SELECT * FROM (VALUES (25),(50),(75),(90),(99)) AS v(q_pct)),
+            ranks AS (SELECT q_pct, (q_pct * (SELECT n FROM mm) + 99) // 100 AS rank FROM qs),
+            pick AS (
+              SELECT r.q_pct, r.rank, min(c.bucket) AS bucket
+              FROM ranks r JOIN cum c ON c.cum_count >= r.rank
+              GROUP BY r.q_pct, r.rank
+            )
+            SELECT p.q_pct, p.bucket, p.rank, c.cum_count,
+                   {_SQL_MICROS.format(expr="(CASE WHEN mm.mx = mm.mn THEN mm.mn ELSE mm.mn + p.bucket * (mm.mx - mm.mn) / 4096 END)")} AS est_micros
+            FROM pick p JOIN cum c USING (bucket) CROSS JOIN mm
+            ORDER BY p.q_pct
         """,
         "bm25_synonyms_top10": f"""
             WITH {_TOKS},

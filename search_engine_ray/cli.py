@@ -325,6 +325,57 @@ def cmd_query(args: argparse.Namespace) -> int:
         for d in ids:
             print(_json.dumps({"doc": str(reader.doc_names[d])}))
         return 0
+    if args.explain:
+        # Lucene-style explain: per-term BM25 contribution breakdown for one
+        # document, computed with the SAME float32 expression as the TAAT
+        # scorer so the total matches the ranked score bit-for-bit.
+        import math as _math
+
+        import numpy as _np
+
+        from .config import BM25Params
+
+        doc = reader.doc_id_of(args.explain)
+        if doc < 0:
+            print(f"error: document {args.explain!r} not in index", file=sys.stderr)
+            return 2
+        mask = reader.deleted_mask()
+        if mask is not None and mask[doc]:
+            print(f"error: document {args.explain!r} is tombstoned", file=sys.stderr)
+            return 2
+        params = BM25Params()
+        n, avgdl = reader.n_docs, reader.avgdl
+        total = _np.float32(0.0)
+        for term, qtf in keywords:
+            tp = reader.postings(term)
+            row = {"term": term, "qtf": qtf}
+            if tp is None:
+                row.update({"matched": False, "reason": "term not in index"})
+            else:
+                ids, tfs, dls = tp.arrays()
+                pos = int(_np.searchsorted(ids, doc))
+                if pos >= len(ids) or ids[pos] != doc:
+                    row.update({"matched": False, "df": tp.df, "reason": "term not in doc"})
+                else:
+                    tf, dl = float(tfs[pos]), float(dls[pos])
+                    idf = _math.log((n - tp.df + 0.5) / (tp.df + 0.5))
+                    qterm = ((params.k3 + 1) * qtf) / (params.k3 + qtf)
+                    contrib = _np.float32(
+                        idf * (tf * (params.k1 + 1))
+                        / (tf + params.k1 * (1 - params.b + params.b * (dl / avgdl)))
+                        * qterm
+                    )
+                    total = _np.float32(total + contrib)
+                    row.update({
+                        "matched": True, "df": tp.df, "tf": int(tf), "doc_len": int(dl),
+                        "idf": idf, "query_weight": qterm, "contribution": float(contrib),
+                    })
+            print(_json.dumps(row))
+        print(_json.dumps({
+            "doc": args.explain, "score": float(total),
+            "n_docs": n, "avgdl": avgdl, "k1": params.k1, "b": params.b, "k3": params.k3,
+        }))
+        return 0
     if args.synonyms or args.ranked_and:
         # these are BM25-only surfaces with their own scoring path — a
         # silently ignored --scorer/--method would lie to the caller
@@ -666,6 +717,9 @@ def main(argv: list[str] | None = None) -> int:
     pq_.add_argument("--boolean", choices=["and", "or"], default=None)
     pq_.add_argument("--ranked-and", action="store_true",
                      help="conjunctive BM25: rank only docs containing ALL query terms")
+    pq_.add_argument("--explain", default=None, metavar="DOC_NAME",
+                     help="per-term BM25 contribution breakdown for one document "
+                          "(float32 total == the ranked score)")
     pq_.add_argument("--synonyms", default=None, metavar="a=b;c=d",
                      help="synonym groups: members score as ONE pseudo-term "
                           "(union postings, summed tf, group df)")

@@ -476,3 +476,103 @@ def grouped_heavy_hitters(
             "count": pa.array([counts[i] for i in order], pa.int64()),
         }
     )
+
+
+def hist_quantiles(
+    ds: ray.data.Dataset,
+    column: str,
+    q_pcts: tuple[int, ...] = (25, 50, 75, 90, 99),
+    bins: int = 4096,
+) -> pa.Table:
+    """Approximate quantiles of a CONTINUOUS column via a fixed-depth
+    histogram between the exact global min/max — the scale path where
+    exact quantiles would need a full sort (the exact
+    ``grouped_int_quantiles`` bounded-exchange trick needs a small
+    distinct-value domain; doubles don't have one).
+
+    Two bounded passes:
+      1. exact global Min/Max (tiny commutative aggregate);
+      2. per-batch bucket histogram ``floor((x - mn) / (mx - mn) * bins)``
+         clamped to bins-1, nonzero cells emitted -> groupby-sum — the
+         exchange is <= bins rows per batch, never data-sized, and the
+         sums commute so the result is partition-invariant (tested).
+
+    Rank convention: the answer for q% is the first bucket whose
+    cumulative count reaches ``ceil(q * n / 100)`` (integer arithmetic);
+    the estimate is that bucket's LOWER edge, so the error is at most one
+    bucket width in value space (tested against exact quantiles).
+    Bucketing and edges use only +,-,*,/ IEEE doubles in a fixed
+    operation order — no libm calls — so a DuckDB oracle reproduces every
+    row bit-for-bit (unlike ln/exp scores, which round differently across
+    environments).
+
+    Output: (q_pct, bucket, rank, cum_count, est) ascending by q_pct;
+    NULLs are excluded on both sides.  Raises on an empty column.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    if not q_pcts or any(not (0 < q <= 100) for q in q_pcts):
+        raise ValueError("q_pcts must be integers in (0, 100]")
+
+    mm = ds.aggregate(
+        Min(column, alias_name="mn"), Max(column, alias_name="mx")
+    )  # Ray aggregates ignore nulls by default, matching the SQL MIN/MAX
+    if mm["mn"] is None:
+        raise ValueError(f"hist_quantiles: column {column!r} has no non-null values")
+    mn, mx = float(mm["mn"]), float(mm["mx"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = pc.drop_null(batch[column]).to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(x) == 0:
+            return pa.table(
+                {"bucket": pa.array([], pa.int64()), "count": pa.array([], pa.int64())}
+            )
+        if mx == mn:
+            b = np.zeros(len(x), dtype=np.int64)
+        else:
+            b = np.floor((x - mn) / (mx - mn) * bins).astype(np.int64)
+            b = np.minimum(b, bins - 1)  # x == mx lands in the last bucket
+        counts = np.bincount(b, minlength=0)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "bucket": pa.array(nz.astype(np.int64)),
+                "count": pa.array(counts[nz].astype(np.int64)),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("count", alias_name="count"))
+        .sort("bucket")
+        .to_pandas()
+    )
+    if len(hist) == 0:
+        raise ValueError(f"hist_quantiles: column {column!r} has no non-null values")
+    buckets = hist["bucket"].to_numpy().astype(np.int64)
+    counts = hist["count"].to_numpy().astype(np.int64)
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    rows = {"q_pct": [], "bucket": [], "rank": [], "cum_count": [], "est": []}
+    for q in sorted(q_pcts):
+        rank = (q * n + 99) // 100  # ceil(q*n/100), pure integers
+        i = int(np.searchsorted(cum, rank, side="left"))
+        b = int(buckets[i])
+        est = mn if mx == mn else mn + b * (mx - mn) / bins
+        rows["q_pct"].append(int(q))
+        rows["bucket"].append(b)
+        rows["rank"].append(int(rank))
+        rows["cum_count"].append(int(cum[i]))
+        rows["est"].append(est)
+    return pa.table(
+        {
+            "q_pct": pa.array(rows["q_pct"], pa.int64()),
+            "bucket": pa.array(rows["bucket"], pa.int64()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+            "cum_count": pa.array(rows["cum_count"], pa.int64()),
+            "est": pa.array(rows["est"], pa.float64()),
+        }
+    )

@@ -265,6 +265,27 @@ def test_cli_query_positions_phrase(ray_session, tmp_path):
         "query", idx, "alpha beta", "--scorer", "lmd", "--k", "3")]
     assert lmd_rows and lmd_rows[0]["rank"] == 1
 
+    # --explain: float32 per-term breakdown sums to the ranked score exactly
+    top = rows[0]
+    exp = [_json.loads(l) for l in run(
+        "query", idx, "alpha beta zzmissing", "--explain", top["doc"])]
+    assert exp[-1]["doc"] == top["doc"]
+    assert exp[-1]["score"] == top["score"]
+    assert [r["term"] for r in exp[:-1]] == ["alpha", "beta", "zzmissing"]
+    assert exp[2]["matched"] is False and exp[2]["reason"] == "term not in index"
+    matched = [r for r in exp[:-1] if r["matched"]]
+    assert matched and all("contribution" in r for r in matched)
+    total = np.float32(0.0)
+    for r in matched:
+        total = np.float32(total + np.float32(r["contribution"]))
+    assert float(total) == top["score"]
+    # ranked-and and synonyms surfaces through the CLI
+    ra = [_json.loads(l) for l in run("query", idx, "alpha beta", "--ranked-and")]
+    assert {r["doc"] for r in ra} == {"0"}
+    syn = [_json.loads(l) for l in run(
+        "query", idx, "alpha", "--synonyms", "alpha=delta", "--k", "3")]
+    assert len(syn) == 3  # union postings cover all docs
+
     pos = str(tmp_path / "pos")
     run("positions", corpus, pos, "IndexOptions(CaseFolding,RemoveStopWords)",
         "--source-column", "text", "--name-column", "doc_id", "--num-cpus", "2")

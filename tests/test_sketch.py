@@ -241,3 +241,59 @@ def test_grouped_heavy_hitters_vs_duckdb(ray_session):
         grouped_heavy_hitters(ray.data.from_arrow(bad), "lang", k=2)
     with _pytest.raises(ValueError, match=">= 1"):
         grouped_heavy_hitters(ray.data.from_arrow(tbl), "lang", k=0)
+
+
+def test_hist_quantiles_accuracy_and_invariance(ray_session):
+    from search_engine_ray.dataops.sketch import hist_quantiles
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([rng.exponential(40.0, 5000), rng.normal(200.0, 5.0, 500)])
+    tbl = pa.table({"value": pa.array(vals, pa.float64())})
+    ds = ray.data.from_arrow(tbl)
+    out = hist_quantiles(ds, "value", q_pcts=(10, 50, 90, 99), bins=4096)
+    mn, mx = float(vals.min()), float(vals.max())
+    width = (mx - mn) / 4096
+    n = len(vals)
+    svals = np.sort(vals)
+    for q, b, rank, cum in zip(
+        out["q_pct"].to_pylist(), out["bucket"].to_pylist(),
+        out["rank"].to_pylist(), out["cum_count"].to_pylist(),
+    ):
+        assert rank == (q * n + 99) // 100
+        exact = svals[rank - 1]  # rank-th smallest
+        est = mn + b * (mx - mn) / 4096
+        # lower bucket edge: within one bucket width of the exact quantile
+        assert est <= exact + 1e-9
+        assert exact - est <= width + 1e-9, (q, est, exact)
+        assert cum >= rank
+    # partition invariance: bucket-count sums commute
+    out2 = hist_quantiles(
+        ray.data.from_arrow(tbl).repartition(13), "value", q_pcts=(10, 50, 90, 99), bins=4096
+    )
+    assert out.equals(out2)
+
+
+def test_hist_quantiles_edges(ray_session):
+    from search_engine_ray.dataops.sketch import hist_quantiles
+
+    # constant column: everything in bucket 0, est == the constant
+    ds = ray.data.from_arrow(pa.table({"v": pa.array([7.5] * 40, pa.float64())}))
+    out = hist_quantiles(ds, "v", q_pcts=(50, 100), bins=64)
+    assert out["bucket"].to_pylist() == [0, 0]
+    assert out["est"].to_pylist() == [7.5, 7.5]
+    # nulls excluded on both passes; ranks computed over non-null count
+    ds2 = ray.data.from_arrow(
+        pa.table({"v": pa.array([None, 1.0, None, 2.0, 3.0, 4.0], pa.float64())})
+    )
+    out2 = hist_quantiles(ds2, "v", q_pcts=(100,), bins=8)
+    assert out2["rank"].to_pylist() == [4]
+    # max value lands in the LAST bucket (clamp), so the 100% row exists
+    assert out2["bucket"].to_pylist() == [7]
+    # all-null / empty column fails loud
+    ds3 = ray.data.from_arrow(pa.table({"v": pa.array([None, None], pa.float64())}))
+    with pytest.raises(ValueError, match="non-null"):
+        hist_quantiles(ds3, "v")
+    with pytest.raises(ValueError, match="bins"):
+        hist_quantiles(ds2, "v", bins=0)
+    with pytest.raises(ValueError, match="q_pcts"):
+        hist_quantiles(ds2, "v", q_pcts=(0,))
