@@ -3945,6 +3945,54 @@ def _dup_spans_sql(k: int = _SPAN_K, min_count: int = 2) -> str:
     """
 
 
+def q_pca_gram(sf_dir: str) -> pa.Table:
+    """Augmented integer-micros Gram matrix (dataops/pca.py:
+    emb_gram_micros): per-element floor(x_i*x_j*1e6+0.5) summed as int64
+    partials per batch — the exchange is (dim+1)^2/2 rows per batch, never
+    data-sized; integer sums make it partition-invariant and the identical
+    SQL expression over the unnested self-join reproduces every cell."""
+    from search_engine_ray.dataops.pca import emb_gram_micros
+
+    emb = read_parquet_clean(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return emb_gram_micros(emb)
+
+
+def q_pca_project(sf_dir: str) -> pa.Table:
+    """PCA end-to-end (rows-only — eigendecomposition is LAPACK-float, by
+    design outside the exactness boundary like kmeans/IVF).  Self-checks:
+    components orthonormal; per-axis projection variance equals the
+    eigenvalue up to micros quantization; the actor-pool projection matches
+    a driver-side recompute on the collected vectors."""
+    from search_engine_ray.dataops.pca import emb_gram_micros, pca_fit, pca_project
+
+    emb = read_parquet_clean(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    k = 8
+    comps, mean, ev = pca_fit(emb_gram_micros(emb), k)
+    assert np.allclose(comps @ comps.T, np.eye(k), atol=1e-10)
+    out = (
+        pca_project(emb, comps, mean)
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    proj = np.stack(out["proj"].to_numpy())
+    assert np.allclose(proj.var(axis=0, ddof=0), ev, rtol=1e-3, atol=1e-9)
+    ref = emb.sort("vec_id").to_pandas()
+    full = np.stack(ref["embedding"].to_numpy()).astype(np.float64)
+    assert np.allclose(proj, (full - mean) @ comps.T, atol=1e-9)
+    n, d = proj.shape
+    return pa.table(
+        {
+            "vec_id": pa.array(np.repeat(out["vec_id"].to_numpy(np.int64), d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
+            "proj": pa.array(proj.reshape(-1)),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING IS DELIBERATE: the driver gate checks the FIRST 50 entries
     # in dict order (round-3 finding), so the highest-value surfaces sit
@@ -4112,6 +4160,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_conjunctive_top10": q_bm25_conjunctive_top10,
         "bm25_synonyms_top10": q_bm25_synonyms_top10,
         "value_quantiles_hist": q_value_quantiles_hist,
+        "pca_gram": q_pca_gram,
+        # rows-only: LAPACK eigensolve + projection self-check inside
+        "pca_project": q_pca_project,
     }
 
 
@@ -6209,6 +6260,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT gs.shard, COALESCE(g.n_docs, 0) AS n_docs
             FROM (SELECT CAST(UNNEST(generate_series(0, 15)) AS BIGINT) AS shard) gs
             LEFT JOIN g ON g.shard = gs.shard ORDER BY gs.shard
+        """,
+        "pca_gram": """
+            WITH flat AS (
+              SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+                     CAST(embedding[i] AS DOUBLE) AS val
+              FROM embeddings,
+                   unnest(generate_series(1, len(embedding))) AS g(i)),
+            aug AS (
+              SELECT vec_id, dim, val FROM flat
+              UNION ALL
+              SELECT vec_id, (SELECT max(dim) + 1 FROM flat) AS dim, 1.0 AS val
+              FROM (SELECT DISTINCT vec_id FROM flat))
+            SELECT a.dim AS i, b.dim AS j,
+                   CAST(sum(floor(a.val * b.val * 1000000 + 0.5)) AS BIGINT)
+                     AS sum_micros
+            FROM aug a JOIN aug b ON a.vec_id = b.vec_id AND b.dim >= a.dim
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
     }
     # the merge gate's oracle IS the unsplit full-corpus ranking: merging

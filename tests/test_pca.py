@@ -1,0 +1,142 @@
+"""Distributed PCA (dataops/pca.py): exact gram micros + fit + project."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from search_engine_ray.dataops.pca import (
+    MICROS,
+    emb_gram_micros,
+    pca_fit,
+    pca_project,
+)
+
+RNG = np.random.default_rng(7)
+DIM = 6
+N = 80
+# anisotropic: variance concentrated along two known directions + offset mean
+_BASIS = np.linalg.qr(RNG.normal(size=(DIM, DIM)))[0]
+_SCALES = np.array([4.0, 2.0, 0.3, 0.2, 0.1, 0.05])
+VECS = (RNG.normal(size=(N, DIM)) * _SCALES) @ _BASIS.T + np.array(
+    [1.0, -2.0, 0.5, 0.0, 3.0, -1.0]
+)
+VECS = VECS.astype(np.float32)
+
+
+def _tbl() -> pa.Table:
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(N, dtype=np.int64)),
+            "embedding": pa.array(
+                [v for v in VECS.astype(np.float32)], pa.list_(pa.float32())
+            ),
+        }
+    )
+
+
+def _brute_gram(aug: bool = True) -> dict[tuple[int, int], int]:
+    m = VECS.astype(np.float64)
+    if aug:
+        m = np.concatenate([m, np.ones((N, 1))], axis=1)
+    d = m.shape[1]
+    out: dict[tuple[int, int], int] = {}
+    for i in range(d):
+        for j in range(i, d):
+            out[(i, j)] = int(
+                np.floor(m[:, i] * m[:, j] * MICROS + 0.5).astype(np.int64).sum()
+            )
+    return out
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    return ray.data.from_arrow(_tbl())
+
+
+def test_gram_exact_and_partition_invariant(emb_ds, ray_session):
+    g1 = emb_gram_micros(emb_ds)
+    g2 = emb_gram_micros(ray.data.from_arrow(_tbl()).repartition(7))
+    assert g1.equals(g2)
+    got = {
+        (int(i), int(j)): int(s)
+        for i, j, s in zip(
+            g1["i"].to_numpy(), g1["j"].to_numpy(), g1["sum_micros"].to_numpy()
+        )
+    }
+    assert got == _brute_gram()
+
+
+def test_gram_matches_duckdb(emb_ds, tmp_path):
+    path = str(tmp_path / "emb.parquet")
+    import pyarrow.parquet as pq
+
+    pq.write_table(_tbl(), path)
+    con = duckdb.connect()
+    ora = con.execute(
+        f"""
+        WITH flat AS (
+          SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+                 CAST(embedding[i] AS DOUBLE) AS val
+          FROM read_parquet('{path}'),
+               unnest(generate_series(1, len(embedding))) AS g(i)),
+        aug AS (
+          SELECT vec_id, dim, val FROM flat
+          UNION ALL
+          SELECT vec_id, (SELECT max(dim) + 1 FROM flat) AS dim, 1.0 AS val
+          FROM (SELECT DISTINCT vec_id FROM flat))
+        SELECT a.dim AS i, b.dim AS j,
+               CAST(sum(floor(a.val * b.val * 1000000 + 0.5)) AS BIGINT)
+                 AS sum_micros
+        FROM aug a JOIN aug b ON a.vec_id = b.vec_id AND b.dim >= a.dim
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).arrow()
+    got = emb_gram_micros(emb_ds)
+    assert got.equals(ora.cast(got.schema))
+
+
+def test_fit_recovers_dominant_directions(emb_ds):
+    comps, mean, ev = pca_fit(emb_gram_micros(emb_ds), 2)
+    assert comps.shape == (2, DIM)
+    # orthonormal
+    assert np.allclose(comps @ comps.T, np.eye(2), atol=1e-12)
+    # mean correct to micros quantization
+    assert np.allclose(mean, VECS.astype(np.float64).mean(axis=0), atol=1e-4)
+    # leading components span the two high-variance basis directions
+    for r, tol in ((0, 0.02), (1, 0.02)):
+        overlap = abs(comps[r] @ _BASIS[:, r])
+        assert overlap > 1 - tol, (r, overlap)
+    # explained variance descending and close to the planted scales^2
+    assert ev[0] >= ev[1]
+    assert np.allclose(np.sqrt(ev[:2]), _SCALES[:2], rtol=0.25)
+    # sign pin: largest-|loading| coordinate positive
+    for r in range(2):
+        assert comps[r, int(np.argmax(np.abs(comps[r])))] > 0
+
+
+def test_fit_validates(emb_ds):
+    gram = emb_gram_micros(emb_ds)
+    with pytest.raises(ValueError):
+        pca_fit(gram, 0)
+    with pytest.raises(ValueError):
+        pca_fit(gram, DIM + 1)
+    one = ray.data.from_arrow(_tbl().slice(0, 1))
+    with pytest.raises(ValueError):
+        pca_fit(emb_gram_micros(one), 1)
+
+
+def test_project_matches_driver_recompute(emb_ds):
+    comps, mean, ev = pca_fit(emb_gram_micros(emb_ds), 3)
+    out = (
+        pca_project(emb_ds, comps, mean)
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    assert list(out.columns) == ["vec_id", "proj"]
+    P = np.stack(out["proj"].to_numpy())
+    want = (VECS.astype(np.float64) - mean) @ comps.T
+    assert np.allclose(P, want, atol=1e-9)
+    # per-axis variance of projections == eigenvalue (micros-quantized cov)
+    assert np.allclose(P.var(axis=0), ev, rtol=1e-3, atol=1e-6)
