@@ -3945,6 +3945,86 @@ def _dup_spans_sql(k: int = _SPAN_K, min_count: int = 2) -> str:
     """
 
 
+def q_bm25f_top10(sf_dir: str) -> pa.Table:
+    """BM25F fielded ranking (engine/fielded.py): title = first 8
+    whitespace tokens, body = rest (pipelines.documents_fields_dir, one
+    distributed derive pass); one distributed index build PER FIELD over
+    the shared derived corpus (docID space shared by construction); scoring
+    combines per-field length-normalized tfs into one saturated pseudo-tf
+    with document-level idf.  Float64 op order pinned to the oracle."""
+    from search_engine_ray.engine.fielded import bm25f_scores_f64
+    from search_engine_ray.pipelines import documents_fielded_readers
+
+    frs = documents_fielded_readers(sf_dir, OPT_NOSTEM)
+    ids, scores = bm25f_scores_f64(frs, BM25_QUERY)
+    ids, scores = ids[:10], scores[:10]
+    rt = frs[0][0]
+    doc_ids = np.asarray([int(rt.doc_names[d]) for d in ids], dtype=np.int64)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids), "score_micros": pa.array(_micros(scores))}
+    )
+
+
+def _field_toks_sql(cte: str, field: str) -> str:
+    """The _TOKS tokenization applied to a derived field expression —
+    identical delimiter class / XML filter / stop list, different source."""
+    from search_engine_ray.text.ws import sql_ascii_lower
+
+    return f"""{cte} AS (
+      SELECT doc_id, t FROM fields,
+        UNNEST(regexp_split_to_array({sql_ascii_lower(field)}, '[\\x00-\\x2f:;=?]')) AS u(t)
+      WHERE t <> '' AND substr(t, 1, 1) <> '<' AND substr(t, -1, 1) <> '>'
+        AND t NOT IN ({_STOP_LIST}))"""
+
+
+def _bm25f_sql() -> str:
+    """DuckDB mirror of engine.fielded.bm25f_scores_f64 over the same
+    derived fields: w[1:8] / w[9:] reproduce derive_ws_fields, the wtf
+    expression repeats the engine's f64 op order per field (absent side =
+    literal 0 via COALESCE, exactly the engine's zeros-init accumulate)."""
+    from search_engine_ray.text.ws import WS_RE
+
+    return f"""
+        WITH ws AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '{WS_RE}'), x -> x <> '') AS w
+          FROM documents),
+        fields AS (
+          SELECT doc_id, array_to_string(w[1:8], ' ') AS title,
+                 array_to_string(w[9:], ' ') AS body FROM ws),
+        {_field_toks_sql('ttoks', 'title')},
+        {_field_toks_sql('btoks', 'body')},
+        tdl AS (SELECT doc_id, count(*) AS dl FROM ttoks GROUP BY doc_id),
+        bdl AS (SELECT doc_id, count(*) AS dl FROM btoks GROUP BY doc_id),
+        st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                      (SELECT count(*) FROM ttoks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl_t,
+                      (SELECT count(*) FROM btoks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl_b),
+        ttf AS (SELECT doc_id, t AS term, count(*) AS tf FROM ttoks
+                WHERE t IN ('spark', 'hash', 'join') GROUP BY 1, 2),
+        btf AS (SELECT doc_id, t AS term, count(*) AS tf FROM btoks
+                WHERE t IN ('spark', 'hash', 'join') GROUP BY 1, 2),
+        keys AS (SELECT doc_id, term FROM ttf UNION SELECT doc_id, term FROM btf),
+        wtf AS (
+          SELECT k.doc_id, k.term,
+                 COALESCE(2.0 * ttf.tf / (1 - 0.5 + 0.5 * (tdl.dl / st.avgdl_t)), 0)
+               + COALESCE(1.0 * btf.tf / (1 - 0.75 + 0.75 * (bdl.dl / st.avgdl_b)), 0) AS w
+          FROM keys k
+          LEFT JOIN ttf USING (doc_id, term) LEFT JOIN btf USING (doc_id, term)
+          LEFT JOIN tdl ON tdl.doc_id = k.doc_id
+          LEFT JOIN bdl ON bdl.doc_id = k.doc_id
+          CROSS JOIN st),
+        df AS (SELECT term, count(*) AS df FROM wtf WHERE w > 0 GROUP BY term),
+        sc AS (SELECT w.doc_id,
+                      SUM(ln((st.n - df.df + 0.5) / (df.df + 0.5)) * w.w / (1.2 + w.w)) AS score
+               FROM wtf w JOIN df USING (term) CROSS JOIN st
+               WHERE w.w > 0 GROUP BY w.doc_id),
+        ranked AS (SELECT doc_id, score,
+                          row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM sc)
+        SELECT doc_id, CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_micros
+        FROM ranked WHERE r <= 10
+    """
+
+
 def q_pca_gram(sf_dir: str) -> pa.Table:
     """Augmented integer-micros Gram matrix (dataops/pca.py:
     emb_gram_micros): per-element floor(x_i*x_j*1e6+0.5) summed as int64
@@ -4163,6 +4243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_gram": q_pca_gram,
         # rows-only: LAPACK eigensolve + projection self-check inside
         "pca_project": q_pca_project,
+        "bm25f_top10": q_bm25f_top10,
     }
 
 
@@ -6282,4 +6363,5 @@ def oracle_sql() -> dict[str, str]:
     # the merge gate's oracle IS the unsplit full-corpus ranking: merging
     # two half-indexes must be score-equivalent to one build
     out["bm25_merged_top10"] = out["bm25_top10"]
+    out["bm25f_top10"] = _bm25f_sql()
     return out

@@ -22,11 +22,45 @@ _CACHE_ROOT = os.environ.get("SE_RAY_CACHE", "/tmp/se_ray_cache")
 _READERS: dict[str, IndexReader] = {}
 
 
+def _locked_build(target_dir: str, done_path: str, build, what: str) -> str:
+    """Cross-process build-once guard shared by every cached build in this
+    module: atomic-mkdir lock + completion marker, stale locks from a
+    crashed builder expire after 10 minutes (same protocol as
+    __ray_entry__._build_once)."""
+    import time
+
+    lock_dir = target_dir.rstrip("/") + ".lock"
+    deadline = time.time() + 900
+    while True:
+        if os.path.exists(done_path):
+            return target_dir
+        try:
+            os.makedirs(lock_dir)
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(lock_dir) > 600:
+                    os.rmdir(lock_dir)
+                    continue
+            except OSError:
+                pass
+            if time.time() > deadline:
+                raise TimeoutError(f"{what} build lock stuck: {lock_dir}")
+            time.sleep(0.5)
+            continue
+        try:
+            if not os.path.exists(done_path):  # re-check under the lock
+                build()
+        finally:
+            try:
+                os.rmdir(lock_dir)
+            except OSError:
+                pass
+        return target_dir
+
+
 def documents_positions_dir(sf_dir: str, options: IndexOptions) -> str:
     """Build (once) the positional sidecar over {sf_dir}/documents.parquet;
     returns its dir.  Same mtime+options cache keying as the main index."""
-    import time
-
     from .engine.positions import build_position_index
 
     src = os.path.join(sf_dir, "documents.parquet")
@@ -34,78 +68,32 @@ def documents_positions_dir(sf_dir: str, options: IndexOptions) -> str:
         f"pos|{os.path.abspath(src)}|{os.path.getmtime(src)}|{options.to_dict()}".encode()
     ).hexdigest()[:16]
     index_dir = os.path.join(_CACHE_ROOT, f"docpos-{key}")
-    done = os.path.join(index_dir, "positions_stats.json")
-    lock_dir = index_dir + ".lock"
-    deadline = time.time() + 900
-    while True:
-        if os.path.exists(done):
-            break
-        try:
-            os.makedirs(lock_dir)
-        except FileExistsError:
-            try:
-                if time.time() - os.path.getmtime(lock_dir) > 600:
-                    os.rmdir(lock_dir)
-                    continue
-            except OSError:
-                pass
-            if time.time() > deadline:
-                raise TimeoutError(f"position build lock stuck: {lock_dir}")
-            time.sleep(0.5)
-            continue
-        try:
-            build_position_index(
-                src, index_dir, options, source_column="text", name_column="doc_id"
-            )
-        finally:
-            try:
-                os.rmdir(lock_dir)
-            except OSError:
-                pass
-        break
-    return index_dir
+    return _locked_build(
+        index_dir,
+        os.path.join(index_dir, "positions_stats.json"),
+        lambda: build_position_index(
+            src, index_dir, options, source_column="text", name_column="doc_id"
+        ),
+        "position index",
+    )
 
 
 def documents_index_dir(sf_dir: str, options: IndexOptions, **build_kw) -> str:
     """Build (once) an index over {sf_dir}/documents.parquet; returns its dir."""
-    import time
-
     src = os.path.join(sf_dir, "documents.parquet")
     key = hashlib.md5(
         f"{os.path.abspath(src)}|{os.path.getmtime(src)}|{options.to_dict()}|{sorted(build_kw.items())}".encode()
     ).hexdigest()[:16]
     index_dir = os.path.join(_CACHE_ROOT, f"docidx-{key}")
     config = BuildConfig(options=options, **build_kw)
-
-    # cross-process guard: one builder at a time per cache entry (mkdir is
-    # atomic); stale locks (crashed builder) expire after 10 minutes
-    lock_dir = index_dir + ".lock"
-    deadline = time.time() + 900
-    while True:
-        if os.path.exists(os.path.join(index_dir, ".complete")):
-            break
-        try:
-            os.makedirs(lock_dir)
-        except FileExistsError:
-            try:
-                if time.time() - os.path.getmtime(lock_dir) > 600:
-                    os.rmdir(lock_dir)
-                    continue
-            except OSError:
-                pass
-            if time.time() > deadline:
-                raise TimeoutError(f"index build lock stuck: {lock_dir}")
-            time.sleep(0.5)
-            continue
-        try:
-            build_index(src, index_dir, config, source_column="text", name_column="doc_id")
-        finally:
-            try:
-                os.rmdir(lock_dir)
-            except OSError:
-                pass
-        break
-    return index_dir
+    return _locked_build(
+        index_dir,
+        os.path.join(index_dir, ".complete"),
+        lambda: build_index(
+            src, index_dir, config, source_column="text", name_column="doc_id"
+        ),
+        "index",
+    )
 
 
 def documents_reader(sf_dir: str, options: IndexOptions, **build_kw) -> IndexReader:
@@ -115,6 +103,83 @@ def documents_reader(sf_dir: str, options: IndexOptions, **build_kw) -> IndexRea
         reader = IndexReader(index_dir, preload=True)
         _READERS[index_dir] = reader
     return reader
+
+
+def documents_fields_dir(sf_dir: str, n_title: int | None = None) -> str:
+    """Derive (once) the fielded corpus for {sf_dir}/documents.parquet:
+    (doc_id, title, body) parquet written by a distributed map_batches pass
+    (engine.fielded.derive_ws_fields).  Both field indexes build over THIS
+    one corpus, which is what guarantees their shared docID space."""
+    import shutil
+
+    import ray.data
+
+    from .engine.fielded import DEFAULT_N_TITLE, derive_ws_fields
+
+    n_title = DEFAULT_N_TITLE if n_title is None else n_title
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"fields|{os.path.abspath(src)}|{os.path.getmtime(src)}|{n_title}".encode()
+    ).hexdigest()[:16]
+    out_dir = os.path.join(_CACHE_ROOT, f"docfields-{key}")
+    done = os.path.join(out_dir, ".complete")
+
+    def build() -> None:
+        tmp = out_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+        def derive(batch: pa.Table) -> pa.Table:
+            title, body = derive_ws_fields(batch["text"], n_title)
+            return pa.table(
+                {"doc_id": batch["doc_id"], "title": title, "body": body}
+            )
+
+        (
+            ray.data.read_parquet(src, columns=["doc_id", "text"])
+            .map_batches(derive, batch_format="pyarrow")
+            .write_parquet(tmp)
+        )
+        os.rename(tmp, out_dir)
+        with open(done, "w") as fh:
+            fh.write("ok")
+
+    return _locked_build(out_dir, done, build, "field corpus")
+
+
+def documents_fielded_readers(
+    sf_dir: str,
+    options: IndexOptions,
+    fields: dict[str, tuple[float, float]] | None = None,
+    n_title: int | None = None,
+) -> list[tuple[IndexReader, float, float]]:
+    """[(reader, weight, b), ...] for engine.fielded.bm25f_scores_f64: one
+    cached index build per field column over the shared derived corpus."""
+    from .engine.fielded import DEFAULT_FIELDS
+
+    fields = DEFAULT_FIELDS if fields is None else fields
+    fdir = documents_fields_dir(sf_dir, n_title)
+    out: list[tuple[IndexReader, float, float]] = []
+    for fname, (w, b) in fields.items():
+        key = hashlib.md5(
+            f"fidx|{fdir}|{fname}|{options.to_dict()}".encode()
+        ).hexdigest()[:16]
+        index_dir = os.path.join(_CACHE_ROOT, f"fieldidx-{key}")
+        config = BuildConfig(options=options)
+        _locked_build(
+            index_dir,
+            os.path.join(index_dir, ".complete"),
+            lambda index_dir=index_dir, fname=fname: build_index(
+                fdir, index_dir, config, source_column=fname, name_column="doc_id"
+            ),
+            f"field index {fname}",
+        )
+        reader = _READERS.get(index_dir)
+        if reader is None:
+            reader = IndexReader(index_dir, preload=True)
+            _READERS[index_dir] = reader
+        out.append((reader, w, b))
+    return out
 
 
 def bm25_scores_f64(
