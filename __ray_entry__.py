@@ -4025,6 +4025,30 @@ def _bm25f_sql() -> str:
     """
 
 
+def q_rand_proj(sf_dir: str) -> pa.Table:
+    """Signed random projection (dataops/rproj.py): JL sketch onto 16
+    md5be-seeded ±1 directions — the WHOLE operator is integer
+    (floor-to-micros then exact int64 matmul), one stateless map_batches
+    pass, no fit and no shuffle; every output cell SQL-reproducible."""
+    from search_engine_ray.dataops.rproj import random_projection
+
+    emb = read_parquet_clean(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    out = (
+        random_projection(emb, n_components=16)
+        .to_pandas()
+        .sort_values(["vec_id", "comp"], ignore_index=True)
+    )
+    return pa.table(
+        {
+            "vec_id": pa.array(out["vec_id"].to_numpy(np.int64)),
+            "comp": pa.array(out["comp"].to_numpy(np.int64)),
+            "proj_micros": pa.array(out["proj_micros"].to_numpy(np.int64)),
+        }
+    )
+
+
 def q_pca_gram(sf_dir: str) -> pa.Table:
     """Augmented integer-micros Gram matrix (dataops/pca.py:
     emb_gram_micros): per-element floor(x_i*x_j*1e6+0.5) summed as int64
@@ -4244,6 +4268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only: LAPACK eigensolve + projection self-check inside
         "pca_project": q_pca_project,
         "bm25f_top10": q_bm25f_top10,
+        "rand_proj": q_rand_proj,
     }
 
 
@@ -6357,6 +6382,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(floor(a.val * b.val * 1000000 + 0.5)) AS BIGINT)
                      AS sum_micros
             FROM aug a JOIN aug b ON a.vec_id = b.vec_id AND b.dim >= a.dim
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "rand_proj": """
+            WITH flat AS (
+              SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+                     CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                          AS BIGINT) AS vm
+              FROM embeddings,
+                   unnest(generate_series(1, len(embedding))) AS g(i)),
+            signs AS (
+              SELECT c, dim,
+                     CASE WHEN ('0x' || substr(md5('rp:' || c || ':' || dim), 1, 16))::UBIGINT
+                               % 2 = 1
+                          THEN 1 ELSE -1 END AS s
+              FROM (SELECT CAST(unnest(generate_series(0, 15)) AS BIGINT) AS c),
+                   (SELECT DISTINCT dim FROM flat) d(dim))
+            SELECT f.vec_id, s.c AS comp,
+                   CAST(SUM(s.s * f.vm) AS BIGINT) AS proj_micros
+            FROM flat f JOIN signs s USING (dim)
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
     }
