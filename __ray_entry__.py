@@ -4025,6 +4025,41 @@ def _bm25f_sql() -> str:
     """
 
 
+def q_hll_by_type(sf_dir: str) -> pa.Table:
+    """Per-group HyperLogLog registers (sketch.grouped_hll_registers, p=6):
+    approximate distinct users per event type at <= |types| * 2^p exchange
+    rows per batch.  Registers SQL-exact (integer bit-length rho, GROUP BY
+    event_type added to the global oracle); the float estimates stay
+    lib-side and self-check here against the repo's exact grouped
+    count-distinct within 3 standard errors per group."""
+    from search_engine_ray.dataops.relational import count_distinct
+    from search_engine_ray.dataops.sketch import (
+        grouped_hll_estimates,
+        grouped_hll_registers,
+    )
+
+    events = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    regs = grouped_hll_registers(events, "user_id", "event_type", p=6)
+    ests = grouped_hll_estimates(regs, "event_type", p=6)
+    events2 = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    exact = count_distinct(events2, key="event_type", value="user_id").to_pandas()
+    se = 3 * 1.04 / np.sqrt(64)
+    for _, row in exact.iterrows():
+        g, true = row["event_type"], int(row["n_distinct"])
+        assert abs(ests[g] - true) / true < se, (g, ests[g], true)
+    return pa.table(
+        {
+            "event_type": regs["event_type"].cast(pa.string()),
+            "reg": regs["reg"],
+            "rho": regs["rho"],
+        }
+    )
+
+
 def q_rand_proj(sf_dir: str) -> pa.Table:
     """Signed random projection (dataops/rproj.py): JL sketch onto 16
     md5be-seeded ±1 directions — the WHOLE operator is integer
@@ -4269,6 +4304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_project": q_pca_project,
         "bm25f_top10": q_bm25f_top10,
         "rand_proj": q_rand_proj,
+        "hll_by_type": q_hll_by_type,
     }
 
 
@@ -6402,6 +6438,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(s.s * f.vm) AS BIGINT) AS proj_micros
             FROM flat f JOIN signs s USING (dim)
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "hll_by_type": """
+            WITH h AS (
+                SELECT event_type,
+                       ('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,16))::UBIGINT AS h1
+                FROM events
+            ),
+            r AS (
+                SELECT event_type, CAST(h1 >> 58 AS BIGINT) AS reg,
+                       h1 & ((1::UBIGINT << 58) - 1) AS w
+                FROM h
+            )
+            SELECT event_type, reg,
+                   MAX(CASE WHEN w = 0 THEN 59
+                            ELSE 58 - length(bin(w)) + 1 END) AS rho
+            FROM r GROUP BY event_type, reg ORDER BY event_type, reg
         """,
     }
     # the merge gate's oracle IS the unsplit full-corpus ranking: merging

@@ -222,6 +222,113 @@ def hll_estimate(registers: pa.Table, p: int = 6) -> float:
     return float(raw)
 
 
+def grouped_hll_registers(
+    ds: ray.data.Dataset,
+    key_column: str,
+    group_column: str,
+    p: int = 6,
+) -> pa.Table:
+    """Per-group HyperLogLog register table: (group, reg, rho), ascending
+    (group, reg) — approximate distinct-keys-per-group (users per event
+    type, urls per domain) at sketch cost.
+
+    Same scale shape as the global ``hll_registers``: each batch folds to
+    at most ``groups_in_batch * 2^p`` rows via ONE composite
+    ``np.maximum.at`` (group code * m + reg), so the exchange is bounded
+    by group cardinality x register count, never data-sized.  MAX commutes
+    -> partition-invariant; md5be hash -> the register table is
+    SQL-reproducible bit-for-bit (GROUP BY group added to the global
+    oracle).  Null group keys fail loud (the grouped_heavy_hitters
+    convention); estimates stay lib-side (``hll_estimate`` per group)."""
+    from ray.data.aggregate import Max
+
+    from .membership import md5_halves
+
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        grp = batch[group_column]
+        if grp.null_count:
+            raise ValueError(
+                f"grouped_hll_registers: null values in group column "
+                f"{group_column!r}"
+            )
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        h1, _ = md5_halves(batch[key_column])
+        reg, rho = _hll_reg_rho(h1, p)
+        if len(reg) == 0:
+            return pa.table(
+                {
+                    group_column: pa.array([], grp.type),
+                    "reg": pa.array([], pa.int64()),
+                    "rho": pa.array([], pa.int64()),
+                }
+            )
+        denc = pc.dictionary_encode(grp)
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        codes = np.asarray(denc.indices, dtype=np.int64)
+        comp = codes * m + reg
+        gm = np.zeros(len(denc.dictionary) * m, dtype=np.int64)
+        np.maximum.at(gm, comp, rho)
+        hit = np.flatnonzero(gm)
+        return pa.table(
+            {
+                group_column: denc.dictionary.take(pa.array(hit // m)),
+                "reg": pa.array(hit % m),
+                "rho": pa.array(gm[hit]),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_column, "reg"])
+        .aggregate(Max("rho"))
+        .sort([group_column, "reg"])
+        .to_pandas()
+    )
+    if group_column not in out.columns:  # all-empty blocks lose the schema
+        gtype = ds.schema().base_schema.field(group_column).type
+        return pa.table(
+            {
+                group_column: pa.array([], gtype),
+                "reg": pa.array([], pa.int64()),
+                "rho": pa.array([], pa.int64()),
+            }
+        )
+    return pa.table(
+        {
+            group_column: pa.array(out[group_column]),
+            "reg": pa.array(out["reg"].to_numpy().astype(np.int64)),
+            "rho": pa.array(out["max(rho)"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+def grouped_hll_estimates(
+    registers: pa.Table, group_column: str, p: int = 6
+) -> dict:
+    """{group: float estimate} from a grouped register table — the
+    lib-side float companion to ``grouped_hll_registers`` (same
+    bias/small-range rules as ``hll_estimate``)."""
+    df = registers.to_pandas()
+    out: dict = {}
+    for g, sub in df.groupby(group_column, sort=False):
+        out[g] = hll_estimate(
+            pa.table(
+                {
+                    "reg": pa.array(sub["reg"].to_numpy(np.int64)),
+                    "rho": pa.array(sub["rho"].to_numpy(np.int64)),
+                }
+            ),
+            p=p,
+        )
+    return out
+
+
 def count_min_sketch(
     ds: ray.data.Dataset,
     text_column: str = "text",

@@ -297,3 +297,71 @@ def test_hist_quantiles_edges(ray_session):
         hist_quantiles(ds2, "v", bins=0)
     with pytest.raises(ValueError, match="q_pcts"):
         hist_quantiles(ds2, "v", q_pcts=(0,))
+
+
+def test_grouped_hll_matches_duckdb_and_estimates(ray_session):
+    import duckdb
+    import pytest
+
+    from search_engine_ray.dataops.sketch import (
+        grouped_hll_estimates,
+        grouped_hll_registers,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 20000
+    grps = rng.choice(["a", "b", "c"], size=n, p=[0.6, 0.3, 0.1])
+    # distinct pools of different sizes per group
+    pool = {"a": 4000, "b": 700, "c": 40}
+    keys = [f"{g}-u{int(rng.integers(0, pool[g]))}" for g in grps]
+    tbl = pa.table(
+        {"g": pa.array(grps.tolist(), pa.string()), "k": pa.array(keys, pa.string())}
+    )
+    p = 6
+    got = grouped_hll_registers(
+        ray.data.from_arrow(tbl).repartition(9), "k", "g", p=p
+    )
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = con.sql(f"""
+        WITH h AS (SELECT g, ('0x' || substr(md5(k),1,16))::UBIGINT AS h1 FROM t),
+        r AS (SELECT g, CAST(h1 >> {64 - p} AS BIGINT) AS reg,
+                     h1 & ((1::UBIGINT << {64 - p}) - 1) AS w FROM h)
+        SELECT g, reg, MAX(CASE WHEN w = 0 THEN {64 - p + 1}
+                           ELSE {64 - p} - length(bin(w)) + 1 END) AS rho
+        FROM r GROUP BY g, reg ORDER BY g, reg
+    """).arrow()
+    assert got.equals(exp.cast(got.schema))
+    # partition invariance
+    got1 = grouped_hll_registers(ray.data.from_arrow(tbl), "k", "g", p=p)
+    assert got.equals(got1)
+    # per-group estimates within 3 standard errors
+    ests = grouped_hll_estimates(got, "g", p=p)
+    truth = {g: len({k for gg, k in zip(grps, keys) if gg == g}) for g in "abc"}
+    for g in "abc":
+        assert abs(ests[g] - truth[g]) / truth[g] < 3 * 1.04 / np.sqrt(1 << p), g
+    # null group keys fail loud
+    bad = pa.table(
+        {"g": pa.array(["a", None]), "k": pa.array(["x", "y"])}
+    )
+    with pytest.raises(Exception):
+        grouped_hll_registers(ray.data.from_arrow(bad), "k", "g", p=p)
+    with pytest.raises(ValueError):
+        grouped_hll_registers(ray.data.from_arrow(tbl), "k", "g", p=3)
+
+
+def test_grouped_hll_int_group_and_empty(ray_session):
+    from search_engine_ray.dataops.sketch import grouped_hll_registers
+
+    tbl = pa.table(
+        {
+            "g": pa.array([1, 1, 2], pa.int64()),
+            "k": pa.array(["x", "y", "x"], pa.string()),
+        }
+    )
+    out = grouped_hll_registers(ray.data.from_arrow(tbl), "k", "g")
+    assert out.num_rows >= 2
+    assert out["g"].type == pa.int64()
+    empty = pa.table({"g": pa.array([], pa.string()), "k": pa.array([], pa.string())})
+    out2 = grouped_hll_registers(ray.data.from_arrow(empty), "k", "g")
+    assert out2.num_rows == 0
