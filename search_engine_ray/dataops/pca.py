@@ -89,6 +89,14 @@ def emb_gram_micros(
         .sort(["i", "j"])
         .to_pandas()
     )
+    if "i" not in out.columns:  # all-empty blocks lose the schema
+        return pa.table(
+            {
+                "i": pa.array([], pa.int64()),
+                "j": pa.array([], pa.int64()),
+                "sum_micros": pa.array([], pa.int64()),
+            }
+        )
     return pa.table(
         {
             "i": pa.array(out["i"].to_numpy().astype(np.int64)),
@@ -105,15 +113,27 @@ def pca_fit(gram: pa.Table, n_components: int) -> tuple[np.ndarray, np.ndarray, 
     Assembles the centered covariance from the integer micros, symmetrizes
     the upper triangle, eigendecomposes with eigh, and pins each
     component's sign (largest-|loading| coordinate positive)."""
+    if gram.num_rows == 0:
+        raise ValueError("pca_fit needs at least 2 vectors (empty gram table)")
     i = gram["i"].to_numpy()
     j = gram["j"].to_numpy()
-    s = gram["sum_micros"].to_numpy().astype(np.float64)
+    s = gram["sum_micros"].to_numpy().astype(np.int64)
     d_aug = int(j.max()) + 1
     dim = d_aug - 1
     full = np.zeros((d_aug, d_aug), dtype=np.float64)
-    full[i, j] = s
+    full[i, j] = s.astype(np.float64)
     full = full + full.T - np.diag(np.diag(full))
-    n = full[dim, dim] / MICROS
+    # augmented-layout check: the (dim, dim) cell is the count, n * 1e6
+    # exactly (each row contributes floor(1*1*1e6 + 0.5)); a gram built
+    # with augment=False lands sum(x_last^2) micros here and would
+    # silently yield a wrong mean/covariance
+    count_cell = int(s[(i == dim) & (j == dim)][0]) if ((i == dim) & (j == dim)).any() else -1
+    if count_cell < 0 or count_cell % MICROS != 0:
+        raise ValueError(
+            "pca_fit requires an AUGMENTED gram table "
+            "(emb_gram_micros with augment=True)"
+        )
+    n = count_cell // MICROS
     if n <= 1:
         raise ValueError("pca_fit needs at least 2 vectors")
     sums = full[:dim, dim] / MICROS
@@ -145,6 +165,13 @@ class PcaProjector:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _batch_matrix(batch, self.column).astype(np.float64)
+        if len(m) == 0:
+            return pa.table(
+                {
+                    self.id_column: pa.array([], pa.int64()),
+                    "proj": pa.array([], pa.list_(pa.float64())),
+                }
+            )
         proj = (m - self.mean) @ self.c.T
         return pa.table(
             {

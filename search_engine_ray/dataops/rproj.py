@@ -61,9 +61,17 @@ class _Projector:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _batch_matrix(batch, self.column).astype(np.float64)
+        if len(m) == 0:  # keep a lazily-sized actor usable after an empty block
+            return pa.table(
+                {
+                    self.id_column: pa.array([], pa.int64()),
+                    "comp": pa.array([], pa.int64()),
+                    "proj_micros": pa.array([], pa.int64()),
+                }
+            )
         if self.s is None:
-            self.s = sign_matrix(self.n_components, m.shape[1] if len(m) else 0)
-        if len(m) and m.shape[1] != self.s.shape[1]:
+            self.s = sign_matrix(self.n_components, m.shape[1])
+        if m.shape[1] != self.s.shape[1]:
             raise ValueError(
                 f"embedding dim {m.shape[1]} != sign matrix dim {self.s.shape[1]}"
             )

@@ -140,3 +140,20 @@ def test_project_matches_driver_recompute(emb_ds):
     assert np.allclose(P, want, atol=1e-9)
     # per-axis variance of projections == eigenvalue (micros-quantized cov)
     assert np.allclose(P.var(axis=0), ev, rtol=1e-3, atol=1e-6)
+
+
+def test_empty_blocks_and_unaugmented_guard(emb_ds, ray_session):
+    # empty blocks must not crash the projector or the gram pass
+    comps, mean, ev = pca_fit(emb_gram_micros(emb_ds), 2)
+    sparse = ray.data.from_arrow(_tbl()).repartition(N + 20)
+    out = pca_project(sparse, comps, mean).to_pandas()
+    assert len(out) == N
+    # empty input: clean error, not KeyError
+    empty = ray.data.from_arrow(_tbl().slice(0, 0))
+    g = emb_gram_micros(empty)
+    assert g.num_rows == 0
+    with pytest.raises(ValueError):
+        pca_fit(g, 1)
+    # a non-augmented gram must be refused, not silently mis-read
+    with pytest.raises(ValueError):
+        pca_fit(emb_gram_micros(emb_ds, augment=False), 2)

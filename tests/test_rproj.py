@@ -121,3 +121,17 @@ def test_validates(ray_session):
     )
     with pytest.raises(Exception):
         random_projection(ray.data.from_arrow(ragged), 4, dim=2).materialize()
+
+
+def test_empty_blocks_do_not_poison_actors(ray_session):
+    # more partitions than rows -> some blocks are empty; lazily-sized
+    # actors must survive them (and an all-empty dataset returns 0 rows)
+    sparse = ray.data.from_arrow(_tbl()).repartition(N + 30)
+    out = (
+        random_projection(sparse, K)
+        .to_pandas()
+        .sort_values(["vec_id", "comp"], ignore_index=True)
+    )
+    assert (out["proj_micros"].to_numpy().reshape(N, K) == _brute()).all()
+    empty = ray.data.from_arrow(_tbl().slice(0, 0))
+    assert random_projection(empty, K).count() == 0
