@@ -287,6 +287,15 @@ def run_benchmarks() -> dict:
         )
         return top_customers_by_revenue(li, orders, k=20).num_rows
 
+    from search_engine_ray.dataops.pca import emb_gram_micros as _pca_gram
+    from search_engine_ray.dataops.rproj import random_projection as _rproj
+    from search_engine_ray.engine.fielded import bm25f_scores_f64 as _bm25f
+    from search_engine_ray.pipelines import documents_fielded_readers
+
+    # fielded indexes are cached builds (like the main documents index);
+    # the timed op is query-time BM25F scoring
+    _fielded = documents_fielded_readers(SF_DIR, pos_opt)
+
     ops: list[tuple[str, object]] = [
         ("dedup_exact", lambda: exact_dedup(docs_ds).count()),
         ("dedup_minhash_lsh", lambda: minhash_lsh_pairs(docs_ds, threshold=0.8).count()),
@@ -325,6 +334,10 @@ def run_benchmarks() -> dict:
                                columns=["user_id"]), "user_id", p=12).num_rows),
         ("count_min_grid", lambda: _count_min(
             docs_ds, width=1 << 16, depth=4).num_rows),
+        ("pca_gram", lambda: _pca_gram(emb_ds).num_rows),
+        ("rand_proj16", lambda: _rproj(emb_ds, 16).count()),
+        ("bm25f_score", lambda: len(
+            _bm25f(_fielded, [("spark", 1), ("hash", 1), ("join", 1)])[0])),
     ]
     n_rounds = int(os.environ.get("SE_RAY_BENCH_OP_ROUNDS", "2"))
     samples: dict[str, list[float]] = {name: [] for name, _ in ops}
