@@ -4025,6 +4025,107 @@ def _bm25f_sql() -> str:
     """
 
 
+# sentence-segmentation CTE shared by the sentences / dup_sentences
+# oracles: regexp_extract_all keeps terminators attached (no lookbehind —
+# RE2 lacks it); trim uses the pinned ws class character-for-character
+_SENTENCES_CTE = """p AS (
+          SELECT doc_id,
+                 replace(replace(text, ' the ', ' the. '), ' a ', ' a? ') AS text
+          FROM documents),
+        xs AS (
+          SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]*') AS a
+          FROM p),
+        f AS (SELECT doc_id, a[i] AS s, i
+              FROM xs, unnest(generate_series(1, len(a))) AS g(i)),
+        t AS (SELECT doc_id, i,
+                     trim(s, chr(9)||chr(10)||chr(11)||chr(12)||chr(13)||' ') AS snt
+              FROM f)"""
+
+_SENTENCES_SQL = f"""
+    WITH {_SENTENCES_CTE}
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+                AS BIGINT) AS sent_id,
+           snt AS text
+    FROM t WHERE snt <> '' ORDER BY doc_id, sent_id
+"""
+
+
+def _punctuate(ds):
+    """The driver corpus carries no punctuation, so the sentence gates
+    derive it identically on both sides (the SAME two replace() calls in
+    the oracle CTE): terminators after the two most frequent stopwords
+    give ~4 sentences/doc and real cross-doc duplicate sentences."""
+    import pyarrow.compute as pc
+
+    def add(b: pa.Table) -> pa.Table:
+        t = pc.replace_substring(b["text"], pattern=" the ", replacement=" the. ")
+        t = pc.replace_substring(t, pattern=" a ", replacement=" a? ")
+        return pa.table({"doc_id": b["doc_id"], "text": t})
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def q_sentences(sf_dir: str) -> pa.Table:
+    """Sentence segmentation (chunk.split_sentences): regexp_extract_all
+    '[^.!?]+[.!?]*' match semantics via one vectorized sentinel
+    replace+split — terminators stay attached, pinned-ws trim, kept
+    sentences numbered 0-based per doc.  Pure flat-map, no shuffle."""
+    from search_engine_ray.dataops.chunk import split_sentences
+
+    docs = _punctuate(_docs_ds(sf_dir))
+    out = (
+        split_sentences(docs)
+        .to_pandas()
+        .sort_values(["doc_id", "sent_id"], ignore_index=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+            "sent_id": pa.array(out["sent_id"].to_numpy(np.int64)),
+            "text": pa.array(out["text"], pa.string()),
+        }
+    )
+
+
+def q_dup_sentences(sf_dir: str) -> pa.Table:
+    """Sentence-level dedup signal (split_sentences -> hash-partitioned
+    count): the boilerplate detector one granularity below
+    paragraph_dedup — sentences recurring across the corpus, top 50 by
+    count.  The shuffle is sentence-cardinality (pre-aggregated per
+    batch by Ray's groupby), never corpus-sized."""
+    from search_engine_ray.dataops.chunk import split_sentences
+
+    import pyarrow.compute as pc
+
+    docs = _punctuate(_docs_ds(sf_dir))
+
+    def dup_only(b: pa.Table) -> pa.Table:  # distributed: drop singletons
+        return b.filter(pc.greater_equal(b["count()"], 2))
+
+    counts = (
+        split_sentences(docs)
+        .groupby("text")
+        .count()
+        .map_batches(dup_only, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if "count()" not in counts.columns:  # all-empty blocks lose the schema
+        return pa.table(
+            {"text": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+    counts = counts.rename(columns={"count()": "n"})
+    counts = counts.sort_values(
+        ["n", "text"], ascending=[False, True], ignore_index=True
+    ).head(50)
+    return pa.table(
+        {
+            "text": pa.array(counts["text"], pa.string()),
+            "n": pa.array(counts["n"].to_numpy(np.int64)),
+        }
+    )
+
+
 def q_hll_by_type(sf_dir: str) -> pa.Table:
     """Per-group HyperLogLog registers (sketch.grouped_hll_registers, p=6):
     approximate distinct users per event type at <= |types| * 2^p exchange
@@ -4305,6 +4406,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25f_top10": q_bm25f_top10,
         "rand_proj": q_rand_proj,
         "hll_by_type": q_hll_by_type,
+        "sentences": q_sentences,
+        "dup_sentences": q_dup_sentences,
     }
 
 
@@ -6454,6 +6557,14 @@ def oracle_sql() -> dict[str, str]:
                    MAX(CASE WHEN w = 0 THEN 59
                             ELSE 58 - length(bin(w)) + 1 END) AS rho
             FROM r GROUP BY event_type, reg ORDER BY event_type, reg
+        """,
+        "sentences": _SENTENCES_SQL,
+        "dup_sentences": f"""
+            WITH {_SENTENCES_CTE}
+            SELECT snt AS text, CAST(count(*) AS BIGINT) AS n
+            FROM t WHERE snt <> ''
+            GROUP BY snt HAVING count(*) >= 2
+            ORDER BY n DESC, text ASC LIMIT 50
         """,
     }
     # the merge gate's oracle IS the unsplit full-corpus ranking: merging

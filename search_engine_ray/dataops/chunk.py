@@ -101,3 +101,67 @@ def chunk_documents(
         )
 
     return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+# sentence segmentation: the match semantics of regexp_extract_all(text,
+# '[^.!?]+[.!?]*') — maximal runs of non-terminators plus their trailing
+# terminator run; a LEADING pure-terminator run matches nothing
+_SENT_SENTINEL = "\x00"
+_WS_TRIM = "\t\n\x0b\x0c\r "
+
+
+def split_sentences(
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> ray.data.Dataset:
+    """(doc_id, sent_id, text): sentence segmentation for sentence-level
+    dedup / RAG prep.  A sentence is a ``[^.!?]+[.!?]*`` match (so the
+    terminator stays attached and lookbehind — which RE2 lacks — is never
+    needed), trimmed with the pinned whitespace class; empty-after-trim
+    matches are dropped and ``sent_id`` numbers the KEPT sentences 0-based
+    per doc.
+
+    Vectorized: one regex replace plants a NUL sentinel after every
+    terminator run, one split explodes on it, numpy does the per-doc
+    numbering — no Python loop over rows.  Pure flat-map, no shuffle.
+    Documents containing NUL fail loud (the sentinel-collision rule, same
+    convention as the '|' group-key guard in window_fns)."""
+
+    def split(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch[text_column], "")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n_nul = pc.sum(pc.count_substring(texts, _SENT_SENTINEL)).as_py() or 0
+        if n_nul:
+            raise ValueError(
+                f"split_sentences: {n_nul} NUL byte(s) in {text_column!r} "
+                "collide with the sentence sentinel"
+            )
+        marked = pc.replace_substring_regex(
+            texts, pattern=r"([.!?]+)", replacement="\\1" + _SENT_SENTINEL
+        )
+        lists = pc.split_pattern(marked, pattern=_SENT_SENTINEL)
+        flat = pc.list_flatten(lists)
+        lens = np.asarray(pc.list_value_length(lists), dtype=np.int64)
+        rows = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        # only the FIRST segment of a doc can be a pure-terminator run
+        # (every later segment starts right after a sentinel); regex
+        # semantics skip it — and drop whitespace-only matches after trim
+        has_nonterm = np.asarray(pc.match_substring_regex(flat, "[^.!?]"))
+        trimmed = pc.utf8_trim(flat, characters=_WS_TRIM)
+        if isinstance(trimmed, pa.ChunkedArray):
+            trimmed = trimmed.combine_chunks()
+        keep = has_nonterm & (np.asarray(pc.binary_length(trimmed)) > 0)
+        kept_rows = rows[keep]
+        first = np.searchsorted(kept_rows, kept_rows, side="left")
+        sent_id = np.arange(len(kept_rows), dtype=np.int64) - first
+        return pa.table(
+            {
+                id_column: batch[id_column].take(pa.array(kept_rows)),
+                "sent_id": pa.array(sent_id),
+                "text": trimmed.filter(pa.array(keep)),
+            }
+        )
+
+    return ds.map_batches(split, batch_format="pyarrow")
