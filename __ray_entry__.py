@@ -4025,6 +4025,29 @@ def _bm25f_sql() -> str:
     """
 
 
+def q_hard_negatives(sf_dir: str) -> pa.Table:
+    """Hard-negative mining (similarity.hard_negatives): exact cosine
+    top-5 per anchor among DIFFERENT-label vectors — the contrastive-
+    training pair miner; knn_brute_force's broadcast/partial-topk shape
+    plus one label compare per batch."""
+    from search_engine_ray.dataops.similarity import hard_negatives
+
+    tbl = _emb_tbl(sf_dir)
+    emb = np.stack(
+        [np.asarray(e, dtype=np.float64) for e in tbl["embedding"].to_pylist()[:3]]
+    )
+    labels = np.asarray(tbl["label"].to_pylist()[:3])
+    ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
+    out = hard_negatives(ds, emb, labels, k=5)
+    return pa.table(
+        {
+            "query_id": out["query_id"].combine_chunks().cast(pa.int64()),
+            "vec_id": out["vec_id"].combine_chunks().cast(pa.int64()),
+            "cos_sim_micros": pa.array(_micros(np.asarray(out["cos_sim"]))),
+        }
+    )
+
+
 # sentence-segmentation CTE shared by the sentences / dup_sentences
 # oracles: regexp_extract_all keeps terminators attached (no lookbehind —
 # RE2 lacks it); trim uses the pinned ws class character-for-character
@@ -4408,6 +4431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_by_type": q_hll_by_type,
         "sentences": q_sentences,
         "dup_sentences": q_dup_sentences,
+        "hard_negatives": q_hard_negatives,
     }
 
 
@@ -6557,6 +6581,26 @@ def oracle_sql() -> dict[str, str]:
                    MAX(CASE WHEN w = 0 THEN 59
                             ELSE 58 - length(bin(w)) + 1 END) AS rho
             FROM r GROUP BY event_type, reg ORDER BY event_type, reg
+        """,
+        "hard_negatives": f"""
+            WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+                              CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id < 3),
+            sims AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS sim
+              FROM embeddings e CROSS JOIN q
+              WHERE e.label <> q.qlabel
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, vec_id ASC) AS r
+              FROM sims
+            )
+            SELECT query_id, vec_id,
+                   {_SQL_MICROS.format(expr="sim")} AS cos_sim_micros
+            FROM ranked WHERE r <= 5
         """,
         "sentences": _SENTENCES_SQL,
         "dup_sentences": f"""

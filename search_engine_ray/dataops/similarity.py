@@ -838,6 +838,89 @@ def mmr_rerank(
     )
 
 
+def hard_negatives(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_labels: np.ndarray,
+    k: int = 10,
+    column: str = "embedding",
+    id_column: str = "vec_id",
+    label_column: str = "label",
+) -> pa.Table:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the exact cosine top-k among vectors whose label DIFFERS from the
+    anchor's.  Same distributed shape as knn_brute_force — anchors
+    broadcast once via ray.put, per-batch vectorized partial top-k (the
+    label mask is one extra compare per batch), per-anchor merge bounded
+    at k rows per batch per anchor.  Returns (query_id, vec_id, cos_sim,
+    rank) ranked desc, ties ascending vec_id."""
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    ql = np.asarray(query_labels)
+    if len(qn) != len(ql):
+        raise ValueError(
+            f"queries ({len(qn)}) and query_labels ({len(ql)}) disagree"
+        )
+    q_ref = ray.put((qn, ql))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q, labels_q = ray.get(q_ref)
+        emb = _normalize(_batch_matrix(batch, column))
+        ids = np.asarray(batch[id_column], dtype=np.int64)
+        labels = np.asarray(batch[label_column])
+        sims = emb @ q.T  # (n, Q)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(sims.shape[1]):
+            neg = labels != labels_q[qi]
+            if not neg.any():
+                continue
+            s = sims[neg, qi]
+            nid = ids[neg]
+            idx = np.lexsort((nid, -s))[: min(k, len(nid))]
+            out_q.append(np.full(len(idx), qi, dtype=np.int64))
+            out_id.append(nid[idx])
+            out_s.append(s[idx])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cos_sim": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_id)),
+                "cos_sim": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow", batch_size=4096)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.sort_values(["cos_sim", "vec_id"], ascending=[False, True])
+            .drop_duplicates("vec_id")
+            .head(k)
+        )
+        g["rank"] = np.arange(1, len(g) + 1)
+        return g
+
+    merged = partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    batches = list(merged.iter_batches(batch_size=None, batch_format="pyarrow"))
+    out = pa.concat_tables([pa.table(b) for b in batches]) if batches else None
+    if out is None:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cos_sim": pa.array([], pa.float64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+    return out.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
 def quantize_embeddings(
     ds: ray.data.Dataset,
     column: str = "embedding",

@@ -1647,3 +1647,32 @@ def test_shuffled_export_drops_internal_key(ray_session, tmp_path):
     parts = [f for f in os.listdir(out) if f.endswith(".parquet")]
     schema = pq.read_schema(os.path.join(out, parts[0]))
     assert schema.names == ["doc_id", "text"]  # no _shuffle_key leak
+
+
+def test_hard_negatives_exact(emb_ds, emb_tbl):
+    from search_engine_ray.dataops.similarity import hard_negatives
+
+    emb = np.stack(
+        [np.asarray(e, dtype=np.float64) for e in emb_tbl["embedding"].to_pylist()]
+    )
+    ids = np.asarray(emb_tbl["vec_id"])
+    labels = np.asarray(emb_tbl["label"])
+    queries, qlabels = emb[:3], labels[:3]
+    out = hard_negatives(emb_ds, queries, qlabels, k=5).to_pandas()
+    norm = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    for qi in range(3):
+        neg = labels != qlabels[qi]
+        sims = (norm @ norm[qi])[neg]
+        nid = ids[neg]
+        order = np.lexsort((nid, -sims))[:5]
+        got = out[out["query_id"] == qi].sort_values("rank")
+        # every mined negative has a different label than the anchor
+        lab = {int(i): int(l) for i, l in zip(ids, labels)}
+        assert all(lab[int(v)] != int(qlabels[qi]) for v in got["vec_id"])
+        assert got["vec_id"].tolist() == nid[order].tolist()
+        np.testing.assert_allclose(got["cos_sim"], sims[order], atol=1e-12)
+    # length mismatch fails loud
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hard_negatives(emb_ds, queries, qlabels[:2], k=5)
