@@ -4048,6 +4048,31 @@ def q_hard_negatives(sf_dir: str) -> pa.Table:
     )
 
 
+def q_balance_labels(sf_dir: str) -> pa.Table:
+    """Deterministic class balancing (sample.balance_classes): every
+    label oversampled/downsampled to exactly the majority-class size via
+    integer per-rank quotas — tiny count groupby + bucketed row_number
+    window + stateless expand; the output multiset is a pure function of
+    (ids, labels) and SQL-mirrorable row-for-row."""
+    from search_engine_ray.dataops.sample import balance_classes
+
+    emb = read_parquet_clean(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "label"]
+    )
+    out = (
+        balance_classes(emb, label_column="label", id_column="vec_id")
+        .to_pandas()
+        .sort_values(["vec_id", "copy_id"], ignore_index=True)
+    )
+    return pa.table(
+        {
+            "vec_id": pa.array(out["vec_id"].to_numpy(np.int64)),
+            "label": pa.array(out["label"].to_numpy(np.int64)),
+            "copy_id": pa.array(out["copy_id"].to_numpy(np.int64)),
+        }
+    )
+
+
 # sentence-segmentation CTE shared by the sentences / dup_sentences
 # oracles: regexp_extract_all keeps terminators attached (no lookbehind —
 # RE2 lacks it); trim uses the pinned ws class character-for-character
@@ -4432,6 +4457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentences": q_sentences,
         "dup_sentences": q_dup_sentences,
         "hard_negatives": q_hard_negatives,
+        "balance_labels": q_balance_labels,
     }
 
 
@@ -6601,6 +6627,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id,
                    {_SQL_MICROS.format(expr="sim")} AS cos_sim_micros
             FROM ranked WHERE r <= 5
+        """,
+        "balance_labels": """
+            WITH n AS (SELECT label, count(*) AS c FROM embeddings GROUP BY label),
+            t AS (SELECT max(c) AS tgt FROM n),
+            r AS (SELECT vec_id, label,
+                         row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+                  FROM embeddings),
+            rep AS (SELECT vec_id, r.label,
+                           (t.tgt // n.c)
+                           + CASE WHEN rn - 1 < (t.tgt % n.c) THEN 1 ELSE 0 END AS reps
+                    FROM r JOIN n ON r.label = n.label CROSS JOIN t)
+            SELECT vec_id, CAST(label AS BIGINT) AS label,
+                   CAST(g.i - 1 AS BIGINT) AS copy_id
+            FROM rep, unnest(generate_series(1, reps)) AS g(i)
+            ORDER BY vec_id, copy_id
         """,
         "sentences": _SENTENCES_SQL,
         "dup_sentences": f"""

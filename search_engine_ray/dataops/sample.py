@@ -382,3 +382,74 @@ def topk_per_key(
         .groupby(key_column)
         .map_groups(finish, batch_format="pandas")
     )
+
+
+def balance_classes(
+    ds: ray.data.Dataset,
+    label_column: str = "label",
+    id_column: str = "vec_id",
+    target: int | None = None,
+) -> ray.data.Dataset:
+    """Deterministic class balancing: every label ends up with EXACTLY
+    ``target`` rows (default: the majority class size).  A row of a
+    class with ``c`` rows and 1-based rank ``rn`` (by ascending id)
+    appears ``target // c + (1 if rn - 1 < target % c else 0)`` times —
+    integer arithmetic only, so the output multiset is a pure function of
+    (ids, labels, target): reproducible across runs, partitionings and
+    cluster sizes, and exactly SQL-mirrorable.  Minority classes
+    oversample (copy_id numbers the repeats); classes larger than
+    ``target`` downsample to their ``target`` lowest-id rows.
+
+    Distributed shape: one tiny class-count groupby (class cardinality
+    rows), the bucketed row_number window (window_fns), then a stateless
+    flat-map expand with the per-class quotas riding along as a plain
+    dict.  Output: (id, label, copy_id)."""
+    from .window_fns import row_number
+
+    counts_df = ds.groupby(label_column).count().to_pandas()
+    if "count()" not in counts_df.columns or not len(counts_df):
+        sch = ds.schema().base_schema
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_column: pa.array([], sch.field(id_column).type),
+                    label_column: pa.array([], sch.field(label_column).type),
+                    "copy_id": pa.array([], pa.int64()),
+                }
+            )
+        )
+    counts = {
+        k: int(c) for k, c in zip(counts_df[label_column], counts_df["count()"])
+    }
+    tgt = int(target) if target is not None else max(counts.values())
+    if tgt < 1:
+        raise ValueError(f"target must be >= 1, got {tgt}")
+    base = {k: tgt // c for k, c in counts.items()}
+    rem = {k: tgt % c for k, c in counts.items()}
+
+    rn = row_number(ds, label_column, [], id_column)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        labels = batch[label_column].to_pylist()
+        r = np.asarray(batch["row_num"], dtype=np.int64)
+        reps = np.fromiter(
+            (base[l] + (1 if rr - 1 < rem[l] else 0) for l, rr in zip(labels, r)),
+            dtype=np.int64,
+            count=len(r),
+        )
+        idx = np.repeat(np.arange(len(r), dtype=np.int64), reps)
+        starts = np.zeros(len(r) + 1, dtype=np.int64)
+        np.cumsum(reps, out=starts[1:])
+        copy_id = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+            starts[:-1], reps
+        )
+        take = pa.array(idx)
+        return pa.table(
+            {
+                id_column: batch[id_column].take(take),
+                label_column: batch[label_column].take(take),
+                "copy_id": pa.array(copy_id),
+            }
+        )
+
+    return rn.map_batches(expand, batch_format="pyarrow")

@@ -1676,3 +1676,57 @@ def test_hard_negatives_exact(emb_ds, emb_tbl):
 
     with _pytest.raises(ValueError):
         hard_negatives(emb_ds, queries, qlabels[:2], k=5)
+
+
+def test_balance_classes_exact(ray_session):
+    import ray.data
+
+    from search_engine_ray.dataops.sample import balance_classes
+
+    # 3 classes: majority 7, mid 3 (7 = 2*3+1 -> first-ranked row gets 3
+    # copies, others 2), singleton (7 copies)
+    labels = [0] * 7 + [1] * 3 + [2]
+    ids = list(range(len(labels)))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "label": pa.array(labels, pa.int64()),
+        }
+    )
+    out = (
+        balance_classes(ray.data.from_arrow(tbl).repartition(4))
+        .to_pandas()
+        .sort_values(["vec_id", "copy_id"], ignore_index=True)
+    )
+    per_label = out.groupby("label").size().to_dict()
+    assert per_label == {0: 7, 1: 7, 2: 7}
+    reps = out.groupby("vec_id").size().to_dict()
+    assert reps[7] == 3 and reps[8] == 2 and reps[9] == 2  # rank-ordered remainder
+    assert reps[10] == 7
+    assert all(reps[i] == 1 for i in range(7))
+    # copy_id dense 0..reps-1 per row
+    for vid, grp in out.groupby("vec_id"):
+        assert grp["copy_id"].tolist() == list(range(len(grp)))
+    # partition invariance
+    out1 = (
+        balance_classes(ray.data.from_arrow(tbl))
+        .to_pandas()
+        .sort_values(["vec_id", "copy_id"], ignore_index=True)
+    )
+    assert out.equals(out1)
+    # explicit smaller target downsamples deterministically (lowest ids)
+    down = balance_classes(
+        ray.data.from_arrow(tbl), target=2
+    ).to_pandas()
+    assert down.groupby("label").size().to_dict() == {0: 2, 1: 2, 2: 2}
+    assert set(down[down.label == 0]["vec_id"]) == {0, 1}
+    with _test_raises_value_error():
+        balance_classes(ray.data.from_arrow(tbl), target=0)
+    # empty input -> empty typed output
+    assert balance_classes(ray.data.from_arrow(tbl.slice(0, 0))).count() == 0
+
+
+def _test_raises_value_error():
+    import pytest as _pytest
+
+    return _pytest.raises(ValueError)
