@@ -3507,28 +3507,24 @@ def q_bm25_compacted_top10(sf_dir: str) -> pa.Table:
     )
 
 
-def q_bm25_merged_top10(sf_dir: str) -> pa.Table:
-    """Index union merge: the documents table is indexed in two halves,
-    the two indexes are union-merged (docID rebase + re-bound with the
-    merged avgdl, engine/maintenance.merge_indexes), and the standard
-    query runs on the result.  The oracle is the UNSPLIT full-corpus
-    BM25 — the merge must be score-equivalent to one build."""
+def _half_indexes_root(sf_dir: str) -> str:
+    """Build once (cached): documents indexed in two contiguous halves
+    (index_a / index_b) plus their union merge (merged/) — shared by the
+    merge and federation gates."""
     import shutil
 
     import pyarrow.parquet as pq
 
     from search_engine_ray.config import BuildConfig
     from search_engine_ray.engine.build import build_index
-    from search_engine_ray.engine.index_reader import IndexReader
     from search_engine_ray.engine.maintenance import merge_indexes
-    from search_engine_ray.pipelines import _CACHE_ROOT, bm25_scores_f64
+    from search_engine_ray.pipelines import _CACHE_ROOT
 
     src = os.path.join(sf_dir, "documents.parquet")
     key = hashlib.md5(
         f"merged|{os.path.abspath(src)}|{os.path.getmtime(src)}|{OPT_NOSTEM.to_dict()}".encode()
     ).hexdigest()[:16]
     root = os.path.join(_CACHE_ROOT, f"docidx-merged-{key}")
-    merged = os.path.join(root, "merged")
 
     def _build() -> None:
         shutil.rmtree(root, ignore_errors=True)
@@ -3546,13 +3542,54 @@ def q_bm25_merged_top10(sf_dir: str) -> pa.Table:
                 source_column="text", name_column="doc_id",
             )
             sides.append(idir)
-        merge_indexes(sides[0], sides[1], merged, overwrite=True)
+        merge_indexes(sides[0], sides[1], os.path.join(root, "merged"), overwrite=True)
 
-    _build_once(root, ".merged-complete", _build)
-    r = IndexReader(merged)
+    return _build_once(root, ".merged-complete", _build)
+
+
+def q_bm25_merged_top10(sf_dir: str) -> pa.Table:
+    """Index union merge: the documents table is indexed in two halves,
+    the two indexes are union-merged (docID rebase + re-bound with the
+    merged avgdl, engine/maintenance.merge_indexes), and the standard
+    query runs on the result.  The oracle is the UNSPLIT full-corpus
+    BM25 — the merge must be score-equivalent to one build."""
+    from search_engine_ray.engine.index_reader import IndexReader
+    from search_engine_ray.pipelines import bm25_scores_f64
+
+    root = _half_indexes_root(sf_dir)
+    r = IndexReader(os.path.join(root, "merged"))
     ids, scores = bm25_scores_f64(r, BM25_QUERY)
     ids, scores = ids[:10], scores[:10]
     doc_ids = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids), "score_micros": pa.array(_micros(scores))}
+    )
+
+
+def q_bm25_federated_top10(sf_dir: str) -> pa.Table:
+    """Query-time federation (pipelines.federated_bm25_f64): the SAME two
+    half-indexes the merge gate uses are scored together at query time —
+    global n/avgdl/df recomputed from the segments, no offline merge.
+    The oracle is the unsplit full-corpus BM25, and the gate additionally
+    self-checks bit-identity (every score, every rank) against the
+    single-index bm25_scores_f64 run."""
+    from search_engine_ray.engine.index_reader import IndexReader
+    from search_engine_ray.pipelines import bm25_scores_f64, federated_bm25_f64
+
+    root = _half_indexes_root(sf_dir)
+    readers = [
+        IndexReader(os.path.join(root, "index_a")),
+        IndexReader(os.path.join(root, "index_b")),
+    ]
+    gids, scores, names = federated_bm25_f64(readers, BM25_QUERY)
+    full = _reader(sf_dir)
+    fids, fscores = bm25_scores_f64(full, BM25_QUERY)
+    assert np.array_equal(scores, fscores), "federated != single-index scores"
+    assert [int(names[g]) for g in gids] == [
+        int(full.doc_names[d]) for d in fids
+    ], "federated != single-index ranking"
+    gids, scores = gids[:10], scores[:10]
+    doc_ids = np.asarray([int(names[g]) for g in gids], dtype=np.int64)
     return pa.table(
         {"doc_id": pa.array(doc_ids), "score_micros": pa.array(_micros(scores))}
     )
@@ -4458,6 +4495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_sentences": q_dup_sentences,
         "hard_negatives": q_hard_negatives,
         "balance_labels": q_balance_labels,
+        "bm25_federated_top10": q_bm25_federated_top10,
     }
 
 
@@ -6655,5 +6693,7 @@ def oracle_sql() -> dict[str, str]:
     # the merge gate's oracle IS the unsplit full-corpus ranking: merging
     # two half-indexes must be score-equivalent to one build
     out["bm25_merged_top10"] = out["bm25_top10"]
+    # federation must equal the unsplit full-corpus ranking, like merge
+    out["bm25_federated_top10"] = out["bm25_top10"]
     out["bm25f_top10"] = _bm25f_sql()
     return out

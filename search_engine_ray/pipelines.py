@@ -205,6 +205,57 @@ def bm25_scores_f64(
     return cand[order], scores[cand][order]
 
 
+def federated_bm25_f64(
+    readers: list[IndexReader],
+    keywords: list[tuple[str, int]],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k3: float = 100.0,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Query-time federation over N indexes — serve a fresh segment next
+    to the base index WITHOUT an offline merge, score-identical to one
+    merged build: global n = sum(n_docs), global avgdl recomputed in the
+    SAME int-sum-then-divide order as build.py (sum sum_dl / n), global
+    df = sum of per-index dfs, and each posting contributes exactly one
+    f64 accumulation per (term, doc) just as in bm25_scores_f64.
+
+    Returns (global_ids ranked desc-score asc-ordinal, scores, names)
+    where names[global_id] resolves documents across all indexes (the
+    concatenation of each reader's doc_names in reader order — ordinal
+    ties therefore follow reader order, which equals docID order when
+    the segments partition the corpus contiguously)."""
+    if not readers:
+        raise ValueError("federated_bm25_f64 needs at least one reader")
+    n = sum(r.n_docs for r in readers)
+    sum_dl = sum(int(r.stats["sum_dl"]) for r in readers)
+    avgdl = sum_dl / n if n else 0.0
+    offsets = np.concatenate(
+        ([0], np.cumsum([r.n_docs for r in readers]))
+    ).astype(np.int64)
+    scores = np.zeros(n, dtype=np.float64)
+    touched = np.zeros(n, dtype=bool)
+    for term, qtf in keywords:
+        tps = [r.postings(term) for r in readers]
+        df = sum(tp.df for tp in tps if tp is not None)
+        if df == 0:
+            continue
+        idf = np.log((n - df + 0.5) / (df + 0.5))
+        qterm = ((k3 + 1) * qtf) / (k3 + qtf)
+        for ri, tp in enumerate(tps):
+            if tp is None:
+                continue
+            ids, tfs, dls = tp.arrays()
+            gid = ids + offsets[ri]
+            scores[gid] += (
+                idf * (tfs * (k1 + 1)) / (tfs + k1 * (1 - b + b * (dls / avgdl))) * qterm
+            )
+            touched[gid] = True
+    cand = np.flatnonzero(touched)
+    order = np.lexsort((cand, -scores[cand]))
+    names = np.concatenate([r.doc_names for r in readers]) if n else np.empty(0, object)
+    return cand[order], scores[cand][order], names
+
+
 def conjunctive_bm25_f64(
     reader: IndexReader, keywords: list[tuple[str, int]], k1: float = 1.2, b: float = 0.75, k3: float = 100.0
 ) -> tuple[np.ndarray, np.ndarray]:

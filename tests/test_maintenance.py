@@ -777,3 +777,34 @@ def test_compact_broadcast_is_shard_local(index_dir, ray_session, tmp_path,
     # and the result still queries correctly
     r = IndexReader(out)
     assert r.n_docs == r0.n_docs - 2
+
+
+def test_federated_equals_full_build(index_dir, ray_session):
+    """federated_bm25_f64 over two contiguous half-indexes == the full
+    build's bm25_scores_f64: every score and every rank bit-identical
+    (the query-time alternative to merge_indexes)."""
+    import pyarrow.dataset as pads
+
+    from search_engine_ray.pipelines import bm25_scores_f64, federated_bm25_f64
+
+    corpus_tbl = pads.dataset(f"{BASE}/corpus").to_table()
+    half = corpus_tbl.num_rows // 2
+    cfg = BuildConfig(block_entries=16, frags_per_shard=2)
+    readers = []
+    for name, tbl in (("fa", corpus_tbl.slice(0, half)), ("fb", corpus_tbl.slice(half))):
+        cdir = f"{BASE}/corpus_{name}"
+        shutil.rmtree(cdir, ignore_errors=True)
+        os.makedirs(cdir)
+        pq.write_table(tbl, f"{cdir}/pages.parquet", row_group_size=32)
+        idir = f"{BASE}/index_{name}"
+        build_index(cdir, idir, cfg, overwrite=True)
+        readers.append(IndexReader(idir))
+
+    rf = IndexReader(index_dir)
+    kws = _kws(index_dir)
+    gids, scores, names = federated_bm25_f64(readers, kws)
+    fids, fscores = bm25_scores_f64(rf, kws)
+    np.testing.assert_array_equal(scores, fscores)
+    assert [names[g] for g in gids] == [rf.doc_names[d] for d in fids]
+    with pytest.raises(ValueError):
+        federated_bm25_f64([], kws)
