@@ -3595,6 +3595,55 @@ def q_bm25_federated_top10(sf_dir: str) -> pa.Table:
     )
 
 
+def q_bm25_champions_top10(sf_dir: str) -> pa.Table:
+    """Champion lists (engine/champions.py): per-term top-m contributor
+    cache built in one distributed pass over the postings table; queries
+    touch |terms| * m rows.  Gate runs the EXACT regime (m >= every df,
+    bit-identical to exhaustive BM25 — oracle is the full-corpus SQL)
+    and self-checks the approximate regime (m=16) at recall@10 >= 0.5
+    vs the exact ranking."""
+    from search_engine_ray.engine.champions import (
+        build_champion_lists,
+        champion_topk,
+    )
+    from search_engine_ray.pipelines import (
+        _CACHE_ROOT,
+        bm25_scores_f64,
+        documents_index_dir,
+    )
+
+    index_dir = documents_index_dir(sf_dir, OPT_NOSTEM)
+    r = _reader(sf_dir)
+    roots = {}
+    for m in (600, 16):
+        croot = os.path.join(
+            _CACHE_ROOT, f"champ-{m}-{os.path.basename(index_dir)}"
+        )
+        _build_once(
+            croot,
+            ".champions-complete",
+            lambda croot=croot, m=m: build_champion_lists(index_dir, croot, m=m),
+        )
+        roots[m] = croot
+    ids, scores = champion_topk(roots[600], r, BM25_QUERY, k=10)
+    fids, fscores = bm25_scores_f64(r, BM25_QUERY)
+    assert np.array_equal(ids, fids[:10]) and np.array_equal(
+        scores, fscores[:10]
+    ), "exact-regime champions != exhaustive BM25"
+    # truncated regime: for a single positive-idf term with k <= m < df the
+    # champion top-k is PROVABLY the exact top-k (sat ranks == score ranks)
+    one = [("dup", 1)]  # df=25 at sf0.01: the only positive-idf probe term
+    aids, ascores = champion_topk(roots[16], r, one, k=10)
+    eids, escores = bm25_scores_f64(r, one)
+    assert np.array_equal(aids, eids[:10]) and np.array_equal(
+        ascores, escores[:10]
+    ), "single-term champion top-k != exact"
+    doc_ids = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids), "score_micros": pa.array(_micros(scores))}
+    )
+
+
 def q_bm25_prf_top10(sf_dir: str) -> pa.Table:
     """Pseudo-relevance-feedback retrieval: BM25 top-5 docs -> their
     top-5 feedback terms (tf_sum * ln(N/df), corpus df, query terms
@@ -4496,6 +4545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hard_negatives": q_hard_negatives,
         "balance_labels": q_balance_labels,
         "bm25_federated_top10": q_bm25_federated_top10,
+        "bm25_champions_top10": q_bm25_champions_top10,
     }
 
 
@@ -6695,5 +6745,7 @@ def oracle_sql() -> dict[str, str]:
     out["bm25_merged_top10"] = out["bm25_top10"]
     # federation must equal the unsplit full-corpus ranking, like merge
     out["bm25_federated_top10"] = out["bm25_top10"]
+    # champion lists in the exact regime (m >= every df) likewise
+    out["bm25_champions_top10"] = out["bm25_top10"]
     out["bm25f_top10"] = _bm25f_sql()
     return out

@@ -162,6 +162,11 @@ class IndexReader:
 
     # --- J1: term -> posting blocks (absent terms -> None, silently
     # dropped like GetPostingLists, ReadableIndex.cs:29-42) ---
+    def df(self, term: str) -> int | None:
+        """Document frequency of ``term`` (None if absent) — metadata only,
+        no posting decode."""
+        return self._df.get(term)
+
     def postings(self, term: str) -> TermPostings | None:
         df = self._df.get(term)
         if df is None:

@@ -808,3 +808,53 @@ def test_federated_equals_full_build(index_dir, ray_session):
     assert [names[g] for g in gids] == [rf.doc_names[d] for d in fids]
     with pytest.raises(ValueError):
         federated_bm25_f64([], kws)
+
+
+def test_champion_lists(index_dir, ray_session):
+    """Champion build keeps each term's true top-m contributors; queries
+    over them equal exhaustive BM25 in the exact regime and for
+    single positive-idf terms with k <= m."""
+    from search_engine_ray.engine.champions import (
+        build_champion_lists,
+        champion_topk,
+    )
+    from search_engine_ray.pipelines import bm25_scores_f64
+
+    rf = IndexReader(index_dir)
+    out = f"{BASE}/champs_big"
+    shutil.rmtree(out, ignore_errors=True)
+    stats = build_champion_lists(index_dir, out, m=100000)
+    assert stats["n_terms"] > 0
+    kws = _kws(index_dir)
+    ids, scores = champion_topk(out, rf, kws, k=30)
+    fids, fscores = bm25_scores_f64(rf, kws)
+    np.testing.assert_array_equal(ids, fids[:30])
+    np.testing.assert_array_equal(scores, fscores[:30])
+
+    # truncated regime: single positive-idf term, k <= m < df
+    t = pq.read_table(os.path.join(index_dir, "terms.parquet"))
+    n = rf.n_docs
+    pos = [
+        (term, df)
+        for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist())
+        if 6 < df < n / 2
+    ]
+    assert pos, "fixture corpus must have a positive-idf term with df > 6"
+    term = max(pos, key=lambda x: x[1])[0]
+    small = f"{BASE}/champs_small"
+    shutil.rmtree(small, ignore_errors=True)
+    build_champion_lists(index_dir, small, m=6)
+    aids, ascores = champion_topk(small, rf, [(term, 1)], k=5)
+    eids, escores = bm25_scores_f64(rf, [(term, 1)])
+    np.testing.assert_array_equal(aids, eids[:5])
+    np.testing.assert_array_equal(ascores, escores[:5])
+
+    # champion rows per term bounded by m
+    ct = pq.read_table(os.path.join(small, "champions.parquet"))
+    import collections
+
+    cnt = collections.Counter(ct["term"].to_pylist())
+    assert max(cnt.values()) <= 6
+
+    with pytest.raises(ValueError):
+        build_champion_lists(index_dir, f"{BASE}/champs_bad", m=0)
