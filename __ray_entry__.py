@@ -3595,6 +3595,44 @@ def q_bm25_federated_top10(sf_dir: str) -> pa.Table:
     )
 
 
+def q_bm25_federated_bloom_top10(sf_dir: str) -> pa.Table:
+    """Bloom-gated federation (engine/segment_bloom.py): each half-index
+    carries a per-segment term Bloom filter built from its own terms
+    table; the gated readers answer definitely-absent terms without
+    touching the segment.  No false negatives => results bit-identical
+    to ungated federation (self-checked here), and the oracle is the
+    same full-corpus BM25 SQL.  The query adds a known-OOV probe term
+    to exercise the skip path (absent terms silently drop — the J1
+    contract — so scores are unchanged)."""
+    from search_engine_ray.engine.segment_bloom import (
+        BloomGatedReader,
+        build_term_bloom,
+        load_term_bloom,
+    )
+    from search_engine_ray.pipelines import federated_bm25_f64
+
+    root = _half_indexes_root(sf_dir)
+    idirs = [os.path.join(root, "index_a"), os.path.join(root, "index_b")]
+    for d in idirs:
+        if load_term_bloom(d) is None:
+            build_term_bloom(d)
+    probe = BM25_QUERY + [("zzqqblooomabsent", 1)]
+    gated = [BloomGatedReader.open(d) for d in idirs]
+    gids, scores, names = federated_bm25_f64(gated, probe)
+    from search_engine_ray.engine.index_reader import IndexReader
+
+    plain = [IndexReader(d) for d in idirs]
+    pids, pscores, _ = federated_bm25_f64(plain, probe)
+    assert np.array_equal(scores, pscores) and np.array_equal(
+        gids, pids
+    ), "bloom-gated federation != ungated federation"
+    gids, scores = gids[:10], scores[:10]
+    doc_ids = np.asarray([int(names[g]) for g in gids], dtype=np.int64)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids), "score_micros": pa.array(_micros(scores))}
+    )
+
+
 def q_bm25_champions_top10(sf_dir: str) -> pa.Table:
     """Champion lists (engine/champions.py): per-term top-m contributor
     cache built in one distributed pass over the postings table; queries
@@ -4546,6 +4584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "balance_labels": q_balance_labels,
         "bm25_federated_top10": q_bm25_federated_top10,
         "bm25_champions_top10": q_bm25_champions_top10,
+        "bm25_federated_bloom_top10": q_bm25_federated_bloom_top10,
     }
 
 
@@ -6747,5 +6786,6 @@ def oracle_sql() -> dict[str, str]:
     out["bm25_federated_top10"] = out["bm25_top10"]
     # champion lists in the exact regime (m >= every df) likewise
     out["bm25_champions_top10"] = out["bm25_top10"]
+    out["bm25_federated_bloom_top10"] = out["bm25_top10"]
     out["bm25f_top10"] = _bm25f_sql()
     return out

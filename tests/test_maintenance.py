@@ -858,3 +858,71 @@ def test_champion_lists(index_dir, ray_session):
 
     with pytest.raises(ValueError):
         build_champion_lists(index_dir, f"{BASE}/champs_bad", m=0)
+
+
+def test_segment_bloom_gating(index_dir, ray_session):
+    """Per-segment term Blooms (engine/segment_bloom.py): gated
+    federation is bit-identical to ungated (no false negatives by
+    construction), absent terms are answered without probing the
+    segment, and a segment with no filter degrades to plain probing."""
+    import pyarrow.dataset as pads
+
+    from search_engine_ray.engine.segment_bloom import (
+        BloomGatedReader,
+        build_term_bloom,
+        load_term_bloom,
+        probe_terms,
+    )
+    from search_engine_ray.engine.terms_io import read_terms_table
+    from search_engine_ray.pipelines import federated_bm25_f64
+
+    corpus_tbl = pads.dataset(f"{BASE}/corpus").to_table()
+    half = corpus_tbl.num_rows // 2
+    cfg = BuildConfig(block_entries=16, frags_per_shard=2)
+    idirs = []
+    for name, tbl in (("ba", corpus_tbl.slice(0, half)), ("bb", corpus_tbl.slice(half))):
+        cdir = f"{BASE}/corpus_{name}"
+        shutil.rmtree(cdir, ignore_errors=True)
+        os.makedirs(cdir)
+        pq.write_table(tbl, f"{cdir}/pages.parquet", row_group_size=32)
+        idir = f"{BASE}/index_{name}"
+        build_index(cdir, idir, cfg, overwrite=True)
+        build_term_bloom(idir)
+        idirs.append(idir)
+
+    # no false negatives: every indexed term probes maybe-present
+    for idir in idirs:
+        bloom = load_term_bloom(idir)
+        terms = read_terms_table(idir, columns=["term"])["term"].to_pylist()
+        assert probe_terms(bloom, terms).all()
+
+    kws = _kws(index_dir) + [("zqzqzqnotaterm", 1)]
+    plain = [IndexReader(d) for d in idirs]
+    gated = [BloomGatedReader.open(d) for d in idirs]
+    gids, gscores, gnames = federated_bm25_f64(gated, kws)
+    pids, pscores, pnames = federated_bm25_f64(plain, kws)
+    np.testing.assert_array_equal(gscores, pscores)
+    np.testing.assert_array_equal(gids, pids)
+
+    # the garbage term was (almost surely) skipped without a probe;
+    # check the counter discipline on a guaranteed-negative probe
+    g = gated[0]
+    before = g.n_probes
+    if not probe_terms(load_term_bloom(idirs[0]), ["zqzqzqnotaterm"])[0]:
+        assert g.postings("zqzqzqnotaterm") is None
+        assert g.n_probes == before and g.n_skipped >= 1
+
+    # real term: probed and identical postings
+    term = kws[0][0]
+    tp_g = g.postings(term)
+    tp_p = plain[0].postings(term)
+    assert (tp_g is None) == (tp_p is None)
+    if tp_g is not None:
+        for a, b in zip(tp_g.arrays(), tp_p.arrays()):
+            np.testing.assert_array_equal(a, b)
+
+    # segment without a filter: open() degrades to plain probing
+    os.remove(os.path.join(idirs[0], "term_bloom.parquet"))
+    ungated = BloomGatedReader.open(idirs[0])
+    assert ungated.postings("zqzqzqnotaterm") is None
+    assert ungated.postings(term) is not None
