@@ -467,6 +467,32 @@ def q_domain_cap(sf_dir: str):
     )
 
 
+def q_latest_per_url(sf_dir: str):
+    """Newest-capture-per-url dedup (dedup.latest_per_key): docs sharing
+    a derived url (doc_id % 97 buckets per source) are crawl captures of
+    one page; keep the max-ts capture, ties -> max doc_id.  Capture
+    timestamps derive deterministically as epoch micros (timestamps enter
+    the operator as their int64 micros view); the oracle is the QUALIFY
+    row_number() window."""
+    from search_engine_ray.dataops.dedup import latest_per_key
+
+    def add_caps(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        src = batch["source"].to_pylist()
+        urls = [f"https://{s}.example/{d % 97}" for s, d in zip(src, ids.tolist())]
+        ts = 1600000000000000 + ((ids * 13) % 1000) * 1000000
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "ts_micros": pa.array(ts),
+                "doc_id": batch["doc_id"],
+            }
+        )
+
+    ds = _docs_ds(sf_dir).map_batches(add_caps, batch_format="pyarrow")
+    return latest_per_key(ds, "url", "ts_micros")
+
+
 def q_phrase_match(sf_dir: str) -> pa.Table:
     """Exact-phrase retrieval over the positional sidecar (beyond-reference:
     the reference's posting entry has no positions).  Positions are ordinals
@@ -4487,6 +4513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "url_normalize": q_url_normalize,
         "domain_cap": q_domain_cap,
+        "latest_per_url": q_latest_per_url,
         "docs_per_lang_head": q_docs_per_lang_head,
         "quality_top100": q_quality_top100,
         "top_bigrams": q_top_bigrams,
@@ -5781,6 +5808,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, domain,
                      row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS r
               FROM parts) WHERE r <= 3
+        """,
+        "latest_per_url": """
+            WITH caps AS (
+              SELECT 'https://' || source || '.example/' || CAST(doc_id % 97 AS VARCHAR) AS url,
+                     1600000000000000 + ((doc_id * 13) % 1000) * 1000000 AS ts_micros,
+                     doc_id
+              FROM documents)
+            SELECT url, ts_micros, doc_id AS keep_doc_id
+            FROM caps
+            QUALIFY row_number() OVER (PARTITION BY url ORDER BY ts_micros DESC, doc_id DESC) = 1
         """,
         "gopher_quality": r"""
             WITH wl AS (

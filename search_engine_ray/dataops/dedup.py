@@ -209,6 +209,79 @@ def exact_dedup(ds: ray.data.Dataset, text_column: str = "text", id_column: str 
     return agg
 
 
+def latest_per_key(
+    ds: ray.data.Dataset,
+    key_column: str,
+    ts_column: str,
+    id_column: str = "doc_id",
+    join_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Newest capture per key — the Common-Crawl "latest version per url"
+    pre-stage (a crawl holds many captures of one url; training corpora
+    keep the most recent, ties broken by the highest id).
+
+    Returns one row per key: (key_column, ts_column = max ts,
+    keep_<id_column> = max id among the rows carrying that max ts).
+
+    Shape: argmax is not a native Ray aggregate, so it decomposes into
+    two native aggregates and one inner hash-join, all over KEY-sized
+    projections (never the payload):
+
+      1. ``groupby(key, ts).Max(id)`` — collapses same-instant captures;
+         rows out = distinct (key, ts) pairs.
+      2. ``groupby(key).Max(ts)`` over (1) — one row per key.
+      3. inner join (1) x (2) on (key, ts) — keeps exactly the max-ts row
+         per key.  Both sides are aggregate outputs, so both get the
+         documented Ray-2.49 materialize+repartition workaround
+         (schema-less empty blocks crash the hash join).
+
+    SQL equivalent: ``QUALIFY row_number() OVER (PARTITION BY key
+    ORDER BY ts DESC, id DESC) = 1``.  Feed the result's ids to a
+    ``left_semi`` join (see :func:`latest_per_key_apply`) for the
+    surviving rows.  ``ts_column`` must be an orderable numeric column —
+    pass timestamps as their int64 epoch-micros view."""
+    proj = ds.select_columns([key_column, ts_column, id_column])
+    from ray.data.aggregate import Max
+
+    keep_col = f"keep_{id_column}"
+    per_ts = (
+        proj.groupby([key_column, ts_column])
+        .aggregate(Max(id_column, alias_name=keep_col))
+        .materialize()
+    )
+    jp = _join_parts(join_partitions)
+    per_ts = per_ts.repartition(max(1, per_ts.count() // 500_000 + 1))
+    max_ts = (
+        per_ts.select_columns([key_column, ts_column])
+        .groupby(key_column)
+        .aggregate(Max(ts_column, alias_name=ts_column))
+        .materialize()
+    )
+    max_ts = max_ts.repartition(max(1, max_ts.count() // 500_000 + 1))
+    return per_ts.join(
+        max_ts, "inner", jp, on=(key_column, ts_column)
+    ).select_columns([key_column, ts_column, keep_col])
+
+
+def latest_per_key_apply(
+    ds: ray.data.Dataset,
+    key_column: str,
+    ts_column: str,
+    id_column: str = "doc_id",
+    join_partitions: int = 16,
+) -> ray.data.Dataset:
+    """The surviving corpus after :func:`latest_per_key`: full rows of the
+    newest capture per key, via one ``left_semi`` join on the id (the
+    exact_dedup_apply shape — payload moves once, in the final join)."""
+    keep = latest_per_key(
+        ds, key_column, ts_column, id_column, join_partitions
+    ).select_columns([f"keep_{id_column}"])
+    return ds.join(
+        keep, "left_semi", _join_parts(join_partitions), on=(id_column,),
+        right_on=(f"keep_{id_column}",),
+    )
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH near-dup
 # --------------------------------------------------------------------------

@@ -1730,3 +1730,60 @@ def _test_raises_value_error():
     import pytest as _pytest
 
     return _pytest.raises(ValueError)
+
+
+def test_latest_per_key(ray_session):
+    """latest_per_key: newest capture per url (max ts, tie -> max id),
+    partition-invariant, equals the QUALIFY row_number() reference; the
+    apply variant returns exactly the surviving full rows."""
+    import ray.data
+
+    from search_engine_ray.dataops.dedup import latest_per_key, latest_per_key_apply
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    key = rng.integers(0, 250, n)
+    ts = rng.integers(0, 40, n).astype(np.int64)
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table(
+        {
+            "url": pa.array([f"u{k}" for k in key]),
+            "ts": pa.array(ts),
+            "doc_id": pa.array(ids),
+            "payload": pa.array([f"p{i}" for i in range(n)]),
+        }
+    )
+    df = tbl.to_pandas()
+    ref = (
+        df.sort_values(["url", "ts", "doc_id"])
+        .groupby("url")
+        .last()
+        .reset_index()[["url", "ts", "doc_id"]]
+        .rename(columns={"doc_id": "keep_doc_id"})
+        .sort_values("url", ignore_index=True)
+    )
+    # ties at the max ts exist in this draw (dense ts domain)
+    dup_ts = df.groupby(["url", "ts"]).size()
+    assert (dup_ts > 1).any()
+
+    for parts in (1, 9):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        out = (
+            latest_per_key(ds, "url", "ts")
+            .to_pandas()
+            .sort_values("url", ignore_index=True)
+        )
+        assert out[["url", "ts", "keep_doc_id"]].equals(ref)
+
+    surv = (
+        latest_per_key_apply(ray.data.from_arrow(tbl).repartition(5), "url", "ts")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert sorted(surv["doc_id"]) == sorted(ref["keep_doc_id"])
+    assert list(surv.columns) == ["url", "ts", "doc_id", "payload"]
+    # single-capture keys pass through; empty input stays empty and typed
+    one = pa.table({"url": pa.array(["a"]), "ts": pa.array([5], pa.int64()),
+                    "doc_id": pa.array([9], pa.int64())})
+    got = latest_per_key(ray.data.from_arrow(one), "url", "ts").to_pandas()
+    assert got.iloc[0].tolist() == ["a", 5, 9]
