@@ -1264,6 +1264,20 @@ def q_pricing_summary(sf_dir: str) -> pa.Table:
     return pricing_summary(li, cutoff="1998-09-02")
 
 
+def q_grouped_moments(sf_dir: str) -> pa.Table:
+    """Exact grouped variance sufficient statistics
+    (relational.grouped_moments): per-brand n / sum-of-cents /
+    sum-of-squared-cents over part.p_retailprice, every checked column an
+    integer carried as overflow-proof (hi, lo) pairs — mean/variance are a
+    lib-side ratio (variance_from_moments), so no libm touches the gate."""
+    from search_engine_ray.dataops.relational import grouped_moments
+
+    part = read_parquet_clean(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_brand", "p_retailprice"]
+    )
+    return grouped_moments(part, "p_brand", "p_retailprice")
+
+
 def q_customers_per_region(sf_dir: str) -> pa.Table:
     """Dimension broadcast join (relational.broadcast_join): nation x region
     pre-joined driver-side (25 rows), ray.put once, searchsorted probe per
@@ -4612,6 +4626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_federated_top10": q_bm25_federated_top10,
         "bm25_champions_top10": q_bm25_champions_top10,
         "bm25_federated_bloom_top10": q_bm25_federated_bloom_top10,
+        "grouped_moments": q_grouped_moments,
     }
 
 
@@ -6806,6 +6821,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(g.i - 1 AS BIGINT) AS copy_id
             FROM rep, unnest(generate_series(1, reps)) AS g(i)
             ORDER BY vec_id, copy_id
+        """,
+        "grouped_moments": """
+            WITH v AS (SELECT p_brand,
+                              CAST(floor(p_retailprice*100 + 0.5) AS BIGINT) AS c
+                       FROM part)
+            SELECT p_brand,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(c // 1000000) AS BIGINT) AS sum_c_hi,
+                   CAST(sum(c % 1000000) AS BIGINT) AS sum_c_lo,
+                   CAST(sum((c*c) // 1000000) AS BIGINT) AS sumsq_hi,
+                   CAST(sum((c*c) % 1000000) AS BIGINT) AS sumsq_lo
+            FROM v GROUP BY 1 ORDER BY 1
         """,
         "sentences": _SENTENCES_SQL,
         "dup_sentences": f"""

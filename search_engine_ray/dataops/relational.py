@@ -601,6 +601,106 @@ def count_distinct(ds: ray.data.Dataset, key: str, value: str) -> pa.Table:
 
 
 # --------------------------------------------------------------------------
+# exact grouped second moments (variance sufficient statistics)
+# --------------------------------------------------------------------------
+
+
+def grouped_moments(
+    ds: ray.data.Dataset, key: str, value: str
+) -> pa.Table:
+    """Exact integer sufficient statistics for per-group mean/variance
+    over a 2-decimal money column: n, sum of cents, sum of squared cents
+    — every checked number an integer, so no float summation order or
+    libm can flip a digit.
+
+    Overflow math: cents of 7-digit money are <= ~1e7, squares <= ~1e14;
+    the (hi, lo) split (hi = v // 1e6, lo = v %% 1e6, the pricing_summary
+    convention) keeps each int64 partial sum safe past 9e12 rows per
+    group.  One streaming pass of per-batch partials (dictionary-encoded
+    keys, ``np.add.at`` integer folds) through a group-count-sized native
+    groupby — the Q1 shape with a second moment.
+
+    Variance itself is a RATIO of these integers; compute it lib-side
+    with :func:`variance_from_moments` (exact integer arithmetic until
+    the final divide)."""
+    from ray.data.aggregate import Sum
+
+    sums = ["n_rows", "sum_c_hi", "sum_c_lo", "sumsq_hi", "sumsq_lo"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            cols = {key: pa.array([], pa.string())}
+            cols.update({c: pa.array([], pa.int64()) for c in sums})
+            return pa.table(cols)
+        kcol = batch[key]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        if kcol.null_count:
+            raise ValueError(f"grouped_moments: null group keys in {key!r}")
+        denc = kcol.dictionary_encode()
+        codes = np.asarray(denc.indices, dtype=np.int64)
+        g = len(denc.dictionary)
+        v = money_cents(batch[value])
+        if len(v) and int(v.min()) < 0:
+            raise ValueError(
+                f"grouped_moments: {value} must be non-negative "
+                "(the (hi, lo) split floors; SQL truncates negatives)"
+            )
+        v2 = v * v
+        cols = {
+            key: denc.dictionary,
+            "n_rows": pa.array(np.bincount(codes, minlength=g).astype(np.int64)),
+        }
+        cols.update(
+            {
+                "sum_c_hi": pa.array(_group_sum(codes, g, v // _MOD)),
+                "sum_c_lo": pa.array(_group_sum(codes, g, v % _MOD)),
+                "sumsq_hi": pa.array(_group_sum(codes, g, v2 // _MOD)),
+                "sumsq_lo": pa.array(_group_sum(codes, g, v2 % _MOD)),
+            }
+        )
+        return pa.table(cols)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(*[Sum(c, alias_name=c) for c in sums])
+        .sort(key)
+        .to_pandas()
+    )
+    cols = {key: pa.Array.from_pandas(out[key])}
+    for c in sums:
+        cols[c] = pa.array(out[c].astype(np.int64), pa.int64())
+    return pa.table(cols)
+
+
+def variance_from_moments(moments: pa.Table) -> pa.Table:
+    """Per-group mean and population variance (in money units) from
+    :func:`grouped_moments` output.  Reassembles the exact integer sum
+    and sum-of-squares with arbitrary-precision Python ints, so the only
+    rounding is the final float divide."""
+    names = [c for c in moments.column_names if not c.endswith(("_hi", "_lo")) and c != "n_rows"]
+    key = names[0]
+    n = moments["n_rows"].to_pylist()
+    s = [
+        h * _MOD + l
+        for h, l in zip(moments["sum_c_hi"].to_pylist(), moments["sum_c_lo"].to_pylist())
+    ]
+    s2 = [
+        h * _MOD + l
+        for h, l in zip(moments["sumsq_hi"].to_pylist(), moments["sumsq_lo"].to_pylist())
+    ]
+    mean = [si / ni / 100.0 for si, ni in zip(s, n)]
+    var = [
+        (ni * s2i - si * si) / (ni * ni) / 10000.0
+        for si, s2i, ni in zip(s, s2, n)
+    ]
+    return pa.table(
+        {key: moments[key], "mean": pa.array(mean, pa.float64()), "var_pop": pa.array(var, pa.float64())}
+    )
+
+
+# --------------------------------------------------------------------------
 # shipping priority (three-way join + filtered grouped revenue + top-k)
 # --------------------------------------------------------------------------
 

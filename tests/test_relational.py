@@ -399,3 +399,74 @@ def test_shipping_priority_empty_segment(ray_session, tables):
     )
     assert got.num_rows == 0
     assert got.schema.names == ["l_orderkey", "rev_c2", "ymd"]
+
+
+def test_grouped_moments_vs_duckdb(ray_session, tables, con):
+    from search_engine_ray.dataops.relational import grouped_moments
+
+    got = grouped_moments(_ds(tables["lineitem"]), "l_returnflag", "l_extendedprice")
+    exp = con.execute(
+        """
+        WITH v AS (SELECT l_returnflag,
+                          CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS c
+                   FROM lineitem)
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(c // 1000000) AS BIGINT) AS sum_c_hi,
+               CAST(sum(c % 1000000) AS BIGINT) AS sum_c_lo,
+               CAST(sum((c*c) // 1000000) AS BIGINT) AS sumsq_hi,
+               CAST(sum((c*c) % 1000000) AS BIGINT) AS sumsq_lo
+        FROM v GROUP BY 1 ORDER BY 1
+        """
+    ).fetch_arrow_table()
+    assert got.column_names == exp.column_names
+    for c in exp.column_names:
+        assert got[c].to_pylist() == exp[c].to_pylist(), c
+    # partition invariance
+    got2 = grouped_moments(
+        _ds(tables["lineitem"], 1), "l_returnflag", "l_extendedprice"
+    )
+    assert got2.equals(got)
+
+
+def test_grouped_moments_rejects_negative_and_null(ray_session):
+    from search_engine_ray.dataops.relational import grouped_moments
+
+    bad = pa.table({"k": ["a", "b"], "v": [1.0, -2.0]})
+    with pytest.raises(Exception, match="non-negative"):
+        grouped_moments(_ds(bad, 1), "k", "v")
+    nul = pa.table({"k": ["a", None], "v": [1.0, 2.0]})
+    with pytest.raises(Exception, match="null group keys"):
+        grouped_moments(_ds(nul, 1), "k", "v")
+
+
+def test_variance_from_moments_exact(ray_session):
+    from search_engine_ray.dataops.relational import (
+        grouped_moments,
+        variance_from_moments,
+    )
+
+    # hand-checkable: [1.00, 2.00, 3.00] -> mean 2.0, var_pop 2/3
+    tbl = pa.table({"k": ["a"] * 3 + ["b"], "v": [1.0, 2.0, 3.0, 5.5]})
+    m = grouped_moments(_ds(tbl, 2), "k", "v")
+    v = variance_from_moments(m)
+    assert v["k"].to_pylist() == ["a", "b"]
+    assert v["mean"].to_pylist() == [2.0, 5.5]
+    assert abs(v["var_pop"].to_pylist()[0] - 2.0 / 3.0) < 1e-12
+    assert v["var_pop"].to_pylist()[1] == 0.0
+
+
+def test_variance_from_moments_matches_numpy(ray_session, tables):
+    from search_engine_ray.dataops.relational import (
+        grouped_moments,
+        variance_from_moments,
+    )
+
+    m = grouped_moments(_ds(tables["lineitem"]), "l_returnflag", "l_extendedprice")
+    v = variance_from_moments(m)
+    cents = money_cents(tables["lineitem"]["l_extendedprice"])
+    flags = np.asarray(tables["lineitem"]["l_returnflag"])
+    for i, flag in enumerate(v["l_returnflag"].to_pylist()):
+        grp = cents[flags == flag].astype(np.float64) / 100.0
+        assert abs(v["mean"].to_pylist()[i] - grp.mean()) < 1e-9 * abs(grp.mean())
+        assert abs(v["var_pop"].to_pylist()[i] - grp.var()) < 1e-6 * max(grp.var(), 1)
