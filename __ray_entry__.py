@@ -3847,6 +3847,35 @@ def q_lmd_top10(sf_dir: str) -> pa.Table:
     )
 
 
+def q_lmjm_top10(sf_dir: str) -> pa.Table:
+    """Query-likelihood / Jelinek-Mercer-smoothing retrieval (scorer #6)
+    — run through the PUBLIC scorer registry like lmd_top10; the registry
+    result is asserted rank-identical to the direct f64 path inside the
+    query.  Matching-docs form: no doc-length additive term, so unmatched
+    docs score 0 on both sides."""
+    from search_engine_ray.engine import search as _search_mod
+    from search_engine_ray.engine.search import register_scorer, score_topic
+    from search_engine_ray.pipelines import lmjm_scores_f64
+
+    r = _reader(sf_dir)
+    ids, scores = lmjm_scores_f64(r, BM25_QUERY, lam=0.1)
+    ids, scores = ids[:10], scores[:10]
+    register_scorer(
+        "lmjm", lambda rd, kw, p, k: (lambda t: (t[0][:k], t[1][:k]))(
+            lmjm_scores_f64(rd, kw, lam=0.1)
+        )
+    )
+    try:
+        reg_ids, _ = score_topic(r, BM25_QUERY, scorer="lmjm", k=10)
+        assert reg_ids.tolist() == ids.tolist(), "registry path diverged"
+    finally:
+        _search_mod._CUSTOM_SCORERS.pop("lmjm", None)
+    doc_ids = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids), "score_micros": pa.array(_micros(scores))}
+    )
+
+
 def q_bm25_collapsed_top10(sf_dir: str) -> pa.Table:
     """Result collapsing (field collapse): the BM25 ranking keeps only
     the best result per source (one-result-per-site), then top-10.  The
@@ -4612,6 +4641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_maxscore_top10": q_bm25_maxscore_top10,
         "bm25_conjunctive_top10": q_bm25_conjunctive_top10,
         "bm25_synonyms_top10": q_bm25_synonyms_top10,
+        "lmjm_top10": q_lmjm_top10,
         "value_quantiles_hist": q_value_quantiles_hist,
         "pca_gram": q_pca_gram,
         # rows-only: LAPACK eigensolve + projection self-check inside
@@ -5404,6 +5434,26 @@ def oracle_sql() -> dict[str, str]:
                      + 3 * ln(2000.0 / (dl.dl + 2000.0)) AS score
               FROM tf JOIN cf USING (term) JOIN dl USING (doc_id) CROSS JOIN c
               GROUP BY tf.doc_id, dl.dl
+            ),
+            ranked AS (SELECT doc_id, score,
+                              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM sc)
+            SELECT doc_id, {micros.format(expr="score")} AS score_micros
+            FROM ranked WHERE r <= 10
+        """,
+        "lmjm_top10": f"""
+            WITH {_TOKS},
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            c AS (SELECT count(*) * 1.0 AS total FROM toks),
+            tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks
+                   WHERE t IN ('spark','hash','join') GROUP BY doc_id, t),
+            cf AS (SELECT t AS term, count(*) * 1.0 AS cf FROM toks
+                   WHERE t IN ('spark','hash','join') GROUP BY t),
+            sc AS (
+              SELECT tf.doc_id,
+                     SUM( ln(1.0 + (0.9 / 0.1) * (tf.tf * 1.0 / dl.dl)
+                                   / (cf.cf / c.total)) ) AS score
+              FROM tf JOIN cf USING (term) JOIN dl USING (doc_id) CROSS JOIN c
+              GROUP BY tf.doc_id
             ),
             ranked AS (SELECT doc_id, score,
                               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM sc)

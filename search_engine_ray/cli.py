@@ -287,7 +287,7 @@ def cmd_upsert(args: argparse.Namespace) -> int:
 
 def cmd_query(args: argparse.Namespace) -> int:
     """Ad-hoc single query: normalize the words like the query path,
-    score with any registered scorer (bm25 / tfidf / bm25adpt / lmd) or
+    score with any registered scorer (bm25 / tfidf / bm25adpt / lmd / lmjm) or
     run a boolean AND/OR, print one JSON line per result."""
     import json as _json
 
@@ -463,11 +463,12 @@ def cmd_query(args: argparse.Namespace) -> int:
                 {"rank": rank, "doc": str(reader.doc_names[d]), "score": float(s)}
             ))
         return 0
-    if args.scorer in ("lmd", "bm25plus"):
+    if args.scorer in ("lmd", "lmjm", "bm25plus"):
         from .engine.search import register_scorer
-        from .pipelines import bm25plus_scores_f64, lmd_scores_f64
+        from .pipelines import bm25plus_scores_f64, lmd_scores_f64, lmjm_scores_f64
 
-        fn = lmd_scores_f64 if args.scorer == "lmd" else bm25plus_scores_f64
+        fn = {"lmd": lmd_scores_f64, "lmjm": lmjm_scores_f64,
+              "bm25plus": bm25plus_scores_f64}[args.scorer]
         register_scorer(
             args.scorer,
             lambda rd, kw, p, k: (lambda t: (t[0][:k], t[1][:k]))(fn(rd, kw)),
@@ -712,7 +713,7 @@ def main(argv: list[str] | None = None) -> int:
     pq_.add_argument("index_dir")
     pq_.add_argument("query")
     pq_.add_argument("--scorer", default="bm25",
-                     choices=["bm25", "tfidf", "bm25adpt", "lmd", "bm25plus"])
+                     choices=["bm25", "tfidf", "bm25adpt", "lmd", "lmjm", "bm25plus"])
     pq_.add_argument("--method", default="auto", choices=["auto", "taat", "wand", "maxscore"])
     pq_.add_argument("--boolean", choices=["and", "or"], default=None)
     pq_.add_argument("--ranked-and", action="store_true",

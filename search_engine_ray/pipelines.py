@@ -767,6 +767,43 @@ def lmd_scores_f64(
     return cand[order], scores[cand][order]
 
 
+def lmjm_scores_f64(
+    reader: IndexReader,
+    keywords: list[tuple[str, int]],
+    lam: float = 0.1,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Query-likelihood with Jelinek-Mercer (linear-interpolation)
+    smoothing — the rank-equivalent matching-docs form (Zhai & Lafferty
+    2001):
+
+        score(d) = sum_{t in q and d} qtf_t *
+                   ln(1 + ((1-lam)/lam) * (tf/dl_d) / (cf_t/|C|))
+
+    Unlike Dirichlet there is NO doc-length additive term: the smoothing
+    mass is a fixed mixture, so unmatched docs score exactly 0 on both
+    sides.  cf_t is summed from the term's postings at scoring time; |C|
+    = sum_dl from build stats.  Ties -> ascending docID.  Registered as
+    scorer 'lmjm' via engine.search.register_scorer (extension surface,
+    SURVEY §2.10; reference scorer classes at
+    /root/reference/src/Querying/Scorer.cs)."""
+    n = reader.n_docs
+    c_total = float(reader.stats["sum_dl"])
+    ratio = (1.0 - lam) / lam
+    scores = np.zeros(n, dtype=np.float64)
+    touched = np.zeros(n, dtype=bool)
+    for term, qtf in keywords:
+        tp = reader.postings(term)
+        if tp is None:
+            continue
+        ids, tfs, dls = tp.arrays()
+        p_c = float(tfs.sum()) / c_total
+        scores[ids] += qtf * np.log(1.0 + ratio * (tfs / dls) / p_c)
+        touched[ids] = True
+    cand = np.flatnonzero(touched)
+    order = np.lexsort((cand, -scores[cand]))
+    return cand[order], scores[cand][order]
+
+
 def collapse_ranking(
     ids: "np.ndarray",
     scores: "np.ndarray",

@@ -264,6 +264,9 @@ def test_cli_query_positions_phrase(ray_session, tmp_path):
     lmd_rows = [_json.loads(l) for l in run(
         "query", idx, "alpha beta", "--scorer", "lmd", "--k", "3")]
     assert lmd_rows and lmd_rows[0]["rank"] == 1
+    lmjm_rows = [_json.loads(l) for l in run(
+        "query", idx, "alpha beta", "--scorer", "lmjm", "--k", "3")]
+    assert lmjm_rows and lmjm_rows[0]["rank"] == 1
 
     # --explain: float32 per-term breakdown sums to the ranked score exactly
     top = rows[0]

@@ -571,6 +571,74 @@ def test_lmd_scorer_matches_brute_force(ray_session, tmp_path):
         _s._CUSTOM_SCORERS.pop("lmd_test", None)
 
 
+def test_lmjm_scorer_matches_brute_force(ray_session, tmp_path):
+    """LM Jelinek-Mercer scores equal a from-the-raw-text brute force
+    (matching-docs form: unmatched docs absent), registry route included."""
+    import math
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from search_engine_ray.config import BuildConfig, IndexOptions
+    from search_engine_ray.engine.build import build_index
+    from search_engine_ray.engine.index_reader import IndexReader
+    from search_engine_ray.engine.search import register_scorer, score_topic
+    from search_engine_ray.pipelines import lmjm_scores_f64
+
+    texts = [
+        "alpha beta alpha", "alpha gamma", "beta gamma gamma", "delta epsilon",
+        "alpha beta gamma delta", "beta beta beta",
+    ]
+    corpus = str(tmp_path / "c")
+    _os.makedirs(corpus)
+    pq_.write_table(
+        pa.table({"doc_id": pa.array(range(6), pa.int64()), "text": pa.array(texts)}),
+        f"{corpus}/d.parquet",
+    )
+    idx = str(tmp_path / "i")
+    build_index(
+        corpus, idx,
+        BuildConfig(block_entries=4, frags_per_shard=2, options=IndexOptions(stemming=False)),
+        overwrite=True, source_column="text", name_column="doc_id",
+    )
+    r = IndexReader(idx)
+    kws = [("alpha", 1), ("beta", 2)]
+    lam = 0.2
+    ids, scores = lmjm_scores_f64(r, kws, lam=lam)
+
+    toks = [t.split() for t in texts]
+    C = sum(len(t) for t in toks)
+    cf = {w: sum(t.count(w) for t in toks) for w in ("alpha", "beta")}
+    exp = {}
+    for d, t in enumerate(toks):
+        s = 0.0
+        matched = False
+        for w, qtf in kws:
+            tf = t.count(w)
+            if tf:
+                matched = True
+                s += qtf * math.log(
+                    1.0 + ((1 - lam) / lam) * (tf / len(t)) / (cf[w] / C)
+                )
+        if matched:
+            exp[str(d)] = s
+    got = {str(r.doc_names[d]): s for d, s in zip(ids, scores)}
+    assert set(got) == set(exp)
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-12
+    key = [(-s, int(r.doc_names[d])) for d, s in zip(ids, scores)]
+    assert key == sorted(key)
+    register_scorer("lmjm_test", lambda rd, kw, p, k: lmjm_scores_f64(rd, kw, lam=lam))
+    try:
+        reg_ids, _ = score_topic(r, kws, scorer="lmjm_test", k=10)
+        assert reg_ids.tolist() == ids.tolist()[:10]
+    finally:
+        from search_engine_ray.engine import search as _s
+
+        _s._CUSTOM_SCORERS.pop("lmjm_test", None)
+
+
 def test_collapse_ranking():
     """Field collapse keeps the first per_group hits per group in rank
     order; per_group > 1 keeps that many."""
