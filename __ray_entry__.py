@@ -3876,6 +3876,27 @@ def q_lmjm_top10(sf_dir: str) -> pa.Table:
     )
 
 
+def q_bm25_prior_top10(sf_dir: str) -> pa.Table:
+    """Static document-prior blended ranking: BM25 + lam*ln(1 + site
+    authority), authority = per-source doc count (ONE native
+    groupby-count, domain-cardinality collect, vectorized per-doc take).
+    The query-independent prior reranks only the BM25 candidate set —
+    it never creates matches."""
+    from search_engine_ray.pipelines import (
+        prior_boosted_bm25_f64,
+        source_doc_count_prior,
+    )
+
+    r = _reader(sf_dir)
+    prior = source_doc_count_prior(_docs_ds(sf_dir), r)
+    ids, scores = prior_boosted_bm25_f64(r, BM25_QUERY, prior, lam=0.5)
+    ids, scores = ids[:10], scores[:10]
+    doc_ids = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids), "score_micros": pa.array(_micros(scores))}
+    )
+
+
 def q_bm25_collapsed_top10(sf_dir: str) -> pa.Table:
     """Result collapsing (field collapse): the BM25 ranking keeps only
     the best result per source (one-result-per-site), then top-10.  The
@@ -4642,6 +4663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_conjunctive_top10": q_bm25_conjunctive_top10,
         "bm25_synonyms_top10": q_bm25_synonyms_top10,
         "lmjm_top10": q_lmjm_top10,
+        "bm25_prior_top10": q_bm25_prior_top10,
         "value_quantiles_hist": q_value_quantiles_hist,
         "pca_gram": q_pca_gram,
         # rows-only: LAPACK eigensolve + projection self-check inside
@@ -5457,6 +5479,32 @@ def oracle_sql() -> dict[str, str]:
             ),
             ranked AS (SELECT doc_id, score,
                               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM sc)
+            SELECT doc_id, {micros.format(expr="score")} AS score_micros
+            FROM ranked WHERE r <= 10
+        """,
+        "bm25_prior_top10": f"""
+            WITH {_TOKS},
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+            tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks
+                   WHERE t IN ('spark','hash','join') GROUP BY doc_id, t),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            src AS (SELECT source, count(*) * 1.0 AS sn FROM documents GROUP BY source),
+            sc AS (
+              SELECT tf.doc_id,
+                     SUM( ln((st.n - df.df + 0.5) / (df.df + 0.5))
+                          * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) ) AS score
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+              GROUP BY tf.doc_id
+            ),
+            blended AS (
+              SELECT sc.doc_id, sc.score + 0.5 * ln(1.0 + src.sn) AS score
+              FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+                      JOIN src ON src.source = d.source
+            ),
+            ranked AS (SELECT doc_id, score,
+                              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM blended)
             SELECT doc_id, {micros.format(expr="score")} AS score_micros
             FROM ranked WHERE r <= 10
         """,

@@ -804,6 +804,63 @@ def lmjm_scores_f64(
     return cand[order], scores[cand][order]
 
 
+def prior_boosted_bm25_f64(
+    reader: IndexReader,
+    keywords: list[tuple[str, int]],
+    prior: np.ndarray,
+    lam: float = 0.5,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Static document-prior blended BM25 — the web-search pattern of
+    folding a query-independent authority/recency signal into the text
+    score:  final(d) = bm25(d) + lam * ln(1 + prior[d]).
+
+    ``prior`` is a dense nonnegative per-ordinal array (site authority =
+    per-source doc count, PageRank, freshness...).  Only MATCHING docs
+    are rescored (the candidate set comes from the BM25 pass), so the
+    prior never creates matches on its own.  At 10^12 docs the dense
+    array is 8 B/doc per shard slice — the doc-range sharded query path
+    (engine/sharded_search.py) holds only its shard's slice, never the
+    global vector."""
+    ids, scores = bm25_scores_f64(reader, keywords)
+    scores = scores + lam * np.log1p(prior[ids])
+    order = np.lexsort((ids, -scores))
+    return ids[order], scores[order]
+
+
+def source_doc_count_prior(docs_ds, reader: IndexReader) -> np.ndarray:
+    """Per-ordinal 'site authority' prior = number of corpus docs sharing
+    the document's source.  ONE native groupby-count over (doc_id,
+    source) — the collect is source-cardinality-sized (domains, not
+    docs); the per-doc mapping is a vectorized take."""
+    import pyarrow.compute as pc
+
+    counts = docs_ds.select_columns(["source"]).groupby("source").count()
+    cnt_tbl = pa.concat_tables(
+        pa.table(b)
+        for b in counts.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    src_count = dict(
+        zip(cnt_tbl["source"].to_pylist(), cnt_tbl["count()"].to_pylist())
+    )
+    pairs = pa.concat_tables(
+        pa.table(b)
+        for b in docs_ds.select_columns(["doc_id", "source"]).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    )
+    tbl_ids = np.asarray(pairs["doc_id"], dtype=np.int64)
+    # dictionary-encode sources: the Python dict lookup runs once per
+    # DISTINCT source, the per-doc expansion is a numpy take
+    dict_arr = pc.dictionary_encode(pairs["source"].combine_chunks())
+    dict_counts = np.asarray(
+        [src_count[s] for s in dict_arr.dictionary.to_pylist()], dtype=np.float64
+    )
+    per_doc = dict_counts[np.asarray(dict_arr.indices, dtype=np.int64)]
+    by_docid = np.zeros(int(tbl_ids.max()) + 1 if len(tbl_ids) else 1, dtype=np.float64)
+    by_docid[tbl_ids] = per_doc
+    return by_docid[reader.doc_names.astype(np.int64)]
+
+
 def collapse_ranking(
     ids: "np.ndarray",
     scores: "np.ndarray",

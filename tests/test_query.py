@@ -639,6 +639,54 @@ def test_lmjm_scorer_matches_brute_force(ray_session, tmp_path):
         _s._CUSTOM_SCORERS.pop("lmjm_test", None)
 
 
+def test_prior_boosted_bm25(ray_session, tmp_path):
+    """Static-prior blending: zero prior is exactly the BM25 ranking;
+    a nonzero prior adds lam*ln(1+prior) per matching doc and never
+    introduces non-matching docs."""
+    import math
+    import os as _os
+
+    import numpy as _np
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from search_engine_ray.config import BuildConfig, IndexOptions
+    from search_engine_ray.engine.build import build_index
+    from search_engine_ray.engine.index_reader import IndexReader
+    from search_engine_ray.pipelines import bm25_scores_f64, prior_boosted_bm25_f64
+
+    texts = ["alpha beta", "alpha alpha", "beta gamma", "delta", "alpha beta beta"]
+    corpus = str(tmp_path / "c")
+    _os.makedirs(corpus)
+    pq_.write_table(
+        pa.table({"doc_id": pa.array(range(5), pa.int64()), "text": pa.array(texts)}),
+        f"{corpus}/d.parquet",
+    )
+    idx = str(tmp_path / "i")
+    build_index(
+        corpus, idx,
+        BuildConfig(block_entries=4, frags_per_shard=2, options=IndexOptions(stemming=False)),
+        overwrite=True, source_column="text", name_column="doc_id",
+    )
+    r = IndexReader(idx)
+    kws = [("alpha", 1), ("beta", 1)]
+    base_ids, base_scores = bm25_scores_f64(r, kws)
+
+    zero = _np.zeros(r.n_docs)
+    ids0, scores0 = prior_boosted_bm25_f64(r, kws, zero, lam=0.7)
+    assert ids0.tolist() == base_ids.tolist()
+    assert _np.allclose(scores0, base_scores)
+
+    prior = _np.arange(r.n_docs, dtype=float) * 3.0
+    ids1, scores1 = prior_boosted_bm25_f64(r, kws, prior, lam=0.7)
+    assert set(ids1) == set(base_ids)  # prior never creates matches
+    exp = {d: s + 0.7 * math.log1p(prior[d]) for d, s in zip(base_ids, base_scores)}
+    for d, s in zip(ids1, scores1):
+        assert abs(s - exp[d]) < 1e-12
+    key = [(-s, d) for d, s in zip(ids1, scores1)]
+    assert key == sorted(key)
+
+
 def test_collapse_ranking():
     """Field collapse keeps the first per_group hits per group in rank
     order; per_group > 1 keeps that many."""
