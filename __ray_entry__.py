@@ -3319,6 +3319,18 @@ def q_pack_bins(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ordered_window_match(sf_dir: str) -> pa.Table:
+    """Ordered sloppy-phrase retrieval ('sort' PRECEDING 'window' by 1..3
+    kept-token positions — Lucene SpanNear inOrder=true semantics) over
+    the positional sidecar; same searchsorted range probes as proximity,
+    asymmetric window."""
+    from search_engine_ray.engine.positions import ordered_window_search
+    from search_engine_ray.pipelines import documents_positions_dir
+
+    pos_dir = documents_positions_dir(sf_dir, OPT_NOSTEM)
+    return ordered_window_search(pos_dir, "sort", "window", slop=3, options=OPT_NOSTEM)
+
+
 def q_proximity_match(sf_dir: str) -> pa.Table:
     """Proximity retrieval ('sort' within 3 kept-token positions of
     'window') over the positional sidecar — searchsorted range probes,
@@ -4664,6 +4676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_synonyms_top10": q_bm25_synonyms_top10,
         "lmjm_top10": q_lmjm_top10,
         "bm25_prior_top10": q_bm25_prior_top10,
+        "ordered_window_match": q_ordered_window_match,
         "value_quantiles_hist": q_value_quantiles_hist,
         "pca_gram": q_pca_gram,
         # rows-only: LAPACK eigensolve + projection self-check inside
@@ -5750,6 +5763,27 @@ def oracle_sql() -> dict[str, str]:
               SELECT a.doc_id, count(*) AS n_pairs
               FROM kept a JOIN kept b
                 ON b.doc_id = a.doc_id AND abs(a.kp - b.kp) <= 3
+              WHERE a.t = 'sort' AND b.t = 'window'
+              GROUP BY a.doc_id)
+            SELECT doc_id, n_pairs FROM m
+        """,
+        "ordered_window_match": f"""
+            WITH raw AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\\x00-\\x2f:;=?]')) AS t,
+                     unnest(generate_series(1,
+                        len(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\\x00-\\x2f:;=?]')))) AS pos
+              FROM documents),
+            kept AS (
+              SELECT doc_id, t,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS kp
+              FROM raw
+              WHERE t <> '' AND substr(t, 1, 1) <> '<' AND substr(t, -1, 1) <> '>'
+                AND t NOT IN ({_STOP_LIST})),
+            m AS (
+              SELECT a.doc_id, count(*) AS n_pairs
+              FROM kept a JOIN kept b
+                ON b.doc_id = a.doc_id AND b.kp - a.kp BETWEEN 1 AND 3
               WHERE a.t = 'sort' AND b.t = 'window'
               GROUP BY a.doc_id)
             SELECT doc_id, n_pairs FROM m

@@ -509,8 +509,15 @@ def cmd_phrase(args: argparse.Namespace) -> int:
     (build it first with `positions`)."""
     import json as _json
 
-    from .engine.positions import phrase_search, proximity_search
+    from .engine.positions import (
+        ordered_window_search,
+        phrase_search,
+        proximity_search,
+    )
 
+    if args.ordered and (args.near is None or args.near < 1):
+        print("--ordered requires --near N with N >= 1", file=sys.stderr)
+        return 2
     if args.near is not None:
         if len(args.words) != 2:
             print(
@@ -520,7 +527,8 @@ def cmd_phrase(args: argparse.Namespace) -> int:
             )
             return 2
         a, b = args.words
-        tbl = proximity_search(args.positions_dir, a, b, args.near)
+        fn = ordered_window_search if args.ordered else proximity_search
+        tbl = fn(args.positions_dir, a, b, args.near)
         col = "n_pairs"
     else:
         tbl = phrase_search(args.positions_dir, args.words)
@@ -754,6 +762,8 @@ def main(argv: list[str] | None = None) -> int:
     pph.add_argument("words", nargs="+")
     pph.add_argument("--near", type=int, default=None,
                      help="proximity window (2 words required)")
+    pph.add_argument("--ordered", action="store_true",
+                     help="with --near: WORD1 must PRECEDE WORD2 by 1..N positions")
     pph.set_defaults(fn=cmd_phrase)
 
     pm = sub.add_parser("mlt", help="more-like-this: rank corpus against a source text")

@@ -430,3 +430,71 @@ def proximity_search(
     return pa.table(
         {"doc_id": pa.array(uniq), "n_pairs": pa.array(per_doc)}
     )
+
+
+def ordered_window_search(
+    index_dir: str,
+    term_a: str,
+    term_b: str,
+    slop: int,
+    options: IndexOptions | None = None,
+    exclude_doc_ids=None,
+) -> pa.Table:
+    """ORDERED sloppy-phrase retrieval: docs where (normalized) ``term_a``
+    PRECEDES ``term_b`` by 1..``slop`` kept-token positions (Lucene
+    SpanNear with inOrder=true), with the number of qualifying ordered
+    (pos_a, pos_b) pairs -> ``(doc_id, n_pairs)`` sorted by doc_id
+    ascending.  slop=1 counts exact bigram adjacency.
+
+    Same pruned read and searchsorted range probes as proximity_search —
+    only the asymmetric window [pos_a+1, pos_a+slop] differs; never a
+    materialized pair list."""
+    if slop < 1:
+        raise ValueError("slop must be >= 1")
+    import pyarrow.dataset as pads
+
+    if options is None:
+        with open(os.path.join(index_dir, "positions_stats.json")) as fh:
+            options = IndexOptions.from_dict(json.load(fh)["options"])
+
+    def norm(w: str) -> str:
+        return normalize_query_word(
+            w,
+            case_folding=options.case_folding,
+            remove_stopwords=options.remove_stopwords,
+            stemming=options.stemming,
+        )
+
+    ta, tb = norm(term_a), norm(term_b)
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "n_pairs": pa.array([], pa.int64())}
+    )
+    if not ta or not tb or ta == tb:
+        return empty
+
+    dset = pads.dataset(os.path.join(index_dir, "positions"))
+    tbl = dset.to_table(filter=pc.field("term").isin([ta, tb]))
+    a_keys = _term_keys(tbl.filter(pc.equal(tbl["term"], ta)))
+    b_keys = _term_keys(tbl.filter(pc.equal(tbl["term"], tb)))
+    if a_keys.size == 0 or b_keys.size == 0:
+        return empty
+
+    doc_base = (a_keys >> _POS_BITS) << _POS_BITS
+    lo = a_keys + 1  # strictly after a, same doc (guarded by hi clamp)
+    hi = np.minimum(a_keys + slop, doc_base + (_POS_LIMIT - 1))
+    counts = np.searchsorted(b_keys, hi, side="right") - np.searchsorted(
+        b_keys, lo, side="left"
+    )
+    keep = counts > 0
+    if not keep.any():
+        return empty
+    docs = (a_keys[keep] >> _POS_BITS).astype(np.int64)
+    uniq, idx = np.unique(docs, return_inverse=True)
+    per_doc = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(per_doc, idx, counts[keep])
+    if exclude_doc_ids is not None and len(uniq):
+        km = ~np.isin(uniq, np.asarray(list(exclude_doc_ids), dtype=np.int64))
+        uniq, per_doc = uniq[km], per_doc[km]
+    return pa.table(
+        {"doc_id": pa.array(uniq), "n_pairs": pa.array(per_doc)}
+    )

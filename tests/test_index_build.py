@@ -356,6 +356,69 @@ def test_proximity_search(ray_session, tmp_path):
         proximity_search(idx, "alpha", "beta", -1, opt)
 
 
+def test_ordered_window_search(ray_session, tmp_path):
+    """Ordered sloppy phrase (a precedes b within slop) vs brute force on
+    kept-token ordinals; asymmetric by construction."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from search_engine_ray.engine.positions import (
+        build_position_index,
+        ordered_window_search,
+    )
+    from search_engine_ray.text.tokenizer import normalize_text_oracle
+
+    opt = IndexOptions(case_folding=True, remove_stopwords=True, stemming=False)
+    src = str(tmp_path / "docs.parquet")
+    texts = [
+        "alpha x x beta alpha",      # alpha@0..beta@3 ordered dist 3; beta@3..alpha@4 NOT (wrong order)
+        "beta the alpha",            # kept [beta alpha]: beta precedes alpha
+        "alpha beta alpha beta",     # multiple ordered pairs
+        "beta x x x x x alpha",
+        "gamma gamma",
+    ]
+    ids = [1, 2, 3, 4, 5]
+    df = pd.DataFrame({"doc_id": ids, "text": texts})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), src)
+    idx = str(tmp_path / "pos")
+    build_position_index(src, idx, opt, source_column="text", name_column="doc_id")
+
+    def brute(ta, tb, slop):
+        exp = {}
+        for d, t in zip(ids, texts):
+            toks = normalize_text_oracle(
+                t, case_folding=True, remove_stopwords=True, stemming=False
+            )
+            n = sum(
+                1
+                for i, x in enumerate(toks)
+                for j, y in enumerate(toks)
+                if x == ta and y == tb and 1 <= j - i <= slop
+            )
+            if n:
+                exp[d] = n
+        return exp
+
+    for ta, tb, s in [
+        ("alpha", "beta", 3), ("alpha", "beta", 1),
+        ("beta", "alpha", 1), ("beta", "alpha", 6),
+    ]:
+        out = ordered_window_search(idx, ta, tb, slop=s, options=opt).to_pandas()
+        assert dict(zip(out["doc_id"], out["n_pairs"])) == brute(ta, tb, s), (ta, tb, s)
+
+    # ordered != unordered: doc 1 has beta->alpha only in one direction
+    fwd = ordered_window_search(idx, "beta", "alpha", 1, opt).to_pandas()
+    rev = ordered_window_search(idx, "alpha", "beta", 1, opt).to_pandas()
+    assert dict(zip(fwd["doc_id"], fwd["n_pairs"])) != dict(zip(rev["doc_id"], rev["n_pairs"]))
+
+    assert ordered_window_search(idx, "alpha", "alpha", 2, opt).num_rows == 0
+    assert ordered_window_search(idx, "zzz", "beta", 2, opt).num_rows == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ordered_window_search(idx, "alpha", "beta", 0, opt)
+
+
 def test_distributed_terms_directory_layout(built, ray_session, monkeypatch):
     """Forcing the distributed terms-finalization branch (round-3 verdict
     #7: no driver-side collect at 10^9 terms) yields a sorted terms/
