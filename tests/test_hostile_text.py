@@ -50,7 +50,11 @@ HOSTILE_TEXTS = [
     "the the the the repeated repeated tokens tokens",  # exact dup of ^
     "0 1 22 333 4444 numbers 0x2f :;=? delim bytes",
     "Mixed NBSP and \v VT and   LS in one doc",
-    "word"  # single token, no whitespace at all
+    "word",  # single token, no whitespace at all
+    # positional-gate material: 'sort'/'window' separated by hostile
+    # whitespace and XML-filtered tokens so phrase / proximity / ordered
+    # retrieval over the sidecar is non-vacuous on this corpus
+    "sort\vwindow then window sort <tag> sort x window",
 ]
 
 # queries() entries whose oracle depends on whitespace tokenization,
@@ -98,6 +102,11 @@ CHECKED = [
     "quality_terciles",
     "bloom_seen",
     "lang_char_rank",
+    # r4: positional sidecar gates (byte-delimiter tokenization + kept-
+    # token ordinals; build must survive empty/whitespace-only/astral docs)
+    "phrase_match",
+    "proximity_match",
+    "ordered_window_match",
 ]
 
 
