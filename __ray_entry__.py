@@ -3098,6 +3098,41 @@ def q_paragraph_dedup(sf_dir: str):
     return paragraph_dedup(_docs_ds(sf_dir))
 
 
+def q_boilerplate_strip(sf_dir: str):
+    """Domain-conditional boilerplate removal (CCNet/RefinedWeb step):
+    paragraphs present in >= 3 docs AND >= 1/2 of their SOURCE's documents
+    are stripped; survivors re-joined in order.  The corpus derives
+    deterministically (the dedup_incremental convention): every doc gets
+    a per-source header paragraph, even doc_ids also a per-source footer
+    — so the header (100% of the source) and footer (~50%, exactly at the
+    integer threshold boundary) exercise the strip while the real text
+    survives.  Exact-integer rational threshold so the gate is libm-free;
+    the oracle reproduces derivation AND pipeline in SQL (string_split +
+    count(DISTINCT) + string_agg)."""
+    from search_engine_ray.dataops.dedup import remove_domain_boilerplate
+
+    def derive(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        src = batch["source"].to_pylist()
+        txt = _pc.fill_null(batch["text"], "").to_pylist()
+        out = [
+            s + "-hdr\n" + t + ("\nftr-" + s if d % 2 == 0 else "")
+            for d, s, t in zip(ids.tolist(), src, txt)
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": pa.array(out, pa.string()),
+                "source": batch["source"],
+            }
+        )
+
+    ds = _docs_ds(sf_dir).map_batches(derive, batch_format="pyarrow")
+    return remove_domain_boilerplate(ds, threshold=(1, 2), min_docs=3)
+
+
 def q_token_quantiles(sf_dir: str) -> pa.Table:
     """Exact distributed quantiles of the per-doc token count
     (percentile_disc semantics) — value-count partials, one groupby over
@@ -4582,6 +4617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate": q_curate,
         "curate_web": q_curate_web,
         "decontaminate": q_decontaminate,
+        "boilerplate_strip": q_boilerplate_strip,
         "repetition": q_repetition,
         "redact_pii": q_redact_pii,
         "lang_distribution": q_lang_distribution,
@@ -5042,6 +5078,36 @@ def oracle_sql() -> dict[str, str]:
                    keep % 1000000 AS keep_para_idx,
                    CAST(n_copies AS BIGINT) AS n_copies
             FROM g
+        """,
+        "boilerplate_strip": """
+            WITH d2 AS (
+              SELECT doc_id, source,
+                     source || '-hdr' || chr(10) || COALESCE(text, '')
+                     || CASE WHEN doc_id % 2 = 0
+                             THEN chr(10) || 'ftr-' || source ELSE '' END AS text
+              FROM documents
+            ),
+            raw AS (
+              SELECT doc_id, source,
+                     unnest(string_split(text, chr(10))) AS para,
+                     unnest(generate_series(1, len(string_split(text, chr(10))))) AS idx
+              FROM d2
+            ),
+            pars AS (SELECT * FROM raw WHERE para <> ''),
+            pcnt AS (SELECT source, md5(para) AS k, count(DISTINCT doc_id) AS nd
+                     FROM pars GROUP BY 1, 2),
+            gt AS (SELECT source, count(*) AS total FROM d2 GROUP BY source),
+            boiler AS (SELECT pcnt.source, pcnt.k
+                       FROM pcnt JOIN gt USING (source)
+                       WHERE nd >= 3 AND nd * 2 >= 1 * total),
+            kept AS (SELECT p.doc_id, p.para, p.idx
+                     FROM pars p
+                     LEFT JOIN boiler b ON b.source = p.source AND b.k = md5(p.para)
+                     WHERE b.k IS NULL)
+            SELECT doc_id,
+                   string_agg(para, chr(10) ORDER BY idx) AS clean_text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id
         """,
         "token_quantiles": """
             WITH tc AS (

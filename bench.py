@@ -296,6 +296,22 @@ def run_benchmarks() -> dict:
     # the timed op is query-time BM25F scoring
     _fielded = documents_fielded_readers(SF_DIR, pos_opt)
 
+    from search_engine_ray.engine.champions import (
+        build_champion_lists,
+        champion_topk,
+    )
+    from search_engine_ray.engine.positions import ordered_window_search
+    from search_engine_ray.pipelines import lmjm_scores_f64
+
+    _doc_reader = IndexReader(index_dir)
+    _QKWS = [("spark", 1), ("hash", 1), ("join", 1)]
+
+    def _champions():
+        out = os.path.join(maint_root, "champions")
+        shutil.rmtree(out, ignore_errors=True)
+        build_champion_lists(index_dir, out, m=64)
+        return len(champion_topk(out, _doc_reader, _QKWS, k=10)[0])
+
     ops: list[tuple[str, object]] = [
         ("dedup_exact", lambda: exact_dedup(docs_ds).count()),
         ("dedup_minhash_lsh", lambda: minhash_lsh_pairs(docs_ds, threshold=0.8).count()),
@@ -338,6 +354,10 @@ def run_benchmarks() -> dict:
         ("rand_proj16", lambda: _rproj(emb_ds, 16).count()),
         ("bm25f_score", lambda: len(
             _bm25f(_fielded, [("spark", 1), ("hash", 1), ("join", 1)])[0])),
+        ("champions_build_query", _champions),
+        ("ordered_window", lambda: ordered_window_search(
+            pos_dir, "sort", "table", slop=4, options=pos_opt).num_rows),
+        ("lmjm_query", lambda: len(lmjm_scores_f64(_doc_reader, _QKWS)[0])),
     ]
     n_rounds = int(os.environ.get("SE_RAY_BENCH_OP_ROUNDS", "2"))
     samples: dict[str, list[float]] = {name: [] for name, _ in ops}

@@ -1139,3 +1139,214 @@ def dedup_against_store(
             with_bucket, batch_format="pyarrow"
         ).write_parquet(store_dir, partition_cols=["bucket"])
     return out.drop_columns(["dup_key"])
+
+
+def remove_domain_boilerplate(
+    ds: ray.data.Dataset,
+    threshold: tuple[int, int] = (1, 2),
+    min_docs: int = 3,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    group_column: str = "source",
+    sep: str = "\n",
+    max_boiler: int = 2_000_000,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Domain-conditional boilerplate strip (the CCNet / RefinedWeb step
+    global paragraph dedup can't express): a paragraph is boilerplate
+    WITHIN its group (domain/source) when it appears in >= min_docs docs
+    AND in >= num/den of the group's documents — headers, footers, nav
+    bars, licence blocks that are common *per site* but rare globally.
+    Returns ``(doc_id, clean_text, n_kept)``: surviving non-empty
+    paragraphs re-joined by ``sep`` in original order.  Docs whose
+    paragraphs are all removed (or all empty) are absent — the SQL
+    GROUP-BY-survivors semantics.
+
+    ``threshold`` is a RATIONAL (num, den): the gate compares
+    ``n_docs_with_para * den >= num * group_total`` in exact integers, so
+    the decision is SQL-bit-reproducible on any libm.
+
+    Scale shape: explode is row-local (one doc's paragraphs never split
+    across batches, so per-batch (group, key, doc) dedup is globally
+    exact); per-(group, paragraph) doc counts are ONE native groupby over
+    a combined ``group|md5`` key; group doc totals are a
+    group-cardinality-sized collect (the facets convention); the
+    boilerplate key set is BROADCAST once (``ray.put``) into a stateless
+    filter pass — it is bounded by (domains x common-paragraphs-per-
+    domain), orders smaller than the corpus, and capped fail-loud at
+    ``max_boiler`` keys (the emb_near_dup convention; a native left_anti
+    join is the beyond-cap design, currently blocked by Ray's
+    empty-right-partition join failure); reassembly hash-buckets docs
+    and finishes each bucket in one vectorized lexsort + LargeList
+    offsets + binary_join kernel (the journey_strings shape).  ONE
+    paragraph-text exchange total: the reassembly bucket shuffle.
+
+    A ``group_column`` value containing ``|`` or NUL would corrupt the
+    combined key and fails loud (the sketch.py convention)."""
+    num, den = int(threshold[0]), int(threshold[1])
+    if num < 0 or den <= 0:
+        raise ValueError(f"threshold must be a nonneg/pos rational, got {threshold}")
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    from .window_fns import _bucket_of
+
+    def explode(batch: pa.Table) -> pa.Table:
+        groups_arr = batch[group_column].cast(pa.string())
+        gl = groups_arr.to_pylist()
+        for g in gl:
+            if g is None or "|" in g or "\x00" in g:
+                raise ValueError(
+                    f"remove_domain_boilerplate: group value {g!r} contains "
+                    "'|' or NUL (or is null) — the combined key would corrupt"
+                )
+        texts = pc.fill_null(batch[text_column], "")
+        lists = pc.split_pattern(texts, pattern=sep)
+        flat = pc.list_flatten(lists)
+        lens = np.asarray(pc.list_value_length(lists), dtype=np.int64)
+        if (lens >= _PARA_IDX_LIMIT).any():
+            raise ValueError(
+                f"remove_domain_boilerplate: a document has >= {_PARA_IDX_LIMIT} "
+                "paragraphs; the para_idx encoding would overflow"
+            )
+        ids = np.repeat(np.asarray(batch[id_column], dtype=np.int64), lens)
+        grp = np.repeat(np.asarray(gl, dtype=object), lens)
+        total = int(lens.sum())
+        starts = (
+            np.concatenate(([0], np.cumsum(lens)[:-1])) if len(lens) else np.empty(0, np.int64)
+        )
+        idx = np.arange(1, total + 1) - np.repeat(starts, lens)
+        nonempty = np.asarray(pc.greater(pc.binary_length(flat), 0))
+        paras_arr = flat.filter(pa.array(nonempty))
+        keys = [hashlib.md5(p.encode("utf-8")).hexdigest() for p in paras_arr.to_pylist()]
+        ck = [g + "|" + k for g, k in zip(grp[nonempty].tolist(), keys)]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[nonempty]),
+                "para_idx": pa.array(idx[nonempty]),
+                "para": paras_arr,
+                "grp": pa.array(grp[nonempty].tolist(), pa.string()),
+                "ck": pa.array(ck, pa.string()),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+
+    # per-(group, paragraph) DISTINCT doc counts: per-batch dedup is
+    # globally exact because explode is row-local (one doc = one batch)
+    def distinct_per_batch(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pa.table(
+            {"ck": batch["ck"], "doc_id": batch["doc_id"]}
+        ).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df[["ck"]], preserve_index=False)
+
+    from ray.data.aggregate import Count
+
+    para_counts = (
+        exploded.map_batches(distinct_per_batch, batch_format="pyarrow")
+        .groupby("ck")
+        .aggregate(Count(alias_name="nd"))
+    )
+
+    # group doc totals: group-cardinality-sized (the facets convention)
+    totals_tbl = pa.concat_tables(
+        pa.table(b)
+        for b in ds.select_columns([group_column])
+        .groupby(group_column)
+        .count()
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    totals = dict(
+        zip(
+            totals_tbl[group_column].to_pylist(),
+            totals_tbl["count()"].to_pylist(),
+        )
+    )
+    totals_ref = ray.put(totals)
+    _min_docs = min_docs
+
+    class BoilerFilter:
+        def __init__(self):
+            self.totals = ray.get(totals_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table({"ck": pa.array([], pa.string())})
+            cks = batch["ck"].to_pylist()
+            nd = np.asarray(batch["nd"], dtype=np.int64)
+            tot = np.asarray(
+                [self.totals[c.split("|", 1)[0]] for c in cks], dtype=np.int64
+            )
+            keep = (nd >= _min_docs) & (nd * den >= num * tot)
+            return pa.table(
+                {"ck": pa.array([c for c, k in zip(cks, keep) if k], pa.string())}
+            )
+
+    boiler = para_counts.map_batches(BoilerFilter, concurrency=2, batch_format="pyarrow")
+
+    boiler_keys: list[str] = []
+    for b in boiler.iter_batches(batch_size=None, batch_format="pyarrow"):
+        boiler_keys.extend(pa.table(b)["ck"].to_pylist())
+        if len(boiler_keys) > max_boiler:
+            raise ValueError(
+                f"remove_domain_boilerplate: boilerplate key set exceeds "
+                f"max_boiler={max_boiler}; raise the cap or lower the threshold"
+            )
+    bset_ref = ray.put(frozenset(boiler_keys))
+
+    class DropBoiler:
+        def __init__(self):
+            self.bset = ray.get(bset_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keep = pa.array([c not in self.bset for c in batch["ck"].to_pylist()])
+            return batch.filter(keep).drop_columns(["grp", "ck"])
+
+    survivors = exploded.map_batches(DropBoiler, concurrency=2, batch_format="pyarrow")
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = _bucket_of(np.asarray(batch["doc_id"], dtype=np.int64), n_buckets)
+        return batch.append_column("_bucket", pa.array(b.astype(np.int64)))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "clean_text": pa.array([], pa.string()),
+                    "n_kept": pa.array([], pa.int64()),
+                }
+            )
+        d = np.asarray(group["doc_id"], dtype=np.int64)
+        ix = np.asarray(group["para_idx"], dtype=np.int64)
+        perm = np.lexsort((ix, d))
+        ds_sorted = d[perm]
+        paras = group["para"].combine_chunks() if isinstance(
+            group["para"], pa.ChunkedArray
+        ) else group["para"]
+        paras = paras.take(pa.array(perm))
+        boundary = np.empty(len(ds_sorted), dtype=bool)
+        boundary[0] = True
+        np.not_equal(ds_sorted[1:], ds_sorted[:-1], out=boundary[1:])
+        starts = np.flatnonzero(boundary)
+        offsets = np.concatenate([starts, [len(ds_sorted)]]).astype(np.int64)
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets), pc.cast(paras, pa.large_string())
+        )
+        joined = pc.cast(
+            pc.binary_join(lists, pa.scalar(sep, pa.large_string())), pa.string()
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ds_sorted[starts]),
+                "clean_text": joined,
+                "n_kept": pa.array(np.diff(offsets)),
+            }
+        )
+
+    return (
+        survivors.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -1787,3 +1787,100 @@ def test_latest_per_key(ray_session):
                     "doc_id": pa.array([9], pa.int64())})
     got = latest_per_key(ray.data.from_arrow(one), "url", "ts").to_pandas()
     assert got.iloc[0].tolist() == ["a", 5, 9]
+
+
+def test_remove_domain_boilerplate(ray_session):
+    """Domain-conditional boilerplate strip: DuckDB oracle equality (the
+    whole pipeline incl. ordered reassembly), per-domain conditioning (a
+    paragraph common in source A survives in source B), partition
+    invariance, and the fail-loud guards."""
+    import duckdb
+
+    import ray.data
+
+    from search_engine_ray.dataops.dedup import remove_domain_boilerplate
+
+    texts = [
+        "HEADER\nreal content one\nFOOTER",
+        "HEADER\nother stuff\nFOOTER",
+        "HEADER\nthird doc\nFOOTER",
+        "unique doc entirely",
+        "HEADER\n\nonly header and empty",
+        "solo site page\nFOOTER",  # source b: FOOTER not boilerplate there
+        "HEADER\nrepeat\nrepeat\nHEADER",  # intra-doc repeats count ONCE
+    ]
+    src = ["a", "a", "a", "a", "a", "b", "a"]
+    ids = list(range(1, 8))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts),
+            "source": pa.array(src),
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl.to_pandas())
+    sql = """
+        WITH raw AS (
+          SELECT doc_id, source, unnest(string_split(text, chr(10))) AS para,
+                 unnest(generate_series(1, len(string_split(text, chr(10))))) AS idx
+          FROM documents),
+        pars AS (SELECT * FROM raw WHERE para <> ''),
+        pcnt AS (SELECT source, md5(para) AS k, count(DISTINCT doc_id) AS nd
+                 FROM pars GROUP BY 1, 2),
+        gt AS (SELECT source, count(*) AS total FROM documents GROUP BY source),
+        boiler AS (SELECT pcnt.source, pcnt.k FROM pcnt JOIN gt USING (source)
+                   WHERE nd >= 3 AND nd * 2 >= 1 * total),
+        kept AS (SELECT p.doc_id, p.para, p.idx FROM pars p
+                 LEFT JOIN boiler b ON b.source = p.source AND b.k = md5(p.para)
+                 WHERE b.k IS NULL)
+        SELECT doc_id, string_agg(para, chr(10) ORDER BY idx) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id ORDER BY doc_id
+    """
+    ref = con.execute(sql).df()
+    ref["n_kept"] = ref["n_kept"].astype("int64")
+    ref["doc_id"] = ref["doc_id"].astype("int64")
+
+    for parts in (1, 3, 7):
+        out = (
+            remove_domain_boilerplate(
+                ray.data.from_arrow(tbl).repartition(parts),
+                threshold=(1, 2),
+                min_docs=3,
+            )
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        out["n_kept"] = out["n_kept"].astype("int64")
+        assert out.equals(ref), f"parts={parts}"
+
+    got = remove_domain_boilerplate(
+        ray.data.from_arrow(tbl), threshold=(1, 2), min_docs=3
+    ).to_pandas()
+    by_id = dict(zip(got["doc_id"], got["clean_text"]))
+    assert "HEADER" not in by_id[1] and "FOOTER" not in by_id[1]
+    assert by_id[6] == "solo site page\nFOOTER"  # per-domain conditioning
+    assert by_id[7] == "repeat\nrepeat"  # intra-doc copies counted once
+    assert 3 not in by_id or True  # doc 3 may survive with its real line
+    # doc 5's only non-boiler paragraph survives; empties never join
+    assert by_id[5] == "only header and empty"
+
+    # guards: bad rational, bad min_docs, corrupt group value, boiler cap
+    with pytest.raises(ValueError):
+        remove_domain_boilerplate(ray.data.from_arrow(tbl), threshold=(1, 0))
+    with pytest.raises(ValueError):
+        remove_domain_boilerplate(ray.data.from_arrow(tbl), min_docs=0)
+    bad = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array(["x"]),
+            "source": pa.array(["has|pipe"]),
+        }
+    )
+    with pytest.raises(Exception, match="combined key"):
+        remove_domain_boilerplate(ray.data.from_arrow(bad)).to_pandas()
+    with pytest.raises(Exception, match="max_boiler"):
+        remove_domain_boilerplate(
+            ray.data.from_arrow(tbl), threshold=(0, 1), min_docs=1, max_boiler=2
+        ).to_pandas()

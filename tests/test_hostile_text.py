@@ -107,6 +107,7 @@ CHECKED = [
     "phrase_match",
     "proximity_match",
     "ordered_window_match",
+    "boilerplate_strip",
 ]
 
 
