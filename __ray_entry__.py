@@ -3366,6 +3366,23 @@ def q_ordered_window_match(sf_dir: str) -> pa.Table:
     return ordered_window_search(pos_dir, "sort", "window", slop=3, options=OPT_NOSTEM)
 
 
+def q_phrase_bm25_top10(sf_dir: str) -> pa.Table:
+    """Phrase-ranked retrieval (Lucene PhraseQuery scoring): BM25 where
+    tf = exact-phrase occurrence count from the positional sidecar and
+    N/avgdl/dl come from the main index (shared build options, so
+    kept-token doc lengths agree)."""
+    from search_engine_ray.pipelines import documents_positions_dir, phrase_bm25_f64
+
+    r = _reader(sf_dir)
+    pos_dir = documents_positions_dir(sf_dir, OPT_NOSTEM)
+    ids, scores = phrase_bm25_f64(r, pos_dir, ["sort", "table"], options=OPT_NOSTEM)
+    ids, scores = ids[:10], scores[:10]
+    doc_ids = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids), "score_micros": pa.array(_micros(scores))}
+    )
+
+
 def q_proximity_match(sf_dir: str) -> pa.Table:
     """Proximity retrieval ('sort' within 3 kept-token positions of
     'window') over the positional sidecar — searchsorted range probes,
@@ -4713,6 +4730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lmjm_top10": q_lmjm_top10,
         "bm25_prior_top10": q_bm25_prior_top10,
         "ordered_window_match": q_ordered_window_match,
+        "phrase_bm25_top10": q_phrase_bm25_top10,
         "value_quantiles_hist": q_value_quantiles_hist,
         "pca_gram": q_pca_gram,
         # rows-only: LAPACK eigensolve + projection self-check inside
@@ -5811,6 +5829,39 @@ def oracle_sql() -> dict[str, str]:
             ranked AS (SELECT *, row_number() OVER (ORDER BY n_ab DESC, term_a, term_b) AS r
                        FROM scored)
             SELECT term_a, term_b, n_ab, pmi_micros FROM ranked WHERE r <= 50
+        """,
+        "phrase_bm25_top10": f"""
+            WITH raw AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\\x00-\\x2f:;=?]')) AS t,
+                     unnest(generate_series(1,
+                        len(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\\x00-\\x2f:;=?]')))) AS pos
+              FROM documents),
+            kept AS (
+              SELECT doc_id, t,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS kp
+              FROM raw
+              WHERE t <> '' AND substr(t, 1, 1) <> '<' AND substr(t, -1, 1) <> '>'
+                AND t NOT IN ({_STOP_LIST})),
+            dl AS (SELECT doc_id, count(*) AS dl FROM kept GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM kept) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+            pf AS (
+              SELECT a.doc_id, count(*) AS pf
+              FROM kept a JOIN kept b
+                ON b.doc_id = a.doc_id AND b.kp = a.kp + 1
+              WHERE a.t = 'sort' AND b.t = 'table'
+              GROUP BY a.doc_id),
+            dfp AS (SELECT count(*) * 1.0 AS df FROM pf),
+            sc AS (
+              SELECT pf.doc_id,
+                     ln((st.n - dfp.df + 0.5) / (dfp.df + 0.5))
+                     * (pf.pf * (1.2 + 1)) / (pf.pf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) AS score
+              FROM pf CROSS JOIN dfp JOIN dl USING (doc_id) CROSS JOIN st),
+            ranked AS (SELECT doc_id, score,
+                              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM sc)
+            SELECT doc_id, {micros.format(expr="score")} AS score_micros
+            FROM ranked WHERE r <= 10
         """,
         "proximity_match": f"""
             WITH raw AS (

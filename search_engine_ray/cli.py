@@ -530,6 +530,17 @@ def cmd_phrase(args: argparse.Namespace) -> int:
         fn = ordered_window_search if args.ordered else proximity_search
         tbl = fn(args.positions_dir, a, b, args.near)
         col = "n_pairs"
+    elif args.rank_index is not None:
+        from .engine.index_reader import IndexReader
+        from .pipelines import phrase_bm25_f64
+
+        reader = IndexReader(args.rank_index)
+        ids, scores = phrase_bm25_f64(reader, args.positions_dir, args.words)
+        for rank, (d, s) in enumerate(zip(ids[: args.k], scores[: args.k]), 1):
+            print(_json.dumps(
+                {"rank": rank, "doc": str(reader.doc_names[d]), "score": float(s)}
+            ))
+        return 0
     else:
         tbl = phrase_search(args.positions_dir, args.words)
         col = "n_matches"
@@ -764,6 +775,11 @@ def main(argv: list[str] | None = None) -> int:
                      help="proximity window (2 words required)")
     pph.add_argument("--ordered", action="store_true",
                      help="with --near: WORD1 must PRECEDE WORD2 by 1..N positions")
+    pph.add_argument("--rank-index", default=None, metavar="INDEX_DIR",
+                     help="rank phrase matches by BM25 over phrase frequency "
+                          "(needs the main index for N/avgdl/doc lengths)")
+    pph.add_argument("--k", type=int, default=10,
+                     help="top-k for --rank-index output")
     pph.set_defaults(fn=cmd_phrase)
 
     pm = sub.add_parser("mlt", help="more-like-this: rank corpus against a source text")

@@ -861,6 +861,51 @@ def source_doc_count_prior(docs_ds, reader: IndexReader) -> np.ndarray:
     return by_docid[reader.doc_names.astype(np.int64)]
 
 
+def phrase_bm25_f64(
+    reader: IndexReader,
+    pos_dir: str,
+    phrase: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    options=None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Phrase-ranked retrieval: BM25 where tf is the EXACT-PHRASE
+    occurrence count (Lucene PhraseQuery scoring) —
+
+        score(d) = ln((N - df_p + 0.5)/(df_p + 0.5))
+                   * pf*(k1+1) / (pf + k1*(1 - b + b*dl/avgdl))
+
+    pf = phrase matches in d (positions.phrase_search — pruned two-term
+    sidecar read, never a corpus pass), df_p = number of matching docs,
+    N/avgdl/dl from the main index (the sidecar and index must share
+    build options so kept-token doc lengths agree).  Ties -> ascending
+    numeric doc name, matching the SQL row_number convention.  Returns
+    (ordinals, scores)."""
+    from .engine.positions import phrase_search
+
+    tbl = phrase_search(pos_dir, phrase, options=options)
+    if tbl.num_rows == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    raw_ids = np.asarray(tbl["doc_id"], dtype=np.int64)
+    pf = np.asarray(tbl["n_matches"], dtype=np.float64)
+    ords = np.asarray(
+        [reader.doc_id_of(str(n)) for n in raw_ids.tolist()], dtype=np.int64
+    )
+    if (ords < 0).any():
+        missing = raw_ids[ords < 0][:3].tolist()
+        raise ValueError(
+            f"phrase_bm25_f64: sidecar docs absent from the index "
+            f"(e.g. {missing}) — rebuild the positional sidecar to match"
+        )
+    n = reader.n_docs
+    df_p = float(len(raw_ids))
+    idf = np.log((n - df_p + 0.5) / (df_p + 0.5))
+    dls = reader.doc_lens[ords].astype(np.float64)
+    scores = idf * (pf * (k1 + 1)) / (pf + k1 * (1 - b + b * (dls / reader.avgdl)))
+    order = np.lexsort((raw_ids, -scores))
+    return ords[order], scores[order]
+
+
 def collapse_ranking(
     ids: "np.ndarray",
     scores: "np.ndarray",

@@ -107,6 +107,7 @@ CHECKED = [
     "phrase_match",
     "proximity_match",
     "ordered_window_match",
+    "phrase_bm25_top10",
     "boilerplate_strip",
 ]
 

@@ -687,6 +687,77 @@ def test_prior_boosted_bm25(ray_session, tmp_path):
     assert key == sorted(key)
 
 
+def test_phrase_bm25(ray_session, tmp_path):
+    """Phrase-ranked retrieval: BM25 over exact-phrase counts equals a
+    from-the-raw-text brute force; non-matching docs absent; ties break
+    by ascending numeric doc name."""
+    import math
+    import os as _os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from search_engine_ray.config import BuildConfig, IndexOptions
+    from search_engine_ray.engine.build import build_index
+    from search_engine_ray.engine.index_reader import IndexReader
+    from search_engine_ray.engine.positions import build_position_index
+    from search_engine_ray.pipelines import phrase_bm25_f64
+
+    opt = IndexOptions(case_folding=True, remove_stopwords=False, stemming=False)
+    texts = [
+        "big data big data big data",   # pf=3
+        "big data filler words here",   # pf=1
+        "data big reversed",            # pf=0
+        "big x data split",             # pf=0
+        "big data",                     # pf=1, short doc
+        "nothing relevant",
+    ]
+    ids = list(range(6))
+    corpus = str(tmp_path / "c")
+    _os.makedirs(corpus)
+    pq_.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}),
+        f"{corpus}/d.parquet",
+    )
+    idx = str(tmp_path / "i")
+    build_index(
+        corpus, idx, BuildConfig(block_entries=4, frags_per_shard=2, options=opt),
+        overwrite=True, source_column="text", name_column="doc_id",
+    )
+    pos = str(tmp_path / "p")
+    build_position_index(corpus, pos, opt, source_column="text", name_column="doc_id")
+
+    r = IndexReader(idx)
+    got_ids, got_scores = phrase_bm25_f64(r, pos, ["big", "data"], options=opt)
+
+    toks = [t.split() for t in texts]
+    n = len(texts)
+    avgdl = r.avgdl
+    pf = {
+        d: sum(
+            1 for i in range(len(t) - 1) if t[i] == "big" and t[i + 1] == "data"
+        )
+        for d, t in enumerate(toks)
+    }
+    matched = {d: c for d, c in pf.items() if c > 0}
+    df = float(len(matched))
+    idf = math.log((n - df + 0.5) / (df + 0.5))
+    exp = {
+        d: idf * (c * 2.2) / (c + 1.2 * (1 - 0.75 + 0.75 * (len(toks[d]) / avgdl)))
+        for d, c in matched.items()
+    }
+    got = {int(r.doc_names[o]): s for o, s in zip(got_ids, got_scores)}
+    assert set(got) == set(exp)
+    for d in exp:
+        assert abs(got[d] - exp[d]) < 1e-12
+    key = [(-s, int(r.doc_names[o])) for o, s in zip(got_ids, got_scores)]
+    assert key == sorted(key)
+    # empty phrase result path
+    e_ids, e_scores = phrase_bm25_f64(r, pos, ["zz", "qq"], options=opt)
+    assert len(e_ids) == 0 and len(e_scores) == 0
+
+
 def test_collapse_ranking():
     """Field collapse keeps the first per_group hits per group in rank
     order; per_group > 1 keeps that many."""
