@@ -3133,6 +3133,15 @@ def q_boilerplate_strip(sf_dir: str):
     return remove_domain_boilerplate(ds, threshold=(1, 2), min_docs=3)
 
 
+def q_content_extract(sf_dir: str):
+    """jusText-lite content extraction: keep paragraphs with >= 5
+    whitespace tokens AND stopword density >= 1/10 (exact integers, the
+    pinned 41-word list, ascii casefold), re-join survivors in order."""
+    from search_engine_ray.dataops.clean import extract_content
+
+    return extract_content(_docs_ds(sf_dir), min_tokens=5, stop_density=(1, 10))
+
+
 def q_token_quantiles(sf_dir: str) -> pa.Table:
     """Exact distributed quantiles of the per-doc token count
     (percentile_disc semantics) — value-count partials, one groupby over
@@ -4635,6 +4644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_web": q_curate_web,
         "decontaminate": q_decontaminate,
         "boilerplate_strip": q_boilerplate_strip,
+        "content_extract": q_content_extract,
         "repetition": q_repetition,
         "redact_pii": q_redact_pii,
         "lang_distribution": q_lang_distribution,
@@ -5038,6 +5048,9 @@ def _curate_web_sql(n: int = 8) -> str:
 
 def oracle_sql() -> dict[str, str]:
     micros = _SQL_MICROS
+    from search_engine_ray.text.ws import WS_RE as _WSRE
+    from search_engine_ray.text.ws import sql_ascii_lower as _sal
+
     out = {
         "simhash": _simhash_sql(),
         # brute-force cross-join over the twin-seeded set: LSH blocking is
@@ -5124,6 +5137,29 @@ def oracle_sql() -> dict[str, str]:
                      WHERE b.k IS NULL)
             SELECT doc_id,
                    string_agg(para, chr(10) ORDER BY idx) AS clean_text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        """,
+        "content_extract": f"""
+            WITH raw AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS para,
+                     unnest(generate_series(1, len(string_split(text, chr(10))))) AS idx
+              FROM documents
+            ),
+            pars AS (SELECT * FROM raw WHERE para <> ''),
+            tok AS (
+              SELECT doc_id, idx, para,
+                     len(list_filter(regexp_split_to_array(para, '{_WSRE}'),
+                         x -> x <> '')) AS nt,
+                     len(list_filter(regexp_split_to_array(para, '{_WSRE}'),
+                         x -> x <> '' AND {_sal("x")} IN ({_STOP_LIST}))) AS ns
+              FROM pars
+            ),
+            kept AS (SELECT doc_id, para, idx FROM tok
+                     WHERE nt >= 5 AND ns * 10 >= 1 * nt)
+            SELECT doc_id,
+                   string_agg(para, chr(10) ORDER BY idx) AS content_text,
                    count(*) AS n_kept
             FROM kept GROUP BY doc_id
         """,

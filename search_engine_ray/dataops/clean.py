@@ -202,3 +202,93 @@ def normalize_nfc(
         return batch.set_column(i, text_column, out)
 
     return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def extract_content(
+    ds: ray.data.Dataset,
+    min_tokens: int = 5,
+    stop_density: tuple[int, int] = (1, 10),
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    sep: str = "\n",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """jusText-lite main-content extraction: keep paragraphs that read
+    like prose — >= ``min_tokens`` whitespace tokens AND stopword density
+    >= num/den (stopwords = the engine's pinned 41-word list,
+    ASCII-casefolded) — and drop nav bars, button labels, tag soup and
+    other low-density fragments.  The single-document complement to
+    dedup.remove_domain_boilerplate (which needs cross-document
+    repetition).  Returns ``(doc_id, content_text, n_kept)``; docs with
+    no qualifying paragraph are absent (the SQL GROUP-BY-survivors
+    semantics).
+
+    ``stop_density`` is a RATIONAL (num, den): the gate compares
+    ``stop_count * den >= num * n_tokens`` in exact integers, so the
+    classification is SQL-bit-reproducible.
+
+    One stateless vectorized pass (paragraph explode -> ws_token counts
+    via the pinned class -> segmented stopword bincount) + the shared
+    ordered-reassembly shuffle; no other exchange."""
+    from ..text.stopwords import STOPWORDS_TUPLE
+    from ..text.ws import WS_RE
+    from .dedup import _PARA_IDX_LIMIT, reassemble_paragraphs
+
+    num, den = int(stop_density[0]), int(stop_density[1])
+    if num < 0 or den <= 0:
+        raise ValueError(f"stop_density must be a nonneg/pos rational, got {stop_density}")
+    if min_tokens < 1:
+        raise ValueError(f"min_tokens must be >= 1, got {min_tokens}")
+    stop_arr = pa.array(list(STOPWORDS_TUPLE), pa.string())
+
+    def classify(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch[text_column], "")
+        lists = pc.split_pattern(texts, pattern=sep)
+        flat = pc.list_flatten(lists)
+        lens = np.asarray(pc.list_value_length(lists), dtype=np.int64)
+        if (lens >= _PARA_IDX_LIMIT).any():
+            raise ValueError(
+                f"extract_content: a document has >= {_PARA_IDX_LIMIT} "
+                "paragraphs; the para_idx encoding would overflow"
+            )
+        ids = np.repeat(np.asarray(batch[id_column], dtype=np.int64), lens)
+        total = int(lens.sum())
+        starts = (
+            np.concatenate(([0], np.cumsum(lens)[:-1]))
+            if len(lens)
+            else np.empty(0, np.int64)
+        )
+        idx = np.arange(1, total + 1) - np.repeat(starts, lens)
+        nonempty = np.asarray(pc.greater(pc.binary_length(flat), 0))
+        paras = flat.filter(pa.array(nonempty))
+        ids, idx = ids[nonempty], idx[nonempty]
+        if isinstance(paras, pa.ChunkedArray):
+            paras = paras.combine_chunks()
+
+        # per-paragraph whitespace-token counts + stopword counts, one
+        # segmented pass (pinned WS class; ascii_lower like M3)
+        tok_lists = pc.split_pattern_regex(paras, pattern=WS_RE)
+        toks = pc.list_flatten(tok_lists)
+        tlens = np.asarray(pc.list_value_length(tok_lists), dtype=np.int64)
+        rows = np.repeat(np.arange(len(tlens), dtype=np.int64), tlens)
+        real = np.asarray(pc.greater(pc.binary_length(toks), 0))
+        n_tok = np.bincount(rows[real], minlength=len(tlens)).astype(np.int64)
+        is_stop = np.asarray(
+            pc.is_in(pc.ascii_lower(toks), value_set=stop_arr)
+        ) & real
+        n_stop = np.bincount(rows[is_stop], minlength=len(tlens)).astype(np.int64)
+
+        keep = (n_tok >= min_tokens) & (n_stop * den >= num * n_tok)
+        km = pa.array(keep)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep]),
+                "para_idx": pa.array(idx[keep]),
+                "para": paras.filter(km),
+            }
+        )
+
+    survivors = ds.map_batches(classify, batch_format="pyarrow")
+    return reassemble_paragraphs(
+        survivors, sep=sep, n_buckets=n_buckets, text_name="content_text"
+    )

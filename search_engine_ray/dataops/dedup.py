@@ -1304,6 +1304,25 @@ def remove_domain_boilerplate(
             return batch.filter(keep).drop_columns(["grp", "ck"])
 
     survivors = exploded.map_batches(DropBoiler, concurrency=2, batch_format="pyarrow")
+    return reassemble_paragraphs(survivors, sep=sep, n_buckets=n_buckets)
+
+
+def reassemble_paragraphs(
+    survivors: ray.data.Dataset,
+    sep: str = "\n",
+    n_buckets: int = 64,
+    text_name: str = "clean_text",
+    count_name: str = "n_kept",
+) -> ray.data.Dataset:
+    """Ordered per-doc paragraph reassembly shared by the paragraph-level
+    cleaning operators (domain boilerplate strip, jusText-lite content
+    extraction): input rows (doc_id, para_idx, para), output one row per
+    surviving doc — paragraphs re-joined by ``sep`` in para_idx order.
+
+    ONE doc-bucketed shuffle; each bucket finishes in one vectorized
+    lexsort + LargeList offsets + binary_join kernel (the journey_strings
+    shape) — never a per-doc Python call."""
+    from .window_fns import _bucket_of
 
     def bucketize(batch: pa.Table) -> pa.Table:
         b = _bucket_of(np.asarray(batch["doc_id"], dtype=np.int64), n_buckets)
@@ -1314,8 +1333,8 @@ def remove_domain_boilerplate(
             return pa.table(
                 {
                     "doc_id": pa.array([], pa.int64()),
-                    "clean_text": pa.array([], pa.string()),
-                    "n_kept": pa.array([], pa.int64()),
+                    text_name: pa.array([], pa.string()),
+                    count_name: pa.array([], pa.int64()),
                 }
             )
         d = np.asarray(group["doc_id"], dtype=np.int64)
@@ -1340,8 +1359,8 @@ def remove_domain_boilerplate(
         return pa.table(
             {
                 "doc_id": pa.array(ds_sorted[starts]),
-                "clean_text": joined,
-                "n_kept": pa.array(np.diff(offsets)),
+                text_name: joined,
+                count_name: pa.array(np.diff(offsets)),
             }
         )
 

@@ -1884,3 +1884,72 @@ def test_remove_domain_boilerplate(ray_session):
         remove_domain_boilerplate(
             ray.data.from_arrow(tbl), threshold=(0, 1), min_docs=1, max_boiler=2
         ).to_pandas()
+
+
+def test_extract_content(ray_session):
+    """jusText-lite content extraction: DuckDB whole-pipeline equality,
+    prose-vs-nav classification, partition invariance, validation."""
+    import duckdb
+
+    import ray.data
+
+    from search_engine_ray.dataops.clean import extract_content
+    from search_engine_ray.text.stopwords import STOPWORDS_TUPLE
+    from search_engine_ray.text.ws import WS_RE, sql_ascii_lower
+
+    texts = [
+        "Home | About | Contact\nThis is a real sentence with the usual words.\nBUY NOW",
+        "click here\nnav links\nAnd this paragraph reads like prose because it has stopwords in it.",
+        "short\ntiny",
+        "The result of the test was that all of the words were fine here.",
+        "",  # empty doc
+        "A\vB C\nthe quick brown fox was seen by all of the people there",
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(1, 7), pa.int64()), "text": pa.array(texts)}
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl.to_pandas())
+    stop_list = ",".join("'" + w + "'" for w in STOPWORDS_TUPLE)
+    sql = f"""
+        WITH raw AS (
+          SELECT doc_id, unnest(string_split(text, chr(10))) AS para,
+                 unnest(generate_series(1, len(string_split(text, chr(10))))) AS idx
+          FROM documents),
+        pars AS (SELECT * FROM raw WHERE para <> ''),
+        tok AS (SELECT doc_id, idx, para,
+                 len(list_filter(regexp_split_to_array(para, '{WS_RE}'), x -> x <> '')) AS nt,
+                 len(list_filter(regexp_split_to_array(para, '{WS_RE}'),
+                     x -> x <> '' AND {sql_ascii_lower("x")} IN ({stop_list}))) AS ns
+                FROM pars),
+        kept AS (SELECT doc_id, para, idx FROM tok WHERE nt >= 5 AND ns * 10 >= 1 * nt)
+        SELECT doc_id, string_agg(para, chr(10) ORDER BY idx) AS content_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id ORDER BY doc_id
+    """
+    ref = con.execute(sql).df()
+    ref["n_kept"] = ref["n_kept"].astype("int64")
+    ref["doc_id"] = ref["doc_id"].astype("int64")
+
+    for parts in (1, 4):
+        out = (
+            extract_content(
+                ray.data.from_arrow(tbl).repartition(parts),
+                min_tokens=5,
+                stop_density=(1, 10),
+            )
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        out["n_kept"] = out["n_kept"].astype("int64")
+        assert out.equals(ref), f"parts={parts}"
+
+    by_id = dict(zip(ref["doc_id"], ref["content_text"]))
+    assert 3 not in by_id and 5 not in by_id          # tiny/empty docs absent
+    assert "BUY NOW" not in by_id[1] and "Home" not in by_id[1]
+    assert "nav links" not in by_id[2]
+
+    with pytest.raises(ValueError):
+        extract_content(ray.data.from_arrow(tbl), stop_density=(1, 0))
+    with pytest.raises(ValueError):
+        extract_content(ray.data.from_arrow(tbl), min_tokens=0)

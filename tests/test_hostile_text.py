@@ -109,6 +109,7 @@ CHECKED = [
     "ordered_window_match",
     "phrase_bm25_top10",
     "boilerplate_strip",
+    "content_extract",
 ]
 
 
