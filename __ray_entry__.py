@@ -1224,6 +1224,75 @@ def _lang_id_sql() -> str:
     """
 
 
+_LANG_WIN_TOKENS = 40
+
+
+def _lang_windows_sql(w: int = _LANG_WIN_TOKENS) -> str:
+    from search_engine_ray.dataops.textstats import _LANG_PROFILES
+    from search_engine_ray.text.ws import WS_RE
+
+    langs = [k for k, v in _LANG_PROFILES.items() if v]
+    count_cols = []
+    for lang in langs:
+        parts = [
+            f"(length(lt) - length(replace(lt, '{tri.replace(chr(39), chr(39)*2)}', ''))) / 3"
+            for tri in _LANG_PROFILES[lang]
+        ]
+        count_cols.append(" + ".join(parts) + f" AS c_{lang}")
+    case = "CASE WHEN cjk * 5 > n_chars THEN 'zh' "
+    for i, lang in enumerate(langs[:-1]):
+        geq = " AND ".join(f"c_{lang} >= c_{other}" for other in langs[i + 1 :])
+        case += f"WHEN {geq} THEN '{lang}' "
+    case += f"ELSE '{langs[-1]}' END"
+    cols = ",\n               ".join(count_cols)
+    tallies = ",\n                   ".join(
+        f"CAST(sum(CASE WHEN pl = '{lang}' THEN 1 ELSE 0 END) AS BIGINT) AS w_{lang}"
+        for lang in langs + ["zh"]
+    )
+    sel = ",\n               ".join(
+        f"CAST(COALESCE(agg.w_{lang}, 0) AS BIGINT) AS w_{lang}"
+        for lang in langs + ["zh"]
+    )
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(COALESCE(text, ''), '{WS_RE}'),
+                             x -> x <> '') AS ts
+          FROM documents
+        ),
+        win AS (
+          SELECT doc_id,
+                 array_to_string(ts[g*{w}+1 : least((g+1)*{w}, len(ts))], ' ') AS wt
+          FROM tok, UNNEST(generate_series(0, (len(ts) + {w} - 1) // {w} - 1)) AS t(g)
+          WHERE len(ts) > 0
+        ),
+        c AS (SELECT doc_id, wt, lower(wt) AS lt,
+                     greatest(length(wt), 1) AS n_chars FROM win),
+        s AS (SELECT doc_id, n_chars,
+               {cols},
+               len(regexp_extract_all(wt, '[一-鿿]')) AS cjk
+              FROM c),
+        p AS (SELECT doc_id, {case} AS pl FROM s),
+        agg AS (SELECT doc_id, count(*) AS n_windows,
+                   {tallies}
+                FROM p GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(agg.n_windows, 0) AS BIGINT) AS n_windows,
+               {sel}
+        FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+    """
+
+
+def q_lang_windows(sf_dir: str):
+    """Mixed-language window tallies (code-switch / doc-purity signal):
+    per-doc integer counts of 40-token windows won by each language —
+    the same trigram profiles and integer-argmax tie rule as
+    lang_id_pred, applied per window."""
+    from search_engine_ray.dataops.textstats import lang_window_counts
+
+    return lang_window_counts(_docs_ds(sf_dir), window_tokens=_LANG_WIN_TOKENS)
+
+
 def q_lang_id(sf_dir: str):
     from search_engine_ray.dataops.textstats import lang_id
 
@@ -4649,6 +4718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": q_redact_pii,
         "lang_distribution": q_lang_distribution,
         "lang_id_pred": q_lang_id_pred,
+        "lang_windows": q_lang_windows,
         "lang_id": q_lang_id,
         "url_normalize": q_url_normalize,
         "domain_cap": q_domain_cap,
@@ -6287,6 +6357,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_distribution": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
         "lang_id_pred": _lang_id_sql(),
+        "lang_windows": _lang_windows_sql(),
         "sample_docs": """
             SELECT doc_id FROM documents
             WHERE ((doc_id % 100003) * 2654435761 + 12345) % 1000000 < 100000

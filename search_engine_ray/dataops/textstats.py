@@ -469,3 +469,94 @@ def lang_id(ds: ray.data.Dataset, **kw) -> ray.data.Dataset:
 
 def fingerprints(ds: ray.data.Dataset, **kw) -> ray.data.Dataset:
     return ds.map_batches(fingerprint_batch, fn_kwargs=kw, batch_format="pyarrow")
+
+
+def lang_window_counts(
+    ds: ray.data.Dataset,
+    window_tokens: int = 50,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> ray.data.Dataset:
+    """Mixed-language / code-switch detection (the CCNet-style doc-purity
+    signal): split each document into ``window_tokens``-token windows
+    (pinned WS class, re-joined by one space), language-ID every window
+    with the SAME trigram profiles as LangId, and report per doc the
+    INTEGER window tallies: (doc_id, n_windows, w_en, w_de, w_fr, w_es,
+    w_zh).  A clean doc has one dominant column; a mixed doc splits.
+
+    Determinism: each window's prediction is an argmax over integer
+    trigram counts (the per-window denominator cancels), ties -> profile
+    order; a window with cjk_chars*5 > n_chars is 'zh' — the identical
+    integer CASE the SQL oracle states, so the gate is libm-free.
+
+    One stateless vectorized pass: token explode -> window ids by integer
+    arithmetic -> ONE binary_join builds every window string -> one
+    count_substring pass per (lang, trigram) over all windows -> bincount
+    tallies.  No shuffle."""
+    if window_tokens < 1:
+        raise ValueError(f"window_tokens must be >= 1, got {window_tokens}")
+    from ..text.ws import WS_RE
+
+    langs = [k for k, v in _LANG_PROFILES.items() if v]
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(_text_col(batch, text_column), "")
+        tok_lists = pc.split_pattern_regex(texts, pattern=WS_RE)
+        flat = pc.list_flatten(tok_lists)
+        lens = np.asarray(pc.list_value_length(tok_lists), dtype=np.int64)
+        n_docs = len(lens)
+        rows = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        keep = np.asarray(pc.greater(pc.binary_length(flat), 0))
+        toks = flat.filter(pa.array(keep))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        rows = rows[keep]
+        nt = np.bincount(rows, minlength=n_docs).astype(np.int64)
+        nw = (nt + window_tokens - 1) // window_tokens  # 0 for token-free docs
+        total_windows = int(nw.sum())
+
+        out: dict = {
+            id_column: np.asarray(batch[id_column], dtype=np.int64),
+            "n_windows": nw,
+        }
+        if total_windows == 0:
+            for lang in langs + ["zh"]:
+                out[f"w_{lang}"] = np.zeros(n_docs, dtype=np.int64)
+            return pa.table({k: pa.array(v) for k, v in out.items()})
+
+        doc_starts = np.concatenate(([0], np.cumsum(nt)[:-1]))
+        pos_in_doc = np.arange(len(rows), dtype=np.int64) - doc_starts[rows]
+        win_starts = np.concatenate(([0], np.cumsum(nw)[:-1]))
+        wid = win_starts[rows] + pos_in_doc // window_tokens
+        wcounts = np.bincount(wid, minlength=total_windows)
+        offsets = np.concatenate(([0], np.cumsum(wcounts))).astype(np.int64)
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets), pc.cast(toks, pa.large_string())
+        )
+        wtext = pc.cast(
+            pc.binary_join(lists, pa.scalar(" ", pa.large_string())), pa.string()
+        )
+        lower = pc.utf8_lower(wtext)
+        n_chars = np.maximum(
+            np.asarray(pc.utf8_length(wtext), dtype=np.int64), 1
+        )
+        counts = np.zeros((len(langs), total_windows), dtype=np.int64)
+        for li, lang in enumerate(langs):
+            for tri in _LANG_PROFILES[lang]:
+                counts[li] += np.asarray(
+                    pc.count_substring(lower, pattern=tri), dtype=np.int64
+                )
+        best = np.argmax(counts, axis=0)  # first max wins == profile order
+        pred = np.asarray(langs, dtype=object)[best]
+        cjk = np.asarray(
+            pc.count_substring_regex(wtext, pattern=r"[一-鿿]"), dtype=np.int64
+        )
+        pred[cjk * 5 > n_chars] = "zh"
+        wdoc = np.repeat(np.arange(n_docs, dtype=np.int64), nw)
+        for lang in langs + ["zh"]:
+            out[f"w_{lang}"] = np.bincount(
+                wdoc[pred == lang], minlength=n_docs
+            ).astype(np.int64)
+        return pa.table({k: pa.array(v) for k, v in out.items()})
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

@@ -1953,3 +1953,66 @@ def test_extract_content(ray_session):
         extract_content(ray.data.from_arrow(tbl), stop_density=(1, 0))
     with pytest.raises(ValueError):
         extract_content(ray.data.from_arrow(tbl), min_tokens=0)
+
+
+def test_lang_window_counts(ray_session):
+    """Windowed language tallies: brute-force per-window reference (same
+    trigram profiles, integer argmax, profile-order ties, cjk override),
+    mixed docs split across columns, partition invariance, empty docs."""
+    import ray.data
+
+    from search_engine_ray.dataops.textstats import _LANG_PROFILES, lang_window_counts
+
+    en = "the thing and the other thing going strong in the morning light "
+    de = "der die und der die und schön über der die und immer wieder der "
+    texts = [
+        en * 8,                     # pure en: all windows en
+        en * 4 + de * 4,            # mixed: en then de windows
+        "",                         # no tokens: n_windows = 0
+        "中文" * 40,                 # cjk override
+        de * 2,
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(1, 6), pa.int64()), "text": pa.array(texts)}
+    )
+    W = 10
+    langs = [k for k, v in _LANG_PROFILES.items() if v]
+
+    def brute(text):
+        toks = [t for t in __import__("re").split(r"[\t\n\x0B\x0C\r ]+", text) if t]
+        wins = [" ".join(toks[i : i + W]) for i in range(0, len(toks), W)]
+        tal = {f"w_{la}": 0 for la in langs + ["zh"]}
+        for w in wins:
+            lw = w.lower()
+            counts = [
+                sum(lw.count(tri) for tri in _LANG_PROFILES[la]) for la in langs
+            ]
+            best = langs[counts.index(max(counts))]
+            n_chars = max(len(w), 1)
+            cjk = sum(1 for ch in w if "一" <= ch <= "鿿")
+            if cjk * 5 > n_chars:
+                best = "zh"
+            tal[f"w_{best}"] += 1
+        return len(wins), tal
+
+    for parts in (1, 3):
+        out = (
+            lang_window_counts(
+                ray.data.from_arrow(tbl).repartition(parts), window_tokens=W
+            )
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        for i, t in enumerate(texts):
+            nw, tal = brute(t)
+            row = out.iloc[i]
+            assert row["n_windows"] == nw, (parts, i)
+            for k, v in tal.items():
+                assert row[k] == v, (parts, i, k)
+    # mixed doc really splits; cjk doc lands in zh
+    r2 = out[out["doc_id"] == 2].iloc[0]
+    assert r2["w_en"] > 0 and r2["w_de"] > 0
+    assert out[out["doc_id"] == 4].iloc[0]["w_zh"] > 0
+    assert out[out["doc_id"] == 3].iloc[0]["n_windows"] == 0
+    with pytest.raises(ValueError):
+        lang_window_counts(ray.data.from_arrow(tbl), window_tokens=0)

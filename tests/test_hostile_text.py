@@ -110,6 +110,7 @@ CHECKED = [
     "phrase_bm25_top10",
     "boilerplate_strip",
     "content_extract",
+    "lang_windows",
 ]
 
 
