@@ -518,6 +518,9 @@ def cmd_phrase(args: argparse.Namespace) -> int:
     if args.ordered and (args.near is None or args.near < 1):
         print("--ordered requires --near N with N >= 1", file=sys.stderr)
         return 2
+    if args.near is not None and args.rank_index is not None:
+        print("--near and --rank-index are mutually exclusive", file=sys.stderr)
+        return 2
     if args.near is not None:
         if len(args.words) != 2:
             print(

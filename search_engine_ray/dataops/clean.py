@@ -231,7 +231,7 @@ def extract_content(
     via the pinned class -> segmented stopword bincount) + the shared
     ordered-reassembly shuffle; no other exchange."""
     from ..text.stopwords import STOPWORDS_TUPLE
-    from ..text.ws import WS_RE
+    from ..text.ws import ws_token_flat_with_row
     from .dedup import _PARA_IDX_LIMIT, reassemble_paragraphs
 
     num, den = int(stop_density[0]), int(stop_density[1])
@@ -266,17 +266,14 @@ def extract_content(
             paras = paras.combine_chunks()
 
         # per-paragraph whitespace-token counts + stopword counts, one
-        # segmented pass (pinned WS class; ascii_lower like M3)
-        tok_lists = pc.split_pattern_regex(paras, pattern=WS_RE)
-        toks = pc.list_flatten(tok_lists)
-        tlens = np.asarray(pc.list_value_length(tok_lists), dtype=np.int64)
-        rows = np.repeat(np.arange(len(tlens), dtype=np.int64), tlens)
-        real = np.asarray(pc.greater(pc.binary_length(toks), 0))
-        n_tok = np.bincount(rows[real], minlength=len(tlens)).astype(np.int64)
-        is_stop = np.asarray(
-            pc.is_in(pc.ascii_lower(toks), value_set=stop_arr)
-        ) & real
-        n_stop = np.bincount(rows[is_stop], minlength=len(tlens)).astype(np.int64)
+        # segmented pass through THE pinned tokenize-and-flatten helper
+        # (ws.py: class + null/empty handling change lands everywhere);
+        # ascii_lower like M3
+        toks, rows = ws_token_flat_with_row(paras)
+        n_paras = len(paras)
+        n_tok = np.bincount(rows, minlength=n_paras).astype(np.int64)
+        is_stop = np.asarray(pc.is_in(pc.ascii_lower(toks), value_set=stop_arr))
+        n_stop = np.bincount(rows[is_stop], minlength=n_paras).astype(np.int64)
 
         keep = (n_tok >= min_tokens) & (n_stop * den >= num * n_tok)
         km = pa.array(keep)

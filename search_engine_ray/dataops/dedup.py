@@ -1151,6 +1151,7 @@ def remove_domain_boilerplate(
     sep: str = "\n",
     max_boiler: int = 2_000_000,
     n_buckets: int = 64,
+    pair_batch_size: int | None = None,
 ) -> ray.data.Dataset:
     """Domain-conditional boilerplate strip (the CCNet / RefinedWeb step
     global paragraph dedup can't express): a paragraph is boilerplate
@@ -1166,10 +1167,12 @@ def remove_domain_boilerplate(
     ``n_docs_with_para * den >= num * group_total`` in exact integers, so
     the decision is SQL-bit-reproducible on any libm.
 
-    Scale shape: explode is row-local (one doc's paragraphs never split
-    across batches, so per-batch (group, key, doc) dedup is globally
-    exact); per-(group, paragraph) doc counts are ONE native groupby over
-    a combined ``group|md5`` key; group doc totals are a
+    Scale shape: per-(group, paragraph) DISTINCT doc counts are exact
+    regardless of batching — a per-batch pre-dedup shrinks the exchange,
+    then one groupby over the composite ``group|md5|doc`` key establishes
+    global distinctness and one groupby over ``group|md5`` counts docs
+    (two pair-bounded exchanges; ``pair_batch_size`` exists so tests can
+    force straddled batches); group doc totals are a
     group-cardinality-sized collect (the facets convention); the
     boilerplate key set is BROADCAST once (``ray.put``) into a stateless
     filter pass — it is bounded by (domains x common-paragraphs-per-
@@ -1188,7 +1191,6 @@ def remove_domain_boilerplate(
         raise ValueError(f"threshold must be a nonneg/pos rational, got {threshold}")
     if min_docs < 1:
         raise ValueError(f"min_docs must be >= 1, got {min_docs}")
-    from .window_fns import _bucket_of
 
     def explode(batch: pa.Table) -> pa.Table:
         groups_arr = batch[group_column].cast(pa.string())
@@ -1233,18 +1235,30 @@ def remove_domain_boilerplate(
 
     # per-(group, paragraph) DISTINCT doc counts: per-batch dedup is
     # globally exact because explode is row-local (one doc = one batch)
-    def distinct_per_batch(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        # local pre-dedup only SHRINKS the exchange; global distinctness
+        # comes from the (paragraph, doc) groupby below — batch locality
+        # is never assumed (a doc's exploded rows CAN straddle the
+        # runtime's re-chunked batches)
         df = pa.table(
             {"ck": batch["ck"], "doc_id": batch["doc_id"]}
         ).to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df[["ck"]], preserve_index=False)
+        ckd = (df["ck"] + "|" + df["doc_id"].astype(str)).to_numpy(dtype=object)
+        return pa.table({"ckd": pa.array(ckd, pa.string())})
+
+    def strip_doc(batch: pa.Table) -> pa.Table:
+        cks = [c.rsplit("|", 1)[0] for c in batch["ckd"].to_pylist()]
+        return pa.table({"ck": pa.array(cks, pa.string())})
 
     from ray.data.aggregate import Count
 
     para_counts = (
-        exploded.map_batches(distinct_per_batch, batch_format="pyarrow")
+        exploded.map_batches(
+            pair_partial, batch_format="pyarrow", batch_size=pair_batch_size
+        )
+        .groupby("ckd")
+        .count()  # one row per DISTINCT (group, paragraph, doc) — exact
+        .map_batches(strip_doc, batch_format="pyarrow")
         .groupby("ck")
         .aggregate(Count(alias_name="nd"))
     )
@@ -1291,7 +1305,8 @@ def remove_domain_boilerplate(
         if len(boiler_keys) > max_boiler:
             raise ValueError(
                 f"remove_domain_boilerplate: boilerplate key set exceeds "
-                f"max_boiler={max_boiler}; raise the cap or lower the threshold"
+                f"max_boiler={max_boiler}; raise the cap, raise the "
+                "threshold, or raise min_docs"
             )
     bset_ref = ray.put(frozenset(boiler_keys))
 

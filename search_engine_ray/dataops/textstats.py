@@ -495,22 +495,16 @@ def lang_window_counts(
     tallies.  No shuffle."""
     if window_tokens < 1:
         raise ValueError(f"window_tokens must be >= 1, got {window_tokens}")
-    from ..text.ws import WS_RE
+    from ..text.ws import ws_token_flat_with_row
 
     langs = [k for k, v in _LANG_PROFILES.items() if v]
 
     def per_batch(batch: pa.Table) -> pa.Table:
         texts = pc.fill_null(_text_col(batch, text_column), "")
-        tok_lists = pc.split_pattern_regex(texts, pattern=WS_RE)
-        flat = pc.list_flatten(tok_lists)
-        lens = np.asarray(pc.list_value_length(tok_lists), dtype=np.int64)
-        n_docs = len(lens)
-        rows = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
-        keep = np.asarray(pc.greater(pc.binary_length(flat), 0))
-        toks = flat.filter(pa.array(keep))
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        rows = rows[keep]
+        n_docs = len(texts)
+        # THE pinned tokenize-and-flatten helper (ws.py) — class and
+        # null/empty handling stay in one place
+        toks, rows = ws_token_flat_with_row(texts)
         nt = np.bincount(rows, minlength=n_docs).astype(np.int64)
         nw = (nt + window_tokens - 1) // window_tokens  # 0 for token-free docs
         total_windows = int(nw.sum())

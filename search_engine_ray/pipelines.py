@@ -829,19 +829,15 @@ def prior_boosted_bm25_f64(
 
 def source_doc_count_prior(docs_ds, reader: IndexReader) -> np.ndarray:
     """Per-ordinal 'site authority' prior = number of corpus docs sharing
-    the document's source.  ONE native groupby-count over (doc_id,
-    source) — the collect is source-cardinality-sized (domains, not
-    docs); the per-doc mapping is a vectorized take."""
+    the document's source.  ONE column-pruned pass collects the
+    (doc_id, source) pairs — the same O(n_docs) driver footprint as the
+    reader's own doc_names table, which a caller holding an IndexReader
+    has already accepted; counts fold driver-side over the
+    dictionary-encoded source column (one Python step per DISTINCT
+    source, numpy takes per doc).  At doc-range-sharded scale each shard
+    builds only its slice (engine/sharded_search.py)."""
     import pyarrow.compute as pc
 
-    counts = docs_ds.select_columns(["source"]).groupby("source").count()
-    cnt_tbl = pa.concat_tables(
-        pa.table(b)
-        for b in counts.iter_batches(batch_size=None, batch_format="pyarrow")
-    )
-    src_count = dict(
-        zip(cnt_tbl["source"].to_pylist(), cnt_tbl["count()"].to_pylist())
-    )
     pairs = pa.concat_tables(
         pa.table(b)
         for b in docs_ds.select_columns(["doc_id", "source"]).iter_batches(
@@ -849,16 +845,26 @@ def source_doc_count_prior(docs_ds, reader: IndexReader) -> np.ndarray:
         )
     )
     tbl_ids = np.asarray(pairs["doc_id"], dtype=np.int64)
-    # dictionary-encode sources: the Python dict lookup runs once per
-    # DISTINCT source, the per-doc expansion is a numpy take
     dict_arr = pc.dictionary_encode(pairs["source"].combine_chunks())
-    dict_counts = np.asarray(
-        [src_count[s] for s in dict_arr.dictionary.to_pylist()], dtype=np.float64
+    codes = np.asarray(dict_arr.indices, dtype=np.int64)
+    code_counts = np.bincount(codes, minlength=len(dict_arr.dictionary)).astype(
+        np.float64
     )
-    per_doc = dict_counts[np.asarray(dict_arr.indices, dtype=np.int64)]
-    by_docid = np.zeros(int(tbl_ids.max()) + 1 if len(tbl_ids) else 1, dtype=np.float64)
-    by_docid[tbl_ids] = per_doc
-    return by_docid[reader.doc_names.astype(np.int64)]
+    per_doc = code_counts[codes]
+    # ordinal mapping without a max(doc_id)-sized dense array: sort the
+    # table ids once, searchsorted-probe the reader's names
+    order = np.argsort(tbl_ids, kind="stable")
+    sorted_ids = tbl_ids[order]
+    names = reader.doc_names.astype(np.int64)
+    pos = np.searchsorted(sorted_ids, names)
+    ok = (pos < len(sorted_ids)) & (sorted_ids[np.minimum(pos, len(sorted_ids) - 1)] == names)
+    if not ok.all():
+        missing = names[~ok][:3].tolist()
+        raise ValueError(
+            f"source_doc_count_prior: index docs absent from the docs table "
+            f"(e.g. {missing})"
+        )
+    return per_doc[order][pos]
 
 
 def phrase_bm25_f64(
@@ -881,7 +887,21 @@ def phrase_bm25_f64(
     build options so kept-token doc lengths agree).  Ties -> ascending
     numeric doc name, matching the SQL row_number convention.  Returns
     (ordinals, scores)."""
+    import json
+
     from .engine.positions import phrase_search
+
+    # fail loud on a sidecar/index build-options mismatch: dl/avgdl come
+    # from the index's kept-token stream, pf from the sidecar's — they
+    # must be the same tokenization or scores are silently wrong
+    with open(os.path.join(pos_dir, "positions_stats.json")) as fh:
+        pos_opts = json.load(fh)["options"]
+    idx_opts = reader.stats.get("options")
+    if idx_opts is not None and pos_opts != idx_opts:
+        raise ValueError(
+            f"phrase_bm25_f64: positional sidecar options {pos_opts} differ "
+            f"from index options {idx_opts} — rebuild one to match"
+        )
 
     tbl = phrase_search(pos_dir, phrase, options=options)
     if tbl.num_rows == 0:

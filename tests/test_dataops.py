@@ -2016,3 +2016,60 @@ def test_lang_window_counts(ray_session):
     assert out[out["doc_id"] == 3].iloc[0]["n_windows"] == 0
     with pytest.raises(ValueError):
         lang_window_counts(ray.data.from_arrow(tbl), window_tokens=0)
+
+
+def test_remove_domain_boilerplate_straddled_batches(ray_session):
+    """Distinct-doc counts must be exact even when one doc's exploded
+    paragraph rows straddle batch boundaries (review finding: the
+    runtime re-chunks map outputs, so per-batch dedup alone would count
+    an intra-doc duplicate paragraph once per chunk).  pair_batch_size=1
+    forces every row into its own partial batch — the worst case."""
+    import ray.data
+
+    from search_engine_ray.dataops.dedup import remove_domain_boilerplate
+
+    # P appears in 2 of 4 docs of source 'a' (threshold 1/2 at min_docs=2
+    # sits exactly at the boundary: nd=2, total=4 -> 2*2 >= 1*4 strips),
+    # but doc 1 repeats P FIVE times — a naive per-chunk count would see
+    # nd up to 6 and a doc-exact count sees 2.  With min_docs=3 the gate
+    # must NOT strip (nd=2 < 3); an inflated count would.
+    texts = [
+        "P\nP\nP\nP\nP\nreal one",
+        "P\nreal two",
+        "no dup here",
+        "also clean",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(1, 5), pa.int64()),
+            "text": pa.array(texts),
+            "source": pa.array(["a"] * 4),
+        }
+    )
+    out = (
+        remove_domain_boilerplate(
+            ray.data.from_arrow(tbl).repartition(2),
+            threshold=(1, 2),
+            min_docs=3,
+            pair_batch_size=1,
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    by_id = dict(zip(out["doc_id"], out["clean_text"]))
+    # nd(P)=2 distinct docs < min_docs=3 -> P survives everywhere
+    assert by_id[1] == "P\nP\nP\nP\nP\nreal one"
+    assert by_id[2] == "P\nreal two"
+    # and with min_docs=2 the SAME corpus strips P (nd=2, 2*2 >= 4)
+    out2 = (
+        remove_domain_boilerplate(
+            ray.data.from_arrow(tbl).repartition(2),
+            threshold=(1, 2),
+            min_docs=2,
+            pair_batch_size=1,
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    by_id2 = dict(zip(out2["doc_id"], out2["clean_text"]))
+    assert by_id2[1] == "real one" and by_id2[2] == "real two"

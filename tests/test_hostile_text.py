@@ -51,10 +51,11 @@ HOSTILE_TEXTS = [
     "0 1 22 333 4444 numbers 0x2f :;=? delim bytes",
     "Mixed NBSP and \v VT and   LS in one doc",
     "word",  # single token, no whitespace at all
-    # positional-gate material: 'sort'/'window' separated by hostile
-    # whitespace and XML-filtered tokens so phrase / proximity / ordered
-    # retrieval over the sidecar is non-vacuous on this corpus
-    "sort\vwindow then window sort <tag> sort x window",
+    # positional-gate material: the phrase gates query ('sort','table'),
+    # proximity/ordered query ('sort','window') — all separated by
+    # hostile whitespace and an XML-filtered token so every positional
+    # retrieval path is non-vacuous on this corpus
+    "sort\vtable window then sort table <tag> sort x window",
 ]
 
 # queries() entries whose oracle depends on whitespace tokenization,

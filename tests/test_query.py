@@ -756,6 +756,12 @@ def test_phrase_bm25(ray_session, tmp_path):
     # empty phrase result path
     e_ids, e_scores = phrase_bm25_f64(r, pos, ["zz", "qq"], options=opt)
     assert len(e_ids) == 0 and len(e_scores) == 0
+    # sidecar/index build-options mismatch fails loud (review finding)
+    opt2 = IndexOptions(case_folding=True, remove_stopwords=True, stemming=False)
+    pos2 = str(tmp_path / "p2")
+    build_position_index(corpus, pos2, opt2, source_column="text", name_column="doc_id")
+    with pytest.raises(ValueError, match="differ"):
+        phrase_bm25_f64(r, pos2, ["big", "data"], options=opt2)
 
 
 def test_collapse_ranking():
