@@ -444,6 +444,31 @@ def q_url_normalize(sf_dir: str):
     )
 
 
+_BLOCKED_DOMAINS = ("example.co.uk", "src3.com.au")
+
+
+def q_domain_blocklist(sf_dir: str):
+    """Crawl blocklist filter over the derived urls: rows whose
+    registered domain is in a fixed 2-entry blocklist (one suffix-rule
+    domain covering every m=0 url, one source-specific .com.au) are
+    dropped; unparseable urls would pass through.  Output: the surviving
+    doc_ids."""
+    from search_engine_ray.dataops.urlops import filter_blocked_domains
+
+    def add_url(batch: pa.Table) -> pa.Table:
+        urls = _derive_url_expr_py(
+            np.asarray(batch["doc_id"], dtype=np.int64),
+            batch["source"].to_pylist(),
+            batch["lang"].to_pylist(),
+        )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "url": pa.array(urls, pa.string())}
+        )
+
+    ds = _docs_ds(sf_dir).map_batches(add_url, batch_format="pyarrow")
+    return filter_blocked_domains(ds, _BLOCKED_DOMAINS).select_columns(["doc_id"])
+
+
 def q_domain_cap(sf_dir: str):
     """Per-registered-domain cap (n=3, ordered by doc_id) over the same
     derived urls — the head_per_key two-phase shape keyed on domain."""
@@ -3211,6 +3236,20 @@ def q_content_extract(sf_dir: str):
     return extract_content(_docs_ds(sf_dir), min_tokens=5, stop_density=(1, 10))
 
 
+def q_curate_clean(sf_dir: str):
+    """Composed cleaning pipeline exercising the session's operators
+    end-to-end: jusText-lite content extraction -> exact dedup of the
+    CLEANED text (min-id survivor via the native groupby + left_semi
+    join).  Output: surviving (doc_id, n_kept)."""
+    from search_engine_ray.dataops.clean import extract_content
+    from search_engine_ray.dataops.dedup import exact_dedup_apply
+
+    cleaned = extract_content(_docs_ds(sf_dir), min_tokens=5, stop_density=(1, 10))
+    return exact_dedup_apply(
+        cleaned, text_column="content_text", id_column="doc_id"
+    ).select_columns(["doc_id", "n_kept"])
+
+
 def q_token_quantiles(sf_dir: str) -> pa.Table:
     """Exact distributed quantiles of the per-doc token count
     (percentile_disc semantics) — value-count partials, one groupby over
@@ -4714,6 +4753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "boilerplate_strip": q_boilerplate_strip,
         "content_extract": q_content_extract,
+        "curate_clean": q_curate_clean,
         "repetition": q_repetition,
         "redact_pii": q_redact_pii,
         "lang_distribution": q_lang_distribution,
@@ -4721,6 +4761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_windows": q_lang_windows,
         "lang_id": q_lang_id,
         "url_normalize": q_url_normalize,
+        "domain_blocklist": q_domain_blocklist,
         "domain_cap": q_domain_cap,
         "latest_per_url": q_latest_per_url,
         "docs_per_lang_head": q_docs_per_lang_head,
@@ -5232,6 +5273,34 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(para, chr(10) ORDER BY idx) AS content_text,
                    count(*) AS n_kept
             FROM kept GROUP BY doc_id
+        """,
+        "curate_clean": f"""
+            WITH raw AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS para,
+                     unnest(generate_series(1, len(string_split(text, chr(10))))) AS idx
+              FROM documents
+            ),
+            pars AS (SELECT * FROM raw WHERE para <> ''),
+            tok AS (
+              SELECT doc_id, idx, para,
+                     len(list_filter(regexp_split_to_array(para, '{_WSRE}'),
+                         x -> x <> '')) AS nt,
+                     len(list_filter(regexp_split_to_array(para, '{_WSRE}'),
+                         x -> x <> '' AND {_sal("x")} IN ({_STOP_LIST}))) AS ns
+              FROM pars
+            ),
+            kept AS (SELECT doc_id, para, idx FROM tok
+                     WHERE nt >= 5 AND ns * 10 >= 1 * nt),
+            cleaned AS (
+              SELECT doc_id,
+                     string_agg(para, chr(10) ORDER BY idx) AS content_text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT doc_id, CAST(n_kept AS BIGINT) AS n_kept FROM cleaned
+            QUALIFY row_number() OVER (PARTITION BY md5(content_text)
+                                       ORDER BY doc_id) = 1
         """,
         "token_quantiles": """
             WITH tc AS (
@@ -6172,6 +6241,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "url_normalize": _url_parts_sql() + """
             SELECT doc_id, url_norm, host, domain FROM parts
+        """,
+        "domain_blocklist": _url_parts_sql() + f"""
+            SELECT doc_id FROM parts
+            WHERE domain IS NULL
+               OR domain NOT IN ({",".join("'" + d + "'" for d in _BLOCKED_DOMAINS)})
         """,
         "domain_cap": _url_parts_sql() + """
             SELECT doc_id, domain FROM (

@@ -296,6 +296,13 @@ def run_benchmarks() -> dict:
     # the timed op is query-time BM25F scoring
     _fielded = documents_fielded_readers(SF_DIR, pos_opt)
 
+    from search_engine_ray.dataops.clean import extract_content as _extract_content
+    from search_engine_ray.dataops.dedup import (
+        remove_domain_boilerplate as _boiler_strip,
+    )
+    from search_engine_ray.dataops.textstats import (
+        lang_window_counts as _lang_windows,
+    )
     from search_engine_ray.engine.champions import (
         build_champion_lists,
         champion_topk,
@@ -354,6 +361,11 @@ def run_benchmarks() -> dict:
         ("rand_proj16", lambda: _rproj(emb_ds, 16).count()),
         ("bm25f_score", lambda: len(
             _bm25f(_fielded, [("spark", 1), ("hash", 1), ("join", 1)])[0])),
+        ("boilerplate_strip", lambda: _boiler_strip(
+            docs_ds, threshold=(1, 2), min_docs=3).count()),
+        ("content_extract", lambda: _extract_content(
+            docs_ds, min_tokens=5, stop_density=(1, 10)).count()),
+        ("lang_windows", lambda: _lang_windows(docs_ds, window_tokens=40).count()),
         ("champions_build_query", _champions),
         ("ordered_window", lambda: ordered_window_search(
             pos_dir, "sort", "table", slop=4, options=pos_opt).num_rows),

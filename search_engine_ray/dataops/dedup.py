@@ -1297,7 +1297,12 @@ def remove_domain_boilerplate(
                 {"ck": pa.array([c for c, k in zip(cks, keep) if k], pa.string())}
             )
 
-    boiler = para_counts.map_batches(BoilerFilter, concurrency=2, batch_format="pyarrow")
+    # autoscaling (min 1) actor pools: a FIXED pool size can deadlock the
+    # streaming executor on a small cluster when this pipeline's two
+    # all-to-all stages hold most CPU slots (observed at num_cpus=4)
+    boiler = para_counts.map_batches(
+        BoilerFilter, concurrency=(1, 2), batch_format="pyarrow"
+    )
 
     boiler_keys: list[str] = []
     for b in boiler.iter_batches(batch_size=None, batch_format="pyarrow"):
@@ -1318,7 +1323,9 @@ def remove_domain_boilerplate(
             keep = pa.array([c not in self.bset for c in batch["ck"].to_pylist()])
             return batch.filter(keep).drop_columns(["grp", "ck"])
 
-    survivors = exploded.map_batches(DropBoiler, concurrency=2, batch_format="pyarrow")
+    survivors = exploded.map_batches(
+        DropBoiler, concurrency=(1, 2), batch_format="pyarrow"
+    )
     return reassemble_paragraphs(survivors, sep=sep, n_buckets=n_buckets)
 
 

@@ -142,3 +142,33 @@ def cap_per_domain(
 
     parts = url_parts(ds, url_column=url_column, keep_columns=keep_columns)
     return head_per_key(parts, "domain", n, order_column=order_column)
+
+
+def filter_blocked_domains(
+    ds: ray.data.Dataset,
+    blocked,
+    url_column: str = "url",
+) -> ray.data.Dataset:
+    """Crawl blocklist filter (the UT1/adult-list step in CCNet /
+    RefinedWeb): DROP rows whose registered domain is in ``blocked``
+    (exact match on the same registered-domain rule as url_parts_batch).
+    Rows whose url does not parse (null domain) pass through — the
+    quarantine-downstream convention of url_parts_batch.
+
+    The blocklist broadcasts ONCE via ``ray.put`` (industry lists are a
+    few million entries — tens of MB, the canonical broadcast-small-side
+    case); one stateless vectorized pass per batch, no shuffle."""
+    blocked = sorted({str(b) for b in blocked})
+    blocked_ref = ray.put(pa.array(blocked, pa.string()))
+
+    class BlockFilter:
+        def __init__(self):
+            self.blocked = ray.get(blocked_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            parts = url_parts_batch(batch, url_column=url_column)
+            hit = pc.is_in(parts["domain"], value_set=self.blocked)
+            keep = pc.or_kleene(pc.invert(hit), pc.is_null(hit))
+            return batch.filter(pc.fill_null(keep, True))
+
+    return ds.map_batches(BlockFilter, concurrency=(1, 4), batch_format="pyarrow")

@@ -2073,3 +2073,34 @@ def test_remove_domain_boilerplate_straddled_batches(ray_session):
     )
     by_id2 = dict(zip(out2["doc_id"], out2["clean_text"]))
     assert by_id2[1] == "real one" and by_id2[2] == "real two"
+
+
+def test_filter_blocked_domains(ray_session):
+    """Blocklist filter: registered-domain exact match drops rows,
+    unparseable urls pass through, non-blocked domains survive."""
+    import ray.data
+
+    from search_engine_ray.dataops.urlops import filter_blocked_domains
+
+    urls = [
+        "https://www.bad.example.co.uk/x",   # domain example.co.uk (suffix rule)
+        "http://good.site.com/y",            # site.com
+        "not a url at all",                  # unparseable -> pass through
+        "https://evil.org/z",                # evil.org
+        "http://sub.evil.org:8080/w",        # evil.org via subdomain
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(1, 6), pa.int64()), "url": pa.array(urls)}
+    )
+    out = (
+        filter_blocked_domains(
+            ray.data.from_arrow(tbl).repartition(2), ["evil.org", "example.co.uk"]
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert out["doc_id"].tolist() == [2, 3]
+    assert out["url"].tolist() == [urls[1], urls[2]]  # original rows intact
+    # empty blocklist keeps everything
+    all_out = filter_blocked_domains(ray.data.from_arrow(tbl), []).to_pandas()
+    assert len(all_out) == 5
