@@ -3250,6 +3250,47 @@ def q_curate_clean(sf_dir: str):
     ).select_columns(["doc_id", "n_kept"])
 
 
+def q_c4_filter(sf_dir: str):
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2) over a
+    derived corpus (the boilerplate_strip convention): every doc gets a
+    leading kept sentence; doc_id residues append a second kept sentence
+    (%3), a javascript line (%7), a policy line (%5), a too-short line
+    (%2), a page-killing "lorem ipsum" line (%11) and a page-killing
+    curly-brace line (%13) — so every rule fires at the gate.  Exact
+    substring/pinned-class arithmetic; the oracle reproduces derivation
+    AND pipeline in SQL.  Output: (doc_id, clean_text, n_lines) with
+    min_words=3, min_lines=2."""
+    from search_engine_ray.dataops.clean import c4_line_filters
+
+    def derive(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        txt = _pc.fill_null(batch["text"], "").to_pylist()
+        out = []
+        for d, t in zip(ids.tolist(), txt):
+            s = "the quick brown fox jumps over the lazy dog.\n" + t
+            if d % 3 == 0:
+                s += "\nhe said that it was a very good day indeed!"
+            if d % 7 == 0:
+                s += "\nclick here javascript menu required."
+            if d % 5 == 0:
+                s += "\nplease read our privacy policy before continuing."
+            if d % 2 == 0:
+                s += "\nshort line."
+            if d % 11 == 0:
+                s += "\nlorem ipsum dolor sit amet."
+            if d % 13 == 0:
+                s += "\nfunction f() { return 1; }"
+            out.append(s)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "text": pa.array(out, pa.string())}
+        )
+
+    ds = _docs_ds(sf_dir).map_batches(derive, batch_format="pyarrow")
+    return c4_line_filters(ds, min_words=3, min_lines=2)
+
+
 def q_token_quantiles(sf_dir: str) -> pa.Table:
     """Exact distributed quantiles of the per-doc token count
     (percentile_disc semantics) — value-count partials, one groupby over
@@ -4754,6 +4795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_strip": q_boilerplate_strip,
         "content_extract": q_content_extract,
         "curate_clean": q_curate_clean,
+        "c4_filter": q_c4_filter,
         "repetition": q_repetition,
         "redact_pii": q_redact_pii,
         "lang_distribution": q_lang_distribution,
@@ -5301,6 +5343,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(n_kept AS BIGINT) AS n_kept FROM cleaned
             QUALIFY row_number() OVER (PARTITION BY md5(content_text)
                                        ORDER BY doc_id) = 1
+        """,
+        "c4_filter": f"""
+            WITH derived AS (
+              SELECT doc_id,
+                'the quick brown fox jumps over the lazy dog.' || chr(10) || text
+                || CASE WHEN doc_id % 3 = 0 THEN chr(10) ||
+                     'he said that it was a very good day indeed!' ELSE '' END
+                || CASE WHEN doc_id % 7 = 0 THEN chr(10) ||
+                     'click here javascript menu required.' ELSE '' END
+                || CASE WHEN doc_id % 5 = 0 THEN chr(10) ||
+                     'please read our privacy policy before continuing.' ELSE '' END
+                || CASE WHEN doc_id % 2 = 0 THEN chr(10) ||
+                     'short line.' ELSE '' END
+                || CASE WHEN doc_id % 11 = 0 THEN chr(10) ||
+                     'lorem ipsum dolor sit amet.' ELSE '' END
+                || CASE WHEN doc_id % 13 = 0 THEN chr(10) ||
+                     'function f() {{ return 1; }}' ELSE '' END
+                AS text
+              FROM documents),
+            docok AS (
+              SELECT doc_id FROM derived
+              WHERE NOT contains({_sal("text")}, 'lorem ipsum')
+                AND NOT contains(text, '{{')),
+            raw AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     unnest(generate_series(1, len(string_split(text, chr(10))))) AS idx
+              FROM derived WHERE doc_id IN (SELECT doc_id FROM docok)),
+            t AS (
+              SELECT doc_id, idx,
+                     trim(line, chr(9)||chr(10)||chr(11)||chr(12)||chr(13)||chr(32)) AS line
+              FROM raw),
+            kept AS (
+              SELECT doc_id, idx, line FROM t
+              WHERE line <> ''
+                AND regexp_matches(line, '[.!?"]$')
+                AND len(list_filter(regexp_split_to_array(line, '{_WSRE}'),
+                        x -> x <> '')) >= 3
+                AND NOT contains({_sal("line")}, 'javascript')
+                AND NOT contains({_sal("line")}, 'terms of use')
+                AND NOT contains({_sal("line")}, 'privacy policy')
+                AND NOT contains({_sal("line")}, 'cookie policy')
+                AND NOT contains({_sal("line")}, 'uses cookies')
+                AND NOT contains({_sal("line")}, 'use of cookies')
+                AND NOT contains({_sal("line")}, 'use cookies')
+            )
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY idx) AS clean_text,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM kept GROUP BY doc_id HAVING count(*) >= 2
         """,
         "token_quantiles": """
             WITH tc AS (

@@ -289,3 +289,128 @@ def extract_content(
     return reassemble_paragraphs(
         survivors, sep=sep, n_buckets=n_buckets, text_name="content_text"
     )
+
+
+# C4 cleaning constants (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning..." §2.2, and the public c4_utils reference
+# implementation's policy list).  Pinned here so the engine kernel, the
+# oracle SQL in __ray_entry__.py and the tests share ONE source of truth.
+C4_TERMINAL_RE = r'[.!?"]$'  # line must end in terminal punctuation
+C4_POLICY_SUBSTRINGS: tuple[str, ...] = (
+    "terms of use",
+    "privacy policy",
+    "cookie policy",
+    "uses cookies",
+    "use of cookies",
+    "use cookies",
+)
+C4_DOC_DROP_LOWER = "lorem ipsum"  # page-level drop, casefolded match
+C4_DOC_DROP_EXACT = "{"  # page-level drop, raw match (code soup)
+C4_LINE_DROP_LOWER = "javascript"  # line-level drop, casefolded match
+
+
+def c4_line_filters(
+    ds: ray.data.Dataset,
+    min_words: int = 3,
+    min_lines: int = 5,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    sep: str = "\n",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): per LINE,
+    keep only lines that (after trimming the pinned whitespace class)
+    end in terminal punctuation (``C4_TERMINAL_RE``), contain >=
+    ``min_words`` whitespace tokens, and mention neither "javascript"
+    nor any policy boilerplate phrase (``C4_POLICY_SUBSTRINGS``,
+    ASCII-casefolded); per PAGE, drop the whole document when its raw
+    text contains "lorem ipsum" (casefolded) or a curly brace, or when
+    fewer than ``min_lines`` lines survive (the paper drops pages under
+    5 *sentences*; kept-lines is the standard line-level proxy).
+
+    Returns ``(doc_id, clean_text, n_lines)`` — survivors re-joined by
+    ``sep`` in original line order.  Matching is exact substring /
+    pinned-class arithmetic throughout, so the whole pipeline is
+    SQL-bit-reproducible (gate q:`c4_filter`).
+
+    Scale shape: the page-level drops and line classification are one
+    stateless vectorized pass (doc-level masks BEFORE the line explode,
+    so dropped pages never ship their lines); the only exchange is the
+    shared doc-bucketed ordered-reassembly shuffle."""
+    from ..text.ws import ws_token_flat_with_row
+    from .dedup import _PARA_IDX_LIMIT, reassemble_paragraphs
+
+    if min_words < 1:
+        raise ValueError(f"min_words must be >= 1, got {min_words}")
+    if min_lines < 1:
+        raise ValueError(f"min_lines must be >= 1, got {min_lines}")
+    # literal byte set for utf8_trim: the SAME class WS_RE spells as a
+    # regex (ws.py pins the escapes; interpret them here once)
+    trim_chars = "\t\n\x0b\x0c\r "
+
+    def classify(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch[text_column], "")
+        # page-level drops first: dropped docs never explode
+        bad_doc = pc.or_(
+            pc.match_substring(pc.ascii_lower(texts), C4_DOC_DROP_LOWER),
+            pc.match_substring(texts, C4_DOC_DROP_EXACT),
+        )
+        ok = pc.invert(bad_doc)
+        texts = texts.filter(ok)
+        doc_ids = pc.array_filter(batch[id_column], ok)
+
+        lists = pc.split_pattern(texts, pattern=sep)
+        flat = pc.list_flatten(lists)
+        lens = np.asarray(pc.list_value_length(lists), dtype=np.int64)
+        if (lens >= _PARA_IDX_LIMIT).any():
+            raise ValueError(
+                f"c4_line_filters: a document has >= {_PARA_IDX_LIMIT} "
+                "lines; the para_idx encoding would overflow"
+            )
+        ids = np.repeat(np.asarray(doc_ids, dtype=np.int64), lens)
+        total = int(lens.sum())
+        starts = (
+            np.concatenate(([0], np.cumsum(lens)[:-1]))
+            if len(lens)
+            else np.empty(0, np.int64)
+        )
+        idx = np.arange(1, total + 1) - np.repeat(starts, lens)
+        trimmed = pc.utf8_trim(flat, trim_chars)
+        nonempty = np.asarray(pc.greater(pc.binary_length(trimmed), 0))
+        lines = trimmed.filter(pa.array(nonempty))
+        ids, idx = ids[nonempty], idx[nonempty]
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+
+        n_lines = len(lines)
+        toks, rows = ws_token_flat_with_row(lines)
+        n_tok = np.bincount(rows, minlength=n_lines).astype(np.int64)
+        terminal = np.asarray(pc.match_substring_regex(lines, C4_TERMINAL_RE))
+        low = pc.ascii_lower(lines)
+        drop = np.asarray(pc.match_substring(low, C4_LINE_DROP_LOWER))
+        for phrase in C4_POLICY_SUBSTRINGS:
+            drop |= np.asarray(pc.match_substring(low, phrase))
+
+        keep = terminal & (n_tok >= min_words) & ~drop
+        km = pa.array(keep)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep]),
+                "para_idx": pa.array(idx[keep]),
+                "para": lines.filter(km),
+            }
+        )
+
+    survivors = ds.map_batches(classify, batch_format="pyarrow")
+    out = reassemble_paragraphs(
+        survivors,
+        sep=sep,
+        n_buckets=n_buckets,
+        text_name="clean_text",
+        count_name="n_lines",
+    )
+
+    def page_gate(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["n_lines"], min_lines))
+
+    return out.map_batches(page_gate, batch_format="pyarrow")

@@ -2104,3 +2104,95 @@ def test_filter_blocked_domains(ray_session):
     # empty blocklist keeps everything
     all_out = filter_blocked_domains(ray.data.from_arrow(tbl), []).to_pandas()
     assert len(all_out) == 5
+
+
+def test_c4_line_filters(ray_session):
+    """C4 line-level cleaning: every rule exercised against a DuckDB
+    whole-pipeline oracle, plus partition invariance."""
+    import duckdb
+    import ray.data
+
+    from search_engine_ray.dataops.clean import c4_line_filters
+    from search_engine_ray.text.ws import WS_RE, sql_ascii_lower
+
+    texts = [
+        # 2 kept lines -> survives
+        "good long sentence here today.\nanother fine sentence right now!\nno punct line\nso?",
+        # javascript + policy lines dropped, 2 real ones kept
+        "uses javascript heavily in this line.\nthe privacy policy applies to you."
+        "\nreal content sentence stays here.\nsecond real content line stays too.",
+        # page-level lorem ipsum kill
+        "lorem ipsum dolor sit amet.\nthis whole page dies now.",
+        # page-level curly-brace kill
+        "function f() { return 1; }\nthis page dies as well now.",
+        # trimming + min_words + terminal-mark edge: "so?" has 1 word
+        "  \t padded line survives trimming fine.  \r\nshort one.\nthird valid sentence for the page?",
+        # only 1 kept line -> dropped by min_lines
+        "a single qualifying sentence lives here.\nnothing else qualifies",
+        # VT/FF in the whitespace class: 3 words either side of \x0B
+        "alpha\x0bbeta gamma ends well.\nsecond\x0cline with enough words.",
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+
+    got = (
+        c4_line_filters(ray.data.from_arrow(tbl).repartition(3),
+                        min_words=3, min_lines=2)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+    con = duckdb.connect()
+    con.register("docs", tbl)
+    sal = sql_ascii_lower
+    exp = con.execute(f"""
+        WITH docok AS (
+          SELECT doc_id FROM docs
+          WHERE NOT contains({sal("text")}, 'lorem ipsum')
+            AND NOT contains(text, '{{')),
+        raw AS (
+          SELECT doc_id,
+                 unnest(string_split(text, chr(10))) AS line,
+                 unnest(generate_series(1, len(string_split(text, chr(10))))) AS idx
+          FROM docs WHERE doc_id IN (SELECT doc_id FROM docok)),
+        t AS (
+          SELECT doc_id, idx,
+                 trim(line, chr(9)||chr(10)||chr(11)||chr(12)||chr(13)||chr(32)) AS line
+          FROM raw),
+        kept AS (
+          SELECT doc_id, idx, line FROM t
+          WHERE line <> ''
+            AND regexp_matches(line, '[.!?"]$')
+            AND len(list_filter(regexp_split_to_array(line, '{WS_RE}'),
+                    x -> x <> '')) >= 3
+            AND NOT contains({sal("line")}, 'javascript')
+            AND NOT contains({sal("line")}, 'terms of use')
+            AND NOT contains({sal("line")}, 'privacy policy')
+            AND NOT contains({sal("line")}, 'cookie policy')
+            AND NOT contains({sal("line")}, 'uses cookies')
+            AND NOT contains({sal("line")}, 'use of cookies')
+            AND NOT contains({sal("line")}, 'use cookies'))
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS clean_text,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM kept GROUP BY doc_id HAVING count(*) >= 2
+        ORDER BY doc_id
+    """).df()
+
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist() == [1, 2, 5, 7]
+    assert got["clean_text"].tolist() == exp["clean_text"].tolist()
+    assert got["n_lines"].tolist() == exp["n_lines"].tolist()
+    # the CR before \n on doc 5 must have been trimmed away
+    assert "\r" not in got.loc[got.doc_id == 5, "clean_text"].iloc[0]
+    # VT/FF are word separators, not trimmed mid-line content breakers
+    assert got.loc[got.doc_id == 7, "n_lines"].iloc[0] == 2
+
+    # partition invariance
+    got1 = (
+        c4_line_filters(ray.data.from_arrow(tbl).repartition(1),
+                        min_words=3, min_lines=2)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert got1.equals(got)

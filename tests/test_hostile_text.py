@@ -95,6 +95,7 @@ CHECKED = [
     "chunk_documents",
     "dedup_incremental",
     "bigram_lm",
+    "c4_filter",
     # r4 third-session whitespace/casefold-sensitive gates
     "count_min",
     "cm_lookup",
