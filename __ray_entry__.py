@@ -4683,6 +4683,74 @@ def q_pca_gram(sf_dir: str) -> pa.Table:
     return emb_gram_micros(emb)
 
 
+def q_probe_gram(sf_dir: str) -> pa.Table:
+    """Linear-probe sufficient statistics (dataops/probe.py): augmented
+    integer-micros Gram of [x, y, 1] with y = the embeddings table's own
+    label column — one (dim+2)^2/2-row exchange carrying X'X, X'y,
+    sum x, sum y, y.y and n at once; same exactness/partition-invariance
+    argument as pca_gram, so SQL reproduces every cell."""
+    from search_engine_ray.dataops.probe import probe_gram_micros
+
+    emb = read_parquet_clean(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+    )
+    return probe_gram_micros(emb)
+
+
+def q_linear_probe(sf_dir: str) -> pa.Table:
+    """Linear probe end-to-end (rows-only — the (dim+1)x(dim+1) ridge
+    solve and the scoring matmul are LAPACK-float, outside the exactness
+    boundary like pca_project).  Self-checks: the distributed-suffstat
+    fit matches a driver-side normal-equations solve over the collected
+    vectors (micros-quantization tolerance), and the actor-pool scoring
+    matches a driver-side recompute."""
+    from search_engine_ray.dataops.probe import (
+        probe_fit,
+        probe_gram_micros,
+        probe_score,
+    )
+
+    emb = read_parquet_clean(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+    )
+    ridge = 1e-3
+    w, b = probe_fit(probe_gram_micros(emb), ridge=ridge)
+
+    ref = emb.sort("vec_id").to_pandas()
+    x = np.stack(ref["embedding"].to_numpy()).astype(np.float64)
+    y = ref["label"].to_numpy().astype(np.float64)
+    # driver-side reference over the SAME micros-quantized suffstats (the
+    # raw normal equations differ at quantization scale, which the solve
+    # can amplify past any fixed tolerance on unseen corpora)
+    from search_engine_ray.dataops.pca import MICROS as _MIC
+
+    v = np.concatenate([x, y[:, None], np.ones((len(x), 1))], axis=1)
+    dim = x.shape[1]
+    gq = np.zeros((dim + 2, dim + 2))
+    for lo in range(0, len(v), 256):
+        c = v[lo : lo + 256]
+        gq += np.floor(
+            np.einsum("ni,nj->nij", c, c) * _MIC + 0.5
+        ).astype(np.int64).sum(axis=0)
+    keep = list(range(dim)) + [dim + 1]
+    reg = np.eye(dim + 1) * ridge
+    reg[-1, -1] = 0.0
+    w_ref = np.linalg.solve(
+        gq[np.ix_(keep, keep)] / _MIC + reg, gq[keep, dim] / _MIC
+    )
+    assert np.allclose(w, w_ref[:-1], atol=1e-9) and abs(b - w_ref[-1]) < 1e-9
+
+    out = (
+        probe_score(emb, w, b)
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    assert np.allclose(out["score"].to_numpy(), x @ w + b, atol=1e-9)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_pca_project(sf_dir: str) -> pa.Table:
     """PCA end-to-end (rows-only — eigendecomposition is LAPACK-float, by
     design outside the exactness boundary like kmeans/IVF).  Self-checks:
@@ -4896,6 +4964,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_bm25_top10": q_phrase_bm25_top10,
         "value_quantiles_hist": q_value_quantiles_hist,
         "pca_gram": q_pca_gram,
+        "probe_gram": q_probe_gram,
+        "linear_probe": q_linear_probe,
         # rows-only: LAPACK eigensolve + projection self-check inside
         "pca_project": q_pca_project,
         "bm25f_top10": q_bm25f_top10,
@@ -7268,6 +7338,27 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT vec_id, (SELECT max(dim) + 1 FROM flat) AS dim, 1.0 AS val
               FROM (SELECT DISTINCT vec_id FROM flat))
+            SELECT a.dim AS i, b.dim AS j,
+                   CAST(sum(floor(a.val * b.val * 1000000 + 0.5)) AS BIGINT)
+                     AS sum_micros
+            FROM aug a JOIN aug b ON a.vec_id = b.vec_id AND b.dim >= a.dim
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "probe_gram": """
+            WITH flat AS (
+              SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+                     CAST(embedding[i] AS DOUBLE) AS val
+              FROM embeddings,
+                   unnest(generate_series(1, len(embedding))) AS g(i)),
+            dy AS (SELECT max(dim) + 1 AS d FROM flat),
+            aug AS (
+              SELECT vec_id, dim, val FROM flat
+              UNION ALL
+              SELECT vec_id, (SELECT d FROM dy) AS dim,
+                     CAST(label AS DOUBLE) AS val FROM embeddings
+              UNION ALL
+              SELECT vec_id, (SELECT d FROM dy) + 1 AS dim, 1.0 AS val
+              FROM embeddings)
             SELECT a.dim AS i, b.dim AS j,
                    CAST(sum(floor(a.val * b.val * 1000000 + 0.5)) AS BIGINT)
                      AS sum_micros

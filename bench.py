@@ -288,7 +288,17 @@ def run_benchmarks() -> dict:
         return top_customers_by_revenue(li, orders, k=20).num_rows
 
     from search_engine_ray.dataops.pca import emb_gram_micros as _pca_gram
+    from search_engine_ray.dataops.probe import (
+        probe_fit as _probe_fit,
+        probe_gram_micros as _probe_gram,
+        probe_score as _probe_score,
+    )
     from search_engine_ray.dataops.rproj import random_projection as _rproj
+
+    def _linear_probe() -> int:
+        # the embeddings table carries its own label column
+        w, b = _probe_fit(_probe_gram(emb_ds), ridge=1e-3)
+        return _probe_score(emb_ds, w, b).count()
     from search_engine_ray.engine.fielded import bm25f_scores_f64 as _bm25f
     from search_engine_ray.pipelines import documents_fielded_readers
 
@@ -358,6 +368,7 @@ def run_benchmarks() -> dict:
         ("count_min_grid", lambda: _count_min(
             docs_ds, width=1 << 16, depth=4).num_rows),
         ("pca_gram", lambda: _pca_gram(emb_ds).num_rows),
+        ("linear_probe", _linear_probe),
         ("rand_proj16", lambda: _rproj(emb_ds, 16).count()),
         ("bm25f_score", lambda: len(
             _bm25f(_fielded, [("spark", 1), ("hash", 1), ("join", 1)])[0])),

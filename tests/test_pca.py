@@ -157,3 +157,87 @@ def test_empty_blocks_and_unaugmented_guard(emb_ds, ray_session):
     # a non-augmented gram must be refused, not silently mis-read
     with pytest.raises(ValueError):
         pca_fit(emb_gram_micros(emb_ds, augment=False), 2)
+
+
+# ---------------------------------------------------------------------------
+# linear probe (dataops/probe.py) — shares the gram fixtures above
+# ---------------------------------------------------------------------------
+
+
+def _labeled_tbl() -> pa.Table:
+    # label correlated with the data: first coordinate + deterministic noise
+    y = VECS.astype(np.float64)[:, 0] * 2.0 + np.sin(np.arange(N))
+    return _tbl().append_column("label", pa.array(y, pa.float64()))
+
+
+def test_probe_fit_matches_driver_normal_equations(ray_session):
+    from search_engine_ray.dataops.probe import (
+        probe_fit,
+        probe_gram_micros,
+        probe_score,
+    )
+
+    tbl = _labeled_tbl()
+    ridge = 1e-3
+    # partition invariance of the suffstats
+    g1 = probe_gram_micros(ray.data.from_arrow(tbl).repartition(1))
+    g5 = probe_gram_micros(ray.data.from_arrow(tbl).repartition(5))
+    assert g1.equals(g5)
+
+    w, b = probe_fit(g1, ridge=ridge)
+    x = VECS.astype(np.float64)
+    y = np.asarray(tbl["label"], dtype=np.float64)
+    # exact reference: brute-force the SAME micros-quantized suffstats
+    # driver-side, then the identical solve — must agree to float noise
+    v = np.concatenate([x, y[:, None], np.ones((N, 1))], axis=1)
+    d_aug = DIM + 2
+    gq = np.zeros((d_aug, d_aug))
+    for i in range(d_aug):
+        for j in range(d_aug):
+            gq[i, j] = np.floor(v[:, i] * v[:, j] * MICROS + 0.5).astype(
+                np.int64
+            ).sum()
+    keep = list(range(DIM)) + [d_aug - 1]
+    reg = np.eye(DIM + 1) * ridge
+    reg[-1, -1] = 0.0
+    refq = np.linalg.solve(
+        gq[np.ix_(keep, keep)] / MICROS + reg, gq[keep, DIM] / MICROS
+    )
+    assert np.allclose(w, refq[:-1], atol=1e-9)
+    assert abs(b - refq[-1]) < 1e-9
+    # coarse: micros quantization stays near the raw normal equations
+    xa = np.concatenate([x, np.ones((N, 1))], axis=1)
+    ref = np.linalg.solve(xa.T @ xa + reg, xa.T @ y)
+    assert np.allclose(w, ref[:-1], atol=5e-3)
+    assert abs(b - ref[-1]) < 5e-3
+    # the fit is a real fit: residuals far below label variance
+    pred = x @ w + b
+    assert ((y - pred) ** 2).mean() < 0.5 * y.var()
+
+    # actor-pool scoring == driver matmul, empty blocks tolerated
+    out = (
+        probe_score(ray.data.from_arrow(tbl).repartition(N + 10), w, b)
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    assert len(out) == N
+    assert np.allclose(out["score"].to_numpy(), pred, atol=1e-9)
+
+
+def test_probe_fit_validates(ray_session):
+    import pytest as _pytest
+
+    from search_engine_ray.dataops.probe import probe_fit, probe_gram_micros
+
+    empty = ray.data.from_arrow(_labeled_tbl().slice(0, 0))
+    g = probe_gram_micros(empty)
+    with _pytest.raises(ValueError):
+        probe_fit(g)
+    # a plain pca gram (no label coordinate) must be refused: its layout
+    # would silently treat the bias column as the label
+    with _pytest.raises(ValueError):
+        probe_fit(pa.table({
+            "i": pa.array([0], pa.int64()),
+            "j": pa.array([0], pa.int64()),
+            "sum_micros": pa.array([12345], pa.int64()),
+        }))
