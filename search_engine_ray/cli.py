@@ -96,6 +96,16 @@ def cmd_index(args: argparse.Namespace) -> int:
         trec_to_parquet(args.input, corpus_dir)
         input_path = corpus_dir
         source_column, name_column = "text", "doc_name"
+    elif args.format == "warc":
+        # Common-Crawl-native input: WARC response records -> the pages
+        # parquet layout (url, warc_ts, html); html then flows through the
+        # normal extraction path, so downstream semantics are unchanged
+        from .sources import warc_to_parquet
+
+        corpus_dir = os.path.join(args.index_dir + ".warc-corpus")
+        warc_to_parquet(args.input, corpus_dir)
+        input_path = corpus_dir
+        source_column, name_column = "html", "url"
     stats = build_index(
         input_path,
         args.index_dir,
@@ -647,9 +657,10 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--source-column", default="html")
     pi.add_argument("--name-column", default="url")
     pi.add_argument(
-        "--format", choices=("parquet", "trec"), default="parquet",
+        "--format", choices=("parquet", "trec", "warc"), default="parquet",
         help="'trec': input is a directory of <DOC>/<DOCNO> files "
-             "(the reference engine's native format)",
+             "(the reference engine's native format); 'warc': a directory "
+             "of WARC/.warc.gz response captures (Common Crawl's container)",
     )
     pi.add_argument("--overwrite", action="store_true")
     pi.add_argument("--num-cpus", type=int, default=None)
