@@ -281,6 +281,55 @@ def q_extract_roundtrip(sf_dir: str) -> pa.Table:
     return pa.concat_tables([pa.table(b) for b in batches])
 
 
+def q_warc_roundtrip(sf_dir: str) -> pa.Table:
+    """documents.text -> in-memory WARC response records -> distributed
+    parse -> text (sources/warc.py).  Per batch, even rows form one plain
+    concatenated record stream and odd rows one multi-member gzip stream
+    (Common Crawl's .warc.gz layout), so both container paths are
+    exercised; rows are reassembled in original order.  SQL-checked: the
+    roundtrip must preserve (url, body bytes) exactly."""
+    import gzip
+
+    from search_engine_ray.sources.warc import parse_warc_bytes
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        streams: dict[int, list[bytes]] = {0: [], 1: []}
+        for i, (d, t) in enumerate(zip(ids, texts)):
+            body = t.encode()
+            http = (
+                b"HTTP/1.1 200 OK\r\n"
+                + f"Content-Length: {len(body)}\r\n\r\n".encode()
+                + body
+            )
+            rec = (
+                f"WARC/1.0\r\nWARC-Type: response\r\n"
+                f"WARC-Target-URI: doc://{d}\r\n"
+                f"WARC-Date: 2020-01-01T00:00:00Z\r\n"
+                f"Content-Length: {len(http)}\r\n\r\n"
+            ).encode() + http + b"\r\n\r\n"
+            streams[i % 2].append(gzip.compress(rec) if i % 2 else rec)
+        u0, _, h0 = parse_warc_bytes(b"".join(streams[0]))
+        u1, _, h1 = parse_warc_bytes(gzip.decompress(b"".join(streams[1])))
+        urls = [""] * len(ids)
+        bodies = [b""] * len(ids)
+        for k, (u, h) in enumerate(zip(u0, h0)):
+            urls[2 * k], bodies[2 * k] = u, h
+        for k, (u, h) in enumerate(zip(u1, h1)):
+            urls[2 * k + 1], bodies[2 * k + 1] = u, h
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "text": pa.array([b.decode() for b in bodies], pa.string()),
+            }
+        )
+
+    ds = _docs_ds(sf_dir).map_batches(roundtrip, batch_format="pyarrow")
+    batches = list(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+    return pa.concat_tables([pa.table(b) for b in batches])
+
+
 def q_dedup_exact(sf_dir: str):
     from search_engine_ray.dataops.dedup import exact_dedup
 
@@ -4854,6 +4903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_dup": q_emb_near_dup,
         # ------------- driver cutoff (first 50 above) -------------
         "extract_roundtrip": q_extract_roundtrip,
+        "warc_roundtrip": q_warc_roundtrip,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
         "quality": q_quality,
@@ -6348,6 +6398,10 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE r <= 10
         """,
         "extract_roundtrip": "SELECT doc_id, text FROM documents",
+        "warc_roundtrip": (
+            "SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, text "
+            "FROM documents"
+        ),
         "dedup_exact": """
             SELECT md5(text) AS dup_key, min(doc_id) AS keep_doc_id, count(*) AS n_copies
             FROM documents GROUP BY md5(text)
