@@ -4834,6 +4834,165 @@ def q_pca_project(sf_dir: str) -> pa.Table:
     )
 
 
+# ---------------------------------------------------------------------------
+# web link graph (corpus/links.py + dataops/weblinks.py)
+#
+# The driver tables carry no html column, so each gate derives the page html
+# deterministically from `documents` (title + the closed-form outlink rule in
+# corpus.links: page i has i%4 links, link j targets (i*31+97*j*j+7) % n) and
+# runs the REAL vectorized <a href> extraction kernel over it; the SQL oracle
+# recomputes the expected edges from the same closed form WITHOUT parsing
+# html, so a parser bug shows up as a hash mismatch.
+# ---------------------------------------------------------------------------
+
+ANCHOR_QUERY = [("spark", 1), ("window", 1), ("merge", 1)]
+
+
+def _docs_nrows(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+
+
+def _pages_edges_ds(sf_dir: str):
+    """documents -> deterministic linked html -> (src_url, dst_url, anchor)."""
+    from search_engine_ray.corpus.extract import html_from_text
+    from search_engine_ray.corpus.links import link_url, nav_links_for_doc
+    from search_engine_ray.dataops.weblinks import link_edges
+
+    n = _docs_nrows(sf_dir)
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        ids = [int(d) for d in batch["doc_id"].to_pylist()]
+        htmls = [
+            html_from_text(
+                t, title=f"doc {d}", noise_seed=d, links=nav_links_for_doc(d, n)
+            )
+            for d, t in zip(ids, batch["text"].to_pylist())
+        ]
+        return pa.table(
+            {
+                "url": pa.array([link_url(d) for d in ids], pa.string()),
+                "html": pa.array(htmls, pa.binary()),
+            }
+        )
+
+    pages = _docs_ds(sf_dir).map_batches(wrap, batch_format="pyarrow")
+    return link_edges(pages)
+
+
+def q_link_graph(sf_dir: str) -> pa.Table:
+    """The raw edge list through the vectorized extractor, deterministically
+    ordered."""
+    tbl = pa.concat_tables(
+        pa.table(b)
+        for b in _pages_edges_ds(sf_dir).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    )
+    return tbl.sort_by(
+        [("src_url", "ascending"), ("dst_url", "ascending"), ("anchor", "ascending")]
+    )
+
+
+def q_host_degree(sf_dir: str) -> pa.Table:
+    """Per-host in/out link degree (dataops/weblinks.py:host_degree) —
+    partial per-batch host value-counts, ONE native groupby Sum/Sum."""
+    from search_engine_ray.dataops.weblinks import host_degree
+
+    out = (
+        host_degree(_pages_edges_ds(sf_dir))
+        .to_pandas()
+        .sort_values("host", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "host": pa.array(out["host"].astype(str)),
+            "outdeg": pa.array(out["outdeg"].to_numpy(np.int64)),
+            "indeg": pa.array(out["indeg"].to_numpy(np.int64)),
+        }
+    )
+
+
+def q_anchor_agg(sf_dir: str) -> pa.Table:
+    """Per link target: inbound count, exact distinct-source count, min
+    anchor (two native groupbys, edge-bounded rows)."""
+    from search_engine_ray.dataops.weblinks import anchor_agg
+
+    out = (
+        anchor_agg(_pages_edges_ds(sf_dir))
+        .to_pandas()
+        .sort_values("dst_url", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "dst_url": pa.array(out["dst_url"].astype(str)),
+            "n_inlinks": pa.array(out["n_inlinks"].to_numpy(np.int64)),
+            "n_src": pa.array(out["n_src"].to_numpy(np.int64)),
+            "min_anchor": pa.array(out["min_anchor"].astype(str)),
+        }
+    )
+
+
+def q_host_pagerank(sf_dir: str) -> pa.Table:
+    """Exact-integer PageRank over the HOST graph: edges map to host ids by
+    PARSING the urls (host_of + the site-number regex), multi-edges kept
+    (link-weighted), 3 floored-micros power iterations via dataops.graph.
+    The oracle unrolls the same iterations from the closed-form edge rule."""
+    import pyarrow.compute as pc
+
+    from search_engine_ray.dataops.graph import pagerank
+    from search_engine_ray.dataops.weblinks import host_of
+
+    def host_ids(batch: pa.Table) -> pa.Table:
+        out = {}
+        for col, name in (("src_url", "src"), ("dst_url", "dst")):
+            h = host_of(batch[col])
+            m = pc.extract_regex(h, pattern=r"^site(?P<num>[0-9]+)\.example$")
+            out[name] = pc.struct_field(m, "num").cast(pa.int64())
+        return pa.table(out)
+
+    edges = (
+        _pages_edges_ds(sf_dir)
+        .map_batches(host_ids, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def distinct_hosts(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["src"], dtype=np.int64)
+        d = np.asarray(batch["dst"], dtype=np.int64)
+        return pa.table({"node": pa.array(np.unique(np.concatenate([s, d])))})
+
+    n_nodes = (
+        edges.map_batches(distinct_hosts, batch_format="pyarrow")
+        .groupby("node")
+        .count()
+        .count()
+    )
+    out = (
+        pagerank(edges, n_nodes=n_nodes, n_iter=_PAGERANK_ITERS)
+        .to_pandas()
+        .sort_values("node", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "node": pa.array(out["node"].to_numpy(np.int64)),
+            "rank_micros": pa.array(out["rank_micros"].to_numpy(np.int64)),
+        }
+    )
+
+
+def q_bm25_anchor_top10(sf_dir: str) -> pa.Table:
+    """Anchor-field BM25 (web search's classic third field) as distributed
+    aggregates — no anchor-document materialization, no second index; the
+    exchange carries doc-length partials plus query-term tf partials only."""
+    from search_engine_ray.dataops.weblinks import bm25_anchor_scores
+
+    return bm25_anchor_scores(
+        _pages_edges_ds(sf_dir), ANCHOR_QUERY, OPT_NOSTEM, k=10
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING IS DELIBERATE: the driver gate checks the FIRST 50 entries
     # in dict order (round-3 finding), so the highest-value surfaces sit
@@ -5029,6 +5188,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_champions_top10": q_bm25_champions_top10,
         "bm25_federated_bloom_top10": q_bm25_federated_bloom_top10,
         "grouped_moments": q_grouped_moments,
+        "link_graph": q_link_graph,
+        "host_degree": q_host_degree,
+        "anchor_agg": q_anchor_agg,
+        "host_pagerank": q_host_pagerank,
+        "bm25_anchor_top10": q_bm25_anchor_top10,
     }
 
 
@@ -7519,4 +7683,126 @@ def oracle_sql() -> dict[str, str]:
     out["bm25_champions_top10"] = out["bm25_top10"]
     out["bm25_federated_bloom_top10"] = out["bm25_top10"]
     out["bm25f_top10"] = _bm25f_sql()
+    out.update(_weblink_sqls())
     return out
+
+
+def _link_edges_cte() -> str:
+    """Closed-form outlink rule (corpus/links.py) as SQL CTEs: `le` is the
+    (src_doc, j, dst_doc) edge list, `eu` adds urls + the raw anchor text —
+    the SAME strings the html template embeds, so the Ray side's extraction
+    through real html must reproduce these rows exactly."""
+    from search_engine_ray.corpus.links import ANCHOR_WORDS
+
+    words = ", ".join(f"'{w}'" for w in ANCHOR_WORDS)
+    nw = len(ANCHOR_WORDS)
+    return f"""
+      c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      jj AS (SELECT unnest(generate_series(1, 3)) AS j),
+      le AS (
+        SELECT d.doc_id AS src_doc, jj.j AS j,
+               (d.doc_id * 31 + 97 * jj.j * jj.j + 7) % c.n AS dst_doc
+        FROM documents d CROSS JOIN jj CROSS JOIN c
+        WHERE jj.j <= d.doc_id % 4
+      ),
+      eu AS (
+        SELECT 'https://site' || CAST(src_doc % 997 AS VARCHAR) || '.example/d' || CAST(src_doc AS VARCHAR) AS src_url,
+               'https://site' || CAST(dst_doc % 997 AS VARCHAR) || '.example/d' || CAST(dst_doc AS VARCHAR) AS dst_url,
+               ([{words}])[CAST(dst_doc % {nw} AS INT) + 1] || ' & doc ' || CAST(dst_doc AS VARCHAR) || ' ref' || CAST(j AS VARCHAR) AS anchor,
+               src_doc, dst_doc, j
+        FROM le
+      )
+    """
+
+
+def _host_pagerank_sql() -> str:
+    """The pagerank_events oracle structure over the host graph (multi-edges
+    kept — contributions are per link, matching q_host_pagerank)."""
+    prev = "r0"
+    iters = []
+    for i in range(1, _PAGERANK_ITERS + 1):
+        iters.append(
+            f"""r{i} AS (
+              SELECT no.node,
+                     (15 * 1000000) // (100 * nn.n) + COALESCE(s.c, 0) AS r
+              FROM nodes no CROSS JOIN nn
+              LEFT JOIN (
+                SELECT e.dst AS node,
+                       SUM((85 * p.r) // (100 * deg.outdeg)) AS c
+                FROM e JOIN deg USING (src) JOIN {prev} p ON p.node = e.src
+                GROUP BY e.dst) s ON s.node = no.node)"""
+        )
+        prev = f"r{i}"
+    return f"""
+        WITH {_link_edges_cte()},
+        e AS (SELECT src_doc % 997 AS src, dst_doc % 997 AS dst FROM le),
+        nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+        r0 AS (SELECT node, CAST(1000000 AS BIGINT) // nn.n AS r FROM nodes, nn),
+        {", ".join(iters)}
+        SELECT node, CAST(r AS BIGINT) AS rank_micros FROM {prev} ORDER BY node
+    """
+
+
+def _weblink_sqls() -> dict[str, str]:
+    cte = _link_edges_cte()
+    anchor_terms = ", ".join(f"'{t}'" for t, _ in ANCHOR_QUERY)
+    return {
+        "link_graph": f"""
+            WITH {cte}
+            SELECT src_url, dst_url, anchor FROM eu
+            ORDER BY src_url, dst_url, anchor
+        """,
+        "host_degree": f"""
+            WITH {cte},
+            hd AS (
+              SELECT 'site' || CAST(src_doc % 997 AS VARCHAR) || '.example' AS host,
+                     1 AS o, 0 AS i FROM le
+              UNION ALL
+              SELECT 'site' || CAST(dst_doc % 997 AS VARCHAR) || '.example',
+                     0, 1 FROM le
+            )
+            SELECT host, CAST(sum(o) AS BIGINT) AS outdeg,
+                   CAST(sum(i) AS BIGINT) AS indeg
+            FROM hd GROUP BY host ORDER BY host
+        """,
+        "anchor_agg": f"""
+            WITH {cte}
+            SELECT dst_url, CAST(count(*) AS BIGINT) AS n_inlinks,
+                   CAST(count(DISTINCT src_url) AS BIGINT) AS n_src,
+                   min(anchor) AS min_anchor
+            FROM eu GROUP BY dst_url ORDER BY dst_url
+        """,
+        "host_pagerank": _host_pagerank_sql(),
+        # anchor-field BM25: collection statistics are anchor-corpus stats
+        # (N = targets with >=1 kept token, dl over inbound anchors); the
+        # tokenizer CTE is the standard delimiter/tag/stopword rule over the
+        # closed-form anchor strings (already lowercase).
+        "bm25_anchor_top10": f"""
+            WITH {cte},
+            atoks AS (
+              SELECT dst_url, t
+              FROM eu, UNNEST(regexp_split_to_array(anchor, '[\\x00-\\x2f:;=?]')) AS u(t)
+              WHERE t <> '' AND substr(t, 1, 1) <> '<' AND substr(t, -1, 1) <> '>'
+                AND t NOT IN ({_STOP_LIST})
+            ),
+            dl AS (SELECT dst_url, count(*) AS dl FROM atoks GROUP BY dst_url),
+            st AS (SELECT (SELECT count(*) FROM dl) AS n,
+                          (SELECT count(*) FROM atoks) * 1.0 / (SELECT count(*) FROM dl) AS avgdl),
+            tf AS (SELECT dst_url, t AS term, count(*) AS tf FROM atoks
+                   WHERE t IN ({anchor_terms}) GROUP BY dst_url, t),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            sc AS (
+              SELECT tf.dst_url,
+                     SUM( ln((st.n - df.df + 0.5) / (df.df + 0.5))
+                          * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) ) AS score
+              FROM tf JOIN df USING (term) JOIN dl USING (dst_url) CROSS JOIN st
+              GROUP BY tf.dst_url
+            ),
+            ranked AS (SELECT dst_url, score,
+                              row_number() OVER (ORDER BY score DESC, dst_url ASC) AS r FROM sc)
+            SELECT dst_url, {_SQL_MICROS.format(expr="score")} AS score_micros
+            FROM ranked WHERE r <= 10
+        """,
+    }

@@ -323,6 +323,16 @@ def run_benchmarks() -> dict:
     _doc_reader = IndexReader(index_dir)
     _QKWS = [("spark", 1), ("hash", 1), ("join", 1)]
 
+    # web link graph over the pages corpus (html carries the head <nav>
+    # outlink block): vectorized <a href> extraction, host degrees, and
+    # anchor-field BM25 as distributed aggregates
+    from search_engine_ray.dataops import weblinks as _weblinks
+
+    def _link_edges_ds():
+        return _weblinks.link_edges(
+            read_parquet_clean(pages_dir, columns=["url", "html"])
+        )
+
     def _champions():
         out = os.path.join(maint_root, "champions")
         shutil.rmtree(out, ignore_errors=True)
@@ -381,6 +391,11 @@ def run_benchmarks() -> dict:
         ("ordered_window", lambda: ordered_window_search(
             pos_dir, "sort", "table", slop=4, options=pos_opt).num_rows),
         ("lmjm_query", lambda: len(lmjm_scores_f64(_doc_reader, _QKWS)[0])),
+        ("link_edges_extract", lambda: _link_edges_ds().count()),
+        ("link_host_degree", lambda: _weblinks.host_degree(_link_edges_ds()).count()),
+        ("bm25_anchor", lambda: _weblinks.bm25_anchor_scores(
+            _link_edges_ds(), [("spark", 1), ("window", 1), ("merge", 1)],
+            pos_opt).num_rows),
     ]
     n_rounds = int(os.environ.get("SE_RAY_BENCH_OP_ROUNDS", "2"))
     samples: dict[str, list[float]] = {name: [] for name, _ in ops}

@@ -36,13 +36,28 @@ def escape_text(s: str) -> str:
     return s
 
 
-def html_from_text(text: str, title: str, noise_seed: int = 0) -> bytes:
-    """Deterministic, exactly-invertible HTML wrapper for one page."""
+def html_from_text(
+    text: str,
+    title: str,
+    noise_seed: int = 0,
+    links: list[tuple[str, str]] | None = None,
+) -> bytes:
+    """Deterministic, exactly-invertible HTML wrapper for one page.
+
+    ``links`` (optional ``[(url, raw_anchor), ...]``) are embedded as a
+    ``<nav>`` block inside ``<head>`` (links.py grammar).  Extraction strips
+    everything up to ``<body>``, so the extracted text is byte-identical
+    with or without links; ``links=None`` produces byte-identical html to
+    the pre-links template (cache/golden stability)."""
+    from .links import nav_html  # local import: avoid a cycle at module load
+
     lines = text.split("\n")
     parts = [
         "<html><head><title>",
         escape_text(title),
-        '</title><meta charset="utf-8"></head><body>',
+        '</title><meta charset="utf-8">',
+        nav_html(links) if links else "",
+        "</head><body>",
     ]
     for i, line in enumerate(lines):
         if i > 0 and (noise_seed + i) % 3 == 0:

@@ -23,6 +23,7 @@ import pyarrow.parquet as pq
 
 from ..text.stopwords import STOPWORDS_TUPLE
 from .extract import html_from_text
+from .links import nav_links_for_doc
 
 PAGES_SCHEMA = pa.schema(
     [
@@ -134,7 +135,12 @@ def generate_pages_table(n_docs: int, seed: int = 42, adversarial: bool = True) 
     warc_ts = ts_base + (np.arange(n) * 1337).astype("timedelta64[s]").astype("timedelta64[us]")
     langs = ["de" if i % 53 == 0 else "en" for i in range(n)]
     htmls = [
-        html_from_text(texts[i], title=f"page {digests[i]}", noise_seed=i)
+        html_from_text(
+            texts[i],
+            title=f"page {digests[i]}",
+            noise_seed=i,
+            links=nav_links_for_doc(i, n),
+        )
         for i in range(n)
     ]
 
@@ -163,7 +169,9 @@ def write_pages_parquet(
     """Write the corpus as a directory of Parquet files (url-sorted across
     files; file k holds the k-th contiguous url range).  Idempotent: returns
     immediately if a matching corpus was already written (marker file)."""
-    marker = os.path.join(out_dir, f".complete-{n_docs}-{seed}-{n_files}-{row_group_size}")
+    # v2: html carries the head <nav> outlink block (links.py) — the marker
+    # version invalidates pre-links cached corpora in shared /tmp caches.
+    marker = os.path.join(out_dir, f".complete-v2-{n_docs}-{seed}-{n_files}-{row_group_size}")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)

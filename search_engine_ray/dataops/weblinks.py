@@ -1,0 +1,230 @@
+"""Web link-graph operators over a Common-Crawl-style pages corpus.
+
+Built on ``corpus.links.extract_links_batch`` (vectorized ``<a href>``
+parsing).  Every shape here is scale-honest at 10^12 pages:
+
+* ``link_edges``   — one zero-copy ``map_batches`` over the html column;
+  output rows are edge-sized (url+url+anchor), never the html payload.
+* ``host_degree``  — per-batch partial value-counts of src/dst hosts (the
+  exchange carries (host, partial_out, partial_in) rows, not edges), then
+  ONE native groupby Sum/Sum.
+* ``anchor_agg``   — two native groupbys: (dst,src)-pair fold, then a
+  dst fold — rows bounded by the edge count, anchors reduced via Min.
+* ``bm25_anchor_scores`` — anchor-field ranking WITHOUT materializing
+  per-target anchor documents: anchors tokenize inside ``map_batches``
+  with the engine tokenizer, the exchange carries (dst, dl_partial) plus
+  (dst, term, tf_partial) **filtered to the query terms** (candidate-sized,
+  not corpus-token-sized), and scoring is a small join over candidates.
+  This is the classic anchor-text field of web search (title/body/anchor)
+  expressed as a dataflow rather than a second index build.
+
+The closed-form synthetic outlink rule lives in corpus/links.py so the
+driver's SQL oracles can recompute expected edges without parsing html.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..config import IndexOptions
+from ..corpus.links import extract_links_batch
+
+_HOST_RE = r"^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?(?P<host>[^/:?#]+)"
+
+
+def host_of(urls: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Vectorized host extraction (scheme://[userinfo@]HOST[:port]/...)."""
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    m = pc.extract_regex(pc.ascii_lower(urls), pattern=_HOST_RE)
+    return pc.struct_field(m, "host")
+
+
+def link_edges(
+    pages: ray.data.Dataset,
+    html_column: str = "html",
+    url_column: str = "url",
+) -> ray.data.Dataset:
+    """(src_url, dst_url, anchor) edge list — one streaming pass, the html
+    payload never crosses a stage boundary."""
+
+    def edges(batch: pa.Table) -> pa.Table:
+        parents, dst, anchor = extract_links_batch(batch[html_column])
+        src = batch[url_column].combine_chunks().take(pa.array(parents))
+        return pa.table({"src_url": src, "dst_url": dst, "anchor": anchor})
+
+    return pages.map_batches(edges, batch_format="pyarrow")
+
+
+def host_degree(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """(host, outdeg, indeg) — partial per-batch host counts, one shuffle."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = []
+        for col, o_name in (("src_url", "outdeg"), ("dst_url", "indeg")):
+            vc = host_of(batch[col]).value_counts()
+            hosts = pc.struct_field(vc, "values")
+            counts = pc.struct_field(vc, "counts").cast(pa.int64())
+            zero = pa.array(np.zeros(len(hosts), dtype=np.int64))
+            out.append(
+                pa.table(
+                    {
+                        "host": hosts,
+                        "outdeg": counts if o_name == "outdeg" else zero,
+                        "indeg": counts if o_name == "indeg" else zero,
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    return (
+        edges.map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("outdeg", alias_name="outdeg"), Sum("indeg", alias_name="indeg"))
+    )
+
+
+def anchor_agg(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Per target: (dst_url, n_inlinks, n_src, min_anchor).
+
+    ``n_src`` is the exact distinct-source count via the standard two-level
+    fold: pair groupby then target groupby (both native, edge-bounded)."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    pairs = (
+        edges.groupby(["dst_url", "src_url"])
+        .aggregate(Count(alias_name="n"), Min("anchor", alias_name="min_anchor"))
+    )
+    return (
+        pairs.groupby("dst_url")
+        .aggregate(
+            Sum("n", alias_name="n_inlinks"),
+            Count(alias_name="n_src"),
+            Min("min_anchor", alias_name="min_anchor"),
+        )
+    )
+
+
+def bm25_anchor_scores(
+    edges: ray.data.Dataset,
+    keywords: list[tuple[str, int]],
+    options: IndexOptions | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> pa.Table:
+    """Anchor-field BM25: rank link TARGETS by the BM25 score of the query
+    against the concatenation of their inbound anchor texts — computed as
+    distributed aggregates (no anchor-document materialization, no index
+    build).  Returns the top-``k`` as (dst_url, score_micros), ties ->
+    ascending dst_url.
+
+    Collection statistics are anchor-corpus statistics: N = #targets with
+    >=1 inlink, dl(d) = kept-token count over d's inbound anchors, avgdl =
+    total kept tokens / N — the same convention the SQL oracle states.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from ..text.vectorized import tokenize_batch
+
+    opts = options or IndexOptions()
+    qterms = [t for t, _ in keywords]
+    qset = pa.array(sorted(set(qterms)), type=pa.string())
+
+    def partials(batch: pa.Table) -> pa.Table:
+        tb = tokenize_batch(batch["anchor"], opts)
+        dst = batch["dst_url"].combine_chunks()
+        n_rows = len(dst)
+        dl = tb.doc_lens.astype(np.int64)
+        # (dst, dl_partial) rows; term="" is the doc-length sentinel (engine
+        # tokens are never empty, so the key spaces cannot collide).  Rows
+        # whose anchor kept no tokens emit nothing — a target whose inbound
+        # anchors are all token-free is NOT part of the anchor corpus.
+        has_tok = dl > 0
+        t_dl = pa.table(
+            {
+                "dst_url": dst.filter(pa.array(has_tok)),
+                "term": pa.array([""] * int(has_tok.sum()), pa.string()),
+                "n": pa.array(dl[has_tok]),
+            }
+        )
+        # (dst, term, tf_partial) rows, query terms only
+        token_terms = tb.terms[tb.term_codes]
+        qmask = pc.is_in(
+            pa.array(token_terms, type=pa.string()), value_set=qset
+        ).to_numpy(zero_copy_only=False)
+        if qmask.any():
+            d_idx = tb.doc_idx[qmask]
+            t_hit = token_terms[qmask]
+            # fold (row, term) duplicates inside the batch before the shuffle
+            import pandas as pd
+
+            df = pd.DataFrame({"i": d_idx, "t": t_hit})
+            g = df.groupby(["i", "t"], sort=False).size().reset_index(name="n")
+            t_tf = pa.table(
+                {
+                    "dst_url": dst.take(pa.array(g["i"].to_numpy(dtype=np.int64))),
+                    "term": pa.array(g["t"].astype(str)),
+                    "n": pa.array(g["n"].to_numpy(dtype=np.int64)),
+                }
+            )
+            return pa.concat_tables([t_dl, t_tf])
+        return t_dl
+
+    folded = (
+        edges.map_batches(partials, batch_format="pyarrow")
+        .groupby(["dst_url", "term"])
+        .aggregate(Sum("n", alias_name="n"))
+    ).materialize()
+    # split the folded stream: sentinel rows are doc lengths, others tf
+    dl_ds = folded.map_batches(
+        lambda t: t.filter(pc.equal(t["term"], "")).drop_columns(["term"]),
+        batch_format="pyarrow",
+    ).rename_columns({"n": "dl"})
+    tf_ds = folded.map_batches(
+        lambda t: t.filter(pc.not_equal(t["term"], "")), batch_format="pyarrow"
+    )
+
+    # collection stats (tiny distributed reduce over the target-sized side)
+    stats = dl_ds.aggregate(Count(), Sum("dl"))
+    n_targets = int(stats["count()"] or 0)
+    total_tokens = int(stats["sum(dl)"] or 0)
+    if n_targets == 0:
+        return pa.table(
+            {"dst_url": pa.array([], pa.string()), "score_micros": pa.array([], pa.int64())}
+        )
+    avgdl = total_tokens / n_targets
+
+    # candidate-sized collect: tf rows exist only for query terms, and the
+    # target-sized dl table is SEMI-JOINED onto candidates distributively —
+    # the driver never holds the full target set.
+    from .dedup import _join_parts
+
+    cand = tf_ds.join(
+        dl_ds, "inner", _join_parts(8), on=("dst_url",), right_on=("dst_url",)
+    )
+    merged = cand.to_pandas()
+    df_per_term = merged.groupby("term")["dst_url"].nunique()
+    qtf = {t: q for t, q in keywords}
+    tfv = merged["n"].to_numpy(dtype=np.float64)
+    dlv = merged["dl"].to_numpy(dtype=np.float64)
+    dfv = merged["term"].map(df_per_term).to_numpy(dtype=np.float64)
+    qv = merged["term"].map(qtf).fillna(0).to_numpy(dtype=np.float64)
+    idf = np.log((n_targets - dfv + 0.5) / (dfv + 0.5))
+    score = qv * idf * (tfv * (k1 + 1)) / (tfv + k1 * (1 - b + b * (dlv / avgdl)))
+    merged["score"] = score
+    agg = merged.groupby("dst_url")["score"].sum().reset_index()
+    agg = agg.sort_values(["score", "dst_url"], ascending=[False, True]).head(k)
+    micros = np.floor(agg["score"].to_numpy(dtype=np.float64) * 1_000_000 + 0.5).astype(
+        np.int64
+    )
+    return pa.table(
+        {
+            "dst_url": pa.array(agg["dst_url"].tolist(), pa.string()),
+            "score_micros": pa.array(micros),
+        }
+    )
