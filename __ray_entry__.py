@@ -4934,14 +4934,12 @@ def q_anchor_agg(sf_dir: str) -> pa.Table:
     )
 
 
-def q_host_pagerank(sf_dir: str) -> pa.Table:
-    """Exact-integer PageRank over the HOST graph: edges map to host ids by
-    PARSING the urls (host_of + the site-number regex), multi-edges kept
-    (link-weighted), 3 floored-micros power iterations via dataops.graph.
-    The oracle unrolls the same iterations from the closed-form edge rule."""
+def _host_edges_ds(sf_dir: str):
+    """(src, dst) host-id edges: urls through the REAL extractor, host ids
+    by PARSING the urls (host_of + the site-number regex); multi-edges
+    kept (each link is one row)."""
     import pyarrow.compute as pc
 
-    from search_engine_ray.dataops.graph import pagerank
     from search_engine_ray.dataops.weblinks import host_of
 
     def host_ids(batch: pa.Table) -> pa.Table:
@@ -4952,11 +4950,17 @@ def q_host_pagerank(sf_dir: str) -> pa.Table:
             out[name] = pc.struct_field(m, "num").cast(pa.int64())
         return pa.table(out)
 
-    edges = (
-        _pages_edges_ds(sf_dir)
-        .map_batches(host_ids, batch_format="pyarrow")
-        .materialize()
-    )
+    return _pages_edges_ds(sf_dir).map_batches(host_ids, batch_format="pyarrow")
+
+
+def q_host_pagerank(sf_dir: str) -> pa.Table:
+    """Exact-integer PageRank over the HOST graph: edges map to host ids by
+    PARSING the urls (host_of + the site-number regex), multi-edges kept
+    (link-weighted), 3 floored-micros power iterations via dataops.graph.
+    The oracle unrolls the same iterations from the closed-form edge rule."""
+    from search_engine_ray.dataops.graph import pagerank
+
+    edges = _host_edges_ds(sf_dir).materialize()
 
     def distinct_hosts(batch: pa.Table) -> pa.Table:
         s = np.asarray(batch["src"], dtype=np.int64)
@@ -4978,6 +4982,33 @@ def q_host_pagerank(sf_dir: str) -> pa.Table:
         {
             "node": pa.array(out["node"].to_numpy(np.int64)),
             "rank_micros": pa.array(out["rank_micros"].to_numpy(np.int64)),
+        }
+    )
+
+
+_REACH_SEEDS = [0, 1, 2]
+_REACH_HOPS = 3
+
+
+def q_host_reach(sf_dir: str) -> pa.Table:
+    """k-hop BFS crawl frontier over the host graph
+    (dataops/graph.py:bfs_khop): which hosts does a crawler seeded at
+    hosts {0,1,2} touch within 3 waves, at what minimum hop distance.
+    Per hop: frontier⋈edges inner join + candidate dedup groupby +
+    anti-join vs visited — frontier-adjacent-sized exchanges only.  The
+    oracle is a recursive CTE over the closed-form edge rule."""
+    from search_engine_ray.dataops.graph import bfs_khop
+
+    edges = _host_edges_ds(sf_dir).materialize()
+    out = (
+        bfs_khop(edges, _REACH_SEEDS, _REACH_HOPS)
+        .to_pandas()
+        .sort_values("node", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "node": pa.array(out["node"].to_numpy(np.int64)),
+            "dist": pa.array(out["dist"].to_numpy(np.int64)),
         }
     )
 
@@ -5192,6 +5223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_degree": q_host_degree,
         "anchor_agg": q_anchor_agg,
         "host_pagerank": q_host_pagerank,
+        "host_reach": q_host_reach,
         "bm25_anchor_top10": q_bm25_anchor_top10,
     }
 
@@ -7775,6 +7807,23 @@ def _weblink_sqls() -> dict[str, str]:
             FROM eu GROUP BY dst_url ORDER BY dst_url
         """,
         "host_pagerank": _host_pagerank_sql(),
+        # k-hop BFS: recursive CTE over the closed-form host edges; UNION
+        # (distinct) on (node, dist) pairs + dist bound terminates cycles,
+        # min(dist) at the end is the BFS distance.
+        "host_reach": f"""
+            WITH RECURSIVE {cte},
+            e AS (SELECT DISTINCT src_doc % 997 AS src, dst_doc % 997 AS dst FROM le),
+            reach(node, dist) AS (
+                SELECT unnest([{", ".join(str(s) for s in _REACH_SEEDS)}]), 0
+              UNION
+                SELECT e.dst, r.dist + 1
+                FROM reach r JOIN e ON e.src = r.node
+                WHERE r.dist < {_REACH_HOPS}
+            )
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(min(dist) AS BIGINT) AS dist
+            FROM reach GROUP BY node ORDER BY node
+        """,
         # anchor-field BM25: collection statistics are anchor-corpus stats
         # (N = targets with >=1 kept token, dl over inbound anchors); the
         # tokenizer CTE is the standard delimiter/tag/stopword rule over the

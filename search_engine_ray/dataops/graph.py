@@ -136,3 +136,106 @@ def pagerank(
         ranks = merged.map_batches(fold, batch_format="pyarrow").materialize()
 
     return ranks
+
+
+def _nonempty_blocks(ds: ray.data.Dataset) -> ray.data.Dataset | None:
+    """Workaround for a Ray Data 2.49 wart: the hash-shuffle join operator
+    emits ZERO-COLUMN empty blocks for empty output partitions, and empty
+    blocks pass through later map stages without the UDF running — so a
+    downstream join/shuffle sees a schema-less block and Acero fails with
+    "No match ... for key field reference" at finalize.  Rebuild the
+    (already materialized) dataset from its non-empty block refs — a
+    metadata-only operation, the blocks never leave the object store.
+    Returns None when every block is empty (the caller's loop exit)."""
+    refs = []
+    for rb in ds.iter_internal_ref_bundles():
+        for br, meta in zip(rb.block_refs, rb.metadata):
+            if meta.num_rows:
+                refs.append(br)
+    if not refs:
+        return None
+    return ray.data.from_arrow_refs(refs)
+
+
+def bfs_khop(
+    edges: ray.data.Dataset,
+    seeds: list[int],
+    max_hops: int,
+    src_column: str = "src",
+    dst_column: str = "dst",
+    join_partitions: int = 8,
+) -> ray.data.Dataset:
+    """(node, dist) for every node reachable from ``seeds`` within
+    ``max_hops`` directed hops, ``dist`` = MINIMUM hop count — the
+    crawl-frontier primitive (which hosts does a crawler starting from
+    these seeds touch in k waves?).
+
+    Distributed shape per hop: the frontier (nodes discovered last hop)
+    inner-joins onto the edge list by src — frontier-adjacent-edge-sized,
+    never corpus-sized — then candidate dsts dedup through ONE node-keyed
+    groupby and anti-join against the visited set, so each node crosses
+    the exchange at most once per hop and the visited set grows
+    monotonically.  Cycles terminate naturally (a revisited node is
+    anti-joined away); the loop exits early when a wave finds nothing
+    new.  The driver holds only per-hop counts; frontier/visited live in
+    the object store as Datasets.
+
+    Seeds are a driver-side list (crawl seed sets are small by nature);
+    seeds absent from the graph still report dist 0, like a real
+    frontier.  Multi-edges are harmless (deduped by the candidate
+    groupby)."""
+    from ray.data.aggregate import Count
+
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    jp = _join_parts(join_partitions)
+    seed_nodes = np.unique(np.asarray(sorted(set(int(s) for s in seeds)), dtype=np.int64))
+    if len(seed_nodes) == 0:
+        raise ValueError("seeds must be non-empty")
+    visited = ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(seed_nodes),
+                "dist": pa.array(np.zeros(len(seed_nodes), dtype=np.int64)),
+            }
+        )
+    ).materialize()
+    frontier = visited
+
+    def dst_nodes(batch: pa.Table) -> pa.Table:
+        d = np.unique(np.asarray(batch[dst_column], dtype=np.int64))
+        return pa.table({"node": pa.array(d)})
+
+    for hop in range(1, max_hops + 1):
+        adjacent = frontier.select_columns(["node"]).join(
+            edges, "inner", jp, on=("node",), right_on=(src_column,)
+        )
+        candidates = _nonempty_blocks(
+            adjacent.map_batches(dst_nodes, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Count(alias_name="_n"))
+            .select_columns(["node"])
+            .materialize()
+        )
+        if candidates is None:
+            break
+        fresh = _nonempty_blocks(
+            candidates.join(
+                visited, "left_anti", jp, on=("node",), right_on=("node",)
+            ).materialize()
+        )
+        if fresh is None:
+            break
+
+        def tag(batch: pa.Table, _h: int = hop) -> pa.Table:
+            return pa.table(
+                {
+                    "node": batch["node"],
+                    "dist": pa.array(np.full(batch.num_rows, _h, dtype=np.int64)),
+                }
+            )
+
+        frontier = fresh.map_batches(tag, batch_format="pyarrow").materialize()
+        visited = visited.union(frontier).materialize()
+
+    return visited

@@ -77,3 +77,71 @@ def test_pagerank_validates(edges_ds):
         pagerank(edges_ds, n_nodes=0)
     with pytest.raises(ValueError):
         pagerank(edges_ds, n_nodes=5, damping_pct=101)
+
+
+# --- bfs_khop: k-hop crawl frontier ---
+
+
+def _brute_bfs(edges, seeds, k):
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, k + 1):
+        nxt = {d for s, d in edges if s in frontier and d not in dist}
+        for v in nxt:
+            dist[v] = h
+        frontier = nxt
+        if not frontier:
+            break
+    return dist
+
+
+@pytest.mark.parametrize("seeds,k", [([0], 1), ([0], 2), ([0], 10), ([1, 4], 3)])
+def test_bfs_khop_matches_brute(edges_ds, ray_session, seeds, k):
+    from search_engine_ray.dataops.graph import bfs_khop
+
+    got = (
+        bfs_khop(edges_ds, seeds, k)
+        .to_pandas()
+        .sort_values("node", ignore_index=True)
+    )
+    exp = _brute_bfs(EDGES, seeds, k)
+    assert dict(zip(got["node"], got["dist"])) == exp
+
+
+def test_bfs_khop_cycle_terminates_and_isolated_seed(ray_session):
+    import ray.data
+
+    from search_engine_ray.dataops.graph import bfs_khop
+
+    ring = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([0, 1, 2], pa.int64()),
+                "dst": pa.array([1, 2, 0], pa.int64()),
+            }
+        )
+    )
+    got = bfs_khop(ring, [0], 99).to_pandas().sort_values("node", ignore_index=True)
+    assert got["node"].tolist() == [0, 1, 2]
+    assert got["dist"].tolist() == [0, 1, 2]
+    # a seed absent from the graph still reports dist 0 (crawl semantics)
+    lone = bfs_khop(ring, [7], 2).to_pandas()
+    assert (7, 0) in set(zip(lone["node"], lone["dist"]))
+
+
+def test_bfs_khop_zero_hops_and_partition_invariance(edges_ds, ray_session):
+    from search_engine_ray.dataops.graph import bfs_khop
+
+    z = bfs_khop(edges_ds, [0, 3], 0).to_pandas().sort_values("node", ignore_index=True)
+    assert z["node"].tolist() == [0, 3] and z["dist"].tolist() == [0, 0]
+    base = bfs_khop(edges_ds, [0], 3).to_pandas().sort_values("node", ignore_index=True)
+    rep = (
+        bfs_khop(edges_ds.repartition(5), [0], 3)
+        .to_pandas()
+        .sort_values("node", ignore_index=True)
+    )
+    assert rep.equals(base)
+    with pytest.raises(ValueError):
+        bfs_khop(edges_ds, [], 2)
+    with pytest.raises(ValueError):
+        bfs_khop(edges_ds, [0], -1)
