@@ -986,6 +986,25 @@ def q_simhash(sf_dir: str):
     return simhash(_docs_ds(sf_dir))
 
 
+def q_simhash_near_pairs(sf_dir: str) -> pa.Table:
+    """SimHash Hamming<=3 near-dup pairs via banded pigeonhole
+    (dataops/dedup.py:simhash_hamming_pairs) — the Manku/Jain/Sarma web
+    near-dup detector.  The oracle verifies ALL pairs with
+    bit_count(xor) over the SQL-exact simhash CTE; the engine only ever
+    touches band-bucket candidates."""
+    from search_engine_ray.dataops.dedup import simhash_hamming_pairs
+
+    out = simhash_hamming_pairs(_docs_ds(sf_dir), max_dist=3)
+    df = out.to_pandas().sort_values(["a", "b"], ignore_index=True)
+    return pa.table(
+        {
+            "a": pa.array(df["a"].to_numpy(np.int64)),
+            "b": pa.array(df["b"].to_numpy(np.int64)),
+            "dist": pa.array(df["dist"].to_numpy(np.int64)),
+        }
+    )
+
+
 def q_minhash_pairs(sf_dir: str) -> pa.Table:
     """MinHash+LSH near-dup pairs, SQL-checked since round 3: with
     hash_kind="md5be" every stage (md5be token hash, rolling k=3 shingles
@@ -5088,6 +5107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": q_paragraph_dedup,
         "dup_spans": q_dup_spans,
         "simhash": q_simhash,
+        "simhash_near_pairs": q_simhash_near_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_components": q_dedup_components,
         "emb_near_dup": q_emb_near_dup,
@@ -5522,6 +5542,16 @@ def oracle_sql() -> dict[str, str]:
 
     out = {
         "simhash": _simhash_sql(),
+        # all-pairs verification of the banded-pigeonhole engine path:
+        # bit_count(xor) == numpy SWAR popcount on two's-complement int64
+        "simhash_near_pairs": f"""
+            WITH sh AS ({_simhash_sql()})
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS dist
+            FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+            ORDER BY a, b
+        """,
         # brute-force cross-join over the twin-seeded set: LSH blocking is
         # approximate in general, but scaled twins land in their vector's own
         # bucket by construction and no original pair reaches 0.9, so the

@@ -829,6 +829,111 @@ def simhash(ds: ray.data.Dataset, text_column: str = "text", id_column: str = "d
     )
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """SWAR popcount over a uint64 array (numpy<2 has no bitwise_count)."""
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def simhash_hamming_pairs(
+    ds: ray.data.Dataset,
+    max_dist: int = 3,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    max_bucket: int = 20_000,
+) -> ray.data.Dataset:
+    """All doc pairs with SimHash Hamming distance <= ``max_dist`` — the
+    classic web-crawl near-dup detector (Manku/Jain/Sarma, WWW'07), as a
+    banded-pigeonhole dataflow rather than all-pairs:
+
+    split each 64-bit SimHash into ``max_dist+1`` equal bit-bands; any
+    pair within ``max_dist`` agrees EXACTLY on at least one band, so only
+    band-value buckets need within-bucket verification.  One exploded
+    pass emits ``max_dist+1`` rows per doc keyed by a combined
+    (band, band_value) int64; ONE native groupby; within-bucket pairing
+    is vectorized (triu indices + SWAR popcount), bounded by the
+    ``max_bucket`` skew cap (oversized buckets — e.g. a sea of empty
+    docs hashing to 0 — are dropped with a warning, like the MinHash and
+    embedding near-dup stages).  A pair is emitted ONLY from its FIRST
+    agreeing band (lower bands checked vectorized), so no cross-band
+    dedup shuffle is needed.  Output: (a, b, dist) with a < b."""
+    if max_dist < 0 or max_dist > 15:
+        raise ValueError("max_dist must be in [0, 15]")
+    n_bands = max_dist + 1
+    band_bits = 64 // n_bands
+    mask = np.uint64((1 << band_bits) - 1) if band_bits < 64 else np.uint64(2**64 - 1)
+
+    sh = simhash(ds, text_column=text_column, id_column=id_column)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        h = np.asarray(batch["simhash"], dtype=np.int64).view(np.uint64)
+        ids = np.asarray(batch[id_column], dtype=np.int64)
+        keys, out_ids, out_h = [], [], []
+        for b in range(n_bands):
+            val = (h >> np.uint64(b * band_bits)) & mask
+            # combined key: band index in the high bits, band value low —
+            # unique because val < 2^band_bits
+            keys.append((np.uint64(b) << np.uint64(band_bits)) | val)
+            out_ids.append(ids)
+            out_h.append(h)
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate(keys).view(np.int64)),
+                "doc_id": pa.array(np.concatenate(out_ids)),
+                "simhash": pa.array(np.concatenate(out_h).view(np.int64)),
+            }
+        )
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        m = len(group)
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series([], dtype=np.int64),
+                "b": pd.Series([], dtype=np.int64),
+                "dist": pd.Series([], dtype=np.int64),
+            }
+        )
+        if m < 2:
+            return empty
+        if m > max_bucket:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "simhash band bucket %d exceeds max_bucket=%d (%d rows) — dropped",
+                int(group["bucket"].iloc[0]),
+                max_bucket,
+                m,
+            )
+            return empty
+        band = int(np.int64(group["bucket"].iloc[0]).view(np.uint64) >> np.uint64(band_bits))
+        order = np.argsort(group["doc_id"].to_numpy(np.int64), kind="stable")
+        ids = group["doc_id"].to_numpy(np.int64)[order]
+        h = group["simhash"].to_numpy(np.int64).view(np.uint64)[order]
+        ai, bi = np.triu_indices(m, k=1)
+        x = h[ai] ^ h[bi]
+        d = _popcount64(x)
+        keep = d <= max_dist
+        # emit only from the FIRST agreeing band: if any band j < band also
+        # agrees for this pair, that bucket already emitted it
+        for j in range(band):
+            bj = np.uint64(j * band_bits)
+            keep &= ((x >> bj) & mask) != 0
+        return pd.DataFrame(
+            {"a": ids[ai[keep]], "b": ids[bi[keep]], "dist": d[keep]}
+        )
+
+    return (
+        sh.map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+
 # --------------------------------------------------------------------------
 # exact n-gram Jaccard pairs
 # --------------------------------------------------------------------------

@@ -89,6 +89,66 @@ def test_simhash_near_for_near_texts(docs_ds, ray_session):
     assert bin(int(a) ^ int(b)).count("1") <= 16
 
 
+def test_simhash_hamming_pairs_matches_brute(docs_ds, ray_session):
+    """Banded pigeonhole == brute-force all-pairs popcount, pairs emitted
+    exactly once (first agreeing band), partition-invariant."""
+    import ray.data
+
+    from search_engine_ray.dataops.dedup import (
+        _popcount64,
+        simhash,
+        simhash_hamming_pairs,
+    )
+
+    base = pq.read_table(f"{SF}/documents.parquet").to_pandas().head(40)
+    mut = base.head(6).copy()
+    mut["doc_id"] = mut["doc_id"] + 50_000
+    mut["text"] = mut["text"].str.replace("the", "thee", regex=False)
+    df = pd.concat([base, mut], ignore_index=True)
+    ds = ray.data.from_pandas(df)
+
+    for max_dist in (0, 3, 7):
+        got = simhash_hamming_pairs(ds, max_dist=max_dist).to_pandas()
+        got_pairs = sorted(zip(got["a"], got["b"], got["dist"]))
+        sh = simhash(ds).to_pandas().sort_values("doc_id", ignore_index=True)
+        ids = sh["doc_id"].to_numpy(np.int64)
+        h = sh["simhash"].to_numpy(np.int64).view(np.uint64)
+        ai, bi = np.triu_indices(len(ids), k=1)
+        d = _popcount64(h[ai] ^ h[bi])
+        keep = d <= max_dist
+        exp_pairs = sorted(zip(ids[ai[keep]], ids[bi[keep]], d[keep]))
+        assert got_pairs == exp_pairs, (max_dist, got_pairs[:5], exp_pairs[:5])
+        # no duplicate emissions across bands
+        assert len({(a, b) for a, b, _ in got_pairs}) == len(got_pairs)
+    # mutations must be found at the loose threshold
+    loose = simhash_hamming_pairs(ds, max_dist=15).to_pandas()
+    found = set(zip(loose["a"], loose["b"]))
+    hits = sum((did, did + 50_000) in found for did in mut["doc_id"] - 50_000)
+    assert hits >= 4, sorted(found)[:10]
+    # partition invariance
+    rep = simhash_hamming_pairs(ds.repartition(7), max_dist=3).to_pandas()
+    assert sorted(zip(rep["a"], rep["b"], rep["dist"])) == sorted(
+        zip(*(simhash_hamming_pairs(ds, max_dist=3).to_pandas()[c] for c in ("a", "b", "dist")))
+    )
+
+
+def test_simhash_hamming_pairs_bucket_cap_and_validation(ray_session):
+    import ray.data
+
+    from search_engine_ray.dataops.dedup import simhash_hamming_pairs
+
+    # identical texts all collide into one bucket; cap drops it
+    df = pd.DataFrame({"doc_id": range(10), "text": ["same text here"] * 10})
+    ds = ray.data.from_pandas(df)
+    full = simhash_hamming_pairs(ds, max_dist=0).to_pandas()
+    assert len(full) == 45  # all C(10,2) identical pairs, dist 0
+    assert (full["dist"] == 0).all()
+    capped = simhash_hamming_pairs(ds, max_dist=0, max_bucket=5).to_pandas()
+    assert len(capped) == 0
+    with pytest.raises(ValueError):
+        simhash_hamming_pairs(ds, max_dist=16)
+
+
 def test_ngram_jaccard_pairs(ray_session):
     import ray.data
 

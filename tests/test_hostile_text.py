@@ -113,6 +113,7 @@ CHECKED = [
     "boilerplate_strip",
     "content_extract",
     "lang_windows",
+    "simhash_near_pairs",
 ]
 
 
@@ -252,6 +253,7 @@ FRAGMENT_SENSITIVE = [
     "dedup_components",
     "paragraph_dedup",
     "simhash",
+    "simhash_near_pairs",
     "decontaminate",
     "bigram_lm",
 ]
