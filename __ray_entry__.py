@@ -5007,6 +5007,29 @@ def q_host_pagerank(sf_dir: str) -> pa.Table:
 
 _REACH_SEEDS = [0, 1, 2]
 _REACH_HOPS = 3
+_HITS_ITERS = 2
+
+
+def q_host_hits(sf_dir: str) -> pa.Table:
+    """Integer-exact HITS hubs & authorities over the host graph
+    (dataops/graph.py:hits): per iteration two edge-sized joins + two
+    node-keyed groupby sums + a global-max rescale to floored micros.
+    The oracle unrolls the same iterations from the closed-form edges."""
+    from search_engine_ray.dataops.graph import hits
+
+    edges = _host_edges_ds(sf_dir).materialize()
+    out = (
+        hits(edges, n_iter=_HITS_ITERS)
+        .to_pandas()
+        .sort_values("node", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "node": pa.array(out["node"].to_numpy(np.int64)),
+            "hub_micros": pa.array(out["hub_micros"].to_numpy(np.int64)),
+            "auth_micros": pa.array(out["auth_micros"].to_numpy(np.int64)),
+        }
+    )
 
 
 def q_host_reach(sf_dir: str) -> pa.Table:
@@ -5244,6 +5267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_agg": q_anchor_agg,
         "host_pagerank": q_host_pagerank,
         "host_reach": q_host_reach,
+        "host_hits": q_host_hits,
         "bm25_anchor_top10": q_bm25_anchor_top10,
     }
 
@@ -7807,6 +7831,44 @@ def _host_pagerank_sql() -> str:
     """
 
 
+def _host_hits_sql() -> str:
+    """Unrolled integer-exact HITS iterations over the closed-form host
+    edges (multi-edges kept, global-max floored-micros rescale)."""
+    prev_h = "h0"
+    parts = []
+    for i in range(1, _HITS_ITERS + 1):
+        parts.append(
+            f"""a{i}r AS (
+              SELECT e.dst AS node, SUM(p.s) AS s
+              FROM e JOIN {prev_h} p ON p.node = e.src GROUP BY e.dst),
+            a{i} AS (
+              SELECT node, (s * 1000000) // (SELECT MAX(s) FROM a{i}r) AS s
+              FROM a{i}r),
+            h{i}r AS (
+              SELECT e.src AS node, SUM(a.s) AS s
+              FROM e JOIN a{i} a ON a.node = e.dst GROUP BY e.src),
+            h{i} AS (
+              SELECT node, (s * 1000000) // (SELECT MAX(s) FROM h{i}r) AS s
+              FROM h{i}r)"""
+        )
+        prev_h = f"h{i}"
+    t = _HITS_ITERS
+    return f"""
+        WITH {_link_edges_cte()},
+        e AS (SELECT src_doc % 997 AS src, dst_doc % 997 AS dst FROM le),
+        nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+        h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS s FROM nodes),
+        {", ".join(parts)}
+        SELECT n.node,
+               CAST(COALESCE(h{t}.s, 0) AS BIGINT) AS hub_micros,
+               CAST(COALESCE(a{t}.s, 0) AS BIGINT) AS auth_micros
+        FROM nodes n
+        LEFT JOIN h{t} ON h{t}.node = n.node
+        LEFT JOIN a{t} ON a{t}.node = n.node
+        ORDER BY n.node
+    """
+
+
 def _weblink_sqls() -> dict[str, str]:
     cte = _link_edges_cte()
     anchor_terms = ", ".join(f"'{t}'" for t, _ in ANCHOR_QUERY)
@@ -7837,6 +7899,7 @@ def _weblink_sqls() -> dict[str, str]:
             FROM eu GROUP BY dst_url ORDER BY dst_url
         """,
         "host_pagerank": _host_pagerank_sql(),
+        "host_hits": _host_hits_sql(),
         # k-hop BFS: recursive CTE over the closed-form host edges; UNION
         # (distinct) on (node, dist) pairs + dist bound terminates cycles,
         # min(dist) at the end is the BFS distance.

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -136,6 +137,122 @@ def pagerank(
         ranks = merged.map_batches(fold, batch_format="pyarrow").materialize()
 
     return ranks
+
+
+def hits(
+    edges: ray.data.Dataset,
+    n_iter: int = 2,
+    src_column: str = "src",
+    dst_column: str = "dst",
+    join_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Integer-exact HITS (Kleinberg hubs & authorities) over a directed
+    edge list: per iteration, authority(v) = sum of hub over in-edges,
+    hub(u) = sum of authority over out-edges, each rescaled to micros by
+    the GLOBAL max (``(x * 10^6) // max`` — floored integer division, so
+    the result is independent of summation order, partitioning and
+    libm, like dataops.graph.pagerank).  Nodes with no in-edges hold
+    authority 0; no out-edges, hub 0.
+
+    Shape per iteration: two edge-sized hash joins (scores onto edges),
+    two node-keyed groupby sums, and two scalar max reduces (the only
+    driver-side values).  Returns (node, hub_micros, auth_micros).
+
+    Multi-edges are kept (link-weighted), matching the link-weighted
+    host PageRank convention above."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    jp = _join_parts(join_partitions)
+
+    def distinct_nodes(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch[src_column], dtype=np.int64)
+        d = np.asarray(batch[dst_column], dtype=np.int64)
+        return pa.table({"node": pa.array(np.unique(np.concatenate([s, d])))})
+
+    nodes = (
+        edges.map_batches(distinct_nodes, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["node"])
+        .materialize()
+    )
+    e2 = edges.select_columns([src_column, dst_column]).materialize()
+
+    def init_scores(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch["node"],
+                "s": pa.array(np.full(batch.num_rows, _M, dtype=np.int64)),
+            }
+        )
+
+    def _rescale(scored: ray.data.Dataset) -> ray.data.Dataset:
+        peak = int(scored.max("s"))
+
+        def scale(batch: pa.Table) -> pa.Table:
+            s = np.asarray(batch["s"], dtype=np.int64)
+            if peak > (2**63 - 1) // _M:
+                # a hyper-hub host (indegree > ~9e6) would overflow the
+                # int64 multiply — fall back to exact Python bigints for
+                # this (rare, node-sized) pass instead of wrapping
+                out = np.fromiter(
+                    (int(x) * _M // peak for x in s), dtype=np.int64, count=len(s)
+                )
+            else:
+                out = (s * _M) // peak
+            return pa.table({"node": batch["node"], "s": pa.array(out)})
+
+        return scored.map_batches(scale, batch_format="pyarrow").materialize()
+
+    hubs = nodes.map_batches(init_scores, batch_format="pyarrow").materialize()
+    auth = None
+    for _ in range(n_iter):
+        auth = _rescale(
+            e2.join(hubs, "inner", jp, on=(src_column,), right_on=("node",))
+            .groupby(dst_column)
+            .aggregate(Sum("s", alias_name="s"))
+            .map_batches(
+                lambda b: pa.table({"node": b[dst_column], "s": b["s"]}),
+                batch_format="pyarrow",
+            )
+        )
+        hubs = _rescale(
+            e2.join(auth, "inner", jp, on=(dst_column,), right_on=("node",))
+            .groupby(src_column)
+            .aggregate(Sum("s", alias_name="s"))
+            .map_batches(
+                lambda b: pa.table({"node": b[src_column], "s": b["s"]}),
+                batch_format="pyarrow",
+            )
+        )
+
+    joined = nodes.join(
+        hubs.select_columns(["node", "s"]), "left_outer", jp, on=("node",), right_on=("node",)
+    )
+    joined = joined.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b["node"],
+                "hub_micros": pc.fill_null(b["s"], 0).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    out = joined.join(
+        auth.select_columns(["node", "s"]), "left_outer", jp, on=("node",), right_on=("node",)
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b["node"],
+                "hub_micros": b["hub_micros"],
+                "auth_micros": pc.fill_null(b["s"], 0).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def _nonempty_blocks(ds: ray.data.Dataset) -> ray.data.Dataset | None:

@@ -145,3 +145,58 @@ def test_bfs_khop_zero_hops_and_partition_invariance(edges_ds, ray_session):
         bfs_khop(edges_ds, [], 2)
     with pytest.raises(ValueError):
         bfs_khop(edges_ds, [0], -1)
+
+
+# --- hits: integer-exact hubs & authorities ---
+
+
+def _brute_hits(edges, n_iter):
+    m = 1_000_000
+    nodes = sorted({x for e in edges for x in e})
+    h = {v: m for v in nodes}
+    a = {v: 0 for v in nodes}
+    for _ in range(n_iter):
+        ar = {}
+        for s, d in edges:
+            ar[d] = ar.get(d, 0) + h.get(s, 0)
+        mx = max(ar.values())
+        a = {v: (ar[v] * m) // mx for v in ar}
+        hr = {}
+        for s, d in edges:
+            hr[s] = hr.get(s, 0) + a.get(d, 0)
+        mx = max(hr.values())
+        h = {v: (hr[v] * m) // mx for v in hr}
+    return {v: (h.get(v, 0), a.get(v, 0)) for v in nodes}
+
+
+@pytest.mark.parametrize("n_iter", [1, 2, 4])
+def test_hits_matches_brute(edges_ds, ray_session, n_iter):
+    from search_engine_ray.dataops.graph import hits
+
+    got = (
+        hits(edges_ds, n_iter=n_iter)
+        .to_pandas()
+        .sort_values("node", ignore_index=True)
+    )
+    exp = _brute_hits(EDGES, n_iter)
+    assert {
+        int(r.node): (int(r.hub_micros), int(r.auth_micros))
+        for r in got.itertuples()
+    } == exp
+    # the pure-source hub (0) has authority 0; the sink (4) has hub 0
+    by = dict(zip(got["node"], zip(got["hub_micros"], got["auth_micros"])))
+    assert by[0][1] == 0 and by[4][0] == 0
+
+
+def test_hits_partition_invariant_and_validates(edges_ds, ray_session):
+    from search_engine_ray.dataops.graph import hits
+
+    base = hits(edges_ds, n_iter=2).to_pandas().sort_values("node", ignore_index=True)
+    rep = (
+        hits(edges_ds.repartition(5), n_iter=2)
+        .to_pandas()
+        .sort_values("node", ignore_index=True)
+    )
+    assert rep.equals(base)
+    with pytest.raises(ValueError):
+        hits(edges_ds, n_iter=0)
