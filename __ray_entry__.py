@@ -419,6 +419,28 @@ def q_ngram_jaccard(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ngram_containment(sf_dir: str) -> pa.Table:
+    """Directed shingle-containment near-dup pairs (Broder 1997's
+    asymmetric measure; dataops/dedup.py:ngram_containment_pairs) —
+    catches a short doc quoted inside a long one where Jaccard stays
+    small."""
+    from search_engine_ray.dataops.dedup import ngram_containment_pairs
+
+    out = ngram_containment_pairs(
+        _docs_ds(sf_dir), n=3, threshold=0.3, max_shingle_df=1_000_000
+    ).to_pandas()
+    out = out.sort_values(["src", "dst"], ignore_index=True)
+    return pa.table(
+        {
+            "src": pa.array(out["src"].astype(np.int64)),
+            "dst": pa.array(out["dst"].astype(np.int64)),
+            "containment_micros": pa.array(
+                np.floor(out["containment"].to_numpy() * 1_000_000).astype(np.int64)
+            ),
+        }
+    )
+
+
 def q_redact_pii(sf_dir: str):
     """PII redaction (emails/phones/IPv4 -> typed placeholders) — the SAME
     RE2 patterns run in DuckDB regexp_replace, so output text hash-matches."""
@@ -5132,6 +5154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "simhash_near_pairs": q_simhash_near_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_containment": q_ngram_containment,
         "dedup_components": q_dedup_components,
         "emb_near_dup": q_emb_near_dup,
         # ------------- driver cutoff (first 50 above) -------------
@@ -6852,6 +6875,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, {micros.format(expr="sim")} AS cos_sim_micros
             FROM ranked WHERE r <= 5
+        """,
+        "ngram_containment": r"""
+            WITH tk AS (SELECT doc_id, regexp_extract_all(text, '[^\t\n\x0B\x0C\r ]+') AS tk FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+              FROM tk, UNNEST(generate_series(1, greatest(len(tk) - 2, 0))) AS g(i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            co AS (
+              SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS c
+              FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+              GROUP BY s1.doc_id, s2.doc_id
+            ),
+            d AS (
+              SELECT a AS src, b AS dst, CAST(c AS DOUBLE) / za.sz AS cont
+              FROM co JOIN sizes za ON za.doc_id = a
+              UNION ALL
+              SELECT b, a, CAST(c AS DOUBLE) / zb.sz
+              FROM co JOIN sizes zb ON zb.doc_id = b
+            )
+            SELECT src, dst,
+                   CAST(FLOOR(cont * 1000000) AS BIGINT) AS containment_micros
+            FROM d WHERE cont >= 0.3 ORDER BY src, dst
         """,
         "ngram_jaccard": r"""
             WITH tk AS (SELECT doc_id, regexp_extract_all(text, '[^\t\n\x0B\x0C\r ]+') AS tk FROM documents),

@@ -938,21 +938,18 @@ def simhash_hamming_pairs(
 # exact n-gram Jaccard pairs
 # --------------------------------------------------------------------------
 
-def ngram_jaccard_pairs(
+def _shingle_pair_counts(
     ds: ray.data.Dataset,
-    n: int = 3,
-    threshold: float = 0.2,
-    max_shingle_df: int = 256,
-    text_column: str = "text",
-    id_column: str = "doc_id",
+    n: int,
+    max_shingle_df: int,
+    text_column: str,
+    id_column: str,
 ) -> ray.data.Dataset:
-    """Exact word-n-gram Jaccard >= threshold pairs.
-
-    Explode distinct shingles -> groupby(shingle) -> within-group pairs
-    (groups larger than max_shingle_df are dropped and logged as too common
-    to be discriminative — the skew guard) -> groupby(pair) count ->
-    jaccard = co / (|A| + |B| - co).
-    """
+    """(a, b, co, sa, sb) for every doc pair sharing >=1 distinct word
+    n-gram: explode distinct shingles -> groupby(shingle) -> within-group
+    pairs (groups larger than max_shingle_df are dropped as too common to
+    be discriminative — the skew guard) -> groupby(pair) count.  The
+    shared engine under Jaccard and containment pair mining."""
 
     def explode(batch: pa.Table) -> pa.Table:
         texts = batch[text_column].combine_chunks() if isinstance(batch[text_column], pa.ChunkedArray) else batch[text_column]
@@ -984,11 +981,24 @@ def ngram_jaccard_pairs(
     from ray.data.aggregate import Count, Min
 
     pairs = shingles.groupby("shingle").map_groups(group_pairs, batch_format="pandas")
-    co = pairs.groupby(["a", "b"]).aggregate(
+    return pairs.groupby(["a", "b"]).aggregate(
         Count(alias_name="co"),
         Min("size_a", alias_name="sa"),
         Min("size_b", alias_name="sb"),
     )
+
+
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_shingle_df: int = 256,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> ray.data.Dataset:
+    """Exact word-n-gram Jaccard >= threshold pairs:
+    jaccard = co / (|A| + |B| - co) over _shingle_pair_counts."""
+    co = _shingle_pair_counts(ds, n, max_shingle_df, text_column, id_column)
 
     def finish(batch: pa.Table) -> pa.Table:
         c = np.asarray(batch["co"], dtype=np.float64)
@@ -1008,6 +1018,53 @@ def ngram_jaccard_pairs(
     empty = ray.data.from_arrow(
         pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                   "jaccard": pa.array([], pa.float64())})
+    )
+    return out.union(empty)
+
+
+def ngram_containment_pairs(
+    ds: ray.data.Dataset,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 256,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> ray.data.Dataset:
+    """DIRECTED near-dup pairs by shingle containment — the asymmetric
+    measure Jaccard misses: a short page quoted wholesale inside a long
+    one has containment(short -> long) = |A∩B| / |A| near 1 while its
+    Jaccard stays tiny.  (Broder's resemblance-vs-containment distinction,
+    'On the resemblance and containment of documents', 1997.)
+
+    Same distributed shape as Jaccard (shared _shingle_pair_counts: one
+    shingle groupby with the max_shingle_df skew cap, one pair groupby);
+    the finish emits each direction independently when co/|src| >=
+    threshold.  Output (src, dst, containment): src's shingle set is
+    contained in dst's to that degree.  Both divisions are single IEEE
+    ops, so a SQL oracle matches bit-for-bit."""
+    co = _shingle_pair_counts(ds, n, max_shingle_df, text_column, id_column)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch["co"], dtype=np.float64)
+        a = np.asarray(batch["a"], dtype=np.int64)
+        b = np.asarray(batch["b"], dtype=np.int64)
+        sa = np.asarray(batch["sa"], dtype=np.int64)
+        sb = np.asarray(batch["sb"], dtype=np.int64)
+        cab = c / sa  # a contained in b
+        cba = c / sb  # b contained in a
+        ka, kb = cab >= threshold, cba >= threshold
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a[ka], b[kb]])),
+                "dst": pa.array(np.concatenate([b[ka], a[kb]])),
+                "containment": pa.array(np.concatenate([cab[ka], cba[kb]])),
+            }
+        )
+
+    out = co.map_batches(finish, batch_format="pyarrow")
+    empty = ray.data.from_arrow(
+        pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()),
+                  "containment": pa.array([], pa.float64())})
     )
     return out.union(empty)
 

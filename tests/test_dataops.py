@@ -132,6 +132,38 @@ def test_simhash_hamming_pairs_matches_brute(docs_ds, ray_session):
     )
 
 
+def test_ngram_containment_asymmetry(ray_session):
+    """A short doc quoted inside a long one: containment(short->long)
+    is high while Jaccard is small — the case the directed measure
+    exists for."""
+    import ray.data
+
+    from search_engine_ray.dataops.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    long = filler + " " + short + " " + " ".join(f"z{i} q{i}" for i in range(40))
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [1, 2], "text": [short, long]})
+    )
+    cont = ngram_containment_pairs(ds, n=3, threshold=0.5).to_pandas()
+    by = {(r.src, r.dst): r.containment for r in cont.itertuples()}
+    assert by.get((1, 2), 0) == 1.0  # every short shingle appears in long
+    assert (2, 1) not in by  # the long doc is NOT contained in the short
+    jac = ngram_jaccard_pairs(ds, n=3, threshold=0.5).to_pandas()
+    assert len(jac) == 0  # jaccard misses it entirely
+    # symmetric duplicates: both directions emitted
+    dup = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [7, 8], "text": [short, short]})
+    )
+    both = ngram_containment_pairs(dup, n=3, threshold=0.9).to_pandas()
+    got = {(r.src, r.dst): r.containment for r in both.itertuples()}
+    assert got == {(7, 8): 1.0, (8, 7): 1.0}
+
+
 def test_simhash_hamming_pairs_bucket_cap_and_validation(ray_session):
     import ray.data
 
