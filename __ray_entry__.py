@@ -5077,6 +5077,75 @@ def q_host_reach(sf_dir: str) -> pa.Table:
     )
 
 
+_DOMAIN_MOD = 89
+
+
+def q_reciprocal_hosts(sf_dir: str) -> pa.Table:
+    """Reciprocal-link (link-exchange spam) detection
+    (dataops/weblinks.py:reciprocal_host_pairs) after a registrable-domain
+    collapse (site<k> -> site<k mod 89>; the site-level synthetic graph is
+    reciprocity-free, the domain-level one is not).  Exchange carries
+    host-pair partials; one groupby Sum + one pair-table self-join."""
+    import pyarrow.compute as pc
+
+    from search_engine_ray.dataops.weblinks import reciprocal_host_pairs
+
+    def collapse(batch: pa.Table) -> pa.Table:
+        out = {}
+        for col in ("src_url", "dst_url"):
+            m = pc.extract_regex(
+                batch[col], pattern=r"^https://site(?P<num>[0-9]+)\.example/(?P<path>.*)$"
+            )
+            num = pc.struct_field(m, "num").cast(pa.int64())
+            dom = pc.binary_join_element_wise(
+                pa.array(["https://site"] * batch.num_rows),
+                pc.cast(pc.subtract(num, pc.multiply(pc.divide(num, _DOMAIN_MOD), _DOMAIN_MOD)), pa.string()),
+                pa.array([".example/"] * batch.num_rows),
+                pc.struct_field(m, "path"),
+                "",
+            )
+            out[col] = dom
+        out["anchor"] = batch["anchor"]
+        return pa.table(out)
+
+    edges = _pages_edges_ds(sf_dir).map_batches(collapse, batch_format="pyarrow")
+    out = (
+        reciprocal_host_pairs(edges)
+        .to_pandas()
+        .sort_values(["host_a", "host_b"], ignore_index=True)
+    )
+    return pa.table(
+        {
+            "host_a": pa.array(out["host_a"].astype(str)),
+            "host_b": pa.array(out["host_b"].astype(str)),
+            "ab_links": pa.array(out["ab_links"].to_numpy(np.int64)),
+            "ba_links": pa.array(out["ba_links"].to_numpy(np.int64)),
+        }
+    )
+
+
+def q_frontier_schedule(sf_dir: str) -> pa.Table:
+    """Politeness-scheduled crawl frontier
+    (dataops/weblinks.py:frontier_schedule): per-host fetch rounds, most-
+    linked targets first, 2 fetches per host per round — one windowed
+    pass over the anchor aggregate."""
+    from search_engine_ray.dataops.weblinks import frontier_schedule
+
+    out = (
+        frontier_schedule(_pages_edges_ds(sf_dir), per_host_rate=2)
+        .to_pandas()
+        .sort_values("url", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "url": pa.array(out["url"].astype(str)),
+            "host": pa.array(out["host"].astype(str)),
+            "n_inlinks": pa.array(out["n_inlinks"].to_numpy(np.int64)),
+            "fetch_round": pa.array(out["fetch_round"].to_numpy(np.int64)),
+        }
+    )
+
+
 def q_bm25_anchor_top10(sf_dir: str) -> pa.Table:
     """Anchor-field BM25 (web search's classic third field) as distributed
     aggregates — no anchor-document materialization, no second index; the
@@ -5291,6 +5360,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": q_host_pagerank,
         "host_reach": q_host_reach,
         "host_hits": q_host_hits,
+        "reciprocal_hosts": q_reciprocal_hosts,
+        "frontier_schedule": q_frontier_schedule,
         "bm25_anchor_top10": q_bm25_anchor_top10,
     }
 
@@ -7946,6 +8017,31 @@ def _weblink_sqls() -> dict[str, str]:
         """,
         "host_pagerank": _host_pagerank_sql(),
         "host_hits": _host_hits_sql(),
+        "reciprocal_hosts": f"""
+            WITH {cte},
+            e AS (SELECT 'site' || CAST(src_doc % 997 % {_DOMAIN_MOD} AS VARCHAR) || '.example' AS s,
+                         'site' || CAST(dst_doc % 997 % {_DOMAIN_MOD} AS VARCHAR) || '.example' AS d,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM le GROUP BY 1, 2),
+            e2 AS (SELECT * FROM e WHERE s <> d)
+            SELECT x.s AS host_a, x.d AS host_b, x.n AS ab_links, y.n AS ba_links
+            FROM e2 x JOIN e2 y ON x.s = y.d AND x.d = y.s AND x.s < x.d
+            ORDER BY host_a, host_b
+        """,
+        "frontier_schedule": f"""
+            WITH {cte},
+            agg AS (SELECT dst_url,
+                           'site' || CAST(dst_doc % 997 AS VARCHAR) || '.example' AS host,
+                           CAST(count(*) AS BIGINT) AS n_inlinks
+                    FROM eu GROUP BY dst_url, dst_doc),
+            rn AS (SELECT dst_url, host, n_inlinks,
+                          row_number() OVER (PARTITION BY host
+                                             ORDER BY n_inlinks DESC, dst_url ASC) AS rn
+                   FROM agg)
+            SELECT dst_url AS url, host, n_inlinks,
+                   CAST((rn - 1) // 2 AS BIGINT) AS fetch_round
+            FROM rn ORDER BY url
+        """,
         # k-hop BFS: recursive CTE over the closed-form host edges; UNION
         # (distinct) on (node, dist) pairs + dist bound terminates cycles,
         # min(dist) at the end is the BFS distance.

@@ -228,3 +228,123 @@ def bm25_anchor_scores(
             "score_micros": pa.array(micros),
         }
     )
+
+
+def reciprocal_host_pairs(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Host pairs linked in BOTH directions — the classic link-farm /
+    link-exchange spam signal.  Output (host_a, host_b, ab_links,
+    ba_links) with host_a < host_b, one row per reciprocal pair.
+
+    Shape: per-batch partial (src_host, dst_host) value-counts (the
+    exchange carries host-pair partials, never edges), ONE native
+    groupby Sum for directed counts, then ONE hash self-join matching
+    (a, b) against (b, a) — pair-table-sized, not edge-sized."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = host_of(batch["src_url"])
+        d = host_of(batch["dst_url"])
+        key = pc.binary_join_element_wise(s, d, "\x00")
+        vc = key.value_counts()
+        kv = pc.struct_field(vc, "values")
+        parts = pc.split_pattern(kv, "\x00")
+        return pa.table(
+            {
+                "s": pc.list_element(parts, 0),
+                "d": pc.list_element(parts, 1),
+                "n": pc.struct_field(vc, "counts").cast(pa.int64()),
+            }
+        )
+
+    directed = (
+        edges.map_batches(partial, batch_format="pyarrow")
+        .groupby(["s", "d"])
+        .aggregate(Sum("n", alias_name="n"))
+        .filter(expr="s != d")
+        .materialize()
+    )
+    n_pairs = directed.count()
+    jp = max(2, n_pairs // 500_000 + 1)
+    both = directed.join(
+        directed,
+        "inner",
+        jp,
+        on=("s", "d"),
+        right_on=("d", "s"),
+        left_suffix="",
+        right_suffix="_r",
+    )
+
+    def emit(batch: pa.Table) -> pa.Table:
+        s = batch["s"].combine_chunks() if isinstance(batch["s"], pa.ChunkedArray) else batch["s"]
+        d = batch["d"].combine_chunks() if isinstance(batch["d"], pa.ChunkedArray) else batch["d"]
+        keep = np.asarray(pc.less(s, d))
+        return pa.table(
+            {
+                "host_a": s.filter(pa.array(keep)),
+                "host_b": d.filter(pa.array(keep)),
+                "ab_links": pa.array(np.asarray(batch["n"], dtype=np.int64)[keep]),
+                "ba_links": pa.array(np.asarray(batch["n_r"], dtype=np.int64)[keep]),
+            }
+        )
+
+    return both.map_batches(emit, batch_format="pyarrow")
+
+
+def frontier_schedule(
+    edges: ray.data.Dataset,
+    per_host_rate: int = 2,
+) -> ray.data.Dataset:
+    """Politeness-scheduled crawl frontier: discovered targets ranked by
+    inbound-link count, at most ``per_host_rate`` fetches per host per
+    round.  fetch_round = (row_number within host, ordered by n_inlinks
+    DESC then url ASC, minus 1) // rate — the per-host FIFO every real
+    crawler runs, as ONE windowed pass (dataops.window_fns.row_number:
+    host-bucketed groupby, no global sort).  Output (url, host,
+    n_inlinks, fetch_round)."""
+    from .window_fns import row_number
+
+    if per_host_rate < 1:
+        raise ValueError("per_host_rate must be >= 1")
+    agg = anchor_agg(edges).select_columns(["dst_url", "n_inlinks"])
+
+    def add_host(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": batch["dst_url"],
+                "host": host_of(batch["dst_url"]),
+                "n_inlinks": batch["n_inlinks"].cast(pa.int64()),
+                # row_number orders ascending; negate for most-linked-first
+                "neg_inlinks": pc.negate(batch["n_inlinks"].cast(pa.int64())),
+            }
+        )
+
+    ranked = row_number(
+        agg.map_batches(add_host, batch_format="pyarrow"),
+        key="host",
+        order_cols=["neg_inlinks"],
+        id_col="url",
+        out_name="rn",
+    )
+    # row_number output is (id, key, rn); join inlink counts back on url
+    counts = agg.map_batches(
+        lambda b: pa.table(
+            {"url": b["dst_url"], "n_inlinks": b["n_inlinks"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    jp = max(2, counts.count() // 500_000 + 1)
+    joined = ranked.join(counts, "inner", jp, on=("url",), right_on=("url",))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        rn = np.asarray(batch["rn"], dtype=np.int64)
+        return pa.table(
+            {
+                "url": batch["url"],
+                "host": batch["host"],
+                "n_inlinks": batch["n_inlinks"].cast(pa.int64()),
+                "fetch_round": pa.array((rn - 1) // per_host_rate),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -152,10 +152,14 @@ def _windowed(
         string_key = pa.types.is_string(kcol.type) or pa.types.is_large_string(
             kcol.type
         )
+        icol = group[id_col]
+        string_id = pa.types.is_string(icol.type) or pa.types.is_large_string(
+            icol.type
+        )
         if group.num_rows == 0:  # keep schema on degenerate groups
             return pa.table(
                 {
-                    id_col: pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.string() if string_id else pa.int64()),
                     key: pa.array([], pa.string() if string_key else pa.int64()),
                     out_name: pa.array([], pa.int64()),
                 }
@@ -175,7 +179,11 @@ def _windowed(
             k = np.asarray(pc.fill_null(denc.indices, -1), dtype=np.int64)
         else:
             k = np.asarray(kcol, dtype=np.int64)
-        ids = np.asarray(group[id_col], dtype=np.int64)
+        # string ids (e.g. urls): numpy lexsorts unicode arrays with plain
+        # lexicographic comparison — same order as the SQL ORDER BY
+        ids = np.asarray(group[id_col]) if string_id else np.asarray(
+            group[id_col], dtype=np.int64
+        )
         orders = [np.asarray(group[c]) for c in order_cols]
         # lexsort: LAST key is primary -> (key, order_cols..., id) asc
         perm = np.lexsort((ids, *reversed(orders), k))
@@ -183,13 +191,22 @@ def _windowed(
         boundary = np.empty(len(ks), dtype=bool)
         boundary[0] = True
         np.not_equal(ks[1:], ks[:-1], out=boundary[1:])
-        v = np.asarray(group[value_col], dtype=np.int64)[perm]
+        vcol = group[value_col]
+        if pa.types.is_string(vcol.type) or pa.types.is_large_string(vcol.type):
+            # only position-based kernels (row_number / tile) route a
+            # string column here, and they ignore the values
+            v = np.zeros(group.num_rows, dtype=np.int64)
+        else:
+            v = np.asarray(vcol, dtype=np.int64)[perm]
         key_out = (
             kcol.take(pa.array(perm)) if string_key else pa.array(ks)
         )
+        id_out = (
+            icol.take(pa.array(perm)) if string_id else pa.array(ids[perm])
+        )
         return pa.table(
             {
-                id_col: pa.array(ids[perm]),
+                id_col: id_out,
                 key: key_out,
                 out_name: pa.array(kernel(v, boundary, fill)),
             }

@@ -194,3 +194,67 @@ def test_bm25_anchor_scores_brute_force(ray_session):
     assert list(got["dst_url"]) == [u for u, _ in exp]
     exp_micros = [int(np.floor(s * 1_000_000 + 0.5)) for _, s in exp]
     assert list(got["score_micros"]) == exp_micros
+
+
+def test_reciprocal_host_pairs_and_frontier_schedule(ray_session):
+    import ray.data
+
+    from search_engine_ray.dataops.weblinks import (
+        frontier_schedule,
+        reciprocal_host_pairs,
+    )
+
+    def u(h, p):
+        return f"https://{h}.example/{p}"
+
+    rows = [
+        (u("a", "1"), u("b", "2")),
+        (u("a", "3"), u("b", "9")),
+        (u("b", "1"), u("a", "2")),  # a<->b reciprocal: 2 links vs 1
+        (u("a", "1"), u("c", "2")),  # a->c only
+        (u("c", "5"), u("d", "1")),
+        (u("d", "2"), u("c", "7")),  # c<->d reciprocal: 1 vs 1
+        (u("e", "1"), u("e", "2")),  # intra-host, excluded
+    ]
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src_url": pa.array([r[0] for r in rows]),
+                "dst_url": pa.array([r[1] for r in rows]),
+                "anchor": pa.array(["x"] * len(rows)),
+            }
+        )
+    )
+    rec = (
+        reciprocal_host_pairs(edges)
+        .to_pandas()
+        .sort_values(["host_a", "host_b"], ignore_index=True)
+    )
+    assert rec.to_dict("list") == {
+        "host_a": ["a.example", "c.example"],
+        "host_b": ["b.example", "d.example"],
+        "ab_links": [2, 1],
+        "ba_links": [1, 1],
+    }
+    # partition invariance
+    rec2 = (
+        reciprocal_host_pairs(edges.repartition(4))
+        .to_pandas()
+        .sort_values(["host_a", "host_b"], ignore_index=True)
+    )
+    assert rec2.equals(rec)
+
+    sch = (
+        frontier_schedule(edges, per_host_rate=1)
+        .to_pandas()
+        .sort_values(["host", "fetch_round", "url"], ignore_index=True)
+    )
+    by_url = dict(zip(sch["url"], sch["fetch_round"]))
+    # b.example/2 has 2 inlinks -> fetched before b.example/9
+    assert by_url[u("b", "2")] == 0 and by_url[u("b", "9")] == 1
+    # rate 2: both b urls land in round 0
+    sch2 = frontier_schedule(edges, per_host_rate=2).to_pandas()
+    by2 = dict(zip(sch2["url"], sch2["fetch_round"]))
+    assert by2[u("b", "2")] == 0 and by2[u("b", "9")] == 0
+    with pytest.raises(ValueError):
+        frontier_schedule(edges, per_host_rate=0)
