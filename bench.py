@@ -339,6 +339,29 @@ def run_benchmarks() -> dict:
         build_champion_lists(index_dir, out, m=64)
         return len(champion_topk(out, _doc_reader, _QKWS, k=10)[0])
 
+    # host graph (int node ids) derived once; the graph ops measure the
+    # iterations/waves, link_edges_extract measures the extraction itself
+    from search_engine_ray.dataops.dedup import (
+        ngram_containment_pairs,
+        simhash_hamming_pairs,
+    )
+    from search_engine_ray.dataops.graph import bfs_khop, hits, pagerank
+
+    def _host_ids(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc2
+
+        out = {}
+        for col, name in (("src_url", "src"), ("dst_url", "dst")):
+            h = _weblinks.host_of(batch[col])
+            m = pc2.extract_regex(h, pattern=r"^site(?P<num>[0-9]+)\.example$")
+            out[name] = pc2.struct_field(m, "num").cast(pa.int64())
+        return pa.table(out)
+
+    host_edges = _link_edges_ds().map_batches(
+        _host_ids, batch_format="pyarrow"
+    ).materialize()
+
     ops: list[tuple[str, object]] = [
         ("dedup_exact", lambda: exact_dedup(docs_ds).count()),
         ("dedup_minhash_lsh", lambda: minhash_lsh_pairs(docs_ds, threshold=0.8).count()),
@@ -396,6 +419,18 @@ def run_benchmarks() -> dict:
         ("bm25_anchor", lambda: _weblinks.bm25_anchor_scores(
             _link_edges_ds(), [("spark", 1), ("window", 1), ("merge", 1)],
             pos_opt).num_rows),
+        ("host_pagerank_3it", lambda: pagerank(
+            host_edges, n_nodes=997, n_iter=3).count()),
+        ("host_hits_2it", lambda: hits(host_edges, n_iter=2).count()),
+        ("host_bfs_3hop", lambda: bfs_khop(host_edges, [0, 1, 2], 3).count()),
+        ("simhash_near_pairs", lambda: simhash_hamming_pairs(
+            docs_ds, max_dist=3).count()),
+        ("ngram_containment", lambda: ngram_containment_pairs(
+            docs_ds, n=3, threshold=0.3).count()),
+        ("frontier_schedule", lambda: _weblinks.frontier_schedule(
+            _link_edges_ds(), per_host_rate=2).count()),
+        ("reciprocal_hosts", lambda: _weblinks.reciprocal_host_pairs(
+            _link_edges_ds()).count()),
     ]
     n_rounds = int(os.environ.get("SE_RAY_BENCH_OP_ROUNDS", "2"))
     samples: dict[str, list[float]] = {name: [] for name, _ in ops}

@@ -30,6 +30,14 @@ from .dedup import _join_parts
 _M = 1_000_000
 
 
+# node tables at or under this row count ride the broadcast fast path
+# (ray.put the node-aligned vectors once per iteration; edges stream
+# through ONE partial-aggregated groupby instead of hash joins).  Above
+# it — the 10^8-host web graph — the join path keeps all state in the
+# object store as Datasets.
+BROADCAST_NODES_MAX = 2_000_000
+
+
 def pagerank(
     edges: ray.data.Dataset,
     n_nodes: int,
@@ -38,12 +46,22 @@ def pagerank(
     src_column: str = "src",
     dst_column: str = "dst",
     join_partitions: int = 8,
+    broadcast_nodes_max: int = BROADCAST_NODES_MAX,
 ) -> ray.data.Dataset:
     """(node, rank_micros) after ``n_iter`` exact-integer power
     iterations over a directed edge list.  ``n_nodes`` is the node-space
     size (ranks initialise to ``10^6 // n_nodes`` micros; nodes that
     never appear as a dst hold the base mass).  Returns a streaming
-    node-sized Dataset."""
+    node-sized Dataset.
+
+    Two execution paths with IDENTICAL integer results (tested equal):
+    when ``n_nodes <= broadcast_nodes_max`` the node-aligned rank/outdeg
+    vectors are broadcast (``ray.put`` once per iteration, read
+    zero-copy in every map task) and each iteration is ONE streaming
+    pass over the edges with per-batch partial aggregation into a small
+    groupby — no hash joins, no per-join actor-pool startup.  Larger
+    graphs use edge-sized hash joins so no node-scale state ever lands
+    on the driver."""
     from ray.data.aggregate import Count, Sum
 
     if not 0 <= damping_pct <= 100:
@@ -58,6 +76,12 @@ def pagerank(
         s = np.asarray(batch[src_column], dtype=np.int64)
         d = np.asarray(batch[dst_column], dtype=np.int64)
         return pa.table({"node": pa.array(np.unique(np.concatenate([s, d])))})
+
+    if n_nodes <= broadcast_nodes_max:
+        return _pagerank_broadcast(
+            edges, n_iter, damping_pct, base, r0, src_column, dst_column,
+            distinct_nodes,
+        )
 
     nodes = (
         edges.map_batches(distinct_nodes, batch_format="pyarrow")
@@ -139,12 +163,95 @@ def pagerank(
     return ranks
 
 
+def _collect_node_sums(
+    edges: ray.data.Dataset,
+    key_column: str,
+    weight_of,  # (batch) -> np.int64 per-edge weights, or None to count
+) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted nodes, summed weights) of a per-edge integer weight grouped
+    by ``key_column`` — ONE streaming pass with per-batch partial
+    aggregation (np.unique + bincount) feeding ONE small native groupby.
+    The return is node-sized; callers guard with the broadcast cap."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch[key_column], dtype=np.int64)
+        if len(k) == 0:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "w": pa.array([], pa.int64())}
+            )
+        w = weight_of(batch) if weight_of is not None else np.ones(len(k), np.int64)
+        uniq, inv = np.unique(k, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, w)
+        return pa.table({"node": pa.array(uniq), "w": pa.array(sums)})
+
+    out = (
+        edges.map_batches(partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("w", alias_name="w"))
+        .to_pandas()
+    )
+    nodes = out["node"].to_numpy(np.int64)
+    order = np.argsort(nodes, kind="stable")
+    return nodes[order], out["w"].to_numpy(np.int64)[order]
+
+
+def _pagerank_broadcast(
+    edges: ray.data.Dataset,
+    n_iter: int,
+    damping_pct: int,
+    base: int,
+    r0: int,
+    src_column: str,
+    dst_column: str,
+    distinct_nodes,
+) -> ray.data.Dataset:
+    """Broadcast-path PageRank: node-aligned vectors live on the driver
+    (size-capped by the caller), each iteration is one edge pass.  The
+    per-edge contribution ``(d*r) // (100*outdeg)`` depends only on src,
+    so it folds to a per-NODE constant broadcast as one array."""
+    from ray.data.aggregate import Count
+
+    nodes_df = (
+        edges.map_batches(distinct_nodes, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="_n"))
+        .to_pandas()
+    )
+    nodes = np.sort(nodes_df["node"].to_numpy(np.int64))
+    odeg_nodes, odeg = _collect_node_sums(edges, src_column, None)
+    outdeg = np.zeros(len(nodes), dtype=np.int64)
+    outdeg[np.searchsorted(nodes, odeg_nodes)] = odeg
+
+    ranks = np.full(len(nodes), r0, dtype=np.int64)
+    for _ in range(n_iter):
+        contrib = np.zeros(len(nodes), dtype=np.int64)
+        live = outdeg > 0
+        contrib[live] = (damping_pct * ranks[live]) // (100 * outdeg[live])
+        ref = ray.put((nodes, contrib))
+
+        def edge_weight(batch: pa.Table, _ref=ref) -> np.ndarray:
+            nds, c = ray.get(_ref)
+            s = np.asarray(batch[src_column], dtype=np.int64)
+            return c[np.searchsorted(nds, s)]
+
+        in_nodes, in_sums = _collect_node_sums(edges, dst_column, edge_weight)
+        ranks = np.full(len(nodes), base, dtype=np.int64)
+        ranks[np.searchsorted(nodes, in_nodes)] += in_sums
+
+    return ray.data.from_arrow(
+        pa.table({"node": pa.array(nodes), "rank_micros": pa.array(ranks)})
+    )
+
+
 def hits(
     edges: ray.data.Dataset,
     n_iter: int = 2,
     src_column: str = "src",
     dst_column: str = "dst",
     join_partitions: int = 8,
+    broadcast_nodes_max: int = BROADCAST_NODES_MAX,
 ) -> ray.data.Dataset:
     """Integer-exact HITS (Kleinberg hubs & authorities) over a directed
     edge list: per iteration, authority(v) = sum of hub over in-edges,
@@ -178,6 +285,8 @@ def hits(
         .select_columns(["node"])
         .materialize()
     )
+    if nodes.count() <= broadcast_nodes_max:
+        return _hits_broadcast(edges, nodes, n_iter, src_column, dst_column)
     e2 = edges.select_columns([src_column, dst_column]).materialize()
 
     def init_scores(batch: pa.Table) -> pa.Table:
@@ -255,6 +364,108 @@ def hits(
     )
 
 
+def _bfs_broadcast(
+    edges: ray.data.Dataset,
+    seed_nodes: np.ndarray,
+    max_hops: int,
+    src_column: str,
+    dst_column: str,
+) -> ray.data.Dataset:
+    """Broadcast-path BFS: the frontier/visited sets live on the driver
+    as sorted arrays (size-capped by the caller); each wave is one edge
+    pass filtering src against the broadcast frontier, with per-batch
+    unique + ONE small groupby dedup of the candidate wave — no joins."""
+    from ray.data.aggregate import Count
+
+    visited = seed_nodes.copy()
+    dists = np.zeros(len(seed_nodes), dtype=np.int64)
+    frontier = seed_nodes.copy()
+    for hop in range(1, max_hops + 1):
+        ref = ray.put(frontier)
+
+        def wave(batch: pa.Table, _ref=ref) -> pa.Table:
+            f = ray.get(_ref)
+            s = np.asarray(batch[src_column], dtype=np.int64)
+            d = np.asarray(batch[dst_column], dtype=np.int64)
+            pos = np.searchsorted(f, s)
+            pos[pos >= len(f)] = 0
+            hit = f[pos] == s if len(f) else np.zeros(len(s), bool)
+            return pa.table({"node": pa.array(np.unique(d[hit]))})
+
+        cand_df = (
+            edges.map_batches(wave, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Count(alias_name="_n"))
+            .to_pandas()
+        )
+        # an all-empty wave can come back as a zero-column frame
+        if "node" not in cand_df.columns:
+            break
+        cand = cand_df["node"].to_numpy(np.int64)
+        fresh = np.setdiff1d(cand, visited, assume_unique=False)
+        if len(fresh) == 0:
+            break
+        visited = np.concatenate([visited, fresh])
+        dists = np.concatenate([dists, np.full(len(fresh), hop, dtype=np.int64)])
+        frontier = np.sort(fresh)
+        order = np.argsort(visited, kind="stable")
+        visited, dists = visited[order], dists[order]
+
+    return ray.data.from_arrow(
+        pa.table({"node": pa.array(visited), "dist": pa.array(dists)})
+    )
+
+
+def _hits_broadcast(
+    edges: ray.data.Dataset,
+    nodes_ds: ray.data.Dataset,
+    n_iter: int,
+    src_column: str,
+    dst_column: str,
+) -> ray.data.Dataset:
+    """Broadcast-path HITS: hub/auth vectors node-aligned on the driver
+    (size-capped by the caller); each half-iteration is one edge pass
+    with per-batch partial aggregation — same integer results as the
+    join path (tested equal)."""
+    nodes = np.sort(nodes_ds.to_pandas()["node"].to_numpy(np.int64))
+
+    def _score_pass(key_col: str, lookup_col: str, vec: np.ndarray) -> np.ndarray:
+        ref = ray.put((nodes, vec))
+
+        def weight(batch: pa.Table, _ref=ref) -> np.ndarray:
+            nds, v = ray.get(_ref)
+            k = np.asarray(batch[lookup_col], dtype=np.int64)
+            return v[np.searchsorted(nds, k)]
+
+        out_nodes, sums = _collect_node_sums(edges, key_col, weight)
+        raw = np.zeros(len(nodes), dtype=np.int64)
+        raw[np.searchsorted(nodes, out_nodes)] = sums
+        peak = int(raw.max()) if len(raw) else 0
+        if peak <= 0:
+            return np.zeros(len(nodes), dtype=np.int64)
+        if peak > (2**63 - 1) // _M:
+            return np.fromiter(
+                (int(x) * _M // peak for x in raw), dtype=np.int64, count=len(raw)
+            )
+        return (raw * _M) // peak
+
+    hub = np.full(len(nodes), _M, dtype=np.int64)
+    auth = np.zeros(len(nodes), dtype=np.int64)
+    for _ in range(n_iter):
+        auth = _score_pass(dst_column, src_column, hub)
+        hub = _score_pass(src_column, dst_column, auth)
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes),
+                "hub_micros": pa.array(hub),
+                "auth_micros": pa.array(auth),
+            }
+        )
+    )
+
+
 def _nonempty_blocks(ds: ray.data.Dataset) -> ray.data.Dataset | None:
     """Workaround for a Ray Data 2.49 wart: the hash-shuffle join operator
     emits ZERO-COLUMN empty blocks for empty output partitions, and empty
@@ -281,6 +492,7 @@ def bfs_khop(
     src_column: str = "src",
     dst_column: str = "dst",
     join_partitions: int = 8,
+    broadcast_nodes_max: int = BROADCAST_NODES_MAX,
 ) -> ray.data.Dataset:
     """(node, dist) for every node reachable from ``seeds`` within
     ``max_hops`` directed hops, ``dist`` = MINIMUM hop count — the
@@ -309,6 +521,34 @@ def bfs_khop(
     seed_nodes = np.unique(np.asarray(sorted(set(int(s) for s in seeds)), dtype=np.int64))
     if len(seed_nodes) == 0:
         raise ValueError("seeds must be non-empty")
+    from ray.data.aggregate import Count as _Count
+
+    n_nodes = (
+        edges.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": pa.array(
+                        np.unique(
+                            np.concatenate(
+                                [
+                                    np.asarray(b[src_column], dtype=np.int64),
+                                    np.asarray(b[dst_column], dtype=np.int64),
+                                ]
+                            )
+                        )
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(_Count(alias_name="_n"))
+        .count()
+    )
+    if n_nodes <= broadcast_nodes_max:
+        return _bfs_broadcast(
+            edges, seed_nodes, max_hops, src_column, dst_column
+        )
     visited = ray.data.from_arrow(
         pa.table(
             {

@@ -302,49 +302,55 @@ def frontier_schedule(
     crawler runs, as ONE windowed pass (dataops.window_fns.row_number:
     host-bucketed groupby, no global sort).  Output (url, host,
     n_inlinks, fetch_round)."""
-    from .window_fns import row_number
+    import pandas as pd
+
+    from .window_fns import _bucket_of_strings
 
     if per_host_rate < 1:
         raise ValueError("per_host_rate must be >= 1")
     agg = anchor_agg(edges).select_columns(["dst_url", "n_inlinks"])
+    n_buckets = 256
 
     def add_host(batch: pa.Table) -> pa.Table:
+        host = host_of(batch["dst_url"])
         return pa.table(
             {
                 "url": batch["dst_url"],
-                "host": host_of(batch["dst_url"]),
+                "host": host,
                 "n_inlinks": batch["n_inlinks"].cast(pa.int64()),
-                # row_number orders ascending; negate for most-linked-first
-                "neg_inlinks": pc.negate(batch["n_inlinks"].cast(pa.int64())),
+                "_bucket": pa.array(
+                    _bucket_of_strings(host, n_buckets).astype(np.int64)
+                ),
             }
         )
 
-    ranked = row_number(
-        agg.map_batches(add_host, batch_format="pyarrow"),
-        key="host",
-        order_cols=["neg_inlinks"],
-        id_col="url",
-        out_name="rn",
-    )
-    # row_number output is (id, key, rn); join inlink counts back on url
-    counts = agg.map_batches(
-        lambda b: pa.table(
-            {"url": b["dst_url"], "n_inlinks": b["n_inlinks"].cast(pa.int64())}
-        ),
-        batch_format="pyarrow",
-    ).materialize()
-    jp = max(2, counts.count() // 500_000 + 1)
-    joined = ranked.join(counts, "inner", jp, on=("url",), right_on=("url",))
-
-    def finish(batch: pa.Table) -> pa.Table:
-        rn = np.asarray(batch["rn"], dtype=np.int64)
-        return pa.table(
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "url": pd.Series([], dtype=object),
+                    "host": pd.Series([], dtype=object),
+                    "n_inlinks": pd.Series([], dtype=np.int64),
+                    "fetch_round": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = g.sort_values(
+            ["host", "n_inlinks", "url"],
+            ascending=[True, False, True],
+            ignore_index=True,
+        )
+        rn = g.groupby("host", sort=False).cumcount().to_numpy(np.int64)
+        return pd.DataFrame(
             {
-                "url": batch["url"],
-                "host": batch["host"],
-                "n_inlinks": batch["n_inlinks"].cast(pa.int64()),
-                "fetch_round": pa.array((rn - 1) // per_host_rate),
+                "url": g["url"],
+                "host": g["host"],
+                "n_inlinks": g["n_inlinks"].to_numpy(np.int64),
+                "fetch_round": rn // per_host_rate,
             }
         )
 
-    return joined.map_batches(finish, batch_format="pyarrow")
+    return (
+        agg.map_batches(add_host, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

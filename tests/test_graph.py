@@ -200,3 +200,29 @@ def test_hits_partition_invariant_and_validates(edges_ds, ray_session):
     assert rep.equals(base)
     with pytest.raises(ValueError):
         hits(edges_ds, n_iter=0)
+
+
+def test_broadcast_and_join_paths_identical(edges_ds, ray_session):
+    """The broadcast fast path and the join path must produce identical
+    integer results — same floored arithmetic, different dataflow."""
+    from search_engine_ray.dataops.graph import bfs_khop, hits, pagerank
+
+    pr_b = pagerank(edges_ds, n_nodes=N_NODES, n_iter=3).to_pandas()
+    pr_j = pagerank(
+        edges_ds, n_nodes=N_NODES, n_iter=3, broadcast_nodes_max=0
+    ).to_pandas()
+    assert pr_b.sort_values("node", ignore_index=True).equals(
+        pr_j.sort_values("node", ignore_index=True)
+    )
+
+    h_b = hits(edges_ds, n_iter=2).to_pandas()
+    h_j = hits(edges_ds, n_iter=2, broadcast_nodes_max=0).to_pandas()
+    assert h_b.sort_values("node", ignore_index=True).equals(
+        h_j.sort_values("node", ignore_index=True)
+    )
+
+    b_b = bfs_khop(edges_ds, [0], 3).to_pandas()
+    b_j = bfs_khop(edges_ds, [0], 3, broadcast_nodes_max=0).to_pandas()
+    assert b_b.sort_values("node", ignore_index=True).equals(
+        b_j.sort_values("node", ignore_index=True)
+    )
