@@ -4300,6 +4300,88 @@ def q_bm25_upsert_top10(sf_dir: str) -> pa.Table:
     )
 
 
+def q_bm25_refreshed_top10(sf_dir: str) -> pa.Table:
+    """Crawl-refresh gate (engine/maintenance.py:refresh_index): a capture
+    batch holding (a) two captures of doc 11 — a stale one and a newer
+    CHANGED one, (b) an UNCHANGED recrawl of doc 13, (c) brand-new doc
+    <n>.  The pipeline keeps only the newest capture per name, skips the
+    no-op recrawl (the index must stay at n+2 versions, NOT n+3 — the
+    oracle's collection stats pin that), and upserts the rest.  Ranking
+    sees the refreshed corpus."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.config import BuildConfig
+    from search_engine_ray.engine.build import build_index
+    from search_engine_ray.engine.index_reader import IndexReader
+    from search_engine_ray.engine.maintenance import refresh_index
+    from search_engine_ray.pipelines import _CACHE_ROOT, bm25_scores_f64
+
+    src_pq = os.path.join(sf_dir, "documents.parquet")
+    n_docs = _docs_nrows(sf_dir)
+    key = hashlib.md5(
+        f"refresh|{os.path.abspath(src_pq)}|{os.path.getmtime(src_pq)}|{OPT_NOSTEM.to_dict()}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(_CACHE_ROOT, f"docidx-refresh-{key}")
+    idx = os.path.join(root, "index")
+
+    def _build() -> None:
+        shutil.rmtree(root, ignore_errors=True)
+        corpus = os.path.join(root, "corpus")
+        os.makedirs(corpus)
+        shutil.copyfile(src_pq, os.path.join(corpus, "a-documents.parquet"))
+        cfg = BuildConfig(options=OPT_NOSTEM)
+        build_index(
+            corpus, idx, cfg, overwrite=True,
+            source_column="text", name_column="doc_id",
+        )
+        doc13_text = pq.read_table(src_pq, columns=["doc_id", "text"])
+        t13 = doc13_text["text"][
+            doc13_text["doc_id"].to_pylist().index(13)
+        ].as_py()
+        caps = os.path.join(root, "captures.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([11, 11, 13, n_docs + 1], pa.int64()),
+                    "text": pa.array(
+                        [
+                            "stale stale stale capture",
+                            REFRESH_TEXT_CHANGED,
+                            t13,
+                            REFRESH_TEXT_NEW,
+                        ]
+                    ),
+                    "warc_ts": pa.array([100, 200, 300, 50], pa.int64()),
+                }
+            ),
+            caps,
+        )
+        stats = refresh_index(
+            idx, corpus, caps, config=cfg,
+            source_column="text", name_column="doc_id", ts_column="warc_ts",
+        )
+        assert stats["n_unchanged"] == 1 and stats["n_upserts"] == 2, stats
+        assert stats["n_docs"] == n_docs + 2, stats
+
+    _build_once(root, ".refresh-complete", _build)
+    r = IndexReader(idx)
+    mask = r.deleted_mask()
+    assert mask is not None and int(mask.sum()) == 1, "exactly one dead version"
+    ids, scores = bm25_scores_f64(r, BM25_QUERY)
+    keep = ~mask[ids]
+    ids, scores = ids[keep][:10], scores[keep][:10]
+    doc_ids = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids), "score_micros": pa.array(_micros(scores))}
+    )
+
+
+REFRESH_TEXT_CHANGED = "spark join spark table refresh"
+REFRESH_TEXT_NEW = "spark hash join window"
+
+
 def q_bm25plus_top10(sf_dir: str) -> pa.Table:
     """BM25+ retrieval (Lv & Zhai lower-bounded tf normalization, the
     5th scorer) — like lmd, driven through the public scorer registry
@@ -5182,6 +5264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- index maintenance suite ---
         "bm25_deleted_top10": q_bm25_deleted_top10,
         "bm25_upsert_top10": q_bm25_upsert_top10,
+        "bm25_refreshed_top10": q_bm25_refreshed_top10,
         "bm25_compacted_top10": q_bm25_compacted_top10,
         "bm25_merged_top10": q_bm25_merged_top10,
         "bm25_pruned_top10": q_bm25_pruned_top10,
@@ -6205,6 +6288,41 @@ def oracle_sql() -> dict[str, str]:
             ),
             ranked AS (SELECT doc_id, score,
                               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM sc)
+            SELECT doc_id, {micros.format(expr="score")} AS score_micros
+            FROM ranked WHERE r <= 10
+        """,
+        "bm25_refreshed_top10": f"""
+            WITH allver AS (
+              SELECT doc_id, text, 0 AS v FROM documents
+              UNION ALL SELECT CAST(11 AS BIGINT), 'spark join spark table refresh', 1
+              UNION ALL SELECT (SELECT count(*) FROM documents) + 1, 'spark hash join window', 1
+            ),
+            toks AS (
+              SELECT doc_id, v, t
+              FROM allver,
+                   UNNEST(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\\x00-\\x2f:;=?]')) AS u(t)
+              WHERE t <> '' AND substr(t, 1, 1) <> '<' AND substr(t, -1, 1) <> '>'
+                AND t NOT IN ({_STOP_LIST})
+            ),
+            dl AS (SELECT doc_id, v, count(*) AS dl FROM toks GROUP BY doc_id, v),
+            st AS (SELECT (SELECT count(*) FROM allver) AS n,
+                          (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM allver) AS avgdl),
+            tf AS (SELECT doc_id, v, t AS term, count(*) AS tf FROM toks
+                   WHERE t IN ('spark','hash','join') GROUP BY doc_id, v, t),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            sc AS (
+              SELECT tf.doc_id, tf.v,
+                     SUM( ln((st.n - df.df + 0.5) / (df.df + 0.5))
+                          * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) ) AS score
+              FROM tf JOIN df USING (term)
+              JOIN dl ON dl.doc_id = tf.doc_id AND dl.v = tf.v
+              CROSS JOIN st
+              GROUP BY tf.doc_id, tf.v
+            ),
+            live AS (SELECT doc_id, score FROM sc
+                     WHERE NOT (doc_id = 11 AND v = 0)),
+            ranked AS (SELECT doc_id, score,
+                              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM live)
             SELECT doc_id, {micros.format(expr="score")} AS score_micros
             FROM ranked WHERE r <= 10
         """,

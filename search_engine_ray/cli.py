@@ -295,6 +295,27 @@ def cmd_upsert(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_refresh(args: argparse.Namespace) -> int:
+    """Crawl refresh: newest capture per name -> unchanged-content skip ->
+    upsert of the changed + new remainder (maintenance.refresh_index)."""
+    import ray
+
+    from .engine.maintenance import refresh_index
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=args.num_cpus,
+            include_dashboard=False, logging_level="ERROR",
+        )
+    stats = refresh_index(
+        args.index_dir, args.corpus_dir, args.captures_file,
+        source_column=args.source_column, name_column=args.name_column,
+        ts_column=args.ts_column,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_query(args: argparse.Namespace) -> int:
     """Ad-hoc single query: normalize the words like the query path,
     score with any registered scorer (bm25 / tfidf / bm25adpt / lmd / lmjm) or
@@ -702,6 +723,18 @@ def main(argv: list[str] | None = None) -> int:
     pu_.add_argument("--name-column", default="url")
     pu_.add_argument("--num-cpus", type=int, default=8)
     pu_.set_defaults(fn=cmd_upsert)
+
+    pr_ = sub.add_parser(
+        "refresh", help="crawl refresh: latest-capture pick + unchanged skip + upsert"
+    )
+    pr_.add_argument("index_dir")
+    pr_.add_argument("corpus_dir")
+    pr_.add_argument("captures_file")
+    pr_.add_argument("--source-column", default="html")
+    pr_.add_argument("--name-column", default="url")
+    pr_.add_argument("--ts-column", default="warc_ts")
+    pr_.add_argument("--num-cpus", type=int, default=8)
+    pr_.set_defaults(fn=cmd_refresh)
 
     pp_ = sub.add_parser("prune", help="drop high-df terms (stopword promotion)")
     pp_.add_argument("index_dir")

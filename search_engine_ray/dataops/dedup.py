@@ -273,9 +273,16 @@ def latest_per_key_apply(
     """The surviving corpus after :func:`latest_per_key`: full rows of the
     newest capture per key, via one ``left_semi`` join on the id (the
     exact_dedup_apply shape — payload moves once, in the final join)."""
+    from ..ioutil import nonempty_blocks
+
     keep = latest_per_key(
         ds, key_column, ts_column, id_column, join_partitions
     ).select_columns([f"keep_{id_column}"])
+    # the keep set comes OUT of a hash join: sanitize its schema-less
+    # empty partitions before they feed the semi join (Ray 2.49 wart)
+    keep = nonempty_blocks(keep.materialize())
+    if keep is None:
+        return ds.limit(0)
     return ds.join(
         keep, "left_semi", _join_parts(join_partitions), on=(id_column,),
         right_on=(f"keep_{id_column}",),

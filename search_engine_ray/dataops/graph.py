@@ -25,6 +25,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..ioutil import nonempty_blocks as _nonempty_blocks
 from .dedup import _join_parts
 
 _M = 1_000_000
@@ -464,25 +465,6 @@ def _hits_broadcast(
             }
         )
     )
-
-
-def _nonempty_blocks(ds: ray.data.Dataset) -> ray.data.Dataset | None:
-    """Workaround for a Ray Data 2.49 wart: the hash-shuffle join operator
-    emits ZERO-COLUMN empty blocks for empty output partitions, and empty
-    blocks pass through later map stages without the UDF running — so a
-    downstream join/shuffle sees a schema-less block and Acero fails with
-    "No match ... for key field reference" at finalize.  Rebuild the
-    (already materialized) dataset from its non-empty block refs — a
-    metadata-only operation, the blocks never leave the object store.
-    Returns None when every block is empty (the caller's loop exit)."""
-    refs = []
-    for rb in ds.iter_internal_ref_bundles():
-        for br, meta in zip(rb.block_refs, rb.metadata):
-            if meta.num_rows:
-                refs.append(br)
-    if not refs:
-        return None
-    return ray.data.from_arrow_refs(refs)
 
 
 def bfs_khop(

@@ -944,3 +944,134 @@ def upsert_docs(
     )
     stats = dict(stats, n_replaced=len(replaced))
     return stats
+
+
+def refresh_index(
+    index_dir: str,
+    corpus_dir: str,
+    captures_file: str,
+    config=None,
+    source_column: str = "html",
+    name_column: str = "url",
+    ts_column: str = "warc_ts",
+) -> dict:
+    """Incremental crawl-to-index refresh — the composed maintenance verb
+    a recrawl needs, built from three existing primitives:
+
+    1. **newest capture per name** (dataops.dedup.latest_per_key_apply):
+       a crawl batch holds many captures of one url; only the max-ts one
+       can enter the index (ties broken by the md5 of the source bytes —
+       deterministic under any partitioning);
+    2. **unchanged-content skip**: captures whose source bytes equal the
+       currently indexed version (md5 compare against a column-pruned
+       streaming scan of the existing corpus, filtered to the captured
+       names only) are dropped — no-op recrawls must not grow the index
+       or kill the live version;
+    3. **upsert_docs** for the changed + brand-new remainder (old
+       versions tombstoned at the docID watermark, resumable append,
+       merge re-run).
+
+    The captures stages run as Dataset ops (a refresh batch can be a
+    whole crawl segment); only the post-filter update table — by
+    definition index-update-sized — lands on the driver, the same
+    materialization contract upsert_docs already has.  Returns the build
+    stats plus n_captures / n_latest / n_unchanged / n_upserts."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from ..dataops.dedup import latest_per_key_apply
+    from ..ioutil import read_parquet_clean
+
+    caps = read_parquet_clean(captures_file)
+    n_captures = caps.count()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_column]
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        src = batch[source_column]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        def _bytes(v):
+            return v if isinstance(v, bytes) else str(v).encode()
+        caphash = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(_bytes(v)).digest()[:8], "big", signed=True)
+                for v in src.to_pylist()
+            ),
+            dtype=np.int64,
+            count=len(src),
+        )
+        return pa.table(
+            {
+                name_column: batch[name_column],
+                "_ts": ts.cast(pa.int64()),
+                "_cap_id": pa.array(caphash),
+                source_column: src,
+            }
+        )
+
+    prepped = caps.map_batches(prep, batch_format="pyarrow")
+    latest = latest_per_key_apply(
+        prepped, name_column, "_ts", id_column="_cap_id"
+    )
+    upd = pa.concat_tables(
+        pa.table(b)
+        for b in latest.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    n_latest = upd.num_rows
+
+    # old-content hashes for the captured names only (column-pruned scan)
+    names = [str(n) for n in upd[name_column].to_pylist()]
+    old_hash: dict[str, int] = {}
+    corpus = pads.dataset(corpus_dir, format="parquet")
+    if names:
+        tbl = corpus.to_table(
+            columns=[name_column, source_column],
+            filter=pads.field(name_column).isin(
+                upd[name_column].to_pylist()
+            ),
+        )
+        for nm, v in zip(tbl[name_column].to_pylist(), tbl[source_column].to_pylist()):
+            b = v if isinstance(v, bytes) else str(v).encode()
+            old_hash[str(nm)] = int.from_bytes(
+                hashlib.md5(b).digest()[:8], "big", signed=True
+            )
+
+    keep_mask = [
+        old_hash.get(str(nm)) != int(ch)
+        for nm, ch in zip(upd[name_column].to_pylist(), upd["_cap_id"].to_pylist())
+    ]
+    changed = upd.filter(pa.array(keep_mask)).drop_columns(["_ts", "_cap_id"])
+    n_unchanged = n_latest - changed.num_rows
+
+    if changed.num_rows == 0:
+        import json
+
+        with open(os.path.join(index_dir, "stats.json")) as fh:
+            stats = json.load(fh)
+        return dict(
+            stats,
+            n_captures=n_captures,
+            n_latest=n_latest,
+            n_unchanged=n_unchanged,
+            n_upserts=0,
+            n_replaced=0,
+        )
+
+    upd_path = os.path.join(corpus_dir, "..", "refresh-update.parquet")
+    upd_path = os.path.abspath(upd_path)
+    pq.write_table(changed, upd_path)
+    stats = upsert_docs(
+        index_dir, corpus_dir, upd_path, config=config,
+        source_column=source_column, name_column=name_column,
+    )
+    return dict(
+        stats,
+        n_captures=n_captures,
+        n_latest=n_latest,
+        n_unchanged=n_unchanged,
+        n_upserts=changed.num_rows,
+    )

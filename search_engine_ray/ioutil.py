@@ -57,3 +57,23 @@ def read_parquet_clean(
     if columns is not None:
         kwargs["columns"] = columns
     return ray.data.read_parquet(paths, **kwargs)
+
+
+def nonempty_blocks(ds: ray.data.Dataset) -> ray.data.Dataset | None:
+    """Workaround for a Ray Data 2.49 wart: hash-shuffle join operators
+    emit ZERO-COLUMN empty blocks for empty output partitions, and empty
+    blocks pass through later map stages without the UDF running — so a
+    downstream join/shuffle sees a schema-less block and Acero fails
+    with "No match ... for key field reference" at finalize.  Rebuild
+    the (already materialized) dataset from its non-empty block refs — a
+    metadata-only operation, the blocks never leave the object store.
+    Returns None when every block is empty (callers treat that as an
+    empty input)."""
+    refs = []
+    for rb in ds.iter_internal_ref_bundles():
+        for br, meta in zip(rb.block_refs, rb.metadata):
+            if meta.num_rows:
+                refs.append(br)
+    if not refs:
+        return None
+    return ray.data.from_arrow_refs(refs)

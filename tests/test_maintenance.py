@@ -926,3 +926,82 @@ def test_segment_bloom_gating(index_dir, ray_session):
     ungated = BloomGatedReader.open(idirs[0])
     assert ungated.postings("zqzqzqnotaterm") is None
     assert ungated.postings(term) is not None
+
+
+def test_refresh_index(ray_session, tmp_path):
+    """Crawl refresh: multi-capture batch -> latest per url -> unchanged
+    skip -> upsert.  Only the changed + new docs enter the index; the
+    no-op recrawl neither grows the index nor kills its live version."""
+    import pyarrow as pa
+
+    from search_engine_ray.config import IndexOptions
+    from search_engine_ray.engine.maintenance import fsck_index, refresh_index
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    texts = ["alpha beta", "gamma delta", "epsilon zeta"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(texts),
+            }
+        ),
+        f"{corpus}/a-docs.parquet",
+    )
+    idx = str(tmp_path / "idx")
+    cfg = BuildConfig(
+        block_entries=4, frags_per_shard=2, options=IndexOptions(stemming=False)
+    )
+    build_index(
+        corpus, idx, cfg, overwrite=True, source_column="text", name_column="doc_id"
+    )
+
+    # captures: doc 1 recrawled twice (stale + newest CHANGED), doc 2
+    # recrawled UNCHANGED, doc 9 brand new
+    caps = str(tmp_path / "captures.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 1, 2, 9], pa.int64()),
+                "text": pa.array(
+                    ["stale version", "omega chi", "epsilon zeta", "alpha omega"]
+                ),
+                "warc_ts": pa.array([100, 200, 300, 50], pa.int64()),
+            }
+        ),
+        caps,
+    )
+    stats = refresh_index(
+        idx, corpus, caps, config=cfg,
+        source_column="text", name_column="doc_id", ts_column="warc_ts",
+    )
+    assert stats["n_captures"] == 4
+    assert stats["n_latest"] == 3  # doc 1 collapsed to its newest capture
+    assert stats["n_unchanged"] == 1  # doc 2's recrawl skipped
+    assert stats["n_upserts"] == 2 and stats["n_replaced"] == 1
+    assert stats["n_docs"] == 5  # 3 originals + changed doc1 + new doc9
+
+    r = IndexReader(idx)
+    mask = r.deleted_mask()
+    assert mask is not None and int(mask.sum()) == 1  # only old doc 1
+    assert fsck_index(idx)["violations"] == 0
+    # ranking sees the new version ("omega"), not the stale capture
+    from search_engine_ray.pipelines import bm25_scores_f64
+
+    ids, _ = bm25_scores_f64(r, [("omega", 1)])
+    ids = ids[~mask[ids]]
+    names = {str(r.doc_names[d]) for d in ids}
+    assert names == {"1", "9"}
+    ids2, _ = bm25_scores_f64(r, [("stale", 1)])
+    assert len(ids2[~mask[ids2]]) == 0  # the stale capture never entered
+    ids3, _ = bm25_scores_f64(r, [("epsilon", 1)])
+    live3 = {str(r.doc_names[d]) for d in ids3[~mask[ids3]]}
+    assert live3 == {"2"}  # unchanged doc stayed live, not duplicated
+
+    # idempotence: re-running the same captures is a full no-op
+    stats2 = refresh_index(
+        idx, corpus, caps, config=cfg,
+        source_column="text", name_column="doc_id", ts_column="warc_ts",
+    )
+    assert stats2["n_upserts"] == 0 and stats2["n_docs"] == 5
