@@ -419,6 +419,48 @@ def q_ngram_jaccard(sf_dir: str) -> pa.Table:
     )
 
 
+_TOKEN_BUDGET = 9_000
+
+
+def q_token_budget(sf_dir: str) -> pa.Table:
+    """Token-budget selection (dataops/sample.py:select_token_budget):
+    keep the most-natural docs (stopword-ratio micros as integer
+    priority) while the running whitespace-token total stays within the
+    budget — one distributed sort + the two-phase block prefix-sum; the
+    driver holds block-count rows only."""
+    from search_engine_ray.dataops.sample import select_token_budget
+    from search_engine_ray.dataops.textstats import quality_scores
+
+    q = quality_scores(_docs_ds(sf_dir))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        n_tok = np.asarray(batch["n_tokens"], dtype=np.int64)
+        n_stop = np.asarray(batch["n_stop"], dtype=np.int64)
+        prio = (n_stop * 1_000_000) // np.maximum(n_tok, 1)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "prio": pa.array(prio),
+                "n_tokens": pa.array(n_tok),
+            }
+        )
+
+    sel = select_token_budget(
+        q.map_batches(prep, batch_format="pyarrow"),
+        _TOKEN_BUDGET,
+        "prio",
+        "n_tokens",
+    )
+    out = sel.to_pandas().sort_values("doc_id", ignore_index=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+            "prio": pa.array(out["prio"].to_numpy(np.int64)),
+            "n_tokens": pa.array(out["n_tokens"].to_numpy(np.int64)),
+        }
+    )
+
+
 def q_ngram_containment(sf_dir: str) -> pa.Table:
     """Directed shingle-containment near-dup pairs (Broder 1997's
     asymmetric measure; dataops/dedup.py:ngram_containment_pairs) —
@@ -5307,6 +5349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_pairs": q_simhash_near_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_containment": q_ngram_containment,
+        "token_budget": q_token_budget,
         "dedup_components": q_dedup_components,
         "emb_near_dup": q_emb_near_dup,
         # ------------- driver cutoff (first 50 above) -------------
@@ -7064,6 +7107,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, {micros.format(expr="sim")} AS cos_sim_micros
             FROM ranked WHERE r <= 5
+        """,
+        "token_budget": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     len(list_filter(regexp_extract_all(text, '[^\\t\\n\\x0B\\x0C\\r ]+'), x -> x <> '')) AS n_tokens,
+                     len(list_filter(regexp_extract_all(text, '[^\\t\\n\\x0B\\x0C\\r ]+'),
+                         x -> translate(x, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') IN ({_STOP_LIST}))) AS n_stop
+              FROM documents
+            ),
+            pr AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                          (n_stop * 1000000) // greatest(n_tokens, 1) AS prio
+                   FROM base),
+            cut AS (
+              SELECT doc_id, prio, n_tokens,
+                     SUM(n_tokens) OVER (ORDER BY prio DESC, doc_id ASC
+                                         ROWS UNBOUNDED PRECEDING) AS run
+              FROM pr
+            )
+            SELECT doc_id, CAST(prio AS BIGINT) AS prio, n_tokens
+            FROM cut WHERE run <= {_TOKEN_BUDGET} ORDER BY doc_id
         """,
         "ngram_containment": r"""
             WITH tk AS (SELECT doc_id, regexp_extract_all(text, '[^\t\n\x0B\x0C\r ]+') AS tk FROM documents),

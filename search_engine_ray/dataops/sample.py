@@ -453,3 +453,95 @@ def balance_classes(
         )
 
     return rn.map_batches(expand, batch_format="pyarrow")
+
+
+def select_token_budget(
+    ds: "ray.data.Dataset",
+    budget: int,
+    priority_column: str,
+    token_column: str,
+    id_column: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Best-docs-until-the-token-budget selection — the training-mix
+    primitive: rows ordered by (priority DESC, id ASC) are kept while
+    the INCLUSIVE running token total stays <= budget.  SQL equivalent:
+    ``QUALIFY SUM(tokens) OVER (ORDER BY priority DESC, id) <= budget``.
+
+    Shape: ONE distributed range-partitioned sort, then a two-phase
+    block prefix-sum (the pack_sequences discipline): pass 1 collects
+    one (first-row key, token sum) row per BLOCK to the driver, the
+    driver computes exclusive block offsets and broadcasts the
+    block-key -> offset map, pass 2 cumsums within blocks and filters.
+    The driver only ever holds block-count-sized state; the row data
+    moves once (the sort) and is then read twice from the object store.
+
+    Integer tokens + integer priorities keep the cut deterministic under
+    any partitioning (ties are impossible: (priority, id) is unique)."""
+    import ray
+
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    proj = ds.select_columns([id_column, priority_column, token_column])
+    s = proj.sort(
+        [priority_column, id_column], descending=[True, False]
+    ).materialize()
+
+    def block_total(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "p0": pa.array([], pa.int64()),
+                    "i0": pa.array([], pa.int64()),
+                    "tot": pa.array([], pa.int64()),
+                }
+            )
+        toks = np.asarray(batch[token_column], dtype=np.int64)
+        return pa.table(
+            {
+                "p0": pa.array([np.int64(np.asarray(batch[priority_column])[0])]),
+                "i0": pa.array([np.int64(np.asarray(batch[id_column])[0])]),
+                "tot": pa.array([np.int64(toks.sum())]),
+            }
+        )
+
+    heads = s.map_batches(
+        block_total, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    # block order == sort order: sort the per-block heads by the same key
+    heads = heads.sort_values(
+        ["p0", "i0"], ascending=[False, True], ignore_index=True
+    )
+    offsets = np.concatenate(
+        [[0], np.cumsum(heads["tot"].to_numpy(np.int64))[:-1]]
+    )
+    off_map = {
+        (int(p), int(i)): int(o)
+        for p, i, o in zip(heads["p0"], heads["i0"], offsets)
+    }
+    ref = ray.put(off_map)
+
+    def cut(batch: pa.Table, _ref=ref) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        m = ray.get(_ref)
+        p = np.asarray(batch[priority_column], dtype=np.int64)
+        i = np.asarray(batch[id_column], dtype=np.int64)
+        toks = np.asarray(batch[token_column], dtype=np.int64)
+        start = m[(int(p[0]), int(i[0]))]
+        run = start + np.cumsum(toks)
+        keep = run <= budget
+        return batch.filter(pa.array(keep))
+
+    out = s.map_batches(cut, batch_format="pyarrow", batch_size=None)
+    # the sort emits schema-less empty blocks for empty range partitions
+    # (same Ray 2.49 wart as the hash joins) and they bypass the UDF —
+    # drop them, and restore a typed empty table when nothing survives
+    from ..ioutil import nonempty_blocks
+
+    sch = proj.schema()  # NOT s.schema(): the sort's empty first block
+    # can make the sorted dataset report a zero-column schema
+    empty = pa.table({n: pa.array([], t) for n, t in zip(sch.names, sch.types)})
+    out = nonempty_blocks(out.materialize())
+    if out is None:
+        return ray.data.from_arrow(empty)
+    return out

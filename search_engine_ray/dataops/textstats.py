@@ -108,6 +108,7 @@ def quality_batch(batch: pa.Table, text_column: str = "text", id_column: str = "
             "doc_id": batch[id_column],
             "n_chars": pa.array(n_chars),
             "n_tokens": pa.array(n_tokens),
+            "n_stop": pa.array(n_stop),
             "stop_ratio": pa.array(stop_ratio),
             "punct_ratio": pa.array(punct_ratio),
             "upper_ratio": pa.array(upper_ratio),

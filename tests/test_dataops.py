@@ -2288,3 +2288,47 @@ def test_c4_line_filters(ray_session):
         .sort_values("doc_id", ignore_index=True)
     )
     assert got1.equals(got)
+
+
+def test_select_token_budget(ray_session):
+    import ray.data
+
+    from search_engine_ray.dataops.sample import select_token_budget
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(10)), pa.int64()),
+            "prio": pa.array([5, 3, 9, 9, 1, 7, 3, 8, 2, 6], pa.int64()),
+            "toks": pa.array([10, 20, 30, 40, 50, 60, 70, 80, 90, 100], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+
+    def brute(budget):
+        rows = sorted(
+            zip(tbl["prio"].to_pylist(), tbl["doc_id"].to_pylist(), tbl["toks"].to_pylist()),
+            key=lambda r: (-r[0], r[1]),
+        )
+        out, run = [], 0
+        for p, d, t in rows:
+            run += t
+            if run <= budget:
+                out.append(d)
+        return sorted(out)
+
+    for budget in (0, 100, 220, 305, 10**9):
+        out = select_token_budget(ds, budget, "prio", "toks")
+        got = out.to_pandas()
+        if len(got) == 0:
+            # Ray to_pandas drops the schema for all-empty datasets; the
+            # dataset itself stays typed (checked via the arrow batches)
+            assert brute(budget) == [], budget
+            batches = list(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+            assert all(b.schema.names == ["doc_id", "prio", "toks"] for b in batches)
+            continue
+        assert sorted(got["doc_id"].tolist()) == brute(budget), budget
+    # partition invariance (the two-phase block prefix-sum must not care)
+    got7 = select_token_budget(ds.repartition(7), 220, "prio", "toks").to_pandas()
+    assert sorted(got7["doc_id"].tolist()) == brute(220)
+    with pytest.raises(ValueError):
+        select_token_budget(ds, -1, "prio", "toks")

@@ -114,6 +114,7 @@ CHECKED = [
     "content_extract",
     "lang_windows",
     "simhash_near_pairs",
+    "token_budget",
 ]
 
 
