@@ -734,6 +734,41 @@ def q_dedup_components(sf_dir: str) -> pa.Table:
     )
 
 
+def q_dedup_representatives(sf_dir: str) -> pa.Table:
+    """Best-member-per-dup-cluster curation
+    (dataops/dedup.py:dedup_representatives): over the same exact-Jaccard
+    pair graph as dedup_components, keep the LONGEST member (whitespace
+    token count; ties -> max doc_id) of each cluster plus every
+    unclustered doc."""
+    from search_engine_ray.dataops.dedup import (
+        dedup_representatives,
+        ngram_jaccard_pairs,
+    )
+    from search_engine_ray.dataops.textstats import quality_scores
+
+    docs = _docs_ds(sf_dir)
+    prio = quality_scores(docs).map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["doc_id"], "n_tokens": b["n_tokens"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.08, max_shingle_df=1_000_000
+    )
+    out = (
+        dedup_representatives(prio, pairs, "n_tokens")
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+            "n_tokens": pa.array(out["n_tokens"].to_numpy(np.int64)),
+        }
+    )
+
+
 def q_lang_distribution(sf_dir: str) -> pa.Table:
     ds = _docs_ds(sf_dir).groupby("lang").count()
     df = ds.to_pandas().sort_values("lang")
@@ -5351,6 +5386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_containment": q_ngram_containment,
         "token_budget": q_token_budget,
         "dedup_components": q_dedup_components,
+        "dedup_representatives": q_dedup_representatives,
         "emb_near_dup": q_emb_near_dup,
         # ------------- driver cutoff (first 50 above) -------------
         "extract_roundtrip": q_extract_roundtrip,
@@ -7167,6 +7203,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR((CAST(c AS DOUBLE) / (za.sz + zb.sz - c)) * 1000000) AS BIGINT) AS jaccard_micros
             FROM co JOIN sizes za ON za.doc_id = a JOIN sizes zb ON zb.doc_id = b
             WHERE CAST(c AS DOUBLE) / (za.sz + zb.sz - c) >= 0.08
+        """,
+        "dedup_representatives": r"""
+            WITH RECURSIVE
+            tk AS (SELECT doc_id, regexp_extract_all(text, '[^\t\n\x0B\x0C\r ]+') AS tk FROM documents),
+            base AS (SELECT doc_id, CAST(len(list_filter(tk, x -> x <> '')) AS BIGINT) AS n_tokens FROM tk),
+            sh AS (
+              SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+              FROM tk, UNNEST(generate_series(1, greatest(len(tk) - 2, 0))) AS g(i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            co AS (
+              SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS c
+              FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+              GROUP BY s1.doc_id, s2.doc_id
+            ),
+            p AS (
+              SELECT a, b FROM co JOIN sizes za ON za.doc_id = a JOIN sizes zb ON zb.doc_id = b
+              WHERE CAST(c AS DOUBLE) / (za.sz + zb.sz - c) >= 0.08
+            ),
+            edges AS (SELECT a AS s, b AS d FROM p UNION ALL SELECT b, a FROM p),
+            reach(n, m) AS (
+              SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+              UNION
+              SELECT r.n, e.d FROM reach r JOIN edges e ON e.s = r.m
+            ),
+            comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n),
+            reps AS (
+              SELECT doc_id FROM (
+                SELECT c.doc_id,
+                       row_number() OVER (PARTITION BY c.component
+                                          ORDER BY b.n_tokens DESC, c.doc_id DESC) AS r
+                FROM comp c JOIN base b USING (doc_id)
+              ) WHERE r = 1
+            )
+            SELECT b.doc_id, b.n_tokens FROM base b
+            WHERE b.doc_id IN (SELECT doc_id FROM reps)
+               OR b.doc_id NOT IN (SELECT doc_id FROM comp)
+            ORDER BY b.doc_id
         """,
         "dedup_components": r"""
             WITH RECURSIVE

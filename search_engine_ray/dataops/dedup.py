@@ -1560,3 +1560,49 @@ def reassemble_paragraphs(
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def dedup_representatives(
+    ds: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    priority_column: str,
+    id_column: str = "doc_id",
+    join_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Best-doc-per-near-dup-cluster selection — curation keeps the
+    HIGHEST-priority member of each duplicate cluster (quality score,
+    length, freshness...), not the arbitrary min-id one.
+
+    Composition: connected_components over the pair graph labels every
+    clustered doc; the cluster argmax reuses the latest_per_key
+    decomposition (two native aggregates + one join) with priority as
+    the ordering column (ties -> max id, the latest_per_key convention);
+    docs in NO cluster are their own representatives and pass through
+    via a left_anti join against the clustered set.  Output: the
+    representative (id_column, priority_column) rows."""
+    from ..ioutil import nonempty_blocks
+
+    jp = _join_parts(join_partitions)
+    prio = ds.select_columns([id_column, priority_column])
+    cc = connected_components(pairs, join_partitions=join_partitions)
+    cc = nonempty_blocks(cc.materialize())
+    if cc is None:
+        return prio
+    labeled = nonempty_blocks(
+        cc.join(
+            prio, "inner", jp, on=(id_column,), right_on=(id_column,)
+        ).materialize()
+    )
+    reps_keep = latest_per_key(
+        labeled, "component", priority_column, id_column=id_column,
+        join_partitions=join_partitions,
+    ).select_columns([f"keep_{id_column}"])
+    reps_keep = nonempty_blocks(reps_keep.materialize())
+    rep_rows = prio.join(
+        reps_keep, "left_semi", jp, on=(id_column,),
+        right_on=(f"keep_{id_column}",),
+    )
+    unclustered = prio.join(
+        cc, "left_anti", jp, on=(id_column,), right_on=(id_column,)
+    )
+    return rep_rows.union(unclustered)

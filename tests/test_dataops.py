@@ -2332,3 +2332,24 @@ def test_select_token_budget(ray_session):
     assert sorted(got7["doc_id"].tolist()) == brute(220)
     with pytest.raises(ValueError):
         select_token_budget(ds, -1, "prio", "toks")
+
+
+def test_dedup_representatives(ray_session):
+    """Cluster {1,2,3} keeps its highest-priority member (ties -> max id);
+    unclustered docs pass through."""
+    import ray.data
+
+    from search_engine_ray.dataops.dedup import dedup_representatives
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3, 4, 5], "prio": [10, 30, 30, 7, 9]}
+        )
+    )
+    pairs = ray.data.from_pandas(pd.DataFrame({"a": [1, 2], "b": [2, 3]}))
+    out = dedup_representatives(ds, pairs, "prio").to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [3, 4, 5]  # 3 wins the 30-tie
+    # empty pair graph: everything is its own representative
+    none = ray.data.from_pandas(pd.DataFrame({"a": [], "b": []})).limit(0)
+    out2 = dedup_representatives(ds, none, "prio").to_pandas()
+    assert sorted(out2["doc_id"].tolist()) == [1, 2, 3, 4, 5]
