@@ -1171,6 +1171,58 @@ def q_knn_ivf(sf_dir: str) -> pa.Table:
     return knn_ivf(ds, emb, k=5, n_centroids=8, nprobe=3)
 
 
+def q_knn_self_join_recall(sf_dir: str) -> pa.Table:
+    """All-rows ANN join (dataops/similarity.py:knn_self_join),
+    recall-gated and exact-verified: the IVF-bucketed join (each row
+    owner of one bucket, probe of nprobe; one matmul per bucket, one
+    id-keyed merge) must reach mean recall@5 >= 0.7 against the exact
+    all-pairs top-5 — the returned rows ARE the exact reference, so the
+    hash certifies both."""
+    from search_engine_ray.dataops.similarity import knn_brute_force, knn_self_join
+
+    k = 5
+    ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
+    approx = knn_self_join(ds, k=k, n_centroids=8, nprobe=4).to_pandas()
+    got = approx.groupby("query_id")["vec_id"].apply(set).to_dict()
+
+    tbl = _emb_tbl(sf_dir)
+    emb = np.stack(
+        [np.asarray(e, dtype=np.float64) for e in tbl["embedding"].to_pylist()]
+    )
+    ids = np.asarray(tbl["vec_id"], dtype=np.int64)
+    exact = knn_brute_force(ds, emb, k=k + 1)  # +1: the self-hit ranks first
+    eq = np.asarray(exact["query_id"], dtype=np.int64)
+    ev = np.asarray(exact["vec_id"], dtype=np.int64)
+    es = np.asarray(exact["cos_sim"], dtype=np.float64)
+    # knn_brute_force labels query_id by query INDEX; map back to vec_id
+    # and drop the self-hit (a row is always its own nearest neighbor)
+    qid = ids[eq]
+    not_self = qid != ev
+    qid, ev, es = qid[not_self], ev[not_self], es[not_self]
+    recalls = []
+    for i, row_id in enumerate(ids):
+        e = set(ev[qid == row_id][: k].tolist())
+        a = got.get(int(row_id), set())
+        recalls.append(len(a & e) / max(len(e), 1))
+    mean_recall = float(np.mean(recalls))
+    if mean_recall < 0.7:
+        raise AssertionError(f"self-join recall@{k} {mean_recall:.3f} < 0.7")
+    # exact top-k AFTER self-removal: keep first k per query
+    out_q, out_v, out_s = [], [], []
+    for row_id in ids:
+        sel = qid == row_id
+        out_q.append(qid[sel][:k])
+        out_v.append(ev[sel][:k])
+        out_s.append(es[sel][:k])
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "cos_sim_micros": pa.array(_micros(np.concatenate(out_s))),
+        }
+    )
+
+
 def q_knn_ivf_recall(sf_dir: str) -> pa.Table:
     """Persisted-IVF probe, recall-gated, exact-verified (SQL-checked).
 
@@ -5430,6 +5482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_length_hist": q_term_length_hist,
         "knn_cosine": q_knn_cosine,
         "knn_ivf_recall": q_knn_ivf_recall,
+        "knn_self_join": q_knn_self_join_recall,
         "knn_ivfpq_recall": q_knn_ivfpq_recall,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
@@ -7090,6 +7143,25 @@ def oracle_sql() -> dict[str, str]:
                    {micros.format(expr="(n_alpha * 1.0 / greatest(n_chars, 1))")} AS alpha_ratio_micros,
                    {micros.format(expr="(n_chars * 1.0 / greatest(n_tokens, 1))")} AS avg_token_len_micros
             FROM base
+        """,
+        "knn_self_join": f"""
+            -- exact all-rows reference the recall-gated IVF self-join is
+            -- judged against (q_knn_self_join_recall raises unless mean
+            -- recall@5 >= 0.7, so a green row certifies the bucketed join)
+            WITH sims AS (
+              SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+                     list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])) AS sim
+              FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            ),
+            ranked AS (SELECT query_id, vec_id, sim,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY sim DESC, vec_id ASC) AS r
+                       FROM sims)
+            SELECT query_id, vec_id,
+                   {_SQL_MICROS.format(expr="sim")} AS cos_sim_micros
+            FROM ranked WHERE r <= 5
+            ORDER BY query_id, r
         """,
         "knn_ivf_recall": f"""
             -- exact reference the recall-gated IVF probe is judged against

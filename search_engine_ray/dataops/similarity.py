@@ -957,3 +957,138 @@ def quantize_embeddings(
         )
 
     return ds.map_batches(run, batch_format="pyarrow")
+
+
+def knn_self_join(
+    ds: ray.data.Dataset,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    column: str = "embedding",
+    id_column: str = "vec_id",
+    seed: int = 11,
+    max_bucket: int = 50_000,
+) -> ray.data.Dataset:
+    """Approximate k nearest neighbors for EVERY row — the all-rows ANN
+    join behind semantic dedup and hard-negative mining — without the
+    N^2 pass: IVF-bucketed.
+
+    Each row enters the exchange twice-ish: once as the OWNER of its
+    nearest-centroid bucket, and once per PROBE bucket (its nprobe
+    nearest centroids; the first probe coincides with ownership, so a
+    row moves nprobe rows total).  Within a bucket the probe x owner
+    similarity is one vectorized matmul with per-probe top-k
+    (score desc, id asc); ONE id-keyed groupby then merges per-bucket
+    partials into global top-k.  Every candidate pair is scored in
+    exactly one bucket (the owner's), so results are
+    partition-invariant.  Buckets above ``max_bucket`` are dropped with
+    a warning (skew cap, same policy as the LSH/minhash stages).
+    Output: streaming Dataset (query_id, vec_id, cos_sim, rank)."""
+    if nprobe < 1 or nprobe > n_centroids:
+        raise ValueError("need 1 <= nprobe <= n_centroids")
+    cents = train_ivf_centroids(ds, n_centroids, column, seed=seed)
+    cents_ref = ray.put(cents)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        m = _normalize(_batch_matrix(batch, column))
+        ids = np.asarray(batch[id_column], dtype=np.int64)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "qid": pa.array([], pa.int64()),
+                    "own": pa.array([], pa.bool_()),
+                    "vec": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        sims = m @ c.T
+        order = np.argsort(-sims, axis=1)[:, :nprobe]  # (n, nprobe)
+        buckets, qids, owns, vec_idx = [], [], [], []
+        for j in range(order.shape[1]):
+            buckets.append(order[:, j].astype(np.int64))
+            qids.append(ids)
+            owns.append(np.full(len(ids), j == 0))
+            vec_idx.append(np.arange(len(ids)))
+        vecs = pa.array(list(m), pa.list_(pa.float64()))
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate(buckets)),
+                "qid": pa.array(np.concatenate(qids)),
+                "own": pa.array(np.concatenate(owns)),
+                "vec": vecs.take(pa.array(np.concatenate(vec_idx))),
+            }
+        )
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=np.int64),
+                "vec_id": pd.Series([], dtype=np.int64),
+                "cos_sim": pd.Series([], dtype=np.float64),
+            }
+        )
+        if len(g) < 2:
+            return empty
+        if len(g) > max_bucket:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "knn_self_join bucket %s exceeds max_bucket=%d (%d rows) — dropped",
+                g["bucket"].iloc[0], max_bucket, len(g),
+            )
+            return empty
+        own_mask = g["own"].to_numpy(bool)
+        owners = g[own_mask]
+        if len(owners) == 0:
+            return empty
+        o_ids = owners["qid"].to_numpy(np.int64)
+        o_m = np.stack(owners["vec"].to_numpy())
+        p_ids = g["qid"].to_numpy(np.int64)
+        p_m = np.stack(g["vec"].to_numpy())
+        sims = p_m @ o_m.T  # (P, O)
+        out_q, out_id, out_s = [], [], []
+        kk = min(k, len(o_ids))
+        for pi in range(len(p_ids)):
+            s = sims[pi]
+            not_self = o_ids != p_ids[pi]
+            cand_ids, cand_s = o_ids[not_self], s[not_self]
+            if len(cand_ids) == 0:
+                continue
+            idx = np.lexsort((cand_ids, -cand_s))[:kk]
+            out_q.append(np.full(len(idx), p_ids[pi], dtype=np.int64))
+            out_id.append(cand_ids[idx])
+            out_s.append(cand_s[idx])
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_id),
+                "cos_sim": np.concatenate(out_s),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.sort_values(["cos_sim", "vec_id"], ascending=[False, True])
+            .drop_duplicates("vec_id")
+            .head(k)
+        )
+        out = pd.DataFrame(
+            {
+                "query_id": g["query_id"].to_numpy(np.int64),
+                "vec_id": g["vec_id"].to_numpy(np.int64),
+                "cos_sim": g["cos_sim"].to_numpy(np.float64),
+            }
+        )
+        out["rank"] = np.arange(1, len(out) + 1)
+        return out
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pandas")
+    )

@@ -2353,3 +2353,39 @@ def test_dedup_representatives(ray_session):
     none = ray.data.from_pandas(pd.DataFrame({"a": [], "b": []})).limit(0)
     out2 = dedup_representatives(ds, none, "prio").to_pandas()
     assert sorted(out2["doc_id"].tolist()) == [1, 2, 3, 4, 5]
+
+
+def test_knn_self_join(ray_session):
+    """IVF-bucketed all-rows ANN join: exact when nprobe == n_centroids
+    (every bucket probed); partition-invariant; self excluded."""
+    import ray.data
+
+    from search_engine_ray.dataops.similarity import knn_self_join
+
+    rng = np.random.default_rng(3)
+    emb = rng.normal(size=(60, 8))
+    ids = np.arange(100, 160, dtype=np.int64)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array([list(map(float, e)) for e in emb],
+                                  pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    out = knn_self_join(ds, k=3, n_centroids=4, nprobe=4).to_pandas()
+    m = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    sims = m @ m.T
+    np.fill_diagonal(sims, -2)
+    for i, qid in enumerate(ids):
+        idx = np.lexsort((ids, -sims[i]))[:3]
+        exp = ids[idx].tolist()
+        g = out[out["query_id"] == qid].sort_values("rank")
+        assert g["vec_id"].tolist() == exp, qid
+        assert qid not in set(g["vec_id"])  # self excluded
+    rep = knn_self_join(ds.repartition(5), k=3, n_centroids=4, nprobe=4).to_pandas()
+    a = out.sort_values(["query_id", "rank"], ignore_index=True)
+    b = rep.sort_values(["query_id", "rank"], ignore_index=True)
+    assert a[["query_id", "vec_id"]].equals(b[["query_id", "vec_id"]])
+    with pytest.raises(ValueError):
+        knn_self_join(ds, nprobe=0)
