@@ -974,20 +974,79 @@ def _shingle_pair_counts(
 
     shingles = ds.map_batches(explode, batch_format="pyarrow")
 
-    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2 or len(g) > max_shingle_df:
-            return pd.DataFrame({"a": [], "b": [], "size_a": [], "size_b": []})
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sizes = g["set_size"].to_numpy()
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame(
-            {"a": ids[ii], "b": ids[jj], "size_a": sizes[ii], "size_b": sizes[jj]}
+    # ONE groupby over hash BUCKETS of shingles (4096 Python calls total),
+    # not one map_groups call per distinct shingle (token-scale Python
+    # dispatch — 260 s at sf0.1 before this): within a bucket, rows sort
+    # by (shingle, doc) and ALL intra-shingle pairs come from one
+    # vectorized ragged-range expansion.
+    n_buckets = 4096
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        sh = np.asarray(batch["shingle"], dtype=np.int64)
+        b = (sh.view(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+        return batch.append_column("_bucket", pa.array(b))
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        # arrow in / arrow out: pandas-format pair blocks made the
+        # downstream hash aggregate convert per block (2-10x slower)
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "size_a": pa.array([], pa.int64()),
+                "size_b": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows < 2:
+            return empty
+        sh = np.asarray(g["shingle"], dtype=np.int64)
+        ids = np.asarray(g["doc_id"], dtype=np.int64)
+        sizes = np.asarray(g["set_size"], dtype=np.int64)
+        order = np.lexsort((ids, sh))
+        sh, ids, sizes = sh[order], ids[order], sizes[order]
+        n = len(sh)
+        new_grp = np.empty(n, dtype=bool)
+        new_grp[0] = True
+        np.not_equal(sh[1:], sh[:-1], out=new_grp[1:])
+        grp_id = np.cumsum(new_grp) - 1
+        starts = np.flatnonzero(new_grp)
+        grp_sizes = np.diff(np.append(starts, n))
+        # skew cap: shingles shared by too many docs are undiscriminative
+        keep_grp = grp_sizes <= max_shingle_df
+        pos = np.arange(n) - starts[grp_id]  # position within the group
+        row_pairs = np.where(keep_grp[grp_id], pos, 0)  # each row pairs with all earlier
+        total = int(row_pairs.sum())
+        if total == 0:
+            return empty
+        second = np.repeat(np.arange(n), row_pairs)
+        cum = np.cumsum(row_pairs) - row_pairs
+        first = (
+            np.arange(total)
+            - np.repeat(cum, row_pairs)
+            + np.repeat(starts[grp_id], row_pairs)
+        )
+        # within a group ids ascend, so first < second means a < b
+        return pa.table(
+            {
+                "a": pa.array(ids[first]),
+                "b": pa.array(ids[second]),
+                "size_a": pa.array(sizes[first]),
+                "size_b": pa.array(sizes[second]),
+            }
         )
 
     from ray.data.aggregate import Count, Min
 
-    pairs = shingles.groupby("shingle").map_groups(group_pairs, batch_format="pandas")
+    pairs = (
+        shingles.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    # the bucket stage emits thousands of tiny blocks; feeding them
+    # straight into the pair groupby made the shuffle per-block-overhead
+    # bound (289 s -> ~20 s at sf0.1).  Volume-size the repartition.
+    pairs = pairs.materialize()
+    pairs = pairs.repartition(max(8, pairs.count() // 500_000 + 1))
     return pairs.groupby(["a", "b"]).aggregate(
         Count(alias_name="co"),
         Min("size_a", alias_name="sa"),
