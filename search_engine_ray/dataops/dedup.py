@@ -1035,22 +1035,59 @@ def _shingle_pair_counts(
             }
         )
 
-    from ray.data.aggregate import Count, Min
-
     pairs = (
         shingles.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
-    # the bucket stage emits thousands of tiny blocks; feeding them
-    # straight into the pair groupby made the shuffle per-block-overhead
-    # bound (289 s -> ~20 s at sf0.1).  Volume-size the repartition.
-    pairs = pairs.materialize()
-    pairs = pairs.repartition(max(8, pairs.count() // 500_000 + 1))
-    return pairs.groupby(["a", "b"]).aggregate(
-        Count(alias_name="co"),
-        Min("size_a", alias_name="sa"),
-        Min("size_b", alias_name="sb"),
+
+    # co-occurrence fold with the SAME bucket trick: every occurrence of a
+    # pair hashes to one bucket, so the fold is 4096 vectorized groups
+    # instead of a pair-cardinality hash aggregate (which dominated the
+    # wall time — 40 s of 56 s at sf0.1 — at millions of distinct groups).
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["a"], dtype=np.int64).view(np.uint64)
+        b = np.asarray(batch["b"], dtype=np.int64).view(np.uint64)
+        h = (a * np.uint64(0x9E3779B97F4A7C15) + b * np.uint64(0xC2B2AE3D27D4EB4F)) % np.uint64(n_buckets)
+        return batch.append_column("_pb", pa.array(h.astype(np.int64)))
+
+    def fold_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "co": pa.array([], pa.int64()),
+                "sa": pa.array([], pa.int64()),
+                "sb": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        a = np.asarray(g["a"], dtype=np.int64)
+        b = np.asarray(g["b"], dtype=np.int64)
+        sa = np.asarray(g["size_a"], dtype=np.int64)
+        sb = np.asarray(g["size_b"], dtype=np.int64)
+        order = np.lexsort((b, a))
+        a, b, sa, sb = a[order], b[order], sa[order], sb[order]
+        new = np.empty(len(a), dtype=bool)
+        new[0] = True
+        np.logical_or(a[1:] != a[:-1], b[1:] != b[:-1], out=new[1:])
+        starts = np.flatnonzero(new)
+        co = np.diff(np.append(starts, len(a)))
+        return pa.table(
+            {
+                "a": pa.array(a[starts]),
+                "b": pa.array(b[starts]),
+                "co": pa.array(co),
+                "sa": pa.array(sa[starts]),
+                "sb": pa.array(sb[starts]),
+            }
+        )
+
+    return (
+        pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(fold_pairs, batch_format="pyarrow")
     )
 
 
