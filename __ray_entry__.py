@@ -483,6 +483,28 @@ def q_ngram_containment(sf_dir: str) -> pa.Table:
     )
 
 
+_GREP_PATTERN = "(?:sort|merge) (?:table|batch)"
+
+
+def q_grep_docs(sf_dir: str) -> pa.Table:
+    """Distributed grep (dataops/textstats.py:regex_search): docs matching
+    an RE2 pattern with match count + first match — one vectorized pass."""
+    from search_engine_ray.dataops.textstats import regex_search
+
+    out = (
+        regex_search(_docs_ds(sf_dir), _GREP_PATTERN)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+            "n_matches": pa.array(out["n_matches"].to_numpy(np.int64)),
+            "first_match": pa.array(out["first_match"].astype(str)),
+        }
+    )
+
+
 def q_redact_pii(sf_dir: str):
     """PII redaction (emails/phones/IPv4 -> typed placeholders) — the SAME
     RE2 patterns run in DuckDB regexp_replace, so output text hash-matches."""
@@ -5437,6 +5459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_containment": q_ngram_containment,
         "token_budget": q_token_budget,
+        "grep_docs": q_grep_docs,
         "dedup_components": q_dedup_components,
         "dedup_representatives": q_dedup_representatives,
         "emb_near_dup": q_emb_near_dup,
@@ -7215,6 +7238,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, {micros.format(expr="sim")} AS cos_sim_micros
             FROM ranked WHERE r <= 5
+        """,
+        "grep_docs": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{_GREP_PATTERN}')) AS BIGINT) AS n_matches,
+                   regexp_extract(text, '{_GREP_PATTERN}') AS first_match
+            FROM documents
+            WHERE len(regexp_extract_all(text, '{_GREP_PATTERN}')) > 0
+            ORDER BY doc_id
         """,
         "token_budget": f"""
             WITH base AS (

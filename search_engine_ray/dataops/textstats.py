@@ -555,3 +555,32 @@ def lang_window_counts(
         return pa.table({k: pa.array(v) for k, v in out.items()})
 
     return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def regex_search(
+    ds: ray.data.Dataset,
+    pattern: str,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> ray.data.Dataset:
+    """Distributed grep: per doc with >= 1 match, (id, n_matches,
+    first_match) for an RE2 ``pattern`` — one zero-copy vectorized pass
+    (pc.count_substring_regex + pc.extract_regex), no Python row loop.
+    The workhorse ad-hoc corpus probe; the oracle is DuckDB
+    regexp_extract over the same RE2 syntax."""
+
+    def probe(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(_text_col(batch, text_column), "")
+        n = pc.count_substring_regex(texts, pattern=pattern)
+        m = pc.extract_regex(texts, pattern=f"(?P<m>{pattern})")
+        first = pc.struct_field(m, "m")
+        keep = pc.greater(n, 0)
+        return pa.table(
+            {
+                id_column: batch[id_column].filter(keep),
+                "n_matches": n.cast(pa.int64()).filter(keep),
+                "first_match": first.filter(keep),
+            }
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow")

@@ -2389,3 +2389,22 @@ def test_knn_self_join(ray_session):
     assert a[["query_id", "vec_id"]].equals(b[["query_id", "vec_id"]])
     with pytest.raises(ValueError):
         knn_self_join(ds, nprobe=0)
+
+
+def test_regex_search(ray_session):
+    import ray.data
+
+    from search_engine_ray.dataops.textstats import regex_search
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["sort table then merge batch", "nothing", None],
+            }
+        )
+    )
+    out = regex_search(ds, r"(?:sort|merge) (?:table|batch)").to_pandas()
+    assert out["doc_id"].tolist() == [1]
+    assert out["n_matches"].tolist() == [2]
+    assert out["first_match"].tolist() == ["sort table"]
