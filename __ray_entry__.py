@@ -485,6 +485,33 @@ def q_ngram_containment(sf_dir: str) -> pa.Table:
 
 _GREP_PATTERN = "(?:sort|merge) (?:table|batch)"
 
+_PERCOLATE_QUERIES = [
+    (0, ["spark", "hash"]),
+    (1, ["merge", "sort", "window"]),
+    (2, ["vector"]),
+    (3, ["join", "batch"]),
+    (4, ["stream", "filter", "group"]),
+]
+
+
+def q_percolate(sf_dir: str) -> pa.Table:
+    """Standing-query percolation (engine/percolate.py): which stored
+    conjunctive queries match each doc — broadcast inverted query map,
+    engine tokenizer, zero shuffles."""
+    from search_engine_ray.engine.percolate import percolate
+
+    out = (
+        percolate(_docs_ds(sf_dir), _PERCOLATE_QUERIES, OPT_NOSTEM)
+        .to_pandas()
+        .sort_values(["doc_id", "query_id"], ignore_index=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+            "query_id": pa.array(out["query_id"].to_numpy(np.int64)),
+        }
+    )
+
 
 def q_grep_docs(sf_dir: str) -> pa.Table:
     """Distributed grep (dataops/textstats.py:regex_search): docs matching
@@ -5460,6 +5487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_containment": q_ngram_containment,
         "token_budget": q_token_budget,
         "grep_docs": q_grep_docs,
+        "percolate": q_percolate,
         "dedup_components": q_dedup_components,
         "dedup_representatives": q_dedup_representatives,
         "emb_near_dup": q_emb_near_dup,
@@ -7238,6 +7266,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, {micros.format(expr="sim")} AS cos_sim_micros
             FROM ranked WHERE r <= 5
+        """,
+        "percolate": f"""
+            WITH {_TOKS},
+            dt AS (SELECT DISTINCT doc_id, t FROM toks),
+            q(query_id, term) AS (VALUES
+              (0,'spark'),(0,'hash'),
+              (1,'merge'),(1,'sort'),(1,'window'),
+              (2,'vector'),
+              (3,'join'),(3,'batch'),
+              (4,'stream'),(4,'filter'),(4,'group')),
+            qn AS (SELECT query_id, count(*) AS n FROM q GROUP BY query_id),
+            hit AS (SELECT d.doc_id, q.query_id, count(*) AS c
+                    FROM dt d JOIN q ON q.term = d.t GROUP BY 1, 2)
+            SELECT h.doc_id, CAST(h.query_id AS BIGINT) AS query_id
+            FROM hit h JOIN qn USING (query_id)
+            WHERE h.c = qn.n ORDER BY doc_id, query_id
         """,
         "grep_docs": f"""
             SELECT doc_id,
