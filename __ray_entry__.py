@@ -494,6 +494,27 @@ _PERCOLATE_QUERIES = [
 ]
 
 
+def q_readability(sf_dir: str) -> pa.Table:
+    """Flesch Reading Ease (dataops/textstats.py:readability) — three
+    vectorized integer counts + two IEEE-exact ratio ops, micros-hashed."""
+    from search_engine_ray.dataops.textstats import readability
+
+    out = (
+        readability(_docs_ds(sf_dir))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+            "n_words": pa.array(out["n_words"].to_numpy(np.int64)),
+            "n_sents": pa.array(out["n_sents"].to_numpy(np.int64)),
+            "n_syllables": pa.array(out["n_syllables"].to_numpy(np.int64)),
+            "flesch_micros": pa.array(_micros(out["flesch"].to_numpy(np.float64))),
+        }
+    )
+
+
 def q_percolate(sf_dir: str) -> pa.Table:
     """Standing-query percolation (engine/percolate.py): which stored
     conjunctive queries match each doc — broadcast inverted query map,
@@ -5406,6 +5427,37 @@ def q_frontier_schedule(sf_dir: str) -> pa.Table:
     )
 
 
+def q_cocitation(sf_dir: str) -> pa.Table:
+    """Co-citation pairs (dataops/weblinks.py:cocitation_pairs) over the
+    domain-collapsed host graph: targets cited by >= 3 common sources —
+    source-bucketed vectorized pair fan-out, pair-bucketed count fold."""
+    from search_engine_ray.dataops.weblinks import cocitation_pairs
+
+    def collapse(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out = {}
+        for col in ("src", "dst"):
+            v = np.asarray(batch[col], dtype=np.int64) % _DOMAIN_MOD
+            out[col] = pa.array(v)
+        t = pa.table(out)
+        return t.filter(pc.not_equal(t["src"], t["dst"]))
+
+    edges = _host_edges_ds(sf_dir).map_batches(collapse, batch_format="pyarrow")
+    out = (
+        cocitation_pairs(edges, min_co=3, max_out=1_000_000)
+        .to_pandas()
+        .sort_values(["a", "b"], ignore_index=True)
+    )
+    return pa.table(
+        {
+            "a": pa.array(out["a"].to_numpy(np.int64)),
+            "b": pa.array(out["b"].to_numpy(np.int64)),
+            "co": pa.array(out["co"].to_numpy(np.int64)),
+        }
+    )
+
+
 def q_bm25_anchor_top10(sf_dir: str) -> pa.Table:
     """Anchor-field BM25 (web search's classic third field) as distributed
     aggregates — no anchor-document materialization, no second index; the
@@ -5488,6 +5540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget": q_token_budget,
         "grep_docs": q_grep_docs,
         "percolate": q_percolate,
+        "readability": q_readability,
         "dedup_components": q_dedup_components,
         "dedup_representatives": q_dedup_representatives,
         "emb_near_dup": q_emb_near_dup,
@@ -5628,6 +5681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_hits": q_host_hits,
         "reciprocal_hosts": q_reciprocal_hosts,
         "frontier_schedule": q_frontier_schedule,
+        "cocitation": q_cocitation,
         "bm25_anchor_top10": q_bm25_anchor_top10,
     }
 
@@ -7267,6 +7321,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, {micros.format(expr="sim")} AS cos_sim_micros
             FROM ranked WHERE r <= 5
         """,
+        "readability": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     len(list_filter(regexp_extract_all(text, '[^\\t\\n\\x0B\\x0C\\r ]+'), x -> x <> '')) AS n_words,
+                     len(regexp_extract_all(text, '[.!?]+')) AS n_sents,
+                     len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[aeiouy]+')) AS n_syll
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   CAST(n_sents AS BIGINT) AS n_sents,
+                   CAST(n_syll AS BIGINT) AS n_syllables,
+                   {_SQL_MICROS.format(expr="(206.835 - 1.015 * (n_words / (greatest(n_sents,1) * 1.0)) - 84.6 * (n_syll / (greatest(n_words,1) * 1.0)))")} AS flesch_micros
+            FROM base ORDER BY doc_id
+        """,
         "percolate": f"""
             WITH {_TOKS},
             dt AS (SELECT DISTINCT doc_id, t FROM toks),
@@ -8429,6 +8498,17 @@ def _weblink_sqls() -> dict[str, str]:
             SELECT x.s AS host_a, x.d AS host_b, x.n AS ab_links, y.n AS ba_links
             FROM e2 x JOIN e2 y ON x.s = y.d AND x.d = y.s AND x.s < x.d
             ORDER BY host_a, host_b
+        """,
+        "cocitation": f"""
+            WITH {cte},
+            e2 AS (SELECT DISTINCT src_doc % 997 % {_DOMAIN_MOD} AS src,
+                                   dst_doc % 997 % {_DOMAIN_MOD} AS dst
+                   FROM le
+                   WHERE src_doc % 997 % {_DOMAIN_MOD} <> dst_doc % 997 % {_DOMAIN_MOD})
+            SELECT x.dst AS a, y.dst AS b, CAST(count(*) AS BIGINT) AS co
+            FROM e2 x JOIN e2 y ON x.src = y.src AND x.dst < y.dst
+            GROUP BY 1, 2 HAVING count(*) >= 3
+            ORDER BY a, b
         """,
         "frontier_schedule": f"""
             WITH {cte},

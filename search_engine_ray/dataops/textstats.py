@@ -584,3 +584,45 @@ def regex_search(
         )
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def readability_batch(
+    batch: pa.Table, text_column: str = "text", id_column: str = "doc_id"
+) -> pa.Table:
+    """Flesch Reading Ease per doc from three vectorized integer counts:
+    words (whitespace tokens, the pinned class), sentences (runs of
+    [.!?], floor 1), syllables (runs of [aeiouy] in the lowercased text —
+    vowel groups cannot span whitespace, so the whole-text count equals
+    the per-word sum).  score = 206.835 - 1.015*(w/s) - 84.6*(y/w); the
+    ratios are exact-rational doubles and every op is a single IEEE
+    multiply/subtract, so a SQL oracle matches micros-exactly."""
+    texts = pc.fill_null(_text_col(batch, text_column), "")
+    lists = pc.split_pattern_regex(texts, pattern=_WS)
+    flat = pc.list_flatten(lists)
+    lens_pre = np.asarray(pc.list_value_length(lists), dtype=np.int64)
+    doc_idx = np.repeat(np.arange(len(lens_pre)), lens_pre)
+    nonempty = np.asarray(pc.greater(pc.binary_length(flat), 0))
+    n_words = np.bincount(doc_idx[nonempty], minlength=len(lens_pre)).astype(np.int64)
+    n_sents = np.asarray(
+        pc.count_substring_regex(texts, pattern=r"[.!?]+"), dtype=np.int64
+    )
+    n_syll = np.asarray(
+        pc.count_substring_regex(pc.ascii_lower(texts), pattern=r"[aeiouy]+"),
+        dtype=np.int64,
+    )
+    w = np.maximum(n_words, 1).astype(np.float64)
+    s = np.maximum(n_sents, 1).astype(np.float64)
+    flesch = 206.835 - 1.015 * (n_words / s) - 84.6 * (n_syll / w)
+    return pa.table(
+        {
+            "doc_id": batch[id_column],
+            "n_words": pa.array(n_words),
+            "n_sents": pa.array(n_sents),
+            "n_syllables": pa.array(n_syll),
+            "flesch": pa.array(flesch),
+        }
+    )
+
+
+def readability(ds: ray.data.Dataset, **kw) -> ray.data.Dataset:
+    return ds.map_batches(readability_batch, fn_kwargs=kw, batch_format="pyarrow")

@@ -354,3 +354,122 @@ def frontier_schedule(
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def cocitation_pairs(
+    edges: ray.data.Dataset,
+    min_co: int = 2,
+    max_out: int = 256,
+    src_column: str = "src",
+    dst_column: str = "dst",
+) -> ray.data.Dataset:
+    """Co-citation analysis (Small 1973): pairs of link TARGETS cited by
+    the same sources, with the common-source count — the classic
+    relatedness signal of web IR (targets co-linked from many pages are
+    topically related).
+
+    Shape (the shingle-pair discipline from dedup._shingle_pair_counts):
+    rows bucket by source hash — every row of a source lands in ONE
+    bucket, so the global (src, dst) dedup and the per-source pair
+    fan-out are bucket-local and fully vectorized (lexsort + boundary
+    masks + ragged-range expansion); sources citing more than
+    ``max_out`` targets are dropped as undiscriminative hubs (the skew
+    cap).  Pair counts then fold through the pair-bucket trick — 4096
+    vectorized groups, never a pair-cardinality hash aggregate.
+    Output: (a, b, co) with a < b and co >= min_co."""
+    n_buckets = 4096
+
+    def add_src_bucket(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch[src_column], dtype=np.int64)
+        b = (s.view(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                "src": batch[src_column].cast(pa.int64()),
+                "dst": batch[dst_column].cast(pa.int64()),
+                "_sb": pa.array(b),
+            }
+        )
+
+    def src_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+        if g.num_rows < 2:
+            return empty
+        s = np.asarray(g["src"], dtype=np.int64)
+        d = np.asarray(g["dst"], dtype=np.int64)
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        # global (src, dst) dedup — all rows of a src are in this bucket
+        keep = np.empty(len(s), dtype=bool)
+        keep[0] = True
+        np.logical_or(s[1:] != s[:-1], d[1:] != d[:-1], out=keep[1:])
+        s, d = s[keep], d[keep]
+        n = len(s)
+        if n < 2:
+            return empty
+        new_grp = np.empty(n, dtype=bool)
+        new_grp[0] = True
+        np.not_equal(s[1:], s[:-1], out=new_grp[1:])
+        grp_id = np.cumsum(new_grp) - 1
+        starts = np.flatnonzero(new_grp)
+        sizes = np.diff(np.append(starts, n))
+        keep_grp = sizes <= max_out
+        pos = np.arange(n) - starts[grp_id]
+        rp = np.where(keep_grp[grp_id], pos, 0)
+        total = int(rp.sum())
+        if total == 0:
+            return empty
+        second = np.repeat(np.arange(n), rp)
+        cum = np.cumsum(rp) - rp
+        first = np.arange(total) - np.repeat(cum, rp) + np.repeat(starts[grp_id], rp)
+        # dsts ascend within a source, so first < second means a < b
+        return pa.table({"a": pa.array(d[first]), "b": pa.array(d[second])})
+
+    pairs = (
+        edges.map_batches(add_src_bucket, batch_format="pyarrow")
+        .groupby("_sb")
+        .map_groups(src_pairs, batch_format="pyarrow")
+    )
+
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["a"], dtype=np.int64).view(np.uint64)
+        b = np.asarray(batch["b"], dtype=np.int64).view(np.uint64)
+        h = (
+            a * np.uint64(0x9E3779B97F4A7C15) + b * np.uint64(0xC2B2AE3D27D4EB4F)
+        ) % np.uint64(n_buckets)
+        return batch.append_column("_pb", pa.array(h.astype(np.int64)))
+
+    def fold(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "co": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        a = np.asarray(g["a"], dtype=np.int64)
+        b = np.asarray(g["b"], dtype=np.int64)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        new = np.empty(len(a), dtype=bool)
+        new[0] = True
+        np.logical_or(a[1:] != a[:-1], b[1:] != b[:-1], out=new[1:])
+        starts = np.flatnonzero(new)
+        co = np.diff(np.append(starts, len(a)))
+        keep = co >= min_co
+        return pa.table(
+            {
+                "a": pa.array(a[starts][keep]),
+                "b": pa.array(b[starts][keep]),
+                "co": pa.array(co[keep]),
+            }
+        )
+
+    return (
+        pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(fold, batch_format="pyarrow")
+    )

@@ -258,3 +258,32 @@ def test_reciprocal_host_pairs_and_frontier_schedule(ray_session):
     assert by2[u("b", "2")] == 0 and by2[u("b", "9")] == 0
     with pytest.raises(ValueError):
         frontier_schedule(edges, per_host_rate=0)
+
+
+def test_cocitation_pairs(ray_session):
+    import ray.data
+
+    from search_engine_ray.dataops.weblinks import cocitation_pairs
+
+    # sources 1,2 both cite {10,11}; source 3 cites {10,11,12};
+    # multi-edges (1->10 twice) must not inflate counts
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([1, 1, 1, 2, 2, 3, 3, 3], pa.int64()),
+                "dst": pa.array([10, 11, 10, 10, 11, 10, 11, 12], pa.int64()),
+            }
+        )
+    )
+    out = cocitation_pairs(edges, min_co=2).to_pandas()
+    got = sorted(zip(out["a"], out["b"], out["co"]))
+    assert got == [(10, 11, 3)]
+    out1 = cocitation_pairs(edges, min_co=1).to_pandas()
+    got1 = sorted(zip(out1["a"], out1["b"], out1["co"]))
+    assert got1 == [(10, 11, 3), (10, 12, 1), (11, 12, 1)]
+    # skew cap: dropping source 3 (outdeg 3 > 2) removes its pairs
+    capped = cocitation_pairs(edges, min_co=1, max_out=2).to_pandas()
+    assert sorted(zip(capped["a"], capped["b"], capped["co"])) == [(10, 11, 2)]
+    # partition invariance
+    rep = cocitation_pairs(edges.repartition(5), min_co=1).to_pandas()
+    assert sorted(zip(rep["a"], rep["b"], rep["co"])) == got1
