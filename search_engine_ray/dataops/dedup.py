@@ -921,17 +921,38 @@ def simhash_hamming_pairs(
         order = np.argsort(group["doc_id"].to_numpy(np.int64), kind="stable")
         ids = group["doc_id"].to_numpy(np.int64)[order]
         h = group["simhash"].to_numpy(np.int64).view(np.uint64)[order]
-        ai, bi = np.triu_indices(m, k=1)
-        x = h[ai] ^ h[bi]
-        d = _popcount64(x)
-        keep = d <= max_dist
-        # emit only from the FIRST agreeing band: if any band j < band also
-        # agrees for this pair, that bucket already emitted it
-        for j in range(band):
-            bj = np.uint64(j * band_bits)
-            keep &= ((x >> bj) & mask) != 0
+        # slab the triu enumeration: at the bucket cap a full triu would
+        # allocate C(m,2) ~ 2e8-entry index arrays (multi-GB); slabs keep
+        # peak pair count ~4M (~128 MB of working arrays)
+        parts_a, parts_b, parts_d = [], [], []
+        slab = max(1, 4_000_000 // max(m, 1))
+        for s0 in range(0, m - 1, slab):
+            s1 = min(s0 + slab, m - 1)
+            rows = np.arange(s0, s1)
+            cnt = m - 1 - rows
+            ai = np.repeat(rows, cnt)
+            total = int(cnt.sum())
+            cum = np.cumsum(cnt) - cnt
+            bi = np.arange(total) - np.repeat(cum, cnt) + np.repeat(rows + 1, cnt)
+            x = h[ai] ^ h[bi]
+            d = _popcount64(x)
+            keep = d <= max_dist
+            # emit only from the FIRST agreeing band: if any band j < band
+            # also agrees for this pair, that bucket already emitted it
+            for j in range(band):
+                bj = np.uint64(j * band_bits)
+                keep &= ((x >> bj) & mask) != 0
+            parts_a.append(ids[ai[keep]])
+            parts_b.append(ids[bi[keep]])
+            parts_d.append(d[keep])
+        if not parts_a:
+            return empty
         return pd.DataFrame(
-            {"a": ids[ai[keep]], "b": ids[bi[keep]], "dist": d[keep]}
+            {
+                "a": np.concatenate(parts_a),
+                "b": np.concatenate(parts_b),
+                "dist": np.concatenate(parts_d),
+            }
         )
 
     return (
@@ -944,6 +965,19 @@ def simhash_hamming_pairs(
 # --------------------------------------------------------------------------
 # exact n-gram Jaccard pairs
 # --------------------------------------------------------------------------
+
+def pair_bucket_hash(a: np.ndarray, b: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Deterministic bucket of an (a, b) int64 pair — the shared key of the
+    bucketed pair-count folds here and in weblinks.cocitation_pairs (every
+    occurrence of a pair lands in one bucket, so within-bucket vectorized
+    counting is exact)."""
+    au = np.asarray(a, dtype=np.int64).view(np.uint64)
+    bu = np.asarray(b, dtype=np.int64).view(np.uint64)
+    h = (
+        au * np.uint64(0x9E3779B97F4A7C15) + bu * np.uint64(0xC2B2AE3D27D4EB4F)
+    ) % np.uint64(n_buckets)
+    return h.astype(np.int64)
+
 
 def _shingle_pair_counts(
     ds: ray.data.Dataset,
@@ -1046,10 +1080,8 @@ def _shingle_pair_counts(
     # instead of a pair-cardinality hash aggregate (which dominated the
     # wall time — 40 s of 56 s at sf0.1 — at millions of distinct groups).
     def add_pair_bucket(batch: pa.Table) -> pa.Table:
-        a = np.asarray(batch["a"], dtype=np.int64).view(np.uint64)
-        b = np.asarray(batch["b"], dtype=np.int64).view(np.uint64)
-        h = (a * np.uint64(0x9E3779B97F4A7C15) + b * np.uint64(0xC2B2AE3D27D4EB4F)) % np.uint64(n_buckets)
-        return batch.append_column("_pb", pa.array(h.astype(np.int64)))
+        h = pair_bucket_hash(np.asarray(batch["a"]), np.asarray(batch["b"]), n_buckets)
+        return batch.append_column("_pb", pa.array(h))
 
     def fold_pairs(g: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -1689,6 +1721,10 @@ def dedup_representatives(
             prio, "inner", jp, on=(id_column,), right_on=(id_column,)
         ).materialize()
     )
+    if labeled is None:
+        # the pair graph references no doc present in ds (stale/foreign
+        # pair table): every doc is its own representative
+        return prio
     reps_keep = latest_per_key(
         labeled, "component", priority_column, id_column=id_column,
         join_partitions=join_partitions,

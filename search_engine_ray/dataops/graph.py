@@ -193,6 +193,8 @@ def _collect_node_sums(
         .aggregate(Sum("w", alias_name="w"))
         .to_pandas()
     )
+    if "node" not in out.columns:  # empty input: zero-column to_pandas wart
+        return np.empty(0, np.int64), np.empty(0, np.int64)
     nodes = out["node"].to_numpy(np.int64)
     order = np.argsort(nodes, kind="stable")
     return nodes[order], out["w"].to_numpy(np.int64)[order]
@@ -220,6 +222,13 @@ def _pagerank_broadcast(
         .aggregate(Count(alias_name="_n"))
         .to_pandas()
     )
+    if "node" not in nodes_df.columns:  # empty edge set
+        return ray.data.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "rank_micros": pa.array([], pa.int64())}
+            )
+        )
     nodes = np.sort(nodes_df["node"].to_numpy(np.int64))
     odeg_nodes, odeg = _collect_node_sums(edges, src_column, None)
     outdeg = np.zeros(len(nodes), dtype=np.int64)
@@ -428,7 +437,16 @@ def _hits_broadcast(
     (size-capped by the caller); each half-iteration is one edge pass
     with per-batch partial aggregation — same integer results as the
     join path (tested equal)."""
-    nodes = np.sort(nodes_ds.to_pandas()["node"].to_numpy(np.int64))
+    ndf = nodes_ds.to_pandas()
+    if "node" not in ndf.columns:  # empty edge set
+        return ray.data.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "hub_micros": pa.array([], pa.int64()),
+                 "auth_micros": pa.array([], pa.int64())}
+            )
+        )
+    nodes = np.sort(ndf["node"].to_numpy(np.int64))
 
     def _score_pass(key_col: str, lookup_col: str, vec: np.ndarray) -> np.ndarray:
         ref = ray.put((nodes, vec))

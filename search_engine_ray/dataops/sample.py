@@ -507,6 +507,14 @@ def select_token_budget(
     heads = s.map_batches(
         block_total, batch_format="pyarrow", batch_size=None
     ).to_pandas()
+    if "p0" not in heads.columns:
+        # empty input: every block bypassed the UDF (zero-column wart)
+        sch0 = proj.schema()
+        return ray.data.from_arrow(
+            pa.table(
+                {n: pa.array([], t) for n, t in zip(sch0.names, sch0.types)}
+            )
+        )
     # block order == sort order: sort the per-block heads by the same key
     heads = heads.sort_values(
         ["p0", "i0"], ascending=[False, True], ignore_index=True

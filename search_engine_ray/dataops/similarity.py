@@ -1046,19 +1046,24 @@ def knn_self_join(
         o_m = np.stack(owners["vec"].to_numpy())
         p_ids = g["qid"].to_numpy(np.int64)
         p_m = np.stack(g["vec"].to_numpy())
-        sims = p_m @ o_m.T  # (P, O)
         out_q, out_id, out_s = [], [], []
         kk = min(k, len(o_ids))
-        for pi in range(len(p_ids)):
-            s = sims[pi]
-            not_self = o_ids != p_ids[pi]
-            cand_ids, cand_s = o_ids[not_self], s[not_self]
-            if len(cand_ids) == 0:
-                continue
-            idx = np.lexsort((cand_ids, -cand_s))[:kk]
-            out_q.append(np.full(len(idx), p_ids[pi], dtype=np.int64))
-            out_id.append(cand_ids[idx])
-            out_s.append(cand_s[idx])
+        # chunk the probe side so the similarity matrix stays ~128 MB even
+        # at the bucket cap (a 50k x 50k float64 matmul would be 20 GB)
+        chunk = max(1, (1 << 24) // max(len(o_ids), 1))
+        for c0 in range(0, len(p_ids), chunk):
+            sims = p_m[c0 : c0 + chunk] @ o_m.T  # (chunk, O)
+            for ci in range(sims.shape[0]):
+                pi = c0 + ci
+                s = sims[ci]
+                not_self = o_ids != p_ids[pi]
+                cand_ids, cand_s = o_ids[not_self], s[not_self]
+                if len(cand_ids) == 0:
+                    continue
+                idx = np.lexsort((cand_ids, -cand_s))[:kk]
+                out_q.append(np.full(len(idx), p_ids[pi], dtype=np.int64))
+                out_id.append(cand_ids[idx])
+                out_s.append(cand_s[idx])
         if not out_q:
             return empty
         return pd.DataFrame(

@@ -433,12 +433,10 @@ def cocitation_pairs(
     )
 
     def add_pair_bucket(batch: pa.Table) -> pa.Table:
-        a = np.asarray(batch["a"], dtype=np.int64).view(np.uint64)
-        b = np.asarray(batch["b"], dtype=np.int64).view(np.uint64)
-        h = (
-            a * np.uint64(0x9E3779B97F4A7C15) + b * np.uint64(0xC2B2AE3D27D4EB4F)
-        ) % np.uint64(n_buckets)
-        return batch.append_column("_pb", pa.array(h.astype(np.int64)))
+        from .dedup import pair_bucket_hash
+
+        h = pair_bucket_hash(np.asarray(batch["a"]), np.asarray(batch["b"]), n_buckets)
+        return batch.append_column("_pb", pa.array(h))
 
     def fold(g: pa.Table) -> pa.Table:
         empty = pa.table(

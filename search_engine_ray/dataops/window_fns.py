@@ -193,8 +193,15 @@ def _windowed(
         np.not_equal(ks[1:], ks[:-1], out=boundary[1:])
         vcol = group[value_col]
         if pa.types.is_string(vcol.type) or pa.types.is_large_string(vcol.type):
-            # only position-based kernels (row_number / tile) route a
-            # string column here, and they ignore the values
+            if value_col != id_col:
+                # a real VALUE column must be numeric — silently zeroing a
+                # string money/count column would corrupt running sums
+                raise TypeError(
+                    f"window value column {value_col!r} is string-typed; "
+                    "only position-based kernels (row_number/tile, which "
+                    "reuse the id column) accept strings"
+                )
+            # position-based kernels ignore the values
             v = np.zeros(group.num_rows, dtype=np.int64)
         else:
             v = np.asarray(vcol, dtype=np.int64)[perm]

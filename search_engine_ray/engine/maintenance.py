@@ -958,7 +958,9 @@ def refresh_index(
     """Incremental crawl-to-index refresh — the composed maintenance verb
     a recrawl needs, built from three existing primitives:
 
-    1. **newest capture per name** (dataops.dedup.latest_per_key_apply):
+    1. **newest capture per name** (dataops.dedup.latest_per_key + a
+       (name, ts, hash)-keyed semi join — the content hash alone is not
+       row-unique):
        a crawl batch holds many captures of one url; only the max-ts one
        can enter the index (ties broken by the md5 of the source bytes —
        deterministic under any partitioning);
@@ -981,11 +983,23 @@ def refresh_index(
     import numpy as np
     import pyarrow.dataset as pads
 
-    from ..dataops.dedup import latest_per_key_apply
     from ..ioutil import read_parquet_clean
 
     caps = read_parquet_clean(captures_file)
     n_captures = caps.count()
+    if n_captures == 0:
+        import json
+
+        with open(os.path.join(index_dir, "stats.json")) as fh:
+            stats = json.load(fh)
+        return dict(
+            stats,
+            n_captures=0,
+            n_latest=0,
+            n_unchanged=0,
+            n_upserts=0,
+            n_replaced=0,
+        )
 
     def prep(batch: pa.Table) -> pa.Table:
         ts = batch[ts_column]
@@ -1014,13 +1028,45 @@ def refresh_index(
         )
 
     prepped = caps.map_batches(prep, batch_format="pyarrow")
-    latest = latest_per_key_apply(
-        prepped, name_column, "_ts", id_column="_cap_id"
-    )
-    upd = pa.concat_tables(
+    # latest capture per name, ties -> max content hash.  The semi join
+    # back onto the captures keys on the FULL (name, ts, hash) triple —
+    # a content hash alone is not row-unique (identical boilerplate
+    # bodies across urls would cross-match and keep stale captures).
+    from ..dataops.dedup import _join_parts, latest_per_key
+    from ..ioutil import nonempty_blocks
+
+    keep = latest_per_key(prepped, name_column, "_ts", id_column="_cap_id")
+    keep = nonempty_blocks(keep.materialize())
+    if keep is None:
+        winners = prepped.limit(0)
+    else:
+        winners = prepped.join(
+            keep,
+            "left_semi",
+            _join_parts(16),
+            on=(name_column, "_ts", "_cap_id"),
+            right_on=(name_column, "_ts", "keep__cap_id"),
+        )
+    batches = [
         pa.table(b)
-        for b in latest.iter_batches(batch_size=None, batch_format="pyarrow")
-    )
+        for b in winners.iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    batches = [b for b in batches if b.num_rows]
+    if batches:
+        upd = pa.concat_tables(batches)
+        # byte-identical duplicate captures (same name+ts+content) all
+        # survive the semi join; keep exactly one per name
+        df = upd.to_pandas().drop_duplicates(subset=[name_column], ignore_index=True)
+        upd = pa.Table.from_pandas(df, schema=upd.schema, preserve_index=False)
+    else:
+        upd = pa.table(
+            {
+                name_column: pa.array([], pa.string()),
+                "_ts": pa.array([], pa.int64()),
+                "_cap_id": pa.array([], pa.int64()),
+                source_column: pa.array([], pa.string()),
+            }
+        )
     n_latest = upd.num_rows
 
     # old-content hashes for the captured names only (column-pruned scan)
@@ -1061,13 +1107,25 @@ def refresh_index(
             n_replaced=0,
         )
 
-    upd_path = os.path.join(corpus_dir, "..", "refresh-update.parquet")
-    upd_path = os.path.abspath(upd_path)
-    pq.write_table(changed, upd_path)
-    stats = upsert_docs(
-        index_dir, corpus_dir, upd_path, config=config,
-        source_column=source_column, name_column=name_column,
+    # per-run temp file inside the index dir (no fixed shared path: two
+    # concurrent refreshes must not read each other's update table)
+    import tempfile
+
+    fd, upd_path = tempfile.mkstemp(
+        prefix="refresh-update-", suffix=".parquet", dir=index_dir
     )
+    os.close(fd)
+    try:
+        pq.write_table(changed, upd_path)
+        stats = upsert_docs(
+            index_dir, corpus_dir, upd_path, config=config,
+            source_column=source_column, name_column=name_column,
+        )
+    finally:
+        try:
+            os.remove(upd_path)
+        except OSError:
+            pass
     return dict(
         stats,
         n_captures=n_captures,

@@ -55,24 +55,27 @@ def percolate(
     qid_arr = np.asarray(qids, dtype=np.int64)
     uniq_terms, inv = np.unique(term_arr, return_inverse=True)
     order = np.argsort(inv, kind="stable")
-    post_qids = qid_arr[order]  # query ids grouped by term
     counts = np.bincount(inv, minlength=len(uniq_terms))
     offsets = np.concatenate(([0], np.cumsum(counts)))
-    # per-query distinct term counts (the AND arity)
-    uq, qlen = np.unique(qid_arr, return_counts=True)
-    qlen_dense = np.zeros(int(uq.max()) + 1, dtype=np.int64)
-    qlen_dense[uq] = qlen
+    # per-query distinct term counts (the AND arity), with query ids
+    # remapped to DENSE ordinals — a sparse or negative user id must not
+    # size the dense array (qid 10^9 would allocate 8 GB) or wrap through
+    # numpy indexing; the output maps ordinals back to the user's ids
+    uq, qid_ord = np.unique(qid_arr, return_inverse=True)
+    qlen_dense = np.bincount(qid_ord, minlength=len(uq)).astype(np.int64)
+    post_qids = qid_ord[order]  # ordinals grouped by term (replaces raw ids)
     ref = ray.put(
         (
             pa.array(uniq_terms.tolist(), pa.string()),
             post_qids,
             offsets,
             qlen_dense,
+            uq,
         )
     )
 
     def match(batch: pa.Table) -> pa.Table:
-        terms_pa, postings, offs, qlens = ray.get(ref)
+        terms_pa, postings, offs, qlens, qid_map = ray.get(ref)
         tb = tokenize_batch(batch[text_column], options)
         ids = np.asarray(batch[id_column], dtype=np.int64)
         empty = pa.table(
@@ -115,7 +118,7 @@ def percolate(
         return pa.table(
             {
                 id_column: pa.array(ids[kd[full]]),
-                "query_id": pa.array(kq[full]),
+                "query_id": pa.array(qid_map[kq[full]]),
             }
         )
 

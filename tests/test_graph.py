@@ -226,3 +226,19 @@ def test_broadcast_and_join_paths_identical(edges_ds, ray_session):
     assert b_b.sort_values("node", ignore_index=True).equals(
         b_j.sort_values("node", ignore_index=True)
     )
+
+
+def test_graph_ops_empty_edges(ray_session):
+    """Empty edge sets return empty typed results instead of crashing on
+    the zero-column to_pandas wart (review finding)."""
+    import ray.data
+
+    from search_engine_ray.dataops.graph import hits, pagerank
+
+    empty = ray.data.from_arrow(
+        pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    )
+    pr = pagerank(empty, n_nodes=10, n_iter=2).to_pandas()
+    assert len(pr) == 0
+    h = hits(empty, n_iter=1).to_pandas()
+    assert len(h) == 0

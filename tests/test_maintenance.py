@@ -1005,3 +1005,102 @@ def test_refresh_index(ray_session, tmp_path):
         source_column="text", name_column="doc_id", ts_column="warc_ts",
     )
     assert stats2["n_upserts"] == 0 and stats2["n_docs"] == 5
+
+
+def test_refresh_index_same_content_across_urls(ray_session, tmp_path):
+    """Identical capture bodies across different urls must not cross-match
+    in the latest-pick (review finding: content hash is not row-unique) —
+    a stale capture of url A sharing bytes with url B's newest capture
+    must still lose to A's newer capture."""
+    import pyarrow as pa
+
+    from search_engine_ray.config import IndexOptions
+    from search_engine_ray.engine.maintenance import refresh_index
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["alpha beta", "gamma delta"]),
+            }
+        ),
+        f"{corpus}/a-docs.parquet",
+    )
+    idx = str(tmp_path / "idx")
+    cfg = BuildConfig(
+        block_entries=4, frags_per_shard=2, options=IndexOptions(stemming=False)
+    )
+    build_index(
+        corpus, idx, cfg, overwrite=True, source_column="text", name_column="doc_id"
+    )
+    caps = str(tmp_path / "captures.parquet")
+    # doc 0: stale capture 'shared body' (ts 1) then newer 'omega chi'
+    # (ts 2); doc 1: newest capture IS 'shared body' (ts 9) — the same
+    # bytes as doc 0's stale one
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 0, 1], pa.int64()),
+                "text": pa.array(["shared body", "omega chi", "shared body"]),
+                "warc_ts": pa.array([1, 2, 9], pa.int64()),
+            }
+        ),
+        caps,
+    )
+    stats = refresh_index(
+        idx, corpus, caps, config=cfg,
+        source_column="text", name_column="doc_id", ts_column="warc_ts",
+    )
+    assert stats["n_latest"] == 2  # one winner per doc
+    assert stats["n_upserts"] == 2 and stats["n_replaced"] == 2
+    r = IndexReader(idx)
+    mask = r.deleted_mask()
+    from search_engine_ray.pipelines import bm25_scores_f64
+
+    ids, _ = bm25_scores_f64(r, [("shared", 1)])
+    live = {str(r.doc_names[d]) for d in ids[~mask[ids]]}
+    assert live == {"1"}  # doc 0's stale 'shared body' never entered
+    ids2, _ = bm25_scores_f64(r, [("omega", 1)])
+    assert {str(r.doc_names[d]) for d in ids2[~mask[ids2]]} == {"0"}
+
+
+def test_refresh_index_empty_captures(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from search_engine_ray.config import IndexOptions
+    from search_engine_ray.engine.maintenance import refresh_index
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array([0], pa.int64()), "text": pa.array(["alpha"])}
+        ),
+        f"{corpus}/a-docs.parquet",
+    )
+    idx = str(tmp_path / "idx")
+    cfg = BuildConfig(
+        block_entries=4, frags_per_shard=2, options=IndexOptions(stemming=False)
+    )
+    build_index(
+        corpus, idx, cfg, overwrite=True, source_column="text", name_column="doc_id"
+    )
+    caps = str(tmp_path / "captures.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "warc_ts": pa.array([], pa.int64()),
+            }
+        ),
+        caps,
+    )
+    stats = refresh_index(
+        idx, corpus, caps, config=cfg,
+        source_column="text", name_column="doc_id", ts_column="warc_ts",
+    )
+    assert stats["n_captures"] == 0 and stats["n_upserts"] == 0
+    assert stats["n_docs"] == 1
