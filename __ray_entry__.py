@@ -5458,6 +5458,39 @@ def q_cocitation(sf_dir: str) -> pa.Table:
     )
 
 
+def q_bibcoupling(sf_dir: str) -> pa.Table:
+    """Bibliographic coupling (Kessler 1963) — the dual of co-citation:
+    SOURCES sharing >= 3 common targets.  Same operator with the edge
+    direction swapped (cocitation_pairs(src_column='dst',
+    dst_column='src'))."""
+    from search_engine_ray.dataops.weblinks import cocitation_pairs
+
+    def collapse(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out = {}
+        for col in ("src", "dst"):
+            out[col] = pa.array(np.asarray(batch[col], dtype=np.int64) % _DOMAIN_MOD)
+        t = pa.table(out)
+        return t.filter(pc.not_equal(t["src"], t["dst"]))
+
+    edges = _host_edges_ds(sf_dir).map_batches(collapse, batch_format="pyarrow")
+    out = (
+        cocitation_pairs(
+            edges, min_co=3, max_out=1_000_000, src_column="dst", dst_column="src"
+        )
+        .to_pandas()
+        .sort_values(["a", "b"], ignore_index=True)
+    )
+    return pa.table(
+        {
+            "a": pa.array(out["a"].to_numpy(np.int64)),
+            "b": pa.array(out["b"].to_numpy(np.int64)),
+            "co": pa.array(out["co"].to_numpy(np.int64)),
+        }
+    )
+
+
 def q_bm25_anchor_top10(sf_dir: str) -> pa.Table:
     """Anchor-field BM25 (web search's classic third field) as distributed
     aggregates — no anchor-document materialization, no second index; the
@@ -5682,6 +5715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reciprocal_hosts": q_reciprocal_hosts,
         "frontier_schedule": q_frontier_schedule,
         "cocitation": q_cocitation,
+        "bibcoupling": q_bibcoupling,
         "bm25_anchor_top10": q_bm25_anchor_top10,
     }
 
@@ -8507,6 +8541,17 @@ def _weblink_sqls() -> dict[str, str]:
                    WHERE src_doc % 997 % {_DOMAIN_MOD} <> dst_doc % 997 % {_DOMAIN_MOD})
             SELECT x.dst AS a, y.dst AS b, CAST(count(*) AS BIGINT) AS co
             FROM e2 x JOIN e2 y ON x.src = y.src AND x.dst < y.dst
+            GROUP BY 1, 2 HAVING count(*) >= 3
+            ORDER BY a, b
+        """,
+        "bibcoupling": f"""
+            WITH {cte},
+            e2 AS (SELECT DISTINCT src_doc % 997 % {_DOMAIN_MOD} AS src,
+                                   dst_doc % 997 % {_DOMAIN_MOD} AS dst
+                   FROM le
+                   WHERE src_doc % 997 % {_DOMAIN_MOD} <> dst_doc % 997 % {_DOMAIN_MOD})
+            SELECT x.src AS a, y.src AS b, CAST(count(*) AS BIGINT) AS co
+            FROM e2 x JOIN e2 y ON x.dst = y.dst AND x.src < y.src
             GROUP BY 1, 2 HAVING count(*) >= 3
             ORDER BY a, b
         """,
