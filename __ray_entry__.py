@@ -1421,6 +1421,59 @@ def q_bm25adpt_top10(sf_dir: str) -> pa.Table:
     )
 
 
+_ADPT_HIST_TERMS = ("dup", "hash", "join", "spark")
+
+
+def q_bm25adpt_cd_hist(sf_dir: str) -> pa.Table:
+    """The per-term cd histogram BM25-ADPT's IG curve is built from —
+    counts[t] = #postings with cd >= t - 0.5 for t in 2..101, where
+    cd = tf / (1 - b + b*dl/avgdl) (BM25ADPT.cs:44-77).  This is the
+    statistics layer of the one scorer whose float32 scoring math is not
+    SQL-expressible; the histogram itself IS (a grouped integer count):
+    with avgdl = T/N exactly (T = total tokens, N = docs, b = 3/4),
+    cd >= t - 1/2  <=>  8*tf*T >= (2t-1)*(T + 3*N*dl) in exact integers.
+    The callable runs the REAL engine kernel (adpt_cd_counts over float32
+    cds and the stats.json avgdl) and raises unless it equals the
+    integer-exact counts, so a green driver row certifies the engine path."""
+    from search_engine_ray.engine.scoring import adpt_cd_counts
+
+    r = _reader(sf_dir)
+    n = r.n_docs
+    total_tokens = int(r.doc_lens.sum())
+    avgdl = r.avgdl
+    terms_out: list[str] = []
+    ts_out: list[int] = []
+    counts_out: list[int] = []
+    for term in _ADPT_HIST_TERMS:
+        tp = r.postings(term)
+        if tp is None:
+            continue
+        _ids, tfs, dls = tp.arrays()
+        cds = (tfs / (1 - 0.75 + 0.75 * dls / avgdl)).astype(np.float32)
+        engine_counts = adpt_cd_counts(cds)
+        lhs = 8 * tfs.astype(np.int64) * total_tokens
+        rhs_base = total_tokens + 3 * n * dls.astype(np.int64)
+        exact = np.array(
+            [(lhs >= (2 * t - 1) * rhs_base).sum() for t in range(2, 102)],
+            dtype=np.int64,
+        )
+        if not np.array_equal(engine_counts, exact):
+            raise AssertionError(
+                f"ADPT cd-histogram float32 path diverges from exact integers "
+                f"for term {term!r}: {engine_counts.tolist()} vs {exact.tolist()}"
+            )
+        terms_out.extend([term] * 100)
+        ts_out.extend(range(2, 102))
+        counts_out.extend(exact.tolist())
+    return pa.table(
+        {
+            "term": pa.array(terms_out, pa.string()),
+            "t": pa.array(ts_out, pa.int64()),
+            "n_ge": pa.array(counts_out, pa.int64()),
+        }
+    )
+
+
 # derived near-dup fixture: every 10th vector gets a scaled twin — scaling
 # preserves both the cosine (== ~1.0 > any original pair, max ~0.51 at all
 # sfs) and the hyperplane signs (same LSH bucket), so the expected pair set
@@ -2636,14 +2689,17 @@ def _trec_eval_oracle_sql() -> str:
                 FROM c GROUP BY topic
             ),
             per_qrel AS (SELECT topic, count(*) AS n_rel FROM qrels GROUP BY topic)
-            SELECT t.topic,
+            -- CAST every SUM-derived / literal column: DuckDB SUM returns
+            -- HUGEINT (float64 in pandas) and int literals are INT32 —
+            -- both hash-mismatch the engine's int64 in the driver gate
+            SELECT CAST(t.topic AS BIGINT) AS topic,
                    COALESCE(r.n_ret, 0) AS n_ret,
                    COALESCE(q.n_rel, 0) AS n_rel,
-                   COALESCE(r.n_rel_ret, 0) AS n_rel_ret,
-                   COALESCE(r.hits_at_k, 0) AS hits_at_k,
+                   CAST(COALESCE(r.n_rel_ret, 0) AS BIGINT) AS n_rel_ret,
+                   CAST(COALESCE(r.hits_at_k, 0) AS BIGINT) AS hits_at_k,
                    COALESCE(r.first_rel_rank, -1) AS first_rel_rank,
                    COALESCE(r.rr_micros, 0) AS rr_micros,
-                   COALESCE(r.sum_prec_micros, 0) AS sum_prec_micros
+                   CAST(COALESCE(r.sum_prec_micros, 0) AS BIGINT) AS sum_prec_micros
             FROM (SELECT topic FROM per_run UNION SELECT topic FROM per_qrel) t
             LEFT JOIN per_run r ON t.topic = r.topic
             LEFT JOIN per_qrel q ON t.topic = q.topic
@@ -5504,14 +5560,18 @@ def q_bm25_anchor_top10(sf_dir: str) -> pa.Table:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING IS DELIBERATE: the driver gate checks the FIRST 50 entries
-    # in dict order (round-3 finding), so the highest-value surfaces sit
-    # up front — the reference core (stats/rankers), the full index-
-    # maintenance + scorer-registry suite (driver-unchecked in round 3),
-    # the five rows that were red in round 3 (now integer-exact), and the
-    # headline dedup/LLM-pipeline operators.  Entries past 50 are equally
+    # in dict order.  Round-5 rotation: the permanent canary block
+    # (doc_stats..tfidf_top10), the new SQL-checked ADPT cd-histogram,
+    # the four rows that were hash-red in round 4 (oracle dtypes now
+    # pinned with explicit CASTs — DuckDB HUGEINT was landing as float64
+    # and diverging the driver's dtype-sensitive value hash), then the
+    # wings that have NEVER had a driver row: relational, web-graph,
+    # sketches, streaming windows, tokenization/eval/quantiles.
+    # Everything rotated out (maintenance suite, scorers, lexicon, the
+    # dedup family) is recorded driver-green in CORRECTNESS_r04 and stays
     # SQL-checked by tests/test_entry_contract.py every run.
     return {
-        # --- reference core: index stats + rankers ---
+        # --- permanent canary block: index stats + rankers ---
         "doc_stats": q_doc_stats,
         "term_stats": q_term_stats,
         "top_terms": q_top_terms,
@@ -5519,12 +5579,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collection_stats": q_collection_stats,
         "bm25_top10": q_bm25_top10,
         "tfidf_top10": q_tfidf_top10,
-        # rows-only (non-SQL-expressible); self-checks bit-identity
-        # against the in-repo oracle transcription
+        # --- new: the ADPT scorer's statistics layer, integer-exact ---
+        "bm25adpt_cd_hist": q_bm25adpt_cd_hist,
+        # --- round-4 hash-red rows, oracle dtypes now pinned ---
+        "rrf_fusion": q_rrf_fusion,
+        "gopher_quality": q_gopher_quality,
+        "pack_sequences": q_pack_sequences,
+        "pack_bins": q_pack_bins,
+        # --- relational wing (never driver-checked before round 5) ---
+        "pricing_summary": q_pricing_summary,
+        "customers_per_region": q_customers_per_region,
+        "top_customers_by_revenue": q_top_customers_by_revenue,
+        "orders_per_month": q_orders_per_month,
+        "customers_without_orders": q_customers_without_orders,
+        "shipping_priority": q_shipping_priority,
+        "running_revenue": q_running_revenue,
+        "rolling_revenue": q_rolling_revenue,
+        "suppliers_per_region": q_suppliers_per_region,
+        # --- web-graph wing (never driver-checked before round 5) ---
+        "link_graph": q_link_graph,
+        "host_degree": q_host_degree,
+        "anchor_agg": q_anchor_agg,
+        "host_pagerank": q_host_pagerank,
+        "host_hits": q_host_hits,
+        "host_reach": q_host_reach,
+        "reciprocal_hosts": q_reciprocal_hosts,
+        "frontier_schedule": q_frontier_schedule,
+        "cocitation": q_cocitation,
+        "bibcoupling": q_bibcoupling,
+        "bm25_anchor_top10": q_bm25_anchor_top10,
+        # --- sketches (never driver-checked before round 5) ---
+        "heavy_hitters": q_heavy_hitters,
+        "hll_user_registers": q_hll_user_registers,
+        "count_min": q_count_min,
+        "cm_lookup": q_cm_lookup,
+        "bloom_seen": q_bloom_seen,
+        "hll_by_type": q_hll_by_type,
+        # --- streaming windows (never driver-checked before round 5) ---
+        "events_window": q_events_window,
+        "hopping_window": q_hopping_window,
+        "sessionize": q_sessionize,
+        "trending_per_window": q_trending_per_window,
+        "distinct_users_per_window": q_distinct_users_per_window,
+        "event_gaps": q_event_gaps,
+        # --- tokenization / eval / quantiles (never driver-checked) ---
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "bpe_token_count": q_bpe_token_count,
+        "token_count": q_token_count,
+        "trec_eval": q_trec_eval,
+        "token_quantiles": q_token_quantiles,
+        "value_quantiles_hist": q_value_quantiles_hist,
+        # ------------- driver cutoff (first 50 above) -------------
+        # recorded driver-green in CORRECTNESS_r04, rotated out:
         "bm25adpt_top10": q_bm25adpt_top10,
         "bm25_qtf_top10": q_bm25_qtf_top10,
         "bm25_stemmed_wand": q_bm25_stemmed_wand,
-        # --- index maintenance suite ---
         "bm25_deleted_top10": q_bm25_deleted_top10,
         "bm25_upsert_top10": q_bm25_upsert_top10,
         "bm25_refreshed_top10": q_bm25_refreshed_top10,
@@ -5532,7 +5641,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_merged_top10": q_bm25_merged_top10,
         "bm25_pruned_top10": q_bm25_pruned_top10,
         "index_fsck": q_index_fsck,
-        # --- scorer registry + query-time features ---
         "lmd_top10": q_lmd_top10,
         "bm25plus_top10": q_bm25plus_top10,
         "bm25_filtered_top10": q_bm25_filtered_top10,
@@ -5541,25 +5649,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_prf_top10": q_bm25_prf_top10,
         "bm25_collapsed_top10": q_bm25_collapsed_top10,
         "facet_counts": q_facet_counts,
-        "rrf_fusion": q_rrf_fusion,
         "more_like_this": q_more_like_this,
         "snippets": q_snippets,
         "phrase_match": q_phrase_match,
         "proximity_match": q_proximity_match,
-        # --- lexicon surfaces ---
         "prefix_terms": q_prefix_terms,
         "prefix_search_top10": q_prefix_search_top10,
         "wildcard_terms": q_wildcard_terms,
         "fuzzy_terms": q_fuzzy_terms,
         "spell_correct": q_spell_correct,
         "suggest": q_suggest,
-        # --- round-3 red rows, now transcendental-free / class-pinned ---
-        "gopher_quality": q_gopher_quality,
         "unigram_lm": q_unigram_lm,
         "dsir_weights": q_dsir_weights,
-        "pack_sequences": q_pack_sequences,
-        "pack_bins": q_pack_bins,
-        # --- headline dedup operators ---
         "dedup_exact": q_dedup_exact,
         "dedup_apply": q_dedup_apply,
         "minhash_pairs": q_minhash_pairs,
@@ -5569,6 +5670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "simhash_near_pairs": q_simhash_near_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        # SQL-checked in-repo every run (outside the driver window):
         "ngram_containment": q_ngram_containment,
         "token_budget": q_token_budget,
         "grep_docs": q_grep_docs,
@@ -5577,11 +5679,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_components": q_dedup_components,
         "dedup_representatives": q_dedup_representatives,
         "emb_near_dup": q_emb_near_dup,
-        # ------------- driver cutoff (first 50 above) -------------
         "extract_roundtrip": q_extract_roundtrip,
         "warc_roundtrip": q_warc_roundtrip,
-        "token_count": q_token_count,
-        "bpe_token_count": q_bpe_token_count,
         "quality": q_quality,
         "curate": q_curate,
         "curate_web": q_curate_web,
@@ -5603,15 +5702,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_per_lang_head": q_docs_per_lang_head,
         "quality_top100": q_quality_top100,
         "top_bigrams": q_top_bigrams,
-        "token_quantiles": q_token_quantiles,
         "pmi_pairs": q_pmi_pairs,
         "sample_docs": q_sample_docs,
         "stratified_sample": q_stratified_sample,
         "source_stats": q_source_stats,
-        "events_window": q_events_window,
-        "hopping_window": q_hopping_window,
-        "sessionize": q_sessionize,
-        "trending_per_window": q_trending_per_window,
         "boolean_and": q_boolean_and,
         "boolean_or": q_boolean_or,
         "boolean_and_not": q_boolean_and_not,
@@ -5625,20 +5719,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,
         "kmeans": q_kmeans,
         "kmeans_assign": q_kmeans_assign,
-        "heavy_hitters": q_heavy_hitters,
         "fingerprints": q_fingerprints,
         "media_features": q_media_features,
-        "pricing_summary": q_pricing_summary,
-        "customers_per_region": q_customers_per_region,
-        "top_customers_by_revenue": q_top_customers_by_revenue,
-        "orders_per_month": q_orders_per_month,
-        "customers_without_orders": q_customers_without_orders,
         "distinct_users_per_type": q_distinct_users_per_type,
         "lang_token_quantiles": q_lang_token_quantiles,
-        "suppliers_per_region": q_suppliers_per_region,
         "part_size_quantiles": q_part_size_quantiles,
         "semantic_dedup": q_semantic_dedup,
-        "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_merges": q_bpe_merges,
         "nfc_normalize": q_nfc_normalize,
         "dedup_incremental": q_dedup_incremental,
@@ -5646,19 +5732,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_shards": q_export_shards,
         "mix_sources": q_mix_sources,
         "chunk_documents": q_chunk_documents,
-        "distinct_users_per_window": q_distinct_users_per_window,
         "quantile_gate": q_quantile_gate,
         "pagerank_events": q_pagerank_events,
-        "shipping_priority": q_shipping_priority,
-        "running_revenue": q_running_revenue,
-        "event_gaps": q_event_gaps,
         "lang_char_rank": q_lang_char_rank,
-        "bloom_seen": q_bloom_seen,
-        "hll_user_registers": q_hll_user_registers,
         "quality_terciles": q_quality_terciles,
-        "count_min": q_count_min,
-        "cm_lookup": q_cm_lookup,
-        "trec_eval": q_trec_eval,
         "table_profile": q_table_profile,
         "compact_files": q_compact_files,
         "shuffle_export": q_shuffle_export,
@@ -5676,7 +5753,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_heavy_hitters": q_lang_heavy_hitters,
         "mmr_rerank": q_mmr_rerank,
         "order_seq": q_order_seq,
-        "rolling_revenue": q_rolling_revenue,
         "funnel_counts": q_funnel,
         "docs_rollup": q_docs_rollup,
         "lang_source_pivot": q_lang_source_pivot,
@@ -5689,7 +5765,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_prior_top10": q_bm25_prior_top10,
         "ordered_window_match": q_ordered_window_match,
         "phrase_bm25_top10": q_phrase_bm25_top10,
-        "value_quantiles_hist": q_value_quantiles_hist,
         "pca_gram": q_pca_gram,
         "probe_gram": q_probe_gram,
         "linear_probe": q_linear_probe,
@@ -5697,7 +5772,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_project": q_pca_project,
         "bm25f_top10": q_bm25f_top10,
         "rand_proj": q_rand_proj,
-        "hll_by_type": q_hll_by_type,
         "sentences": q_sentences,
         "dup_sentences": q_dup_sentences,
         "hard_negatives": q_hard_negatives,
@@ -5706,17 +5780,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_champions_top10": q_bm25_champions_top10,
         "bm25_federated_bloom_top10": q_bm25_federated_bloom_top10,
         "grouped_moments": q_grouped_moments,
-        "link_graph": q_link_graph,
-        "host_degree": q_host_degree,
-        "anchor_agg": q_anchor_agg,
-        "host_pagerank": q_host_pagerank,
-        "host_reach": q_host_reach,
-        "host_hits": q_host_hits,
-        "reciprocal_hosts": q_reciprocal_hosts,
-        "frontier_schedule": q_frontier_schedule,
-        "cocitation": q_cocitation,
-        "bibcoupling": q_bibcoupling,
-        "bm25_anchor_top10": q_bm25_anchor_top10,
     }
 
 
@@ -6219,7 +6282,7 @@ def oracle_sql() -> dict[str, str]:
             )
         """
         + " UNION ALL ".join(
-            f"SELECT {int(q * 1_000_000)} AS q_micros, "
+            f"SELECT CAST({int(q * 1_000_000)} AS BIGINT) AS q_micros, "
             f"CAST(percentile_disc({q}) WITHIN GROUP (ORDER BY n) AS BIGINT) AS value FROM tc"
             for q in (0.25, 0.5, 0.75, 0.9, 0.99)
         ),
@@ -6341,7 +6404,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             hist AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket),
             cum AS (SELECT bucket, CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum_count FROM hist),
-            qs AS (SELECT * FROM (VALUES (25),(50),(75),(90),(99)) AS v(q_pct)),
+            qs AS (SELECT * FROM (VALUES (CAST(25 AS BIGINT)),(50),(75),(90),(99)) AS v(q_pct)),
             ranks AS (SELECT q_pct, (q_pct * (SELECT n FROM mm) + 99) // 100 AS rank FROM qs),
             pick AS (
               SELECT r.q_pct, r.rank, min(c.bucket) AS bucket
@@ -6420,9 +6483,12 @@ def oracle_sql() -> dict[str, str]:
                      COALESCE(SUM(n) OVER (ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
               FROM tc)
-            SELECT doc_id, n AS n_tokens, start AS start_tok,
-                   start // {_SEQ_LEN} AS first_bin,
-                   (start + n - 1) // {_SEQ_LEN} AS last_bin
+            -- every SUM-derived column CAST to BIGINT: DuckDB window SUM
+            -- returns HUGEINT, which lands as float64 in pandas and
+            -- hash-mismatches the engine's int64 (round-4 driver red)
+            SELECT doc_id, n AS n_tokens, CAST(start AS BIGINT) AS start_tok,
+                   CAST(start // {_SEQ_LEN} AS BIGINT) AS first_bin,
+                   CAST((start + n - 1) // {_SEQ_LEN} AS BIGINT) AS last_bin
             FROM off WHERE n > 0
         """,
         "dup_spans": _dup_spans_sql(),
@@ -6750,7 +6816,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT count(*) FROM documents) AS n_docs,
                    (SELECT count(DISTINCT t) FROM toks) AS n_terms,
                    (SELECT count(*) FROM (SELECT DISTINCT doc_id, t FROM toks)) AS n_postings,
-                   0 AS violations
+                   CAST(0 AS BIGINT) AS violations
         """,
         "trending_per_window": """
             WITH c AS (
@@ -7041,8 +7107,8 @@ def oracle_sql() -> dict[str, str]:
                                             CAST((start + n - 1) // {_SEQ_LEN} AS BIGINT))) AS bin
               FROM spans)
             SELECT bin, count(*) AS n_docs,
-                   SUM(LEAST(start + n, (bin + 1) * {_SEQ_LEN})
-                       - GREATEST(start, bin * {_SEQ_LEN})) AS n_tokens
+                   CAST(SUM(LEAST(start + n, (bin + 1) * {_SEQ_LEN})
+                       - GREATEST(start, bin * {_SEQ_LEN})) AS BIGINT) AS n_tokens
             FROM binned GROUP BY bin
         """,
         "wildcard_terms": f"""
@@ -7107,11 +7173,29 @@ def oracle_sql() -> dict[str, str]:
                      1000000 // (60 + row_number() OVER (ORDER BY score DESC, doc_id ASC)) AS m
               FROM ti
             ),
-            fused AS (SELECT doc_id AS doc, SUM(m) AS fused_micros FROM contrib GROUP BY doc_id),
+            fused AS (SELECT doc_id AS doc, CAST(SUM(m) AS BIGINT) AS fused_micros FROM contrib GROUP BY doc_id),
             ranked AS (SELECT doc, fused_micros,
                               row_number() OVER (ORDER BY fused_micros DESC, doc ASC) AS fused_rank
                        FROM fused)
             SELECT doc, fused_micros, fused_rank FROM ranked WHERE fused_rank <= 10
+        """,
+        # integer-exact ADPT cd histogram: with avgdl = tt/n exactly and
+        # b = 3/4, cd >= t - 1/2 <=> 8*tf*tt >= (2t-1)*(tt + 3*n*dl)
+        "bm25adpt_cd_hist": f"""
+            WITH {_TOKS},
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM toks) AS tt),
+            tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks
+                   WHERE t IN ({",".join("'" + t + "'" for t in _ADPT_HIST_TERMS)})
+                   GROUP BY doc_id, t),
+            ts AS (SELECT unnest(generate_series(2, 101)) AS tq)
+            SELECT tf.term, CAST(ts.tq AS BIGINT) AS t,
+                   CAST(SUM(CASE WHEN 8 * tf.tf * st.tt
+                                      >= (2 * ts.tq - 1) * (st.tt + 3 * st.n * dl.dl)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
+            FROM tf JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN ts
+            GROUP BY tf.term, ts.tq
         """,
         "tfidf_top10": f"""
             WITH {_TOKS},
@@ -7241,7 +7325,9 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(w.n_words, 0) AS n_words,
                    CAST(COALESCE(w.word_chars, 0) AS BIGINT) AS word_chars,
                    s.n_symbols,
-                   l.n_lines, l.n_bullet_lines, l.n_ellipsis_lines,
+                   l.n_lines,
+                   CAST(l.n_bullet_lines AS BIGINT) AS n_bullet_lines,
+                   CAST(l.n_ellipsis_lines AS BIGINT) AS n_ellipsis_lines,
                    CAST(COALESCE(w.n_alpha_words, 0) AS BIGINT) AS n_alpha_words,
                    COALESCE(w.n_stop_words, 0) AS n_stop_words,
                    (COALESCE(w.n_words, 0) >= 30 AND COALESCE(w.n_words, 0) <= 100000
@@ -7726,7 +7812,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang, q_micros, value FROM ("""
         + " UNION ALL ".join(
-            f"SELECT lang, {int(q * 1_000_000)} AS q_micros, "
+            f"SELECT lang, CAST({int(q * 1_000_000)} AS BIGINT) AS q_micros, "
             f"CAST(percentile_disc({q}) WITHIN GROUP (ORDER BY n) AS BIGINT) AS value "
             f"FROM tc GROUP BY lang"
             for q in (0.25, 0.5, 0.75, 0.9, 0.99)
@@ -7742,7 +7828,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "part_size_quantiles": "SELECT p_brand, q_micros, value FROM ("
         + " UNION ALL ".join(
-            f"SELECT p_brand, {int(q * 1_000_000)} AS q_micros, "
+            f"SELECT p_brand, CAST({int(q * 1_000_000)} AS BIGINT) AS q_micros, "
             f"CAST(percentile_disc({q}) WITHIN GROUP (ORDER BY p_size) AS BIGINT) AS value "
             f"FROM part GROUP BY p_brand"
             for q in (0.25, 0.5, 0.75, 0.9, 0.99)
@@ -7837,16 +7923,16 @@ def oracle_sql() -> dict[str, str]:
               FROM orders JOIN customer ON c_custkey = o_custkey
               WHERE o_orderdate < TIMESTAMP '1995-03-15'
                 AND c_mktsegment = 'HOUSEHOLD')
-            SELECT l_orderkey, rev_c2, ymd
+            SELECT l_orderkey, CAST(rev_c2 AS BIGINT) AS rev_c2, ymd
             FROM ql JOIN qo ON l_orderkey = o_orderkey
             ORDER BY rev_c2 DESC, l_orderkey LIMIT 10
         """,
         "running_revenue": """
             SELECT o_orderkey, o_custkey,
-                   SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+                   CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
                      OVER (PARTITION BY o_custkey
                            ORDER BY o_orderdate, o_orderkey
-                           ROWS UNBOUNDED PRECEDING) AS run_c
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_c
             FROM orders ORDER BY o_orderkey
         """,
         "event_gaps": """
@@ -8161,10 +8247,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rolling_revenue": """
             SELECT o_orderkey, o_custkey,
-                   SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+                   CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
                      OVER (PARTITION BY o_custkey
                            ORDER BY o_orderdate, o_orderkey
-                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS last3_c
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS last3_c
             FROM orders ORDER BY o_orderkey
         """,
         "funnel_counts": """

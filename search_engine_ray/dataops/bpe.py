@@ -37,10 +37,14 @@ def word_counts(
     text_column: str = "text",
     min_count: int = 2,
     max_vocab: int | None = 50_000,
+    max_driver_rows: int = 2_000_000,
 ) -> pa.Table:
     """Pruned (word, count) over whitespace words — the only corpus pass.
     Prune runs inside the Dataset; the driver receives <= max_vocab rows,
-    sorted by word ascending."""
+    sorted by word ascending.  ``max_vocab=None`` (explicitly unbounded)
+    still fail-louds above ``max_driver_rows`` distinct words rather than
+    silently materializing a corpus-scale vocabulary on the driver (the
+    ``max_boiler`` convention)."""
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -69,6 +73,16 @@ def word_counts(
         cds = cds.filter(expr=f"count >= {min_count}")
     if max_vocab is not None:
         cds = cds.sort(["count", "word"], descending=[True, False]).limit(max_vocab)
+    else:
+        cds = cds.materialize()  # vocab-sized; count is free afterwards
+        n_words = cds.count()
+        if n_words > max_driver_rows:
+            raise ValueError(
+                f"word_counts: {n_words} distinct words exceed "
+                f"max_driver_rows={max_driver_rows} with max_vocab=None — "
+                "set max_vocab (or raise min_count) to keep the collect "
+                "driver-sized"
+            )
     out = cds.sort("word").to_pandas()
     return pa.table(
         {

@@ -1472,11 +1472,13 @@ def remove_domain_boilerplate(
     force straddled batches); group doc totals are a
     group-cardinality-sized collect (the facets convention); the
     boilerplate key set is BROADCAST once (``ray.put``) into a stateless
-    filter pass — it is bounded by (domains x common-paragraphs-per-
-    domain), orders smaller than the corpus, and capped fail-loud at
-    ``max_boiler`` keys (the emb_near_dup convention; a native left_anti
-    join is the beyond-cap design, currently blocked by Ray's
-    empty-right-partition join failure); reassembly hash-buckets docs
+    filter pass while it fits in ``max_boiler`` keys (it is bounded by
+    domains x common-paragraphs-per-domain, orders smaller than the
+    corpus); beyond the cap the strip switches to a native left_anti
+    join whose right side never touches the driver, using the same
+    materialize+repartition empty-partition workaround as
+    ``near_dup_filter`` — both paths produce identical survivors (test-
+    pinned); reassembly hash-buckets docs
     and finishes each bucket in one vectorized lexsort + LargeList
     offsets + binary_join kernel (the journey_strings shape).  ONE
     paragraph-text exchange total: the reassembly bucket shuffle.
@@ -1516,15 +1518,33 @@ def remove_domain_boilerplate(
         idx = np.arange(1, total + 1) - np.repeat(starts, lens)
         nonempty = np.asarray(pc.greater(pc.binary_length(flat), 0))
         paras_arr = flat.filter(pa.array(nonempty))
-        keys = [hashlib.md5(p.encode("utf-8")).hexdigest() for p in paras_arr.to_pylist()]
-        ck = [g + "|" + k for g, k in zip(grp[nonempty].tolist(), keys)]
+        # md5 only the UNIQUE paragraphs (dictionary-encode first — the
+        # _token_lists trick): boilerplate is by definition highly repeated,
+        # so this collapses the Python-loop hash cost by the dup factor
+        denc = paras_arr.dictionary_encode()
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        uniq_keys = [
+            hashlib.md5(p.encode("utf-8")).hexdigest()
+            for p in denc.dictionary.to_pylist()
+        ]
+        codes = np.asarray(denc.indices, dtype=np.int64)
+        keys = (
+            np.asarray(uniq_keys, dtype=object)[codes]
+            if len(codes)
+            else np.empty(0, object)
+        )
+        grp_arr = pa.array(grp[nonempty].tolist(), pa.string())
+        ck = pc.binary_join_element_wise(
+            grp_arr, pa.array(keys, pa.string()), "|"
+        )
         return pa.table(
             {
                 "doc_id": pa.array(ids[nonempty]),
                 "para_idx": pa.array(idx[nonempty]),
                 "para": paras_arr,
-                "grp": pa.array(grp[nonempty].tolist(), pa.string()),
-                "ck": pa.array(ck, pa.string()),
+                "grp": grp_arr,
+                "ck": ck,
             }
         )
 
@@ -1599,30 +1619,52 @@ def remove_domain_boilerplate(
     # all-to-all stages hold most CPU slots (observed at num_cpus=4)
     boiler = para_counts.map_batches(
         BoilerFilter, concurrency=(1, 2), batch_format="pyarrow"
-    )
+    ).materialize()  # boilerplate-key-sized; decides broadcast vs join below
 
-    boiler_keys: list[str] = []
-    for b in boiler.iter_batches(batch_size=None, batch_format="pyarrow"):
-        boiler_keys.extend(pa.table(b)["ck"].to_pylist())
-        if len(boiler_keys) > max_boiler:
-            raise ValueError(
-                f"remove_domain_boilerplate: boilerplate key set exceeds "
-                f"max_boiler={max_boiler}; raise the cap, raise the "
-                "threshold, or raise min_docs"
-            )
-    bset_ref = ray.put(frozenset(boiler_keys))
+    n_boiler = boiler.count()
+    if n_boiler <= max_boiler:
+        # small-side fast path: ONE driver-mediated broadcast of the key
+        # set, zero extra exchanges on the paragraph stream
+        boiler_keys: list[str] = []
+        for b in boiler.iter_batches(batch_size=None, batch_format="pyarrow"):
+            boiler_keys.extend(pa.table(b)["ck"].to_pylist())
+        bset_ref = ray.put(frozenset(boiler_keys))
 
-    class DropBoiler:
-        def __init__(self):
-            self.bset = ray.get(bset_ref)
+        class DropBoiler:
+            def __init__(self):
+                self.bset = ray.get(bset_ref)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keep = pa.array([c not in self.bset for c in batch["ck"].to_pylist()])
-            return batch.filter(keep).drop_columns(["grp", "ck"])
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                keep = pa.array(
+                    [c not in self.bset for c in batch["ck"].to_pylist()]
+                )
+                return batch.filter(keep).drop_columns(["grp", "ck"])
 
-    survivors = exploded.map_batches(
-        DropBoiler, concurrency=(1, 2), batch_format="pyarrow"
-    )
+        survivors = exploded.map_batches(
+            DropBoiler, concurrency=(1, 2), batch_format="pyarrow"
+        )
+    else:
+        # beyond-cap path: native left_anti join — the key set never
+        # touches the driver.  Same empty-partition workaround as
+        # near_dup_filter: the aggregate upstream of `boiler` emits
+        # schema-less blocks for empty partitions and Ray 2.49's hash
+        # join crashes on them, so repartition the materialized
+        # (boiler-key-sized) right side down to nonempty blocks.
+        from ..ioutil import nonempty_blocks
+
+        right = boiler.repartition(max(1, n_boiler // 500_000 + 1))
+        joined = exploded.join(
+            right,
+            "left_anti",
+            _join_parts(n_buckets),
+            on=("ck",),
+            right_on=("ck",),
+        )
+        # join output feeds the reassembly groupby -> sanitize zero-column
+        # empty blocks before the next shuffle (Ray 2.49 Acero wart)
+        survivors = nonempty_blocks(joined.materialize()).map_batches(
+            lambda t: t.drop_columns(["grp", "ck"]), batch_format="pyarrow"
+        )
     return reassemble_paragraphs(survivors, sep=sep, n_buckets=n_buckets)
 
 

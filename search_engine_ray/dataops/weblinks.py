@@ -24,6 +24,8 @@ driver's SQL oracles can recompute expected edges without parsing html.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -199,32 +201,81 @@ def bm25_anchor_scores(
         )
     avgdl = total_tokens / n_targets
 
-    # candidate-sized collect: tf rows exist only for query terms, and the
-    # target-sized dl table is SEMI-JOINED onto candidates distributively —
-    # the driver never holds the full target set.
+    # per-term df: the fold above already made (dst_url, term) unique, so
+    # df(term) = row count per term — a |query-terms|-sized reduce; only
+    # these few scalars ever reach the driver.
+    df_rows = tf_ds.groupby("term").aggregate(Count()).take_all()
+    qtf = {t: q for t, q in keywords}
+    # per-term scalar weight qtf * idf, broadcast in the scoring closure
+    # (bytes, not data — the candidate table itself never leaves workers)
+    idf_w = {
+        r["term"]: qtf.get(r["term"], 0)
+        * math.log((n_targets - r["count()"] + 0.5) / (r["count()"] + 0.5))
+        for r in df_rows
+    }
+
+    from ..ioutil import nonempty_blocks
     from .dedup import _join_parts
 
     cand = tf_ds.join(
         dl_ds, "inner", _join_parts(8), on=("dst_url",), right_on=("dst_url",)
     )
-    merged = cand.to_pandas()
-    df_per_term = merged.groupby("term")["dst_url"].nunique()
-    qtf = {t: q for t, q in keywords}
-    tfv = merged["n"].to_numpy(dtype=np.float64)
-    dlv = merged["dl"].to_numpy(dtype=np.float64)
-    dfv = merged["term"].map(df_per_term).to_numpy(dtype=np.float64)
-    qv = merged["term"].map(qtf).fillna(0).to_numpy(dtype=np.float64)
-    idf = np.log((n_targets - dfv + 0.5) / (dfv + 0.5))
-    score = qv * idf * (tfv * (k1 + 1)) / (tfv + k1 * (1 - b + b * (dlv / avgdl)))
-    merged["score"] = score
-    agg = merged.groupby("dst_url")["score"].sum().reset_index()
-    agg = agg.sort_values(["score", "dst_url"], ascending=[False, True]).head(k)
-    micros = np.floor(agg["score"].to_numpy(dtype=np.float64) * 1_000_000 + 0.5).astype(
-        np.int64
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        # dictionary-encode terms so the dict lookup runs once per UNIQUE
+        # term (<= |query|), then vectorized BM25 over the whole batch
+        d = batch["term"].combine_chunks().dictionary_encode()
+        w_uniq = np.array([idf_w.get(t, 0.0) for t in d.dictionary.to_pylist()])
+        w = w_uniq[d.indices.to_numpy()] if len(d) else np.zeros(0)
+        tfv = np.asarray(batch["n"], dtype=np.float64)
+        dlv = np.asarray(batch["dl"], dtype=np.float64)
+        score = w * (tfv * (k1 + 1)) / (tfv + k1 * (1 - b + b * (dlv / avgdl)))
+        return pa.table({"dst_url": batch["dst_url"], "score": pa.array(score)})
+
+    # join output feeds another shuffle -> sanitize zero-column empty
+    # blocks (Ray 2.49 Acero wart, see ioutil.nonempty_blocks)
+    scored = (
+        nonempty_blocks(cand.materialize())
+        .map_batches(score_batch, batch_format="pyarrow")
+        .groupby("dst_url")
+        .aggregate(Sum("score", alias_name="score"))
     )
+
+    # tree top-k (ties -> ascending dst_url): per-batch partials, one
+    # intermediate level, one final block — the driver receives k rows
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        vals = np.asarray(batch["score"], dtype=np.float64)
+        urls = np.asarray(batch["dst_url"].to_pylist(), dtype=object)
+        order = np.lexsort((urls, -vals))[:k]
+        return batch.take(pa.array(np.sort(order)))
+
+    reduced = (
+        scored.map_batches(partial_topk, batch_format="pyarrow")
+        .repartition(8)
+        .map_batches(partial_topk, batch_size=None, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(partial_topk, batch_size=None, batch_format="pyarrow")
+    )
+    batches = [
+        pa.table(b)
+        for b in reduced.iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    batches = [b for b in batches if b.num_rows]
+    if not batches:
+        return pa.table(
+            {"dst_url": pa.array([], pa.string()), "score_micros": pa.array([], pa.int64())}
+        )
+    allp = pa.concat_tables(batches)
+    vals = np.asarray(allp["score"], dtype=np.float64)
+    urls = np.asarray(allp["dst_url"].to_pylist(), dtype=object)
+    order = np.lexsort((urls, -vals))[:k]
+    allp = allp.take(pa.array(order))
+    micros = np.floor(
+        np.asarray(allp["score"], dtype=np.float64) * 1_000_000 + 0.5
+    ).astype(np.int64)
     return pa.table(
         {
-            "dst_url": pa.array(agg["dst_url"].tolist(), pa.string()),
+            "dst_url": allp["dst_url"],
             "score_micros": pa.array(micros),
         }
     )

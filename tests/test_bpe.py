@@ -81,6 +81,10 @@ def test_word_counts_pruned_and_invariant(docs_ds, ray_session):
     full = _brute_words(1)
     top3 = sorted(sorted(full.items()), key=lambda kv: -kv[1])[:3]
     assert set(capped["word"].to_pylist()) == {w for w, _ in top3}
+    # max_vocab=None is still bounded: above max_driver_rows distinct
+    # words the collect fail-louds instead of materializing the vocab
+    with pytest.raises(ValueError, match="max_driver_rows"):
+        word_counts(docs_ds, min_count=1, max_vocab=None, max_driver_rows=2)
 
 
 @pytest.mark.parametrize("n_merges", [1, 5, 12])

@@ -1972,10 +1972,20 @@ def test_remove_domain_boilerplate(ray_session):
     )
     with pytest.raises(Exception, match="combined key"):
         remove_domain_boilerplate(ray.data.from_arrow(bad)).to_pandas()
-    with pytest.raises(Exception, match="max_boiler"):
+
+    # beyond-cap: >max_boiler keys switch to the native left_anti join
+    # path whose right side never touches the driver — output must be
+    # IDENTICAL to the broadcast fast path (max_boiler=0 forces the join
+    # for the same threshold the oracle comparison above used)
+    via_join = (
         remove_domain_boilerplate(
-            ray.data.from_arrow(tbl), threshold=(0, 1), min_docs=1, max_boiler=2
-        ).to_pandas()
+            ray.data.from_arrow(tbl), threshold=(1, 2), min_docs=3, max_boiler=0
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    via_join["n_kept"] = via_join["n_kept"].astype("int64")
+    assert via_join.equals(ref)
 
 
 def test_extract_content(ray_session):

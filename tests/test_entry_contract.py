@@ -71,6 +71,18 @@ def test_all_sql_checked_queries(contract, con):
             )
             assert len(got) == len(exp), f"{name}: rows {len(got)} != {len(exp)}"
             for c in got.columns:
+                # the driver's value-hash is dtype-sensitive: an int64
+                # engine column vs a float64 oracle column (DuckDB SUM ->
+                # HUGEINT -> pandas float64) hash-diverges even when every
+                # value is numerically equal (round-4 red rows). Enforce
+                # matching integer-ness here so it can't regress silently.
+                gk = np.asarray(got[c]).dtype.kind
+                ek = np.asarray(exp[c]).dtype.kind
+                assert (gk in "iub") == (ek in "iub"), (
+                    f"{name}.{c}: dtype kind mismatch engine={gk} oracle={ek}"
+                    " — CAST the oracle column to BIGINT/BOOLEAN"
+                )
+            for c in got.columns:
                 if np.issubdtype(exp[c].dtype, np.floating) or np.issubdtype(
                     np.asarray(got[c]).dtype, np.floating
                 ):
@@ -87,6 +99,30 @@ def test_all_sql_checked_queries(contract, con):
         except AssertionError as exc:
             failures.append(str(exc).splitlines()[0])
     assert not failures, failures
+
+
+def test_oracle_dtypes_canonical(con):
+    """Every oracle output column must land in pandas as int64 / bool /
+    float64-by-design / str — never HUGEINT->float64, int32, or uint.
+    Fast (DuckDB only, no Ray); mirrors the driver's dtype-sensitive hash."""
+    import __ray_entry__ as e
+
+    bad = []
+    for name, sql in e.oracle_sql().items():
+        df = con.execute(sql).df()
+        for c in df.columns:
+            dt = str(df[c].dtype)
+            if (
+                dt.startswith("float")
+                or (dt.startswith("int") and dt != "int64")
+                or dt.startswith("uint")
+            ):
+                bad.append(f"{name}.{c}: {dt}")
+            elif dt == "object":
+                nn = df[c].dropna()
+                if len(nn) and not isinstance(nn.iloc[0], str):
+                    bad.append(f"{name}.{c}: object({type(nn.iloc[0]).__name__})")
+    assert not bad, bad
 
 
 def test_rows_only_queries_run(contract):
