@@ -252,6 +252,56 @@ def q_tfidf_top10(sf_dir: str) -> pa.Table:
     )
 
 
+def _reader_fixed(sf_dir: str):
+    """Reader over a documents index built with the byte-aligned
+    fixed-width postings codec (engine/codec.py: fixed_encode_cells) —
+    separate cache key, same corpus, same tokenization."""
+    from search_engine_ray.pipelines import documents_reader
+
+    return documents_reader(sf_dir, OPT_NOSTEM, codec="fixed")
+
+
+def q_posting_lookup_fixed(sf_dir: str) -> pa.Table:
+    """posting_lookup against a codec="fixed" index — the same oracle SQL
+    must match, externally proving the codec's decode bit-identity on the
+    statistics layer."""
+    r = _reader_fixed(sf_dir)
+    rows = {"term": [], "df": [], "total_tf": [], "min_doc": [], "max_doc": []}
+    for term in LOOKUP_TERMS:
+        tp = r.postings(term)
+        if tp is None:
+            continue
+        ids, tfs, _ = tp.arrays()
+        rows["term"].append(term)
+        rows["df"].append(tp.df)
+        rows["total_tf"].append(int(tfs.sum()))
+        rows["min_doc"].append(int(ids.min()))
+        rows["max_doc"].append(int(ids.max()))
+    return pa.table(
+        {
+            "term": pa.array(rows["term"], pa.string()),
+            "df": pa.array(rows["df"], pa.int64()),
+            "total_tf": pa.array(rows["total_tf"], pa.int64()),
+            "min_doc": pa.array(rows["min_doc"], pa.int64()),
+            "max_doc": pa.array(rows["max_doc"], pa.int64()),
+        }
+    )
+
+
+def q_bm25_fixed_top10(sf_dir: str) -> pa.Table:
+    """bm25_top10 against a codec="fixed" index (same oracle SQL as
+    bm25_top10) — ranking-layer bit-identity across codecs."""
+    from search_engine_ray.pipelines import bm25_scores_f64
+
+    r = _reader_fixed(sf_dir)
+    ids, scores = bm25_scores_f64(r, BM25_QUERY)
+    ids, scores = ids[:10], scores[:10]
+    doc_ids = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids), "score_micros": pa.array(_micros(scores))}
+    )
+
+
 def q_extract_roundtrip(sf_dir: str) -> pa.Table:
     """documents.text -> HTML template -> vectorized extraction -> text.
 
@@ -5780,6 +5830,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_champions_top10": q_bm25_champions_top10,
         "bm25_federated_bloom_top10": q_bm25_federated_bloom_top10,
         "grouped_moments": q_grouped_moments,
+        # codec="fixed" twins: same oracles as posting_lookup / bm25_top10 —
+        # the fixed-width postings codec must be externally bit-identical
+        "posting_lookup_fixed": q_posting_lookup_fixed,
+        "bm25_fixed_top10": q_bm25_fixed_top10,
     }
 
 
@@ -8477,6 +8531,9 @@ def oracle_sql() -> dict[str, str]:
     out["bm25_champions_top10"] = out["bm25_top10"]
     out["bm25_federated_bloom_top10"] = out["bm25_top10"]
     out["bm25f_top10"] = _bm25f_sql()
+    # fixed-codec twins: byte layout differs, results must not
+    out["posting_lookup_fixed"] = out["posting_lookup"]
+    out["bm25_fixed_top10"] = out["bm25_top10"]
     out.update(_weblink_sqls())
     return out
 

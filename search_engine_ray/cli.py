@@ -82,7 +82,7 @@ def cmd_index(args: argparse.Namespace) -> int:
     from .engine.build import build_index
 
     options = parse_index_options(args.options)
-    config = BuildConfig(options=options)
+    config = BuildConfig(options=options, codec=getattr(args, "codec", "vbyte"))
     input_path = args.input
     source_column, name_column = args.source_column, args.name_column
     if args.format == "trec":
@@ -682,6 +682,12 @@ def main(argv: list[str] | None = None) -> int:
         help="'trec': input is a directory of <DOC>/<DOCNO> files "
              "(the reference engine's native format); 'warc': a directory "
              "of WARC/.warc.gz response captures (Common Crawl's container)",
+    )
+    pi.add_argument(
+        "--codec", choices=("vbyte", "fixed"), default="vbyte",
+        help="postings codec: 'vbyte' (smallest) or 'fixed' (byte-aligned "
+             "fixed-width cells, ~2x faster decode at ~0.7 B/value size "
+             "cost); recorded in stats.json and auto-detected at query time",
     )
     pi.add_argument("--overwrite", action="store_true")
     pi.add_argument("--num-cpus", type=int, default=None)

@@ -59,6 +59,11 @@ class BuildConfig:
     bm25: BM25Params = field(default_factory=BM25Params)
     # posting entries per compressed block (block-max WAND granularity)
     block_entries: int = 128
+    # Postings codec: "vbyte" (delta+VByte, smallest) or "fixed"
+    # (byte-aligned fixed-width cells — ~2x faster single-gather decode at
+    # ~0.7 B/value size cost; see engine/codec.py).  Recorded in stats.json
+    # and auto-detected by every reader; results are bit-identical.
+    codec: str = "vbyte"
     # fragments whose terms shuffle under the same shard key:
     # shard = frag_id // frags_per_shard. Bounds any single groupby payload
     # to ~frags_per_shard fragments' worth of one term's postings.

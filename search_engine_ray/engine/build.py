@@ -54,6 +54,10 @@ def build_index(
 ) -> dict:
     """Build (or resume building) the inverted index.  Returns stats dict."""
     config = config or BuildConfig()
+    from .codec import CODEC_NAMES
+
+    if config.codec not in CODEC_NAMES:
+        raise ValueError(f"unknown postings codec {config.codec!r}; choose from {CODEC_NAMES}")
     if overwrite and os.path.isdir(index_dir):
         shutil.rmtree(index_dir)
     os.makedirs(index_dir, exist_ok=True)
@@ -95,6 +99,36 @@ def build_index(
     with open(plan_path + ".tmp", "w") as fh:
         json.dump(current, fh)
     os.replace(plan_path + ".tmp", plan_path)
+
+    # codec is a physical property of every already-written segment cell, so
+    # a resume/append must keep the original choice (sibling marker file —
+    # the plan file stays a bare fragment list for cross-version resume)
+    codec_path = os.path.join(index_dir, "build_codec.json")
+    if os.path.exists(codec_path):
+        with open(codec_path) as fh:
+            prior_codec = json.load(fh)["codec"]
+        if prior_codec != config.codec:
+            raise ValueError(
+                f"index at {index_dir} was built with codec={prior_codec!r}; "
+                f"cannot resume/append with codec={config.codec!r} — rebuild "
+                "with overwrite=True"
+            )
+    else:
+        manifest_dir = os.path.join(index_dir, "manifest")
+        if (
+            config.codec != "vbyte"
+            and os.path.isdir(manifest_dir)
+            and os.listdir(manifest_dir)
+        ):
+            # pre-marker builds are vbyte by definition
+            raise ValueError(
+                f"index at {index_dir} has pre-existing vbyte segments; "
+                f"cannot resume/append with codec={config.codec!r} — rebuild "
+                "with overwrite=True"
+            )
+        with open(codec_path + ".tmp", "w") as fh:
+            json.dump({"codec": config.codec}, fh)
+        os.replace(codec_path + ".tmp", codec_path)
 
     # ---- stage 1: per-fragment segments (streams; no shuffle) ----
     n_cpus = max(2, int(ray.cluster_resources().get("CPU", 4)))
@@ -204,6 +238,7 @@ def build_index(
         "options": config.options.to_dict(),
         "bm25": {"k1": config.bm25.k1, "k3": config.bm25.k3, "b": config.bm25.b},
         "block_entries": config.block_entries,
+        "codec": config.codec,
         "frags_per_shard": config.frags_per_shard,
         "term_buckets": term_buckets,
         "phase_sec": {k: round(v, 3) for k, v in phases.items()},

@@ -39,7 +39,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from .codec import delta_decode, vbyte_decode
+from .codec import decode_one, decode_one_delta
 
 CHAMP_FILE = "champions.parquet"
 STATS_FILE = "champion_stats.json"
@@ -60,6 +60,7 @@ def build_champion_lists(
     with open(os.path.join(index_dir, "stats.json")) as fh:
         stats = json.load(fh)
     avgdl = float(stats["avgdl"])
+    codec = stats.get("codec", "vbyte")
 
     def partial(batch: pa.Table) -> pa.Table:
         terms_out, ids_out, tfs_out, dls_out = [], [], [], []
@@ -73,12 +74,12 @@ def build_champion_lists(
         for i, t in enumerate(terms):
             by_term.setdefault(t, []).append(i)
         for t, rows in by_term.items():
-            ids = np.concatenate([delta_decode(de[i], ns[i]) for i in rows])
+            ids = np.concatenate([decode_one_delta(de[i], ns[i], codec) for i in rows])
             tfs = np.concatenate(
-                [vbyte_decode(te[i], ns[i]).astype(np.int64) for i in rows]
+                [decode_one(te[i], ns[i], codec).astype(np.int64) for i in rows]
             )
             dls = np.concatenate(
-                [vbyte_decode(le[i], ns[i]).astype(np.int64) for i in rows]
+                [decode_one(le[i], ns[i], codec).astype(np.int64) for i in rows]
             )
             sat = tfs / (tfs + k1 * (1 - b + b * (dls / avgdl)))
             keep = np.lexsort((ids, -sat))[: min(m, len(ids))]

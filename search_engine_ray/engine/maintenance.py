@@ -176,6 +176,7 @@ def compact_index(index_dir: str, out_dir: str, overwrite: bool = False) -> dict
 
     with open(os.path.join(index_dir, "stats.json")) as fh:
         stats = json.load(fh)
+    codec = stats.get("codec", "vbyte")
     names = tombstoned_names(index_dir)
     if overwrite and os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
@@ -297,7 +298,7 @@ def compact_index(index_dir: str, out_dir: str, overwrite: bool = False) -> dict
         return batch.append_column("bucket", term_bucket_array(term_col, term_buckets))
 
     def compact_group(group: pa.Table) -> pa.Table:
-        from .codec import decode_concat_rows
+        from .codec import decode_cells
 
         if group.num_rows == 0:
             return POSTINGS_SCHEMA.empty_table()
@@ -314,9 +315,9 @@ def compact_index(index_dir: str, out_dir: str, overwrite: bool = False) -> dict
         codes = codes[order]
 
         row_lens = np.asarray(tbl["n"], dtype=np.int64)
-        doc_ids = decode_concat_rows(tbl["docs_enc"], row_lens, delta=True)
-        tfs = decode_concat_rows(tbl["tfs_enc"], row_lens, delta=False)
-        dls = decode_concat_rows(tbl["dls_enc"], row_lens, delta=False)
+        doc_ids = decode_cells(tbl["docs_enc"], row_lens, delta=True, codec=codec)
+        tfs = decode_cells(tbl["tfs_enc"], row_lens, delta=False, codec=codec)
+        dls = decode_cells(tbl["dls_enc"], row_lens, delta=False, codec=codec)
 
         new_ids, keep = _remap_ids(doc_ids)
         entry_codes = np.repeat(codes, row_lens)[keep]
@@ -333,7 +334,7 @@ def compact_index(index_dir: str, out_dir: str, overwrite: bool = False) -> dict
 
         return encode_blocks(
             terms_u, term_flat_starts, term_flat_ends, doc_ids, tfs, dls,
-            shard, bk, k1, b, new_avgdl,
+            shard, bk, k1, b, new_avgdl, codec=codec,
         )
 
     # postings rewrite
@@ -461,6 +462,12 @@ def merge_indexes(a_dir: str, b_dir: str, out_dir: str, overwrite: bool = False)
                 f"merge_indexes requires matching {key}: "
                 f"{stats['a'][key]!r} != {stats['b'][key]!r}"
             )
+    codec = stats["a"].get("codec", "vbyte")
+    if codec != stats["b"].get("codec", "vbyte"):
+        raise ValueError(
+            "merge_indexes requires matching postings codec: "
+            f"{codec!r} != {stats['b'].get('codec', 'vbyte')!r}"
+        )
     if overwrite and os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=False)
@@ -506,7 +513,7 @@ def merge_indexes(a_dir: str, b_dir: str, out_dir: str, overwrite: bool = False)
         )
 
     def rewrite_group(group: pa.Table) -> pa.Table:
-        from .codec import decode_concat_rows
+        from .codec import decode_cells
 
         if group.num_rows == 0:
             return POSTINGS_SCHEMA.empty_table()
@@ -524,9 +531,9 @@ def merge_indexes(a_dir: str, b_dir: str, out_dir: str, overwrite: bool = False)
         codes = codes[order]
 
         row_lens = np.asarray(tbl["n"], dtype=np.int64)
-        doc_ids = decode_concat_rows(tbl["docs_enc"], row_lens, delta=True) + doc_off
-        tfs = decode_concat_rows(tbl["tfs_enc"], row_lens, delta=False)
-        dls = decode_concat_rows(tbl["dls_enc"], row_lens, delta=False)
+        doc_ids = decode_cells(tbl["docs_enc"], row_lens, delta=True, codec=codec) + doc_off
+        tfs = decode_cells(tbl["tfs_enc"], row_lens, delta=False, codec=codec)
+        dls = decode_cells(tbl["dls_enc"], row_lens, delta=False, codec=codec)
 
         entry_codes = np.repeat(codes, row_lens)
         change = np.empty(len(entry_codes), dtype=bool)
@@ -538,7 +545,7 @@ def merge_indexes(a_dir: str, b_dir: str, out_dir: str, overwrite: bool = False)
 
         return encode_blocks(
             terms_u, term_flat_starts, term_flat_ends, doc_ids, tfs, dls,
-            shard, bk, k1, b, new_avgdl,
+            shard, bk, k1, b, new_avgdl, codec=codec,
         )
 
     _t = time.perf_counter()
@@ -665,11 +672,12 @@ def fsck_index(index_dir: str) -> dict:
     import ray
     import ray.data
 
-    from .codec import decode_concat_rows
+    from .codec import decode_cells
 
     with open(os.path.join(index_dir, "stats.json")) as fh:
         stats = json.load(fh)
     n_docs = stats["n_docs"]
+    codec = stats.get("codec", "vbyte")
     k1 = stats["bm25"]["k1"]
     b = stats["bm25"]["b"]
     avgdl = stats["avgdl"]
@@ -692,9 +700,9 @@ def fsck_index(index_dir: str) -> dict:
         dl_map = ray.get(dl_ref)
         viol = 0
         row_lens = np.asarray(batch["n"], dtype=np.int64)
-        doc_ids = decode_concat_rows(batch["docs_enc"], row_lens, delta=True)
-        tfs = decode_concat_rows(batch["tfs_enc"], row_lens, delta=False)
-        dls = decode_concat_rows(batch["dls_enc"], row_lens, delta=False)
+        doc_ids = decode_cells(batch["docs_enc"], row_lens, delta=True, codec=codec)
+        tfs = decode_cells(batch["tfs_enc"], row_lens, delta=False, codec=codec)
+        dls = decode_cells(batch["dls_enc"], row_lens, delta=False, codec=codec)
         starts = np.concatenate(([0], np.cumsum(row_lens)[:-1]))
         ends = np.cumsum(row_lens)
         firsts = np.asarray(batch["first_doc"], dtype=np.int64)
@@ -892,7 +900,12 @@ def upsert_docs(
     from ..config import BuildConfig
     from .build import build_index
 
-    config = config or BuildConfig()
+    if config is None:
+        # adopt the index's recorded postings codec so a default-config
+        # upsert never trips the build's codec-mix guard on a fixed index
+        from .codec import index_codec
+
+        config = BuildConfig(codec=index_codec(index_dir))
     upd = pq.read_table(update_file, columns=[name_column])
     names = [str(n) for n in upd[name_column].to_pylist()]
     reader_names = set()

@@ -39,7 +39,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..config import BuildConfig
-from .codec import decode_concat_rows, sliced_binary as _sliced_binary, vbyte_encode_offsets
+from .codec import decode_cells, encode_cells
 
 POSTINGS_SCHEMA = pa.schema(
     [
@@ -99,10 +99,12 @@ def encode_blocks(
     k1: float,
     b: float,
     avgdl: float,
+    codec: str = "vbyte",
 ) -> pa.Table:
-    """Vectorized block layout + score-bound metadata + delta/VByte
-    encode for per-term flat posting ranges (globally docID-sorted within
-    each term).  Shared by the build merge and index compaction."""
+    """Vectorized block layout + score-bound metadata + per-block
+    delta/codec encode for per-term flat posting ranges (globally
+    docID-sorted within each term).  Shared by the build merge and index
+    compaction."""
     bk = block_entries
     term_lens = term_flat_ends - term_flat_starts
     n_blocks_t = (term_lens + bk - 1) // bk
@@ -121,14 +123,9 @@ def encode_blocks(
     lb_tfn = np.minimum.reduceat(tfn, blk_starts)
     ub_logtf = np.maximum.reduceat(logtf, blk_starts)
 
-    gaps = doc_ids.copy()
-    gaps[1:] -= doc_ids[:-1]
-    gaps[blk_starts] = doc_ids[blk_starts]
-    docs_u8, docs_ends = vbyte_encode_offsets(gaps.astype(np.uint64))
-    tfs_u8, tfs_ends = vbyte_encode_offsets(tfs.astype(np.uint64))
-    dls_u8, dls_ends = vbyte_encode_offsets(dls.astype(np.uint64))
-
-    nvals = len(doc_ids)
+    docs_enc = encode_cells(doc_ids, blk_starts, delta=True, codec=codec)
+    tfs_enc = encode_cells(tfs, blk_starts, delta=False, codec=codec)
+    dls_enc = encode_cells(dls, blk_starts, delta=False, codec=codec)
     return pa.table(
         {
             "term": terms_u.take(pa.array(bt)),
@@ -137,9 +134,9 @@ def encode_blocks(
             "n": pa.array((blk_ends - blk_starts).astype(np.int32)),
             "first_doc": pa.array(doc_ids[blk_starts], pa.int64()),
             "last_doc": pa.array(doc_ids[blk_ends - 1], pa.int64()),
-            "docs_enc": _sliced_binary(docs_u8, docs_ends, blk_starts, nvals),
-            "tfs_enc": _sliced_binary(tfs_u8, tfs_ends, blk_starts, nvals),
-            "dls_enc": _sliced_binary(dls_u8, dls_ends, blk_starts, nvals),
+            "docs_enc": docs_enc,
+            "tfs_enc": tfs_enc,
+            "dls_enc": dls_enc,
             "ub_tfn": pa.array(ub_tfn.astype(np.float32)),
             "lb_tfn": pa.array(lb_tfn.astype(np.float32)),
             "ub_logtf": pa.array(ub_logtf.astype(np.float32)),
@@ -153,6 +150,7 @@ def make_merge_fn(config: BuildConfig, avgdl: float):
     k1 = config.bm25.k1
     b = config.bm25.b
     bk = config.block_entries
+    codec = config.codec
 
     def _passthrough(g1: pa.Table, shard: int) -> pa.Table:
         """Blocks for single-input-row tail terms WITHOUT decode/re-encode:
@@ -236,9 +234,9 @@ def make_merge_fn(config: BuildConfig, avgdl: float):
 
         # decode the whole group's compressed rows in three vectorized passes
         row_lens = np.asarray(tbl["df_local"], dtype=np.int64)
-        doc_ids = decode_concat_rows(tbl["docs_enc"], row_lens, delta=True)
-        tfs = decode_concat_rows(tbl["tfs_enc"], row_lens, delta=False)
-        dls = decode_concat_rows(tbl["dls_enc"], row_lens, delta=False)
+        doc_ids = decode_cells(tbl["docs_enc"], row_lens, delta=True, codec=codec)
+        tfs = decode_cells(tbl["tfs_enc"], row_lens, delta=False, codec=codec)
+        dls = decode_cells(tbl["dls_enc"], row_lens, delta=False, codec=codec)
 
         # per-term flat ranges
         row_term_change = np.empty(len(codes), dtype=bool)
@@ -254,7 +252,7 @@ def make_merge_fn(config: BuildConfig, avgdl: float):
         # vectorized block layout + encode (shared with compaction)
         merged_tbl = encode_blocks(
             terms_u, term_flat_starts, term_flat_ends, doc_ids, tfs, dls,
-            shard, bk, k1, b, avgdl,
+            shard, bk, k1, b, avgdl, codec=codec,
         )
         if pt_table is not None:
             return pa.concat_tables([pt_table, merged_tbl])

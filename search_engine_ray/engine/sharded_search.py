@@ -68,7 +68,7 @@ class _ShardIndexView:
         if terms is not None:
             flt = flt & pads.field("term").isin(list(terms))
         tbl = ds.to_table(filter=flt)
-        self._blocks = _blocks_from_table(tbl)
+        self._blocks = _blocks_from_table(tbl, self.stats.get("codec", "vbyte"))
         if tbl.num_rows:
             self.doc_lo = int(pa.compute.min(tbl["first_doc"]).as_py())
             self.doc_hi = int(pa.compute.max(tbl["last_doc"]).as_py()) + 1
@@ -128,6 +128,7 @@ class _ShardIndexView:
                 ub_tfn=b.ub_tfn,
                 lb_tfn=b.lb_tfn,
                 ub_logtf=b.ub_logtf,
+                codec=b.codec,
                 _decoded=None,
             )
             for b in blocks
