@@ -591,6 +591,7 @@ def cmd_positions(args: argparse.Namespace) -> int:
     stats = build_position_index(
         args.corpus, args.positions_dir, parse_index_options(args.options),
         source_column=args.source_column, name_column=args.name_column,
+        codec=getattr(args, "codec", "vbyte"),
     )
     print(json.dumps(stats))
     return 0
@@ -818,6 +819,7 @@ def main(argv: list[str] | None = None) -> int:
                      default="IndexOptions(CaseFolding,RemoveStopWords)")
     pps.add_argument("--source-column", default="html")
     pps.add_argument("--name-column", default="url")
+    pps.add_argument("--codec", choices=("vbyte", "fixed"), default="vbyte")
     pps.add_argument("--num-cpus", type=int, default=8)
     pps.set_defaults(fn=cmd_positions)
 

@@ -46,7 +46,7 @@ import pyarrow.compute as pc
 from ..config import IndexOptions
 from ..text.tokenizer import normalize_query_word
 from ..text.vectorized import tokenize_batch
-from .codec import sliced_binary, vbyte_decode, vbyte_encode_offsets
+from .codec import CODEC_NAMES, decode_one, encode_cells
 from .reader import Fragment, plan_fragments, read_fragment
 from .segments import _atomic_write_parquet
 
@@ -72,6 +72,7 @@ def build_fragment_positions(
     texts: pa.Array,
     frag_id: int,
     options: IndexOptions,
+    codec: str = "vbyte",
 ) -> pa.Table:
     """One fragment's positional rows (pure function, fully vectorized).
 
@@ -115,22 +116,18 @@ def build_fragment_positions(
     df_local = np.diff(np.append(term_starts, len(pair_term))).astype(np.int32)
 
     # docs: delta restarting per term
-    doc_gaps = pair_doc.copy()
-    doc_gaps[1:] -= pair_doc[:-1]
-    doc_gaps[term_starts] = pair_doc[term_starts]
-    ddata, dends = vbyte_encode_offsets(doc_gaps.astype(np.uint64))
-    docs_enc = sliced_binary(ddata, dends, term_starts, len(doc_gaps))
+    docs_enc = encode_cells(pair_doc, term_starts, delta=True, codec=codec)
 
-    ndata, nends = vbyte_encode_offsets(npos.astype(np.uint64))
-    npos_enc = sliced_binary(ndata, nends, term_starts, len(npos))
+    npos_enc = encode_cells(npos, term_starts, delta=False, codec=codec)
 
-    # positions: delta restarting per (term, doc) pair, sliced per TERM
+    # positions: delta restarting per (term, doc) PAIR but sliced per TERM —
+    # the gap stream is precomputed here and encoded non-delta, because the
+    # cell boundary (term) is coarser than the delta restart (pair)
     pos_gaps = p_s.copy()
     pos_gaps[1:] -= p_s[:-1]
     pos_gaps[pair_starts] = p_s[pair_starts]
-    pdata, pends = vbyte_encode_offsets(pos_gaps.astype(np.uint64))
     pos_term_starts = pair_starts[term_starts]  # value index of each term's first position
-    pos_enc = sliced_binary(pdata, pends, pos_term_starts, len(pos_gaps))
+    pos_enc = encode_cells(pos_gaps, pos_term_starts, delta=False, codec=codec)
 
     return pa.table(
         {
@@ -155,8 +152,10 @@ class PositionBuilder:
         options: IndexOptions,
         source_column: str = "text",
         name_column: str = "doc_id",
+        codec: str = "vbyte",
     ):
         self.index_dir = index_dir
+        self.codec = codec
         self.options = options
         self.source_column = source_column
         self.name_column = name_column
@@ -188,7 +187,7 @@ class PositionBuilder:
             ids = np.asarray(name_col, dtype=np.int64)
         else:
             ids = frag.base + np.arange(table.num_rows, dtype=np.int64)
-        rows = build_fragment_positions(ids, texts, frag.frag_id, self.options)
+        rows = build_fragment_positions(ids, texts, frag.frag_id, self.options, self.codec)
         path = os.path.join(self.index_dir, "positions", f"part-{frag.frag_id:06d}.parquet")
         nbytes = _atomic_write_parquet(rows, path)
         manifest = {
@@ -228,12 +227,15 @@ def build_position_index(
     options: IndexOptions | None = None,
     source_column: str = "text",
     name_column: str = "doc_id",
+    codec: str = "vbyte",
 ) -> dict:
     """Build (or resume) the positional sidecar.  Fragment-parallel
     map_batches, per-fragment manifests for resume, no shuffle."""
     import ray.data
 
     options = options or IndexOptions()
+    if codec not in CODEC_NAMES:
+        raise ValueError(f"unknown positions codec {codec!r}; choose from {CODEC_NAMES}")
     os.makedirs(index_dir, exist_ok=True)
     stats_path = os.path.join(index_dir, "positions_stats.json")
     fragments = plan_fragments(input_path)
@@ -243,7 +245,35 @@ def build_position_index(
         if prior.get("n_fragments") == len(fragments) and prior.get(
             "options"
         ) == options.to_dict():
+            if prior.get("codec", "vbyte") != codec:
+                raise ValueError(
+                    f"positions at {index_dir} were built with codec="
+                    f"{prior.get('codec', 'vbyte')!r}; rebuild to switch"
+                )
             return prior
+
+    # codec is a physical property of every already-written cell; a
+    # fragment-manifest resume must keep the original choice (same marker
+    # protocol as the main index's build_codec.json)
+    codec_path = os.path.join(index_dir, "positions_codec.json")
+    if os.path.exists(codec_path):
+        with open(codec_path) as fh:
+            prior_codec = json.load(fh)["codec"]
+        if prior_codec != codec:
+            raise ValueError(
+                f"positions at {index_dir} were started with codec="
+                f"{prior_codec!r}; cannot resume with codec={codec!r}"
+            )
+    else:
+        mdir = os.path.join(index_dir, "positions_manifest")
+        if codec != "vbyte" and os.path.isdir(mdir) and os.listdir(mdir):
+            raise ValueError(
+                f"positions at {index_dir} have pre-existing vbyte fragments; "
+                f"cannot resume with codec={codec!r}"
+            )
+        with open(codec_path + ".tmp", "w") as fh:
+            json.dump({"codec": codec}, fh)
+        os.replace(codec_path + ".tmp", codec_path)
 
     frag_ds = ray.data.from_items([f.to_dict() for f in fragments])
     manifests = frag_ds.map_batches(
@@ -253,6 +283,7 @@ def build_position_index(
             options=options,
             source_column=source_column,
             name_column=name_column,
+            codec=codec,
         ),
         batch_size=1,
         concurrency=(1, 8),
@@ -261,6 +292,7 @@ def build_position_index(
 
     stats = {
         "n_fragments": len(fragments),
+        "codec": codec,
         "n_terms_rows": int(manifests["n_terms"].sum()),
         "n_postings": int(manifests["n_postings"].sum()),
         "bytes": int(manifests["bytes"].sum()),
@@ -272,7 +304,19 @@ def build_position_index(
     return stats
 
 
-def _term_keys(tbl: pa.Table) -> np.ndarray:
+def _sidecar_codec(index_dir: str) -> str:
+    """The codec a positional sidecar was written with (stats first,
+    start-marker as fallback for incomplete builds; vbyte for sidecars
+    written before the codec existed)."""
+    for fname in ("positions_stats.json", "positions_codec.json"):
+        p = os.path.join(index_dir, fname)
+        if os.path.exists(p):
+            with open(p) as fh:
+                return json.load(fh).get("codec", "vbyte")
+    return "vbyte"
+
+
+def _term_keys(tbl: pa.Table, codec: str = "vbyte") -> np.ndarray:
     """Decode one term's rows into a SORTED composite key array
     ``doc_id << _POS_BITS | position``."""
     if tbl.num_rows == 0:
@@ -284,11 +328,11 @@ def _term_keys(tbl: pa.Table) -> np.ndarray:
     for i in range(tbl.num_rows):
         nd = int(df_local[i])
         docs = np.cumsum(
-            vbyte_decode(tbl["docs_enc"][i].as_py(), nd).astype(np.int64)
+            decode_one(tbl["docs_enc"][i].as_py(), nd, codec).astype(np.int64)
         )
-        npos = vbyte_decode(tbl["npos_enc"][i].as_py(), nd).astype(np.int64)
+        npos = decode_one(tbl["npos_enc"][i].as_py(), nd, codec).astype(np.int64)
         total = int(npos.sum())
-        pgaps = vbyte_decode(tbl["pos_enc"][i].as_py(), total).astype(np.int64)
+        pgaps = decode_one(tbl["pos_enc"][i].as_py(), total, codec).astype(np.int64)
         cum = np.cumsum(pgaps)
         ends = np.cumsum(npos)
         bases = np.repeat(np.concatenate(([0], cum[ends[:-1] - 1])), npos)
@@ -333,13 +377,14 @@ def phrase_search(
     if not terms:
         return empty
 
+    codec = _sidecar_codec(index_dir)
     dset = pads.dataset(os.path.join(index_dir, "positions"))
     tbl = dset.to_table(filter=pc.field("term").isin(sorted(set(terms))))
 
     per_term: dict[str, np.ndarray] = {}
     for t in set(terms):
         sub = tbl.filter(pc.equal(tbl["term"], t))
-        per_term[t] = _term_keys(sub)
+        per_term[t] = _term_keys(sub, codec)
 
     # intersect composite keys: candidate = positions where the phrase STARTS
     cand = per_term[terms[0]]
@@ -404,10 +449,11 @@ def proximity_search(
     if not ta or not tb or ta == tb:
         return empty
 
+    codec = _sidecar_codec(index_dir)
     dset = pads.dataset(os.path.join(index_dir, "positions"))
     tbl = dset.to_table(filter=pc.field("term").isin([ta, tb]))
-    a_keys = _term_keys(tbl.filter(pc.equal(tbl["term"], ta)))
-    b_keys = _term_keys(tbl.filter(pc.equal(tbl["term"], tb)))
+    a_keys = _term_keys(tbl.filter(pc.equal(tbl["term"], ta)), codec)
+    b_keys = _term_keys(tbl.filter(pc.equal(tbl["term"], tb)), codec)
     if a_keys.size == 0 or b_keys.size == 0:
         return empty
 
@@ -472,10 +518,11 @@ def ordered_window_search(
     if not ta or not tb or ta == tb:
         return empty
 
+    codec = _sidecar_codec(index_dir)
     dset = pads.dataset(os.path.join(index_dir, "positions"))
     tbl = dset.to_table(filter=pc.field("term").isin([ta, tb]))
-    a_keys = _term_keys(tbl.filter(pc.equal(tbl["term"], ta)))
-    b_keys = _term_keys(tbl.filter(pc.equal(tbl["term"], tb)))
+    a_keys = _term_keys(tbl.filter(pc.equal(tbl["term"], ta)), codec)
+    b_keys = _term_keys(tbl.filter(pc.equal(tbl["term"], tb)), codec)
     if a_keys.size == 0 or b_keys.size == 0:
         return empty
 

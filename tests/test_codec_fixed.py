@@ -210,6 +210,63 @@ def test_resume_rejects_codec_switch(twin_indexes, ray_session):
         )
 
 
+def test_positions_sidecar_both_codecs(twin_indexes, ray_session):
+    from search_engine_ray.config import IndexOptions
+    from search_engine_ray.engine.positions import (
+        build_position_index,
+        ordered_window_search,
+        phrase_search,
+        proximity_search,
+    )
+
+    corpus, _ = twin_indexes
+    opts = IndexOptions(stemming=False)
+    dirs = {}
+    for codec in ("vbyte", "fixed"):
+        out = f"{BASE}/pos_{codec}"
+        shutil.rmtree(out, ignore_errors=True)
+        stats = build_position_index(
+            corpus, out, opts, source_column="html", name_column="url", codec=codec
+        )
+        assert stats["codec"] == codec
+        dirs[codec] = out
+    # find a real bigram from the corpus text to query
+    import pyarrow.dataset as pads
+    import pyarrow.compute as pc
+
+    from search_engine_ray.corpus.extract import extract_text_batch
+
+    from search_engine_ray.text.tokenizer import normalize_query_word
+
+    tbl = pads.dataset(corpus).to_table(columns=["html"])
+    words = extract_text_batch(tbl["html"].combine_chunks())[0].as_py().split()
+    # adjacent pair that BOTH survive normalization to distinct terms
+    w1 = w2 = None
+    for i in range(len(words) - 1):
+        a_ = normalize_query_word(words[i], stemming=False)
+        b_ = normalize_query_word(words[i + 1], stemming=False)
+        if a_ and b_ and a_ != b_:
+            w1, w2 = words[i], words[i + 1]
+            break
+    assert w1 is not None
+    for fn, args in (
+        (phrase_search, ([w1, w2],)),
+        (proximity_search, (w1, w2, 3)),
+        (ordered_window_search, (w1, w2, 3)),
+    ):
+        a = fn(dirs["vbyte"], *args)
+        b = fn(dirs["fixed"], *args)
+        assert a.equals(b), fn.__name__
+        assert a.num_rows > 0, fn.__name__  # the probe must actually match
+
+    # codec switch on an existing sidecar must refuse
+    with pytest.raises(ValueError, match="codec"):
+        build_position_index(
+            corpus, dirs["fixed"], opts, source_column="html",
+            name_column="url", codec="vbyte",
+        )
+
+
 def test_sharded_search_fixed(twin_indexes, ray_session):
     from search_engine_ray.engine.sharded_search import search_topics_sharded
 
