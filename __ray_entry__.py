@@ -252,6 +252,52 @@ def q_tfidf_top10(sf_dir: str) -> pa.Table:
     )
 
 
+def q_doc_keywords(sf_dir: str) -> pa.Table:
+    """Per-doc top-3 TF-IDF keywords (dataops.textstats.doc_keywords):
+    integer-exact score = tf * floor(ln(n_docs // df)*1e6+0.5) with the
+    reference's int-div idf quirk; pairs partials -> df groupby -> hash
+    join -> grouped top-k.  Whole result checked (3 rows/doc)."""
+    import ray.data
+
+    from search_engine_ray.dataops.textstats import doc_keywords
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = doc_keywords(ds, k=3).to_pandas()
+    out = out.sort_values(["doc_id", "score_micros", "term"], ascending=[True, False, True])
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+            "term": pa.array(out["term"].astype(str), pa.string()),
+            "tf": pa.array(out["tf"].to_numpy(np.int64)),
+            "df": pa.array(out["df"].to_numpy(np.int64)),
+            "score_micros": pa.array(out["score_micros"].to_numpy(np.int64)),
+        }
+    )
+
+
+def q_corpus_log_odds(sf_dir: str) -> pa.Table:
+    """Vocabulary drift between corpus halves (textstats.corpus_log_odds):
+    side A = even doc_id; per-direction top-20 by the add-one-smoothed
+    integer count ratio (the monotone core of the log-odds ranking)."""
+    import ray.data
+
+    from search_engine_ray.dataops.textstats import corpus_log_odds
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def add_side(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        return batch.append_column("side_a", pa.array(ids % 2 == 0))
+
+    return corpus_log_odds(
+        ds.map_batches(add_side, batch_format="pyarrow"), "side_a", k=20
+    )
+
+
 def _reader_fixed(sf_dir: str):
     """Reader over a documents index built with the byte-aligned
     fixed-width postings codec (engine/codec.py: fixed_encode_cells) —
@@ -5834,6 +5880,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the fixed-width postings codec must be externally bit-identical
         "posting_lookup_fixed": q_posting_lookup_fixed,
         "bm25_fixed_top10": q_bm25_fixed_top10,
+        "doc_keywords": q_doc_keywords,
+        "corpus_log_odds": q_corpus_log_odds,
     }
 
 
@@ -8534,6 +8582,54 @@ def oracle_sql() -> dict[str, str]:
     # fixed-codec twins: byte layout differs, results must not
     out["posting_lookup_fixed"] = out["posting_lookup"]
     out["bm25_fixed_top10"] = out["bm25_top10"]
+    out["doc_keywords"] = r"""
+        WITH toks AS (
+          SELECT doc_id, t
+          FROM documents, UNNEST(regexp_split_to_array(text, '[\t\n\x0B\x0C\r ]+')) AS u(t)
+          WHERE t <> ''
+        ),
+        tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        sc AS (
+          SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 tf.tf * CAST(floor(ln(n.n_docs // df.df) * 1000000 + 0.5) AS BIGINT)
+                   AS score_micros
+          FROM tf JOIN df USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+               score_micros
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score_micros DESC, term) AS rn FROM sc)
+        WHERE rn <= 3
+        ORDER BY doc_id, score_micros DESC, term
+    """
+    out["corpus_log_odds"] = r"""
+        WITH toks AS (
+          SELECT doc_id % 2 = 0 AS side_a, t
+          FROM documents, UNNEST(regexp_split_to_array(text, '[\t\n\x0B\x0C\r ]+')) AS u(t)
+          WHERE t <> ''
+        ),
+        cnt AS (
+          SELECT t AS term,
+                 CAST(sum(CASE WHEN side_a THEN 1 ELSE 0 END) AS BIGINT) AS count_a,
+                 CAST(sum(CASE WHEN side_a THEN 0 ELSE 1 END) AS BIGINT) AS count_b
+          FROM toks GROUP BY 1
+        ),
+        u AS (
+          SELECT 'a_over_b' AS direction, term, count_a, count_b,
+                 ((count_a + 1) * 1000000) // (count_b + 1) AS ratio_micros FROM cnt
+          UNION ALL
+          SELECT 'b_over_a', term, count_a, count_b,
+                 ((count_b + 1) * 1000000) // (count_a + 1) FROM cnt
+        )
+        SELECT direction, term, count_a, count_b,
+               CAST(ratio_micros AS BIGINT) AS ratio_micros
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY direction ORDER BY ratio_micros DESC, term) AS rn FROM u)
+        WHERE rn <= 20
+        ORDER BY direction, ratio_micros DESC, term
+    """
     out.update(_weblink_sqls())
     return out
 

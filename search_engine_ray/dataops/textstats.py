@@ -626,3 +626,246 @@ def readability_batch(
 
 def readability(ds: ray.data.Dataset, **kw) -> ray.data.Dataset:
     return ds.map_batches(readability_batch, fn_kwargs=kw, batch_format="pyarrow")
+
+
+def _doc_term_tf_partial(text_column: str, id_column: str):
+    """Per-batch (id, term, tf) partials over whitespace tokens — unique
+    per batch, and docs never split across batches, so the pairs are
+    globally unique (no cross-batch fold needed)."""
+    from ..text.ws import ws_token_flat_with_row
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_column: pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        flat, rows = ws_token_flat_with_row(_text_col(batch, text_column))
+        if len(flat) == 0:
+            return empty
+        ids = np.asarray(batch[id_column], dtype=np.int64)
+        denc = flat.dictionary_encode()
+        codes = np.asarray(denc.indices, dtype=np.int64)
+        n_codes = len(denc.dictionary)
+        key = rows * n_codes + codes  # rows < 2^21 per batch, safe in int64
+        uk, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                id_column: pa.array(ids[uk // n_codes]),
+                "term": denc.dictionary.take(pa.array(uk % n_codes)),
+                "tf": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    return partial
+
+
+def doc_keywords(
+    ds: ray.data.Dataset,
+    k: int = 3,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    join_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per-document top-k TF-IDF keywords — the classic per-doc salient-term
+    extraction (tagging, routing, index pruning, MLT seeds), integer-exact
+    so a SQL oracle reproduces it bit-for-bit:
+
+        score_micros = tf * floor(ln(n_docs // df) * 1e6 + 0.5)
+
+    using the reference scorer's integer-division idf quirk
+    (oracle/scorers.py, SURVEY §2.8): ln's argument is the INTEGER ratio,
+    so terms with df > n_docs/2 score exactly 0 and the distinct ln inputs
+    are the few-thousand integer values of n_docs//df — the same
+    libm-boundary budget tfidf_top10 has carried driver-green since r1.
+
+    Scale shape: per-batch (doc, term, tf) partials (distinct-pair-sized,
+    materialized ONCE and reused for both consumers) -> term-keyed df
+    count + native hash join (both sides corpus-scale — no broadcast) ->
+    vectorized scoring inside map_batches with n_docs a broadcast scalar
+    -> sample.topk_per_key grouped top-k, ties by term ascending.  The
+    driver never holds more than the result (k rows per doc, distributed).
+
+    Returns a Dataset with (id, term, tf, df, score_micros)."""
+    from ray.data.aggregate import Count
+
+    from ..ioutil import nonempty_blocks
+    from .dedup import _join_parts
+    from .sample import topk_per_key
+
+    n_docs = ds.count()
+    pairs = ds.map_batches(
+        _doc_term_tf_partial(text_column, id_column), batch_format="pyarrow"
+    ).materialize()
+    n_pairs = pairs.count()
+    empty = pa.table(
+        {
+            id_column: pa.array([], pa.int64()),
+            "term": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "df": pa.array([], pa.int64()),
+            "score_micros": pa.array([], pa.int64()),
+        }
+    )
+    if n_pairs == 0:
+        return ray.data.from_arrow(empty)
+    # post-aggregate join hygiene (Ray 2.49 empty-partition wart — see
+    # ioutil.nonempty_blocks): the groupby output feeds a hash join
+    df_tbl = nonempty_blocks(
+        pairs.groupby("term").aggregate(Count(alias_name="df")).materialize()
+    )
+    jp = _join_parts(min(join_partitions, (n_pairs * 24) // (128 << 20) + 2))
+    joined = pairs.repartition(max(1, n_pairs // 500_000 + 1)).join(
+        df_tbl, "inner", jp, on=("term",), right_on=("term",)
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        tf = np.asarray(batch["tf"], dtype=np.int64)
+        df = np.asarray(batch["df"], dtype=np.int64)
+        idf_micros = np.floor(np.log(n_docs // df) * 1_000_000 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                id_column: batch[id_column],
+                "term": batch["term"],
+                "tf": pa.array(tf),
+                "df": pa.array(df),
+                "score_micros": pa.array(tf * idf_micros),
+            }
+        )
+
+    scored = nonempty_blocks(
+        joined.map_batches(score, batch_format="pyarrow").materialize()
+    )
+    return topk_per_key(
+        scored, id_column, "score_micros", k, ascending=False, tie_columns=("term",)
+    )
+
+
+def corpus_log_odds(
+    ds: ray.data.Dataset,
+    side_column: str,
+    k: int = 20,
+    text_column: str = "text",
+    fan_in: int = 64,
+) -> pa.Table:
+    """Vocabulary drift between two halves of a corpus (two crawls, two
+    sources, two time windows): for each direction, the k terms most
+    overrepresented on one side by the add-one-smoothed count ratio
+
+        ratio_micros = ((c_this + 1) * 1_000_000) // (c_other + 1)
+
+    — the monotone integer-exact core of the log-odds-ratio / KL
+    contribution ranking (Monroe et al.'s "fightin' words" family: the
+    per-side totals are global constants, so ordering by the smoothed
+    ratio IS ordering by log-odds), kept in pure integer arithmetic so a
+    SQL oracle reproduces every cell.
+
+    ``side_column`` is a boolean column (True = side A) the caller derives
+    (source id, snapshot, date cut).  Shape: per-batch (term, cnt_a,
+    cnt_b) partials -> ONE distinct-term groupby -> per-block partial
+    top-k per direction -> tree reduce; the driver only ever sees 2k rows.
+
+    Returns (direction 'a_over_b'|'b_over_a', term, count_a, count_b,
+    ratio_micros) sorted by (direction, ratio desc, term)."""
+    from ray.data.aggregate import Sum
+
+    from ..text.ws import ws_token_flat_with_row
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "cnt_a": pa.array([], pa.int64()),
+                "cnt_b": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        flat, rows = ws_token_flat_with_row(_text_col(batch, text_column))
+        if len(flat) == 0:
+            return empty
+        side = np.asarray(batch[side_column], dtype=bool)[rows]
+        denc = flat.dictionary_encode()
+        codes = np.asarray(denc.indices, dtype=np.int64)
+        key = codes * 2 + side.astype(np.int64)
+        uk, counts = np.unique(key, return_counts=True)
+        cnt = counts.astype(np.int64)
+        is_a = (uk % 2).astype(bool)
+        return pa.table(
+            {
+                "term": denc.dictionary.take(pa.array(uk // 2)),
+                "cnt_a": pa.array(np.where(is_a, cnt, 0)),
+                "cnt_b": pa.array(np.where(is_a, 0, cnt)),
+            }
+        )
+
+    counts = (
+        ds.select_columns([text_column, side_column])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cnt_a", alias_name="cnt_a"), Sum("cnt_b", alias_name="cnt_b"))
+    )
+
+    def directional(batch: pa.Table) -> pa.Table:
+        ca = np.asarray(batch["cnt_a"], dtype=np.int64)
+        cb = np.asarray(batch["cnt_b"], dtype=np.int64)
+        terms = np.asarray(batch["term"], dtype=object)
+        parts = []
+        for direction, num, den in (("a_over_b", ca, cb), ("b_over_a", cb, ca)):
+            ratio = ((num + 1) * 1_000_000) // (den + 1)
+            order = np.lexsort((terms.astype("U"), -ratio))[:k]
+            parts.append(
+                pa.table(
+                    {
+                        "direction": pa.array([direction] * len(order), pa.string()),
+                        "term": pa.array(terms[order].tolist(), pa.string()),
+                        "count_a": pa.array(ca[order]),
+                        "count_b": pa.array(cb[order]),
+                        "ratio_micros": pa.array(ratio[order]),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def reduce_topk(batch: pa.Table) -> pa.Table:
+        ratio = np.asarray(batch["ratio_micros"], dtype=np.int64)
+        terms = np.asarray(batch["term"], dtype="U")
+        dirs = np.asarray(batch["direction"], dtype="U")
+        keep = []
+        for d in ("a_over_b", "b_over_a"):
+            idx = np.flatnonzero(dirs == d)
+            order = np.lexsort((terms[idx], -ratio[idx]))[:k]
+            keep.append(idx[order])
+        return batch.take(pa.array(np.concatenate(keep)))
+
+    partials = counts.map_batches(directional, batch_format="pyarrow")
+    reduced = partials.repartition(fan_in).map_batches(
+        reduce_topk, batch_size=None, batch_format="pyarrow"
+    )
+    final = reduced.repartition(1).map_batches(
+        reduce_topk, batch_size=None, batch_format="pyarrow"
+    )
+    batches = [
+        pa.table(b) for b in final.iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    empty = pa.table(
+        {
+            "direction": pa.array([], pa.string()),
+            "term": pa.array([], pa.string()),
+            "count_a": pa.array([], pa.int64()),
+            "count_b": pa.array([], pa.int64()),
+            "ratio_micros": pa.array([], pa.int64()),
+        }
+    )
+    if not batches:
+        return empty
+    t = pa.concat_tables(batches)
+    if t.num_rows == 0:
+        return empty
+    return reduce_topk(t.combine_chunks())
