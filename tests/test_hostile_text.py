@@ -115,6 +115,9 @@ CHECKED = [
     "lang_windows",
     "simhash_near_pairs",
     "token_budget",
+    # r5: WS-tokenized keyword extraction + side-split vocabulary drift
+    "doc_keywords",
+    "corpus_log_odds",
 ]
 
 
