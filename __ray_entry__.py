@@ -252,6 +252,83 @@ def q_tfidf_top10(sf_dir: str) -> pa.Table:
     )
 
 
+_WINNOW_K = 4
+_WINNOW_W = 4
+
+
+def q_winnow_fingerprints(sf_dir: str) -> pa.Table:
+    """MOSS winnowing fingerprints (dataops.spandup.winnow_fingerprints):
+    per-window rightmost-min of 40-bit k-gram hashes via one integer MIN
+    over the combined (hash, position) key — any shared substring of
+    w+k-1 tokens between docs shares a fingerprint.  Stateless
+    map_batches, no shuffle; whole fingerprint table checked."""
+    from search_engine_ray.dataops.spandup import winnow_fingerprints
+
+    out = winnow_fingerprints(
+        _docs_ds(sf_dir), k=_WINNOW_K, w=_WINNOW_W, hash_kind="md5be"
+    ).to_pandas()
+    out = out.sort_values(["doc_id", "pos", "fp"], ignore_index=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+            "pos": pa.array(out["pos"].to_numpy(np.int64)),
+            "fp": pa.array(out["fp"].to_numpy(np.int64)),
+        }
+    )
+
+
+def _winnow_sql(k: int = _WINNOW_K, w: int = _WINNOW_W) -> str:
+    """DuckDB SQL reproducing winnow_fingerprints(hash_kind="md5be")
+    bit-exactly: the dup_spans rolling-hash chain, then the combined-key
+    window MIN (rightmost-min tie rule) with the same short-doc
+    whole-window rule, deduped."""
+    W64 = "18446744073709551616::UHUGEINT"  # 2^64
+    M = "11400714819323198485::UHUGEINT"  # 0x9E3779B97F4A7C15
+
+    def powterm(expr: str, pows: int) -> str:
+        e = f"{expr}::UHUGEINT"
+        for _ in range(pows):
+            e = f"(({e} * {M}) % {W64})"
+        return e
+
+    acc = " + ".join(powterm(f"t{j}.hh", k - 1 - j) for j in range(k))
+    joins = "".join(
+        f" JOIN th t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.pos = t0.pos + {j}"
+        for j in range(1, k)
+    )
+    return f"""
+        WITH tl AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '[\\t\\n\\x0B\\x0C\\r ]+'), x -> x <> '') AS tks
+          FROM documents),
+        tok AS (
+          SELECT doc_id, unnest(tks) AS t, unnest(generate_series(1, len(tks))) AS pos
+          FROM tl),
+        th AS (SELECT doc_id, pos,
+                      ('0x' || substr(md5(t), 1, 16))::UBIGINT AS hh FROM tok),
+        shp AS (
+          SELECT t0.doc_id, t0.pos, CAST(({acc}) % {W64} AS UBIGINT) AS sh
+          FROM th t0{joins}),
+        keyed AS (
+          SELECT doc_id, pos,
+                 CAST(sh % 1099511627776 AS BIGINT) * 2097152
+                   + (2097152 - pos) AS m,
+                 count(*) OVER (PARTITION BY doc_id) AS g
+          FROM shp),
+        wins AS (
+          SELECT doc_id,
+                 min(m) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS wm
+          FROM keyed
+          QUALIFY pos <= GREATEST(g - {w} + 1, 1))
+        SELECT DISTINCT doc_id,
+               CAST(2097152 - (wm % 2097152) - 1 AS BIGINT) AS pos,
+               CAST(wm // 2097152 AS BIGINT) AS fp
+        FROM wins
+        ORDER BY doc_id, pos, fp
+    """
+
+
 def q_doc_keywords(sf_dir: str) -> pa.Table:
     """Per-doc top-3 TF-IDF keywords (dataops.textstats.doc_keywords):
     integer-exact score = tf * floor(ln(n_docs // df)*1e6+0.5) with the
@@ -5882,6 +5959,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_fixed_top10": q_bm25_fixed_top10,
         "doc_keywords": q_doc_keywords,
         "corpus_log_odds": q_corpus_log_odds,
+        "winnow_fingerprints": q_winnow_fingerprints,
     }
 
 
@@ -8582,6 +8660,7 @@ def oracle_sql() -> dict[str, str]:
     # fixed-codec twins: byte layout differs, results must not
     out["posting_lookup_fixed"] = out["posting_lookup"]
     out["bm25_fixed_top10"] = out["bm25_top10"]
+    out["winnow_fingerprints"] = _winnow_sql()
     out["doc_keywords"] = r"""
         WITH toks AS (
           SELECT doc_id, t

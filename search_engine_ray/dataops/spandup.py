@@ -176,3 +176,119 @@ def duplicate_spans(
         .groupby("bucket")
         .map_groups(merge_bucket, batch_format="pandas")
     )
+
+
+_FP_BITS = 40  # fingerprint hash bits kept (collision-bounded, int64-safe)
+_WPOS_BITS = 21  # position bits — docs with >= 2^21 k-grams refuse loudly
+_WPOS_LIMIT = 1 << _WPOS_BITS
+
+
+def winnow_fingerprints(
+    ds: ray.data.Dataset,
+    k: int = 4,
+    w: int = 4,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    hash_kind: str = "md5be",
+) -> ray.data.Dataset:
+    """Winnowing document fingerprints — Schleimer/Wilkerson/Aiken's MOSS
+    algorithm (SIGMOD 2003): slide a window of ``w`` consecutive k-gram
+    hashes over each document and record the minimum of each window,
+    breaking ties by RIGHTMOST position (robust winnowing), then dedup.
+    The guarantee: any shared substring of length >= w+k-1 tokens between
+    two documents yields at least one SHARED fingerprint — the local,
+    position-robust copy-detection signal global MinHash sketches cannot
+    give (they answer "how similar", winnowing answers "which parts").
+
+    Integer-exact selection: the window minimum runs over the combined
+    key ``m = (h % 2^40) << 21 | (2^21 - 1 - pos)`` so one integer min
+    picks the minimal 40-bit hash with the largest position — the same
+    expression a SQL oracle can evaluate (MIN OVER a ROWS window).
+
+    Shape: stateless vectorized map_batches — NO shuffle; the output is
+    ~(k-grams / w) rows per doc, each (id, pos, fp).  Candidate copy
+    pairs are one ``groupby(fp)`` away (the dup_spans semi-join shape).
+    Documents shorter than w k-grams emit their single whole-doc window;
+    documents shorter than k tokens emit nothing."""
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    fp_mask = np.uint64((1 << _FP_BITS) - 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_column: pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "fp": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        col = batch[text_column]
+        texts = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        d, pos, sh = _positional_shingles(texts, k, hash_kind)
+        if len(d) == 0:
+            return empty
+        doc_lens = np.bincount(d, minlength=batch.num_rows)  # k-grams per doc
+        if int(doc_lens.max()) >= _WPOS_LIMIT:
+            raise ValueError(
+                f"a document has >= 2^{_WPOS_BITS} k-grams; raise _WPOS_BITS "
+                "before winnowing it"
+            )
+        m = (
+            ((sh & fp_mask).astype(np.int64) << _WPOS_BITS)
+            | (np.int64(_WPOS_LIMIT - 1) - pos)
+        )
+        n = len(m)
+        # window starts whose END k-gram is still in the same doc
+        sel_parts = []
+        if n >= w:
+            starts_ok = d[: n - w + 1] == d[w - 1 :]
+            if starts_ok.any():
+                wm = m[: n - w + 1].copy()
+                for j in range(1, w):
+                    np.minimum(wm, m[j : n - w + 1 + j], out=wm)
+                sel_parts.append((np.flatnonzero(starts_ok), wm[starts_ok]))
+        # short docs (1 <= g < w): one whole-doc window.  reduceat over the
+        # NONEMPTY docs' starts only — those boundaries partition [0, n)
+        # exactly, so each segment is one doc's k-grams (an empty doc's
+        # start would otherwise alias its neighbour's segment)
+        short_mask = (doc_lens > 0) & (doc_lens < w)
+        if short_mask.any():
+            doc_starts = np.concatenate(([0], np.cumsum(doc_lens)))
+            nonempty = np.flatnonzero(doc_lens > 0)
+            mins_ne = np.minimum.reduceat(m, doc_starts[nonempty])
+            is_short_ne = short_mask[nonempty]
+            sel_parts.append(
+                (doc_starts[nonempty][is_short_ne], mins_ne[is_short_ne])
+            )
+        if not sel_parts:
+            return empty
+        flat_idx = np.concatenate([p[0] for p in sel_parts])
+        wmins = np.concatenate([p[1] for p in sel_parts])
+        docs = d[flat_idx]
+        # dedup (doc, selected m): adjacent windows select the same k-gram;
+        # sort by (doc, m) and drop repeats — m alone is 61 bits, so a
+        # packed single-key dedup would overflow int64 once the batch-row
+        # index joins it
+        order = np.lexsort((wmins, docs))
+        docs, wmins = docs[order], wmins[order]
+        first = np.empty(len(docs), dtype=bool)
+        first[0] = True
+        np.logical_or(
+            docs[1:] != docs[:-1], wmins[1:] != wmins[:-1], out=first[1:]
+        )
+        docs, wmins = docs[first], wmins[first]
+        u_pos = np.int64(_WPOS_LIMIT - 1) - (wmins & np.int64(_WPOS_LIMIT - 1))
+        u_fp = wmins >> _WPOS_BITS
+        ids = np.asarray(batch[id_column], dtype=np.int64)
+        out_order = np.lexsort((u_pos, docs))
+        return pa.table(
+            {
+                id_column: pa.array(ids[docs[out_order]]),
+                "pos": pa.array(u_pos[out_order]),
+                "fp": pa.array(u_fp[out_order]),
+            }
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow")

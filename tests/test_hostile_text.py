@@ -118,6 +118,7 @@ CHECKED = [
     # r5: WS-tokenized keyword extraction + side-split vocabulary drift
     "doc_keywords",
     "corpus_log_odds",
+    "winnow_fingerprints",
 ]
 
 
