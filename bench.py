@@ -362,6 +362,21 @@ def run_benchmarks() -> dict:
         _host_ids, batch_format="pyarrow"
     ).materialize()
 
+    from search_engine_ray.dataops.spandup import winnow_fingerprints as _winnow
+    from search_engine_ray.dataops.textstats import (
+        corpus_log_odds as _corpus_log_odds,
+        doc_keywords as _doc_keywords,
+    )
+
+    def _add_side(batch):
+        import numpy as _np
+        import pyarrow as _pa
+
+        ids = _np.asarray(batch["doc_id"], dtype=_np.int64)
+        return batch.append_column("side_a", _pa.array(ids % 2 == 0))
+
+    _sided_docs = docs_ds.map_batches(_add_side, batch_format="pyarrow")
+
     ops: list[tuple[str, object]] = [
         ("dedup_exact", lambda: exact_dedup(docs_ds).count()),
         ("dedup_minhash_lsh", lambda: minhash_lsh_pairs(docs_ds, threshold=0.8).count()),
@@ -431,6 +446,10 @@ def run_benchmarks() -> dict:
             _link_edges_ds(), per_host_rate=2).count()),
         ("reciprocal_hosts", lambda: _weblinks.reciprocal_host_pairs(
             _link_edges_ds()).count()),
+        ("doc_keywords", lambda: _doc_keywords(docs_ds, k=3).count()),
+        ("corpus_log_odds", lambda: _corpus_log_odds(
+            _sided_docs, "side_a", k=20).num_rows),
+        ("winnow_fingerprints", lambda: _winnow(docs_ds, k=4, w=4).count()),
     ]
     n_rounds = int(os.environ.get("SE_RAY_BENCH_OP_ROUNDS", "2"))
     samples: dict[str, list[float]] = {name: [] for name, _ in ops}
