@@ -4059,6 +4059,25 @@ def q_phrase_bm25_top10(sf_dir: str) -> pa.Table:
     )
 
 
+def q_sdm_top10(sf_dir: str) -> pa.Table:
+    """Sequential Dependence Model top-10 (Metzler & Croft 2005;
+    pipelines.sdm_scores_f64): Dirichlet-smoothed unigram + exact-ordered
+    (#1) + unordered-window-8 features over query ('sort','table',
+    'window'), lambdas (0.85, 0.10, 0.05), mu=2000."""
+    from search_engine_ray.pipelines import documents_positions_dir, sdm_scores_f64
+
+    r = _reader(sf_dir)
+    pos_dir = documents_positions_dir(sf_dir, OPT_NOSTEM)
+    ids, scores = sdm_scores_f64(
+        r, pos_dir, ["sort", "table", "window"], options=OPT_NOSTEM
+    )
+    ids, scores = ids[:10], scores[:10]
+    doc_ids = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids), "score_micros": pa.array(_micros(scores))}
+    )
+
+
 def q_proximity_match(sf_dir: str) -> pa.Table:
     """Proximity retrieval ('sort' within 3 kept-token positions of
     'window') over the positional sidecar — searchsorted range probes,
@@ -5960,6 +5979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keywords": q_doc_keywords,
         "corpus_log_odds": q_corpus_log_odds,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "sdm_top10": q_sdm_top10,
     }
 
 
@@ -7226,6 +7246,80 @@ def oracle_sql() -> dict[str, str]:
               FROM pf CROSS JOIN dfp JOIN dl USING (doc_id) CROSS JOIN st),
             ranked AS (SELECT doc_id, score,
                               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM sc)
+            SELECT doc_id, {micros.format(expr="score")} AS score_micros
+            FROM ranked WHERE r <= 10
+        """,
+        "sdm_top10": f"""
+            WITH raw AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\\x00-\\x2f:;=?]')) AS t,
+                     unnest(generate_series(1,
+                        len(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\\x00-\\x2f:;=?]')))) AS pos
+              FROM documents),
+            kept AS (
+              SELECT doc_id, t,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS kp
+              FROM raw
+              WHERE t <> '' AND substr(t, 1, 1) <> '<' AND substr(t, -1, 1) <> '>'
+                AND t NOT IN ({_STOP_LIST})),
+            dl AS (SELECT doc_id, count(*) AS dl FROM kept GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM kept) * 1.0 AS c_total),
+            tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM kept
+                   WHERE t IN ('sort','table','window') GROUP BY 1, 2),
+            cf AS (SELECT term, sum(tf) * 1.0 AS cf FROM tf GROUP BY term),
+            cand AS (SELECT DISTINCT doc_id FROM tf),
+            f_t AS (
+              SELECT cand.doc_id,
+                     sum(ln((COALESCE(tf.tf, 0) + 2000.0 * cf.cf / st.c_total)
+                            / (dl.dl + 2000.0))) AS s
+              FROM cand CROSS JOIN cf CROSS JOIN st
+              JOIN dl ON dl.doc_id = cand.doc_id
+              LEFT JOIN tf ON tf.doc_id = cand.doc_id AND tf.term = cf.term
+              GROUP BY cand.doc_id),
+            o1 AS (
+              SELECT p.pa, p.pb, a.doc_id, count(*) AS c
+              FROM (VALUES ('sort', 'table'), ('table', 'window')) AS p(pa, pb)
+              JOIN kept a ON a.t = p.pa
+              JOIN kept b ON b.doc_id = a.doc_id AND b.kp = a.kp + 1 AND b.t = p.pb
+              GROUP BY 1, 2, 3),
+            o1cf AS (SELECT pa, pb, sum(c) * 1.0 AS cf FROM o1 GROUP BY 1, 2),
+            f_o AS (
+              SELECT cand.doc_id,
+                     sum(ln((COALESCE(o1.c, 0) + 2000.0 * o1cf.cf / st.c_total)
+                            / (dl.dl + 2000.0))) AS s
+              FROM cand CROSS JOIN o1cf CROSS JOIN st
+              JOIN dl ON dl.doc_id = cand.doc_id
+              LEFT JOIN o1 ON o1.doc_id = cand.doc_id
+                          AND o1.pa = o1cf.pa AND o1.pb = o1cf.pb
+              GROUP BY cand.doc_id),
+            uw AS (
+              SELECT p.pa, p.pb, a.doc_id, count(*) AS c
+              FROM (VALUES ('sort', 'table'), ('table', 'window')) AS p(pa, pb)
+              JOIN kept a ON a.t = p.pa
+              JOIN kept b ON b.doc_id = a.doc_id AND abs(a.kp - b.kp) <= 8
+                         AND b.t = p.pb
+              GROUP BY 1, 2, 3),
+            uwcf AS (SELECT pa, pb, sum(c) * 1.0 AS cf FROM uw GROUP BY 1, 2),
+            f_u AS (
+              SELECT cand.doc_id,
+                     sum(ln((COALESCE(uw.c, 0) + 2000.0 * uwcf.cf / st.c_total)
+                            / (dl.dl + 2000.0))) AS s
+              FROM cand CROSS JOIN uwcf CROSS JOIN st
+              JOIN dl ON dl.doc_id = cand.doc_id
+              LEFT JOIN uw ON uw.doc_id = cand.doc_id
+                          AND uw.pa = uwcf.pa AND uw.pb = uwcf.pb
+              GROUP BY cand.doc_id),
+            sc AS (
+              SELECT cand.doc_id,
+                     0.85 * f_t.s + 0.10 * COALESCE(f_o.s, 0)
+                     + 0.05 * COALESCE(f_u.s, 0) AS score
+              FROM cand
+              JOIN f_t ON f_t.doc_id = cand.doc_id
+              LEFT JOIN f_o ON f_o.doc_id = cand.doc_id
+              LEFT JOIN f_u ON f_u.doc_id = cand.doc_id),
+            ranked AS (SELECT doc_id, score,
+                              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+                       FROM sc)
             SELECT doc_id, {micros.format(expr="score")} AS score_micros
             FROM ranked WHERE r <= 10
         """,

@@ -1014,3 +1014,104 @@ def bm25_proximity_boosted_f64(
     scores = scores + lam * np.log1p(boost[ids])
     order = np.lexsort((ids, -scores))
     return ids[order], scores[order]
+
+
+def sdm_scores_f64(
+    reader: IndexReader,
+    pos_dir: str,
+    terms: list[str],
+    mu: float = 2000.0,
+    lambdas: tuple[float, float, float] = (0.85, 0.1, 0.05),
+    uw_window: int = 8,
+    options=None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sequential Dependence Model ranking (Metzler & Croft, SIGIR 2005) —
+    the canonical term-dependency ranker: three Dirichlet-smoothed
+    log-probability feature families over the query's adjacent term pairs,
+
+        score(D) = l_T * sum_i  ln((tf_i      + mu*cf_i/|C|) / (dl + mu))
+                 + l_O * sum_i  ln((o1_i      + mu*cf_O/|C|) / (dl + mu))
+                 + l_U * sum_i  ln((uw_i      + mu*cf_U/|C|) / (dl + mu))
+
+    where o1 counts EXACT ordered adjacency (#1, the positional sidecar's
+    ordered_window_search at slop=1), uw counts unordered co-occurrence
+    within ``uw_window`` kept-token positions (proximity_search), and
+    cf_* are corpus totals of the same statistic (|C| = sum_dl).  A
+    feature whose corpus frequency is zero is skipped (its log-prob is
+    undefined for every document — the standard Indri convention).
+
+    Candidates = docs matching at least one query unigram; within the
+    candidate set every feature contributes, matched or smoothing-only.
+    Ties -> ascending numeric doc name (the SQL row_number convention).
+    Returns (ordinals, scores).
+
+    Scale shape: unigram features come from the main index's pruned
+    term reads; pair features from two pruned sidecar reads per adjacent
+    pair — never a corpus pass at query time.  The sidecar and index
+    must share build options (fail-loud check, like phrase_bm25_f64)."""
+    import json as _json
+
+    from .engine.positions import ordered_window_search, proximity_search
+
+    with open(os.path.join(pos_dir, "positions_stats.json")) as fh:
+        pos_opts = _json.load(fh)["options"]
+    idx_opts = reader.stats.get("options")
+    if idx_opts is not None and pos_opts != idx_opts:
+        raise ValueError(
+            f"sdm_scores_f64: positional sidecar options {pos_opts} differ "
+            f"from index options {idx_opts} — rebuild one to match"
+        )
+    lam_t, lam_o, lam_u = lambdas
+    n = reader.n_docs
+    c_total = float(reader.stats["sum_dl"])
+    dl = reader.doc_lens.astype(np.float64)
+    score = np.zeros(n, dtype=np.float64)
+    touched = np.zeros(n, dtype=bool)
+
+    for t in terms:
+        tp = reader.postings(t)
+        tf_dense = np.zeros(n, dtype=np.float64)
+        cf = 0.0
+        if tp is not None:
+            ids, tfs, _ = tp.arrays()
+            tf_dense[ids] = tfs
+            cf = float(tfs.sum())
+            touched[ids] = True
+        if cf == 0.0:
+            continue
+        score += lam_t * np.log((tf_dense + mu * cf / c_total) / (dl + mu))
+
+    def _pair_counts(tbl) -> tuple[np.ndarray, float]:
+        dense = np.zeros(n, dtype=np.float64)
+        if tbl.num_rows == 0:
+            return dense, 0.0
+        raw = tbl["doc_id"].to_pylist()
+        cnts = np.asarray(tbl["n_pairs"], dtype=np.float64)
+        ords = np.asarray([reader.doc_id_of(str(x)) for x in raw], dtype=np.int64)
+        if (ords < 0).any():
+            missing = [raw[i] for i in np.flatnonzero(ords < 0)[:3]]
+            raise ValueError(
+                f"sdm_scores_f64: sidecar docs absent from the index "
+                f"(e.g. {missing}) — rebuild the positional sidecar to match"
+            )
+        dense[ords] = cnts
+        return dense, float(cnts.sum())
+
+    for a, b in zip(terms, terms[1:]):
+        o_dense, o_cf = _pair_counts(
+            ordered_window_search(pos_dir, a, b, slop=1, options=options)
+        )
+        if o_cf > 0.0:
+            score += lam_o * np.log((o_dense + mu * o_cf / c_total) / (dl + mu))
+        u_dense, u_cf = _pair_counts(
+            proximity_search(pos_dir, a, b, window=uw_window, options=options)
+        )
+        if u_cf > 0.0:
+            score += lam_u * np.log((u_dense + mu * u_cf / c_total) / (dl + mu))
+
+    cand = np.flatnonzero(touched)
+    if len(cand) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    raw_ids = np.asarray([int(reader.doc_names[d]) for d in cand], dtype=np.int64)
+    order = np.lexsort((raw_ids, -score[cand]))
+    return cand[order], score[cand][order]

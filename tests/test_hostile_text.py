@@ -119,6 +119,7 @@ CHECKED = [
     "doc_keywords",
     "corpus_log_odds",
     "winnow_fingerprints",
+    "sdm_top10",
 ]
 
 
