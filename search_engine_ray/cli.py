@@ -448,6 +448,24 @@ def cmd_query(args: argparse.Namespace) -> int:
                 {"rank": rank, "doc": str(reader.doc_names[d]), "score": float(s)}
             ))
         return 0
+    if getattr(args, "sdm_positions", None):
+        if args.scorer != "bm25" or args.method != "auto":
+            print(
+                "error: --sdm-positions is its own ranking model; "
+                "--scorer/--method do not apply", file=sys.stderr,
+            )
+            return 2
+        from .pipelines import sdm_scores_f64
+
+        ids, scores = sdm_scores_f64(
+            reader, args.sdm_positions, terms, options=opts
+        )
+        ids, scores = ids[: args.k], scores[: args.k]
+        for rank, (d, s) in enumerate(zip(ids, scores), 1):
+            print(_json.dumps(
+                {"rank": rank, "doc": str(reader.doc_names[d]), "score": float(s)}
+            ))
+        return 0
     if args.ranked_and:
         from .config import BM25Params
         from .engine.scoring import conjunctive_bm25
@@ -794,6 +812,11 @@ def main(argv: list[str] | None = None) -> int:
     pq_.add_argument("--explain", default=None, metavar="DOC_NAME",
                      help="per-term BM25 contribution breakdown for one document "
                           "(float32 total == the ranked score)")
+    pq_.add_argument("--sdm-positions", default=None, metavar="POS_DIR",
+                     help="rank with the Sequential Dependence Model "
+                          "(Metzler-Croft): Dirichlet unigram + ordered + "
+                          "unordered-window features; POS_DIR is the "
+                          "positional sidecar built over the same corpus")
     pq_.add_argument("--synonyms", default=None, metavar="a=b;c=d",
                      help="synonym groups: members score as ONE pseudo-term "
                           "(union postings, summed tf, group df)")
