@@ -2799,6 +2799,123 @@ def q_trec_eval(sf_dir: str) -> pa.Table:
     )
 
 
+def q_run_agreement(sf_dir: str) -> pa.Table:
+    """Run-vs-run agreement (engine/evaluate.py run_agreement): per-topic
+    top-10 overlap + Kendall concordant/discordant numerators + Spearman
+    footrule between the BM25 and TF-IDF rankings — the qrel-free
+    regression tool for comparing scorers/index versions.  All integer."""
+    import ray.data
+
+    from search_engine_ray.engine.evaluate import run_agreement
+    from search_engine_ray.pipelines import bm25_scores_f64, tfidf_scores_f64
+
+    r = _reader(sf_dir)
+    runs = {"a": {"topic": [], "doc_id": [], "rank": []},
+            "b": {"topic": [], "doc_id": [], "rank": []}}
+    for tid, terms in _EVAL_TOPICS.items():
+        for side, fn in (("a", bm25_scores_f64), ("b", tfidf_scores_f64)):
+            ids, _ = fn(r, [(t, 1) for t in terms])
+            for rank, d in enumerate(ids[:10], start=1):
+                runs[side]["topic"].append(tid)
+                runs[side]["doc_id"].append(int(r.doc_names[d]))
+                runs[side]["rank"].append(rank)
+    mk = lambda d: ray.data.from_arrow(
+        pa.table({c: pa.array(v, pa.int64()) for c, v in d.items()})
+    )
+    out = run_agreement(mk(runs["a"]), mk(runs["b"]), k=10).to_pandas()
+    out = out.sort_values("topic", ignore_index=True)
+    return pa.table(
+        {c: pa.array(out[c].to_numpy(np.int64)) for c in
+         ("topic", "n_a", "n_b", "n_common", "concordant", "discordant",
+          "footrule_sum")}
+    )
+
+
+def _run_agreement_oracle_sql() -> str:
+    """Per-topic BM25 + TF-IDF ranking CTEs (the trec_eval builder's
+    machinery), then the integer agreement computation: inner join for
+    the common docs, a pair self-join for the Kendall numerators, and
+    an abs-diff sum for the footrule."""
+    parts = [f"WITH {_TOKS},"]
+    parts.append("""
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM toks) * 1.0
+                            / (SELECT count(*) FROM documents) AS avgdl),""")
+    sel_a, sel_b = [], []
+    for tid, terms in _EVAL_TOPICS.items():
+        tl = ",".join("'" + t + "'" for t in terms)
+        parts.append(f"""
+            tf{tid} AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks
+                        WHERE t IN ({tl}) GROUP BY doc_id, t),
+            df{tid} AS (SELECT term, count(*) AS df FROM tf{tid} GROUP BY term),
+            scA{tid} AS (
+              SELECT tf{tid}.doc_id,
+                     SUM( ln((st.n - df{tid}.df + 0.5) / (df{tid}.df + 0.5))
+                          * (tf{tid}.tf * (1.2 + 1))
+                          / (tf{tid}.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) )
+                       AS score
+              FROM tf{tid} JOIN df{tid} USING (term) JOIN dl USING (doc_id)
+                   CROSS JOIN st
+              GROUP BY tf{tid}.doc_id
+            ),
+            scB{tid} AS (
+              SELECT tf{tid}.doc_id,
+                     SUM( ln(1 + tf{tid}.tf) * ln(CAST(st.n // df{tid}.df AS DOUBLE)) )
+                       AS score
+              FROM tf{tid} JOIN df{tid} USING (term) CROSS JOIN st
+              GROUP BY tf{tid}.doc_id
+            ),
+            rkA{tid} AS (SELECT doc_id,
+                                row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+                         FROM scA{tid}),
+            rkB{tid} AS (SELECT doc_id,
+                                row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+                         FROM scB{tid}),""")
+        sel_a.append(
+            f"SELECT {tid} AS topic, doc_id, r AS rank FROM rkA{tid} WHERE r <= 10"
+        )
+        sel_b.append(
+            f"SELECT {tid} AS topic, doc_id, r AS rank FROM rkB{tid} WHERE r <= 10"
+        )
+    parts.append(f"""
+            runA AS ({' UNION ALL '.join(sel_a)}),
+            runB AS ({' UNION ALL '.join(sel_b)}),
+            com AS (
+              SELECT a.topic, a.doc_id, a.rank AS ra, b.rank AS rb
+              FROM runA a JOIN runB b
+                ON a.topic = b.topic AND a.doc_id = b.doc_id),
+            pairs AS (
+              SELECT x.topic,
+                     SUM(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) > 0
+                              THEN 1 ELSE 0 END) AS concordant,
+                     SUM(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) < 0
+                              THEN 1 ELSE 0 END) AS discordant
+              FROM com x JOIN com y
+                ON x.topic = y.topic AND x.doc_id < y.doc_id
+              GROUP BY x.topic),
+            per_com AS (
+              SELECT topic, count(*) AS n_common,
+                     SUM(abs(ra - rb)) AS footrule_sum
+              FROM com GROUP BY topic),
+            ca AS (SELECT topic, count(*) AS n_a FROM runA GROUP BY topic),
+            cb AS (SELECT topic, count(*) AS n_b FROM runB GROUP BY topic)
+            SELECT CAST(t.topic AS BIGINT) AS topic,
+                   CAST(COALESCE(ca.n_a, 0) AS BIGINT) AS n_a,
+                   CAST(COALESCE(cb.n_b, 0) AS BIGINT) AS n_b,
+                   CAST(COALESCE(per_com.n_common, 0) AS BIGINT) AS n_common,
+                   CAST(COALESCE(pairs.concordant, 0) AS BIGINT) AS concordant,
+                   CAST(COALESCE(pairs.discordant, 0) AS BIGINT) AS discordant,
+                   CAST(COALESCE(per_com.footrule_sum, 0) AS BIGINT) AS footrule_sum
+            FROM (SELECT topic FROM ca UNION SELECT topic FROM cb) t
+            LEFT JOIN ca ON ca.topic = t.topic
+            LEFT JOIN cb ON cb.topic = t.topic
+            LEFT JOIN per_com ON per_com.topic = t.topic
+            LEFT JOIN pairs ON pairs.topic = t.topic
+            ORDER BY t.topic""")
+    return "".join(parts)
+
+
 def _trec_eval_oracle_sql() -> str:
     """Per-topic BM25 ranking + qrels CTEs (uniquely named per topic),
     UNION ALL'd, then the integer window-function eval."""
@@ -5980,6 +6097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_log_odds": q_corpus_log_odds,
         "winnow_fingerprints": q_winnow_fingerprints,
         "sdm_top10": q_sdm_top10,
+        "run_agreement": q_run_agreement,
     }
 
 
@@ -8382,6 +8500,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY term ORDER BY term
         """,
         "trec_eval": _trec_eval_oracle_sql(),
+        "run_agreement": _run_agreement_oracle_sql(),
         "table_profile": """
             SELECT 'event_id' AS col, count(*) AS n,
                    count(*) - count(event_id) AS n_null,

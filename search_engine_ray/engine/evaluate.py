@@ -239,3 +239,129 @@ def ndcg_at_k(run: pa.Table, qrels: pa.Table, k: int = 10) -> pa.Table:
             "ndcg": pa.array(ndcg),
         }
     )
+
+
+def run_agreement(
+    run_a: ray.data.Dataset,
+    run_b: ray.data.Dataset,
+    k: int = 10,
+    join_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Per-topic agreement between two runs — the regression tool for
+    comparing scorers, index versions, or codec/method variants without
+    qrels.  Inputs: two (topic, doc_id, rank) run tables, rank 1-based
+    and unique per topic.  For each topic, over the rank<=k prefixes:
+
+      n_a / n_b      rows each run retrieved (<= k)
+      n_common       |top-k(A) intersect top-k(B)|
+      concordant /   Kendall-tau numerators over the COMMON docs: doc
+      discordant     pairs the two runs order the same / opposite way
+      footrule_sum   Spearman footrule sum |rank_a - rank_b| over common
+
+    All integer-exact (ranks are ints), so a SQL oracle reproduces every
+    cell.  Shape: per-side rank<=k filters (k-bounded per topic), one
+    (topic, doc_id) hash join for the intersection, per-topic vectorized
+    fold over <= k common rows (the O(c^2) pair count is over c <= k), a
+    topic-keyed join of the tiny per-side counts.  Nothing larger than
+    the run prefixes moves."""
+    if k < 1:
+        raise ValueError(f"run_agreement: k must be >= 1 (got {k})")
+    from ray.data.aggregate import Count as _Count
+
+    from ..ioutil import nonempty_blocks
+
+    def prefix(ds, rank_name):
+        def f(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            b = batch.filter(pc.less_equal(batch["rank"], k))
+            return pa.table(
+                {
+                    "topic": b["topic"],
+                    "doc_id": b["doc_id"],
+                    rank_name: b["rank"],
+                }
+            )
+
+        return ds.select_columns(["topic", "doc_id", "rank"]).map_batches(
+            f, batch_format="pyarrow"
+        )
+
+    a = prefix(run_a, "rank_a").materialize()
+    b = prefix(run_b, "rank_b").materialize()
+    counts_a = nonempty_blocks(
+        a.groupby("topic").aggregate(_Count(alias_name="n_a")).materialize()
+    )
+    counts_b = nonempty_blocks(
+        b.groupby("topic").aggregate(_Count(alias_name="n_b")).materialize()
+    )
+    jp = _join_parts(join_partitions)
+    common = nonempty_blocks(
+        a.join(b, "inner", jp, on=("topic", "doc_id"), right_on=("topic", "doc_id"))
+        .materialize()
+    )
+
+    def fold(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "topic": pa.array([], pa.int64()),
+                "n_common": pa.array([], pa.int64()),
+                "concordant": pa.array([], pa.int64()),
+                "discordant": pa.array([], pa.int64()),
+                "footrule_sum": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        t = np.asarray(group["topic"], dtype=np.int64)
+        ra = np.asarray(group["rank_a"], dtype=np.int64)
+        rb = np.asarray(group["rank_b"], dtype=np.int64)
+        topics = np.unique(t)
+        rows = []
+        for tid in topics:
+            m = t == tid
+            xa, xb = ra[m], rb[m]
+            c = len(xa)
+            da = xa[:, None] - xa[None, :]
+            db = xb[:, None] - xb[None, :]
+            prod = da * db
+            iu = np.triu_indices(c, 1)
+            conc = int((prod[iu] > 0).sum())
+            disc = int((prod[iu] < 0).sum())
+            rows.append((int(tid), c, conc, disc, int(np.abs(xa - xb).sum())))
+        cols = list(zip(*rows))
+        return pa.table(
+            {
+                "topic": pa.array(list(cols[0]), pa.int64()),
+                "n_common": pa.array(list(cols[1]), pa.int64()),
+                "concordant": pa.array(list(cols[2]), pa.int64()),
+                "discordant": pa.array(list(cols[3]), pa.int64()),
+                "footrule_sum": pa.array(list(cols[4]), pa.int64()),
+            }
+        )
+
+    per_common = nonempty_blocks(
+        common.groupby("topic").map_groups(fold, batch_format="pyarrow").materialize()
+    )
+
+    # assemble: counts are topic-sized; two left joins off the a-side
+    # (topics absent from a run entirely simply don't appear on its side)
+    out = counts_a.join(
+        counts_b, "full_outer", jp, on=("topic",), right_on=("topic",)
+    )
+    out = nonempty_blocks(out.materialize()).join(
+        per_common, "left_outer", jp, on=("topic",), right_on=("topic",)
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = batch.num_rows
+        z = pa.array(np.zeros(n, dtype=np.int64))
+        cols = {"topic": batch["topic"].cast(pa.int64())}
+        for c in ("n_a", "n_b", "n_common", "concordant", "discordant", "footrule_sum"):
+            col = batch[c] if c in batch.column_names else z
+            cols[c] = pc.fill_null(col.cast(pa.int64()), 0)
+        return pa.table(cols)
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -183,3 +183,63 @@ def test_evaluate_run_dedups_duplicate_qrels(ray_session):
     assert row["n_ret"] == 2 and row["n_rel"] == 2 and row["n_rel_ret"] == 1
     assert row["hits_at_k"] == 1 and row["rr_micros"] == 1_000_000
     assert row["sum_prec_micros"] == 1_000_000
+
+
+def _run_tbl(rows):
+    import pyarrow as pa
+    import ray.data
+
+    t, d, r = zip(*rows) if rows else ((), (), ())
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "topic": pa.array(list(t), pa.int64()),
+                "doc_id": pa.array(list(d), pa.int64()),
+                "rank": pa.array(list(r), pa.int64()),
+            }
+        )
+    )
+
+
+def test_run_agreement_hand_computed(ray_session):
+    from search_engine_ray.engine.evaluate import run_agreement
+
+    # topic 1: identical rankings -> all concordant, footrule 0
+    # topic 2: reversed order over 3 common docs -> all discordant
+    # topic 3: only in run A
+    a = _run_tbl(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2), (2, 22, 3),
+         (3, 30, 1)]
+    )
+    b = _run_tbl(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 22, 1), (2, 21, 2), (2, 20, 3)]
+    )
+    got = (
+        run_agreement(a, b, k=10)
+        .to_pandas()
+        .sort_values("topic", ignore_index=True)
+    )
+    assert got["topic"].tolist() == [1, 2, 3]
+    assert got["n_a"].tolist() == [3, 3, 1]
+    assert got["n_b"].tolist() == [3, 3, 0]
+    assert got["n_common"].tolist() == [3, 3, 0]
+    assert got["concordant"].tolist() == [3, 0, 0]
+    assert got["discordant"].tolist() == [0, 3, 0]
+    assert got["footrule_sum"].tolist() == [0, 4, 0]  # |1-3|+|2-2|+|3-1|
+
+
+def test_run_agreement_k_prefix_and_validation(ray_session):
+    import pytest
+
+    from search_engine_ray.engine.evaluate import run_agreement
+
+    a = _run_tbl([(1, 10, 1), (1, 11, 2), (1, 12, 3)])
+    b = _run_tbl([(1, 12, 1), (1, 10, 2), (1, 11, 3)])
+    got = run_agreement(a, b, k=2).to_pandas()
+    # rank<=2 prefixes: A={10,11}, B={12,10} -> common {10}
+    assert got["n_common"].tolist() == [1]
+    assert got["n_a"].tolist() == [2] and got["n_b"].tolist() == [2]
+    with pytest.raises(ValueError):
+        run_agreement(a, b, k=0)
