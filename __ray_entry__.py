@@ -1858,6 +1858,58 @@ def q_media_features(sf_dir: str) -> pa.Table:
     )
 
 
+def q_video_features(sf_dir: str) -> pa.Table:
+    """Video frame-sampling plumbing (dataops/multimodal.py
+    VideoFrameSampler): REAL YUV4MPEG2 parse + even-index frame sampling
+    + per-frame mean luma, strict mode (no fake fallback).  Rows-only by
+    design (binary payloads aren't SQL-comparable) but SELF-CHECKING:
+    the sampled luma of the first clip is recomputed from the raw
+    payload in-gate and asserted equal before returning."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from search_engine_ray.dataops.multimodal import (
+        sample_video_frames,
+        synthesize_y4m,
+    )
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    W, H, NF = 16, 12, 6
+    media = synthesize_y4m(
+        docs["doc_id"].to_pylist(), docs["text"].to_pylist(), width=W, height=H,
+        n_frames=NF,
+    )
+    out = (
+        sample_video_frames(ray.data.from_arrow(media), strict=True)
+        .to_pandas()
+        .sort_values("media_id", ignore_index=True)
+    )
+    # self-check: direct luma recompute for clip 0
+    payload = media["payload"][0].as_py()
+    fsz = W * H + 2 * ((W // 2) * (H // 2))
+    body = payload[payload.index(b"\n") + 1 :]
+    frames, pos = [], 0
+    while pos < len(body):
+        pos += body[pos:].index(b"\n") + 1
+        frames.append(np.frombuffer(body[pos : pos + W * H], dtype=np.uint8))
+        pos += fsz
+    idx = np.linspace(0, len(frames) - 1, 4).astype(int)
+    exp = np.asarray([float(frames[i].mean()) for i in idx], dtype=np.float32)
+    got = np.asarray(out["frame_luma"][0], dtype=np.float32)
+    assert np.allclose(got, exp, rtol=1e-6), "video luma self-check failed"
+    return pa.table(
+        {
+            "media_id": pa.array(out["media_id"].to_numpy(np.int64)),
+            "width": pa.array(out["width"].to_numpy(np.int64)),
+            "height": pa.array(out["height"].to_numpy(np.int64)),
+            "n_frames_total": pa.array(out["n_frames_total"].to_numpy(np.int64)),
+            "n_frames_sampled": pa.array(out["n_frames_sampled"].to_numpy(np.int64)),
+        }
+    )
+
+
 def q_pricing_summary(sf_dir: str) -> pa.Table:
     """Grouped exact-decimal rollup, TPC-H Q1 shape (dataops/relational.py):
     integer-cents arithmetic with overflow-proof (hi, lo) sum pairs; one
@@ -6098,6 +6150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "sdm_top10": q_sdm_top10,
         "run_agreement": q_run_agreement,
+        # rows-only: binary video payloads; luma self-check asserted in-gate
+        "video_features": q_video_features,
     }
 
 

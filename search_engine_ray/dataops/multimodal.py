@@ -341,3 +341,190 @@ def sample_audio_frames(ds: ray.data.Dataset, strict: bool = False, concurrency=
         batch_size=64,
         concurrency=concurrency,
     )
+
+
+VIDEO_FEATURES_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("n_frames_total", pa.int32()),
+        ("n_frames_sampled", pa.int32()),
+        ("frame_luma", pa.list_(pa.float32())),  # mean Y per sampled frame
+        ("embedding", pa.list_(pa.float32())),  # grid-pooled middle frame
+        ("decoder", pa.string()),
+    ]
+)
+
+
+def synthesize_y4m(
+    doc_ids: list[int], texts: list[str], width: int = 16, height: int = 12, n_frames: int = 6
+) -> pa.Table:
+    """REAL tiny video clips in YUV4MPEG2 (.y4m) — the uncompressed public
+    container (mjpegtools/ffmpeg interchange): ASCII stream header, then
+    per-frame ``FRAME\\n`` markers + raw C420 planes.  Content is
+    deterministic per document (seeded luma gradients), so decode results
+    are test-pinnable without any codec library."""
+    payloads, mimes = [], []
+    fsz = width * height + 2 * ((width // 2) * (height // 2))
+    for t in texts:
+        seed = hashlib.sha256((t or "").encode()).digest()
+        rng = np.random.default_rng(int.from_bytes(seed[:8], "little"))
+        buf = [f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420\n".encode()]
+        base = rng.integers(0, 200, dtype=np.int64)
+        for f in range(n_frames):
+            y = ((base + 7 * f + np.arange(width * height)) % 251).astype(np.uint8)
+            uv = np.full(fsz - width * height, 128, dtype=np.uint8)
+            buf.append(b"FRAME\n" + y.tobytes() + uv.tobytes())
+        payloads.append(b"".join(buf))
+        mimes.append("video/x-yuv4mpeg")
+    return pa.table(
+        {
+            "media_id": pa.array(list(range(len(doc_ids))), pa.int64()),
+            "kind": pa.array(["video"] * len(doc_ids), pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(mimes, pa.string()),
+            "source_doc": pa.array(doc_ids, pa.int64()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+class VideoFrameSampler:
+    """Actor-pool stage: parse + frame-sample + feature-extract video.
+
+    Per-payload dispatch (the ImageDecoder convention):
+
+    - YUV4MPEG2 (``YUV4MPEG2 `` magic): REAL parse — pure numpy header +
+      raw-plane walk, no codec library; C420/C444/C422 chroma layouts.
+    - anything else: the deterministic fake; ``strict=True`` raises
+      NotImplementedError instead of faking (a real deployment would
+      slot PyAV/ffmpeg here — same seam, same schema).
+
+    Frame-sampling: ``n_sample`` frames at evenly spaced indices over the
+    clip (the standard pretraining sampling), mean luma per sampled frame,
+    plus a mean-pooled grayscale grid embedding of the middle sampled
+    frame (the ImageDecoder embedding shape, so video rows flow into the
+    same downstream dedup/ANN plumbing)."""
+
+    _CHROMA_FRACTION = {"C420": 2, "C420jpeg": 2, "C420paldv": 2, "C422": 1, "C444": 0}
+
+    def __init__(self, n_sample: int = 4, embedding_dim: int = 16, strict: bool = False):
+        self.n_sample = n_sample
+        self.embedding_dim = embedding_dim
+        self.strict = strict
+
+    def _decode_fake(self, payload: bytes):
+        h = hashlib.sha256(payload).digest()
+        rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
+        w, hh = 16 + h[0] % 48, 16 + h[1] % 48
+        total = 4 + h[2] % 60
+        luma = rng.uniform(0, 255, self.n_sample).astype(np.float32)
+        emb = rng.standard_normal(self.embedding_dim).astype(np.float32)
+        return w, hh, total, luma, emb
+
+    def _grid_embedding(self, y: np.ndarray) -> np.ndarray:
+        g = int(np.sqrt(self.embedding_dim))
+        hh, ww = y.shape
+        rows = np.linspace(0, hh, g + 1).astype(np.int64)
+        cols = np.linspace(0, ww, g + 1).astype(np.int64)
+        out = np.zeros((g, g), dtype=np.float32)
+        for i in range(g):
+            for j in range(g):
+                cell = y[rows[i] : max(rows[i + 1], rows[i] + 1),
+                         cols[j] : max(cols[j + 1], cols[j] + 1)]
+                out[i, j] = float(cell.mean()) if cell.size else 0.0
+        return out.ravel()[: self.embedding_dim]
+
+    def _decode_y4m(self, payload: bytes):
+        nl = payload.index(b"\n")
+        header = payload[:nl].decode("ascii", "strict")
+        fields = header.split(" ")
+        if fields[0] != "YUV4MPEG2":
+            raise ValueError("not a YUV4MPEG2 stream")
+        w = h = None
+        chroma = "C420"
+        for f in fields[1:]:
+            if f.startswith("W"):
+                w = int(f[1:])
+            elif f.startswith("H"):
+                h = int(f[1:])
+            elif f.startswith("C"):
+                chroma = f
+        if not w or not h:
+            raise ValueError("y4m header missing W/H")
+        if chroma not in self._CHROMA_FRACTION:
+            raise ValueError(f"unsupported y4m chroma {chroma!r}")
+        shift = self._CHROMA_FRACTION[chroma]
+        y_sz = w * h
+        c_sz = (w * h) >> shift if shift else w * h
+        fsz = y_sz + 2 * c_sz
+        data = memoryview(payload)[nl + 1 :]
+        frames = []
+        pos = 0
+        while pos < len(data):
+            fnl = bytes(data[pos : pos + 80]).index(b"\n")
+            if not bytes(data[pos : pos + 5]) == b"FRAME":
+                raise ValueError("corrupt y4m: missing FRAME marker")
+            pos += fnl + 1
+            if pos + fsz > len(data):
+                raise ValueError("corrupt y4m: truncated frame")
+            frames.append(
+                np.frombuffer(data[pos : pos + y_sz], dtype=np.uint8).reshape(h, w)
+            )
+            pos += fsz
+        if not frames:
+            raise ValueError("y4m stream has no frames")
+        total = len(frames)
+        idx = np.linspace(0, total - 1, min(self.n_sample, total)).astype(np.int64)
+        luma = np.asarray(
+            [float(frames[i].mean()) for i in idx], dtype=np.float32
+        )
+        emb = self._grid_embedding(frames[int(idx[len(idx) // 2])].astype(np.float32))
+        return w, h, total, luma, emb
+
+    def _decode_one(self, payload: bytes):
+        if payload[:10] == b"YUV4MPEG2 ":
+            return (*self._decode_y4m(payload), "y4m")
+        if self.strict:
+            raise NotImplementedError(
+                "no video codec available for this payload in this container "
+                "(strict=True; non-strict mode substitutes a deterministic fake)"
+            )
+        return (*self._decode_fake(payload), "fake")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        ws, hs, totals, sampled, lumas, embs, decs = [], [], [], [], [], [], []
+        for p in payloads:
+            w, h, total, luma, emb, dec = self._decode_one(p or b"")
+            ws.append(w)
+            hs.append(h)
+            totals.append(total)
+            sampled.append(len(luma))
+            lumas.append(np.asarray(luma, dtype=np.float32).tolist())
+            embs.append(np.asarray(emb, dtype=np.float32).tolist())
+            decs.append(dec)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+                "n_frames_total": pa.array(totals, pa.int32()),
+                "n_frames_sampled": pa.array(sampled, pa.int32()),
+                "frame_luma": pa.array(lumas, pa.list_(pa.float32())),
+                "embedding": pa.array(embs, pa.list_(pa.float32())),
+                "decoder": pa.array(decs, pa.string()),
+            },
+            schema=VIDEO_FEATURES_SCHEMA,
+        )
+
+
+def sample_video_frames(ds: ray.data.Dataset, strict: bool = False, concurrency=(1, 4)) -> ray.data.Dataset:
+    return ds.map_batches(
+        VideoFrameSampler,
+        fn_constructor_kwargs=dict(strict=strict),
+        batch_format="pyarrow",
+        batch_size=16,  # video payloads are the largest: small batches
+        concurrency=concurrency,
+    )

@@ -2418,3 +2418,68 @@ def test_regex_search(ray_session):
     assert out["doc_id"].tolist() == [1]
     assert out["n_matches"].tolist() == [2]
     assert out["first_match"].tolist() == ["sort table"]
+
+
+def test_video_frame_sampler_real_y4m(ray_session):
+    """YUV4MPEG2 clips are REALLY parsed (pure numpy header + raw-plane
+    walk), frame-sampled at even indices, with per-frame mean luma
+    matching a direct recompute — including in strict mode."""
+    import ray.data
+
+    from search_engine_ray.dataops.multimodal import (
+        VideoFrameSampler,
+        sample_video_frames,
+        synthesize_media,
+        synthesize_y4m,
+    )
+
+    ids = list(range(6))
+    texts = [f"video doc {i}" for i in ids]
+    media = synthesize_y4m(ids, texts, width=16, height=12, n_frames=6)
+    out = (
+        sample_video_frames(ray.data.from_arrow(media), strict=True)
+        .to_pandas()
+        .sort_values("media_id", ignore_index=True)
+    )
+    assert (out["decoder"] == "y4m").all()
+    assert (out["width"] == 16).all() and (out["height"] == 12).all()
+    assert (out["n_frames_total"] == 6).all()
+    assert (out["n_frames_sampled"] == 4).all()
+    # direct recompute of sampled-frame mean luma from the raw payload
+    fsz = 16 * 12 + 2 * (8 * 6)
+    for mid in ids:
+        payload = media["payload"][mid].as_py()
+        body = payload[payload.index(b"\n") + 1 :]
+        frames = []
+        pos = 0
+        while pos < len(body):
+            pos += body[pos:].index(b"\n") + 1
+            frames.append(
+                np.frombuffer(body[pos : pos + 16 * 12], dtype=np.uint8)
+            )
+            pos += fsz
+        idx = np.linspace(0, len(frames) - 1, 4).astype(int)
+        exp = [float(frames[i].mean()) for i in idx]
+        np.testing.assert_allclose(out["frame_luma"][mid], exp, rtol=1e-6)
+
+    # single-frame clip: sampling degrades gracefully
+    one = synthesize_y4m([0], ["x"], n_frames=1)
+    o = VideoFrameSampler(n_sample=4, strict=True)(one)
+    assert o["n_frames_sampled"][0].as_py() == 1
+
+    # fake payloads: strict raises, non-strict substitutes deterministically
+    fake = synthesize_media(ids, texts, kind="video")
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampler(strict=True)(fake)
+    f1 = VideoFrameSampler()(fake)
+    f2 = VideoFrameSampler()(fake)
+    assert (np.asarray(f1["frame_luma"].to_pylist(), dtype=object).tolist()
+            == np.asarray(f2["frame_luma"].to_pylist(), dtype=object).tolist())
+    assert f1["decoder"][0].as_py() == "fake"
+
+    # corrupt real-magic payloads fail loud, never silently fake
+    bad = fake.set_column(
+        2, "payload", pa.array([b"YUV4MPEG2 W4 H4 C420\nFRAME\nxx"] * 6, pa.binary())
+    )
+    with pytest.raises(ValueError):
+        VideoFrameSampler(strict=True)(bad)
