@@ -686,6 +686,45 @@ def cmd_mlt(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_keywords(args: argparse.Namespace) -> int:
+    """Per-doc top-k TF-IDF keywords over a parquet corpus (doc_id, text);
+    writes parquet, prints one JSON summary line."""
+    _ensure_ray(args.num_cpus)
+    from .dataops.textstats import doc_keywords
+    from .ioutil import read_parquet_clean
+
+    ds = read_parquet_clean(args.corpus, columns=[args.id_column, args.text_column])
+    out = doc_keywords(
+        ds, k=args.k, text_column=args.text_column, id_column=args.id_column
+    )
+    out.write_parquet(args.out)
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(args.out).count_rows()
+    print(json.dumps({"rows": int(n), "k": args.k, "out": args.out}))
+    return 0
+
+
+def cmd_winnow(args: argparse.Namespace) -> int:
+    """MOSS winnowing fingerprints over a parquet corpus; writes parquet."""
+    _ensure_ray(args.num_cpus)
+    from .dataops.spandup import winnow_fingerprints
+    from .ioutil import read_parquet_clean
+
+    ds = read_parquet_clean(args.corpus, columns=[args.id_column, args.text_column])
+    out = winnow_fingerprints(
+        ds, k=args.k, w=args.w,
+        text_column=args.text_column, id_column=args.id_column,
+    )
+    out.write_parquet(args.out)
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(args.out).count_rows()
+    print(json.dumps({"rows": int(n), "k": args.k, "w": args.w, "out": args.out}))
+    return 0
+
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="search_engine_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -867,6 +906,25 @@ def main(argv: list[str] | None = None) -> int:
     pm.add_argument("--top-terms", type=int, default=10)
     pm.add_argument("--k", type=int, default=10)
     pm.set_defaults(fn=cmd_mlt)
+
+    pk = sub.add_parser("keywords", help="per-doc top-k TF-IDF keywords -> parquet")
+    pk.add_argument("corpus")
+    pk.add_argument("out")
+    pk.add_argument("--k", type=int, default=3)
+    pk.add_argument("--text-column", default="text")
+    pk.add_argument("--id-column", default="doc_id")
+    pk.add_argument("--num-cpus", type=int, default=8)
+    pk.set_defaults(fn=cmd_keywords)
+
+    pw = sub.add_parser("winnow", help="MOSS winnowing fingerprints -> parquet")
+    pw.add_argument("corpus")
+    pw.add_argument("out")
+    pw.add_argument("--k", type=int, default=4)
+    pw.add_argument("--w", type=int, default=4)
+    pw.add_argument("--text-column", default="text")
+    pw.add_argument("--id-column", default="doc_id")
+    pw.add_argument("--num-cpus", type=int, default=8)
+    pw.set_defaults(fn=cmd_winnow)
 
     args = p.parse_args(argv)
     try:
