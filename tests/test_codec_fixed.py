@@ -267,6 +267,26 @@ def test_positions_sidecar_both_codecs(twin_indexes, ray_session):
         )
 
 
+def test_champion_lists_fixed(twin_indexes, ray_session):
+    # champions decode segment cells directly (decode_one/_delta path) —
+    # the exact regime (m >= every df) must be bit-identical across codecs
+    from search_engine_ray.engine.champions import build_champion_lists, champion_topk
+
+    _, dirs = twin_indexes
+    kws = _topics(dirs["vbyte"])[0][1]
+    outs = {}
+    for codec, src in dirs.items():
+        out = f"{BASE}/champ_{codec}"
+        shutil.rmtree(out, ignore_errors=True)
+        build_champion_lists(src, out, m=4096)
+        outs[codec] = out
+    ra, rb = IndexReader(dirs["vbyte"]), IndexReader(dirs["fixed"])
+    ia, sa = champion_topk(outs["vbyte"], ra, kws, k=20)
+    ib, sb = champion_topk(outs["fixed"], rb, kws, k=20)
+    assert ia.tolist() == ib.tolist()
+    assert sa.tolist() == sb.tolist()
+
+
 def test_sharded_search_fixed(twin_indexes, ray_session):
     from search_engine_ray.engine.sharded_search import search_topics_sharded
 
