@@ -664,12 +664,16 @@ def _doc_term_tf_partial(text_column: str, id_column: str):
     return partial
 
 
+BROADCAST_TERMS_MAX = 2_000_000
+
+
 def doc_keywords(
     ds: ray.data.Dataset,
     k: int = 3,
     text_column: str = "text",
     id_column: str = "doc_id",
     join_partitions: int = 16,
+    broadcast_max_terms: int = BROADCAST_TERMS_MAX,
 ) -> ray.data.Dataset:
     """Per-document top-k TF-IDF keywords — the classic per-doc salient-term
     extraction (tagging, routing, index pruning, MLT seeds), integer-exact
@@ -683,12 +687,20 @@ def doc_keywords(
     are the few-thousand integer values of n_docs//df — the same
     libm-boundary budget tfidf_top10 has carried driver-green since r1.
 
-    Scale shape: per-batch (doc, term, tf) partials (distinct-pair-sized,
-    materialized ONCE and reused for both consumers) -> term-keyed df
-    count + native hash join (both sides corpus-scale — no broadcast) ->
-    vectorized scoring inside map_batches with n_docs a broadcast scalar
-    -> sample.topk_per_key grouped top-k, ties by term ascending.  The
-    driver never holds more than the result (k rows per doc, distributed).
+    Scale shape (dual path, the graph.py broadcast/join convention, both
+    bit-identical and test-pinned):
+
+    - **broadcast** (df table <= ``broadcast_max_terms``): the df column
+      ships ONCE via ray.put as (sorted terms, df) arrays; scoring + the
+      per-doc top-k run vectorized INSIDE one map_batches pass over the
+      doc-aligned pair blocks (a doc's pairs never split across blocks —
+      whole rows tokenize in one batch and the pass runs with
+      batch_size=None).  ZERO exchanges after the df count, and no
+      per-key Python: the per-doc top-k is one lexsort + segmented rank
+      mask per block.
+    - **join** (vocabulary beyond the cap): term-keyed native hash join
+      of pairs x df, then the grouped top-k.  Never a driver-sized
+      collect — the cap only decides WHERE df lives.
 
     Returns a Dataset with (id, term, tf, df, score_micros)."""
     from ray.data.aggregate import Count
@@ -714,10 +726,65 @@ def doc_keywords(
     if n_pairs == 0:
         return ray.data.from_arrow(empty)
     # post-aggregate join hygiene (Ray 2.49 empty-partition wart — see
-    # ioutil.nonempty_blocks): the groupby output feeds a hash join
+    # ioutil.nonempty_blocks): the groupby output feeds a join / collect
     df_tbl = nonempty_blocks(
         pairs.groupby("term").aggregate(Count(alias_name="df")).materialize()
     )
+    n_terms = df_tbl.count()
+
+    def _score_arrays(tf: np.ndarray, df: np.ndarray) -> np.ndarray:
+        idf_micros = np.floor(
+            np.log(n_docs // df) * 1_000_000 + 0.5
+        ).astype(np.int64)
+        return tf * idf_micros
+
+    if n_terms <= broadcast_max_terms:
+        local = pa.concat_tables(
+            [pa.table(b) for b in df_tbl.iter_batches(batch_size=None, batch_format="pyarrow")]
+        ).combine_chunks()
+        terms_u = np.asarray(local["term"], dtype="U")
+        order = np.argsort(terms_u, kind="stable")
+        df_ref = ray.put((terms_u[order], np.asarray(local["df"], dtype=np.int64)[order]))
+
+        def score_topk(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return empty
+            terms_sorted, dfs_sorted = ray.get(df_ref)
+            t = np.asarray(batch["term"], dtype="U")
+            pos = np.searchsorted(terms_sorted, t)
+            df = dfs_sorted[pos]  # every pair term is in the df table
+            ids = np.asarray(batch[id_column], dtype=np.int64)
+            tf = np.asarray(batch["tf"], dtype=np.int64)
+            score = _score_arrays(tf, df)
+            # per-doc top-k: one lexsort + segmented rank mask (ties ->
+            # term ascending).  Valid because a doc's pairs are entirely
+            # inside this block (docs never split across tokenize batches
+            # and this pass runs with batch_size=None).
+            o = np.lexsort((t, -score, ids))
+            sid = ids[o]
+            boundary = np.empty(len(sid), dtype=bool)
+            boundary[0] = True
+            np.not_equal(sid[1:], sid[:-1], out=boundary[1:])
+            starts = np.flatnonzero(boundary)
+            rank = np.arange(len(sid)) - np.repeat(
+                starts, np.diff(np.append(starts, len(sid)))
+            )
+            keep = o[rank < k]
+            keep = keep[np.argsort(keep, kind="stable")]  # original row order
+            return pa.table(
+                {
+                    id_column: pa.array(ids[keep]),
+                    "term": pa.array(t[keep].tolist(), pa.string()),
+                    "tf": pa.array(tf[keep]),
+                    "df": pa.array(df[keep]),
+                    "score_micros": pa.array(score[keep]),
+                }
+            )
+
+        return pairs.map_batches(
+            score_topk, batch_format="pyarrow", batch_size=None
+        )
+
     jp = _join_parts(min(join_partitions, (n_pairs * 24) // (128 << 20) + 2))
     joined = pairs.repartition(max(1, n_pairs // 500_000 + 1)).join(
         df_tbl, "inner", jp, on=("term",), right_on=("term",)
@@ -728,14 +795,13 @@ def doc_keywords(
             return empty
         tf = np.asarray(batch["tf"], dtype=np.int64)
         df = np.asarray(batch["df"], dtype=np.int64)
-        idf_micros = np.floor(np.log(n_docs // df) * 1_000_000 + 0.5).astype(np.int64)
         return pa.table(
             {
                 id_column: batch[id_column],
                 "term": batch["term"],
                 "tf": pa.array(tf),
                 "df": pa.array(df),
-                "score_micros": pa.array(tf * idf_micros),
+                "score_micros": pa.array(_score_arrays(tf, df)),
             }
         )
 

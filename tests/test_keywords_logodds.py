@@ -158,3 +158,10 @@ def test_corpus_log_odds_empty(ray_session):
     )
     out = corpus_log_odds(ds, "side_a", k=3)
     assert out.num_rows == 0
+
+
+def test_doc_keywords_broadcast_and_join_paths_identical(ray_session, docs):
+    ds = ray.data.from_arrow(docs).repartition(4)
+    fast = _norm(doc_keywords(ds, k=3).to_pandas())
+    slow = _norm(doc_keywords(ds, k=3, broadcast_max_terms=0).to_pandas())
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
