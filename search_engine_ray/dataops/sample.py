@@ -352,6 +352,7 @@ def topk_per_key(
     k: int,
     ascending: bool = False,
     tie_columns: tuple[str, ...] = (),
+    n_buckets: int = 256,
 ) -> ray.data.Dataset:
     """Grouped top-k: the k rows with the largest (or smallest)
     ``value_column`` within each key — trending items per window, best
@@ -359,9 +360,13 @@ def topk_per_key(
 
     Two-phase like head_per_key: each batch keeps at most its local
     top-k per key (bounds the shuffle to k rows per (key, batch) — never
-    a global sort), then one groupby finishes each key.  Ties break by
-    ``tie_columns`` ascending (pass enough columns for a total order to
-    make the result deterministic)."""
+    a global sort), then a KEY-BUCKETED finish: keys hash into
+    ``n_buckets`` groups and each group resolves MANY keys in one
+    vectorized pandas sort+head — never one Python call per key (a
+    per-key map_groups is O(distinct keys) interpreter round-trips,
+    which is billions of calls for per-domain/per-doc keys at corpus
+    scale).  Ties break by ``tie_columns`` ascending (pass enough
+    columns for a total order to make the result deterministic)."""
     by = [value_column, *tie_columns]
     asc = [ascending] + [True] * len(tie_columns)
 
@@ -374,12 +379,29 @@ def topk_per_key(
             preserve_index=False,
         ).cast(batch.schema).replace_schema_metadata(None)
 
+    def bucket(batch: pa.Table) -> pa.Table:
+        from .window_fns import _bucket_of, _bucket_of_strings
+
+        col = batch[key_column]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if pa.types.is_integer(col.type):
+            b = _bucket_of(np.asarray(col, dtype=np.int64), n_buckets)
+        else:
+            b = _bucket_of_strings(col, n_buckets)
+        return batch.append_column("_bucket", pa.array(b.astype(np.int64)))
+
     def finish(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(by, ascending=asc, kind="stable").head(k)
+        out = (
+            g.sort_values(by, ascending=asc, kind="stable")
+            .groupby(key_column, sort=False)
+            .head(k)
+        )
+        return out.drop(columns=["_bucket"])
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(key_column)
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("_bucket")
         .map_groups(finish, batch_format="pandas")
     )
 
