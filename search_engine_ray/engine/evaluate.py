@@ -340,8 +340,18 @@ def run_agreement(
             }
         )
 
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        # many topics per fold call (the evaluate_run bucketing): a
+        # per-topic map_groups would be one Python call per query at
+        # query-log scale
+        b = _bucket_of(np.asarray(batch["topic"], dtype=np.int64), 256)
+        return batch.append_column("_bucket", pa.array(b.astype(np.int64)))
+
     per_common = nonempty_blocks(
-        common.groupby("topic").map_groups(fold, batch_format="pyarrow").materialize()
+        common.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pyarrow")
+        .materialize()
     )
 
     # assemble: counts are topic-sized; two left joins off the a-side
