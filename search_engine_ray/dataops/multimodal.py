@@ -528,3 +528,144 @@ def sample_video_frames(ds: ray.data.Dataset, strict: bool = False, concurrency=
         batch_size=16,  # video payloads are the largest: small batches
         concurrency=concurrency,
     )
+
+
+RESIZED_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("payload", pa.binary()),  # resized image, PPM P6
+        ("decoder", pa.string()),
+    ]
+)
+
+
+def _parse_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """(w, h, float32 RGB array) for a binary P6 PPM (comments allowed)."""
+    pos = 2
+    fields: list[int] = []
+    n = len(payload)
+    while len(fields) < 3:
+        while pos < n and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < n and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < n and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return w, h, raster.reshape(h, w, 3).astype(np.float32)
+
+
+def _area_resize(rgb: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Area-average (box-filter) resize to (th, tw, 3) — the standard
+    downscale kernel, fully vectorized: each target pixel averages its
+    (possibly fractional-free) source box via two reduceat passes."""
+    h, w, _ = rgb.shape
+    row_b = np.linspace(0, h, th + 1).astype(np.int64)
+    col_b = np.linspace(0, w, tw + 1).astype(np.int64)
+    # guard degenerate boxes when upscaling past source resolution
+    row_b = np.maximum(row_b, np.arange(th + 1))[: th + 1] if th > h else row_b
+    col_b = np.maximum(col_b, np.arange(tw + 1))[: tw + 1] if tw > w else col_b
+    rows = np.add.reduceat(rgb, row_b[:-1], axis=0)
+    rcounts = np.maximum(np.diff(row_b), 1).astype(np.float32)
+    rows /= rcounts[:, None, None]
+    cols = np.add.reduceat(rows, col_b[:-1], axis=1)
+    ccounts = np.maximum(np.diff(col_b), 1).astype(np.float32)
+    cols /= ccounts[None, :, None]
+    return cols
+
+
+def _write_ppm(rgb: np.ndarray) -> bytes:
+    h, w, _ = rgb.shape
+    header = f"P6\n{w} {h}\n255\n".encode()
+    return header + np.clip(np.rint(rgb), 0, 255).astype(np.uint8).tobytes()
+
+
+class ImageResizer:
+    """Actor-pool stage: resize images to a target size (thumbnailing /
+    model-input normalization) — the explicit resize step of the
+    decode / feature-extract / resize / frame-sample quartet.
+
+    PPM in -> area-average downscale -> PPM out, all numpy; Pillow when
+    importable for other formats (absent in this container);
+    ``strict=True`` raises on undecodable payloads, else a deterministic
+    fake payload of the right dimensions is emitted so the plumbing
+    stays exercised end-to-end."""
+
+    def __init__(self, width: int = 32, height: int = 32, strict: bool = False):
+        if width < 1 or height < 1:
+            raise ValueError("target width/height must be >= 1")
+        self.width = width
+        self.height = height
+        self.strict = strict
+
+    def _resize_one(self, payload: bytes) -> tuple[bytes, str]:
+        if payload[:2] == b"P6":
+            _, _, rgb = _parse_ppm(payload)
+            return _write_ppm(_area_resize(rgb, self.width, self.height)), "ppm"
+        try:
+            import io
+
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(payload)).convert("RGB")
+            arr = np.asarray(img, dtype=np.float32)
+            return _write_ppm(_area_resize(arr, self.width, self.height)), "pillow"
+        except ImportError:
+            pass
+        except Exception:
+            if self.strict:
+                raise
+        if self.strict:
+            raise NotImplementedError(
+                "no image codec available for this payload in this container "
+                "(strict=True; non-strict mode substitutes a deterministic fake)"
+            )
+        h = hashlib.sha256(payload).digest()
+        rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
+        fake = rng.integers(0, 256, (self.height, self.width, 3)).astype(np.float32)
+        return _write_ppm(fake), "fake"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        outs, decs = [], []
+        for p in payloads:
+            out, dec = self._resize_one(p or b"")
+            outs.append(out)
+            decs.append(dec)
+        n = batch.num_rows
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "width": pa.array([self.width] * n, pa.int32()),
+                "height": pa.array([self.height] * n, pa.int32()),
+                "payload": pa.array(outs, pa.binary()),
+                "decoder": pa.array(decs, pa.string()),
+            },
+            schema=RESIZED_SCHEMA,
+        )
+
+
+def resize_images(
+    ds: ray.data.Dataset,
+    width: int = 32,
+    height: int = 32,
+    strict: bool = False,
+    concurrency=(1, 4),
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs=dict(width=width, height=height, strict=strict),
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=concurrency,
+    )

@@ -2483,3 +2483,55 @@ def test_video_frame_sampler_real_y4m(ray_session):
     )
     with pytest.raises(ValueError):
         VideoFrameSampler(strict=True)(bad)
+
+
+def test_image_resizer_real_and_fake(ray_session):
+    """Area-average PPM resize: known-value box means, PPM roundtrip
+    through ImageDecoder, strict/fake dispatch, validation."""
+    import ray.data
+
+    from search_engine_ray.dataops.multimodal import (
+        ImageDecoder,
+        ImageResizer,
+        resize_images,
+        synthesize_media,
+    )
+
+    # 4x4 PPM whose quadrant means are known: pixel value = quadrant id * 10
+    quad = np.array([[0, 0, 10, 10], [0, 0, 10, 10], [20, 20, 30, 30], [20, 20, 30, 30]])
+    raster = bytes(int(v) for row in quad for v in row for _ in range(3))
+    ppm = b"P6\n4 4\n255\n" + raster
+    media = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "kind": pa.array(["image"]),
+            "payload": pa.array([ppm], pa.binary()),
+            "mime": pa.array(["image/x-portable-pixmap"]),
+            "source_doc": pa.array([0], pa.int64()),
+        }
+    )
+    out = ImageResizer(width=2, height=2, strict=True)(media)
+    assert out["decoder"][0].as_py() == "ppm"
+    resized = out["payload"][0].as_py()
+    assert resized.startswith(b"P6\n2 2\n255\n")
+    px = np.frombuffer(resized[len(b"P6\n2 2\n255\n"):], dtype=np.uint8).reshape(2, 2, 3)
+    assert px[:, :, 0].tolist() == [[0, 10], [20, 30]]  # exact quadrant means
+
+    # resized output is itself decodable by the image stage
+    dec = ImageDecoder(strict=True)(out.set_column(1, "width", out["width"]).select(
+        ["media_id", "payload"]).append_column("kind", pa.array(["image"]))
+        .append_column("mime", pa.array(["image/x-portable-pixmap"]))
+        .append_column("source_doc", pa.array([0], pa.int64())))
+    assert dec["width"][0].as_py() == 2 and dec["height"][0].as_py() == 2
+
+    # fake payloads: strict raises; non-strict emits a valid PPM of target dims
+    fake = synthesize_media([0, 1], ["a", "b"], kind="image")
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        ImageResizer(strict=True)(fake)
+    f = resize_images(ray.data.from_arrow(fake), width=8, height=6).to_pandas()
+    assert (f["decoder"] == "fake").all()
+    assert all(p.startswith(b"P6\n8 6\n255\n") for p in f["payload"])
+    with _pytest.raises(ValueError):
+        ImageResizer(width=0)
