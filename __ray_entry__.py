@@ -4534,6 +4534,30 @@ def q_bm25_merged_top10(sf_dir: str) -> pa.Table:
     )
 
 
+def q_bm25_term_sharded_top10(sf_dir: str) -> pa.Table:
+    """Term-partitioned retrieval (engine/term_sharded.py): posting
+    fetches route to vocabulary-shard actors (md5(term) % n_shards
+    ownership); scoring is the unchanged single-reader kernel, so
+    results are bit-identical by construction — self-checked here
+    against the plain reader before returning; the oracle is the
+    full-corpus BM25 SQL (the bm25_top10 oracle verbatim)."""
+    from search_engine_ray.engine.term_sharded import TermShardedReader
+    from search_engine_ray.pipelines import bm25_scores_f64, documents_index_dir
+
+    r = _reader(sf_dir)
+    sharded = TermShardedReader(documents_index_dir(sf_dir, OPT_NOSTEM), n_shards=3)
+    ids, scores = bm25_scores_f64(sharded, BM25_QUERY)
+    fids, fscores = bm25_scores_f64(r, BM25_QUERY)
+    assert ids.tolist() == fids.tolist() and scores.tolist() == fscores.tolist(), (
+        "term-sharded != single-reader scores"
+    )
+    ids, scores = ids[:10], scores[:10]
+    doc_ids = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids), "score_micros": pa.array(_micros(scores))}
+    )
+
+
 def q_bm25_federated_top10(sf_dir: str) -> pa.Table:
     """Query-time federation (pipelines.federated_bm25_f64): the SAME two
     half-indexes the merge gate uses are scored together at query time —
@@ -6152,6 +6176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "run_agreement": q_run_agreement,
         # rows-only: binary video payloads; luma self-check asserted in-gate
         "video_features": q_video_features,
+        "bm25_term_sharded_top10": q_bm25_term_sharded_top10,
     }
 
 
@@ -8923,6 +8948,8 @@ def oracle_sql() -> dict[str, str]:
     # champion lists in the exact regime (m >= every df) likewise
     out["bm25_champions_top10"] = out["bm25_top10"]
     out["bm25_federated_bloom_top10"] = out["bm25_top10"]
+    # term-partitioned retrieval must equal the unsplit ranking, like merge
+    out["bm25_term_sharded_top10"] = out["bm25_top10"]
     out["bm25f_top10"] = _bm25f_sql()
     # fixed-codec twins: byte layout differs, results must not
     out["posting_lookup_fixed"] = out["posting_lookup"]
