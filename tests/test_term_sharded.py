@@ -109,3 +109,24 @@ def test_tombstones_compose(index_dir, ray_session):
 def test_validation(index_dir, ray_session):
     with pytest.raises(ValueError):
         TermShardedReader(index_dir, n_shards=0)
+
+
+def test_cli_term_shards_byte_equal_run(index_dir, ray_session, tmp_path):
+    from search_engine_ray.cli import main
+    from search_engine_ray.corpus.topics import generate_topics, write_trec_topics
+
+    r = IndexReader(index_dir)
+    vocab = sorted(r._df)[:40]
+    topics_path = f"{BASE}/topics.txt"
+    write_trec_topics(topics_path, generate_topics(3, vocab, seed=9))
+    out = str(tmp_path)
+    assert main(["search", "a", topics_path, index_dir, "QueryOptions(UseHeadline)",
+                 "--k", "15", "--out-dir", out, "--scorers", "bm25"]) == 0
+    assert main(["search", "b", topics_path, index_dir, "QueryOptions(UseHeadline)",
+                 "--k", "15", "--out-dir", out, "--scorers", "bm25",
+                 "--term-shards", "2"]) == 0
+    import os
+
+    base = open(os.path.join(out, "results-a-BM25Scorer.txt")).read()
+    ts = open(os.path.join(out, "results-b-BM25Scorer.txt")).read()
+    assert base.replace(" a\n", "\n").replace(" a", "") == ts.replace(" b\n", "\n").replace(" b", "")
