@@ -666,6 +666,13 @@ _PERCOLATE_QUERIES = [
     (4, ["stream", "filter", "group"]),
 ]
 
+_PERCOLATE_PHRASES = [
+    (0, ["sort", "table"]),
+    (1, ["hash", "join"]),
+    (2, ["merge", "sort", "window"]),
+    (3, ["vector"]),
+]
+
 
 def q_readability(sf_dir: str) -> pa.Table:
     """Flesch Reading Ease (dataops/textstats.py:readability) — three
@@ -704,6 +711,59 @@ def q_percolate(sf_dir: str) -> pa.Table:
             "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
             "query_id": pa.array(out["query_id"].to_numpy(np.int64)),
         }
+    )
+
+
+def q_percolate_phrases(sf_dir: str) -> pa.Table:
+    """Phrase percolation (engine/percolate.py percolate_phrases): which
+    stored EXACT PHRASES occur in each doc — consecutive kept-token
+    matches via shifted vectorized equality chains, broadcast phrase set,
+    zero shuffles."""
+    from search_engine_ray.engine.percolate import percolate_phrases
+
+    out = (
+        percolate_phrases(_docs_ds(sf_dir), _PERCOLATE_PHRASES, OPT_NOSTEM)
+        .to_pandas()
+        .sort_values(["doc_id", "query_id"], ignore_index=True)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+            "query_id": pa.array(out["query_id"].to_numpy(np.int64)),
+        }
+    )
+
+
+def _percolate_phrases_sql() -> str:
+    """Per-phrase kept-token adjacency chains over the engine-tokenizer
+    CTE (the phrase_bm25 kp machinery), UNION ALL'd."""
+    kept = """
+        raw AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\\x00-\\x2f:;=?]')) AS t,
+                 unnest(generate_series(1,
+                    len(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\\x00-\\x2f:;=?]')))) AS pos
+          FROM documents),
+        kept AS (
+          SELECT doc_id, t,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS kp
+          FROM raw
+          WHERE t <> '' AND substr(t, 1, 1) <> '<' AND substr(t, -1, 1) <> '>'
+            AND t NOT IN (""" + _STOP_LIST + """))"""
+    selects = []
+    for qid, terms in _PERCOLATE_PHRASES:
+        joins = "".join(
+            f" JOIN kept k{j} ON k{j}.doc_id = k0.doc_id AND k{j}.kp = k0.kp + {j} "
+            f"AND k{j}.t = '{t}'"
+            for j, t in enumerate(terms[1:], start=1)
+        )
+        selects.append(
+            f"SELECT DISTINCT k0.doc_id, CAST({qid} AS BIGINT) AS query_id "
+            f"FROM kept k0{joins} WHERE k0.t = '{terms[0]}'"
+        )
+    return (
+        "WITH " + kept + "\n" + " UNION ALL ".join(selects)
+        + "\nORDER BY doc_id, query_id"
     )
 
 
@@ -6177,6 +6237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only: binary video payloads; luma self-check asserted in-gate
         "video_features": q_video_features,
         "bm25_term_sharded_top10": q_bm25_term_sharded_top10,
+        "percolate_phrases": q_percolate_phrases,
     }
 
 
@@ -8580,6 +8641,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "trec_eval": _trec_eval_oracle_sql(),
         "run_agreement": _run_agreement_oracle_sql(),
+        "percolate_phrases": _percolate_phrases_sql(),
         "table_profile": """
             SELECT 'event_id' AS col, count(*) AS n,
                    count(*) - count(event_id) AS n_null,

@@ -123,3 +123,89 @@ def percolate(
         )
 
     return ds.map_batches(match, batch_format="pyarrow")
+
+
+def percolate_phrases(
+    ds: ray.data.Dataset,
+    phrases: list[tuple[int, list[str]]],
+    options: IndexOptions,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> ray.data.Dataset:
+    """Phrase percolation: which stored EXACT PHRASES occur in each doc —
+    the alerting rule class conjunctive percolation can't express ("data
+    breach" must not fire on "breach of data").  A phrase matches when
+    its terms occur CONSECUTIVELY in the doc's kept-token stream (the
+    phrase_search semantics: same tokenizer, same stopword drops).
+
+    Shape: the phrase set is broadcast-small (alert rules) and ships once
+    via ``ray.put`` as (term vocabulary, per-phrase ordinal sequences);
+    each batch tokenizes once, maps tokens to stored-term ordinals (one
+    ``index_in``), and tests every phrase with a chain of shifted
+    vectorized equality ANDs — O(tokens x total phrase terms), NO
+    shuffle, results stream out of the map_batches.
+
+    Returns (doc_id, query_id) rows, one per (doc, matching phrase)."""
+    if not phrases:
+        raise ValueError("phrases must be non-empty")
+    vocab: dict[str, int] = {}
+    seqs: list[tuple[int, np.ndarray]] = []
+    for qid, terms in phrases:
+        if not terms:
+            raise ValueError(f"phrase {qid} has no terms")
+        seq = np.asarray([vocab.setdefault(t, len(vocab)) for t in terms], dtype=np.int64)
+        seqs.append((int(qid), seq))
+    vocab_pa = pa.array(list(vocab), pa.string())
+    ref = ray.put((vocab_pa, seqs))
+
+    def match(batch: pa.Table) -> pa.Table:
+        vocab_terms, phrase_seqs = ray.get(ref)
+        tb = tokenize_batch(batch[text_column], options)
+        ids = np.asarray(batch[id_column], dtype=np.int64)
+        empty = pa.table(
+            {
+                id_column: pa.array([], pa.int64()),
+                "query_id": pa.array([], pa.int64()),
+            }
+        )
+        n = len(tb.term_codes)
+        if n == 0:
+            return empty
+        # batch term code -> stored-vocab ordinal (-1 = not in any phrase)
+        ord_of_code = np.asarray(
+            pc.fill_null(
+                pc.index_in(pa.array(tb.terms.tolist(), pa.string()), value_set=vocab_terms),
+                -1,
+            ),
+            dtype=np.int64,
+        )
+        tok = ord_of_code[tb.term_codes]
+        doc = tb.doc_idx.astype(np.int64)
+        out_d, out_q = [], []
+        for qid, seq in phrase_seqs:
+            L = len(seq)
+            if L > n:
+                continue
+            m = n - L + 1
+            hit = tok[:m] == seq[0]
+            for j in range(1, L):
+                hit &= tok[j : m + j] == seq[j]
+            if L > 1:
+                hit &= doc[:m] == doc[L - 1 :]  # window inside one doc
+            if hit.any():
+                docs = np.unique(doc[:m][hit])
+                out_d.append(docs)
+                out_q.append(np.full(len(docs), qid, dtype=np.int64))
+        if not out_d:
+            return empty
+        d = np.concatenate(out_d)
+        q = np.concatenate(out_q)
+        order = np.lexsort((q, d))
+        return pa.table(
+            {
+                id_column: pa.array(ids[d[order]]),
+                "query_id": pa.array(q[order]),
+            }
+        )
+
+    return ds.map_batches(match, batch_format="pyarrow")

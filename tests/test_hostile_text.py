@@ -120,6 +120,7 @@ CHECKED = [
     "corpus_log_odds",
     "winnow_fingerprints",
     "sdm_top10",
+    "percolate_phrases",
 ]
 
 

@@ -59,3 +59,71 @@ def test_percolate_stemming_option(ray_session):
     stemmed = stem_word("running")
     out = percolate(ds, [(0, [stemmed])], stem_opt).to_pandas()
     assert out["doc_id"].tolist() == [1]
+
+
+def test_percolate_phrases_exact_order_and_boundaries(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_ray.config import IndexOptions
+    from search_engine_ray.engine.percolate import percolate_phrases
+
+    opts = IndexOptions(stemming=False, remove_stopwords=False)
+    texts = [
+        "alpha beta gamma",          # 0: matches (alpha beta) and (beta gamma)
+        "beta alpha gamma",          # 1: reversed -> NO (alpha beta)
+        "alpha xx beta",             # 2: gap -> no match
+        "alpha",                     # 3: shorter than the phrase
+        "",                          # 4: empty
+        "gamma alpha beta gamma",    # 5: phrase mid-doc
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    )
+    out = (
+        percolate_phrases(
+            ds, [(10, ["alpha", "beta"]), (11, ["beta", "gamma"]), (12, ["gamma"])],
+            opts,
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "query_id"], ignore_index=True)
+    )
+    got = set(zip(out["doc_id"], out["query_id"]))
+    assert got == {
+        (0, 10), (0, 11),
+        (5, 10), (5, 11),
+        (0, 12), (1, 12), (5, 12),
+    }
+    # a window must not span documents: doc ends with 'alpha', next doc
+    # starts with 'beta' — no (alpha beta) match on either
+    ds2 = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["zz alpha", "beta zz"]),
+            }
+        )
+    )
+    out2 = percolate_phrases(ds2, [(0, ["alpha", "beta"])], opts).to_pandas()
+    assert len(out2) == 0
+    # duplicate matches within one doc collapse to one row
+    ds3 = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([7], pa.int64()),
+             "text": pa.array(["alpha beta alpha beta"])}
+        )
+    )
+    out3 = percolate_phrases(ds3, [(0, ["alpha", "beta"])], opts).to_pandas()
+    assert out3["doc_id"].tolist() == [7] and len(out3) == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        percolate_phrases(ds, [], opts)
+    with _pytest.raises(ValueError):
+        percolate_phrases(ds, [(0, [])], opts)
