@@ -36,7 +36,6 @@ from __future__ import annotations
 import hashlib
 import os
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.dataset as pads
 import ray
