@@ -4446,6 +4446,58 @@ def q_facet_counts(sf_dir: str) -> pa.Table:
     )
 
 
+_FACET_EDGES = [0, 500, 1000, 2000, 4000]
+
+
+def q_facet_ranges(sf_dir: str) -> pa.Table:
+    """Numeric range faceting (pipelines.facet_ranges): boolean-OR match
+    set for ('table','window') histogrammed over n_chars with half-open
+    integer buckets + overflow — the price/length/date-range facet of a
+    result page.  Integer-exact."""
+    from search_engine_ray.pipelines import facet_ranges
+
+    r = _reader(sf_dir)
+    out = (
+        facet_ranges(r, ["table", "window"], _docs_ds(sf_dir), "n_chars", _FACET_EDGES)
+        .to_pandas()
+        .sort_values("bucket", ignore_index=True)
+    )
+    return pa.table(
+        {
+            "bucket": pa.array(out["bucket"].to_numpy(np.int64)),
+            "lo": pa.array(out["lo"].to_numpy(np.int64)),
+            "hi": pa.array(out["hi"].to_numpy(np.int64)),
+            "n_docs": pa.array(out["n_docs"].to_numpy(np.int64)),
+        }
+    )
+
+
+def _facet_ranges_sql() -> str:
+    e = _FACET_EDGES
+    bucket_expr = " + ".join(
+        f"(CASE WHEN n_chars >= {v} THEN 1 ELSE 0 END)" for v in e
+    ) + " - 1"
+    lo_cases = " ".join(
+        f"WHEN {i} THEN {v}" for i, v in enumerate(e[:-1])
+    ) + f" WHEN {len(e) - 1} THEN {e[-1]}"
+    hi_cases = " ".join(
+        f"WHEN {i} THEN {v}" for i, v in enumerate(e[1:])
+    ) + f" WHEN {len(e) - 1} THEN {np.iinfo(np.int64).max}"
+    return f"""
+        WITH {_TOKS},
+        hit AS (SELECT DISTINCT doc_id FROM toks WHERE t IN ('table','window')),
+        b AS (
+          SELECT CAST({bucket_expr} AS BIGINT) AS bucket, count(*) AS n_docs
+          FROM documents JOIN hit USING (doc_id)
+          GROUP BY 1)
+        SELECT bucket,
+               CAST(CASE bucket {lo_cases} ELSE {np.iinfo(np.int64).min} END AS BIGINT) AS lo,
+               CAST(CASE bucket {hi_cases} ELSE {np.iinfo(np.int64).max} END AS BIGINT) AS hi,
+               CAST(n_docs AS BIGINT) AS n_docs
+        FROM b ORDER BY bucket
+    """
+
+
 def q_bm25_deleted_top10(sf_dir: str) -> pa.Table:
     """Index maintenance: tombstone the unfiltered top-3 BM25 docs
     (delete without rebuild, engine/maintenance.py), then rank — results
@@ -6238,6 +6290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_features": q_video_features,
         "bm25_term_sharded_top10": q_bm25_term_sharded_top10,
         "percolate_phrases": q_percolate_phrases,
+        "facet_ranges": q_facet_ranges,
     }
 
 
@@ -8642,6 +8695,7 @@ def oracle_sql() -> dict[str, str]:
         "trec_eval": _trec_eval_oracle_sql(),
         "run_agreement": _run_agreement_oracle_sql(),
         "percolate_phrases": _percolate_phrases_sql(),
+        "facet_ranges": _facet_ranges_sql(),
         "table_profile": """
             SELECT 'event_id' AS col, count(*) AS n,
                    count(*) - count(event_id) AS n_null,

@@ -656,6 +656,87 @@ def facet_counts(
     )
 
 
+def facet_ranges(
+    reader: IndexReader,
+    terms: list[str],
+    docs_ds,
+    value_column: str,
+    edges: list[int],
+    id_column: str = "doc_id",
+):
+    """Numeric RANGE faceting over a search-result set — the histogram
+    sibling of facet_counts (price/length/date buckets on the matches):
+    count matching documents (boolean OR over ``terms``) per half-open
+    bucket ``[edges[i], edges[i+1])``, with underflow (-1) and overflow
+    (len(edges)-1) buckets so no match silently vanishes.
+
+    Same shape as facet_counts: match names broadcast once, a stateless
+    vectorized searchsorted pass over the docs table, one tiny
+    groupby-sum.  Integer edges + int64 counts keep the whole output
+    SQL-exact.  Returns Dataset(bucket, lo, hi, n_docs); lo/hi are the
+    bucket bounds with sentinel min/max int64 for the open ends."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .engine.boolean import boolean_or
+
+    if len(edges) < 2 or any(b <= a for a, b in zip(edges, edges[1:])):
+        raise ValueError("edges must be >= 2 strictly increasing values")
+    edges_arr = np.asarray(edges, dtype=np.int64)
+    match = boolean_or(reader, terms)
+    matched_names = pa.array(
+        sorted(str(n) for n in reader.doc_names[match]), pa.string()
+    )
+    ref = ray.put((matched_names, edges_arr))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names, e = ray.get(ref)
+        ids = _pc.cast(batch[id_column], pa.string())
+        hit = np.asarray(_pc.is_in(ids, value_set=names))
+        vals = np.asarray(batch[value_column], dtype=np.int64)[hit]
+        bucket = np.searchsorted(e, vals, side="right") - 1  # -1 = underflow
+        ub, counts = np.unique(bucket, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array(ub.astype(np.int64)),
+                "n_docs": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+    lo_of = {-1: np.iinfo(np.int64).min, len(edges_arr) - 1: int(edges_arr[-1])}
+    hi_of = {-1: int(edges_arr[0]), len(edges_arr) - 1: np.iinfo(np.int64).max}
+
+    def bounds(batch: pa.Table) -> pa.Table:
+        b = np.asarray(batch["bucket"], dtype=np.int64)
+        lo = np.asarray(
+            [lo_of[int(x)] if int(x) in lo_of else int(edges_arr[x]) for x in b],
+            dtype=np.int64,
+        )
+        hi = np.asarray(
+            [hi_of[int(x)] if int(x) in hi_of else int(edges_arr[x + 1]) for x in b],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "bucket": batch["bucket"],
+                "lo": pa.array(lo),
+                "hi": pa.array(hi),
+                "n_docs": batch["n_docs"],
+            }
+        )
+
+    return agg.map_batches(bounds, batch_format="pyarrow")
+
+
 def bm25_boosted_scores_f64(
     reader: IndexReader,
     keywords: list[tuple[str, int]],
