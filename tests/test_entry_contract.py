@@ -137,3 +137,14 @@ def test_entry_smoke(contract):
     df = _to_df(contract.entry())
     assert len(df) > 0
     assert list(df.columns) == ["topic", "q0", "doc", "rank", "score", "run_name"]
+
+
+def test_coverage_doc_gate_names_exist(contract):
+    """Doc-rot net: every q:`name` cited in COVERAGE.md must be a real
+    queries() entry (a renamed or deleted gate must update the doc)."""
+    import re
+
+    qs = set(contract.queries())
+    cited = set(re.findall(r"q:`([a-z0-9_]+)`", open("/root/repo/COVERAGE.md").read()))
+    missing = sorted(cited - qs)
+    assert not missing, f"COVERAGE.md cites unknown gates: {missing}"
