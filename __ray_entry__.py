@@ -4737,6 +4737,74 @@ def q_bm25_federated_bloom_top10(sf_dir: str) -> pa.Table:
     )
 
 
+def _shard_indexes_root(sf_dir: str, n_shards: int = 4) -> str:
+    """Build once (cached): documents indexed as n round-robin shards
+    (shard = doc_id % n_shards) — the federation layout the CORI
+    selection gate ranks.  Round-robin rather than contiguous so the
+    oracle reproduces the assignment with plain `doc_id % n` arithmetic."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.config import BuildConfig
+    from search_engine_ray.engine.build import build_index
+    from search_engine_ray.pipelines import _CACHE_ROOT
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"shards{n_shards}|{os.path.abspath(src)}|{os.path.getmtime(src)}|{OPT_NOSTEM.to_dict()}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(_CACHE_ROOT, f"docidx-shards-{key}")
+
+    def _build() -> None:
+        shutil.rmtree(root, ignore_errors=True)
+        tbl = pq.read_table(src)
+        ids = np.asarray(tbl["doc_id"], dtype=np.int64)
+        cfg = BuildConfig(options=OPT_NOSTEM)
+        for s in range(n_shards):
+            part = tbl.filter(pa.array(ids % n_shards == s))
+            cdir = os.path.join(root, f"corpus_{s}")
+            os.makedirs(cdir, exist_ok=True)
+            pq.write_table(part, os.path.join(cdir, "docs.parquet"))
+            build_index(
+                cdir, os.path.join(root, f"index_{s}"), cfg, overwrite=True,
+                source_column="text", name_column="doc_id",
+            )
+
+    return _build_once(root, ".shards-complete", _build)
+
+
+def q_cori_shard_ranking(sf_dir: str) -> pa.Table:
+    """CORI resource selection (engine/resource_select.py, Callan et al.
+    SIGIR'95): the documents corpus is indexed as 4 round-robin shards
+    (doc_id % 4) and the broker ranks them for the standard query from
+    per-shard summary statistics only — the preloaded df dicts and the
+    sum_dl manifests; no postings are decoded.  Expression order mirrors
+    the oracle SQL term-for-term so micros agree.  Self-checks: the
+    shards partition the corpus, and select_shards' ranked order equals
+    this table's (score desc, shard asc) order."""
+    from search_engine_ray.engine.index_reader import IndexReader
+    from search_engine_ray.engine.resource_select import (
+        cori_shard_scores,
+        select_shards,
+    )
+
+    root = _shard_indexes_root(sf_dir, 4)
+    readers = [IndexReader(os.path.join(root, f"index_{s}")) for s in range(4)]
+    full = _reader(sf_dir)
+    assert sum(r.n_docs for r in readers) == full.n_docs, "shards must partition"
+    terms = [t for t, _ in BM25_QUERY]
+    scores = cori_shard_scores(readers, terms)
+    ids, _sel = select_shards(readers, terms, top=4)
+    assert ids.tolist() == sorted(range(4), key=lambda s: (-scores[s], s))
+    return pa.table(
+        {
+            "shard": pa.array(np.arange(4, dtype=np.int64)),
+            "score_micros": pa.array(_micros(scores)),
+        }
+    )
+
+
 def q_bm25_champions_top10(sf_dir: str) -> pa.Table:
     """Champion lists (engine/champions.py): per-term top-m contributor
     cache built in one distributed pass over the postings table; queries
@@ -6291,6 +6359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_term_sharded_top10": q_bm25_term_sharded_top10,
         "percolate_phrases": q_percolate_phrases,
         "facet_ranges": q_facet_ranges,
+        "cori_shard_ranking": q_cori_shard_ranking,
     }
 
 
@@ -8696,6 +8765,36 @@ def oracle_sql() -> dict[str, str]:
         "run_agreement": _run_agreement_oracle_sql(),
         "percolate_phrases": _percolate_phrases_sql(),
         "facet_ranges": _facet_ranges_sql(),
+        # CORI resource selection over 4 round-robin shards (doc_id % 4):
+        # T = df/(df + 50 + 150*cw/avg_cw), I = ln((C+.5)/cf)/ln(C+1),
+        # p = 0.4 + 0.6*T*I, shard score = mean p over the 3 query terms.
+        # Terms absent from every shard keep the default belief 0.4
+        # (cft LEFT JOIN misses) — same as the engine's cf==0 branch.
+        "cori_shard_ranking": f"""
+            WITH {_TOKS},
+            sh AS (SELECT doc_id % 4 AS shard, doc_id, t FROM toks),
+            cwt AS (SELECT shard, count(*) AS cw FROM sh GROUP BY shard),
+            q AS (SELECT * FROM (VALUES ('spark'), ('hash'), ('join')) AS q(term)),
+            dft AS (SELECT shard, t AS term, count(DISTINCT doc_id) AS df
+                    FROM sh WHERE t IN ('spark', 'hash', 'join')
+                    GROUP BY shard, t),
+            cft AS (SELECT term, count(*) AS cf FROM dft GROUP BY term),
+            st AS (SELECT SUM(cw) / 4.0 AS avg_cw FROM cwt),
+            bel AS (
+              SELECT c.shard,
+                     CASE WHEN cft.cf IS NULL THEN 0.4
+                          ELSE 0.4 + 0.6 * ((COALESCE(d.df, 0) / (COALESCE(d.df, 0) + 50.0 + 150.0 * (c.cw / st.avg_cw)))
+                               * (ln((4 + 0.5) / cft.cf) / ln(4 + 1.0)))
+                     END AS p
+              FROM cwt c
+              CROSS JOIN q
+              LEFT JOIN dft d ON d.shard = c.shard AND d.term = q.term
+              LEFT JOIN cft ON cft.term = q.term
+              CROSS JOIN st
+            )
+            SELECT shard, {_SQL_MICROS.format(expr="SUM(p) / 3.0")} AS score_micros
+            FROM bel GROUP BY shard
+        """,
         "table_profile": """
             SELECT 'event_id' AS col, count(*) AS n,
                    count(*) - count(event_id) AS n_null,
