@@ -4805,6 +4805,31 @@ def q_cori_shard_ranking(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ltr_features(sf_dir: str) -> pa.Table:
+    """Learning-to-rank feature extraction (engine/ltr.py): per-candidate
+    feature vectors for the standard query — lexical counts (n_matched,
+    sum_tf, dl) plus the BM25 and TF-IDF twin scores as micros — ranked
+    by (bm25 desc, doc asc), top-100.  Score columns are bit-identical to
+    the driver-green bm25_top10 / tfidf_top10 twins by construction (the
+    module calls them); the oracle recomputes every column in SQL."""
+    from search_engine_ray.engine.ltr import ltr_feature_table
+
+    r = _reader(sf_dir)
+    t = ltr_feature_table(r, BM25_QUERY, top=100)
+    ords = t["doc"].to_numpy()
+    doc_ids = np.asarray([int(r.doc_names[d]) for d in ords], dtype=np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids),
+            "n_matched": t["n_matched"],
+            "sum_tf": t["sum_tf"],
+            "dl": t["dl"],
+            "bm25_micros": t["bm25_micros"],
+            "tfidf_micros": t["tfidf_micros"],
+        }
+    )
+
+
 def q_bm25_champions_top10(sf_dir: str) -> pa.Table:
     """Champion lists (engine/champions.py): per-term top-m contributor
     cache built in one distributed pass over the postings table; queries
@@ -6360,6 +6385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate_phrases": q_percolate_phrases,
         "facet_ranges": q_facet_ranges,
         "cori_shard_ranking": q_cori_shard_ranking,
+        "ltr_features": q_ltr_features,
     }
 
 
@@ -8794,6 +8820,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT shard, {_SQL_MICROS.format(expr="SUM(p) / 3.0")} AS score_micros
             FROM bel GROUP BY shard
+        """,
+        # LTR feature vectors: lexical counts + BM25/TF-IDF twin scores
+        # (incl. the int-div idf quirk) per candidate, top-100 by
+        # (bm25 desc, doc asc).
+        "ltr_features": f"""
+            WITH {_TOKS},
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+            tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks
+                   WHERE t IN ('spark', 'hash', 'join') GROUP BY doc_id, t),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            agg AS (
+              SELECT tf.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_matched,
+                     CAST(SUM(tf.tf) AS BIGINT) AS sum_tf,
+                     CAST(MIN(dl.dl) AS BIGINT) AS dl,
+                     SUM( ln((st.n - df.df + 0.5) / (df.df + 0.5))
+                          * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) ) AS bm25,
+                     SUM( ln(1 + tf.tf) * ln(CAST(st.n // df.df AS DOUBLE)) ) AS tfidf
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+              GROUP BY tf.doc_id),
+            ranked AS (SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r FROM agg)
+            SELECT doc_id, n_matched, sum_tf, dl,
+                   {_SQL_MICROS.format(expr="bm25")} AS bm25_micros,
+                   {_SQL_MICROS.format(expr="tfidf")} AS tfidf_micros
+            FROM ranked WHERE r <= 100
         """,
         "table_profile": """
             SELECT 'event_id' AS col, count(*) AS n,
