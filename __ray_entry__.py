@@ -4176,6 +4176,63 @@ def q_rrf_fusion(sf_dir: str) -> pa.Table:
     )
 
 
+def q_comb_fusion(sf_dir: str) -> pa.Table:
+    """CombSUM / CombMNZ fusion (Fox & Shaw) of the BM25 and TfIdf
+    top-10 rankings for the standard query — the DISTRIBUTED
+    comb_fuse_runs path (union -> per-(run,topic) min-max extrema
+    groupby -> integer-micros normalize -> (topic,doc) groupby sum).
+    Scores enter as micros, normalization is integer floor-division, so
+    the fused columns are hash-exact vs SQL."""
+    import ray.data
+
+    from search_engine_ray.engine.fusion import comb_fuse_runs
+    from search_engine_ray.pipelines import bm25_scores_f64, tfidf_scores_f64
+
+    r = _reader(sf_dir)
+
+    def run_table(ids: np.ndarray, scores: np.ndarray) -> pa.Table:
+        # top-10 under (score desc, NUMERIC doc_id asc) — the SQL cut
+        docs = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+        order = np.lexsort((docs, -scores))[:10]
+        return pa.table(
+            {
+                "topic": pa.array(np.ones(len(order), dtype=np.int64)),
+                "doc": pa.array(docs[order]),
+                "score_micros": pa.array(_micros(scores[order])),
+            }
+        )
+
+    bm_ids, bm_scores = bm25_scores_f64(r, BM25_QUERY)
+    tf_ids, tf_scores = tfidf_scores_f64(r, BM25_QUERY)
+    runs = [
+        ray.data.from_arrow(run_table(bm_ids, bm_scores)),
+        ray.data.from_arrow(run_table(tf_ids, tf_scores)),
+    ]
+    fused = comb_fuse_runs(runs).to_pandas()
+    fused = fused.sort_values(
+        ["combmnz_micros", "doc"], ascending=[False, True], ignore_index=True
+    )
+    return pa.table(
+        {
+            "doc": pa.array(fused["doc"].astype(np.int64)),
+            "n_runs": pa.array(fused["n_runs"].astype(np.int64)),
+            "combsum_micros": pa.array(fused["combsum_micros"].astype(np.int64)),
+            "combmnz_micros": pa.array(fused["combmnz_micros"].astype(np.int64)),
+        }
+    )
+
+
+def q_qpp_predictors(sf_dir: str) -> pa.Table:
+    """Pre-retrieval QPP statistics (per-term idf + SCQ) for the standard
+    query, computed from the built index via the term-pruned fragment
+    read in engine/qpp.py — df/cf are integer-exact, idf/scq micros."""
+    from search_engine_ray.engine.qpp import qpp_predictors
+    from search_engine_ray.pipelines import documents_index_dir
+
+    index_dir = documents_index_dir(sf_dir, OPT_NOSTEM)
+    return qpp_predictors(index_dir, [t for t, _ in BM25_QUERY])
+
+
 def q_unigram_lm(sf_dir: str) -> pa.Table:
     """Self-trained unigram-LM scoring per document (CCNet-style LM
     quality signal with an exactly-reproducible model).  The gate checks
@@ -6386,6 +6443,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_ranges": q_facet_ranges,
         "cori_shard_ranking": q_cori_shard_ranking,
         "ltr_features": q_ltr_features,
+        "comb_fusion": q_comb_fusion,
+        "qpp_predictors": q_qpp_predictors,
     }
 
 
@@ -8847,6 +8906,74 @@ def oracle_sql() -> dict[str, str]:
                    {_SQL_MICROS.format(expr="bm25")} AS bm25_micros,
                    {_SQL_MICROS.format(expr="tfidf")} AS tfidf_micros
             FROM ranked WHERE r <= 100
+        """,
+        # CombSUM/CombMNZ over the BM25 and TfIdf top-10: min-max
+        # normalization is integer floor-division on micros, so every
+        # output column is BIGINT-exact.  (s - mn) >= 0 by construction,
+        # so DuckDB's truncating // equals Python's floor //.
+        "comb_fusion": f"""
+            WITH {_TOKS},
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+            tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks
+                   WHERE t IN ('spark','hash','join') GROUP BY doc_id, t),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            bm AS (
+              SELECT tf.doc_id,
+                     SUM( ln((st.n - df.df + 0.5) / (df.df + 0.5))
+                          * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) ) AS score
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+              GROUP BY tf.doc_id
+            ),
+            ti AS (
+              SELECT tf.doc_id,
+                     SUM( ln(1 + tf.tf) * ln(CAST(st.n // df.df AS DOUBLE)) ) AS score
+              FROM tf JOIN df USING (term) CROSS JOIN st
+              GROUP BY tf.doc_id
+            ),
+            runs AS (
+              SELECT 0 AS run_id, doc_id,
+                     {_SQL_MICROS.format(expr="score")} AS s,
+                     row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+              FROM bm
+              UNION ALL
+              SELECT 1 AS run_id, doc_id,
+                     {_SQL_MICROS.format(expr="score")} AS s,
+                     row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+              FROM ti
+            ),
+            cut AS (SELECT run_id, doc_id, s FROM runs WHERE r <= 10),
+            mm AS (SELECT run_id, MIN(s) AS mn, MAX(s) AS mx FROM cut GROUP BY run_id),
+            norm AS (
+              SELECT doc_id,
+                     CASE WHEN mm.mx = mm.mn THEN 1000000
+                          ELSE (cut.s - mm.mn) * 1000000 // (mm.mx - mm.mn) END AS nrm
+              FROM cut JOIN mm USING (run_id)
+            ),
+            fused AS (
+              SELECT doc_id AS doc,
+                     CAST(COUNT(*) AS BIGINT) AS n_runs,
+                     CAST(SUM(nrm) AS BIGINT) AS combsum_micros
+              FROM norm GROUP BY doc_id
+            )
+            SELECT doc, n_runs, combsum_micros,
+                   CAST(n_runs * combsum_micros AS BIGINT) AS combmnz_micros
+            FROM fused ORDER BY combmnz_micros DESC, doc ASC
+        """,
+        # Pre-retrieval QPP predictors: df/cf integer-exact from the
+        # token stream; idf/SCQ written token-for-token as in engine/qpp.py
+        "qpp_predictors": f"""
+            WITH {_TOKS},
+            st AS (SELECT (SELECT count(*) FROM documents) AS n),
+            agg AS (SELECT t AS term, count(DISTINCT doc_id) AS df, count(*) AS cf
+                    FROM toks WHERE t IN ('spark','hash','join') GROUP BY t)
+            SELECT term,
+                   CAST(df AS BIGINT) AS df,
+                   CAST(cf AS BIGINT) AS cf,
+                   {_SQL_MICROS.format(expr="ln((st.n - agg.df + 0.5) / (agg.df + 0.5))")} AS idf_micros,
+                   {_SQL_MICROS.format(expr="(1 + ln(CAST(agg.cf AS DOUBLE))) * ln(1 + CAST(st.n AS DOUBLE) / agg.df)")} AS scq_micros
+            FROM agg CROSS JOIN st ORDER BY term
         """,
         "table_profile": """
             SELECT 'event_id' AS col, count(*) AS n,

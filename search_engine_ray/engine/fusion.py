@@ -93,3 +93,110 @@ def rrf_fuse_runs(
         return g
 
     return fused.groupby(topic_column).map_groups(topic_topk)
+
+
+def comb_fuse_runs(
+    runs: list["ray.data.Dataset"],  # noqa: F821 - imported lazily
+    topic_column: str = "topic",
+    doc_column: str = "doc",
+    score_column: str = "score_micros",
+):
+    """CombSUM / CombMNZ fusion (Fox & Shaw, TREC-2 1994) of scored run
+    tables -> Dataset(topic, doc, combsum_micros, combmnz_micros, n_runs).
+
+    Each input run holds integer-micros scores per (topic, doc).  Scores
+    are min-max normalized WITHIN each (run, topic) ranking to integer
+    micros — ``(s - min) * 1_000_000 // (max - min)`` (1_000_000 when the
+    run's scores are constant) — so the fused sums stay integer-exact and
+    engine-order-independent.  CombSUM is the sum of normalized scores;
+    CombMNZ multiplies that sum by the number of runs that retrieved the
+    doc (the MNZ "multiply by non-zero" rule).
+
+    Distributed shape: per-(run, topic) extrema come from a groupby over
+    <= n_runs * n_topics keys whose result is tiny by construction — it
+    is collected once and shipped to every normalize task inside the
+    map_batches closure (the broadcast-small-side pattern); the one
+    data-sized exchange is the (topic, doc) groupby-sum, exactly as in
+    :func:`rrf_fuse_runs`.
+    """
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    tagged = []
+    for run_id, r in enumerate(runs):
+        tagged.append(
+            r.map_batches(
+                lambda b, rid=run_id: b.append_column(
+                    "run_id", pa.array(np.full(b.num_rows, rid, dtype=np.int64))
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    unioned = tagged[0].union(*tagged[1:]) if len(tagged) > 1 else tagged[0]
+
+    extrema = (
+        unioned.groupby(["run_id", topic_column])
+        .aggregate(
+            Min(score_column, alias_name="mn"), Max(score_column, alias_name="mx")
+        )
+        .to_pandas()  # <= n_runs * n_topics rows — bounded by construction
+    )
+    mnmx = {
+        (int(r), t): (int(mn), int(mx))
+        for r, t, mn, mx in zip(
+            extrema["run_id"], extrema[topic_column], extrema["mn"], extrema["mx"]
+        )
+    }
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        rid = np.asarray(batch["run_id"], dtype=np.int64)
+        topics = np.asarray(batch[topic_column].to_pandas(), dtype=object)
+        s = np.asarray(batch[score_column], dtype=np.int64)
+        # vectorized per unique (run, topic) group: the group count per
+        # batch is bounded by n_runs * topics-in-batch, not by rows
+        keys = np.char.add(
+            np.char.add(rid.astype("U20"), "\x00"), topics.astype("U64")
+        )
+        uniq, inv = np.unique(keys, return_inverse=True)
+        first = np.zeros(len(uniq), dtype=np.int64)
+        first[inv[::-1]] = np.arange(len(s) - 1, -1, -1)
+        mn_a = np.empty(len(uniq), dtype=np.int64)
+        mx_a = np.empty(len(uniq), dtype=np.int64)
+        for g, row in enumerate(first.tolist()):
+            mn_a[g], mx_a[g] = mnmx[(int(rid[row]), topics[row])]
+        span = mx_a - mn_a
+        safe = np.where(span == 0, 1, span)
+        norm = np.where(
+            span[inv] == 0, 1_000_000, (s - mn_a[inv]) * 1_000_000 // safe[inv]
+        )
+        return pa.table(
+            {
+                topic_column: batch[topic_column],
+                doc_column: batch[doc_column],
+                "norm_micros": pa.array(norm),
+            }
+        )
+
+    fused = (
+        unioned.map_batches(normalize, batch_format="pyarrow")
+        .groupby([topic_column, doc_column])
+        .aggregate(
+            Sum("norm_micros", alias_name="combsum_micros"),
+            Count(alias_name="n_runs"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["combsum_micros"], dtype=np.int64)
+        n = np.asarray(batch["n_runs"], dtype=np.int64)
+        return pa.table(
+            {
+                topic_column: batch[topic_column],
+                doc_column: batch[doc_column],
+                "combsum_micros": pa.array(s),
+                "combmnz_micros": pa.array(n * s),
+                "n_runs": pa.array(n),
+            }
+        )
+
+    return fused.map_batches(finish, batch_format="pyarrow")

@@ -447,3 +447,109 @@ def test_facet_ranges(ray_session):
         facet_ranges(r, ["alpha"], ds, "v", edges=[5])
     with _pytest.raises(ValueError):
         facet_ranges(r, ["alpha"], ds, "v", edges=[5, 5])
+
+
+def _brute_comb(run_scores):
+    """run_scores: list of {doc: score_micros} dicts -> (combsum, combmnz)."""
+    combsum, nz = {}, {}
+    for run in run_scores:
+        mn, mx = min(run.values()), max(run.values())
+        for d, s in run.items():
+            nrm = 1_000_000 if mx == mn else (s - mn) * 1_000_000 // (mx - mn)
+            combsum[d] = combsum.get(d, 0) + nrm
+            nz[d] = nz.get(d, 0) + 1
+    return combsum, {d: nz[d] * combsum[d] for d in combsum}
+
+
+def test_comb_fuse_runs_matches_brute(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_ray.engine.fusion import comb_fuse_runs
+
+    rng = np.random.default_rng(11)
+    per_topic = {1: [], 2: []}
+    run_dss = []
+    for _ in range(3):
+        tbls = []
+        for topic in (1, 2):
+            docs = rng.permutation(30)[:12].astype(np.int64)
+            scores = rng.integers(0, 5_000_000, len(docs)).astype(np.int64)
+            per_topic[topic].append(dict(zip(docs.tolist(), scores.tolist())))
+            tbls.append(
+                pa.table(
+                    {
+                        "topic": pa.array(np.full(len(docs), topic, dtype=np.int64)),
+                        "doc": pa.array(docs),
+                        "score_micros": pa.array(scores),
+                    }
+                )
+            )
+        run_dss.append(ray.data.from_arrow(pa.concat_tables(tbls)))
+
+    fused = comb_fuse_runs(run_dss).to_pandas()
+    for topic in (1, 2):
+        combsum, combmnz = _brute_comb(per_topic[topic])
+        part = fused[fused["topic"] == topic]
+        got_sum = dict(zip(part["doc"], part["combsum_micros"]))
+        got_mnz = dict(zip(part["doc"], part["combmnz_micros"]))
+        assert got_sum == combsum
+        assert got_mnz == combmnz
+        n_runs = dict(zip(part["doc"], part["n_runs"]))
+        assert all(
+            n_runs[d] == sum(d in r for r in per_topic[topic]) for d in n_runs
+        )
+
+
+def test_comb_fuse_runs_constant_run(ray_session):
+    """A constant-score run contributes 1_000_000 per retrieved doc."""
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_ray.engine.fusion import comb_fuse_runs
+
+    t = pa.table(
+        {
+            "topic": pa.array([1, 1, 1], type=pa.int64()),
+            "doc": pa.array([7, 8, 9], type=pa.int64()),
+            "score_micros": pa.array([42, 42, 42], type=pa.int64()),
+        }
+    )
+    fused = comb_fuse_runs([ray.data.from_arrow(t)]).to_pandas()
+    assert sorted(fused["doc"]) == [7, 8, 9]
+    assert set(fused["combsum_micros"]) == {1_000_000}
+    assert set(fused["combmnz_micros"]) == {1_000_000}
+
+
+def test_qpp_predictors(index_dir, all_terms, ray_session):
+    """df/cf from the pruned postings read equal brute counts over the
+    dictionary; micros match the closed-form float64 compositions."""
+    import json
+
+    from search_engine_ray.engine.qpp import qpp_predictors
+
+    with open(os.path.join(index_dir, "stats.json")) as fh:
+        n_docs = int(json.load(fh)["n_docs"])
+
+    # pick three real terms + one absent term (silent-drop contract)
+    terms = sorted(all_terms)[:3] + ["zzzznotaterm"]
+    out = qpp_predictors(index_dir, terms).to_pandas()
+    assert out["term"].tolist() == sorted(all_terms)[:3]
+
+    post = pq.read_table(os.path.join(index_dir, "postings")).to_pandas()
+    from search_engine_ray.engine.codec import decode_one, index_codec
+
+    codec = index_codec(index_dir)
+    for _, row in out.iterrows():
+        sub = post[post["term"] == row["term"]]
+        n_per = sub["n"].to_numpy(dtype=np.int64)
+        assert row["df"] == n_per.sum()
+        cf = sum(
+            int(decode_one(e, int(k), codec).sum())
+            for e, k in zip(sub["tfs_enc"], n_per)
+        )
+        assert row["cf"] == cf
+        idf = np.log((n_docs - row["df"] + 0.5) / (row["df"] + 0.5))
+        scq = (1.0 + np.log(float(row["cf"]))) * np.log(1.0 + n_docs / row["df"])
+        assert row["idf_micros"] == int(np.floor(idf * 1e6 + 0.5))
+        assert row["scq_micros"] == int(np.floor(scq * 1e6 + 0.5))
