@@ -4209,6 +4209,13 @@ def q_comb_fusion(sf_dir: str) -> pa.Table:
         ray.data.from_arrow(run_table(tf_ids, tf_scores)),
     ]
     fused = comb_fuse_runs(runs).to_pandas()
+    if len(fused) == 0:
+        # Ray 2.49: empty aggregate -> zero-column frame; emit typed empty
+        empty = pa.array([], pa.int64())
+        return pa.table(
+            {"doc": empty, "n_runs": empty, "combsum_micros": empty,
+             "combmnz_micros": empty}
+        )
     fused = fused.sort_values(
         ["combmnz_micros", "doc"], ascending=[False, True], ignore_index=True
     )
@@ -4231,6 +4238,44 @@ def q_qpp_predictors(sf_dir: str) -> pa.Table:
 
     index_dir = documents_index_dir(sf_dir, OPT_NOSTEM)
     return qpp_predictors(index_dir, [t for t, _ in BM25_QUERY])
+
+
+def q_qpp_post(sf_dir: str) -> pa.Table:
+    """Post-retrieval QPP (NQC + WIG) over the standard BM25 ranking:
+    integer micros sums over the top-10 and full candidate set, float
+    predictors composed from those integers with correctly-rounded IEEE
+    ops only (/, *, sqrt) so the micros are SQL-reproducible."""
+    from search_engine_ray.engine.qpp import qpp_post
+
+    return qpp_post(_reader(sf_dir), BM25_QUERY, k=10)
+
+
+def q_pivoted_top10(sf_dir: str) -> pa.Table:
+    """Pivoted length normalization VSM (Singhal/Buckley/Mitra SIGIR'96,
+    scorer #7) — run through the PUBLIC scorer registry like lmd_top10;
+    the registry result is asserted rank-identical to the direct f64
+    path inside the query."""
+    from search_engine_ray.engine import search as _search_mod
+    from search_engine_ray.engine.search import register_scorer, score_topic
+    from search_engine_ray.pipelines import pivoted_scores_f64
+
+    r = _reader(sf_dir)
+    ids, scores = pivoted_scores_f64(r, BM25_QUERY, s=0.2)
+    ids, scores = ids[:10], scores[:10]
+    register_scorer(
+        "pivoted", lambda rd, kw, p, k: (lambda t: (t[0][:k], t[1][:k]))(
+            pivoted_scores_f64(rd, kw, s=0.2)
+        )
+    )
+    try:
+        reg_ids, _ = score_topic(r, BM25_QUERY, scorer="pivoted", k=10)
+        assert reg_ids.tolist() == ids.tolist(), "registry path diverged"
+    finally:
+        _search_mod._CUSTOM_SCORERS.pop("pivoted", None)
+    doc_ids = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids), "score_micros": pa.array(_micros(scores))}
+    )
 
 
 def q_unigram_lm(sf_dir: str) -> pa.Table:
@@ -6445,6 +6490,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ltr_features": q_ltr_features,
         "comb_fusion": q_comb_fusion,
         "qpp_predictors": q_qpp_predictors,
+        "qpp_post": q_qpp_post,
+        "pivoted_top10": q_pivoted_top10,
     }
 
 
@@ -8974,6 +9021,62 @@ def oracle_sql() -> dict[str, str]:
                    {_SQL_MICROS.format(expr="ln((st.n - agg.df + 0.5) / (agg.df + 0.5))")} AS idf_micros,
                    {_SQL_MICROS.format(expr="(1 + ln(CAST(agg.cf AS DOUBLE))) * ln(1 + CAST(st.n AS DOUBLE) / agg.df)")} AS scq_micros
             FROM agg CROSS JOIN st ORDER BY term
+        """,
+        # Post-retrieval QPP: integer micros sums (exact) + NQC/WIG
+        # composed from those integers with correctly-rounded IEEE ops
+        # only (no transcendentals), token-for-token as engine/qpp.py.
+        # Top-10 cut on (micros desc, doc asc) — same key both sides.
+        "qpp_post": f"""
+            WITH {_TOKS},
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+            tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks
+                   WHERE t IN ('spark','hash','join') GROUP BY doc_id, t),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            bm AS (
+              SELECT tf.doc_id,
+                     SUM( ln((st.n - df.df + 0.5) / (df.df + 0.5))
+                          * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) ) AS score
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+              GROUP BY tf.doc_id
+            ),
+            mic AS (SELECT doc_id, {_SQL_MICROS.format(expr="score")} AS s FROM bm),
+            ranked AS (SELECT s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r FROM mic),
+            sums AS (
+              SELECT CAST(COALESCE(SUM(CASE WHEN r <= 10 THEN 1 ELSE 0 END), 0) AS BIGINT) AS k,
+                     CAST(COUNT(*) AS BIGINT) AS n_scored,
+                     CAST(COALESCE(SUM(CASE WHEN r <= 10 THEN s ELSE 0 END), 0) AS BIGINT) AS sum_topk_micros,
+                     CAST(COALESCE(SUM(CASE WHEN r <= 10 THEN s * s ELSE 0 END), 0) AS BIGINT) AS sumsq_topk_micros,
+                     CAST(COALESCE(SUM(s), 0) AS BIGINT) AS sum_all_micros
+              FROM ranked
+            )
+            SELECT k, n_scored, sum_topk_micros, sumsq_topk_micros, sum_all_micros,
+                   {_SQL_MICROS.format(expr="CASE WHEN k > 0 AND n_scored > 0 AND abs(sum_all_micros * 1.0 / n_scored) > 0 THEN sqrt(greatest(sumsq_topk_micros * 1.0 / k - (sum_topk_micros * 1.0 / k) * (sum_topk_micros * 1.0 / k), 0.0)) / abs(sum_all_micros * 1.0 / n_scored) ELSE 0.0 END")} AS nqc_micros,
+                   {_SQL_MICROS.format(expr="CASE WHEN k > 0 AND n_scored > 0 THEN (sum_topk_micros * 1.0 / k - sum_all_micros * 1.0 / n_scored) / 1000000.0 / sqrt(3.0) ELSE 0.0 END")} AS wig_micros
+            FROM sums
+        """,
+        # Pivoted length normalization VSM (SIGIR'96), s = 0.2
+        "pivoted_top10": f"""
+            WITH {_TOKS},
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+            tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks
+                   WHERE t IN ('spark','hash','join') GROUP BY doc_id, t),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            sc AS (
+              SELECT tf.doc_id,
+                     SUM( (1 + ln(1 + ln(tf.tf)))
+                          / ((1 - 0.2) + 0.2 * (dl.dl / st.avgdl))
+                          * ln((st.n + 1.0) / df.df) ) AS score
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+              GROUP BY tf.doc_id
+            ),
+            ranked AS (SELECT doc_id, score,
+                              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM sc)
+            SELECT doc_id, {_SQL_MICROS.format(expr="score")} AS score_micros
+            FROM ranked WHERE r <= 10
         """,
         "table_profile": """
             SELECT 'event_id' AS col, count(*) AS n,

@@ -551,12 +551,17 @@ def cmd_query(args: argparse.Namespace) -> int:
                 {"rank": rank, "doc": str(reader.doc_names[d]), "score": float(s)}
             ))
         return 0
-    if args.scorer in ("lmd", "lmjm", "bm25plus"):
+    if args.scorer in ("lmd", "lmjm", "bm25plus", "pivoted"):
         from .engine.search import register_scorer
-        from .pipelines import bm25plus_scores_f64, lmd_scores_f64, lmjm_scores_f64
+        from .pipelines import (
+            bm25plus_scores_f64,
+            lmd_scores_f64,
+            lmjm_scores_f64,
+            pivoted_scores_f64,
+        )
 
         fn = {"lmd": lmd_scores_f64, "lmjm": lmjm_scores_f64,
-              "bm25plus": bm25plus_scores_f64}[args.scorer]
+              "bm25plus": bm25plus_scores_f64, "pivoted": pivoted_scores_f64}[args.scorer]
         register_scorer(
             args.scorer,
             lambda rd, kw, p, k: (lambda t: (t[0][:k], t[1][:k]))(fn(rd, kw)),
@@ -651,6 +656,58 @@ def cmd_positions(args: argparse.Namespace) -> int:
         codec=getattr(args, "codec", "vbyte"),
     )
     print(json.dumps(stats))
+    return 0
+
+
+def cmd_qpp(args: argparse.Namespace) -> int:
+    """Query-performance prediction: one JSON line per query term with
+    the pre-retrieval predictors (df, cf, idf, SCQ — engine/qpp.py),
+    then one summary line with the post-retrieval NQC/WIG over the BM25
+    top-k.  The routing tool: rank incoming queries by expected
+    difficulty before (or cheaply after) running them."""
+    import json as _json
+
+    import ray
+
+    stats_path = os.path.join(args.index_dir, "stats.json")
+    if not os.path.exists(stats_path):
+        print(f"error: {args.index_dir} is not a built index", file=sys.stderr)
+        return 2
+    from .engine.index_reader import IndexReader
+    from .engine.qpp import qpp_post, qpp_predictors
+    from .text.tokenizer import normalize_query_word, split_query_line
+
+    with open(stats_path) as fh:
+        stats = json.load(fh)
+    opts = IndexOptions.from_dict(stats["options"])
+    terms, seen = [], {}
+    for w in split_query_line(args.query):
+        t = normalize_query_word(
+            w, case_folding=opts.case_folding,
+            remove_stopwords=opts.remove_stopwords, stemming=opts.stemming,
+        )
+        if not t:
+            continue
+        if t in seen:
+            seen[t] += 1
+        else:
+            seen[t] = 1
+            terms.append(t)
+    if not terms:
+        print(_json.dumps({"error": "no index terms in query"}))
+        return 0
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=args.num_cpus,
+            include_dashboard=False, logging_level="ERROR",
+        )
+    pre = qpp_predictors(args.index_dir, terms).to_pylist()
+    for row in pre:
+        print(_json.dumps(row))
+    if not args.no_post:
+        keywords = [(t, seen[t]) for t in terms]
+        post = qpp_post(IndexReader(args.index_dir), keywords, k=args.k).to_pylist()[0]
+        print(_json.dumps(post))
     return 0
 
 
@@ -816,6 +873,17 @@ def main(argv: list[str] | None = None) -> int:
     pt.add_argument("--stopword-df-threshold", type=int, default=100_000)
     pt.set_defaults(fn=cmd_stats)
 
+    pqp = sub.add_parser(
+        "qpp", help="query-performance prediction (pre: idf/SCQ; post: NQC/WIG)"
+    )
+    pqp.add_argument("index_dir")
+    pqp.add_argument("query")
+    pqp.add_argument("--k", type=int, default=10)
+    pqp.add_argument("--no-post", action="store_true",
+                     help="skip the post-retrieval (scoring) pass")
+    pqp.add_argument("--num-cpus", type=int, default=4)
+    pqp.set_defaults(fn=cmd_qpp)
+
     pc_ = sub.add_parser("compact", help="rewrite the index without tombstoned docs")
     pc_.add_argument("index_dir")
     pc_.add_argument("out_dir")
@@ -887,7 +955,7 @@ def main(argv: list[str] | None = None) -> int:
     pq_.add_argument("index_dir")
     pq_.add_argument("query")
     pq_.add_argument("--scorer", default="bm25",
-                     choices=["bm25", "tfidf", "bm25adpt", "lmd", "lmjm", "bm25plus"])
+                     choices=["bm25", "tfidf", "bm25adpt", "lmd", "lmjm", "bm25plus", "pivoted"])
     pq_.add_argument("--method", default="auto", choices=["auto", "taat", "wand", "maxscore"])
     pq_.add_argument("--boolean", choices=["and", "or"], default=None)
     pq_.add_argument("--ranked-and", action="store_true",

@@ -141,12 +141,16 @@ def comb_fuse_runs(
         )
         .to_pandas()  # <= n_runs * n_topics rows — bounded by construction
     )
-    mnmx = {
-        (int(r), t): (int(mn), int(mx))
-        for r, t, mn, mx in zip(
-            extrema["run_id"], extrema[topic_column], extrema["mn"], extrema["mx"]
-        )
-    }
+    # Ray 2.49: an all-empty aggregate collects to a ZERO-COLUMN frame
+    if len(extrema) == 0 or "run_id" not in extrema.columns:
+        mnmx = {}
+    else:
+        mnmx = {
+            (int(r), t): (int(mn), int(mx))
+            for r, t, mn, mx in zip(
+                extrema["run_id"], extrema[topic_column], extrema["mn"], extrema["mx"]
+            )
+        }
 
     def normalize(batch: pa.Table) -> pa.Table:
         rid = np.asarray(batch["run_id"], dtype=np.int64)

@@ -99,8 +99,21 @@ def qpp_predictors(index_dir: str, terms: list[str]) -> pa.Table:
         .groupby("term")
         .aggregate(Sum("df_part", alias_name="df"), Sum("cf_part", alias_name="cf"))
     )
-    # <= |query terms| rows by construction — a bounded driver collect
-    tbl = agg.to_pandas().sort_values("term", ignore_index=True)
+    # <= |query terms| rows by construction — a bounded driver collect.
+    # Ray 2.49 wart: an all-empty aggregate collects to a ZERO-COLUMN
+    # frame (see ioutil.nonempty_blocks) — emit the typed empty table.
+    tbl = agg.to_pandas()
+    if len(tbl) == 0:
+        return pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "df": pa.array([], pa.int64()),
+                "cf": pa.array([], pa.int64()),
+                "idf_micros": pa.array([], pa.int64()),
+                "scq_micros": pa.array([], pa.int64()),
+            }
+        )
+    tbl = tbl.sort_values("term", ignore_index=True)
     df = np.asarray(tbl["df"], dtype=np.int64)
     cf = np.asarray(tbl["cf"], dtype=np.int64)
     # float64 compositions written to match the SQL oracle token-for-token
@@ -115,5 +128,78 @@ def qpp_predictors(index_dir: str, terms: list[str]) -> pa.Table:
             "cf": pa.array(cf),
             "idf_micros": pa.array(_micros(idf)),
             "scq_micros": pa.array(_micros(scq)),
+        }
+    )
+
+
+def qpp_post(reader, keywords: list[tuple[str, int]], k: int = 10) -> pa.Table:
+    """Post-retrieval QPP over a BM25 ranking (Zhou & Croft family).
+
+    Runs the f64 BM25 twin over ``keywords``, converts scores to the
+    engine-wide integer micros, cuts the top-``k`` under (micros desc,
+    numeric docID asc), and emits ONE row:
+
+    ``k, n_scored, sum_topk_micros, sumsq_topk_micros, sum_all_micros``
+    (all integer-exact) plus two float-composed predictors:
+
+    - ``nqc_micros`` — Normalized Query Commitment (Shtok, Kurland &
+      Carmel 2009): std-dev of the top-k scores normalized by |mean
+      score of the full candidate set| (the collection-score proxy
+      computable from the same pass).
+    - ``wig_micros`` — Weighted Information Gain (Zhou & Croft, SIGIR
+      2007): (mean top-k - mean all) / sqrt(|q|).
+
+    Every float op composes from the integer sums with correctly-rounded
+    IEEE ops only (/, *, sqrt — no transcendentals), so the micros are
+    bit-reproducible against any SQL engine fed the same integers.
+
+    Scale shape: the scoring pass is the standard per-shard kernel; the
+    fold to five integers happens on the candidate arrays the scorer
+    already returned — nothing new materializes.
+    """
+    from ..pipelines import bm25_scores_f64
+
+    ids, scores = bm25_scores_f64(reader, keywords)
+    m = _micros(scores)
+    # tie-break the top-k cut on NUMERIC doc name when names are numeric
+    # (aligns with the SQL oracle's ORDER BY doc_id); fall back to the
+    # engine ordinal for non-numeric corpora (URL names) — ties at the
+    # k boundary shift only which equal-score docs enter the sums
+    try:
+        docs = np.asarray([int(reader.doc_names[d]) for d in ids], dtype=np.int64)
+    except ValueError:
+        docs = np.asarray(ids, dtype=np.int64)
+    order = np.lexsort((docs, -m))
+    m = m[order]
+    kk = min(k, len(m))
+    top = m[:kk].tolist()
+    n_scored = int(len(m))
+    # exact Python-int sums: numpy int64 squares overflow silently at
+    # large k x score scales; SQL's SUM widens to int128 the same way
+    sum_topk = sum(top)
+    sumsq_topk = sum(x * x for x in top)
+    sum_all = int(m.sum())
+
+    if kk == 0 or n_scored == 0:
+        nqc = wig = 0.0
+    else:
+        # float64 FIRST (SQL's BIGINT*1.0), then correctly-rounded / * sqrt
+        mean_topk = float(sum_topk) / kk
+        mean_all = float(sum_all) / n_scored
+        var = float(sumsq_topk) / kk - mean_topk * mean_topk
+        denom = abs(mean_all)
+        nqc = np.sqrt(max(var, 0.0)) / denom if denom > 0 else 0.0
+        # back to score units (micros/1e6) so wig_micros is micros OF A
+        # SCORE difference, not micros of micros
+        wig = (mean_topk - mean_all) / 1_000_000.0 / np.sqrt(float(len(keywords)))
+    return pa.table(
+        {
+            "k": pa.array([kk], pa.int64()),
+            "n_scored": pa.array([n_scored], pa.int64()),
+            "sum_topk_micros": pa.array([sum_topk], pa.int64()),
+            "sumsq_topk_micros": pa.array([sumsq_topk], pa.int64()),
+            "sum_all_micros": pa.array([sum_all], pa.int64()),
+            "nqc_micros": pa.array(_micros(np.array([nqc]))),
+            "wig_micros": pa.array(_micros(np.array([wig]))),
         }
     )

@@ -885,6 +885,44 @@ def lmjm_scores_f64(
     return cand[order], scores[cand][order]
 
 
+def pivoted_scores_f64(
+    reader: IndexReader,
+    keywords: list[tuple[str, int]],
+    s: float = 0.2,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pivoted length normalization VSM (Singhal, Buckley & Mitra,
+    SIGIR 1996) — the scorer that preceded BM25 as the SMART default and
+    still anchors the dampened-tf family:
+
+        score(d) = sum_{t in q and d} qtf_t
+                   * (1 + ln(1 + ln(tf))) / ((1 - s) + s * dl/avgdl)
+                   * ln((N + 1) / df_t)
+
+    The double-log tf dampening and the pivot ``s`` (slope, default 0.2
+    per the paper) are written exactly as published; idf uses the
+    (N+1)/df form so single-doc terms still contribute.  Ties ->
+    ascending docID.  Registered as scorer 'pivoted' via
+    engine.search.register_scorer (extension surface, SURVEY §2.10;
+    reference scorer classes at /root/reference/src/Querying/Scorer.cs)."""
+    n = reader.n_docs
+    avgdl = reader.avgdl
+    scores = np.zeros(n, dtype=np.float64)
+    touched = np.zeros(n, dtype=bool)
+    for term, qtf in keywords:
+        tp = reader.postings(term)
+        if tp is None:
+            continue
+        ids, tfs, dls = tp.arrays()
+        idf = np.log((n + 1.0) / tp.df)
+        dampened = 1.0 + np.log(1.0 + np.log(tfs.astype(np.float64)))
+        pivot = (1.0 - s) + s * (dls / avgdl)
+        scores[ids] += qtf * (dampened / pivot) * idf
+        touched[ids] = True
+    cand = np.flatnonzero(touched)
+    order = np.lexsort((cand, -scores[cand]))
+    return cand[order], scores[cand][order]
+
+
 def prior_boosted_bm25_f64(
     reader: IndexReader,
     keywords: list[tuple[str, int]],

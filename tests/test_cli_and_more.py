@@ -342,3 +342,37 @@ def test_cli_query_facets_collapse_prf(ray_session, tmp_path):
     prf = run("query", idx, "beta", "--prf", "2",
               "--docs-table", f"{corpus}/docs.parquet", "--num-cpus", "2")
     assert "expansion_terms" in prf[0] and len(prf) > 1
+
+
+def test_cli_qpp(cli_corpus, capsys, ray_session):
+    """qpp verb: per-term pre-retrieval lines sorted by term, then one
+    post-retrieval summary row; absent terms silently dropped; --no-post
+    skips the scoring pass."""
+    index_dir = f"{BASE}/index-qpp"
+    rc = main(["index", cli_corpus, index_dir,
+               "IndexOptions(CaseFolding,RemoveStopWords)", "--overwrite"])
+    assert rc == 0
+    capsys.readouterr()
+
+    reader = IndexReader(index_dir)
+    vocab = sorted(reader._df, key=lambda t: -reader._df[t])
+    t1, t2 = vocab[0], vocab[1]
+
+    assert main(["qpp", index_dir, f"{t1} {t2} zzznotaterm"]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    pre, post = lines[:-1], lines[-1]
+    assert [r["term"] for r in pre] == sorted([t1, t2])
+    for r in pre:
+        assert r["df"] == reader._df[r["term"]]
+        assert r["cf"] >= r["df"]
+    assert post["k"] <= 10 and post["n_scored"] >= post["k"]
+    assert post["sum_all_micros"] is not None
+
+    assert main(["qpp", index_dir, t1, "--no-post"]) == 0
+    only_pre = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(only_pre) == 1 and only_pre[0]["term"] == t1
+
+    # all-stopword / unindexable query
+    assert main(["qpp", index_dir, "zzznotaterm"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == [] or json.loads(out[-1])["n_scored"] == 0

@@ -121,6 +121,11 @@ CHECKED = [
     "winnow_fingerprints",
     "sdm_top10",
     "percolate_phrases",
+    # r5: fusion + QPP (degenerate zero-candidate rankings must agree)
+    "comb_fusion",
+    "qpp_predictors",
+    "qpp_post",
+    "pivoted_top10",
 ]
 
 

@@ -900,3 +900,137 @@ def test_bm25_proximity_boosted(ray_session, tmp_path):
     assert abs(base[0] - base[1]) < 1e-9
     assert boosted[0] > boosted[1]
     assert int(r.doc_names[p_ids[0]]) == 0
+
+
+def test_pivoted_scorer_matches_brute_force(ray_session, tmp_path):
+    """Pivoted length normalization VSM equals a from-the-raw-text brute
+    force, and the public scorer registry routes to it."""
+    import math
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from search_engine_ray.config import BuildConfig, IndexOptions
+    from search_engine_ray.engine.build import build_index
+    from search_engine_ray.engine.index_reader import IndexReader
+    from search_engine_ray.engine.search import register_scorer, score_topic
+    from search_engine_ray.pipelines import pivoted_scores_f64
+
+    texts = [
+        "alpha beta alpha", "alpha gamma", "beta gamma gamma", "delta epsilon",
+        "alpha beta gamma delta", "beta beta beta",
+    ]
+    corpus = str(tmp_path / "c")
+    _os.makedirs(corpus)
+    pq_.write_table(
+        pa.table({"doc_id": pa.array(range(6), pa.int64()), "text": pa.array(texts)}),
+        f"{corpus}/d.parquet",
+    )
+    idx = str(tmp_path / "i")
+    build_index(
+        corpus, idx,
+        BuildConfig(block_entries=4, frags_per_shard=2, options=IndexOptions(stemming=False)),
+        overwrite=True, source_column="text", name_column="doc_id",
+    )
+    r = IndexReader(idx)
+    kws = [("alpha", 1), ("beta", 2)]
+    s_slope = 0.2
+    ids, scores = pivoted_scores_f64(r, kws, s=s_slope)
+
+    toks = [t.split() for t in texts]
+    n = len(texts)
+    avgdl = sum(len(t) for t in toks) / n
+    df = {w: sum(1 for t in toks if w in t) for w in ("alpha", "beta")}
+    exp = {}
+    for d, t in enumerate(toks):
+        total = 0.0
+        matched = False
+        for w, qtf in kws:
+            tf = t.count(w)
+            if tf:
+                matched = True
+                dampened = 1.0 + math.log(1.0 + math.log(tf))
+                pivot = (1.0 - s_slope) + s_slope * (len(t) / avgdl)
+                total += qtf * (dampened / pivot) * math.log((n + 1.0) / df[w])
+        if matched:
+            exp[str(d)] = total
+    got = {str(r.doc_names[d]): s for d, s in zip(ids, scores)}
+    assert set(got) == set(exp)
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-12
+    key = [(-s, int(r.doc_names[d])) for d, s in zip(ids, scores)]
+    assert key == sorted(key)
+    register_scorer(
+        "pivoted_test", lambda rd, kw, p, k: pivoted_scores_f64(rd, kw, s=s_slope)
+    )
+    try:
+        reg_ids, _ = score_topic(r, kws, scorer="pivoted_test", k=10)
+        assert reg_ids.tolist() == ids.tolist()[:10]
+    finally:
+        from search_engine_ray.engine import search as _s
+
+        _s._CUSTOM_SCORERS.pop("pivoted_test", None)
+
+
+def test_qpp_post_matches_recompute(ray_session, tmp_path):
+    """qpp_post's integer sums equal a direct recompute from the BM25
+    twin's arrays; NQC/WIG compose from those integers exactly."""
+    import math
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from search_engine_ray.config import BuildConfig, IndexOptions
+    from search_engine_ray.engine.build import build_index
+    from search_engine_ray.engine.index_reader import IndexReader
+    from search_engine_ray.engine.qpp import qpp_post
+    from search_engine_ray.pipelines import bm25_scores_f64
+
+    rng = np.random.default_rng(3)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(3, 12)).tolist())
+        for _ in range(40)
+    ]
+    corpus = str(tmp_path / "c")
+    _os.makedirs(corpus)
+    pq_.write_table(
+        pa.table({"doc_id": pa.array(range(40), pa.int64()), "text": pa.array(texts)}),
+        f"{corpus}/d.parquet",
+    )
+    idx = str(tmp_path / "i")
+    build_index(
+        corpus, idx,
+        BuildConfig(block_entries=8, frags_per_shard=2, options=IndexOptions(stemming=False)),
+        overwrite=True, source_column="text", name_column="doc_id",
+    )
+    r = IndexReader(idx)
+    kws = [("alpha", 1), ("beta", 1)]
+    k = 5
+    row = qpp_post(r, kws, k=k).to_pylist()[0]
+
+    ids, scores = bm25_scores_f64(r, kws)
+    m = np.floor(scores * 1e6 + 0.5).astype(np.int64)
+    docs = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    order = np.lexsort((docs, -m))
+    m = m[order]
+    top = m[:k].tolist()
+    assert row["k"] == k
+    assert row["n_scored"] == len(m)
+    assert row["sum_topk_micros"] == sum(top)
+    assert row["sumsq_topk_micros"] == sum(x * x for x in top)
+    assert row["sum_all_micros"] == int(m.sum())
+    mean_topk = float(sum(top)) / k
+    mean_all = float(m.sum()) / len(m)
+    var = float(sum(x * x for x in top)) / k - mean_topk * mean_topk
+    nqc = math.sqrt(max(var, 0.0)) / abs(mean_all) if abs(mean_all) > 0 else 0.0
+    wig = (mean_topk - mean_all) / 1_000_000.0 / math.sqrt(2.0)
+    assert row["nqc_micros"] == int(np.floor(nqc * 1e6 + 0.5))
+    assert row["wig_micros"] == int(np.floor(wig * 1e6 + 0.5))
+
+    # k larger than the candidate set degrades gracefully
+    row_all = qpp_post(r, kws, k=10_000).to_pylist()[0]
+    assert row_all["k"] == row_all["n_scored"] == len(m)
+    assert row_all["sum_topk_micros"] == row_all["sum_all_micros"]
