@@ -3028,6 +3028,120 @@ def _run_agreement_oracle_sql() -> str:
     return "".join(parts)
 
 
+def q_rbo(sf_dir: str) -> pa.Table:
+    """Rank-biased overlap (Webber/Moffat/Zobel TOIS'10) between the
+    BM25 and TF-IDF top-10 rankings per eval topic — the top-weighted
+    rank-similarity metric beside run_agreement's Kendall/footrule.
+    rbo_scaled is the lcm(1..k)*p_den^(k-1)-scaled integer sum (exact);
+    rbo_micros is one float division of two exact int64s."""
+    import ray.data
+
+    from search_engine_ray.engine.evaluate import rbo_overlap
+    from search_engine_ray.pipelines import bm25_scores_f64, tfidf_scores_f64
+
+    r = _reader(sf_dir)
+    runs = {"a": {"topic": [], "doc_id": [], "rank": []},
+            "b": {"topic": [], "doc_id": [], "rank": []}}
+    for tid, terms in _EVAL_TOPICS.items():
+        for side, fn in (("a", bm25_scores_f64), ("b", tfidf_scores_f64)):
+            ids, _ = fn(r, [(t, 1) for t in terms])
+            for rank, d in enumerate(ids[:10], start=1):
+                runs[side]["topic"].append(tid)
+                runs[side]["doc_id"].append(int(r.doc_names[d]))
+                runs[side]["rank"].append(rank)
+    mk = lambda d: ray.data.from_arrow(
+        pa.table({c: pa.array(v, pa.int64()) for c, v in d.items()})
+    )
+    out = rbo_overlap(mk(runs["a"]), mk(runs["b"]), k=10).to_pandas()
+    out = out.sort_values("topic", ignore_index=True)
+    return pa.table(
+        {c: pa.array(out[c].to_numpy(np.int64)) for c in
+         ("topic", "n_common", "rbo_scaled", "rbo_micros")}
+    )
+
+
+def _rbo_oracle_sql(k: int = 10, p_num: int = 9, p_den: int = 10) -> str:
+    """Per-topic BM25 + TF-IDF ranking CTEs (run_agreement's machinery),
+    then the exact-integer RBO: overlap depths from max(rank_a, rank_b),
+    coefficient table (lcm(1..k)//d * p_num^(d-1) * p_den^(k-d))
+    precomputed HERE in exact Python ints and inlined as VALUES, so the
+    SQL side never touches floating-point pow."""
+    import math as _math
+
+    L = _math.lcm(*range(1, k + 1))
+    denom = L * p_den**k
+    coefs = ", ".join(
+        f"({d}, {(L // d) * p_num ** (d - 1) * p_den ** (k - d)})"
+        for d in range(1, k + 1)
+    )
+    parts = [f"WITH {_TOKS},"]
+    parts.append("""
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM toks) * 1.0
+                            / (SELECT count(*) FROM documents) AS avgdl),""")
+    sel_a, sel_b = [], []
+    for tid, terms in _EVAL_TOPICS.items():
+        tl = ",".join("'" + t + "'" for t in terms)
+        parts.append(f"""
+            tf{tid} AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks
+                        WHERE t IN ({tl}) GROUP BY doc_id, t),
+            df{tid} AS (SELECT term, count(*) AS df FROM tf{tid} GROUP BY term),
+            scA{tid} AS (
+              SELECT tf{tid}.doc_id,
+                     SUM( ln((st.n - df{tid}.df + 0.5) / (df{tid}.df + 0.5))
+                          * (tf{tid}.tf * (1.2 + 1))
+                          / (tf{tid}.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) )
+                       AS score
+              FROM tf{tid} JOIN df{tid} USING (term) JOIN dl USING (doc_id)
+                   CROSS JOIN st
+              GROUP BY tf{tid}.doc_id
+            ),
+            scB{tid} AS (
+              SELECT tf{tid}.doc_id,
+                     SUM( ln(1 + tf{tid}.tf) * ln(CAST(st.n // df{tid}.df AS DOUBLE)) )
+                       AS score
+              FROM tf{tid} JOIN df{tid} USING (term) CROSS JOIN st
+              GROUP BY tf{tid}.doc_id
+            ),
+            rkA{tid} AS (SELECT doc_id,
+                                row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+                         FROM scA{tid}),
+            rkB{tid} AS (SELECT doc_id,
+                                row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+                         FROM scB{tid}),""")
+        sel_a.append(
+            f"SELECT {tid} AS topic, doc_id, r AS rank FROM rkA{tid} WHERE r <= {k}"
+        )
+        sel_b.append(
+            f"SELECT {tid} AS topic, doc_id, r AS rank FROM rkB{tid} WHERE r <= {k}"
+        )
+    parts.append(f"""
+            runA AS ({' UNION ALL '.join(sel_a)}),
+            runB AS ({' UNION ALL '.join(sel_b)}),
+            com AS (
+              SELECT a.topic, greatest(a.rank, b.rank) AS md
+              FROM runA a JOIN runB b
+                ON a.topic = b.topic AND a.doc_id = b.doc_id),
+            coefs(d, c) AS (VALUES {coefs}),
+            agg AS (
+              SELECT com.topic,
+                     SUM(CASE WHEN com.md <= coefs.d AND coefs.d = {k}
+                              THEN 1 ELSE 0 END) AS n_common,
+                     SUM(CASE WHEN com.md <= coefs.d THEN coefs.c ELSE 0 END)
+                       AS rbo_scaled
+              FROM com CROSS JOIN coefs
+              GROUP BY com.topic),
+            uni AS (SELECT topic FROM runA UNION SELECT topic FROM runB)
+            SELECT CAST(uni.topic AS BIGINT) AS topic,
+                   CAST(COALESCE(agg.n_common, 0) AS BIGINT) AS n_common,
+                   CAST(COALESCE(agg.rbo_scaled, 0) AS BIGINT) AS rbo_scaled,
+                   {_SQL_MICROS.format(expr=f"CAST(COALESCE(agg.rbo_scaled, 0) AS DOUBLE) * {p_den - p_num} / {denom}.0")} AS rbo_micros
+            FROM uni LEFT JOIN agg ON agg.topic = uni.topic
+            ORDER BY uni.topic""")
+    return "".join(parts)
+
+
 def _trec_eval_oracle_sql() -> str:
     """Per-topic BM25 ranking + qrels CTEs (uniquely named per topic),
     UNION ALL'd, then the integer window-function eval."""
@@ -6481,6 +6595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "sdm_top10": q_sdm_top10,
         "run_agreement": q_run_agreement,
+        "rbo": q_rbo,
         # rows-only: binary video payloads; luma self-check asserted in-gate
         "video_features": q_video_features,
         "bm25_term_sharded_top10": q_bm25_term_sharded_top10,
@@ -8895,6 +9010,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "trec_eval": _trec_eval_oracle_sql(),
         "run_agreement": _run_agreement_oracle_sql(),
+        "rbo": _rbo_oracle_sql(),
         "percolate_phrases": _percolate_phrases_sql(),
         "facet_ranges": _facet_ranges_sql(),
         # CORI resource selection over 4 round-robin shards (doc_id % 4):

@@ -28,6 +28,8 @@ exchange.  Output is one row per topic appearing in run or qrels.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 import ray.data
@@ -373,5 +375,184 @@ def run_agreement(
             col = batch[c] if c in batch.column_names else z
             cols[c] = pc.fill_null(col.cast(pa.int64()), 0)
         return pa.table(cols)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def rbo_overlap(
+    run_a: ray.data.Dataset,
+    run_b: ray.data.Dataset,
+    k: int = 10,
+    p_num: int = 9,
+    p_den: int = 10,
+    join_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010) between
+    two runs — the TOP-WEIGHTED rank-similarity metric run_agreement's
+    Kendall/footrule columns are not: early-rank disagreement costs more
+    than tail disagreement, with persistence ``p = p_num/p_den``.
+
+    Prefix (depth-k, "min"-variant) RBO per topic:
+
+        RBO@k = (1 - p) * sum_{d=1..k} p^(d-1) * overlap_d / d
+
+    where overlap_d = |top-d(A) intersect top-d(B)|.  With rational p
+    the whole sum is INTEGER-exact when scaled by lcm(1..k) * p_den^(k-1):
+
+        rbo_scaled = sum_d (L//d) * p_num^(d-1) * p_den^(k-d) * overlap_d
+
+    (L = lcm(1..k)); the emitted ``rbo_micros`` is one correctly-rounded
+    float division of two exact int64s, so any SQL engine reproduces it
+    bit-for-bit.  k is capped so the scale factor stays in int64.
+
+    Output: Dataset(topic, n_common, rbo_scaled, rbo_micros) for every
+    topic present in either run (zero rows for disjoint prefixes).
+    Shape: identical to run_agreement — per-side rank<=k filters, ONE
+    (topic, doc_id) hash join, bucketed per-topic vectorized folds;
+    nothing larger than the run prefixes moves.
+    """
+    if k < 1:
+        raise ValueError(f"rbo_overlap: k must be >= 1 (got {k})")
+    if not (0 < p_num < p_den):
+        raise ValueError(f"rbo_overlap: need 0 < p_num < p_den (got {p_num}/{p_den})")
+    L = math.lcm(*range(1, k + 1))
+    denom = L * p_den**k
+    # max rbo_scaled <= L * k * p_den^(k-1) * k; keep everything int64
+    if denom > 2**52 or L * p_den ** (k - 1) * k * k > 2**62:
+        raise ValueError(f"rbo_overlap: k={k} overflows the exact scale factor")
+    coef = [
+        (L // d) * p_num ** (d - 1) * p_den ** (k - d) for d in range(1, k + 1)
+    ]
+    coef_arr = np.asarray(coef, dtype=np.int64)
+
+    from ray.data.aggregate import Count as _Count
+
+    from ..ioutil import nonempty_blocks
+
+    def prefix(ds, rank_name):
+        def f(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            b = batch.filter(pc.less_equal(batch["rank"], k))
+            return pa.table(
+                {"topic": b["topic"], "doc_id": b["doc_id"], rank_name: b["rank"]}
+            )
+
+        return ds.select_columns(["topic", "doc_id", "rank"]).map_batches(
+            f, batch_format="pyarrow"
+        )
+
+    a = prefix(run_a, "rank_a").materialize()
+    b = prefix(run_b, "rank_b").materialize()
+    jp = _join_parts(join_partitions)
+    topics_a = a.groupby("topic").aggregate(_Count(alias_name="n_a"))
+    topics_b = b.groupby("topic").aggregate(_Count(alias_name="n_b"))
+    universe = nonempty_blocks(
+        topics_a.join(topics_b, "full_outer", jp, on=("topic",), right_on=("topic",))
+        .select_columns(["topic"])
+        .materialize()
+    )
+    common = nonempty_blocks(
+        a.join(b, "inner", jp, on=("topic", "doc_id"), right_on=("topic", "doc_id"))
+        .materialize()
+    )
+
+    def fold(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "topic": pa.array([], pa.int64()),
+                "n_common": pa.array([], pa.int64()),
+                "rbo_scaled": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        t = np.asarray(group["topic"], dtype=np.int64)
+        md = np.maximum(
+            np.asarray(group["rank_a"], dtype=np.int64),
+            np.asarray(group["rank_b"], dtype=np.int64),
+        )
+        topics = np.unique(t)
+        rows = []
+        for tid in topics:
+            m = t == tid
+            # overlap_d = #common docs with max(rank_a, rank_b) <= d
+            counts = np.bincount(md[m], minlength=k + 1)[1 : k + 1]
+            overlap = np.cumsum(counts)
+            rows.append(
+                (int(tid), int(overlap[-1]), int(np.dot(coef_arr, overlap)))
+            )
+        cols = list(zip(*rows))
+        return pa.table(
+            {
+                "topic": pa.array(list(cols[0]), pa.int64()),
+                "n_common": pa.array(list(cols[1]), pa.int64()),
+                "rbo_scaled": pa.array(list(cols[2]), pa.int64()),
+            }
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        bkt = _bucket_of(np.asarray(batch["topic"], dtype=np.int64), 256)
+        return batch.append_column("_bucket", pa.array(bkt.astype(np.int64)))
+
+    if universe is None:  # both runs empty
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "topic": pa.array([], pa.int64()),
+                    "n_common": pa.array([], pa.int64()),
+                    "rbo_scaled": pa.array([], pa.int64()),
+                    "rbo_micros": pa.array([], pa.int64()),
+                }
+            )
+        )
+    per_topic = (
+        nonempty_blocks(
+            common.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(fold, batch_format="pyarrow")
+            .materialize()
+        )
+        if common is not None
+        else None
+    )
+    if per_topic is None:  # disjoint prefixes: all-zero rows for all topics
+        out = universe
+    else:
+        out = universe.join(
+            per_topic, "left_outer", jp, on=("topic",), right_on=("topic",)
+        )
+    scale = float((p_den - p_num))
+    fdenom = float(denom)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = batch.num_rows
+        z = pa.array(np.zeros(n, dtype=np.int64))
+        nc = pc.fill_null(
+            (batch["n_common"] if "n_common" in batch.column_names else z).cast(
+                pa.int64()
+            ),
+            0,
+        )
+        rs = pc.fill_null(
+            (batch["rbo_scaled"] if "rbo_scaled" in batch.column_names else z).cast(
+                pa.int64()
+            ),
+            0,
+        )
+        rs_np = np.asarray(rs, dtype=np.int64)
+        rbo = rs_np.astype(np.float64) * scale / fdenom
+        return pa.table(
+            {
+                "topic": batch["topic"].cast(pa.int64()),
+                "n_common": nc,
+                "rbo_scaled": rs,
+                "rbo_micros": pa.array(
+                    np.floor(rbo * 1_000_000.0 + 0.5).astype(np.int64)
+                ),
+            }
+        )
 
     return out.map_batches(finish, batch_format="pyarrow")

@@ -243,3 +243,89 @@ def test_run_agreement_k_prefix_and_validation(ray_session):
     assert got["n_a"].tolist() == [2] and got["n_b"].tolist() == [2]
     with pytest.raises(ValueError):
         run_agreement(a, b, k=0)
+
+
+def _brute_rbo(ranks_a, ranks_b, k=10, p=0.9):
+    """ranks_*: {doc: rank}; prefix ('min') RBO at depth k."""
+    total = 0.0
+    for d in range(1, k + 1):
+        ov = sum(
+            1
+            for doc, ra in ranks_a.items()
+            if ra <= d and ranks_b.get(doc, k + 1) <= d
+        )
+        total += p ** (d - 1) * ov / d
+    return (1 - p) * total
+
+
+def test_rbo_overlap_matches_brute(ray_session):
+    from search_engine_ray.engine.evaluate import rbo_overlap
+
+    rng = np.random.default_rng(7)
+    per_topic = {}
+    tbls_a, tbls_b = [], []
+    for tid in (1, 2, 3):
+        docs = rng.permutation(40)
+        da = {int(d): r for r, d in enumerate(docs[:10], 1)}
+        db = {int(d): r for r, d in enumerate(rng.permutation(docs[:15])[:10], 1)}
+        per_topic[tid] = (da, db)
+        for side, dd in (("a", da), ("b", db)):
+            t = pa.table(
+                {
+                    "topic": pa.array([tid] * len(dd), pa.int64()),
+                    "doc_id": pa.array(list(dd), pa.int64()),
+                    "rank": pa.array(list(dd.values()), pa.int64()),
+                }
+            )
+            (tbls_a if side == "a" else tbls_b).append(t)
+    a = ray.data.from_arrow(pa.concat_tables(tbls_a))
+    b = ray.data.from_arrow(pa.concat_tables(tbls_b))
+    out = rbo_overlap(a, b, k=10).to_pandas().set_index("topic").sort_index()
+    assert out.index.tolist() == [1, 2, 3]
+    for tid, (da, db) in per_topic.items():
+        row = out.loc[tid]
+        exp = _brute_rbo(da, db)
+        got = row["rbo_scaled"] * 1.0 / (2520 * 10**10)  # * (1-p) scale below
+        # rbo_scaled * (p_den-p_num) / (lcm * p_den^k) == brute float RBO
+        assert abs(got - exp) < 1e-9
+        assert row["rbo_micros"] == int(np.floor(got * 1e6 + 0.5))
+        assert row["n_common"] == len(set(da) & set(db))
+
+
+def test_rbo_identical_and_disjoint(ray_session):
+    from search_engine_ray.engine.evaluate import rbo_overlap
+
+    t = pa.table(
+        {
+            "topic": pa.array([1] * 10, pa.int64()),
+            "doc_id": pa.array(list(range(10)), pa.int64()),
+            "rank": pa.array(list(range(1, 11)), pa.int64()),
+        }
+    )
+    u = pa.table(
+        {
+            "topic": pa.array([1] * 10, pa.int64()),
+            "doc_id": pa.array(list(range(100, 110)), pa.int64()),
+            "rank": pa.array(list(range(1, 11)), pa.int64()),
+        }
+    )
+    same = (
+        rbo_overlap(ray.data.from_arrow(t), ray.data.from_arrow(t), k=10)
+        .to_pandas()
+    )
+    # identical rankings: RBO@k = (1-p) * sum p^(d-1) (overlap_d = d)
+    exp = 0.1 * sum(0.9 ** (d - 1) for d in range(1, 11))
+    assert same["rbo_micros"].tolist() == [int(np.floor(exp * 1e6 + 0.5))]
+    disj = (
+        rbo_overlap(ray.data.from_arrow(t), ray.data.from_arrow(u), k=10)
+        .to_pandas()
+    )
+    assert disj["rbo_scaled"].tolist() == [0]
+    assert disj["rbo_micros"].tolist() == [0]
+    assert disj["n_common"].tolist() == [0]
+    with pytest.raises(ValueError):
+        from search_engine_ray.engine.evaluate import rbo_overlap as f
+
+        f(ray.data.from_arrow(t), ray.data.from_arrow(t), k=0)
+    with pytest.raises(ValueError):
+        rbo_overlap(ray.data.from_arrow(t), ray.data.from_arrow(t), k=10, p_num=11)
