@@ -4392,6 +4392,24 @@ def q_pivoted_top10(sf_dir: str) -> pa.Table:
     )
 
 
+def q_feature_hash(sf_dir: str) -> pa.Table:
+    """Hashing-trick feature extraction (dataops/features.py): signed
+    md5be token hashing into 64 buckets, sparse COO output — the
+    vocabulary-free feature step for the linear-model training wing.
+    Integer-exact vs SQL (md5be bucket + sign conventions)."""
+    from search_engine_ray.dataops.features import feature_hash
+
+    out = feature_hash(_docs_ds(sf_dir), dim=64).to_pandas()
+    out = out.sort_values(["doc_id", "bucket"], ignore_index=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+            "bucket": pa.array(out["bucket"].to_numpy(np.int64)),
+            "value": pa.array(out["value"].to_numpy(np.int64)),
+        }
+    )
+
+
 def q_unigram_lm(sf_dir: str) -> pa.Table:
     """Self-trained unigram-LM scoring per document (CCNet-style LM
     quality signal with an exactly-reproducible model).  The gate checks
@@ -6607,6 +6625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qpp_predictors": q_qpp_predictors,
         "qpp_post": q_qpp_post,
         "pivoted_top10": q_pivoted_top10,
+        "feature_hash": q_feature_hash,
     }
 
 
@@ -9011,6 +9030,20 @@ def oracle_sql() -> dict[str, str]:
         "trec_eval": _trec_eval_oracle_sql(),
         "run_agreement": _run_agreement_oracle_sql(),
         "rbo": _rbo_oracle_sql(),
+        # hashing-trick features: md5be bucket + low-bit sign, zero sums drop
+        "feature_hash": """
+            WITH tk AS (
+              SELECT doc_id, t
+              FROM documents,
+                   UNNEST(list_filter(regexp_split_to_array(text, '[\\t\\n\\x0B\\x0C\\r ]+'), x -> x <> '')) AS u(t)
+            ),
+            h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS hh FROM tk),
+            f AS (SELECT doc_id, CAST((hh >> 1) % 64 AS BIGINT) AS bucket,
+                         CASE WHEN (hh & 1) = 0 THEN 1 ELSE -1 END AS s FROM h)
+            SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS value
+            FROM f GROUP BY doc_id, bucket HAVING SUM(s) <> 0
+            ORDER BY doc_id, bucket
+        """,
         "percolate_phrases": _percolate_phrases_sql(),
         "facet_ranges": _facet_ranges_sql(),
         # CORI resource selection over 4 round-robin shards (doc_id % 4):
