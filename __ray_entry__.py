@@ -4392,6 +4392,33 @@ def q_pivoted_top10(sf_dir: str) -> pa.Table:
     )
 
 
+def q_pl2_top10(sf_dir: str) -> pa.Table:
+    """DFR PL2 retrieval (Amati & van Rijsbergen TOIS'02, scorer #8) —
+    through the PUBLIC scorer registry like lmd/pivoted; every log2 is
+    composed ln(x)/ln(2) on BOTH sides so the micros are SQL-exact."""
+    from search_engine_ray.engine import search as _search_mod
+    from search_engine_ray.engine.search import register_scorer, score_topic
+    from search_engine_ray.pipelines import pl2_scores_f64
+
+    r = _reader(sf_dir)
+    ids, scores = pl2_scores_f64(r, BM25_QUERY, c=1.0)
+    ids, scores = ids[:10], scores[:10]
+    register_scorer(
+        "pl2", lambda rd, kw, p, k: (lambda t: (t[0][:k], t[1][:k]))(
+            pl2_scores_f64(rd, kw, c=1.0)
+        )
+    )
+    try:
+        reg_ids, _ = score_topic(r, BM25_QUERY, scorer="pl2", k=10)
+        assert reg_ids.tolist() == ids.tolist(), "registry path diverged"
+    finally:
+        _search_mod._CUSTOM_SCORERS.pop("pl2", None)
+    doc_ids = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids), "score_micros": pa.array(_micros(scores))}
+    )
+
+
 def q_feature_hash(sf_dir: str) -> pa.Table:
     """Hashing-trick feature extraction (dataops/features.py): signed
     md5be token hashing into 64 buckets, sparse COO output — the
@@ -6625,6 +6652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qpp_predictors": q_qpp_predictors,
         "qpp_post": q_qpp_post,
         "pivoted_top10": q_pivoted_top10,
+        "pl2_top10": q_pl2_top10,
         "feature_hash": q_feature_hash,
     }
 
@@ -9204,6 +9232,36 @@ def oracle_sql() -> dict[str, str]:
                    {_SQL_MICROS.format(expr="CASE WHEN k > 0 AND n_scored > 0 AND abs(sum_all_micros * 1.0 / n_scored) > 0 THEN sqrt(greatest(sumsq_topk_micros * 1.0 / k - (sum_topk_micros * 1.0 / k) * (sum_topk_micros * 1.0 / k), 0.0)) / abs(sum_all_micros * 1.0 / n_scored) ELSE 0.0 END")} AS nqc_micros,
                    {_SQL_MICROS.format(expr="CASE WHEN k > 0 AND n_scored > 0 THEN (sum_topk_micros * 1.0 / k - sum_all_micros * 1.0 / n_scored) / 1000000.0 / sqrt(3.0) ELSE 0.0 END")} AS wig_micros
             FROM sums
+        """,
+        # DFR PL2 (TOIS'02), c = 1: tfn = tf*ln(1+avgdl/dl)/ln(2),
+        # lambda = cf/N; every log2 spelled ln(x)/ln(2) to match numpy
+        "pl2_top10": f"""
+            WITH {_TOKS},
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+            tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks
+                   WHERE t IN ('spark','hash','join') GROUP BY doc_id, t),
+            cf AS (SELECT t AS term, count(*) AS cf FROM toks
+                   WHERE t IN ('spark','hash','join') GROUP BY t),
+            parts AS (
+              SELECT tf.doc_id,
+                     tf.tf * (ln(1 + 1.0 * st.avgdl / dl.dl) / ln(2.0)) AS tfn,
+                     cf.cf * 1.0 / st.n AS lam
+              FROM tf JOIN cf USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+            ),
+            sc AS (
+              SELECT doc_id,
+                     SUM( (1.0 / (tfn + 1.0)) *
+                          ( tfn * (ln(tfn / lam) / ln(2.0))
+                            + (lam - tfn) * (1.0 / ln(2.0))
+                            + 0.5 * (ln(2.0 * pi() * tfn) / ln(2.0)) ) ) AS score
+              FROM parts GROUP BY doc_id
+            ),
+            ranked AS (SELECT doc_id, score,
+                              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM sc)
+            SELECT doc_id, {_SQL_MICROS.format(expr="score")} AS score_micros
+            FROM ranked WHERE r <= 10
         """,
         # Pivoted length normalization VSM (SIGIR'96), s = 0.2
         "pivoted_top10": f"""

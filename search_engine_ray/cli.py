@@ -551,17 +551,19 @@ def cmd_query(args: argparse.Namespace) -> int:
                 {"rank": rank, "doc": str(reader.doc_names[d]), "score": float(s)}
             ))
         return 0
-    if args.scorer in ("lmd", "lmjm", "bm25plus", "pivoted"):
+    if args.scorer in ("lmd", "lmjm", "bm25plus", "pivoted", "pl2"):
         from .engine.search import register_scorer
         from .pipelines import (
             bm25plus_scores_f64,
             lmd_scores_f64,
             lmjm_scores_f64,
             pivoted_scores_f64,
+            pl2_scores_f64,
         )
 
         fn = {"lmd": lmd_scores_f64, "lmjm": lmjm_scores_f64,
-              "bm25plus": bm25plus_scores_f64, "pivoted": pivoted_scores_f64}[args.scorer]
+              "bm25plus": bm25plus_scores_f64, "pivoted": pivoted_scores_f64,
+              "pl2": pl2_scores_f64}[args.scorer]
         register_scorer(
             args.scorer,
             lambda rd, kw, p, k: (lambda t: (t[0][:k], t[1][:k]))(fn(rd, kw)),
@@ -955,7 +957,7 @@ def main(argv: list[str] | None = None) -> int:
     pq_.add_argument("index_dir")
     pq_.add_argument("query")
     pq_.add_argument("--scorer", default="bm25",
-                     choices=["bm25", "tfidf", "bm25adpt", "lmd", "lmjm", "bm25plus", "pivoted"])
+                     choices=["bm25", "tfidf", "bm25adpt", "lmd", "lmjm", "bm25plus", "pivoted", "pl2"])
     pq_.add_argument("--method", default="auto", choices=["auto", "taat", "wand", "maxscore"])
     pq_.add_argument("--boolean", choices=["and", "or"], default=None)
     pq_.add_argument("--ranked-and", action="store_true",

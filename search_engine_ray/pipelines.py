@@ -923,6 +923,53 @@ def pivoted_scores_f64(
     return cand[order], scores[cand][order]
 
 
+def pl2_scores_f64(
+    reader: IndexReader,
+    keywords: list[tuple[str, int]],
+    c: float = 1.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """DFR PL2 (Amati & van Rijsbergen, TOIS 2002) — Poisson randomness
+    model, Laplace aftereffect, normalization 2:
+
+        tfn      = tf * log2(1 + c * avgdl / dl)
+        lambda_t = cf_t / N
+        score(d) = sum_{t in q and d} qtf_t * (1 / (tfn + 1)) *
+                   ( tfn * log2(tfn / lambda_t)
+                     + (lambda_t - tfn) * log2(e)
+                     + 0.5 * log2(2 * pi * tfn) )
+
+    Every log2 is written ``ln(x) / ln(2)`` so a SQL oracle composes the
+    IDENTICAL float64 expression (no engine-specific log2 kernel).  The
+    PL2 formula assumes lambda_t < 1 (term rarer than one-per-doc) — for
+    head terms the score can go negative, which is reference DFR
+    behavior, not an error.  Ties -> ascending docID.  Registered as
+    scorer 'pl2' via engine.search.register_scorer (extension surface,
+    SURVEY §2.10)."""
+    n = reader.n_docs
+    avgdl = reader.avgdl
+    ln2 = np.log(2.0)
+    log2e = 1.0 / ln2
+    scores = np.zeros(n, dtype=np.float64)
+    touched = np.zeros(n, dtype=bool)
+    for term, qtf in keywords:
+        tp = reader.postings(term)
+        if tp is None:
+            continue
+        ids, tfs, dls = tp.arrays()
+        lam = float(tfs.sum()) / n
+        tfn = tfs * (np.log(1.0 + c * avgdl / dls) / ln2)
+        gain = (1.0 / (tfn + 1.0)) * (
+            tfn * (np.log(tfn / lam) / ln2)
+            + (lam - tfn) * log2e
+            + 0.5 * (np.log(2.0 * np.pi * tfn) / ln2)
+        )
+        scores[ids] += qtf * gain
+        touched[ids] = True
+    cand = np.flatnonzero(touched)
+    order = np.lexsort((cand, -scores[cand]))
+    return cand[order], scores[cand][order]
+
+
 def prior_boosted_bm25_f64(
     reader: IndexReader,
     keywords: list[tuple[str, int]],

@@ -126,6 +126,7 @@ CHECKED = [
     "qpp_predictors",
     "qpp_post",
     "pivoted_top10",
+    "pl2_top10",
     # r5: WS-tokenized signed hashed features
     "feature_hash",
 ]

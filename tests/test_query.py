@@ -1034,3 +1034,77 @@ def test_qpp_post_matches_recompute(ray_session, tmp_path):
     row_all = qpp_post(r, kws, k=10_000).to_pylist()[0]
     assert row_all["k"] == row_all["n_scored"] == len(m)
     assert row_all["sum_topk_micros"] == row_all["sum_all_micros"]
+
+
+def test_pl2_scorer_matches_brute_force(ray_session, tmp_path):
+    """DFR PL2 scores equal a from-the-raw-text brute force, and the
+    public scorer registry routes to it."""
+    import math
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from search_engine_ray.config import BuildConfig, IndexOptions
+    from search_engine_ray.engine.build import build_index
+    from search_engine_ray.engine.index_reader import IndexReader
+    from search_engine_ray.engine.search import register_scorer, score_topic
+    from search_engine_ray.pipelines import pl2_scores_f64
+
+    texts = [
+        "alpha beta alpha", "alpha gamma", "beta gamma gamma", "delta epsilon",
+        "alpha beta gamma delta", "beta beta beta",
+    ]
+    corpus = str(tmp_path / "c")
+    _os.makedirs(corpus)
+    pq_.write_table(
+        pa.table({"doc_id": pa.array(range(6), pa.int64()), "text": pa.array(texts)}),
+        f"{corpus}/d.parquet",
+    )
+    idx = str(tmp_path / "i")
+    build_index(
+        corpus, idx,
+        BuildConfig(block_entries=4, frags_per_shard=2, options=IndexOptions(stemming=False)),
+        overwrite=True, source_column="text", name_column="doc_id",
+    )
+    r = IndexReader(idx)
+    kws = [("alpha", 1), ("beta", 2)]
+    c = 1.0
+    ids, scores = pl2_scores_f64(r, kws, c=c)
+
+    toks = [t.split() for t in texts]
+    n = len(texts)
+    avgdl = sum(len(t) for t in toks) / n
+    cf = {w: sum(t.count(w) for t in toks) for w in ("alpha", "beta")}
+    ln2 = math.log(2.0)
+    exp = {}
+    for d, t in enumerate(toks):
+        total = 0.0
+        matched = False
+        for w, qtf in kws:
+            tf = t.count(w)
+            if tf:
+                matched = True
+                lam = cf[w] / n
+                tfn = tf * (math.log(1.0 + c * avgdl / len(t)) / ln2)
+                total += qtf * (1.0 / (tfn + 1.0)) * (
+                    tfn * (math.log(tfn / lam) / ln2)
+                    + (lam - tfn) * (1.0 / ln2)
+                    + 0.5 * (math.log(2.0 * math.pi * tfn) / ln2)
+                )
+        if matched:
+            exp[str(d)] = total
+    got = {str(r.doc_names[d]): s for d, s in zip(ids, scores)}
+    assert set(got) == set(exp)
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-12
+    key = [(-s, int(r.doc_names[d])) for d, s in zip(ids, scores)]
+    assert key == sorted(key)
+    register_scorer("pl2_test", lambda rd, kw, p, k: pl2_scores_f64(rd, kw, c=c))
+    try:
+        reg_ids, _ = score_topic(r, kws, scorer="pl2_test", k=10)
+        assert reg_ids.tolist() == ids.tolist()[:10]
+    finally:
+        from search_engine_ray.engine import search as _s
+
+        _s._CUSTOM_SCORERS.pop("pl2_test", None)
