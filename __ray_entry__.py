@@ -4419,6 +4419,39 @@ def q_pl2_top10(sf_dir: str) -> pa.Table:
     )
 
 
+def q_cascade_top10(sf_dir: str) -> pa.Table:
+    """Two-stage cascade (Wang/Lin/Metzler SIGIR'11): TF-IDF first stage
+    cuts to top-100, BM25 reranks only those candidates — the
+    retrieve-then-rerank serving pattern, SQL-exact via the f64 twins."""
+    from search_engine_ray.pipelines import cascade_scores_f64
+
+    r = _reader(sf_dir)
+    ids, scores = cascade_scores_f64(r, BM25_QUERY, n_first=100)
+    docs = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    order = np.lexsort((docs, -scores))[:10]
+    return pa.table(
+        {
+            "doc_id": pa.array(docs[order]),
+            "score_micros": pa.array(_micros(scores[order])),
+        }
+    )
+
+
+def q_msm_top10(sf_dir: str) -> pa.Table:
+    """Minimum-should-match BM25 (the Lucene mm operator, mm=2): rank
+    only docs matching >= 2 distinct query terms — between pure OR and
+    conjunctive AND."""
+    from search_engine_ray.pipelines import msm_bm25_scores_f64
+
+    r = _reader(sf_dir)
+    ids, scores = msm_bm25_scores_f64(r, BM25_QUERY, min_should_match=2)
+    ids, scores = ids[:10], scores[:10]
+    doc_ids = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids), "score_micros": pa.array(_micros(scores))}
+    )
+
+
 def q_feature_hash(sf_dir: str) -> pa.Table:
     """Hashing-trick feature extraction (dataops/features.py): signed
     md5be token hashing into 64 buckets, sparse COO output — the
@@ -6654,6 +6687,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivoted_top10": q_pivoted_top10,
         "pl2_top10": q_pl2_top10,
         "feature_hash": q_feature_hash,
+        "cascade_top10": q_cascade_top10,
+        "msm_top10": q_msm_top10,
     }
 
 
@@ -9232,6 +9267,59 @@ def oracle_sql() -> dict[str, str]:
                    {_SQL_MICROS.format(expr="CASE WHEN k > 0 AND n_scored > 0 AND abs(sum_all_micros * 1.0 / n_scored) > 0 THEN sqrt(greatest(sumsq_topk_micros * 1.0 / k - (sum_topk_micros * 1.0 / k) * (sum_topk_micros * 1.0 / k), 0.0)) / abs(sum_all_micros * 1.0 / n_scored) ELSE 0.0 END")} AS nqc_micros,
                    {_SQL_MICROS.format(expr="CASE WHEN k > 0 AND n_scored > 0 THEN (sum_topk_micros * 1.0 / k - sum_all_micros * 1.0 / n_scored) / 1000000.0 / sqrt(3.0) ELSE 0.0 END")} AS wig_micros
             FROM sums
+        """,
+        # Two-stage cascade: TF-IDF top-100 candidates -> BM25 rerank
+        "cascade_top10": f"""
+            WITH {_TOKS},
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+            tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks
+                   WHERE t IN ('spark','hash','join') GROUP BY doc_id, t),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            ti AS (
+              SELECT tf.doc_id,
+                     SUM( ln(1 + tf.tf) * ln(CAST(st.n // df.df AS DOUBLE)) ) AS score
+              FROM tf JOIN df USING (term) CROSS JOIN st
+              GROUP BY tf.doc_id
+            ),
+            cand AS (SELECT doc_id FROM (
+                       SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+                       FROM ti) WHERE r <= 100),
+            bm AS (
+              SELECT tf.doc_id,
+                     SUM( ln((st.n - df.df + 0.5) / (df.df + 0.5))
+                          * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) ) AS score
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+              WHERE tf.doc_id IN (SELECT doc_id FROM cand)
+              GROUP BY tf.doc_id
+            ),
+            ranked AS (SELECT doc_id, score,
+                              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM bm)
+            SELECT doc_id, {_SQL_MICROS.format(expr="score")} AS score_micros
+            FROM ranked WHERE r <= 10
+        """,
+        # Minimum-should-match BM25 (mm = 2): >= 2 distinct query terms
+        "msm_top10": f"""
+            WITH {_TOKS},
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+            tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks
+                   WHERE t IN ('spark','hash','join') GROUP BY doc_id, t),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            sc AS (
+              SELECT tf.doc_id,
+                     SUM( ln((st.n - df.df + 0.5) / (df.df + 0.5))
+                          * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) ) AS score
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+              GROUP BY tf.doc_id
+              HAVING count(*) >= 2
+            ),
+            ranked AS (SELECT doc_id, score,
+                              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM sc)
+            SELECT doc_id, {_SQL_MICROS.format(expr="score")} AS score_micros
+            FROM ranked WHERE r <= 10
         """,
         # DFR PL2 (TOIS'02), c = 1: tfn = tf*ln(1+avgdl/dl)/ln(2),
         # lambda = cf/N; every log2 spelled ln(x)/ln(2) to match numpy

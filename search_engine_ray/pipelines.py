@@ -970,6 +970,74 @@ def pl2_scores_f64(
     return cand[order], scores[cand][order]
 
 
+def cascade_scores_f64(
+    reader: IndexReader,
+    keywords: list[tuple[str, int]],
+    n_first: int = 100,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Two-stage cascade ranking (Wang, Lin & Metzler, SIGIR 2011): a
+    cheap first-stage ranker (TF-IDF) cuts the candidate set to its
+    top-``n_first``, and only those docs are scored by the expensive
+    second stage (BM25).  The serving pattern behind every modern
+    retrieve-then-rerank stack; here both stages are the f64 twins so the
+    result is SQL-exact.
+
+    First-stage cut is (tfidf desc, numeric docID asc) when doc names
+    are numeric (matching SQL's row_number), ordinal otherwise.  Docs
+    outside the cut are NEVER ranked, even if their BM25 score would
+    beat the winners — that loss is the cascade trade, pinned by tests.
+    Ties in the final ranking -> ascending docID."""
+    if n_first < 1:
+        raise ValueError(f"cascade_scores_f64: n_first must be >= 1 (got {n_first})")
+    ids_t, sc_t = tfidf_scores_f64(reader, keywords)
+    try:
+        nd = np.asarray([int(reader.doc_names[d]) for d in ids_t], dtype=np.int64)
+    except ValueError:
+        nd = np.asarray(ids_t, dtype=np.int64)
+    cut = np.lexsort((nd, -sc_t))[:n_first]
+    cand = set(ids_t[cut].tolist())
+    ids_b, sc_b = bm25_scores_f64(reader, keywords)
+    keep = np.fromiter((d in cand for d in ids_b), dtype=bool, count=len(ids_b))
+    return ids_b[keep], sc_b[keep]
+
+
+def msm_bm25_scores_f64(
+    reader: IndexReader,
+    keywords: list[tuple[str, int]],
+    min_should_match: int = 2,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Minimum-should-match disjunctive BM25 (the Lucene ``mm`` operator):
+    rank only docs matching at least ``min_should_match`` DISTINCT query
+    terms — the middle ground between pure OR (mm=1) and conjunctive AND
+    (mm=|q|).  Same per-term accumulation as bm25_scores_f64 plus an
+    integer matched-term counter; the filter is a vectorized mask, no
+    extra postings read.  Ties -> ascending docID."""
+    if min_should_match < 1:
+        raise ValueError(
+            f"msm_bm25_scores_f64: min_should_match must be >= 1 "
+            f"(got {min_should_match})"
+        )
+    n = reader.n_docs
+    avgdl = reader.avgdl
+    k1, b, k3 = 1.2, 0.75, 100.0
+    scores = np.zeros(n, dtype=np.float64)
+    matched = np.zeros(n, dtype=np.int64)
+    for term, qtf in keywords:
+        tp = reader.postings(term)
+        if tp is None:
+            continue
+        ids, tfs, dls = tp.arrays()
+        idf = np.log((n - tp.df + 0.5) / (tp.df + 0.5))
+        qterm = ((k3 + 1) * qtf) / (k3 + qtf)
+        # token-for-token the bm25_scores_f64 accumulation (op order
+        # matters for micros exactness)
+        scores[ids] += idf * (tfs * (k1 + 1)) / (tfs + k1 * (1 - b + b * (dls / avgdl))) * qterm
+        matched[ids] += 1
+    cand = np.flatnonzero(matched >= min_should_match)
+    order = np.lexsort((cand, -scores[cand]))
+    return cand[order], scores[cand][order]
+
+
 def prior_boosted_bm25_f64(
     reader: IndexReader,
     keywords: list[tuple[str, int]],

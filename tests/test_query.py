@@ -1108,3 +1108,77 @@ def test_pl2_scorer_matches_brute_force(ray_session, tmp_path):
         from search_engine_ray.engine import search as _s
 
         _s._CUSTOM_SCORERS.pop("pl2_test", None)
+
+
+def test_cascade_and_msm(ray_session, tmp_path):
+    """Cascade == BM25 restricted to the TF-IDF top-N candidate set
+    (including the deliberate recall loss when N is tiny); MSM == BM25
+    restricted to docs matching >= m distinct terms."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from search_engine_ray.config import BuildConfig, IndexOptions
+    from search_engine_ray.engine.build import build_index
+    from search_engine_ray.engine.index_reader import IndexReader
+    from search_engine_ray.pipelines import (
+        bm25_scores_f64,
+        cascade_scores_f64,
+        msm_bm25_scores_f64,
+        tfidf_scores_f64,
+    )
+
+    rng = np.random.default_rng(13)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(3, 14)).tolist())
+        for _ in range(50)
+    ]
+    corpus = str(tmp_path / "c")
+    _os.makedirs(corpus)
+    pq_.write_table(
+        pa.table({"doc_id": pa.array(range(50), pa.int64()), "text": pa.array(texts)}),
+        f"{corpus}/d.parquet",
+    )
+    idx = str(tmp_path / "i")
+    build_index(
+        corpus, idx,
+        BuildConfig(block_entries=8, frags_per_shard=2, options=IndexOptions(stemming=False)),
+        overwrite=True, source_column="text", name_column="doc_id",
+    )
+    r = IndexReader(idx)
+    kws = [("alpha", 1), ("beta", 1), ("gamma", 1)]
+
+    # --- cascade ---
+    ids_t, sc_t = tfidf_scores_f64(r, kws)
+    nd = np.asarray([int(r.doc_names[d]) for d in ids_t], dtype=np.int64)
+    for n_first in (5, 20, 10_000):
+        cut = set(ids_t[np.lexsort((nd, -sc_t))[:n_first]].tolist())
+        ids_b, sc_b = bm25_scores_f64(r, kws)
+        exp = [(d, s) for d, s in zip(ids_b, sc_b) if d in cut]
+        got_ids, got_sc = cascade_scores_f64(r, kws, n_first=n_first)
+        assert got_ids.tolist() == [d for d, _ in exp]
+        assert got_sc.tolist() == [s for _, s in exp]
+        assert len(got_ids) <= min(n_first, len(ids_b))
+    # tiny first stage DOES lose docs the full ranking keeps
+    few_ids, _ = cascade_scores_f64(r, kws, n_first=3)
+    assert len(few_ids) == 3
+    with pytest.raises(ValueError):
+        cascade_scores_f64(r, kws, n_first=0)
+
+    # --- msm ---
+    ids_b, sc_b = bm25_scores_f64(r, kws)
+    matched = np.zeros(r.n_docs, dtype=np.int64)
+    for t, _q in kws:
+        tp = r.postings(t)
+        if tp is not None:
+            matched[tp.arrays()[0]] += 1
+    for m in (1, 2, 3):
+        gids, gsc = msm_bm25_scores_f64(r, kws, min_should_match=m)
+        keep = [i for i, d in enumerate(ids_b) if matched[d] >= m]
+        assert gids.tolist() == [int(ids_b[i]) for i in keep]
+        assert gsc.tolist() == [float(sc_b[i]) for i in keep]
+    assert len(msm_bm25_scores_f64(r, kws, min_should_match=4)[0]) == 0
+    with pytest.raises(ValueError):
+        msm_bm25_scores_f64(r, kws, min_should_match=0)
