@@ -362,6 +362,7 @@ def run_benchmarks() -> dict:
         _host_ids, batch_format="pyarrow"
     ).materialize()
 
+    from search_engine_ray.dataops.features import feature_hash as _feature_hash
     from search_engine_ray.dataops.spandup import winnow_fingerprints as _winnow
     from search_engine_ray.dataops.textstats import (
         corpus_log_odds as _corpus_log_odds,
@@ -450,6 +451,7 @@ def run_benchmarks() -> dict:
         ("corpus_log_odds", lambda: _corpus_log_odds(
             _sided_docs, "side_a", k=20).num_rows),
         ("winnow_fingerprints", lambda: _winnow(docs_ds, k=4, w=4).count()),
+        ("feature_hash", lambda: _feature_hash(docs_ds, dim=1024).count()),
     ]
     n_rounds = int(os.environ.get("SE_RAY_BENCH_OP_ROUNDS", "2"))
     samples: dict[str, list[float]] = {name: [] for name, _ in ops}
