@@ -4452,6 +4452,26 @@ def q_msm_top10(sf_dir: str) -> pa.Table:
     )
 
 
+def q_cdc_chunks(sf_dir: str) -> pa.Table:
+    """Content-defined chunking (Rabin/LBFS boundary rule at token
+    granularity, divisor 16): shift-robust chunk boundaries from the
+    md5be token hash — insertion/deletion reshapes only neighboring
+    chunks.  Exact text + integer columns vs SQL."""
+    from search_engine_ray.dataops.chunk import cdc_chunks
+
+    out = cdc_chunks(_docs_ds(sf_dir), divisor=16).to_pandas()
+    out = out.sort_values(["doc_id", "chunk_id"], ignore_index=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+            "chunk_id": pa.array(out["chunk_id"].to_numpy(np.int64)),
+            "start_token": pa.array(out["start_token"].to_numpy(np.int64)),
+            "n_tokens": pa.array(out["n_tokens"].to_numpy(np.int64)),
+            "text": pa.array(out["text"].astype(str), pa.string()),
+        }
+    )
+
+
 def q_feature_hash(sf_dir: str) -> pa.Table:
     """Hashing-trick feature extraction (dataops/features.py): signed
     md5be token hashing into 64 buckets, sparse COO output — the
@@ -6687,6 +6707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivoted_top10": q_pivoted_top10,
         "pl2_top10": q_pl2_top10,
         "feature_hash": q_feature_hash,
+        "cdc_chunks": q_cdc_chunks,
         "cascade_top10": q_cascade_top10,
         "msm_top10": q_msm_top10,
     }
@@ -9372,6 +9393,33 @@ def oracle_sql() -> dict[str, str]:
                               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM sc)
             SELECT doc_id, {_SQL_MICROS.format(expr="score")} AS score_micros
             FROM ranked WHERE r <= 10
+        """,
+        # content-defined chunking: boundary AFTER tokens whose md5be
+        # hash % 16 == 0; chunk id = exclusive windowed cumsum
+        "cdc_chunks": """
+            WITH tl AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '[\\t\\n\\x0B\\x0C\\r ]+'), x -> x <> '') AS tks
+              FROM documents),
+            tok AS (
+              SELECT doc_id, unnest(tks) AS t,
+                     unnest(generate_series(1, len(tks))) AS pos
+              FROM tl),
+            h AS (SELECT doc_id, t, pos,
+                         ('0x' || substr(md5(t), 1, 16))::UBIGINT % 16 = 0 AS b
+                  FROM tok),
+            c AS (SELECT doc_id, t, pos,
+                         COALESCE(SUM(CASE WHEN b THEN 1 ELSE 0 END) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+                  FROM h)
+            SELECT doc_id,
+                   CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(MIN(pos) - 1 AS BIGINT) AS start_token,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   string_agg(t, ' ' ORDER BY pos) AS text
+            FROM c GROUP BY doc_id, chunk_id
+            ORDER BY doc_id, chunk_id
         """,
         "table_profile": """
             SELECT 'event_id' AS col, count(*) AS n,

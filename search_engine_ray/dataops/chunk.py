@@ -103,6 +103,110 @@ def chunk_documents(
     return ds.map_batches(chunks, batch_format="pyarrow")
 
 
+def cdc_chunks(
+    ds: ray.data.Dataset,
+    divisor: int = 64,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> ray.data.Dataset:
+    """Content-defined chunking (the Rabin/LBFS boundary rule at token
+    granularity): a chunk boundary falls AFTER every token whose 64-bit
+    md5be hash satisfies ``hash % divisor == 0``, so expected chunk
+    length is ``divisor`` tokens and — the property fixed-width chunking
+    lacks — an insertion or deletion only reshapes the chunks AROUND the
+    edit, leaving every other chunk byte-identical.  That makes the
+    chunk-hash table a shift-robust dedup/delta signal (the rsync/LBFS
+    construction), complementing chunk_documents' fixed windows.
+
+    Pure content rule, no min/max clamps: the boundary decision is a
+    stateless per-token predicate, which keeps the operator ONE
+    vectorized map_batches (no sequential scan, no shuffle) and the SQL
+    oracle a window-function cumsum.  Degenerate runs (many consecutive
+    boundary tokens) produce many 1-token chunks — the documented trade.
+
+    Output rows: (doc_id, chunk_id, start_token, n_tokens, text) with
+    chunk text the canonical single-space token join, exactly as
+    chunk_documents emits.  Empty/whitespace-only docs produce no rows.
+    """
+    if divisor < 1:
+        raise ValueError(f"cdc_chunks: divisor must be >= 1 (got {divisor})")
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_column: pa.array([], batch[id_column].type if batch.num_rows else pa.int64()),
+                "chunk_id": pa.array([], pa.int64()),
+                "start_token": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        lists = pc.split_pattern_regex(
+            pc.fill_null(batch[text_column], ""), pattern=WS_RE
+        )
+        flat = pc.list_flatten(lists)
+        nonempty = np.asarray(pc.greater(pc.binary_length(flat), 0))
+        lens_pre = np.asarray(pc.list_value_length(lists), dtype=np.int64)
+        doc_idx_tok = np.repeat(np.arange(len(lens_pre)), lens_pre)[nonempty]
+        flat = flat.filter(pa.array(nonempty))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if len(flat) == 0:
+            return empty
+        # md5be hash per token via the dictionary (only unique tokens
+        # hash — the _token_lists trick, inlined on the already-filtered
+        # flat stream so there is exactly ONE split pass)
+        import hashlib
+
+        denc = pc.dictionary_encode(flat)
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        uniq = denc.dictionary.to_pylist()
+        uh = np.fromiter(
+            (int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big") for t in uniq),
+            dtype=np.uint64,
+            count=len(uniq),
+        )
+        tok_hash = uh[np.asarray(denc.indices, dtype=np.int64)]
+        boundary = (tok_hash % np.uint64(divisor)) == 0
+
+        # chunk index per token: exclusive segmented cumsum of the
+        # boundary flags, restarting at each doc
+        cum_excl = np.concatenate(([0], np.cumsum(boundary[:-1])))
+        n_tok = np.bincount(doc_idx_tok, minlength=len(lens_pre)).astype(np.int64)
+        tok_starts = np.concatenate(([0], np.cumsum(n_tok)[:-1]))
+        chunk_of_tok = cum_excl - cum_excl[tok_starts[doc_idx_tok]]
+
+        # chunk segments = runs where (doc, chunk idx) is constant; both
+        # are nondecreasing within the flat stream
+        key = doc_idx_tok * (int(chunk_of_tok.max()) + 1) + chunk_of_tok
+        seg_start = np.concatenate(([True], key[1:] != key[:-1]))
+        starts = np.flatnonzero(seg_start)
+        seg_len = np.diff(np.concatenate((starts, [len(key)])))
+        doc_of_chunk = doc_idx_tok[starts]
+        chunk_id = chunk_of_tok[starts]
+        start_token = starts - tok_starts[doc_of_chunk]
+
+        offs = np.concatenate(([0], np.cumsum(seg_len)))
+        chunk_lists = pa.LargeListArray.from_arrays(pa.array(offs, pa.int64()), flat)
+        text = pc.binary_join(chunk_lists, " ")
+        return pa.table(
+            {
+                id_column: batch[id_column].take(pa.array(doc_of_chunk)),
+                "chunk_id": pa.array(chunk_id.astype(np.int64)),
+                "start_token": pa.array(start_token.astype(np.int64)),
+                "n_tokens": pa.array(seg_len.astype(np.int64)),
+                "text": text,
+            }
+        )
+
+    return ds.select_columns([id_column, text_column]).map_batches(
+        chunks, batch_format="pyarrow"
+    )
+
+
 # sentence segmentation: the match semantics of regexp_extract_all(text,
 # '[^.!?]+[.!?]*') — maximal runs of non-terminators plus their trailing
 # terminator run; a LEADING pure-terminator run matches nothing

@@ -114,3 +114,103 @@ def test_chunk_documents_vs_duckdb(docs_ds, ray_session):
     assert out["start_token"].tolist() == exp["start_token"].to_pylist()
     assert out["n_tokens"].tolist() == exp["n_tokens"].to_pylist()
     assert out["text"].tolist() == exp["text"].to_pylist()
+
+
+def _brute_cdc(texts, divisor):
+    import hashlib
+
+    rows = []
+    for i, txt in enumerate(texts):
+        toks = txt.split()
+        if not toks:
+            continue
+        chunk, start, cid = [], 0, 0
+        for j, t in enumerate(toks):
+            chunk.append(t)
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+            if h % divisor == 0:
+                rows.append((i, cid, start, len(chunk), " ".join(chunk)))
+                cid += 1
+                start = j + 1
+                chunk = []
+        if chunk:
+            rows.append((i, cid, start, len(chunk), " ".join(chunk)))
+    return rows
+
+
+def test_cdc_chunks_matches_brute(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_ray.dataops.chunk import cdc_chunks
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(0, 60)).tolist())
+        for _ in range(30)
+    ] + ["", "   ", "single"]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    )
+    for divisor in (1, 4, 1_000_000_000):
+        out = cdc_chunks(ds, divisor=divisor).to_pandas()
+        got = sorted(
+            (int(r.doc_id), int(r.chunk_id), int(r.start_token),
+             int(r.n_tokens), r.text)
+            for r in out.itertuples()
+        )
+        assert got == sorted(_brute_cdc(texts, divisor))
+    # divisor=1: every token is its own chunk
+    out1 = cdc_chunks(ds, divisor=1).to_pandas()
+    assert (out1["n_tokens"] == 1).all()
+    # concatenation invariant: chunks rebuild the canonical token stream
+    big = cdc_chunks(ds, divisor=4).to_pandas()
+    for i, txt in enumerate(texts):
+        parts = big[big["doc_id"] == i].sort_values("chunk_id")["text"]
+        assert " ".join(parts) == " ".join(txt.split())
+
+
+def test_cdc_chunks_shift_robustness(ray_session):
+    """The CDC property: inserting tokens at the front only reshapes the
+    chunks up to the first boundary after the edit — later chunk TEXTS
+    are identical (fixed-width chunking would shift every chunk)."""
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_ray.dataops.chunk import cdc_chunks
+
+    base = " ".join(f"tok{i}" for i in range(400))
+    edited = "inserted words here " + base
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([0, 1], pa.int64()),
+             "text": pa.array([base, edited])}
+        )
+    )
+    out = cdc_chunks(ds, divisor=8).to_pandas()
+    a = out[out["doc_id"] == 0].sort_values("chunk_id")["text"].tolist()
+    b = out[out["doc_id"] == 1].sort_values("chunk_id")["text"].tolist()
+    # all base chunks except possibly the first reappear verbatim
+    assert set(a[1:]) <= set(b)
+
+
+def test_cdc_chunks_validation(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from search_engine_ray.dataops.chunk import cdc_chunks
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1], pa.int64()), "text": pa.array(["x"])})
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cdc_chunks(ds, divisor=0)

@@ -129,6 +129,7 @@ CHECKED = [
     "pl2_top10",
     # r5: WS-tokenized signed hashed features
     "feature_hash",
+    "cdc_chunks",
 ]
 
 
