@@ -5119,6 +5119,37 @@ def q_cori_shard_ranking(sf_dir: str) -> pa.Table:
     )
 
 
+def q_selective_search_top10(sf_dir: str) -> pa.Table:
+    """Selective search (Kulkarni & Callan, CIKM 2010): CORI ranks the 4
+    round-robin shards, the query runs ONLY on the top-2 via
+    federated_bm25_f64 — the distributed-IR pattern that trades a little
+    recall for touching a fraction of the cluster.  Scoring statistics
+    (n, avgdl, df) come from the SELECTED shards only, which the oracle
+    reproduces by restricting the corpus to doc_id %% 4 IN (selected)."""
+    from search_engine_ray.engine.index_reader import IndexReader
+    from search_engine_ray.engine.resource_select import select_shards
+    from search_engine_ray.pipelines import federated_bm25_f64
+
+    root = _shard_indexes_root(sf_dir, 4)
+    readers = [IndexReader(os.path.join(root, f"index_{s}")) for s in range(4)]
+    terms = [t for t, _ in BM25_QUERY]
+    sel_ids, _sel_scores = select_shards(readers, terms, top=2)
+    sel = sorted(int(s) for s in sel_ids.tolist())
+    gids, scores, names = federated_bm25_f64(
+        [readers[s] for s in sel], BM25_QUERY
+    )
+    docs = np.asarray([int(names[g]) for g in gids], dtype=np.int64)
+    order = np.lexsort((docs, -scores))[:10]
+    # self-check: every hit lives in a selected shard
+    assert all(int(d) % 4 in sel for d in docs[order])
+    return pa.table(
+        {
+            "doc_id": pa.array(docs[order]),
+            "score_micros": pa.array(_micros(scores[order])),
+        }
+    )
+
+
 def q_ltr_features(sf_dir: str) -> pa.Table:
     """Learning-to-rank feature extraction (engine/ltr.py): per-candidate
     feature vectors for the standard query — lexical counts (n_matched,
@@ -6700,6 +6731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate_phrases": q_percolate_phrases,
         "facet_ranges": q_facet_ranges,
         "cori_shard_ranking": q_cori_shard_ranking,
+        "selective_search_top10": q_selective_search_top10,
         "ltr_features": q_ltr_features,
         "comb_fusion": q_comb_fusion,
         "qpp_predictors": q_qpp_predictors,
@@ -9159,6 +9191,55 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT shard, {_SQL_MICROS.format(expr="SUM(p) / 3.0")} AS score_micros
             FROM bel GROUP BY shard
+        """,
+        # Selective search: CORI top-2 shard routing, BM25 with stats
+        # from the SELECTED shards only (corpus restricted to
+        # doc_id %% 4 IN selected)
+        "selective_search_top10": f"""
+            WITH {_TOKS},
+            sh AS (SELECT doc_id % 4 AS shard, doc_id, t FROM toks),
+            cwt AS (SELECT shard, count(*) AS cw FROM sh GROUP BY shard),
+            q AS (SELECT * FROM (VALUES ('spark'), ('hash'), ('join')) AS q(term)),
+            dft AS (SELECT shard, t AS term, count(DISTINCT doc_id) AS df
+                    FROM sh WHERE t IN ('spark', 'hash', 'join')
+                    GROUP BY shard, t),
+            cft AS (SELECT term, count(*) AS cf FROM dft GROUP BY term),
+            cst AS (SELECT SUM(cw) / 4.0 AS avg_cw FROM cwt),
+            bel AS (
+              SELECT c.shard,
+                     CASE WHEN cft.cf IS NULL THEN 0.4
+                          ELSE 0.4 + 0.6 * ((COALESCE(d.df, 0) / (COALESCE(d.df, 0) + 50.0 + 150.0 * (c.cw / cst.avg_cw)))
+                               * (ln((4 + 0.5) / cft.cf) / ln(4 + 1.0)))
+                     END AS p
+              FROM cwt c
+              CROSS JOIN q
+              LEFT JOIN dft d ON d.shard = c.shard AND d.term = q.term
+              LEFT JOIN cft ON cft.term = q.term
+              CROSS JOIN cst
+            ),
+            shard_rank AS (
+              SELECT shard, row_number() OVER (ORDER BY SUM(p) DESC, shard ASC) AS r
+              FROM bel GROUP BY shard),
+            sel AS (SELECT shard FROM shard_rank WHERE r <= 2),
+            docs2 AS (SELECT doc_id FROM documents WHERE doc_id % 4 IN (SELECT shard FROM sel)),
+            toks2 AS (SELECT doc_id, t FROM toks WHERE doc_id % 4 IN (SELECT shard FROM sel)),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM docs2) AS n,
+                          (SELECT count(*) FROM toks2) * 1.0 / (SELECT count(*) FROM docs2) AS avgdl),
+            tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks2
+                   WHERE t IN ('spark','hash','join') GROUP BY doc_id, t),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            bm AS (
+              SELECT tf.doc_id,
+                     SUM( ln((st.n - df.df + 0.5) / (df.df + 0.5))
+                          * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) ) AS score
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+              GROUP BY tf.doc_id
+            ),
+            ranked AS (SELECT doc_id, score,
+                              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM bm)
+            SELECT doc_id, {_SQL_MICROS.format(expr="score")} AS score_micros
+            FROM ranked WHERE r <= 10
         """,
         # LTR feature vectors: lexical counts + BM25/TF-IDF twin scores
         # (incl. the int-div idf quirk) per candidate, top-100 by
