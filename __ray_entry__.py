@@ -574,6 +574,51 @@ def q_knn_cosine(sf_dir: str) -> pa.Table:
     )
 
 
+def q_hybrid_search_top10(sf_dir: str) -> pa.Table:
+    """Hybrid retrieval (the modern lexical+dense serving stack): the
+    BM25 top-10 and the embedding-cosine top-10 (query vector =
+    embedding of doc 0, vec_id aligned with doc_id) fused with
+    reciprocal-rank fusion through the DISTRIBUTED rrf_fuse_runs path.
+    Integer RRF contributions make the fused column hash-exact vs SQL."""
+    import ray.data
+
+    from search_engine_ray.dataops.similarity import knn_brute_force
+    from search_engine_ray.engine.fusion import rrf_fuse_runs
+    from search_engine_ray.pipelines import bm25_scores_f64
+
+    r = _reader(sf_dir)
+
+    def run_table(docs: np.ndarray) -> pa.Table:
+        return pa.table(
+            {
+                "topic": pa.array(np.ones(len(docs), dtype=np.int64)),
+                "doc": pa.array(np.asarray(docs, dtype=np.int64)),
+                "rank": pa.array(np.arange(1, len(docs) + 1, dtype=np.int64)),
+            }
+        )
+
+    bm_ids, bm_sc = bm25_scores_f64(r, BM25_QUERY)
+    bm_docs = np.asarray([int(r.doc_names[d]) for d in bm_ids], dtype=np.int64)
+    lex = run_table(bm_docs[np.lexsort((bm_docs, -bm_sc))[:10]])
+
+    tbl = _emb_tbl(sf_dir)
+    qe = np.asarray(tbl["embedding"].to_pylist()[0], dtype=np.float64)[None, :]
+    ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
+    knn = knn_brute_force(ds, qe, k=10)
+    dense = run_table(np.asarray(knn["vec_id"], dtype=np.int64))
+
+    runs = [ray.data.from_arrow(lex), ray.data.from_arrow(dense)]
+    fused = rrf_fuse_runs(runs, top_k=10).to_pandas()
+    fused = fused.sort_values("fused_rank", ignore_index=True)
+    return pa.table(
+        {
+            "doc": pa.array(fused["doc"].astype(np.int64)),
+            "fused_micros": pa.array(fused["fused_micros"].astype(np.int64)),
+            "fused_rank": pa.array(fused["fused_rank"].astype(np.int64)),
+        }
+    )
+
+
 def q_ngram_jaccard(sf_dir: str) -> pa.Table:
     from search_engine_ray.dataops.dedup import ngram_jaccard_pairs
 
@@ -6732,6 +6777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_ranges": q_facet_ranges,
         "cori_shard_ranking": q_cori_shard_ranking,
         "selective_search_top10": q_selective_search_top10,
+        "hybrid_search_top10": q_hybrid_search_top10,
         "ltr_features": q_ltr_features,
         "comb_fusion": q_comb_fusion,
         "qpp_predictors": q_qpp_predictors,
@@ -9191,6 +9237,45 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT shard, {_SQL_MICROS.format(expr="SUM(p) / 3.0")} AS score_micros
             FROM bel GROUP BY shard
+        """,
+        # Hybrid retrieval: BM25 top-10 + cosine top-10 (query = doc 0's
+        # embedding) fused with integer RRF
+        "hybrid_search_top10": f"""
+            WITH {_TOKS},
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+            tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks
+                   WHERE t IN ('spark','hash','join') GROUP BY doc_id, t),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            bm AS (
+              SELECT tf.doc_id,
+                     SUM( ln((st.n - df.df + 0.5) / (df.df + 0.5))
+                          * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) ) AS score
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+              GROUP BY tf.doc_id
+            ),
+            lex AS (SELECT doc_id,
+                           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+                    FROM bm),
+            qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+            sims AS (SELECT e.vec_id AS doc_id,
+                            list_cosine_similarity(qv.qe, CAST(e.embedding AS DOUBLE[])) AS sim
+                     FROM embeddings e CROSS JOIN qv),
+            dense AS (SELECT doc_id,
+                             row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS r
+                      FROM sims),
+            contrib AS (
+              SELECT doc_id, 1000000 // (60 + r) AS m FROM lex WHERE r <= 10
+              UNION ALL
+              SELECT doc_id, 1000000 // (60 + r) AS m FROM dense WHERE r <= 10
+            ),
+            fused AS (SELECT doc_id AS doc, CAST(SUM(m) AS BIGINT) AS fused_micros
+                      FROM contrib GROUP BY doc_id),
+            ranked AS (SELECT doc, fused_micros,
+                              row_number() OVER (ORDER BY fused_micros DESC, doc ASC) AS fused_rank
+                       FROM fused)
+            SELECT doc, fused_micros, fused_rank FROM ranked WHERE fused_rank <= 10
         """,
         # Selective search: CORI top-2 shard routing, BM25 with stats
         # from the SELECTED shards only (corpus restricted to
