@@ -713,6 +713,134 @@ def cmd_qpp(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_fuse(args: argparse.Namespace) -> int:
+    """Fuse two or more TREC run files into one (RRF by default, or
+    CombSUM/CombMNZ over min-max-normalized integer-micros scores) and
+    write the fused TREC run."""
+    import ray
+
+    from .engine.search import read_trec_run, write_trec_run
+
+    runs = [read_trec_run(p) for p in args.runs]
+    if len(runs) < 2:
+        print("error: fuse needs >= 2 run files", file=sys.stderr)
+        return 2
+    _ensure_ray(args.num_cpus)
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from .engine.fusion import comb_fuse_runs, rrf_fuse_runs
+
+    if args.method == "rrf":
+        dss = [
+            ray.data.from_arrow(t.select(["topic", "doc", "rank"])) for t in runs
+        ]
+        fused = rrf_fuse_runs(dss, top_k=args.k).to_pandas()
+        fused = fused.sort_values(
+            ["topic", "fused_rank"], ignore_index=True
+        )
+        score_col = "fused_micros"
+    else:
+        def micros_run(t: pa.Table) -> "ray.data.Dataset":
+            s = np.floor(
+                np.asarray(t["score"], dtype=np.float64) * 1_000_000 + 0.5
+            ).astype(np.int64)
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "topic": t["topic"],
+                        "doc": t["doc"],
+                        "score_micros": pa.array(s),
+                    }
+                )
+            )
+
+        fused = comb_fuse_runs([micros_run(t) for t in runs]).to_pandas()
+        score_col = (
+            "combmnz_micros" if args.method == "combmnz" else "combsum_micros"
+        )
+        fused = fused.sort_values(
+            ["topic", score_col, "doc"],
+            ascending=[True, False, True],
+            ignore_index=True,
+        )
+        fused["fused_rank"] = fused.groupby("topic").cumcount() + 1
+        fused = fused[fused["fused_rank"] <= args.k]
+    out_tbl = pa.table(
+        {
+            "topic": pa.array(fused["topic"].astype("int64")),
+            "q0": pa.array(["Q0"] * len(fused)),
+            "doc": pa.array(fused["doc"].astype(str)),
+            "rank": pa.array(fused["fused_rank"].astype("int32")),
+            "score": pa.array(fused[score_col].astype("float64")),
+            "run_name": pa.array([args.run_name] * len(fused)),
+        }
+    )
+    write_trec_run(out_tbl, args.out)
+    print(json.dumps({"method": args.method, "n_runs": len(runs),
+                      "n_lines": out_tbl.num_rows, "out": args.out}))
+    return 0
+
+
+def cmd_eval(args: argparse.Namespace) -> int:
+    """trec_eval-style metrics: per-topic integer metric rows from a run
+    file + a qrels file, plus the aggregate means (P@k, MRR, MAP)."""
+    import ray
+
+    from .engine.evaluate import evaluate_run, read_qrels
+    from .engine.search import read_trec_run
+
+    run = read_trec_run(args.run_file)
+    qrels = read_qrels(args.qrels_file)
+    _ensure_ray(args.num_cpus)
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    # evaluate_run's contract is int64 doc ids: factorize the union of
+    # doc-name strings (run + qrels are result-sized, a bounded collect)
+    names = {}
+    for d in run["doc"].to_pylist() + qrels["doc"].to_pylist():
+        if d not in names:
+            names[d] = len(names)
+    code = lambda col: pa.array(
+        np.asarray([names[d] for d in col.to_pylist()], dtype=np.int64)
+    )
+    run_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "topic": run["topic"],
+                "doc_id": code(run["doc"]),
+                "rank": run["rank"],
+            }
+        )
+    )
+    import pyarrow.compute as pc
+
+    rel = qrels.filter(pc.greater(qrels["rel"], 0))
+    qrel_ds = ray.data.from_arrow(
+        pa.table({"topic": rel["topic"], "doc_id": code(rel["doc"])})
+    )
+    out = evaluate_run(run_ds, qrel_ds, k=args.k).to_pandas()
+    out = out.sort_values("topic", ignore_index=True)
+    for row in out.to_dict(orient="records"):
+        print(json.dumps(row))
+    summary = {
+        "n_topics": len(out),
+        f"p_at_{args.k}": float((out["hits_at_k"] / args.k).mean()) if len(out) else 0.0,
+        "mrr": float((out["rr_micros"] / 1e6).mean()) if len(out) else 0.0,
+        "map": float(
+            (
+                out["sum_prec_micros"]
+                / (1e6 * out["n_rel"].clip(lower=1))
+            ).mean()
+        ) if len(out) else 0.0,
+    }
+    print(json.dumps(summary))
+    return 0
+
+
 def cmd_terms(args: argparse.Namespace) -> int:
     """Dictionary queries: prefix range probe, wildcard scan, top-df
     auto-completion, fuzzy match, or spell correction — pure metadata
@@ -874,6 +1002,22 @@ def main(argv: list[str] | None = None) -> int:
     pt.add_argument("index_dir")
     pt.add_argument("--stopword-df-threshold", type=int, default=100_000)
     pt.set_defaults(fn=cmd_stats)
+
+    pfu = sub.add_parser("fuse", help="fuse TREC run files (RRF / CombSUM / CombMNZ)")
+    pfu.add_argument("out", help="fused TREC run output path")
+    pfu.add_argument("runs", nargs="+", help="two or more TREC run files")
+    pfu.add_argument("--method", default="rrf", choices=["rrf", "combsum", "combmnz"])
+    pfu.add_argument("--k", type=int, default=10, help="fused depth per topic")
+    pfu.add_argument("--run-name", default="fused")
+    pfu.add_argument("--num-cpus", type=int, default=4)
+    pfu.set_defaults(fn=cmd_fuse)
+
+    pev = sub.add_parser("eval", help="trec_eval-style metrics from run + qrels files")
+    pev.add_argument("run_file")
+    pev.add_argument("qrels_file")
+    pev.add_argument("--k", type=int, default=10)
+    pev.add_argument("--num-cpus", type=int, default=4)
+    pev.set_defaults(fn=cmd_eval)
 
     pqp = sub.add_parser(
         "qpp", help="query-performance prediction (pre: idf/SCQ; post: NQC/WIG)"

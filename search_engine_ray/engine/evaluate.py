@@ -556,3 +556,30 @@ def rbo_overlap(
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def read_qrels(path: str) -> pa.Table:
+    """Parse a TREC qrels file (``topic iter doc rel`` lines) ->
+    (topic, doc, rel).  Keep callers' filtering policy out: all rows are
+    returned, including rel == 0 judgments."""
+    topics, docs, rels = [], [], []
+    with open(path, encoding="utf-8") as fh:
+        for lineno, line in enumerate(fh, 1):
+            line = line.strip()
+            if not line:
+                continue
+            parts = line.split()
+            if len(parts) != 4:
+                raise ValueError(
+                    f"{path}:{lineno}: expected 4 fields, got {len(parts)}"
+                )
+            topics.append(int(parts[0]))
+            docs.append(parts[2])
+            rels.append(int(parts[3]))
+    return pa.table(
+        {
+            "topic": pa.array(topics, pa.int64()),
+            "doc": pa.array(docs, pa.string()),
+            "rel": pa.array(rels, pa.int64()),
+        }
+    )

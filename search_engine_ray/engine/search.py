@@ -226,3 +226,36 @@ def write_trec_run(run_table: pa.Table, path: str) -> None:
     with open(path, "w", encoding="utf-8") as fh:
         for topic, q0, doc, rank, score, run in zip(*cols):
             fh.write(f"{topic} {q0} {doc} {rank} {score} {run}\n")
+
+
+def read_trec_run(path: str) -> pa.Table:
+    """Parse a TREC run file (the 6-field lines write_trec_run emits,
+    trec_eval-compatible) -> (topic, q0, doc, rank, score, run_name).
+    Whitespace-separated; malformed lines fail loud with the line number."""
+    topics, q0s, docs, ranks, scores, names = [], [], [], [], [], []
+    with open(path, encoding="utf-8") as fh:
+        for lineno, line in enumerate(fh, 1):
+            line = line.strip()
+            if not line:
+                continue
+            parts = line.split()
+            if len(parts) != 6:
+                raise ValueError(
+                    f"{path}:{lineno}: expected 6 fields, got {len(parts)}"
+                )
+            topics.append(int(parts[0]))
+            q0s.append(parts[1])
+            docs.append(parts[2])
+            ranks.append(int(parts[3]))
+            scores.append(float(parts[4]))
+            names.append(parts[5])
+    return pa.table(
+        {
+            "topic": pa.array(topics, pa.int64()),
+            "q0": pa.array(q0s, pa.string()),
+            "doc": pa.array(docs, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+            "run_name": pa.array(names, pa.string()),
+        }
+    )

@@ -376,3 +376,57 @@ def test_cli_qpp(cli_corpus, capsys, ray_session):
     assert main(["qpp", index_dir, "zzznotaterm"]) == 0
     out = capsys.readouterr().out.strip().splitlines()
     assert out == [] or json.loads(out[-1])["n_scored"] == 0
+
+
+def test_cli_fuse_and_eval(ray_session, capsys, tmp_path):
+    """fuse (rrf + combmnz) and eval verbs over hand-written TREC files
+    with hand-computed expectations."""
+    run_a = tmp_path / "runA.txt"
+    run_b = tmp_path / "runB.txt"
+    qrels = tmp_path / "qrels.txt"
+    run_a.write_text(
+        "1 Q0 docA 1 3.5 runA\n1 Q0 docB 2 2.5 runA\n1 Q0 docC 3 1.5 runA\n"
+        "2 Q0 docX 1 9.0 runA\n2 Q0 docY 2 4.0 runA\n"
+    )
+    run_b.write_text(
+        "1 Q0 docB 1 7.0 runB\n1 Q0 docD 2 6.0 runB\n1 Q0 docA 3 5.0 runB\n"
+        "2 Q0 docY 1 2.0 runB\n2 Q0 docZ 2 1.0 runB\n"
+    )
+    qrels.write_text("1 0 docB 1\n1 0 docD 1\n1 0 docQ 0\n2 0 docZ 1\n")
+
+    fused = tmp_path / "fused.txt"
+    assert main(["fuse", str(fused), str(run_a), str(run_b)]) == 0
+    capsys.readouterr()
+    lines = [l.split() for l in fused.read_text().strip().splitlines()]
+    t1 = [(l[2], int(float(l[4]))) for l in lines if l[0] == "1"]
+    # rrf: docB = 1e6//62 + 1e6//61; docA = 1e6//61 + 1e6//63
+    assert t1[0] == ("docB", 1_000_000 // 62 + 1_000_000 // 61)
+    assert t1[1] == ("docA", 1_000_000 // 61 + 1_000_000 // 63)
+    assert [l[3] for l in lines if l[0] == "1"] == ["1", "2", "3", "4"]
+
+    fusedc = tmp_path / "fusedc.txt"
+    assert main(
+        ["fuse", str(fusedc), str(run_a), str(run_b), "--method", "combmnz"]
+    ) == 0
+    capsys.readouterr()
+    linesc = [l.split() for l in fusedc.read_text().strip().splitlines()]
+    # docB: norm 0.5e6 (runA mid) * ... hand value: (500000 + 1000000) * 2
+    b = [l for l in linesc if l[0] == "1" and l[2] == "docB"][0]
+    assert int(float(b[4])) == 3_000_000
+
+    assert main(["eval", str(fused), str(qrels)]) == 0
+    out = [l for l in capsys.readouterr().out.strip().splitlines()]
+    import json as _json
+
+    rows = [_json.loads(l) for l in out]
+    per_topic = {r["topic"]: r for r in rows[:-1]}
+    assert per_topic[1]["sum_prec_micros"] == 1_666_666  # 1/1 + 2/3 micros
+    assert per_topic[1]["rr_micros"] == 1_000_000
+    assert per_topic[2]["first_rel_rank"] == 3
+    summary = rows[-1]
+    assert summary["n_topics"] == 2
+    assert abs(summary["map"] - 0.583333) < 1e-6
+
+    # single run file refuses
+    assert main(["fuse", str(tmp_path / "x.txt"), str(run_a)]) == 2
+    capsys.readouterr()
