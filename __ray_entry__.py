@@ -6105,6 +6105,29 @@ def q_probe_gram(sf_dir: str) -> pa.Table:
     return probe_gram_micros(emb)
 
 
+def q_hash_probe_gram(sf_dir: str) -> pa.Table:
+    """The full vocabulary-free training-data path composed end-to-end:
+    text -> hashing-trick dense features (dim 16) -> inner join with the
+    embeddings table's label column (vec_id == doc_id) -> augmented
+    integer-micros probe Gram.  Exactly the sufficient statistics a
+    quality-classifier fit consumes, with every cell SQL-reproducible."""
+    from search_engine_ray.dataops.dedup import _join_parts
+    from search_engine_ray.dataops.features import feature_hash_dense
+    from search_engine_ray.dataops.probe import probe_gram_micros
+    from search_engine_ray.ioutil import nonempty_blocks
+
+    labels = read_parquet_clean(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "label"]
+    )
+    # join scalars BEFORE featurizing: Acero joins reject list payloads
+    joined = _docs_ds(sf_dir).join(
+        labels, "inner", _join_parts(8), on=("doc_id",), right_on=("vec_id",)
+    )
+    joined = nonempty_blocks(joined.materialize())
+    feats = feature_hash_dense(joined, dim=16, keep_columns=("label",))
+    return probe_gram_micros(feats, column="features", label_column="label")
+
+
 def q_linear_probe(sf_dir: str) -> pa.Table:
     """Linear probe end-to-end (rows-only — the (dim+1)x(dim+1) ridge
     solve and the scoring matmul are LAPACK-float, outside the exactness
@@ -6786,6 +6809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pl2_top10": q_pl2_top10,
         "feature_hash": q_feature_hash,
         "cdc_chunks": q_cdc_chunks,
+        "hash_probe_gram": q_hash_probe_gram,
         "cascade_top10": q_cascade_top10,
         "msm_top10": q_msm_top10,
     }
@@ -9854,6 +9878,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(floor(a.val * b.val * 1000000 + 0.5)) AS BIGINT)
                      AS sum_micros
             FROM aug a JOIN aug b ON a.vec_id = b.vec_id AND b.dim >= a.dim
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # hashed features -> label join -> augmented integer-micros Gram
+        "hash_probe_gram": """
+            WITH tk AS (
+              SELECT doc_id, t
+              FROM documents,
+                   UNNEST(list_filter(regexp_split_to_array(text, '[\\t\\n\\x0B\\x0C\\r ]+'), x -> x <> '')) AS u(t)
+            ),
+            h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS hh FROM tk),
+            fh AS (SELECT doc_id, CAST((hh >> 1) % 16 AS BIGINT) AS bucket,
+                          CASE WHEN (hh & 1) = 0 THEN 1 ELSE -1 END AS s FROM h),
+            f AS (SELECT doc_id, bucket, SUM(s) AS value FROM fh GROUP BY doc_id, bucket),
+            dims AS (SELECT CAST(unnest(generate_series(0, 15)) AS BIGINT) AS dim),
+            joined AS (SELECT d.doc_id FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+            flat AS (
+              SELECT j.doc_id, dims.dim,
+                     CAST(COALESCE(f.value, 0) AS DOUBLE) AS val
+              FROM joined j CROSS JOIN dims
+              LEFT JOIN f ON f.doc_id = j.doc_id AND f.bucket = dims.dim),
+            aug AS (
+              SELECT doc_id, dim, val FROM flat
+              UNION ALL
+              SELECT j.doc_id, 16 AS dim, CAST(e.label AS DOUBLE) AS val
+              FROM joined j JOIN embeddings e ON e.vec_id = j.doc_id
+              UNION ALL
+              SELECT doc_id, 17 AS dim, 1.0 AS val FROM joined)
+            SELECT a.dim AS i, b.dim AS j,
+                   CAST(sum(floor(a.val * b.val * 1000000 + 0.5)) AS BIGINT)
+                     AS sum_micros
+            FROM aug a JOIN aug b ON a.doc_id = b.doc_id AND b.dim >= a.dim
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "rand_proj": """

@@ -89,21 +89,27 @@ def feature_hash_dense(
     dim: int = 256,
     text_column: str = "text",
     id_column: str = "doc_id",
+    keep_columns: tuple[str, ...] = (),
 ):
     """Dense variant: Dataset(doc_id, features list<int64> of length dim)
     — the layout the pca/rproj/probe Gram passes take directly.  Use only
-    for small ``dim`` (the dense row costs 8*dim bytes/doc)."""
+    for small ``dim`` (the dense row costs 8*dim bytes/doc).
+
+    ``keep_columns`` pass through untouched (e.g. a label column joined
+    upstream — Acero joins reject list-typed payload columns, so join
+    scalars BEFORE featurizing and carry them through here)."""
     if dim < 1 or dim > 65536:
         raise ValueError(f"feature_hash_dense: dim must be in [1, 65536] (got {dim})")
 
     def fold(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table(
-                {
-                    id_column: pa.array([], pa.int64()),
-                    "features": pa.array([], pa.list_(pa.int64())),
-                }
-            )
+            cols = {
+                id_column: pa.array([], pa.int64()),
+                "features": pa.array([], pa.list_(pa.int64())),
+            }
+            for c in keep_columns:
+                cols[c] = pa.array([], pa.int64())
+            return pa.table(cols)
         texts = batch[text_column].combine_chunks()
         tok, offs = _token_lists(texts, hash_kind="md5be")
         n = batch.num_rows
@@ -114,15 +120,16 @@ def feature_hash_dense(
             lens = np.diff(offs)
             doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
             np.add.at(mat, (doc_idx, bucket), sign)
-        return pa.table(
-            {
-                id_column: batch[id_column],
-                "features": pa.FixedSizeListArray.from_arrays(
-                    pa.array(mat.reshape(-1)), dim
-                ).cast(pa.list_(pa.int64())),
-            }
-        )
+        cols = {
+            id_column: batch[id_column],
+            "features": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1)), dim
+            ).cast(pa.list_(pa.int64())),
+        }
+        for c in keep_columns:
+            cols[c] = batch[c]
+        return pa.table(cols)
 
-    return ds.select_columns([id_column, text_column]).map_batches(
-        fold, batch_format="pyarrow"
-    )
+    return ds.select_columns(
+        [id_column, text_column, *keep_columns]
+    ).map_batches(fold, batch_format="pyarrow")

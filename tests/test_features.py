@@ -96,3 +96,18 @@ def test_feature_hash_validation(ray_session):
         feature_hash(ds, dim=0)
     with pytest.raises(ValueError):
         feature_hash_dense(ds, dim=0)
+
+
+def test_feature_hash_dense_keep_columns(ray_session):
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["alpha beta", "beta"]),
+                "label": pa.array([7, 9], pa.int64()),
+            }
+        )
+    )
+    out = feature_hash_dense(ds, dim=8, keep_columns=("label",)).to_pandas()
+    assert sorted(out.columns) == ["doc_id", "features", "label"]
+    assert dict(zip(out["doc_id"], out["label"])) == {1: 7, 2: 9}
