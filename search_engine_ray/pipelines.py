@@ -995,9 +995,9 @@ def cascade_scores_f64(
     except ValueError:
         nd = np.asarray(ids_t, dtype=np.int64)
     cut = np.lexsort((nd, -sc_t))[:n_first]
-    cand = set(ids_t[cut].tolist())
+    cand = ids_t[cut]
     ids_b, sc_b = bm25_scores_f64(reader, keywords)
-    keep = np.fromiter((d in cand for d in ids_b), dtype=bool, count=len(ids_b))
+    keep = np.isin(ids_b, cand)
     return ids_b[keep], sc_b[keep]
 
 
