@@ -826,16 +826,18 @@ def cmd_eval(args: argparse.Namespace) -> int:
     out = out.sort_values("topic", ignore_index=True)
     for row in out.to_dict(orient="records"):
         print(json.dumps(row))
+    # trec_eval semantics: aggregate means average over JUDGED topics
+    # only (n_rel > 0) — unjudged topics would silently deflate MAP/MRR
+    judged = out[out["n_rel"] > 0]
+    nj = len(judged)
     summary = {
         "n_topics": len(out),
-        f"p_at_{args.k}": float((out["hits_at_k"] / args.k).mean()) if len(out) else 0.0,
-        "mrr": float((out["rr_micros"] / 1e6).mean()) if len(out) else 0.0,
+        "n_topics_judged": nj,
+        f"p_at_{args.k}": float((judged["hits_at_k"] / args.k).mean()) if nj else 0.0,
+        "mrr": float((judged["rr_micros"] / 1e6).mean()) if nj else 0.0,
         "map": float(
-            (
-                out["sum_prec_micros"]
-                / (1e6 * out["n_rel"].clip(lower=1))
-            ).mean()
-        ) if len(out) else 0.0,
+            (judged["sum_prec_micros"] / (1e6 * judged["n_rel"])).mean()
+        ) if nj else 0.0,
     }
     print(json.dumps(summary))
     return 0

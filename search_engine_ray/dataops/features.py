@@ -49,7 +49,12 @@ def feature_hash(
     def fold(batch: pa.Table) -> pa.Table:
         empty = pa.table(
             {
-                id_column: pa.array([], batch[id_column].type if batch.num_rows else pa.int64()),
+                id_column: pa.array(
+                    [],
+                    batch[id_column].type
+                    if id_column in batch.column_names
+                    else pa.int64(),
+                ),
                 "bucket": pa.array([], pa.int64()),
                 "value": pa.array([], pa.int64()),
             }
@@ -103,12 +108,17 @@ def feature_hash_dense(
 
     def fold(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
+            # keep the BATCH's own types (a hardcoded int64 here would
+            # schema-split against non-empty blocks at materialize)
+            def _t(c):
+                return batch[c].type if c in batch.column_names else pa.int64()
+
             cols = {
-                id_column: pa.array([], pa.int64()),
+                id_column: pa.array([], _t(id_column)),
                 "features": pa.array([], pa.list_(pa.int64())),
             }
             for c in keep_columns:
-                cols[c] = pa.array([], pa.int64())
+                cols[c] = pa.array([], _t(c))
             return pa.table(cols)
         texts = batch[text_column].combine_chunks()
         tok, offs = _token_lists(texts, hash_kind="md5be")

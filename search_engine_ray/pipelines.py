@@ -995,10 +995,34 @@ def cascade_scores_f64(
     except ValueError:
         nd = np.asarray(ids_t, dtype=np.int64)
     cut = np.lexsort((nd, -sc_t))[:n_first]
-    cand = ids_t[cut]
-    ids_b, sc_b = bm25_scores_f64(reader, keywords)
-    keep = np.isin(ids_b, cand)
-    return ids_b[keep], sc_b[keep]
+    cand_mask = np.zeros(reader.n_docs, dtype=bool)
+    cand_mask[ids_t[cut]] = True
+    # second stage: accumulate BM25 ONLY over candidate postings (the
+    # per-doc accumulation is independent, so masking each term's
+    # posting list to the candidate set yields bit-identical scores at
+    # candidate-bounded cost — the actual cascade saving)
+    n = reader.n_docs
+    avgdl = reader.avgdl
+    k1, b, k3 = 1.2, 0.75, 100.0
+    scores = np.zeros(n, dtype=np.float64)
+    touched = np.zeros(n, dtype=bool)
+    for term, qtf in keywords:
+        tp = reader.postings(term)
+        if tp is None:
+            continue
+        ids, tfs, dls = tp.arrays()
+        m = cand_mask[ids]
+        if not m.any():
+            continue
+        ids, tfs, dls = ids[m], tfs[m], dls[m]
+        idf = np.log((n - tp.df + 0.5) / (tp.df + 0.5))
+        qterm = ((k3 + 1) * qtf) / (k3 + qtf)
+        # token-for-token the bm25_scores_f64 accumulation
+        scores[ids] += idf * (tfs * (k1 + 1)) / (tfs + k1 * (1 - b + b * (dls / avgdl))) * qterm
+        touched[ids] = True
+    out = np.flatnonzero(touched)
+    order = np.lexsort((out, -scores[out]))
+    return out[order], scores[out][order]
 
 
 def msm_bm25_scores_f64(

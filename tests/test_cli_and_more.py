@@ -387,10 +387,12 @@ def test_cli_fuse_and_eval(ray_session, capsys, tmp_path):
     run_a.write_text(
         "1 Q0 docA 1 3.5 runA\n1 Q0 docB 2 2.5 runA\n1 Q0 docC 3 1.5 runA\n"
         "2 Q0 docX 1 9.0 runA\n2 Q0 docY 2 4.0 runA\n"
+        "3 Q0 docU 1 1.0 runA\n"  # topic 3 is UNJUDGED (no qrels)
     )
     run_b.write_text(
         "1 Q0 docB 1 7.0 runB\n1 Q0 docD 2 6.0 runB\n1 Q0 docA 3 5.0 runB\n"
         "2 Q0 docY 1 2.0 runB\n2 Q0 docZ 2 1.0 runB\n"
+        "3 Q0 docV 1 1.0 runB\n"
     )
     qrels.write_text("1 0 docB 1\n1 0 docD 1\n1 0 docQ 0\n2 0 docZ 1\n")
 
@@ -424,7 +426,10 @@ def test_cli_fuse_and_eval(ray_session, capsys, tmp_path):
     assert per_topic[1]["rr_micros"] == 1_000_000
     assert per_topic[2]["first_rel_rank"] == 3
     summary = rows[-1]
-    assert summary["n_topics"] == 2
+    # trec_eval semantics: the unjudged topic 3 appears per-topic but is
+    # EXCLUDED from the aggregate means
+    assert summary["n_topics"] == 3
+    assert summary["n_topics_judged"] == 2
     assert abs(summary["map"] - 0.583333) < 1e-6
 
     # single run file refuses
