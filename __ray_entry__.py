@@ -4464,6 +4464,58 @@ def q_pl2_top10(sf_dir: str) -> pa.Table:
     )
 
 
+def q_bm25_relaxed_top10(sf_dir: str) -> pa.Table:
+    """Query-relaxation ladder: minimum-should-match starts at |q| (pure
+    AND) and relaxes until >= 10 docs match, then BM25 ranks that level.
+    The oracle recomputes the ladder choice (m*) and the restricted
+    ranking in SQL; m_used rides along as a checked column."""
+    from search_engine_ray.pipelines import relaxed_bm25_scores_f64
+
+    r = _reader(sf_dir)
+    ids, scores, m_used = relaxed_bm25_scores_f64(r, BM25_QUERY, k=10)
+    ids, scores = ids[:10], scores[:10]
+    doc_ids = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids),
+            "score_micros": pa.array(_micros(scores)),
+            "m_used": pa.array(np.full(len(ids), m_used, dtype=np.int64)),
+        }
+    )
+
+
+def q_bm25_page2_top10(sf_dir: str) -> pa.Table:
+    """Keyset pagination (search_after): page 2 of the BM25 ranking via
+    the cursor taken from page 1's LAST row — not an offset slice — so
+    the cursor comparison itself is verified.  Self-check: the cursor
+    page equals the rank-slice rows 11..20."""
+    from search_engine_ray.pipelines import bm25_search_after_f64
+
+    r = _reader(sf_dir)
+    p1_docs, p1_micros = bm25_search_after_f64(r, BM25_QUERY, cursor=None, k=10)
+    cursor = (int(p1_micros[-1]), int(p1_docs[-1]))
+    docs, micros = bm25_search_after_f64(r, BM25_QUERY, cursor=cursor, k=10)
+    # self-check vs the offset slice
+    all20_docs, all20_m = bm25_search_after_f64(r, BM25_QUERY, cursor=None, k=20)
+    assert docs.tolist() == all20_docs[10:20].tolist(), "cursor != slice"
+    return pa.table(
+        {"doc_id": pa.array(docs), "score_micros": pa.array(micros)}
+    )
+
+
+def q_bm25_sorted_by_len_top10(sf_dir: str) -> pa.Table:
+    """Sort-by-metadata retrieval (the 'order by price/date' feature):
+    the query's OR-match set ranked by the docs table's n_chars column
+    instead of the text score; per-batch vectorized isin + bounded
+    top-k folds."""
+    from search_engine_ray.pipelines import sort_matches_by_field
+
+    r = _reader(sf_dir)
+    return sort_matches_by_field(
+        r, BM25_QUERY, _docs_ds(sf_dir), "n_chars", k=10, descending=True
+    )
+
+
 def q_cascade_top10(sf_dir: str) -> pa.Table:
     """Two-stage cascade (Wang/Lin/Metzler SIGIR'11): TF-IDF first stage
     cuts to top-100, BM25 reranks only those candidates — the
@@ -6812,6 +6864,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_probe_gram": q_hash_probe_gram,
         "cascade_top10": q_cascade_top10,
         "msm_top10": q_msm_top10,
+        "bm25_relaxed_top10": q_bm25_relaxed_top10,
+        "bm25_page2_top10": q_bm25_page2_top10,
+        "bm25_sorted_by_len_top10": q_bm25_sorted_by_len_top10,
     }
 
 
@@ -9478,6 +9533,67 @@ def oracle_sql() -> dict[str, str]:
                    {_SQL_MICROS.format(expr="CASE WHEN k > 0 AND n_scored > 0 AND abs(sum_all_micros * 1.0 / n_scored) > 0 THEN sqrt(greatest(sumsq_topk_micros * 1.0 / k - (sum_topk_micros * 1.0 / k) * (sum_topk_micros * 1.0 / k), 0.0)) / abs(sum_all_micros * 1.0 / n_scored) ELSE 0.0 END")} AS nqc_micros,
                    {_SQL_MICROS.format(expr="CASE WHEN k > 0 AND n_scored > 0 THEN (sum_topk_micros * 1.0 / k - sum_all_micros * 1.0 / n_scored) / 1000000.0 / sqrt(3.0) ELSE 0.0 END")} AS wig_micros
             FROM sums
+        """,
+        # Relaxation ladder: m* = max m with >= 10 docs matching >= m terms
+        "bm25_relaxed_top10": f"""
+            WITH {_TOKS},
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+            tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks
+                   WHERE t IN ('spark','hash','join') GROUP BY doc_id, t),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            mc AS (SELECT doc_id, count(*) AS nm FROM tf GROUP BY doc_id),
+            mstar AS (
+              SELECT COALESCE(
+                (SELECT m FROM (VALUES (3),(2),(1)) v(m)
+                 WHERE (SELECT count(*) FROM mc WHERE nm >= m) >= 10
+                 ORDER BY m DESC LIMIT 1), 1) AS m),
+            sc AS (
+              SELECT tf.doc_id,
+                     SUM( ln((st.n - df.df + 0.5) / (df.df + 0.5))
+                          * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) ) AS score
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+              JOIN mc ON mc.doc_id = tf.doc_id CROSS JOIN mstar
+              WHERE mc.nm >= mstar.m
+              GROUP BY tf.doc_id
+            ),
+            ranked AS (SELECT doc_id, score,
+                              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM sc)
+            SELECT doc_id, {_SQL_MICROS.format(expr="score")} AS score_micros,
+                   CAST((SELECT m FROM mstar) AS BIGINT) AS m_used
+            FROM ranked WHERE r <= 10
+        """,
+        # Keyset pagination: rows 11..20 of the (micros desc, doc asc) order
+        "bm25_page2_top10": f"""
+            WITH {_TOKS},
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+            tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks
+                   WHERE t IN ('spark','hash','join') GROUP BY doc_id, t),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            sc AS (
+              SELECT tf.doc_id,
+                     SUM( ln((st.n - df.df + 0.5) / (df.df + 0.5))
+                          * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) ) AS score
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+              GROUP BY tf.doc_id
+            ),
+            mic AS (SELECT doc_id, {_SQL_MICROS.format(expr="score")} AS s FROM sc),
+            ranked AS (SELECT doc_id, s,
+                              row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r FROM mic)
+            SELECT doc_id, s AS score_micros
+            FROM ranked WHERE r BETWEEN 11 AND 20
+        """,
+        # Sort-by-metadata: OR-match set ordered by n_chars desc, doc asc
+        "bm25_sorted_by_len_top10": f"""
+            WITH {_TOKS},
+            m AS (SELECT DISTINCT doc_id FROM toks
+                  WHERE t IN ('spark','hash','join'))
+            SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
+            FROM m JOIN documents d USING (doc_id)
+            ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10
         """,
         # Two-stage cascade: TF-IDF top-100 candidates -> BM25 rerank
         "cascade_top10": f"""

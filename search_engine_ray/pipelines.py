@@ -1062,6 +1062,133 @@ def msm_bm25_scores_f64(
     return cand[order], scores[cand][order]
 
 
+def relaxed_bm25_scores_f64(
+    reader: IndexReader,
+    keywords: list[tuple[str, int]],
+    k: int = 10,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Query-relaxation ladder (the serving pattern between AND and OR):
+    try minimum-should-match m = |q| (pure conjunction) and relax one
+    level at a time until at least ``k`` docs match; rank that level with
+    BM25.  Returns (ids, scores, m_used).  A query whose OR set is still
+    smaller than k returns it with m_used = 1.
+
+    One postings read total: the matched-term counter from the standard
+    accumulation serves every ladder level — relaxation is a pure
+    driver-side threshold choice, no re-scoring."""
+    if k < 1:
+        raise ValueError(f"relaxed_bm25_scores_f64: k must be >= 1 (got {k})")
+    n = reader.n_docs
+    avgdl = reader.avgdl
+    k1, b, k3 = 1.2, 0.75, 100.0
+    scores = np.zeros(n, dtype=np.float64)
+    matched = np.zeros(n, dtype=np.int64)
+    n_terms = 0
+    for term, qtf in keywords:
+        n_terms += 1
+        tp = reader.postings(term)
+        if tp is None:
+            continue
+        ids, tfs, dls = tp.arrays()
+        idf = np.log((n - tp.df + 0.5) / (tp.df + 0.5))
+        qterm = ((k3 + 1) * qtf) / (k3 + qtf)
+        scores[ids] += idf * (tfs * (k1 + 1)) / (tfs + k1 * (1 - b + b * (dls / avgdl))) * qterm
+        matched[ids] += 1
+    # counts per level in one histogram pass: docs matching >= m
+    hist = np.bincount(matched, minlength=max(n_terms, 1) + 1)
+    ge = np.cumsum(hist[::-1])[::-1]  # ge[m] = #docs with matched >= m
+    m_used = 1
+    for m in range(n_terms, 0, -1):
+        if ge[m] >= k:
+            m_used = m
+            break
+    cand = np.flatnonzero(matched >= m_used)
+    order = np.lexsort((cand, -scores[cand]))
+    return cand[order], scores[cand][order], m_used
+
+
+def bm25_search_after_f64(
+    reader: IndexReader,
+    keywords: list[tuple[str, int]],
+    cursor: tuple[int, int] | None = None,
+    k: int = 10,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Keyset pagination over the BM25 ranking (the search_after cursor,
+    stable under concurrent result sets unlike offset paging): rank on
+    (score_micros desc, NUMERIC doc name asc) and return the first ``k``
+    rows strictly AFTER ``cursor = (score_micros, doc_id)``.
+
+    Returns (numeric doc ids, score_micros) — micros, not floats, so the
+    cursor comparison is integer-exact and a SQL oracle paginates
+    identically.  Requires numeric doc names (the keyset needs a total
+    order shared with SQL)."""
+    ids, scores = bm25_scores_f64(reader, keywords)
+    m = np.floor(scores * 1_000_000.0 + 0.5).astype(np.int64)
+    docs = np.asarray([int(reader.doc_names[d]) for d in ids], dtype=np.int64)
+    order = np.lexsort((docs, -m))
+    m, docs = m[order], docs[order]
+    if cursor is not None:
+        cs, cd = int(cursor[0]), int(cursor[1])
+        keep = (m < cs) | ((m == cs) & (docs > cd))
+        m, docs = m[keep], docs[keep]
+    return docs[:k], m[:k]
+
+
+def sort_matches_by_field(
+    reader: IndexReader,
+    keywords: list[tuple[str, int]],
+    docs_ds,
+    field: str,
+    k: int = 10,
+    descending: bool = True,
+    id_column: str = "doc_id",
+) -> pa.Table:
+    """Rank the query's OR-match set by a METADATA column instead of the
+    text score (the 'sort by price/date' engine feature): match docs from
+    the postings (disjunctive), then ONE column-pruned filtered pass over
+    the docs table (vectorized isin against the broadcast match-name set)
+    and a bounded top-k by (field, doc).
+
+    Returns (doc_id, field) top-k, ties -> ascending doc_id.  The match
+    set ships as a broadcast name set — at corpus scale swap in the
+    dedup-apply semi-join; the fold itself never exceeds k rows/batch."""
+    matched = np.zeros(reader.n_docs, dtype=bool)
+    for term, _qtf in keywords:
+        tp = reader.postings(term)
+        if tp is not None:
+            matched[tp.arrays()[0]] = True
+    names = {int(reader.doc_names[d]) for d in np.flatnonzero(matched)}
+
+    import ray
+
+    names_ref = ray.put(np.asarray(sorted(names), dtype=np.int64))
+    sign = -1 if descending else 1
+
+    def topk(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_column], dtype=np.int64)
+        vals = np.asarray(batch[field], dtype=np.int64)
+        keep = np.isin(ids, ray.get(names_ref))
+        ids, vals = ids[keep], vals[keep]
+        order = np.lexsort((ids, sign * vals))[:k]
+        return pa.table(
+            {id_column: pa.array(ids[order]), field: pa.array(vals[order])}
+        )
+
+    parts = docs_ds.select_columns([id_column, field]).map_batches(
+        topk, batch_format="pyarrow"
+    )
+    # bounded driver fold: <= k rows per input block
+    tbl = pa.concat_tables(
+        pa.table(b) for b in parts.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    ids = np.asarray(tbl[id_column], dtype=np.int64)
+    vals = np.asarray(tbl[field], dtype=np.int64)
+    order = np.lexsort((ids, sign * vals))[:k]
+    return pa.table(
+        {id_column: pa.array(ids[order]), field: pa.array(vals[order])}
+    )
+
+
 def prior_boosted_bm25_f64(
     reader: IndexReader,
     keywords: list[tuple[str, int]],

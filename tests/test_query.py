@@ -1182,3 +1182,87 @@ def test_cascade_and_msm(ray_session, tmp_path):
     assert len(msm_bm25_scores_f64(r, kws, min_should_match=4)[0]) == 0
     with pytest.raises(ValueError):
         msm_bm25_scores_f64(r, kws, min_should_match=0)
+
+
+def test_relaxation_pagination_fieldsort(ray_session, tmp_path):
+    """Relaxation ladder picks the tightest m with >= k matches; keyset
+    pagination equals rank slicing at every cursor; field sort ranks the
+    OR-match set by metadata."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    from search_engine_ray.config import BuildConfig, IndexOptions
+    from search_engine_ray.engine.build import build_index
+    from search_engine_ray.engine.index_reader import IndexReader
+    from search_engine_ray.pipelines import (
+        bm25_search_after_f64,
+        bm25_scores_f64,
+        msm_bm25_scores_f64,
+        relaxed_bm25_scores_f64,
+        sort_matches_by_field,
+    )
+
+    rng = np.random.default_rng(41)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(2, 10)).tolist())
+        for _ in range(30)
+    ]
+    corpus = str(tmp_path / "c")
+    _os.makedirs(corpus)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(30), pa.int64()),
+            "text": pa.array(texts),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq_.write_table(tbl, f"{corpus}/d.parquet")
+    idx = str(tmp_path / "i")
+    build_index(
+        corpus, idx,
+        BuildConfig(block_entries=8, frags_per_shard=2, options=IndexOptions(stemming=False)),
+        overwrite=True, source_column="text", name_column="doc_id",
+    )
+    r = IndexReader(idx)
+    kws = [("alpha", 1), ("beta", 1), ("gamma", 1)]
+
+    # --- relaxation: m_used is the max m with >= k docs matching >= m
+    for k in (1, 5, 12, 25):
+        ids, scores, m_used = relaxed_bm25_scores_f64(r, kws, k=k)
+        for m in range(3, 0, -1):
+            if len(msm_bm25_scores_f64(r, kws, min_should_match=m)[0]) >= k:
+                assert m_used == m
+                break
+        else:
+            assert m_used == 1
+        mids, mscores = msm_bm25_scores_f64(r, kws, min_should_match=m_used)
+        assert ids.tolist() == mids.tolist()
+        assert scores.tolist() == mscores.tolist()
+
+    # --- pagination: walking 3-row cursor pages reproduces the ranking
+    full_docs, full_m = bm25_search_after_f64(r, kws, cursor=None, k=1000)
+    walked_docs, cursor = [], None
+    while True:
+        d, m = bm25_search_after_f64(r, kws, cursor=cursor, k=3)
+        if len(d) == 0:
+            break
+        walked_docs.extend(d.tolist())
+        cursor = (int(m[-1]), int(d[-1]))
+    assert walked_docs == full_docs.tolist()
+
+    # --- field sort: OR matches ordered by n_chars desc, doc asc
+    ds = ray.data.from_arrow(tbl)
+    out = sort_matches_by_field(r, kws, ds, "n_chars", k=5).to_pandas()
+    matched = set()
+    for t, _q in kws:
+        tp = r.postings(t)
+        if tp is not None:
+            matched |= {int(r.doc_names[d]) for d in tp.arrays()[0]}
+    exp = sorted(((i, len(texts[i])) for i in matched), key=lambda x: (-x[1], x[0]))[:5]
+    assert list(zip(out["doc_id"], out["n_chars"])) == exp
+    with pytest.raises(ValueError):
+        relaxed_bm25_scores_f64(r, kws, k=0)
