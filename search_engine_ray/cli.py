@@ -551,6 +551,44 @@ def cmd_query(args: argparse.Namespace) -> int:
                 {"rank": rank, "doc": str(reader.doc_names[d]), "score": float(s)}
             ))
         return 0
+    if getattr(args, "relax", False):
+        from .pipelines import relaxed_bm25_scores_f64
+
+        ids, scores, m_used = relaxed_bm25_scores_f64(reader, keywords, k=args.k)
+        print(_json.dumps({"m_used": m_used, "n_terms": len(keywords)}))
+        for rank, (d, s) in enumerate(zip(ids[: args.k], scores[: args.k]), 1):
+            print(_json.dumps(
+                {"rank": rank, "doc": str(reader.doc_names[d]), "score": float(s)}
+            ))
+        return 0
+    if getattr(args, "after", None) is not None:
+        from .pipelines import bm25_search_after_f64
+
+        try:
+            cs, cd = (int(x) for x in args.after.split(","))
+        except ValueError:
+            print("error: --after needs 'score_micros,doc_id'", file=sys.stderr)
+            return 2
+        docs, micros = bm25_search_after_f64(
+            reader, keywords, cursor=(cs, cd), k=args.k
+        )
+        for d, m in zip(docs, micros):
+            print(_json.dumps({"doc": int(d), "score_micros": int(m)}))
+        return 0
+    if getattr(args, "sort_by", None):
+        if not args.docs_table:
+            print("error: --sort-by needs --docs-table", file=sys.stderr)
+            return 2
+        from .ioutil import read_parquet_clean
+        from .pipelines import sort_matches_by_field
+
+        ds = read_parquet_clean(args.docs_table)
+        out = sort_matches_by_field(
+            reader, keywords, ds, args.sort_by, k=args.k
+        )
+        for row in out.to_pylist():
+            print(_json.dumps(row))
+        return 0
     if args.scorer in ("lmd", "lmjm", "bm25plus", "pivoted", "pl2"):
         from .engine.search import register_scorer
         from .pipelines import (
@@ -1111,6 +1149,14 @@ def main(argv: list[str] | None = None) -> int:
     pq_.add_argument("--explain", default=None, metavar="DOC_NAME",
                      help="per-term BM25 contribution breakdown for one document "
                           "(float32 total == the ranked score)")
+    pq_.add_argument("--relax", action="store_true",
+                     help="query-relaxation ladder: tightest minimum-should-"
+                          "match with >= k results, BM25-ranked")
+    pq_.add_argument("--after", default=None, metavar="MICROS,DOC_ID",
+                     help="keyset pagination cursor (search_after)")
+    pq_.add_argument("--sort-by", default=None, metavar="FIELD",
+                     help="rank the OR-match set by a docs-table column "
+                          "(needs --docs-table)")
     pq_.add_argument("--sdm-positions", default=None, metavar="POS_DIR",
                      help="rank with the Sequential Dependence Model "
                           "(Metzler-Croft): Dirichlet unigram + ordered + "

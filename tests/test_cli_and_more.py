@@ -435,3 +435,59 @@ def test_cli_fuse_and_eval(ray_session, capsys, tmp_path):
     # single run file refuses
     assert main(["fuse", str(tmp_path / "x.txt"), str(run_a)]) == 2
     capsys.readouterr()
+
+
+def test_cli_query_relax_after_sortby(ray_session, capsys, tmp_path):
+    """--relax / --after / --sort-by on the query verb."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    rng = np.random.default_rng(47)
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(2, 9)).tolist())
+        for _ in range(25)
+    ]
+    corpus = str(tmp_path / "c")
+    os.makedirs(corpus)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(25), pa.int64()),
+            "text": pa.array(texts),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq_.write_table(tbl, f"{corpus}/d.parquet")
+    idx = str(tmp_path / "i")
+    assert main(["index", corpus, idx, "IndexOptions()", "--source-column",
+                 "text", "--name-column", "doc_id", "--overwrite"]) == 0
+    capsys.readouterr()
+
+    q = "alpha beta gamma"
+    assert main(["query", idx, q, "--relax", "--k", "5"]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert 1 <= lines[0]["m_used"] <= 3 and lines[0]["n_terms"] == 3
+    assert len(lines) - 1 <= 5
+
+    # page 1 has no cursor flag; walk one cursor page
+    assert main(["query", idx, q, "--after=99999999999,-1", "--k", "4"]) == 0
+    page = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert 0 < len(page) <= 4
+    cur = f"{page[-1]['score_micros']},{page[-1]['doc']}"
+    # negative micros would parse as a flag with a separate token: use =
+    assert main(["query", idx, q, f"--after={cur}", "--k", "4"]) == 0
+    page2 = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert not {p["doc"] for p in page} & {p["doc"] for p in page2}
+
+    assert main(["query", idx, q, "--after=garbage"]) == 2
+    capsys.readouterr()
+
+    assert main(["query", idx, q, "--sort-by", "n_chars",
+                 "--docs-table", f"{corpus}/d.parquet", "--k", "5"]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    lens = [r["n_chars"] for r in rows]
+    assert lens == sorted(lens, reverse=True)
+
+    assert main(["query", idx, q, "--sort-by", "n_chars"]) == 2
+    capsys.readouterr()
