@@ -4388,6 +4388,80 @@ def q_comb_fusion(sf_dir: str) -> pa.Table:
     )
 
 
+# --- trigram-indexed substring / regex search (dataops/trigram.py) ---
+
+_TG_DF_TRIGRAMS = ("dow", "ind", "ndo", "win")  # the trigrams of 'window'
+_TG_SUBSTR_NEEDLE = "window table"
+_TG_REGEX_PATTERN = "big (table|query)"
+
+
+def _trigram_index_dir(sf_dir: str) -> str:
+    """Build-once trigram postings (Cox code-search layout): one
+    map_batches extraction pass, parquet partitioned by trigram hash
+    bucket so probes read only their trigrams' buckets."""
+    root = os.path.join(
+        "/tmp/se_ray_cache", "trigram-" + sf_dir.strip("/").replace("/", "_")
+    )
+
+    def _build() -> None:
+        from search_engine_ray.dataops.trigram import build_trigram_index
+
+        docs = read_parquet_clean(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        build_trigram_index(docs, root, num_buckets=32)
+
+    os.makedirs(root, exist_ok=True)
+    return _build_once(root, ".trigram-complete", _build)
+
+
+def _ids_table(ds) -> pa.Table:
+    """doc_id result set -> canonical (doc_id int64) table; tolerates
+    Ray's zero-column empty-dataset to_pandas wart."""
+    df = ds.to_pandas()
+    ids = df["doc_id"].to_numpy() if "doc_id" in df.columns else []
+    return pa.table({"doc_id": pa.array(np.asarray(ids, dtype=np.int64))})
+
+
+def q_trigram_df(sf_dir: str) -> pa.Table:
+    """Document frequency of 'window's trigrams off the partition-pruned
+    trigram postings.  Byte-trigram df == substring-contains df for ASCII
+    trigrams (UTF-8 is self-synchronizing), so the contains() oracle is
+    exact."""
+    from search_engine_ray.dataops.trigram import trigram_df
+
+    return trigram_df(_trigram_index_dir(sf_dir), list(_TG_DF_TRIGRAMS))
+
+
+def q_trigram_substring(sf_dir: str) -> pa.Table:
+    """Exact substring search via the trigram index: pruned postings read
+    -> AND-of-trigrams candidate groupby -> distributed verify
+    (pc.match_substring).  Output: matching doc_ids ascending."""
+    from search_engine_ray.dataops.trigram import substring_search
+
+    docs = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return _ids_table(
+        substring_search(_trigram_index_dir(sf_dir), docs, _TG_SUBSTR_NEEDLE)
+    )
+
+
+def q_trigram_regex(sf_dir: str) -> pa.Table:
+    """Regex search via required-literal trigram prefiltering (simplified
+    Cox RegexpQuery: 'big (table|query)' -> literals {'big table',
+    'big query'}) + distributed RE2 verify — the same regex engine family
+    DuckDB's regexp_matches uses."""
+    from search_engine_ray.dataops.trigram import regex_search
+
+    docs = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return _ids_table(
+        regex_search(_trigram_index_dir(sf_dir), docs, _TG_REGEX_PATTERN)
+    )
+
+
 def q_qpp_predictors(sf_dir: str) -> pa.Table:
     """Pre-retrieval QPP statistics (per-term idf + SCQ) for the standard
     query, computed from the built index via the term-pruned fragment
@@ -6867,6 +6941,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_relaxed_top10": q_bm25_relaxed_top10,
         "bm25_page2_top10": q_bm25_page2_top10,
         "bm25_sorted_by_len_top10": q_bm25_sorted_by_len_top10,
+        "trigram_df": q_trigram_df,
+        "trigram_substring": q_trigram_substring,
+        "trigram_regex": q_trigram_regex,
     }
 
 
@@ -7192,6 +7269,28 @@ def oracle_sql() -> dict[str, str]:
             FROM derived x JOIN derived y ON x.vec_id < y.vec_id
             WHERE list_cosine_similarity(x.e, y.e) >= 0.9
             ORDER BY a, b
+        """,
+        # trigram-index gates: the engine prefilters via the trigram
+        # postings then VERIFIES exactly, so plain contains()/RE2 SQL is
+        # the precise oracle (no approximation to model)
+        "trigram_df": f"""
+            SELECT t.tg AS trigram,
+                   CAST(SUM(CASE WHEN contains(d.text, t.tg) THEN 1 ELSE 0 END)
+                        AS BIGINT) AS df
+            FROM (VALUES {", ".join(f"('{t}')" for t in _TG_DF_TRIGRAMS)}) t(tg)
+            CROSS JOIN documents d
+            GROUP BY t.tg
+            ORDER BY trigram
+        """,
+        "trigram_substring": f"""
+            SELECT doc_id FROM documents
+            WHERE contains(text, '{_TG_SUBSTR_NEEDLE}')
+            ORDER BY doc_id
+        """,
+        "trigram_regex": f"""
+            SELECT doc_id FROM documents
+            WHERE regexp_matches(text, '{_TG_REGEX_PATTERN}')
+            ORDER BY doc_id
         """,
         "stratified_sample": f"""
             SELECT doc_id, source FROM documents

@@ -1,0 +1,476 @@
+"""Trigram-indexed substring / regex search (Google Code Search design).
+
+Implements R. Cox's public "Regular Expression Matching with a Trigram
+Index" (swtch.com/~rsc/regexp/regexp4.html) Ray-Data-first:
+
+- build_trigram_index : one vectorized map_batches pass extracts each
+  document's DISTINCT byte trigrams (numpy sliding window over the flat
+  Arrow string buffer — no per-row loop), packs them into uint32, and
+  writes (tg, doc_id) postings as parquet PARTITIONED BY a trigram hash
+  bucket.  Index size is O(corpus bytes); no shuffle at build time.
+- substring_search    : needle -> its trigram set -> PRUNED read of only
+  the needle's bucket directories with a tg row-group filter -> doc_id
+  intersection via ONE groupby count -> distributed verification of the
+  candidates (left_semi join + pc.match_substring).  A probe touches
+  O(sum df(tg)) postings rows, never the corpus; false positives are
+  removed by verification, false negatives are impossible (a doc
+  containing the needle contains every trigram of the needle).
+- regex_search        : a simplified RegexpQuery analysis extracts literal
+  alternatives such that EVERY match contains at least one alternative in
+  full (concatenation folds exact sets via bounded cross product,
+  alternation unions branches, `x+` keeps x's requirement, `x*`/`x?`
+  contribute nothing).  Candidates = OR over alternatives of (AND of the
+  alternative's trigrams), then distributed RE2 verification
+  (pc.match_substring_regex — the same regex family DuckDB uses).
+  Unanalyzable patterns fail OPEN to a distributed full-scan verify.
+- trigram_df          : per-trigram document frequency via the same
+  pruned read (used by tests and the driver gate).
+
+At 100 TB the design holds: the index is written once, partitioned, and
+every query reads only the probed trigrams' buckets (column-pruned to
+(tg, doc_id)); the intersection groupby moves candidate-sized data; the
+verify join moves only candidate payloads.  Skewed (stop-)trigrams are
+handled by probing only the ``max_probe_trigrams`` RAREST trigrams of the
+needle — df comes from a tg-column-only pruned read.
+
+No counterpart in the reference repo (its lexicon is term-exact only);
+closest in-repo relatives: engine/lexicon.py (term wildcards) and the
+IVF probe layout in dataops/similarity.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..ioutil import nonempty_blocks, read_parquet_clean
+from .dedup import _join_parts
+from .similarity import _parquet_files
+
+_TG_MASK = np.uint64(0xFFFFFF)
+# Knuth multiplicative hash so ASCII-heavy trigrams spread across buckets
+_TG_HASH_MULT = np.uint64(2654435761)
+
+
+def _flat_bytes(texts: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint8 buffer, int64 value offsets) for a string column."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
+    b = texts.cast(pa.large_binary())
+    offsets = np.frombuffer(b.buffers()[1], dtype=np.int64)[
+        b.offset : b.offset + len(b) + 1
+    ]
+    data = np.frombuffer(b.buffers()[2], dtype=np.uint8)
+    # sliced arrays: offsets index into the FULL value buffer — normalize
+    # to the slice's window so positions and offsets share an origin
+    start, end = (int(offsets[0]), int(offsets[-1])) if len(offsets) else (0, 0)
+    return data[start:end], offsets - start
+
+
+def doc_trigrams(texts: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """DISTINCT byte trigrams per document, vectorized.
+
+    Returns (tg uint32 packed b0<<16|b1<<8|b2, row_idx int64), sorted by
+    (row, tg).  UTF-8 is self-synchronizing, so for any ASCII needle the
+    byte-trigram document frequency equals the character-trigram one."""
+    data, offsets = _flat_bytes(texts)
+    if len(data) < 3:
+        return np.empty(0, np.uint32), np.empty(0, np.int64)
+    u = data.astype(np.uint32)
+    tg = (u[:-2] << np.uint32(16)) | (u[1:-1] << np.uint32(8)) | u[2:]
+    pos = np.arange(len(tg), dtype=np.int64)
+    row = np.searchsorted(offsets, pos, side="right") - 1
+    valid = pos + 3 <= offsets[row + 1]
+    key = (row[valid].astype(np.uint64) << np.uint64(24)) | tg[valid].astype(
+        np.uint64
+    )
+    key = np.unique(key)
+    return (key & _TG_MASK).astype(np.uint32), (key >> np.uint64(24)).astype(np.int64)
+
+
+def pack_trigrams(s: str | bytes) -> list[int]:
+    """Sorted distinct packed trigrams of a needle ('' -> [])."""
+    b = s.encode("utf-8") if isinstance(s, str) else bytes(s)
+    return sorted({(b[i] << 16) | (b[i + 1] << 8) | b[i + 2] for i in range(len(b) - 2)})
+
+
+def unpack_trigram(tg: int) -> str:
+    return bytes([(tg >> 16) & 0xFF, (tg >> 8) & 0xFF, tg & 0xFF]).decode(
+        "utf-8", errors="replace"
+    )
+
+
+def _tg_bucket(tg: np.ndarray, num_buckets: int) -> np.ndarray:
+    h = (tg.astype(np.uint64) * _TG_HASH_MULT) & np.uint64(0xFFFFFFFF)
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
+# --------------------------------------------------------------------------
+# build
+# --------------------------------------------------------------------------
+
+def build_trigram_index(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    *,
+    column: str = "text",
+    id_column: str = "doc_id",
+    num_buckets: int = 64,
+) -> dict:
+    """Persist the trigram postings, partitioned by trigram hash bucket::
+
+        index_dir/meta.json                  {num_buckets, column, id_column}
+        index_dir/postings/bucket=K/*.parquet   (tg uint32, <id_column> int64)
+
+    One map_batches pass, no shuffle; a probe later reads only its
+    trigrams' bucket directories.  Raise ``num_buckets`` with corpus size
+    so each bucket stays a bounded slice of the postings."""
+
+    def extract(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        tg, row = doc_trigrams(batch.column(column))
+        return pa.table(
+            {
+                "bucket": pa.array(_tg_bucket(tg, num_buckets)),
+                "tg": pa.array(tg, pa.uint32()),
+                id_column: pa.array(ids[row], pa.int64()),
+            }
+        )
+
+    os.makedirs(index_dir, exist_ok=True)
+    ds.map_batches(extract, batch_format="pyarrow").write_parquet(
+        os.path.join(index_dir, "postings"), partition_cols=["bucket"]
+    )
+    meta = {"num_buckets": int(num_buckets), "column": column, "id_column": id_column}
+    with open(os.path.join(index_dir, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def _load_meta(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "meta.json")) as fh:
+        return json.load(fh)
+
+
+def _read_postings(
+    index_dir: str, meta: dict, tgs: list[int], columns: list[str]
+) -> ray.data.Dataset | None:
+    """Pruned postings read: only the probed trigrams' bucket directories,
+    column-pruned, with a tg filter pushed into the parquet scan."""
+    if not tgs:
+        return None
+    buckets = sorted(set(_tg_bucket(np.asarray(tgs, np.uint32), meta["num_buckets"]).tolist()))
+    paths = _parquet_files(
+        os.path.join(index_dir, "postings", f"bucket={b}") for b in buckets
+    )
+    if not paths:
+        return None
+    expr = pc.field("tg").isin(pa.array(tgs, pa.uint32()))
+    return read_parquet_clean(paths, columns=columns, filter=expr)
+
+
+# --------------------------------------------------------------------------
+# probes
+# --------------------------------------------------------------------------
+
+def trigram_df(index_dir: str, trigrams: list[str | bytes | int]) -> pa.Table:
+    """Document frequency of each probed trigram (0-df trigrams included).
+    Output (trigram: string, df: int64) sorted by trigram ascending."""
+    meta = _load_meta(index_dir)
+    tgs = sorted(
+        {t if isinstance(t, int) else pack_trigrams_one(t) for t in trigrams}
+    )
+    counts = dict.fromkeys(tgs, 0)
+    posts = _read_postings(index_dir, meta, tgs, columns=["tg"])
+    if posts is not None:
+        for r in posts.groupby("tg").count().take_all():  # <= len(tgs) rows
+            counts[int(r["tg"])] = int(r["count()"])
+    return pa.table(
+        {
+            "trigram": pa.array([unpack_trigram(t) for t in tgs], pa.string()),
+            "df": pa.array([counts[t] for t in tgs], pa.int64()),
+        }
+    )
+
+
+def pack_trigrams_one(t: str | bytes) -> int:
+    b = t.encode("utf-8") if isinstance(t, str) else bytes(t)
+    if len(b) != 3:
+        raise ValueError(f"not a trigram: {t!r}")
+    return (b[0] << 16) | (b[1] << 8) | b[2]
+
+
+def _rarest_trigrams(
+    index_dir: str, meta: dict, tgs: list[int], max_probe: int
+) -> list[int]:
+    """Probe-set selection: keep the ``max_probe`` rarest trigrams (ties ->
+    tg ascending).  The df pass reads ONLY the tg column of the probed
+    buckets — cheap and columnar — and makes probe cost track the rarest
+    trigrams instead of stop-trigrams like 'the'."""
+    if len(tgs) <= max_probe:
+        return tgs
+    posts = _read_postings(index_dir, meta, tgs, columns=["tg"])
+    if posts is None:
+        return tgs[:max_probe]
+    df = {int(r["tg"]): int(r["count()"]) for r in posts.groupby("tg").count().take_all()}
+    return sorted(tgs, key=lambda t: (df.get(t, 0), t))[:max_probe]
+
+
+def _candidates_all_of(
+    index_dir: str, meta: dict, tgs: list[int], id_column: str
+) -> ray.data.Dataset | None:
+    """doc ids containing ALL of ``tgs``: one pruned read + one groupby
+    (postings are distinct per (tg, doc), so count == len(tgs) <=> all
+    present).  None -> provably no candidates."""
+    posts = _read_postings(index_dir, meta, tgs, columns=["tg", id_column])
+    if posts is None:
+        return None
+    k = len(tgs)
+
+    def all_present(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch["count()"], k)
+        return batch.filter(pc.fill_null(mask, False)).select([id_column])
+
+    hits = (
+        posts.groupby(id_column)
+        .count()
+        .map_batches(all_present, batch_format="pyarrow")
+    )
+    return nonempty_blocks(hits.materialize())
+
+
+def _verify_semi_join(
+    docs: ray.data.Dataset,
+    cand_ids: ray.data.Dataset,
+    id_column: str,
+) -> ray.data.Dataset | None:
+    """Candidate payload rows via a left_semi join (payload moves once)."""
+    joined = docs.join(
+        cand_ids,
+        "left_semi",
+        _join_parts(16),
+        on=(id_column,),
+        right_on=(id_column,),
+    )
+    return nonempty_blocks(joined.materialize())
+
+
+def _empty_ids(id_column: str) -> ray.data.Dataset:
+    return ray.data.from_arrow(pa.table({id_column: pa.array([], pa.int64())}))
+
+
+def substring_search(
+    index_dir: str,
+    docs: ray.data.Dataset,
+    needle: str | bytes,
+    *,
+    max_probe_trigrams: int = 8,
+) -> ray.data.Dataset:
+    """doc ids whose ``column`` contains ``needle`` (exact, verified),
+    sorted ascending.  Needles shorter than 3 bytes have no trigrams and
+    fall back to the distributed full-scan verify (documented fail-open)."""
+    meta = _load_meta(index_dir)
+    column, id_column = meta["column"], meta["id_column"]
+    pat = needle.decode("utf-8") if isinstance(needle, bytes) else needle
+    tgs = pack_trigrams(needle)
+    if tgs:
+        tgs = _rarest_trigrams(index_dir, meta, tgs, max_probe_trigrams)
+        cand_ids = _candidates_all_of(index_dir, meta, tgs, id_column)
+        if cand_ids is None:
+            return _empty_ids(id_column)
+        cand = _verify_semi_join(docs, cand_ids, id_column)
+        if cand is None:
+            return _empty_ids(id_column)
+    else:
+        cand = docs
+
+    def verify(batch: pa.Table) -> pa.Table:
+        keep = pc.match_substring(batch.column(column), pat)
+        return batch.filter(pc.fill_null(keep, False)).select([id_column])
+
+    return cand.map_batches(verify, batch_format="pyarrow").sort(id_column)
+
+
+# --------------------------------------------------------------------------
+# regex analysis (simplified Cox RegexpQuery)
+# --------------------------------------------------------------------------
+
+_MAX_EXACT = 64  # cross-product cap before an exact set degrades to required
+
+
+def required_literal_alternatives(pattern: str) -> list[str] | None:
+    """Literal alternatives such that every match of ``pattern`` contains
+    at least one alternative IN FULL; None when no useful guarantee exists
+    (callers fall back to a full-scan verify).  Alternatives shorter than
+    3 bytes are unusable for trigram prefiltering, so any such alternative
+    also yields None."""
+    try:
+        from re import _parser as sre_parse
+    except ImportError:  # pragma: no cover - py<3.11
+        import sre_parse
+    try:
+        seq = sre_parse.parse(pattern)
+    except Exception:
+        return None
+    got = _analyze_seq(seq)
+    if got is None:
+        return None
+    kind, lits = got
+    if not lits or any(len(s.encode("utf-8")) < 3 for s in lits):
+        return None
+    return sorted(lits)
+
+
+def _analyze_node(op, av):
+    """-> ('exact', set) | ('req', set) | ('skip', None) | None.
+
+    exact: the node matches exactly one string from the set.
+    req  : every match of the node contains >=1 of the set.
+    skip : the node matches only '' / zero-width (contributes nothing).
+    None : no information (breaks literal runs in a concatenation)."""
+    opname = str(op)
+    if opname == "LITERAL":
+        return ("exact", {chr(av)})
+    if opname == "AT":
+        return ("skip", None)
+    if opname == "IN":
+        chars: set[str] = set()
+        for iop, iav in av:
+            if str(iop) == "LITERAL":
+                chars.add(chr(iav))
+            elif str(iop) == "RANGE" and iav[1] - iav[0] < 16:
+                chars.update(chr(c) for c in range(iav[0], iav[1] + 1))
+            else:
+                return None
+        return ("exact", chars) if len(chars) <= _MAX_EXACT else None
+    if opname == "SUBPATTERN":
+        return _analyze_seq(av[3])
+    if opname == "BRANCH":
+        alts = [_analyze_seq(s) for s in av[1]]
+        # a branch that can match '' (or is unanalyzable) guarantees
+        # nothing AND breaks the surrounding literal run -> no info
+        if any(a is None or a[0] == "skip" for a in alts):
+            return None
+        union: set[str] = set()
+        for _, s in alts:
+            union |= s
+        kind = "exact" if all(a[0] == "exact" for a in alts) else "req"
+        if kind == "exact" and len(union) > _MAX_EXACT:
+            kind = "req"
+        return (kind, union)
+    if opname in ("MAX_REPEAT", "MIN_REPEAT"):
+        lo, hi, item = av
+        if lo == 0:
+            # x* / x? matches '' — it guarantees nothing and BREAKS the
+            # surrounding literal run ('sort(ed)? window' must NOT fold
+            # into 'sort window'), so: no info, not zero-width skip
+            return None
+        inner = _analyze_seq(item)
+        if inner is None:
+            return None
+        ikind, iset = inner
+        if ikind == "skip":
+            return ("skip", None)
+        if ikind == "exact" and lo == hi and lo * len(iset) and lo <= 4 and len(iset) == 1:
+            return ("exact", {next(iter(iset)) * lo})
+        return ("req", set(iset))
+    return None
+
+
+def _analyze_seq(seq):
+    """Fold a concatenation.  Adjacent exact nodes cross-product into
+    longer exact strings; every exact run and every 'req' element is an
+    independently-valid requirement — keep the strongest (the one whose
+    WEAKEST literal is longest)."""
+    flushed: list[set[str]] = []
+    cur: set[str] = {""}
+    cur_exact = True
+
+    def flush():
+        nonlocal cur, cur_exact
+        if cur != {""}:
+            flushed.append(set(cur))
+        cur, cur_exact = {""}, True
+
+    for op, av in seq:
+        got = _analyze_node(op, av)
+        if got is None:
+            flush()
+            continue
+        kind, s = got
+        if kind == "skip":
+            continue
+        if kind == "exact":
+            if len(cur) * len(s) <= _MAX_EXACT:
+                cur = {a + b for a in cur for b in s}
+            else:
+                flush()
+                flushed.append(set(s))
+            continue
+        # 'req' element: its set stands alone; it also ends the exact run
+        flush()
+        flushed.append(set(s))
+
+    whole_exact = cur_exact and not flushed and cur != {""}
+    if whole_exact:
+        return ("exact", cur)
+    flush()
+    if not flushed:
+        return ("skip", None)
+    usable = [s for s in flushed if all(len(x.encode()) >= 3 for x in s)]
+    if not usable:
+        return None
+    best = max(usable, key=lambda s: min(len(x) for x in s))
+    return ("req", best)
+
+
+def regex_search(
+    index_dir: str,
+    docs: ray.data.Dataset,
+    pattern: str,
+    *,
+    max_probe_trigrams: int = 8,
+) -> ray.data.Dataset:
+    """doc ids whose text matches ``pattern`` (RE2 semantics via
+    pc.match_substring_regex — the engine DuckDB's regexp_matches also
+    uses), sorted ascending.  Candidates come from the trigram index when
+    the pattern yields required literal alternatives; otherwise the verify
+    runs as a distributed full scan (fail-open, never fail-wrong)."""
+    meta = _load_meta(index_dir)
+    column, id_column = meta["column"], meta["id_column"]
+    lits = required_literal_alternatives(pattern)
+    cand = docs
+    if lits is not None:
+        per_lit = []
+        for lit in lits:
+            tgs = pack_trigrams(lit)
+            tgs = _rarest_trigrams(index_dir, meta, tgs, max_probe_trigrams)
+            ids = _candidates_all_of(index_dir, meta, tgs, id_column)
+            if ids is not None:
+                per_lit.append(ids)
+        if not per_lit:
+            return _empty_ids(id_column)
+        cand_ids = per_lit[0]
+        if len(per_lit) > 1:
+            cand_ids = (
+                cand_ids.union(*per_lit[1:])
+                .groupby(id_column)
+                .count()
+                .select_columns([id_column])
+            )
+            cand_ids = nonempty_blocks(cand_ids.materialize())
+        cand = _verify_semi_join(docs, cand_ids, id_column)
+        if cand is None:
+            return _empty_ids(id_column)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        keep = pc.match_substring_regex(batch.column(column), pattern)
+        return batch.filter(pc.fill_null(keep, False)).select([id_column])
+
+    return cand.map_batches(verify, batch_format="pyarrow").sort(id_column)
