@@ -378,6 +378,14 @@ def run_benchmarks() -> dict:
 
     _sided_docs = docs_ds.map_batches(_add_side, batch_format="pyarrow")
 
+    from search_engine_ray.dataops import trigram as _trigram
+
+    tg_dir = os.path.join(maint_root, "trigram")
+
+    def _trigram_build():
+        shutil.rmtree(tg_dir, ignore_errors=True)
+        return _trigram.build_trigram_index(docs_ds, tg_dir, num_buckets=32)
+
     ops: list[tuple[str, object]] = [
         ("dedup_exact", lambda: exact_dedup(docs_ds).count()),
         ("dedup_minhash_lsh", lambda: minhash_lsh_pairs(docs_ds, threshold=0.8).count()),
@@ -452,6 +460,11 @@ def run_benchmarks() -> dict:
             _sided_docs, "side_a", k=20).num_rows),
         ("winnow_fingerprints", lambda: _winnow(docs_ds, k=4, w=4).count()),
         ("feature_hash", lambda: _feature_hash(docs_ds, dim=1024).count()),
+        ("trigram_index_build", _trigram_build),
+        ("trigram_substring", lambda: _trigram.substring_search(
+            tg_dir, docs_ds, "window table").count()),
+        ("trigram_regex", lambda: _trigram.regex_search(
+            tg_dir, docs_ds, "big (table|query)").count()),
     ]
     n_rounds = int(os.environ.get("SE_RAY_BENCH_OP_ROUNDS", "2"))
     samples: dict[str, list[float]] = {name: [] for name, _ in ops}

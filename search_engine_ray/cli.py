@@ -991,6 +991,67 @@ def cmd_winnow(args: argparse.Namespace) -> int:
 
 
 
+def cmd_trigram_index(args: argparse.Namespace) -> int:
+    """Build the trigram postings index (Cox code-search layout)."""
+    _ensure_ray(args.num_cpus)
+    from .dataops.trigram import build_trigram_index
+    from .ioutil import read_parquet_clean
+
+    ds = read_parquet_clean(args.corpus, columns=[args.id_column, args.text_column])
+    meta = build_trigram_index(
+        ds, args.index_dir,
+        column=args.text_column, id_column=args.id_column,
+        num_buckets=args.num_buckets,
+    )
+    print(json.dumps({"index_dir": args.index_dir, **meta}))
+    return 0
+
+
+def cmd_grep(args: argparse.Namespace) -> int:
+    """Substring (default) or --regex search via the trigram index:
+    pruned postings probe -> candidate intersection -> distributed exact
+    verification over the corpus."""
+    _ensure_ray(args.num_cpus)
+    from .dataops.trigram import (
+        regex_search,
+        required_literal_alternatives,
+        substring_search,
+    )
+    from .ioutil import read_parquet_clean
+
+    with open(os.path.join(args.index_dir, "meta.json")) as fh:
+        meta = json.load(fh)
+    docs = read_parquet_clean(
+        args.corpus, columns=[meta["id_column"], meta["column"]]
+    )
+    if args.regex:
+        hits = regex_search(
+            args.index_dir, docs, args.pattern,
+            max_probe_trigrams=args.max_probe_trigrams,
+        )
+        lits = required_literal_alternatives(args.pattern)
+    else:
+        hits = substring_search(
+            args.index_dir, docs, args.pattern,
+            max_probe_trigrams=args.max_probe_trigrams,
+        )
+        lits = [args.pattern] if len(args.pattern.encode()) >= 3 else None
+    df = hits.to_pandas()
+    ids = df[meta["id_column"]].tolist() if meta["id_column"] in df.columns else []
+    print(
+        json.dumps(
+            {
+                "pattern": args.pattern,
+                "regex": bool(args.regex),
+                "prefilter_literals": lits,  # null == full-scan verify
+                "n_hits": len(ids),
+                "ids": ids[: args.limit],
+            }
+        )
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="search_engine_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -1231,6 +1292,30 @@ def main(argv: list[str] | None = None) -> int:
     pw.add_argument("--id-column", default="doc_id")
     pw.add_argument("--num-cpus", type=int, default=8)
     pw.set_defaults(fn=cmd_winnow)
+
+    pti = sub.add_parser(
+        "trigram-index", help="build trigram postings for substring/regex grep"
+    )
+    pti.add_argument("corpus")
+    pti.add_argument("index_dir")
+    pti.add_argument("--num-buckets", type=int, default=64)
+    pti.add_argument("--text-column", default="text")
+    pti.add_argument("--id-column", default="doc_id")
+    pti.add_argument("--num-cpus", type=int, default=8)
+    pti.set_defaults(fn=cmd_trigram_index)
+
+    pgr = sub.add_parser(
+        "grep", help="exact substring / --regex search via the trigram index"
+    )
+    pgr.add_argument("index_dir")
+    pgr.add_argument("corpus")
+    pgr.add_argument("pattern")
+    pgr.add_argument("--regex", action="store_true")
+    pgr.add_argument("--max-probe-trigrams", type=int, default=8)
+    pgr.add_argument("--limit", type=int, default=100,
+                     help="max ids echoed in the JSON payload")
+    pgr.add_argument("--num-cpus", type=int, default=8)
+    pgr.set_defaults(fn=cmd_grep)
 
     args = p.parse_args(argv)
     try:

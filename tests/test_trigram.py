@@ -171,3 +171,33 @@ def test_rarest_probe_subset_still_exact(index_dir):
         tg.substring_search(index_dir, _docs_ds(), needle, max_probe_trigrams=3)
     )
     assert got == sorted(i for i, s in zip(IDS, DOCS) if needle in s)
+
+
+def test_cli_trigram_index_and_grep(ray_session, capsys, tmp_path):
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.cli import main
+
+    corpus = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(IDS, pa.int64()), "text": pa.array(DOCS)}),
+        corpus,
+    )
+    idx = str(tmp_path / "tgidx")
+    assert main(["trigram-index", corpus, idx, "--num-buckets", "4"]) == 0
+    meta = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["num_buckets"] == 4
+
+    assert main(["grep", idx, corpus, "sort window"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want = sorted(i for i, s in zip(IDS, DOCS) if "sort window" in s)
+    assert out["ids"] == want and out["n_hits"] == len(want)
+    assert out["prefilter_literals"] == ["sort window"]
+
+    assert main(["grep", idx, corpus, "qu[ae]ry", "--regex", "--limit", "2"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want = sorted(i for i, s in zip(IDS, DOCS) if re.search("qu[ae]ry", s))
+    assert out["n_hits"] == len(want) and out["ids"] == want[:2]
+    assert out["prefilter_literals"] == ["quary", "query"]
