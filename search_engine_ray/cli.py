@@ -57,17 +57,25 @@ _OWNS_SESSION = False
 
 
 def _ensure_ray(num_cpus: int | None) -> None:
+    """Join the ambient Ray cluster when one is addressed (the `ray job
+    submit` path: RAY_ADDRESS points at the running cluster and cluster
+    size is a deployment property, not a CLI flag); otherwise start a
+    local session capped at --num-cpus (the laptop / sandbox path)."""
     global _OWNS_SESSION
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=num_cpus,
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        kwargs: dict = dict(
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
+        if addr in ("", "local"):
+            kwargs.update(address="local", num_cpus=num_cpus)
+        else:
+            kwargs.update(address=addr)
+        ray.init(**kwargs)
         _OWNS_SESSION = True
     try:
         from ray.data import DataContext
@@ -252,11 +260,7 @@ def cmd_compact(args: argparse.Namespace) -> int:
 
     from .engine.maintenance import compact_index
 
-    if not ray.is_initialized():
-        ray.init(
-            address="local", num_cpus=args.num_cpus,
-            include_dashboard=False, logging_level="ERROR",
-        )
+    _ensure_ray(args.num_cpus)
     stats = compact_index(args.index_dir, args.out_dir, overwrite=args.overwrite)
     print(json.dumps(stats))
     return 0
@@ -268,11 +272,7 @@ def cmd_merge(args: argparse.Namespace) -> int:
 
     from .engine.maintenance import merge_indexes
 
-    if not ray.is_initialized():
-        ray.init(
-            address="local", num_cpus=args.num_cpus,
-            include_dashboard=False, logging_level="ERROR",
-        )
+    _ensure_ray(args.num_cpus)
     stats = merge_indexes(args.a_dir, args.b_dir, args.out_dir, overwrite=args.overwrite)
     print(json.dumps(stats))
     return 0
@@ -285,11 +285,7 @@ def cmd_fsck(args: argparse.Namespace) -> int:
 
     from .engine.maintenance import fsck_index
 
-    if not ray.is_initialized():
-        ray.init(
-            address="local", num_cpus=args.num_cpus,
-            include_dashboard=False, logging_level="ERROR",
-        )
+    _ensure_ray(args.num_cpus)
     report = fsck_index(args.index_dir)
     print(json.dumps(report))
     return 0 if report["violations"] == 0 else 1
@@ -301,11 +297,7 @@ def cmd_prune(args: argparse.Namespace) -> int:
 
     from .engine.maintenance import prune_terms
 
-    if not ray.is_initialized():
-        ray.init(
-            address="local", num_cpus=args.num_cpus,
-            include_dashboard=False, logging_level="ERROR",
-        )
+    _ensure_ray(args.num_cpus)
     stats = prune_terms(
         args.index_dir, args.out_dir, df_threshold=args.df_threshold,
         terms=args.terms or None, overwrite=args.overwrite,
@@ -321,11 +313,7 @@ def cmd_upsert(args: argparse.Namespace) -> int:
 
     from .engine.maintenance import upsert_docs
 
-    if not ray.is_initialized():
-        ray.init(
-            address="local", num_cpus=args.num_cpus,
-            include_dashboard=False, logging_level="ERROR",
-        )
+    _ensure_ray(args.num_cpus)
     stats = upsert_docs(
         args.index_dir, args.corpus_dir, args.update_file,
         source_column=args.source_column, name_column=args.name_column,
@@ -341,11 +329,7 @@ def cmd_refresh(args: argparse.Namespace) -> int:
 
     from .engine.maintenance import refresh_index
 
-    if not ray.is_initialized():
-        ray.init(
-            address="local", num_cpus=args.num_cpus,
-            include_dashboard=False, logging_level="ERROR",
-        )
+    _ensure_ray(args.num_cpus)
     stats = refresh_index(
         args.index_dir, args.corpus_dir, args.captures_file,
         source_column=args.source_column, name_column=args.name_column,
@@ -736,11 +720,7 @@ def cmd_qpp(args: argparse.Namespace) -> int:
     if not terms:
         print(_json.dumps({"error": "no index terms in query"}))
         return 0
-    if not ray.is_initialized():
-        ray.init(
-            address="local", num_cpus=args.num_cpus,
-            include_dashboard=False, logging_level="ERROR",
-        )
+    _ensure_ray(args.num_cpus)
     pre = qpp_predictors(args.index_dir, terms).to_pylist()
     for row in pre:
         print(_json.dumps(row))
