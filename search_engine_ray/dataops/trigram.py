@@ -430,6 +430,92 @@ def _analyze_seq(seq):
     return ("req", best)
 
 
+def _candidates_any_literal(
+    index_dir: str,
+    meta: dict,
+    lits: list[str],
+    id_column: str,
+    max_probe_trigrams: int,
+) -> ray.data.Dataset | None:
+    """doc ids containing at least one literal of ``lits`` in full —
+    OR over alternatives of (AND of the alternative's probed trigrams),
+    in ONE df pass (tg column only, union of all literals' trigrams),
+    ONE postings read, and ONE (doc, lit) groupby: each posting row fans
+    out to the literals its trigram belongs to via a broadcast tg->lits
+    table, count == the literal's probe-set size marks an AND hit, and a
+    final distinct over doc ids is the OR.  None -> provably no
+    candidates."""
+    per_lit = [pack_trigrams(lit) for lit in lits]
+    all_tgs = sorted({t for tgs in per_lit for t in tgs})
+    if any(not tgs for tgs in per_lit):
+        # a literal with no trigrams can't be prefiltered; callers treat
+        # this as unanalyzable upstream, but guard anyway
+        return None
+    if max(len(tgs) for tgs in per_lit) > max_probe_trigrams:
+        posts = _read_postings(index_dir, meta, all_tgs, columns=["tg"])
+        df: dict[int, int] = {}
+        if posts is not None:
+            df = {
+                int(r["tg"]): int(r["count()"])
+                for r in posts.groupby("tg").count().take_all()
+            }
+        per_lit = [
+            sorted(tgs, key=lambda t: (df.get(t, 0), t))[:max_probe_trigrams]
+            for tgs in per_lit
+        ]
+        all_tgs = sorted({t for tgs in per_lit for t in tgs})
+    posts = _read_postings(index_dir, meta, all_tgs, columns=["tg", id_column])
+    if posts is None:
+        return None
+
+    # flat tg -> literal-ids mapping, shipped once via the object store
+    tg_sorted = np.asarray(all_tgs, dtype=np.uint32)
+    pairs = sorted(
+        (t, li) for li, tgs in enumerate(per_lit) for t in tgs
+    )
+    pair_tg = np.asarray([t for t, _ in pairs], dtype=np.uint32)
+    pair_lit = np.asarray([li for _, li in pairs], dtype=np.int32)
+    starts = np.searchsorted(pair_tg, tg_sorted, side="left")
+    ends = np.searchsorted(pair_tg, tg_sorted, side="right")
+    sizes = np.asarray([len(tgs) for tgs in per_lit], dtype=np.int64)
+    map_ref = ray.put((tg_sorted, starts, ends, pair_lit, sizes))
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        tg_s, st, en, pl, _ = ray.get(map_ref)
+        tgv = batch.column("tg").to_numpy(zero_copy_only=False).astype(np.uint32)
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        ix = np.searchsorted(tg_s, tgv)
+        reps = (en - st)[ix]
+        flat_lit = pl[
+            np.repeat(st[ix], reps)
+            + (np.arange(int(reps.sum())) - np.repeat(np.cumsum(reps) - reps, reps))
+        ]
+        return pa.table(
+            {
+                id_column: pa.array(np.repeat(ids, reps)),
+                "lit": pa.array(flat_lit, pa.int32()),
+            }
+        )
+
+    counts = posts.map_batches(fan_out, batch_format="pyarrow").groupby(
+        [id_column, "lit"]
+    ).count()
+
+    def and_hit(batch: pa.Table) -> pa.Table:
+        _, _, _, _, sz = ray.get(map_ref)
+        lit = batch.column("lit").to_numpy(zero_copy_only=False)
+        n = batch.column("count()").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(n == sz[lit])).select([id_column])
+
+    hits = (
+        counts.map_batches(and_hit, batch_format="pyarrow")
+        .groupby(id_column)
+        .count()
+        .select_columns([id_column])
+    )
+    return nonempty_blocks(hits.materialize())
+
+
 def regex_search(
     index_dir: str,
     docs: ray.data.Dataset,
@@ -447,24 +533,11 @@ def regex_search(
     lits = required_literal_alternatives(pattern)
     cand = docs
     if lits is not None:
-        per_lit = []
-        for lit in lits:
-            tgs = pack_trigrams(lit)
-            tgs = _rarest_trigrams(index_dir, meta, tgs, max_probe_trigrams)
-            ids = _candidates_all_of(index_dir, meta, tgs, id_column)
-            if ids is not None:
-                per_lit.append(ids)
-        if not per_lit:
+        cand_ids = _candidates_any_literal(
+            index_dir, meta, lits, id_column, max_probe_trigrams
+        )
+        if cand_ids is None:
             return _empty_ids(id_column)
-        cand_ids = per_lit[0]
-        if len(per_lit) > 1:
-            cand_ids = (
-                cand_ids.union(*per_lit[1:])
-                .groupby(id_column)
-                .count()
-                .select_columns([id_column])
-            )
-            cand_ids = nonempty_blocks(cand_ids.materialize())
         cand = _verify_semi_join(docs, cand_ids, id_column)
         if cand is None:
             return _empty_ids(id_column)
