@@ -4388,6 +4388,57 @@ def q_comb_fusion(sf_dir: str) -> pa.Table:
     )
 
 
+# --- docID reassignment (engine/reorder.py, Silvestri ECIR'07) ---
+
+def _reordered_index_dir(sf_dir: str) -> str:
+    """Build-once index over documents.parquet with docIDs reassigned by
+    lexicographic TEXT order (a nontrivial permutation of the natural
+    doc_id order — content clustering, the in-sandbox stand-in for URL
+    clustering on real web corpora)."""
+    root = os.path.join(
+        "/tmp/se_ray_cache", "reorder-" + sf_dir.strip("/").replace("/", "_")
+    )
+
+    def _build() -> None:
+        from search_engine_ray.config import BuildConfig
+        from search_engine_ray.engine.reorder import reorder_index
+
+        reorder_index(
+            os.path.join(sf_dir, "documents.parquet"),
+            root,
+            BuildConfig(options=OPT_NOSTEM),
+            by="text",
+            source_column="text",
+            name_column="doc_id",
+        )
+
+    os.makedirs(root, exist_ok=True)
+    return _build_once(root, ".reorder-complete", _build)
+
+
+def q_bm25_reordered_top10(sf_dir: str) -> pa.Table:
+    """BM25 top-10 over the TEXT-reordered index: docIDs are a different
+    permutation, yet ranking by doc NAME must be identical — the oracle
+    is the very same SQL as bm25_top10.  Ties re-ranked on (score desc,
+    numeric doc_id asc) to match the SQL's tie rule (the engine's ordinal
+    tie-break follows the REORDERED ids, which no longer coincide with
+    numeric doc_id order)."""
+    from search_engine_ray.engine.index_reader import IndexReader
+    from search_engine_ray.pipelines import bm25_scores_f64
+
+    r = IndexReader(_reordered_index_dir(sf_dir), preload=True)
+    ids, scores = bm25_scores_f64(r, BM25_QUERY)
+    docs = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    micros = _micros(scores)
+    order = np.lexsort((docs, -micros))[:10]
+    return pa.table(
+        {
+            "doc_id": pa.array(docs[order]),
+            "score_micros": pa.array(micros[order]),
+        }
+    )
+
+
 # --- trigram-indexed substring / regex search (dataops/trigram.py) ---
 
 _TG_DF_TRIGRAMS = ("dow", "ind", "ndo", "win")  # the trigrams of 'window'
@@ -6944,6 +6995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trigram_df": q_trigram_df,
         "trigram_substring": q_trigram_substring,
         "trigram_regex": q_trigram_regex,
+        "bm25_reordered_top10": q_bm25_reordered_top10,
     }
 
 
@@ -10231,6 +10283,9 @@ def oracle_sql() -> dict[str, str]:
     # fixed-codec twins: byte layout differs, results must not
     out["posting_lookup_fixed"] = out["posting_lookup"]
     out["bm25_fixed_top10"] = out["bm25_top10"]
+    # docID reassignment changes the id permutation, never the ranking:
+    # the reordered index must reproduce the SAME top-10 by doc name
+    out["bm25_reordered_top10"] = out["bm25_top10"]
     out["winnow_fingerprints"] = _winnow_sql()
     out["doc_keywords"] = r"""
         WITH toks AS (

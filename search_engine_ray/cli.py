@@ -971,6 +971,30 @@ def cmd_winnow(args: argparse.Namespace) -> int:
 
 
 
+def cmd_reorder(args: argparse.Namespace) -> int:
+    """Rebuild an index with docIDs reassigned by lexicographic order of
+    a corpus column (URL clustering — the docID assignment problem).
+    Ranking by doc name is unchanged; compressed postings bytes are
+    reported for comparison against a naturally-ordered build."""
+    _ensure_ray(args.num_cpus)
+    from .engine.reorder import reorder_index
+
+    options = parse_index_options(args.options)
+    config = BuildConfig(options=options, codec=getattr(args, "codec", "vbyte"))
+    stats = reorder_index(
+        args.corpus,
+        args.index_dir,
+        config,
+        by=args.by,
+        source_column=args.source_column,
+        name_column=args.name_column,
+        n_partitions=args.sort_partitions,
+        overwrite=args.overwrite,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_trigram_index(args: argparse.Namespace) -> int:
     """Build the trigram postings index (Cox code-search layout)."""
     _ensure_ray(args.num_cpus)
@@ -1272,6 +1296,23 @@ def main(argv: list[str] | None = None) -> int:
     pw.add_argument("--id-column", default="doc_id")
     pw.add_argument("--num-cpus", type=int, default=8)
     pw.set_defaults(fn=cmd_winnow)
+
+    pro = sub.add_parser(
+        "reorder",
+        help="rebuild with docIDs in lexicographic column order (URL clustering)",
+    )
+    pro.add_argument("corpus")
+    pro.add_argument("index_dir")
+    pro.add_argument("options", nargs="?",
+                     default="IndexOptions(CaseFolding,RemoveStopWords,DoStemming)")
+    pro.add_argument("--by", default="url", help="corpus column to order docIDs by")
+    pro.add_argument("--source-column", default="html")
+    pro.add_argument("--name-column", default="url")
+    pro.add_argument("--sort-partitions", type=int, default=8)
+    pro.add_argument("--codec", choices=("vbyte", "fixed"), default="vbyte")
+    pro.add_argument("--overwrite", action="store_true")
+    pro.add_argument("--num-cpus", type=int, default=8)
+    pro.set_defaults(fn=cmd_reorder)
 
     pti = sub.add_parser(
         "trigram-index", help="build trigram postings for substring/regex grep"
