@@ -4439,6 +4439,47 @@ def q_bm25_reordered_top10(sf_dir: str) -> pa.Table:
     )
 
 
+# --- MMR result diversification (engine/diversify.py, SIGIR'98) ---
+
+_MMR_LAM = 700
+_MMR_POOL = 20
+
+
+def q_mmr_top10(sf_dir: str) -> pa.Table:
+    """MMR-diversified top-10 over the BM25 top-20 pool: relevance
+    min-max-normalized to integer micros, pairwise embedding cosine as
+    integer micros (vec_id aligned with doc_id, fetched via a
+    vec_id-pruned parquet read), lam=0.7 per-mille — every greedy pick
+    is integer-exact against the unrolled 10-stage SQL oracle."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.engine.diversify import mmr_rerank
+    from search_engine_ray.pipelines import bm25_scores_f64
+
+    r = _reader(sf_dir)
+    ids, scores = bm25_scores_f64(r, BM25_QUERY)
+    ids, scores = ids[:_MMR_POOL], scores[:_MMR_POOL]
+    docs = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    rel = _micros(scores)
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", docs.tolist())],
+    )
+    pos = {int(v): i for i, v in enumerate(tbl["vec_id"].to_pylist())}
+    emb = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)[
+        [pos[int(d)] for d in docs]
+    ]
+    sel, obj = mmr_rerank(docs, rel, emb, k=10, lam_milli=_MMR_LAM)
+    return pa.table(
+        {
+            "mmr_rank": pa.array(np.arange(1, len(sel) + 1, dtype=np.int64)),
+            "doc": pa.array(sel),
+            "mmr_score": pa.array(obj),
+        }
+    )
+
+
 # --- trigram-indexed substring / regex search (dataops/trigram.py) ---
 
 _TG_DF_TRIGRAMS = ("dow", "ind", "ndo", "win")  # the trigrams of 'window'
@@ -6996,7 +7037,74 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trigram_substring": q_trigram_substring,
         "trigram_regex": q_trigram_regex,
         "bm25_reordered_top10": q_bm25_reordered_top10,
+        "mmr_top10": q_mmr_top10,
     }
+
+
+def _mmr_sql(micros: str) -> str:
+    """Unrolled 10-stage greedy MMR: stage k picks the argmax of
+    lam*rel_norm - (1000-lam)*max-sim-to-selected over the not-yet-picked
+    pool (ties -> doc asc), with the selected set as the UNION of the
+    prior stages — generated, not hand-maintained, so lam/pool/k stay in
+    one place (_MMR_LAM/_MMR_POOL)."""
+    lam, pool = _MMR_LAM, _MMR_POOL
+
+    def prev(k: int) -> str:
+        return " UNION ALL ".join(f"SELECT doc FROM s{j}" for j in range(1, k))
+
+    stages = [
+        f"s1 AS MATERIALIZED (SELECT doc, {lam} * rel_norm AS mmr FROM norm "
+        f"ORDER BY mmr DESC, doc ASC LIMIT 1)"
+    ]
+    for k in range(2, 11):
+        stages.append(
+            f"""s{k} AS MATERIALIZED (
+              SELECT n.doc, {lam} * n.rel_norm - {1000 - lam} * (
+                  SELECT MAX(s.s) FROM sim s
+                  WHERE s.da = n.doc AND s.db IN ({prev(k)})) AS mmr
+              FROM norm n WHERE n.doc NOT IN ({prev(k)})
+              ORDER BY mmr DESC, n.doc ASC LIMIT 1)"""
+        )
+    final = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS mmr_rank, doc, CAST(mmr AS BIGINT) AS mmr_score FROM s{k}"
+        for k in range(1, 11)
+    )
+    return f"""
+        WITH {_TOKS},
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                      (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+        tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks
+               WHERE t IN ('spark','hash','join') GROUP BY doc_id, t),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        sc AS (
+          SELECT tf.doc_id,
+                 SUM( ln((st.n - df.df + 0.5) / (df.df + 0.5))
+                      * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) ) AS score
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+          GROUP BY tf.doc_id
+        ),
+        ranked AS (SELECT doc_id, score,
+                          row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM sc),
+        cand AS MATERIALIZED (SELECT doc_id AS doc, {micros.format(expr="score")} AS score_micros
+                 FROM ranked WHERE r <= {pool}),
+        ext AS (SELECT doc, score_micros,
+                       MIN(score_micros) OVER () AS mn,
+                       MAX(score_micros) OVER () AS mx
+                FROM cand),
+        norm AS MATERIALIZED (SELECT doc,
+                        CASE WHEN mx = mn THEN 1000000
+                             ELSE (score_micros - mn) * 1000000 // (mx - mn)
+                        END AS rel_norm
+                 FROM ext),
+        emb2 AS (SELECT e.vec_id AS doc, CAST(e.embedding AS DOUBLE[]) AS v
+                 FROM embeddings e JOIN cand c ON e.vec_id = c.doc),
+        sim AS MATERIALIZED (SELECT a.doc AS da, b.doc AS db,
+                       {micros.format(expr="list_cosine_similarity(a.v, b.v)")} AS s
+                FROM emb2 a JOIN emb2 b ON a.doc <> b.doc),
+        {", ".join(stages)}
+        SELECT mmr_rank, doc, mmr_score FROM ({final}) ORDER BY mmr_rank
+    """
 
 
 def _redact_sql() -> str:
@@ -10283,6 +10391,7 @@ def oracle_sql() -> dict[str, str]:
     # fixed-codec twins: byte layout differs, results must not
     out["posting_lookup_fixed"] = out["posting_lookup"]
     out["bm25_fixed_top10"] = out["bm25_top10"]
+    out["mmr_top10"] = _mmr_sql(micros)
     # docID reassignment changes the id permutation, never the ranking:
     # the reordered index must reproduce the SAME top-10 by doc name
     out["bm25_reordered_top10"] = out["bm25_top10"]
