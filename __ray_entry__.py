@@ -4439,6 +4439,25 @@ def q_bm25_reordered_top10(sf_dir: str) -> pa.Table:
     )
 
 
+# --- boolean query language (engine/boolexpr.py) ---
+
+_BOOLEXPR_QUERY = "spark AND (hash OR join) AND NOT scan"
+
+
+def q_boolean_expr(sf_dir: str) -> pa.Table:
+    """Full boolean query language (NOT > AND > OR, parens, implicit
+    AND) evaluated over the index with block-skipping fast paths; the
+    oracle is EXISTS-per-term boolean algebra over the token CTE."""
+    from search_engine_ray.engine.boolexpr import boolean_query
+
+    r = _reader(sf_dir)
+    ids = boolean_query(r, _BOOLEXPR_QUERY)
+    docs = np.sort(
+        np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    )
+    return pa.table({"doc_id": pa.array(docs)})
+
+
 # --- MMR result diversification (engine/diversify.py, SIGIR'98) ---
 
 _MMR_LAM = 700
@@ -7038,6 +7057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trigram_regex": q_trigram_regex,
         "bm25_reordered_top10": q_bm25_reordered_top10,
         "mmr_top10": q_mmr_top10,
+        "boolean_expr": q_boolean_expr,
     }
 
 
@@ -7446,6 +7466,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE contains(text, '{_TG_SUBSTR_NEEDLE}')
             ORDER BY doc_id
+        """,
+        # spark AND (hash OR join) AND NOT scan — EXISTS per term over
+        # the engine-tokenized stream (the J1 membership semantics)
+        "boolean_expr": f"""
+            WITH {_TOKS}
+            SELECT d.doc_id FROM documents d
+            WHERE EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.t = 'spark')
+              AND (EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.t = 'hash')
+                   OR EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.t = 'join'))
+              AND NOT EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.t = 'scan')
+            ORDER BY d.doc_id
         """,
         "trigram_regex": f"""
             SELECT doc_id FROM documents

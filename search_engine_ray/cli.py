@@ -372,10 +372,27 @@ def cmd_query(args: argparse.Namespace) -> int:
     keywords = [(t, seen[t]) for t in terms]
     reader = IndexReader(args.index_dir)
     if args.boolean:
-        from .engine.boolean import boolean_and, boolean_or
+        if args.boolean == "expr":
+            # full boolean query language: AND/OR/NOT + parens + implicit
+            # AND, terms normalized through the index's own pipeline
+            from .engine.boolexpr import BooleanParseError, boolean_query
 
-        fn = boolean_and if args.boolean == "and" else boolean_or
-        ids = fn(reader, [t for t, _ in keywords])[: args.k]
+            def norm(w: str) -> str:
+                return normalize_query_word(
+                    w, case_folding=opts.case_folding,
+                    remove_stopwords=False, stemming=opts.stemming,
+                ) or w
+
+            try:
+                ids = boolean_query(reader, args.query, normalize=norm)[: args.k]
+            except BooleanParseError as exc:
+                print(f"error: {exc}", file=sys.stderr)
+                return 2
+        else:
+            from .engine.boolean import boolean_and, boolean_or
+
+            fn = boolean_and if args.boolean == "and" else boolean_or
+            ids = fn(reader, [t for t, _ in keywords])[: args.k]
         for d in ids:
             print(_json.dumps({"doc": str(reader.doc_names[d])}))
         return 0
@@ -1208,7 +1225,9 @@ def main(argv: list[str] | None = None) -> int:
     pq_.add_argument("--scorer", default="bm25",
                      choices=["bm25", "tfidf", "bm25adpt", "lmd", "lmjm", "bm25plus", "pivoted", "pl2"])
     pq_.add_argument("--method", default="auto", choices=["auto", "taat", "wand", "maxscore"])
-    pq_.add_argument("--boolean", choices=["and", "or"], default=None)
+    pq_.add_argument("--boolean", choices=["and", "or", "expr"], default=None,
+                     help="expr: full query language (AND/OR/NOT, parens, "
+                          "implicit AND) over the query string")
     pq_.add_argument("--ranked-and", action="store_true",
                      help="conjunctive BM25: rank only docs containing ALL query terms")
     pq_.add_argument("--explain", default=None, metavar="DOC_NAME",

@@ -1,0 +1,168 @@
+"""Boolean query language over the inverted index.
+
+Grammar (classic IR syntax, precedence NOT > AND > OR, parentheses,
+implicit AND between adjacent atoms — the web-search convention)::
+
+    expr   := orexpr
+    orexpr := andexpr ( OR andexpr )*
+    andexpr:= unary ( AND? unary )*
+    unary  := NOT unary | '(' expr ')' | TERM
+
+Operators are the uppercase keywords AND / OR / NOT; everything else is
+a term (optionally passed through a caller-supplied normalizer so the
+CLI can apply the index's casefold/stem pipeline).  Semantics follow the
+engine's J1 silent-drop rule: an absent term is the empty set (it
+empties a conjunction, vanishes from a disjunction, and a NOT over it
+excludes nothing).  NOT complements against the live universe (all
+docIDs minus tombstones), so top-level and nested negation are both
+legal.
+
+Evaluation is set algebra over sorted docID arrays with the existing
+block-skipping fast paths where the shape allows: a conjunction whose
+children are all plain terms (plus optional NOT term children) routes
+through engine.boolean.boolean_and / boolean_and_not — rarest-first
+intersection that never decodes skipped blocks; everything else reduces
+with numpy intersect/union/setdiff on candidate-sized arrays.
+
+No counterpart in the reference (its query pipeline is ranked-only);
+the SQL oracle is EXISTS-per-term boolean algebra over the token CTE
+(`boolean_expr` gate).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable
+
+import numpy as np
+
+from .boolean import _drop_deleted, boolean_and, boolean_and_not
+from .index_reader import IndexReader
+
+_TOKEN_RE = re.compile(r"\(|\)|[^\s()]+")
+
+
+class BooleanParseError(ValueError):
+    pass
+
+
+def parse_boolean_query(query: str, normalize: Callable[[str], str] | None = None):
+    """-> AST of ('term', t) | ('and', [children]) | ('or', [children]) |
+    ('not', child).  Raises BooleanParseError on dangling operators or
+    unbalanced parentheses."""
+    toks = _TOKEN_RE.findall(query)
+    pos = 0
+
+    def peek() -> str | None:
+        return toks[pos] if pos < len(toks) else None
+
+    def take() -> str:
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def parse_or():
+        parts = [parse_and()]
+        while peek() == "OR":
+            take()
+            parts.append(parse_and())
+        return parts[0] if len(parts) == 1 else ("or", parts)
+
+    def parse_and():
+        parts = [parse_unary()]
+        while True:
+            t = peek()
+            if t == "AND":
+                take()
+                parts.append(parse_unary())
+            elif t is not None and t not in ("OR", ")"):
+                parts.append(parse_unary())  # implicit AND on adjacency
+            else:
+                break
+        return parts[0] if len(parts) == 1 else ("and", parts)
+
+    def parse_unary():
+        t = peek()
+        if t is None:
+            raise BooleanParseError("unexpected end of query")
+        if t == "NOT":
+            take()
+            return ("not", parse_unary())
+        if t == "(":
+            take()
+            node = parse_or()
+            if peek() != ")":
+                raise BooleanParseError("missing closing parenthesis")
+            take()
+            return node
+        if t in (")", "AND", "OR"):
+            raise BooleanParseError(f"unexpected {t!r}")
+        term = take()
+        return ("term", normalize(term) if normalize else term)
+
+    node = parse_or()
+    if pos != len(toks):
+        raise BooleanParseError(f"trailing input at {toks[pos]!r}")
+    return node
+
+
+def _universe(reader: IndexReader) -> np.ndarray:
+    ids = np.arange(len(reader.doc_names), dtype=np.int64)
+    return _drop_deleted(reader, ids)
+
+
+def _eval(reader: IndexReader, node) -> np.ndarray:
+    kind = node[0]
+    if kind == "term":
+        tp = reader.postings(node[1])
+        if tp is None:
+            return np.empty(0, dtype=np.int64)
+        return _drop_deleted(reader, tp.arrays()[0])
+    if kind == "not":
+        return np.setdiff1d(
+            _universe(reader), _eval(reader, node[1]), assume_unique=True
+        )
+    if kind == "or":
+        parts = [_eval(reader, c) for c in node[1]]
+        out = parts[0]
+        for p in parts[1:]:
+            out = np.union1d(out, p)
+        return out
+    # conjunction: route all-term shapes through the block-skipping paths
+    children = node[1]
+    pos_terms = [c[1] for c in children if c[0] == "term"]
+    neg_terms = [
+        c[1][1] for c in children if c[0] == "not" and c[1][0] == "term"
+    ]
+    rest = [
+        c
+        for c in children
+        if not (c[0] == "term" or (c[0] == "not" and c[1][0] == "term"))
+    ]
+    if pos_terms:
+        current = (
+            boolean_and_not(reader, pos_terms, neg_terms)
+            if neg_terms
+            else boolean_and(reader, pos_terms)
+        )
+    else:
+        current = _universe(reader)
+        for t in neg_terms:
+            current = np.setdiff1d(
+                current, _eval(reader, ("term", t)), assume_unique=True
+            )
+    for c in rest:
+        if len(current) == 0:
+            break
+        current = np.intersect1d(current, _eval(reader, c), assume_unique=True)
+    return current
+
+
+def boolean_query(
+    reader: IndexReader,
+    query: str,
+    normalize: Callable[[str], str] | None = None,
+) -> np.ndarray:
+    """docIDs (ascending) matching the boolean expression."""
+    return _eval(reader, parse_boolean_query(query, normalize))

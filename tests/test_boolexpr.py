@@ -1,0 +1,139 @@
+"""Boolean query language (engine/boolexpr): parser precedence, the J1
+silent-drop semantics, NOT-complement against the live universe, and
+set-evaluation parity with a brute-force membership reference."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from search_engine_ray.config import BuildConfig, IndexOptions
+from search_engine_ray.engine.boolexpr import (
+    BooleanParseError,
+    boolean_query,
+    parse_boolean_query,
+)
+from search_engine_ray.engine.build import build_index
+from search_engine_ray.engine.index_reader import IndexReader
+
+DOCS = [
+    "spark hash join",
+    "spark scan table",
+    "hash join scan",
+    "spark join",
+    "table row value",
+    "spark hash scan",
+    "join",
+    "spark",
+]
+
+
+def test_parser_precedence_and_shapes():
+    assert parse_boolean_query("a") == ("term", "a")
+    assert parse_boolean_query("a b") == ("and", [("term", "a"), ("term", "b")])
+    assert parse_boolean_query("a AND b OR c") == (
+        "or",
+        [("and", [("term", "a"), ("term", "b")]), ("term", "c")],
+    )
+    assert parse_boolean_query("a OR b AND c") == (
+        "or",
+        [("term", "a"), ("and", [("term", "b"), ("term", "c")])],
+    )
+    assert parse_boolean_query("NOT a AND b") == (
+        "and",
+        [("not", ("term", "a")), ("term", "b")],
+    )
+    assert parse_boolean_query("a AND (b OR c)") == (
+        "and",
+        [("term", "a"), ("or", [("term", "b"), ("term", "c")])],
+    )
+    assert parse_boolean_query("NOT NOT a") == ("not", ("not", ("term", "a")))
+    assert parse_boolean_query("A b", normalize=str.lower) == (
+        "and",
+        [("term", "a"), ("term", "b")],
+    )
+
+
+@pytest.mark.parametrize("bad", ["", "AND a", "a AND", "(a OR b", "a )", "NOT"])
+def test_parser_errors(bad):
+    with pytest.raises(BooleanParseError):
+        parse_boolean_query(bad)
+
+
+@pytest.fixture(scope="module")
+def reader(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("bx")
+    src = str(d / "c.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(DOCS)), pa.int64()),
+                "text": pa.array(DOCS),
+            }
+        ),
+        src,
+    )
+    idx = str(d / "idx")
+    build_index(
+        src, idx,
+        BuildConfig(options=IndexOptions(True, True, False)),
+        source_column="text", name_column="doc_id",
+    )
+    return IndexReader(idx, preload=True)
+
+
+def _brute(expr_fn) -> list[int]:
+    return sorted(i for i, s in enumerate(DOCS) if expr_fn(set(s.split())))
+
+
+@pytest.mark.parametrize(
+    "query,expr",
+    [
+        ("spark", lambda s: "spark" in s),
+        ("spark AND hash", lambda s: "spark" in s and "hash" in s),
+        ("spark hash", lambda s: "spark" in s and "hash" in s),
+        ("spark OR hash", lambda s: "spark" in s or "hash" in s),
+        (
+            "spark AND (hash OR join) AND NOT scan",
+            lambda s: "spark" in s
+            and ("hash" in s or "join" in s)
+            and "scan" not in s,
+        ),
+        ("NOT spark", lambda s: "spark" not in s),
+        ("NOT (spark OR join)", lambda s: not ("spark" in s or "join" in s)),
+        ("NOT spark AND NOT join", lambda s: "spark" not in s and "join" not in s),
+        ("table AND NOT row", lambda s: "table" in s and "row" not in s),
+        (
+            "(spark OR table) (join OR value)",
+            lambda s: ("spark" in s or "table" in s)
+            and ("join" in s or "value" in s),
+        ),
+    ],
+)
+def test_evaluation_matches_brute_force(reader, query, expr):
+    ids = boolean_query(reader, query)
+    got = sorted(int(reader.doc_names[d]) for d in ids)
+    assert got == _brute(expr)
+
+
+def test_silent_drop_semantics(reader):
+    # absent term: empties AND, vanishes from OR, NOT over it drops nothing
+    assert len(boolean_query(reader, "spark AND zzz_missing")) == 0
+    got = sorted(
+        int(reader.doc_names[d])
+        for d in boolean_query(reader, "spark OR zzz_missing")
+    )
+    assert got == _brute(lambda s: "spark" in s)
+    got = sorted(
+        int(reader.doc_names[d])
+        for d in boolean_query(reader, "spark AND NOT zzz_missing")
+    )
+    assert got == _brute(lambda s: "spark" in s)
+
+
+def test_normalizer_applies_to_terms_not_keywords(reader):
+    got = sorted(
+        int(reader.doc_names[d])
+        for d in boolean_query(reader, "SPARK AND HASH", normalize=str.lower)
+    )
+    assert got == _brute(lambda s: "spark" in s and "hash" in s)
