@@ -4510,8 +4510,9 @@ def _trigram_index_dir(sf_dir: str) -> str:
     """Build-once trigram postings (Cox code-search layout): one
     map_batches extraction pass, parquet partitioned by trigram hash
     bucket so probes read only their trigrams' buckets."""
+    # v2: coalesced one-file-per-bucket layout + tgstats sidecars
     root = os.path.join(
-        "/tmp/se_ray_cache", "trigram-" + sf_dir.strip("/").replace("/", "_")
+        "/tmp/se_ray_cache", "trigram-v2-" + sf_dir.strip("/").replace("/", "_")
     )
 
     def _build() -> None:

@@ -125,12 +125,20 @@ def build_trigram_index(
 ) -> dict:
     """Persist the trigram postings, partitioned by trigram hash bucket::
 
-        index_dir/meta.json                  {num_buckets, column, id_column}
-        index_dir/postings/bucket=K/*.parquet   (tg uint32, <id_column> int64)
+        index_dir/meta.json                    {num_buckets, column, id_column}
+        index_dir/postings/bucket=K/part.parquet  (tg uint32, <id_column> int64)
 
-    One map_batches pass, no shuffle; a probe later reads only its
-    trigrams' bucket directories.  Raise ``num_buckets`` with corpus size
-    so each bucket stays a bounded slice of the postings."""
+    One map_batches extraction pass, then ONE bucket-keyed groupby (the
+    same exchange shape as the index builder's term-bucket merge) writes
+    each bucket as a SINGLE file sorted by (tg, id): a probe opens only
+    its trigrams' buckets — O(1) files each — and the sorted tg column
+    gives the scan filter real row-group min/max pruning.  (A naive
+    ``write_parquet(partition_cols=...)`` emits one file per input block
+    per bucket: thousands of tiny files whose open/footer overhead
+    dominated the probe.)  ``num_buckets`` is the build's parallelism
+    AND the per-writer memory bound — scale it with the corpus so
+    postings/num_buckets fits a worker."""
+    import pyarrow.parquet as pq
 
     def extract(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_column).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -143,9 +151,53 @@ def build_trigram_index(
             }
         )
 
-    os.makedirs(index_dir, exist_ok=True)
-    ds.map_batches(extract, batch_format="pyarrow").write_parquet(
-        os.path.join(index_dir, "postings"), partition_cols=["bucket"]
+    posts_dir = os.path.join(index_dir, "postings")
+    os.makedirs(posts_dir, exist_ok=True)
+
+    def write_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"bucket": pa.array([], pa.int64()), "n_rows": pa.array([], pa.int64())}
+        )
+        if group.num_rows == 0:
+            return empty
+        b = int(group["bucket"][0].as_py())
+        order = pc.sort_indices(
+            group, sort_keys=[("tg", "ascending"), (id_column, "ascending")]
+        )
+        body = group.drop_columns(["bucket"]).take(order)
+        d = os.path.join(posts_dir, f"bucket={b}")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, "part.parquet")
+        pq.write_table(body, path + ".tmp", row_group_size=1 << 17)
+        os.replace(path + ".tmp", path)
+        # bucket-local tg -> df sidecar (rows are distinct per (tg, doc)
+        # and sorted by tg, so df is a run-length count): probe-time
+        # rarest-trigram selection becomes a metadata read, no Ray pass
+        tgv = body.column("tg").to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(tgv, return_counts=True)
+        spath = os.path.join(d, "tgstats.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "tg": pa.array(uniq.astype(np.uint32), pa.uint32()),
+                    "df": pa.array(counts.astype(np.int64)),
+                }
+            ),
+            spath + ".tmp",
+        )
+        os.replace(spath + ".tmp", spath)
+        return pa.table(
+            {
+                "bucket": pa.array([b], pa.int64()),
+                "n_rows": pa.array([body.num_rows], pa.int64()),
+            }
+        )
+
+    (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(write_bucket, batch_format="pyarrow")
+        .materialize()
     )
     meta = {"num_buckets": int(num_buckets), "column": column, "id_column": id_column}
     with open(os.path.join(index_dir, "meta.json"), "w") as fh:
@@ -158,21 +210,43 @@ def _load_meta(index_dir: str) -> dict:
         return json.load(fh)
 
 
+def _bucket_paths(index_dir: str, meta: dict, tgs: list[int], name: str) -> list[str]:
+    buckets = sorted(
+        set(_tg_bucket(np.asarray(tgs, np.uint32), meta["num_buckets"]).tolist())
+    )
+    paths = [
+        os.path.join(index_dir, "postings", f"bucket={b}", name) for b in buckets
+    ]
+    return [p for p in paths if os.path.exists(p)]
+
+
 def _read_postings(
     index_dir: str, meta: dict, tgs: list[int], columns: list[str]
 ) -> ray.data.Dataset | None:
-    """Pruned postings read: only the probed trigrams' bucket directories,
-    column-pruned, with a tg filter pushed into the parquet scan."""
+    """Pruned postings read: only the probed trigrams' bucket files,
+    column-pruned, with a tg filter pushed into the parquet scan (the
+    per-bucket files are tg-sorted, so row-group stats prune for real)."""
     if not tgs:
         return None
-    buckets = sorted(set(_tg_bucket(np.asarray(tgs, np.uint32), meta["num_buckets"]).tolist()))
-    paths = _parquet_files(
-        os.path.join(index_dir, "postings", f"bucket={b}") for b in buckets
-    )
+    paths = _bucket_paths(index_dir, meta, tgs, "part.parquet")
     if not paths:
         return None
     expr = pc.field("tg").isin(pa.array(tgs, pa.uint32()))
     return read_parquet_clean(paths, columns=columns, filter=expr)
+
+
+def _df_of(index_dir: str, meta: dict, tgs: list[int]) -> dict[int, int]:
+    """tg -> document frequency from the bucket-local tgstats sidecars —
+    a driver-side metadata read (a few KB per probed bucket), no Ray
+    pass.  Missing trigrams simply don't appear (df 0)."""
+    import pyarrow.parquet as pq
+
+    out: dict[int, int] = {}
+    for p in _bucket_paths(index_dir, meta, tgs, "tgstats.parquet"):
+        t = pq.read_table(p, filters=[("tg", "in", [int(x) for x in tgs])])
+        for tgv, df in zip(t["tg"].to_pylist(), t["df"].to_pylist()):
+            out[int(tgv)] = out.get(int(tgv), 0) + int(df)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -180,21 +254,18 @@ def _read_postings(
 # --------------------------------------------------------------------------
 
 def trigram_df(index_dir: str, trigrams: list[str | bytes | int]) -> pa.Table:
-    """Document frequency of each probed trigram (0-df trigrams included).
-    Output (trigram: string, df: int64) sorted by trigram ascending."""
+    """Document frequency of each probed trigram (0-df trigrams included),
+    straight off the tgstats sidecars.  Output (trigram: string,
+    df: int64) sorted by trigram ascending."""
     meta = _load_meta(index_dir)
     tgs = sorted(
         {t if isinstance(t, int) else pack_trigrams_one(t) for t in trigrams}
     )
-    counts = dict.fromkeys(tgs, 0)
-    posts = _read_postings(index_dir, meta, tgs, columns=["tg"])
-    if posts is not None:
-        for r in posts.groupby("tg").count().take_all():  # <= len(tgs) rows
-            counts[int(r["tg"])] = int(r["count()"])
+    df = _df_of(index_dir, meta, tgs)
     return pa.table(
         {
             "trigram": pa.array([unpack_trigram(t) for t in tgs], pa.string()),
-            "df": pa.array([counts[t] for t in tgs], pa.int64()),
+            "df": pa.array([df.get(t, 0) for t in tgs], pa.int64()),
         }
     )
 
@@ -210,15 +281,12 @@ def _rarest_trigrams(
     index_dir: str, meta: dict, tgs: list[int], max_probe: int
 ) -> list[int]:
     """Probe-set selection: keep the ``max_probe`` rarest trigrams (ties ->
-    tg ascending).  The df pass reads ONLY the tg column of the probed
-    buckets — cheap and columnar — and makes probe cost track the rarest
-    trigrams instead of stop-trigrams like 'the'."""
+    tg ascending), ranked by the tgstats sidecars — probe cost tracks the
+    rarest trigrams instead of stop-trigrams like 'the', and the df
+    lookup is a metadata read, not a data pass."""
     if len(tgs) <= max_probe:
         return tgs
-    posts = _read_postings(index_dir, meta, tgs, columns=["tg"])
-    if posts is None:
-        return tgs[:max_probe]
-    df = {int(r["tg"]): int(r["count()"]) for r in posts.groupby("tg").count().take_all()}
+    df = _df_of(index_dir, meta, tgs)
     return sorted(tgs, key=lambda t: (df.get(t, 0), t))[:max_probe]
 
 
@@ -452,13 +520,7 @@ def _candidates_any_literal(
         # this as unanalyzable upstream, but guard anyway
         return None
     if max(len(tgs) for tgs in per_lit) > max_probe_trigrams:
-        posts = _read_postings(index_dir, meta, all_tgs, columns=["tg"])
-        df: dict[int, int] = {}
-        if posts is not None:
-            df = {
-                int(r["tg"]): int(r["count()"])
-                for r in posts.groupby("tg").count().take_all()
-            }
+        df = _df_of(index_dir, meta, all_tgs)
         per_lit = [
             sorted(tgs, key=lambda t: (df.get(t, 0), t))[:max_probe_trigrams]
             for tgs in per_lit
