@@ -4458,6 +4458,26 @@ def q_boolean_expr(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(docs)})
 
 
+_BOOLPHRASE_QUERY = '"sort table" AND window AND NOT scan'
+
+
+def q_boolean_phrase_expr(sf_dir: str) -> pa.Table:
+    """Boolean language with a quoted phrase: the phrase node evaluates
+    through the positional sidecar (consecutive kept-token ordinals),
+    the terms through the inverted index — one expression spanning both
+    structures."""
+    from search_engine_ray.engine.boolexpr import boolean_query
+    from search_engine_ray.pipelines import documents_positions_dir
+
+    r = _reader(sf_dir)
+    pos_dir = documents_positions_dir(sf_dir, OPT_NOSTEM)
+    ids = boolean_query(r, _BOOLPHRASE_QUERY, positions_dir=pos_dir)
+    docs = np.sort(
+        np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    )
+    return pa.table({"doc_id": pa.array(docs)})
+
+
 # --- MMR result diversification (engine/diversify.py, SIGIR'98) ---
 
 _MMR_LAM = 700
@@ -7059,6 +7079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_reordered_top10": q_bm25_reordered_top10,
         "mmr_top10": q_mmr_top10,
         "boolean_expr": q_boolean_expr,
+        "boolean_phrase_expr": q_boolean_phrase_expr,
     }
 
 
@@ -7477,6 +7498,31 @@ def oracle_sql() -> dict[str, str]:
               AND (EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.t = 'hash')
                    OR EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.t = 'join'))
               AND NOT EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.t = 'scan')
+            ORDER BY d.doc_id
+        """,
+        # "sort table" AND window AND NOT scan — the phrase via the
+        # consecutive-kept-ordinal self-join (phrase_match's CTEs), the
+        # terms via EXISTS membership
+        "boolean_phrase_expr": f"""
+            WITH raw AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\\x00-\\x2f:;=?]')) AS t,
+                     unnest(generate_series(1,
+                        len(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\\x00-\\x2f:;=?]')))) AS pos
+              FROM documents),
+            kept AS (
+              SELECT doc_id, t,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS kp
+              FROM raw
+              WHERE t <> '' AND substr(t, 1, 1) <> '<' AND substr(t, -1, 1) <> '>'
+                AND t NOT IN ({_STOP_LIST})),
+            ph AS (SELECT DISTINCT a.doc_id
+                   FROM kept a JOIN kept b ON b.doc_id = a.doc_id AND b.kp = a.kp + 1
+                   WHERE a.t = 'sort' AND b.t = 'table')
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id IN (SELECT doc_id FROM ph)
+              AND EXISTS (SELECT 1 FROM kept t WHERE t.doc_id = d.doc_id AND t.t = 'window')
+              AND NOT EXISTS (SELECT 1 FROM kept t WHERE t.doc_id = d.doc_id AND t.t = 'scan')
             ORDER BY d.doc_id
         """,
         "trigram_regex": f"""

@@ -384,7 +384,10 @@ def cmd_query(args: argparse.Namespace) -> int:
                 ) or w
 
             try:
-                ids = boolean_query(reader, args.query, normalize=norm)[: args.k]
+                ids = boolean_query(
+                    reader, args.query, normalize=norm,
+                    positions_dir=args.positions_dir,
+                )[: args.k]
             except BooleanParseError as exc:
                 print(f"error: {exc}", file=sys.stderr)
                 return 2
@@ -1227,7 +1230,11 @@ def main(argv: list[str] | None = None) -> int:
     pq_.add_argument("--method", default="auto", choices=["auto", "taat", "wand", "maxscore"])
     pq_.add_argument("--boolean", choices=["and", "or", "expr"], default=None,
                      help="expr: full query language (AND/OR/NOT, parens, "
-                          "implicit AND) over the query string")
+                          "implicit AND, \"quoted phrases\") over the query "
+                          "string")
+    pq_.add_argument("--positions-dir", default=None,
+                     help="positional sidecar enabling quoted phrases in "
+                          "--boolean expr")
     pq_.add_argument("--ranked-and", action="store_true",
                      help="conjunctive BM25: rank only docs containing ALL query terms")
     pq_.add_argument("--explain", default=None, metavar="DOC_NAME",

@@ -6,7 +6,7 @@ implicit AND between adjacent atoms — the web-search convention)::
     expr   := orexpr
     orexpr := andexpr ( OR andexpr )*
     andexpr:= unary ( AND? unary )*
-    unary  := NOT unary | '(' expr ')' | TERM
+    unary  := NOT unary | '(' expr ')' | "PHRASE WORDS" | TERM
 
 Operators are the uppercase keywords AND / OR / NOT; everything else is
 a term (optionally passed through a caller-supplied normalizer so the
@@ -39,7 +39,7 @@ import numpy as np
 from .boolean import _drop_deleted, boolean_and, boolean_and_not
 from .index_reader import IndexReader
 
-_TOKEN_RE = re.compile(r"\(|\)|[^\s()]+")
+_TOKEN_RE = re.compile(r'"[^"]*"|\(|\)|[^\s()"]+')
 
 
 class BooleanParseError(ValueError):
@@ -50,6 +50,8 @@ def parse_boolean_query(query: str, normalize: Callable[[str], str] | None = Non
     """-> AST of ('term', t) | ('and', [children]) | ('or', [children]) |
     ('not', child).  Raises BooleanParseError on dangling operators or
     unbalanced parentheses."""
+    if query.count('"') % 2:
+        raise BooleanParseError("unbalanced phrase quote")
     toks = _TOKEN_RE.findall(query)
     pos = 0
 
@@ -98,6 +100,13 @@ def parse_boolean_query(query: str, normalize: Callable[[str], str] | None = Non
             return node
         if t in (")", "AND", "OR"):
             raise BooleanParseError(f"unexpected {t!r}")
+        if t.startswith('"'):
+            words = take()[1:-1].split()
+            if not words:
+                raise BooleanParseError("empty phrase")
+            # raw words: positions.phrase_search applies the sidecar's own
+            # normalization — normalizing here would double-apply it
+            return ("phrase", tuple(words))
         term = take()
         return ("term", normalize(term) if normalize else term)
 
@@ -112,19 +121,32 @@ def _universe(reader: IndexReader) -> np.ndarray:
     return _drop_deleted(reader, ids)
 
 
-def _eval(reader: IndexReader, node) -> np.ndarray:
+def _eval(reader: IndexReader, node, positions_dir: str | None) -> np.ndarray:
     kind = node[0]
     if kind == "term":
         tp = reader.postings(node[1])
         if tp is None:
             return np.empty(0, dtype=np.int64)
         return _drop_deleted(reader, tp.arrays()[0])
+    if kind == "phrase":
+        if positions_dir is None:
+            raise ValueError(
+                "quoted phrase in boolean query requires positions_dir "
+                "(the positional sidecar built over the same corpus)"
+            )
+        from .positions import phrase_search
+
+        t = phrase_search(positions_dir, list(node[1]))
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        return _drop_deleted(reader, ids)
     if kind == "not":
         return np.setdiff1d(
-            _universe(reader), _eval(reader, node[1]), assume_unique=True
+            _universe(reader),
+            _eval(reader, node[1], positions_dir),
+            assume_unique=True,
         )
     if kind == "or":
-        parts = [_eval(reader, c) for c in node[1]]
+        parts = [_eval(reader, c, positions_dir) for c in node[1]]
         out = parts[0]
         for p in parts[1:]:
             out = np.union1d(out, p)
@@ -150,12 +172,16 @@ def _eval(reader: IndexReader, node) -> np.ndarray:
         current = _universe(reader)
         for t in neg_terms:
             current = np.setdiff1d(
-                current, _eval(reader, ("term", t)), assume_unique=True
+                current,
+                _eval(reader, ("term", t), positions_dir),
+                assume_unique=True,
             )
     for c in rest:
         if len(current) == 0:
             break
-        current = np.intersect1d(current, _eval(reader, c), assume_unique=True)
+        current = np.intersect1d(
+            current, _eval(reader, c, positions_dir), assume_unique=True
+        )
     return current
 
 
@@ -163,6 +189,10 @@ def boolean_query(
     reader: IndexReader,
     query: str,
     normalize: Callable[[str], str] | None = None,
+    positions_dir: str | None = None,
 ) -> np.ndarray:
-    """docIDs (ascending) matching the boolean expression."""
-    return _eval(reader, parse_boolean_query(query, normalize))
+    """docIDs (ascending) matching the boolean expression.  Quoted
+    phrases ("exact phrase") need ``positions_dir`` — a positional
+    sidecar whose docID space matches the index (always true for the
+    standard pairing: same corpus, same name column)."""
+    return _eval(reader, parse_boolean_query(query, normalize), positions_dir)

@@ -137,3 +137,66 @@ def test_normalizer_applies_to_terms_not_keywords(reader):
         for d in boolean_query(reader, "SPARK AND HASH", normalize=str.lower)
     )
     assert got == _brute(lambda s: "spark" in s and "hash" in s)
+
+
+def test_phrase_parse_shapes():
+    assert parse_boolean_query('"sort table"') == ("phrase", ("sort", "table"))
+    assert parse_boolean_query('"a b" AND c') == (
+        "and",
+        [("phrase", ("a", "b")), ("term", "c")],
+    )
+    assert parse_boolean_query('NOT "a b"') == ("not", ("phrase", ("a", "b")))
+    # normalizer applies to terms only — phrase words stay raw for the
+    # sidecar's own normalization
+    assert parse_boolean_query('"A B" AND C', normalize=str.lower) == (
+        "and",
+        [("phrase", ("A", "B")), ("term", "c")],
+    )
+    with pytest.raises(BooleanParseError):
+        parse_boolean_query('"unbalanced')
+    with pytest.raises(BooleanParseError):
+        parse_boolean_query('""')
+
+
+@pytest.fixture(scope="module")
+def positions_dir(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("bxpos")
+    src = str(d / "c.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(DOCS)), pa.int64()),
+                "text": pa.array(DOCS),
+            }
+        ),
+        src,
+    )
+    from search_engine_ray.engine.positions import build_position_index
+
+    pdir = str(d / "pos")
+    build_position_index(
+        src, pdir, IndexOptions(True, True, False),
+        source_column="text", name_column="doc_id",
+    )
+    return pdir
+
+
+@pytest.mark.parametrize(
+    "query,expr",
+    [
+        ('"hash join"', lambda s: "hash join" in s),
+        ('"spark hash" OR "hash join"', lambda s: "spark hash" in s or "hash join" in s),
+        ('"hash join" AND NOT scan', lambda s: "hash join" in s and "scan" not in s),
+        ('spark AND NOT "hash join"', lambda s: "spark" in s and "hash join" not in s),
+        ('"zzz boom"', lambda s: False),
+    ],
+)
+def test_phrase_evaluation(reader, positions_dir, query, expr):
+    ids = boolean_query(reader, query, positions_dir=positions_dir)
+    got = sorted(int(reader.doc_names[d]) for d in ids)
+    assert got == sorted(i for i, s in enumerate(DOCS) if expr(s))
+
+
+def test_phrase_without_positions_dir_fails_loud(reader):
+    with pytest.raises(ValueError, match="positions_dir"):
+        boolean_query(reader, '"hash join"')
