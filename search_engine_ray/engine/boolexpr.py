@@ -116,6 +116,43 @@ def parse_boolean_query(query: str, normalize: Callable[[str], str] | None = Non
     return node
 
 
+def _phrase_ids_to_ordinals(
+    reader: IndexReader, ids: np.ndarray, positions_dir: str
+) -> np.ndarray:
+    """Positional sidecars built over an INTEGER name column carry the
+    caller's ids (positions.py keys the sidecar by documents.doc_id),
+    while the reader's set algebra runs in build-ordinal docID space —
+    off by an arbitrary mapping whenever the id column isn't 0..n-1
+    (caught by the hostile-text net's 1-based ids).  The sidecar records
+    which space it used (positions_stats.json ``id_space``); caller ids
+    translate through the reader's name table, ordinals pass through.
+    Pre-``id_space`` sidecars fall back to a resolve-all heuristic."""
+    if len(ids) == 0:
+        return ids
+    import json as _json
+    import os as _os
+
+    try:
+        with open(_os.path.join(positions_dir, "positions_stats.json")) as fh:
+            id_space = _json.load(fh).get("id_space")
+    except OSError:
+        id_space = None
+    if id_space == "ordinal":
+        return ids
+    names = {str(n): i for i, n in enumerate(reader.doc_names)}
+    ordinals = np.asarray(
+        [names.get(str(i), -1) for i in ids.tolist()], dtype=np.int64
+    )
+    if (ordinals >= 0).all():
+        return np.sort(ordinals)
+    if id_space == "caller":
+        raise ValueError(
+            "positions sidecar doc ids do not resolve as index doc names — "
+            "the sidecar was built over a different corpus than the index"
+        )
+    return ids  # legacy sidecar, ids didn't resolve: assume ordinals
+
+
 def _universe(reader: IndexReader) -> np.ndarray:
     ids = np.arange(len(reader.doc_names), dtype=np.int64)
     return _drop_deleted(reader, ids)
@@ -137,7 +174,9 @@ def _eval(reader: IndexReader, node, positions_dir: str | None) -> np.ndarray:
         from .positions import phrase_search
 
         t = phrase_search(positions_dir, list(node[1]))
-        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        ids = _phrase_ids_to_ordinals(
+            reader, np.asarray(t["doc_id"], dtype=np.int64), positions_dir
+        )
         return _drop_deleted(reader, ids)
     if kind == "not":
         return np.setdiff1d(

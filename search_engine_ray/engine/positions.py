@@ -290,6 +290,13 @@ def build_position_index(
         num_cpus=1,
     ).to_pandas()
 
+    # which id space the sidecar's doc_id column carries (the
+    # _process_one branch): integer name columns key by the CALLER's
+    # ids, everything else by build ordinals — recorded so composers
+    # (engine/boolexpr phrase nodes) can translate without guessing
+    import pyarrow.parquet as _pq
+
+    name_type = _pq.read_schema(fragments[0].path).field(name_column).type
     stats = {
         "n_fragments": len(fragments),
         "codec": codec,
@@ -297,6 +304,7 @@ def build_position_index(
         "n_postings": int(manifests["n_postings"].sum()),
         "bytes": int(manifests["bytes"].sum()),
         "options": options.to_dict(),
+        "id_space": "caller" if pa.types.is_integer(name_type) else "ordinal",
     }
     with open(stats_path + ".tmp", "w") as fh:
         json.dump(stats, fh)

@@ -56,6 +56,9 @@ HOSTILE_TEXTS = [
     # hostile whitespace and an XML-filtered token so every positional
     # retrieval path is non-vacuous on this corpus
     "sort\vtable window then sort table <tag> sort x window",
+    # r5: boolean/trigram-gate material — spark/hash/join/scan terms and
+    # the 'window table' / 'big query' needles with hostile separators
+    "spark join window table\vbig query spark hash the\fthe window",
 ]
 
 # queries() entries whose oracle depends on whitespace tokenization,
@@ -130,6 +133,16 @@ CHECKED = [
     # r5: WS-tokenized signed hashed features
     "feature_hash",
     "cdc_chunks",
+    # r5 fourth session: boolean language (EXISTS algebra vs the engine
+    # tokenizer), byte-trigram grep (contains()/RE2 oracles), and the
+    # text-reordered index (rank-identity under a hostile permutation
+    # incl. duplicate and empty texts)
+    "boolean_expr",
+    "boolean_phrase_expr",
+    "trigram_df",
+    "trigram_substring",
+    "trigram_regex",
+    "bm25_reordered_top10",
 ]
 
 
