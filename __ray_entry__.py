@@ -4459,6 +4459,24 @@ def q_boolean_expr(sf_dir: str) -> pa.Table:
 
 
 _BOOLPHRASE_QUERY = '"sort table" AND window AND NOT scan'
+_BOOLNEAR_QUERY = "sort NEAR/3 window AND NOT scan"
+
+
+def q_boolean_near_expr(sf_dir: str) -> pa.Table:
+    """Boolean language with the NEAR/k proximity operator (unordered,
+    |kp diff| <= k over kept-token ordinals) composed with NOT — the
+    proximity probe through the positional sidecar, the negation
+    through the inverted index."""
+    from search_engine_ray.engine.boolexpr import boolean_query
+    from search_engine_ray.pipelines import documents_positions_dir
+
+    r = _reader(sf_dir)
+    pos_dir = documents_positions_dir(sf_dir, OPT_NOSTEM)
+    ids = boolean_query(r, _BOOLNEAR_QUERY, positions_dir=pos_dir)
+    docs = np.sort(
+        np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    )
+    return pa.table({"doc_id": pa.array(docs)})
 
 
 def q_boolean_phrase_expr(sf_dir: str) -> pa.Table:
@@ -7080,6 +7098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_top10": q_mmr_top10,
         "boolean_expr": q_boolean_expr,
         "boolean_phrase_expr": q_boolean_phrase_expr,
+        "boolean_near_expr": q_boolean_near_expr,
     }
 
 
@@ -7522,6 +7541,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id FROM documents d
             WHERE d.doc_id IN (SELECT doc_id FROM ph)
               AND EXISTS (SELECT 1 FROM kept t WHERE t.doc_id = d.doc_id AND t.t = 'window')
+              AND NOT EXISTS (SELECT 1 FROM kept t WHERE t.doc_id = d.doc_id AND t.t = 'scan')
+            ORDER BY d.doc_id
+        """,
+        # sort NEAR/3 window AND NOT scan — unordered |kp diff| <= 3
+        "boolean_near_expr": f"""
+            WITH raw AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\\x00-\\x2f:;=?]')) AS t,
+                     unnest(generate_series(1,
+                        len(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[\\x00-\\x2f:;=?]')))) AS pos
+              FROM documents),
+            kept AS (
+              SELECT doc_id, t,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS kp
+              FROM raw
+              WHERE t <> '' AND substr(t, 1, 1) <> '<' AND substr(t, -1, 1) <> '>'
+                AND t NOT IN ({_STOP_LIST})),
+            nr AS (SELECT DISTINCT a.doc_id
+                   FROM kept a JOIN kept b
+                     ON b.doc_id = a.doc_id AND abs(a.kp - b.kp) <= 3
+                   WHERE a.t = 'sort' AND b.t = 'window')
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id IN (SELECT doc_id FROM nr)
               AND NOT EXISTS (SELECT 1 FROM kept t WHERE t.doc_id = d.doc_id AND t.t = 'scan')
             ORDER BY d.doc_id
         """,

@@ -5,7 +5,8 @@ implicit AND between adjacent atoms — the web-search convention)::
 
     expr   := orexpr
     orexpr := andexpr ( OR andexpr )*
-    andexpr:= unary ( AND? unary )*
+    andexpr:= nearex ( AND? nearex )*
+    nearex := unary ( NEAR/k unary )?
     unary  := NOT unary | '(' expr ')' | "PHRASE WORDS" | TERM
 
 Operators are the uppercase keywords AND / OR / NOT; everything else is
@@ -40,6 +41,7 @@ from .boolean import _drop_deleted, boolean_and, boolean_and_not
 from .index_reader import IndexReader
 
 _TOKEN_RE = re.compile(r'"[^"]*"|\(|\)|[^\s()"]+')
+_NEAR_RE = re.compile(r"NEAR/[0-9]+")
 
 
 class BooleanParseError(ValueError):
@@ -72,17 +74,37 @@ def parse_boolean_query(query: str, normalize: Callable[[str], str] | None = Non
         return parts[0] if len(parts) == 1 else ("or", parts)
 
     def parse_and():
-        parts = [parse_unary()]
+        parts = [parse_near()]
         while True:
             t = peek()
             if t == "AND":
                 take()
-                parts.append(parse_unary())
+                parts.append(parse_near())
             elif t is not None and t not in ("OR", ")"):
-                parts.append(parse_unary())  # implicit AND on adjacency
+                parts.append(parse_near())  # implicit AND on adjacency
             else:
                 break
         return parts[0] if len(parts) == 1 else ("and", parts)
+
+    def parse_near():
+        nonlocal pos
+        lstart = pos
+        left = parse_unary()
+        t = peek()
+        if t is not None and _NEAR_RE.fullmatch(t):
+            # RAW operand tokens (when the operand was a bare term):
+            # proximity_search applies the sidecar's own normalization,
+            # exactly like phrase nodes — normalizing here would
+            # double-apply it
+            raw_l = toks[lstart] if pos == lstart + 1 else None
+            k = int(take().split("/", 1)[1])
+            rstart = pos
+            right = parse_unary()
+            raw_r = toks[rstart] if pos == rstart + 1 else None
+            if left[0] != "term" or right[0] != "term":
+                raise BooleanParseError("NEAR/k joins exactly two terms")
+            return ("near", k, raw_l or left[1], raw_r or right[1])
+        return left
 
     def parse_unary():
         t = peek()
@@ -174,6 +196,19 @@ def _eval(reader: IndexReader, node, positions_dir: str | None) -> np.ndarray:
         from .positions import phrase_search
 
         t = phrase_search(positions_dir, list(node[1]))
+        ids = _phrase_ids_to_ordinals(
+            reader, np.asarray(t["doc_id"], dtype=np.int64), positions_dir
+        )
+        return _drop_deleted(reader, ids)
+    if kind == "near":
+        if positions_dir is None:
+            raise ValueError(
+                "NEAR/k in boolean query requires positions_dir "
+                "(the positional sidecar built over the same corpus)"
+            )
+        from .positions import proximity_search
+
+        t = proximity_search(positions_dir, node[2], node[3], node[1])
         ids = _phrase_ids_to_ordinals(
             reader, np.asarray(t["doc_id"], dtype=np.int64), positions_dir
         )

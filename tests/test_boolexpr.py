@@ -200,3 +200,56 @@ def test_phrase_evaluation(reader, positions_dir, query, expr):
 def test_phrase_without_positions_dir_fails_loud(reader):
     with pytest.raises(ValueError, match="positions_dir"):
         boolean_query(reader, '"hash join"')
+
+
+def test_near_parse_shapes():
+    assert parse_boolean_query("a NEAR/3 b") == ("near", 3, "a", "b")
+    assert parse_boolean_query("a NEAR/3 b AND c") == (
+        "and",
+        [("near", 3, "a", "b"), ("term", "c")],
+    )
+    assert parse_boolean_query("x OR a NEAR/10 b") == (
+        "or",
+        [("term", "x"), ("near", 10, "a", "b")],
+    )
+    # raw operands survive a term normalizer (sidecar normalizes itself)
+    assert parse_boolean_query("A NEAR/2 B", normalize=str.lower) == (
+        "near", 2, "A", "B",
+    )
+    with pytest.raises(BooleanParseError):
+        parse_boolean_query('"a b" NEAR/2 c')
+    with pytest.raises(BooleanParseError):
+        parse_boolean_query("a NEAR/2")
+
+
+def _near_brute(a, b, k):
+    out = []
+    for i, s in enumerate(DOCS):
+        toks = s.split()
+        pa_ = [p for p, t in enumerate(toks) if t == a]
+        pb = [p for p, t in enumerate(toks) if t == b]
+        if any(abs(x - y) <= k for x in pa_ for y in pb):
+            out.append(i)
+    return out
+
+
+@pytest.mark.parametrize("a,b,k", [("spark", "join", 1), ("spark", "join", 2),
+                                   ("hash", "scan", 1), ("spark", "zzz", 3)])
+def test_near_evaluation(reader, positions_dir, a, b, k):
+    ids = boolean_query(reader, f"{a} NEAR/{k} {b}", positions_dir=positions_dir)
+    got = sorted(int(reader.doc_names[d]) for d in ids)
+    assert got == _near_brute(a, b, k)
+
+
+def test_near_composes_with_not(reader, positions_dir):
+    ids = boolean_query(
+        reader, "spark NEAR/2 join AND NOT scan", positions_dir=positions_dir
+    )
+    got = sorted(int(reader.doc_names[d]) for d in ids)
+    want = [i for i in _near_brute("spark", "join", 2) if "scan" not in DOCS[i]]
+    assert got == want
+
+
+def test_near_without_positions_dir_fails_loud(reader):
+    with pytest.raises(ValueError, match="positions_dir"):
+        boolean_query(reader, "spark NEAR/2 join")

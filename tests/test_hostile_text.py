@@ -139,6 +139,7 @@ CHECKED = [
     # incl. duplicate and empty texts)
     "boolean_expr",
     "boolean_phrase_expr",
+    "boolean_near_expr",
     "trigram_df",
     "trigram_substring",
     "trigram_regex",
