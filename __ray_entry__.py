@@ -4496,6 +4496,34 @@ def q_boolean_phrase_expr(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(docs)})
 
 
+_BOOLFILTER_EXPR = "(window OR table) AND NOT scan"
+
+
+def q_bm25_boolfiltered_top10(sf_dir: str) -> pa.Table:
+    """Filtered ranked retrieval: BM25 over the standard query with
+    whole-corpus statistics, restricted to the boolean match set
+    '(window OR table) AND NOT scan', top-10 on (score desc, numeric
+    doc asc) — the CLI's --filter-expr semantics."""
+    from search_engine_ray.engine.boolexpr import boolean_query
+    from search_engine_ray.pipelines import bm25_scores_f64
+
+    r = _reader(sf_dir)
+    ids, scores = bm25_scores_f64(r, BM25_QUERY)
+    filt = boolean_query(r, _BOOLFILTER_EXPR)
+    keep = np.isin(ids, filt)
+    ids, scores = ids[keep], scores[keep]
+    docs = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    # rank on the FLOAT score like the SQL (ties -> numeric doc asc);
+    # micros only canonicalize the emitted value
+    order = np.lexsort((docs, -scores))[:10]
+    return pa.table(
+        {
+            "doc_id": pa.array(docs[order]),
+            "score_micros": pa.array(_micros(scores)[order]),
+        }
+    )
+
+
 # --- MMR result diversification (engine/diversify.py, SIGIR'98) ---
 
 _MMR_LAM = 700
@@ -7099,6 +7127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_expr": q_boolean_expr,
         "boolean_phrase_expr": q_boolean_phrase_expr,
         "boolean_near_expr": q_boolean_near_expr,
+        "bm25_boolfiltered_top10": q_bm25_boolfiltered_top10,
     }
 
 
@@ -7543,6 +7572,33 @@ def oracle_sql() -> dict[str, str]:
               AND EXISTS (SELECT 1 FROM kept t WHERE t.doc_id = d.doc_id AND t.t = 'window')
               AND NOT EXISTS (SELECT 1 FROM kept t WHERE t.doc_id = d.doc_id AND t.t = 'scan')
             ORDER BY d.doc_id
+        """,
+        # BM25 (whole-corpus stats) restricted to a boolean match set
+        "bm25_boolfiltered_top10": f"""
+            WITH {_TOKS},
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+            tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks
+                   WHERE t IN ('spark','hash','join') GROUP BY doc_id, t),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            sc AS (
+              SELECT tf.doc_id,
+                     SUM( ln((st.n - df.df + 0.5) / (df.df + 0.5))
+                          * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) ) AS score
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+              GROUP BY tf.doc_id
+            ),
+            flt AS (
+              SELECT s.doc_id, s.score FROM sc s
+              WHERE (EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = s.doc_id AND t.t = 'window')
+                     OR EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = s.doc_id AND t.t = 'table'))
+                AND NOT EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = s.doc_id AND t.t = 'scan')
+            ),
+            ranked AS (SELECT doc_id, score,
+                              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM flt)
+            SELECT doc_id, {micros.format(expr="score")} AS score_micros
+            FROM ranked WHERE r <= 10
         """,
         # sort NEAR/3 window AND NOT scan — unordered |kp diff| <= 3
         "boolean_near_expr": f"""

@@ -612,9 +612,35 @@ def cmd_query(args: argparse.Namespace) -> int:
         )
     from .engine.search import score_topic
 
+    # --filter-expr restricts the ranking to a boolean match set AFTER
+    # scoring with whole-corpus statistics (the standard filtered-search
+    # semantics, same as --filter's metadata gate) — rank everything,
+    # intersect, then cut to k
+    want_k = len(reader.doc_names) if args.filter_expr else args.k
     ids, scores = score_topic(
-        reader, keywords, scorer=args.scorer, k=args.k, method=args.method
+        reader, keywords, scorer=args.scorer, k=want_k, method=args.method
     )
+    if args.filter_expr:
+        import numpy as np
+
+        from .engine.boolexpr import BooleanParseError, boolean_query
+
+        def _fnorm(w: str) -> str:
+            return normalize_query_word(
+                w, case_folding=opts.case_folding,
+                remove_stopwords=False, stemming=opts.stemming,
+            ) or w
+
+        try:
+            filt = boolean_query(
+                reader, args.filter_expr, normalize=_fnorm,
+                positions_dir=args.positions_dir,
+            )
+        except BooleanParseError as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            return 2
+        keep = np.isin(ids, filt)
+        ids, scores = ids[keep][: args.k], scores[keep][: args.k]
     if args.collapse:
         if not args.docs_table:
             print("error: --collapse needs --docs-table", file=sys.stderr)
@@ -1233,8 +1259,12 @@ def main(argv: list[str] | None = None) -> int:
                           "implicit AND, \"quoted phrases\") over the query "
                           "string")
     pq_.add_argument("--positions-dir", default=None,
-                     help="positional sidecar enabling quoted phrases in "
-                          "--boolean expr")
+                     help="positional sidecar enabling quoted phrases / "
+                          "NEAR/k in --boolean expr and --filter-expr")
+    pq_.add_argument("--filter-expr", default=None,
+                     help="boolean expression restricting the RANKED result "
+                          "set (whole-corpus scoring stats, filtered "
+                          "candidates)")
     pq_.add_argument("--ranked-and", action="store_true",
                      help="conjunctive BM25: rank only docs containing ALL query terms")
     pq_.add_argument("--explain", default=None, metavar="DOC_NAME",

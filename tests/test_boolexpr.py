@@ -253,3 +253,31 @@ def test_near_composes_with_not(reader, positions_dir):
 def test_near_without_positions_dir_fails_loud(reader):
     with pytest.raises(ValueError, match="positions_dir"):
         boolean_query(reader, "spark NEAR/2 join")
+
+
+def test_cli_filter_expr(reader, capsys, tmp_path_factory):
+    import json as _json
+
+    from search_engine_ray.cli import main
+    from search_engine_ray.pipelines import bm25_scores_f64
+
+    idx = reader.index_dir
+    rc = main(["query", idx, "spark hash join",
+               "--filter-expr", "(table OR join) AND NOT scan", "--k", "10"])
+    assert rc == 0
+    rows = [
+        _json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    ids, scores = bm25_scores_f64(reader, [("spark", 1), ("hash", 1), ("join", 1)])
+    allowed = {
+        i for i, s in enumerate(DOCS)
+        if ("table" in s.split() or "join" in s.split()) and "scan" not in s.split()
+    }
+    kept = [(int(reader.doc_names[d]), float(s))
+            for d, s in zip(ids, scores) if int(reader.doc_names[d]) in allowed]
+    assert [(int(r["doc"]), r["score"]) for r in rows] == [
+        (d, pytest.approx(s)) for d, s in kept[:10]
+    ]
+    # parse errors fail loud
+    assert main(["query", idx, "spark", "--filter-expr", "(oops"]) == 2
