@@ -4496,6 +4496,24 @@ def q_boolean_phrase_expr(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(docs)})
 
 
+_BOOLPREFIX_QUERY = "s* AND NOT scan"
+
+
+def q_boolean_prefix_expr(sf_dir: str) -> pa.Table:
+    """Boolean language with a trailing-star prefix wildcard: 's*'
+    expands over the index vocabulary (lexicon bounded expansion —
+    exact here, the corpus has far fewer than max_expand=64 s-terms)
+    into an OR of postings, composed with NOT."""
+    from search_engine_ray.engine.boolexpr import boolean_query
+
+    r = _reader(sf_dir)
+    ids = boolean_query(r, _BOOLPREFIX_QUERY)
+    docs = np.sort(
+        np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    )
+    return pa.table({"doc_id": pa.array(docs)})
+
+
 _BOOLFILTER_EXPR = "(window OR table) AND NOT scan"
 
 
@@ -7127,6 +7145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_expr": q_boolean_expr,
         "boolean_phrase_expr": q_boolean_phrase_expr,
         "boolean_near_expr": q_boolean_near_expr,
+        "boolean_prefix_expr": q_boolean_prefix_expr,
         "bm25_boolfiltered_top10": q_bm25_boolfiltered_top10,
     }
 
@@ -7571,6 +7590,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id IN (SELECT doc_id FROM ph)
               AND EXISTS (SELECT 1 FROM kept t WHERE t.doc_id = d.doc_id AND t.t = 'window')
               AND NOT EXISTS (SELECT 1 FROM kept t WHERE t.doc_id = d.doc_id AND t.t = 'scan')
+            ORDER BY d.doc_id
+        """,
+        # s* AND NOT scan — prefix wildcard == LIKE membership
+        "boolean_prefix_expr": f"""
+            WITH {_TOKS}
+            SELECT d.doc_id FROM documents d
+            WHERE EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.t LIKE 's%')
+              AND NOT EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.t = 'scan')
             ORDER BY d.doc_id
         """,
         # BM25 (whole-corpus stats) restricted to a boolean match set

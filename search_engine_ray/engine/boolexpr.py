@@ -7,7 +7,7 @@ implicit AND between adjacent atoms — the web-search convention)::
     orexpr := andexpr ( OR andexpr )*
     andexpr:= nearex ( AND? nearex )*
     nearex := unary ( NEAR/k unary )?
-    unary  := NOT unary | '(' expr ')' | "PHRASE WORDS" | TERM
+    unary  := NOT unary | '(' expr ')' | "PHRASE WORDS" | PREFIX* | TERM
 
 Operators are the uppercase keywords AND / OR / NOT; everything else is
 a term (optionally passed through a caller-supplied normalizer so the
@@ -129,6 +129,11 @@ def parse_boolean_query(query: str, normalize: Callable[[str], str] | None = Non
             # raw words: positions.phrase_search applies the sidecar's own
             # normalization — normalizing here would double-apply it
             return ("phrase", tuple(words))
+        if t.endswith("*") and len(t) > 1 and "*" not in t[:-1]:
+            # trailing-star prefix wildcard: expanded over the INDEX
+            # vocabulary at eval time (lexicon bounded expansion), so the
+            # prefix casefolds but is never stemmed
+            return ("prefix", take()[:-1].lower())
         term = take()
         return ("term", normalize(term) if normalize else term)
 
@@ -200,6 +205,21 @@ def _eval(reader: IndexReader, node, positions_dir: str | None) -> np.ndarray:
             reader, np.asarray(t["doc_id"], dtype=np.int64), positions_dir
         )
         return _drop_deleted(reader, ids)
+    if kind == "prefix":
+        from .lexicon import expand_prefix_query
+
+        terms = [t for t, _ in expand_prefix_query(reader.index_dir, node[1])]
+        parts = [
+            _drop_deleted(reader, tp.arrays()[0])
+            for tp in (reader.postings(t) for t in terms)
+            if tp is not None
+        ]
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        out = parts[0]
+        for p in parts[1:]:
+            out = np.union1d(out, p)
+        return out
     if kind == "near":
         if positions_dir is None:
             raise ValueError(

@@ -281,3 +281,30 @@ def test_cli_filter_expr(reader, capsys, tmp_path_factory):
     ]
     # parse errors fail loud
     assert main(["query", idx, "spark", "--filter-expr", "(oops"]) == 2
+
+
+def test_prefix_parse_shapes():
+    assert parse_boolean_query("spar*") == ("prefix", "spar")
+    assert parse_boolean_query("SPAR* AND x", normalize=str.lower) == (
+        "and",
+        [("prefix", "spar"), ("term", "x")],
+    )
+    # a lone '*' or an inner star is a plain term, not a wildcard
+    assert parse_boolean_query("a*b")[0] == "term"
+
+
+@pytest.mark.parametrize(
+    "query,expr",
+    [
+        ("s*", lambda s: any(w.startswith("s") for w in s.split())),
+        ("ta* AND NOT scan",
+         lambda s: any(w.startswith("ta") for w in s.split())
+         and "scan" not in s.split()),
+        ("zzz* OR join", lambda s: "join" in s.split()),
+        ("NOT s*", lambda s: not any(w.startswith("s") for w in s.split())),
+    ],
+)
+def test_prefix_evaluation(reader, query, expr):
+    ids = boolean_query(reader, query)
+    got = sorted(int(reader.doc_names[d]) for d in ids)
+    assert got == sorted(i for i, s in enumerate(DOCS) if expr(s))

@@ -140,6 +140,7 @@ CHECKED = [
     "boolean_expr",
     "boolean_phrase_expr",
     "boolean_near_expr",
+    "boolean_prefix_expr",
     "bm25_boolfiltered_top10",
     "trigram_df",
     "trigram_substring",
