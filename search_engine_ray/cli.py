@@ -641,6 +641,46 @@ def cmd_query(args: argparse.Namespace) -> int:
             return 2
         keep = np.isin(ids, filt)
         ids, scores = ids[keep][: args.k], scores[keep][: args.k]
+    if args.mmr is not None:
+        if not args.emb_table:
+            print("error: --mmr needs --emb-table", file=sys.stderr)
+            return 2
+        import numpy as np
+        import pyarrow.parquet as _pq
+
+        from .engine.diversify import mmr_rerank
+
+        pool_ids, pool_scores = ids[: args.mmr_pool], scores[: args.mmr_pool]
+        try:
+            docs = np.asarray(
+                [int(reader.doc_names[d]) for d in pool_ids], dtype=np.int64
+            )
+        except ValueError:
+            print(
+                "error: --mmr needs integer doc names aligned with the "
+                "embedding table's vec_id", file=sys.stderr,
+            )
+            return 2
+        t = _pq.read_table(
+            args.emb_table, columns=["vec_id", "embedding"],
+            filters=[("vec_id", "in", docs.tolist())],
+        )
+        pos_of = {int(v): i for i, v in enumerate(t["vec_id"].to_pylist())}
+        missing = [int(d) for d in docs if int(d) not in pos_of]
+        if missing:
+            print(
+                f"error: no embedding for docs {missing[:5]} in {args.emb_table}",
+                file=sys.stderr,
+            )
+            return 2
+        emb = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[
+            [pos_of[int(d)] for d in docs]
+        ]
+        rel = np.floor(pool_scores * 1_000_000 + 0.5).astype(np.int64)
+        sel, obj = mmr_rerank(docs, rel, emb, k=args.k, lam_milli=args.mmr)
+        for rank, (d, s) in enumerate(zip(sel, obj), 1):
+            print(_json.dumps({"rank": rank, "doc": str(d), "mmr_score": int(s)}))
+        return 0
     if args.collapse:
         if not args.docs_table:
             print("error: --collapse needs --docs-table", file=sys.stderr)
@@ -1265,6 +1305,14 @@ def main(argv: list[str] | None = None) -> int:
                      help="boolean expression restricting the RANKED result "
                           "set (whole-corpus scoring stats, filtered "
                           "candidates)")
+    pq_.add_argument("--mmr", type=int, default=None, metavar="LAM_MILLI",
+                     help="MMR-diversify the top results (lambda per-mille, "
+                          "e.g. 700); needs --emb-table")
+    pq_.add_argument("--mmr-pool", type=int, default=50,
+                     help="candidate pool size for --mmr")
+    pq_.add_argument("--emb-table", default=None,
+                     help="embeddings parquet (vec_id, embedding) aligned "
+                          "with integer doc names, for --mmr")
     pq_.add_argument("--ranked-and", action="store_true",
                      help="conjunctive BM25: rank only docs containing ALL query terms")
     pq_.add_argument("--explain", default=None, metavar="DOC_NAME",

