@@ -308,3 +308,56 @@ def test_prefix_evaluation(reader, query, expr):
     ids = boolean_query(reader, query)
     got = sorted(int(reader.doc_names[d]) for d in ids)
     assert got == sorted(i for i, s in enumerate(DOCS) if expr(s))
+
+
+# ---- property: random expressions, engine == brute-force set algebra ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_VOCAB = ["spark", "hash", "join", "scan", "table", "row", "value", "zzz"]
+
+
+def _expr_strategy():
+    leaf = st.sampled_from(_VOCAB).map(lambda t: ("term", t))
+    return st.recursive(
+        leaf,
+        lambda kids: st.one_of(
+            st.tuples(st.just("not"), kids).map(lambda t: ("not", t[1])),
+            st.lists(kids, min_size=2, max_size=3).map(lambda c: ("and", c)),
+            st.lists(kids, min_size=2, max_size=3).map(lambda c: ("or", c)),
+        ),
+        max_leaves=8,
+    )
+
+
+def _render(node) -> str:
+    kind = node[0]
+    if kind == "term":
+        return node[1]
+    if kind == "not":
+        return f"NOT ({_render(node[1])})"
+    op = " AND " if kind == "and" else " OR "
+    return "(" + op.join(f"({_render(c)})" for c in node[1]) + ")"
+
+
+def _brute_eval(node, toks: set) -> bool:
+    kind = node[0]
+    if kind == "term":
+        return node[1] in toks
+    if kind == "not":
+        return not _brute_eval(node[1], toks)
+    if kind == "and":
+        return all(_brute_eval(c, toks) for c in node[1])
+    return any(_brute_eval(c, toks) for c in node[1])
+
+
+@settings(max_examples=60, deadline=None)
+@given(_expr_strategy())
+def test_random_expressions_match_brute_force(reader, node):
+    ids = boolean_query(reader, _render(node))
+    got = sorted(int(reader.doc_names[d]) for d in ids)
+    want = sorted(
+        i for i, s in enumerate(DOCS) if _brute_eval(node, set(s.split()))
+    )
+    assert got == want
