@@ -425,6 +425,56 @@ def q_bm25_fixed_top10(sf_dir: str) -> pa.Table:
     )
 
 
+def _reader_pfor(sf_dir: str):
+    """Reader over a documents index built with the PFor postings codec
+    (engine/codec.py: pfor_encode_cells — patched frame-of-reference,
+    bit-packed low bits + exception patching)."""
+    from search_engine_ray.pipelines import documents_reader
+
+    return documents_reader(sf_dir, OPT_NOSTEM, codec="pfor")
+
+
+def q_posting_lookup_pfor(sf_dir: str) -> pa.Table:
+    """posting_lookup against a codec="pfor" index — the same oracle SQL
+    must match, externally proving the bit-packed+patched decode on the
+    statistics layer."""
+    r = _reader_pfor(sf_dir)
+    rows = {"term": [], "df": [], "total_tf": [], "min_doc": [], "max_doc": []}
+    for term in LOOKUP_TERMS:
+        tp = r.postings(term)
+        if tp is None:
+            continue
+        ids, tfs, _ = tp.arrays()
+        rows["term"].append(term)
+        rows["df"].append(tp.df)
+        rows["total_tf"].append(int(tfs.sum()))
+        rows["min_doc"].append(int(ids.min()))
+        rows["max_doc"].append(int(ids.max()))
+    return pa.table(
+        {
+            "term": pa.array(rows["term"], pa.string()),
+            "df": pa.array(rows["df"], pa.int64()),
+            "total_tf": pa.array(rows["total_tf"], pa.int64()),
+            "min_doc": pa.array(rows["min_doc"], pa.int64()),
+            "max_doc": pa.array(rows["max_doc"], pa.int64()),
+        }
+    )
+
+
+def q_bm25_pfor_top10(sf_dir: str) -> pa.Table:
+    """bm25_top10 against a codec="pfor" index (same oracle SQL) —
+    ranking-layer bit-identity across all three codecs."""
+    from search_engine_ray.pipelines import bm25_scores_f64
+
+    r = _reader_pfor(sf_dir)
+    ids, scores = bm25_scores_f64(r, BM25_QUERY)
+    ids, scores = ids[:10], scores[:10]
+    doc_ids = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids), "score_micros": pa.array(_micros(scores))}
+    )
+
+
 def q_extract_roundtrip(sf_dir: str) -> pa.Table:
     """documents.text -> HTML template -> vectorized extraction -> text.
 
@@ -7108,6 +7158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # codec="fixed" twins: same oracles as posting_lookup / bm25_top10 —
         # the fixed-width postings codec must be externally bit-identical
         "posting_lookup_fixed": q_posting_lookup_fixed,
+        "posting_lookup_pfor": q_posting_lookup_pfor,
+        "bm25_pfor_top10": q_bm25_pfor_top10,
         "bm25_fixed_top10": q_bm25_fixed_top10,
         "doc_keywords": q_doc_keywords,
         "corpus_log_odds": q_corpus_log_odds,
@@ -10594,6 +10646,8 @@ def oracle_sql() -> dict[str, str]:
     # fixed-codec twins: byte layout differs, results must not
     out["posting_lookup_fixed"] = out["posting_lookup"]
     out["bm25_fixed_top10"] = out["bm25_top10"]
+    out["posting_lookup_pfor"] = out["posting_lookup"]
+    out["bm25_pfor_top10"] = out["bm25_top10"]
     out["mmr_top10"] = _mmr_sql(micros)
     # docID reassignment changes the id permutation, never the ranking:
     # the reordered index must reproduce the SAME top-10 by doc name

@@ -1159,7 +1159,7 @@ def main(argv: list[str] | None = None) -> int:
              "of WARC/.warc.gz response captures (Common Crawl's container)",
     )
     pi.add_argument(
-        "--codec", choices=("vbyte", "fixed"), default="vbyte",
+        "--codec", choices=("vbyte", "fixed", "pfor"), default="vbyte",
         help="postings codec: 'vbyte' (smallest) or 'fixed' (byte-aligned "
              "fixed-width cells, ~2x faster decode at ~0.7 B/value size "
              "cost); recorded in stats.json and auto-detected at query time",
@@ -1356,7 +1356,7 @@ def main(argv: list[str] | None = None) -> int:
                      default="IndexOptions(CaseFolding,RemoveStopWords)")
     pps.add_argument("--source-column", default="html")
     pps.add_argument("--name-column", default="url")
-    pps.add_argument("--codec", choices=("vbyte", "fixed"), default="vbyte")
+    pps.add_argument("--codec", choices=("vbyte", "fixed", "pfor"), default="vbyte")
     pps.add_argument("--num-cpus", type=int, default=8)
     pps.set_defaults(fn=cmd_positions)
 
@@ -1413,7 +1413,7 @@ def main(argv: list[str] | None = None) -> int:
     pro.add_argument("--source-column", default="html")
     pro.add_argument("--name-column", default="url")
     pro.add_argument("--sort-partitions", type=int, default=8)
-    pro.add_argument("--codec", choices=("vbyte", "fixed"), default="vbyte")
+    pro.add_argument("--codec", choices=("vbyte", "fixed", "pfor"), default="vbyte")
     pro.add_argument("--overwrite", action="store_true")
     pro.add_argument("--num-cpus", type=int, default=8)
     pro.set_defaults(fn=cmd_reorder)
