@@ -1088,11 +1088,40 @@ def cmd_trigram_index(args: argparse.Namespace) -> int:
     from .ioutil import read_parquet_clean
 
     ds = read_parquet_clean(args.corpus, columns=[args.id_column, args.text_column])
+    column = args.text_column
+    if args.extract_html:
+        # pages corpus: index the EXTRACTED text of the html column (the
+        # byte-identical extraction the main index build uses)
+        import pyarrow as pa
+
+        from .corpus.extract import extract_text_batch
+
+        src, idc = args.text_column, args.id_column
+
+        def _extract(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    idc: batch.column(idc),
+                    "text": extract_text_batch(batch.column(src)),
+                }
+            )
+
+        ds = ds.map_batches(_extract, batch_format="pyarrow")
+        column = "text"
     meta = build_trigram_index(
         ds, args.index_dir,
-        column=args.text_column, id_column=args.id_column,
+        column=column, id_column=args.id_column,
         num_buckets=args.num_buckets,
     )
+    if args.extract_html:
+        # record the extraction so `grep` re-derives the text column the
+        # same way before verification
+        mpath = os.path.join(args.index_dir, "meta.json")
+        with open(mpath) as fh:
+            meta = json.load(fh)
+        meta.update(extract_html=True, source_column=args.text_column)
+        with open(mpath, "w") as fh:
+            json.dump(meta, fh)
     print(json.dumps({"index_dir": args.index_dir, **meta}))
     return 0
 
@@ -1111,9 +1140,25 @@ def cmd_grep(args: argparse.Namespace) -> int:
 
     with open(os.path.join(args.index_dir, "meta.json")) as fh:
         meta = json.load(fh)
-    docs = read_parquet_clean(
-        args.corpus, columns=[meta["id_column"], meta["column"]]
-    )
+    if meta.get("extract_html"):
+        import pyarrow as pa
+
+        from .corpus.extract import extract_text_batch
+
+        idc, src = meta["id_column"], meta["source_column"]
+        raw = read_parquet_clean(args.corpus, columns=[idc, src])
+
+        def _extract(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {idc: batch.column(idc),
+                 meta["column"]: extract_text_batch(batch.column(src))}
+            )
+
+        docs = raw.map_batches(_extract, batch_format="pyarrow")
+    else:
+        docs = read_parquet_clean(
+            args.corpus, columns=[meta["id_column"], meta["column"]]
+        )
     if args.regex:
         hits = regex_search(
             args.index_dir, docs, args.pattern,
@@ -1426,6 +1471,9 @@ def main(argv: list[str] | None = None) -> int:
     pti.add_argument("--num-buckets", type=int, default=64)
     pti.add_argument("--text-column", default="text")
     pti.add_argument("--id-column", default="doc_id")
+    pti.add_argument("--extract-html", action="store_true",
+                     help="text-column holds raw html: grep the extracted "
+                          "text (same extraction as the index build)")
     pti.add_argument("--num-cpus", type=int, default=8)
     pti.set_defaults(fn=cmd_trigram_index)
 

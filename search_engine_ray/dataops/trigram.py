@@ -141,13 +141,17 @@ def build_trigram_index(
     import pyarrow.parquet as pq
 
     def extract(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        idcol = batch.column(id_column)
+        if isinstance(idcol, pa.ChunkedArray):
+            idcol = idcol.combine_chunks()
+        if pa.types.is_integer(idcol.type):
+            idcol = idcol.cast(pa.int64())
         tg, row = doc_trigrams(batch.column(column))
         return pa.table(
             {
                 "bucket": pa.array(_tg_bucket(tg, num_buckets)),
                 "tg": pa.array(tg, pa.uint32()),
-                id_column: pa.array(ids[row], pa.int64()),
+                id_column: idcol.take(pa.array(row)),
             }
         )
 
@@ -199,7 +203,17 @@ def build_trigram_index(
         .map_groups(write_bucket, batch_format="pyarrow")
         .materialize()
     )
-    meta = {"num_buckets": int(num_buckets), "column": column, "id_column": id_column}
+    schema = ds.schema()
+    pa_schema = getattr(schema, "base_schema", schema)  # Ray Schema wrapper
+    id_type = (
+        "int64" if pa.types.is_integer(pa_schema.field(id_column).type) else "string"
+    )
+    meta = {
+        "num_buckets": int(num_buckets),
+        "column": column,
+        "id_column": id_column,
+        "id_type": id_type,
+    }
     with open(os.path.join(index_dir, "meta.json"), "w") as fh:
         json.dump(meta, fh)
     return meta
@@ -329,8 +343,9 @@ def _verify_semi_join(
     return nonempty_blocks(joined.materialize())
 
 
-def _empty_ids(id_column: str) -> ray.data.Dataset:
-    return ray.data.from_arrow(pa.table({id_column: pa.array([], pa.int64())}))
+def _empty_ids(id_column: str, meta: dict | None = None) -> ray.data.Dataset:
+    t = pa.string() if (meta or {}).get("id_type") == "string" else pa.int64()
+    return ray.data.from_arrow(pa.table({id_column: pa.array([], t)}))
 
 
 def substring_search(
@@ -351,10 +366,10 @@ def substring_search(
         tgs = _rarest_trigrams(index_dir, meta, tgs, max_probe_trigrams)
         cand_ids = _candidates_all_of(index_dir, meta, tgs, id_column)
         if cand_ids is None:
-            return _empty_ids(id_column)
+            return _empty_ids(id_column, meta)
         cand = _verify_semi_join(docs, cand_ids, id_column)
         if cand is None:
-            return _empty_ids(id_column)
+            return _empty_ids(id_column, meta)
     else:
         cand = docs
 
@@ -599,10 +614,10 @@ def regex_search(
             index_dir, meta, lits, id_column, max_probe_trigrams
         )
         if cand_ids is None:
-            return _empty_ids(id_column)
+            return _empty_ids(id_column, meta)
         cand = _verify_semi_join(docs, cand_ids, id_column)
         if cand is None:
-            return _empty_ids(id_column)
+            return _empty_ids(id_column, meta)
 
     def verify(batch: pa.Table) -> pa.Table:
         keep = pc.match_substring_regex(batch.column(column), pattern)

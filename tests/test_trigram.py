@@ -201,3 +201,23 @@ def test_cli_trigram_index_and_grep(ray_session, capsys, tmp_path):
     want = sorted(i for i, s in zip(IDS, DOCS) if re.search("qu[ae]ry", s))
     assert out["n_hits"] == len(want) and out["ids"] == want[:2]
     assert out["prefilter_literals"] == ["quary", "query"]
+
+
+def test_string_id_corpus(ray_session, tmp_path):
+    # pages-style corpus keyed by url (string ids end-to-end)
+    urls = [f"https://site{i % 3}.example/p{i}" for i in range(len(DOCS))]
+    docs = ray.data.from_arrow(
+        pa.table({"url": pa.array(urls), "text": pa.array(DOCS)})
+    )
+    idx = str(tmp_path / "tgs")
+    meta = tg.build_trigram_index(docs, idx, id_column="url", num_buckets=4)
+    assert meta["id_type"] == "string"
+    out = tg.substring_search(idx, docs, "big table").to_pandas()
+    got = sorted(out["url"].tolist()) if "url" in out.columns else []
+    assert got == sorted(u for u, s in zip(urls, DOCS) if "big table" in s)
+    out = tg.regex_search(idx, docs, "qu[ae]ry").to_pandas()
+    got = sorted(out["url"].tolist()) if "url" in out.columns else []
+    assert got == sorted(u for u, s in zip(urls, DOCS) if re.search("qu[ae]ry", s))
+    # empty result keeps the string schema
+    out = tg.substring_search(idx, docs, "zzzz")
+    assert out.count() == 0
