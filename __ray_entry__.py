@@ -4546,6 +4546,48 @@ def q_boolean_phrase_expr(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(docs)})
 
 
+def q_bm25_asof_top10(sf_dir: str) -> pa.Table:
+    """Time travel: tombstone the live top-3, then query AS OF generation
+    0 (the pre-delete snapshot) — the ranking must equal the ORIGINAL
+    bm25_top10 oracle exactly, while the live view differs (self-checked
+    in-gate)."""
+    import shutil
+
+    from search_engine_ray.engine.index_reader import IndexReader
+    from search_engine_ray.engine.maintenance import delete_docs
+    from search_engine_ray.pipelines import bm25_scores_f64, documents_index_dir
+
+    base = documents_index_dir(sf_dir, OPT_NOSTEM)
+    r0 = _reader(sf_dir)
+    ids0, _ = bm25_scores_f64(r0, BM25_QUERY)
+    victims = [str(r0.doc_names[d]) for d in ids0[:3]]
+    asof_dir = base.rstrip("/") + "-asof"
+
+    def _build() -> None:
+        shutil.rmtree(asof_dir, ignore_errors=True)
+        shutil.copytree(base, asof_dir)
+        delete_docs(asof_dir, victims)
+
+    _build_once(asof_dir, ".asof-complete", _build)
+    r_old = IndexReader(asof_dir, as_of=0)
+    ids, scores = bm25_scores_f64(r_old, BM25_QUERY)
+    ids, scores = ids[:10], scores[:10]
+    # live view: victims tombstoned; as-of view: no mask at all
+    r_live = IndexReader(asof_dir)
+    live_mask = r_live.deleted_mask()
+    assert live_mask is not None and all(
+        live_mask[r_live.doc_id_of(v)] for v in victims
+    ), "live view does not tombstone the victims"
+    assert r_old.deleted_mask() is None, "as-of gen-0 view must be unmasked"
+    assert set(victims) <= {
+        str(r_old.doc_names[d]) for d in ids
+    }, "as-of view lost the pre-delete docs"
+    doc_ids = np.asarray([int(r_old.doc_names[d]) for d in ids], dtype=np.int64)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids), "score_micros": pa.array(_micros(scores))}
+    )
+
+
 _BOOLPREFIX_QUERY = "s* AND NOT scan"
 
 
@@ -7199,6 +7241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_near_expr": q_boolean_near_expr,
         "boolean_prefix_expr": q_boolean_prefix_expr,
         "bm25_boolfiltered_top10": q_bm25_boolfiltered_top10,
+        "bm25_asof_top10": q_bm25_asof_top10,
     }
 
 
@@ -10648,6 +10691,8 @@ def oracle_sql() -> dict[str, str]:
     out["bm25_fixed_top10"] = out["bm25_top10"]
     out["posting_lookup_pfor"] = out["posting_lookup"]
     out["bm25_pfor_top10"] = out["bm25_top10"]
+    # time travel: as-of generation 0 == the original, un-deleted ranking
+    out["bm25_asof_top10"] = out["bm25_top10"]
     out["mmr_top10"] = _mmr_sql(micros)
     # docID reassignment changes the id permutation, never the ranking:
     # the reordered index must reproduce the SAME top-10 by doc name

@@ -370,7 +370,13 @@ def cmd_query(args: argparse.Namespace) -> int:
             seen[t] = 1
             terms.append(t)
     keywords = [(t, seen[t]) for t in terms]
-    reader = IndexReader(args.index_dir)
+    try:
+        reader = IndexReader(args.index_dir, as_of=args.as_of)
+        if args.as_of is not None:
+            reader.deleted_mask()  # resolve now so a bad gen fails up front
+    except ValueError as exc:  # unknown generation: fail loud with range
+        print(f"error: {exc}", file=sys.stderr)
+        return 2
     if args.boolean:
         if args.boolean == "expr":
             # full boolean query language: AND/OR/NOT + parens + implicit
@@ -1081,6 +1087,18 @@ def cmd_reorder(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_generations(args: argparse.Namespace) -> int:
+    """List the index's maintenance generations (time-travel points)."""
+    from .engine.maintenance import list_generations
+
+    t = list_generations(args.index_dir)
+    for row in t.to_pylist():
+        print(json.dumps(row))
+    if t.num_rows == 0:
+        print(json.dumps({"generations": 0}))
+    return 0
+
+
 def cmd_trigram_index(args: argparse.Namespace) -> int:
     """Build the trigram postings index (Cox code-search layout)."""
     _ensure_ray(args.num_cpus)
@@ -1350,6 +1368,9 @@ def main(argv: list[str] | None = None) -> int:
                      help="boolean expression restricting the RANKED result "
                           "set (whole-corpus scoring stats, filtered "
                           "candidates)")
+    pq_.add_argument("--as-of", type=int, default=None, metavar="GEN",
+                     help="query the index as of maintenance generation GEN "
+                          "(see the generations verb)")
     pq_.add_argument("--mmr", type=int, default=None, metavar="LAM_MILLI",
                      help="MMR-diversify the top results (lambda per-mille, "
                           "e.g. 700); needs --emb-table")
@@ -1445,6 +1466,12 @@ def main(argv: list[str] | None = None) -> int:
     pw.add_argument("--id-column", default="doc_id")
     pw.add_argument("--num-cpus", type=int, default=8)
     pw.set_defaults(fn=cmd_winnow)
+
+    pgn = sub.add_parser(
+        "generations", help="list time-travel generations (delete/upsert log)"
+    )
+    pgn.add_argument("index_dir")
+    pgn.set_defaults(fn=cmd_generations)
 
     pro = sub.add_parser(
         "reorder",

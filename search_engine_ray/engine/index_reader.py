@@ -100,8 +100,18 @@ def _blocks_from_table(tbl: pa.Table, codec: str = "vbyte") -> dict[str, list[Bl
 
 
 class IndexReader:
-    def __init__(self, index_dir: str, preload: bool = True):
+    def __init__(
+        self, index_dir: str, preload: bool = True, as_of: int | None = None
+    ):
+        """``as_of``: read the index as of maintenance generation K
+        (engine/maintenance.snapshot_generation): tombstones come from
+        the gen-K snapshot and every docID at or above the generation's
+        watermark is hidden (docs appended later did not exist yet).
+        Statistics (n_docs/avgdl/df) stay CURRENT — the same rule live
+        tombstones follow, so as-of ranking == the tombstone-masked
+        ranking of that moment."""
         self.index_dir = index_dir
+        self.as_of = as_of
         with open(os.path.join(index_dir, "stats.json")) as fh:
             self.stats = json.load(fh)
         self.n_docs: int = self.stats["n_docs"]
@@ -135,24 +145,32 @@ class IndexReader:
         Resolved once per reader (once per query actor); names absent
         from the docs table are skipped."""
         if not hasattr(self, "_deleted_mask"):
-            p = os.path.join(self.index_dir, "tombstones.parquet")
-            if not os.path.exists(p):
-                self._deleted_mask = None
+            watermark = None
+            if self.as_of is not None:
+                from .maintenance import read_generation
+
+                entries, watermark = read_generation(self.index_dir, self.as_of)
             else:
+                p = os.path.join(self.index_dir, "tombstones.parquet")
+                if not os.path.exists(p):
+                    self._deleted_mask = None
+                    return None
                 from .maintenance import read_tombstones
 
                 entries = read_tombstones(p)
-                # isin (not a name->id dict): a union-merged index can hold
-                # DUPLICATE names — every copy of a tombstoned name hides;
-                # bounded entries (upserts) hide only ordinals < before_id
-                mask = np.isin(
-                    self.doc_names, np.asarray(list(entries), dtype=object)
-                )
-                for i in np.flatnonzero(mask):  # tombstone-sized loop
-                    b = entries.get(self.doc_names[i])
-                    if b is not None and i >= b:
-                        mask[i] = False
-                self._deleted_mask = mask if mask.any() else None
+            # isin (not a name->id dict): a union-merged index can hold
+            # DUPLICATE names — every copy of a tombstoned name hides;
+            # bounded entries (upserts) hide only ordinals < before_id
+            mask = np.isin(
+                self.doc_names, np.asarray(list(entries), dtype=object)
+            )
+            for i in np.flatnonzero(mask):  # tombstone-sized loop
+                b = entries.get(self.doc_names[i])
+                if b is not None and i >= b:
+                    mask[i] = False
+            if watermark is not None and watermark < len(mask):
+                mask[watermark:] = True  # docs appended after gen K
+            self._deleted_mask = mask if mask.any() else None
         return self._deleted_mask
 
     def doc_id_of(self, name: str) -> int:

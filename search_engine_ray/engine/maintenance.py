@@ -89,8 +89,101 @@ def tombstoned_names(index_dir: str) -> list[str]:
     return sorted(read_tombstones(index_dir))
 
 
+GENERATIONS_DIR = "generations"
+
+
+def snapshot_generation(index_dir: str, op: str) -> int:
+    """Checkpoint the CURRENT visibility state as generation K before a
+    mutation (time-travel support): the tombstone table is copied to
+    ``generations/tombstones.gen-K.parquet`` and an oplog row records the
+    docID watermark (stats.json n_docs at snapshot time).  ``as_of=K``
+    reads then reconstruct exactly the pre-op view: snapshot tombstones
+    plus every docID >= the watermark hidden (documents appended by later
+    upserts/increments did not exist yet).  K counts mutations: gen 0 is
+    the state before the first delete/upsert/clear."""
+    import json as _json
+    import shutil as _shutil
+
+    gdir = os.path.join(index_dir, GENERATIONS_DIR)
+    os.makedirs(gdir, exist_ok=True)
+    oplog = os.path.join(gdir, "oplog.jsonl")
+    k = 0
+    if os.path.exists(oplog):
+        with open(oplog) as fh:
+            k = sum(1 for _ in fh)
+    snap = os.path.join(gdir, f"tombstones.gen-{k:06d}.parquet")
+    src = _path(index_dir)
+    if os.path.exists(src):
+        _shutil.copyfile(src, snap + ".tmp")
+        os.replace(snap + ".tmp", snap)
+    else:
+        pq.write_table(
+            pa.table(
+                {
+                    "name": pa.array([], pa.string()),
+                    "before_id": pa.array([], pa.int64()),
+                }
+            ),
+            snap + ".tmp",
+        )
+        os.replace(snap + ".tmp", snap)
+    with open(os.path.join(index_dir, "stats.json")) as fh:
+        n_docs = _json.load(fh)["n_docs"]
+    with open(oplog, "a") as fh:
+        fh.write(_json.dumps({"gen": k, "op": op, "n_docs": int(n_docs)}) + "\n")
+    return k
+
+
+def read_generation(index_dir: str, as_of: int) -> tuple[dict[str, int | None], int]:
+    """(tombstone entries, docID watermark) of generation ``as_of``.
+    Raises with the available range when the generation doesn't exist."""
+    import json as _json
+
+    gdir = os.path.join(index_dir, GENERATIONS_DIR)
+    oplog = os.path.join(gdir, "oplog.jsonl")
+    rows = []
+    if os.path.exists(oplog):
+        with open(oplog) as fh:
+            rows = [_json.loads(line) for line in fh if line.strip()]
+    if not 0 <= as_of < len(rows):
+        raise ValueError(
+            f"generation {as_of} does not exist; index has "
+            f"{len(rows)} generation(s) (0..{len(rows) - 1})"
+            if rows
+            else f"generation {as_of} does not exist; index has no "
+            "recorded mutations (query it directly)"
+        )
+    snap = os.path.join(gdir, f"tombstones.gen-{as_of:06d}.parquet")
+    return read_tombstones(snap), int(rows[as_of]["n_docs"])
+
+
+def list_generations(index_dir: str) -> pa.Table:
+    """(gen, op, n_docs, n_tombstones) per recorded generation."""
+    import json as _json
+
+    gdir = os.path.join(index_dir, GENERATIONS_DIR)
+    oplog = os.path.join(gdir, "oplog.jsonl")
+    rows = []
+    if os.path.exists(oplog):
+        with open(oplog) as fh:
+            rows = [_json.loads(line) for line in fh if line.strip()]
+    n_tomb = [
+        len(read_tombstones(os.path.join(gdir, f"tombstones.gen-{r['gen']:06d}.parquet")))
+        for r in rows
+    ]
+    return pa.table(
+        {
+            "gen": pa.array([r["gen"] for r in rows], pa.int64()),
+            "op": pa.array([r["op"] for r in rows], pa.string()),
+            "n_docs": pa.array([r["n_docs"] for r in rows], pa.int64()),
+            "n_tombstones": pa.array(n_tomb, pa.int64()),
+        }
+    )
+
+
 def delete_docs(
-    index_dir: str, names, before_id: int | None = None, override: bool = False
+    index_dir: str, names, before_id: int | None = None, override: bool = False,
+    snapshot: bool = True,
 ) -> int:
     """Tombstone ``names`` (idempotent union with any existing set).
     Returns the total number of tombstoned names after the update.
@@ -108,6 +201,8 @@ def delete_docs(
     the new version (ordinal >= before_id) is live."""
     if not os.path.exists(os.path.join(index_dir, "stats.json")):
         raise FileNotFoundError(f"{index_dir} is not an index directory")
+    if snapshot:
+        snapshot_generation(index_dir, "delete")
     merged = read_tombstones(index_dir)
     for n in names:
         n = str(n)
@@ -126,6 +221,8 @@ def clear_tombstones(index_dir: str) -> int:
     """Remove all tombstones (e.g. after a compacting rebuild).  Returns
     how many were cleared."""
     n = len(tombstoned_names(index_dir))
+    if n:
+        snapshot_generation(index_dir, "clear")
     p = _path(index_dir)
     if os.path.exists(p):
         os.remove(p)
@@ -917,6 +1014,9 @@ def upsert_docs(
             columns=["name"], filter=pads.field("name").isin(names)
         )
         reader_names = set(hit["name"].to_pylist())
+    # one pre-op generation snapshot for the WHOLE upsert (tombstone +
+    # append happen atomically from the time-travel view)
+    snapshot_generation(index_dir, "upsert")
     replaced = sorted(reader_names)
     if replaced:
         import json
@@ -928,7 +1028,10 @@ def upsert_docs(
         # stay live.  override: a prior plain delete left a None
         # (everything-dead) bound that would otherwise dominate and hide
         # the new version too — the watermark must replace it.
-        delete_docs(index_dir, replaced, before_id=n_before, override=True)
+        delete_docs(
+            index_dir, replaced, before_id=n_before, override=True,
+            snapshot=False,
+        )
 
     # place the update file so it sorts after every existing corpus file
     existing = sorted(

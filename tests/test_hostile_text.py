@@ -146,6 +146,7 @@ CHECKED = [
     "trigram_substring",
     "trigram_regex",
     "bm25_reordered_top10",
+    "bm25_asof_top10",
 ]
 
 
