@@ -213,7 +213,7 @@ def q_posting_lookup(sf_dir: str) -> pa.Table:
             "min_doc": pa.array(rows["min_doc"], pa.int64()),
             "max_doc": pa.array(rows["max_doc"], pa.int64()),
         }
-    )
+    ).sort_by([("term", "ascending")])  # canonical order = oracle ORDER BY
 
 
 def q_collection_stats(sf_dir: str) -> pa.Table:
@@ -408,7 +408,7 @@ def q_posting_lookup_fixed(sf_dir: str) -> pa.Table:
             "min_doc": pa.array(rows["min_doc"], pa.int64()),
             "max_doc": pa.array(rows["max_doc"], pa.int64()),
         }
-    )
+    ).sort_by([("term", "ascending")])  # canonical order = oracle ORDER BY
 
 
 def q_bm25_fixed_top10(sf_dir: str) -> pa.Table:
@@ -458,7 +458,7 @@ def q_posting_lookup_pfor(sf_dir: str) -> pa.Table:
             "min_doc": pa.array(rows["min_doc"], pa.int64()),
             "max_doc": pa.array(rows["max_doc"], pa.int64()),
         }
-    )
+    ).sort_by([("term", "ascending")])  # canonical order = oracle ORDER BY
 
 
 def q_bm25_pfor_top10(sf_dir: str) -> pa.Table:
@@ -1057,7 +1057,10 @@ def q_gopher_quality(sf_dir: str):
     the flag (334/500 pass at sf0.01)."""
     from search_engine_ray.dataops.textstats import gopher_quality
 
-    return gopher_quality(_docs_ds(sf_dir), min_words=30, min_stop_words=1)
+    out = gopher_quality(_docs_ds(sf_dir), min_words=30, min_stop_words=1)
+    # canonical row order, matching the oracle's ORDER BY doc_id: gate-
+    # sized sort so the driver's value hash never depends on block order
+    return out.sort("doc_id")
 
 
 def q_curate(sf_dir: str):
@@ -4356,10 +4359,15 @@ def q_rrf_fusion(sf_dir: str) -> pa.Table:
     r = _reader(sf_dir)
 
     def run_table(ids: np.ndarray, scores: np.ndarray) -> pa.Table:
-        # re-rank on (score desc, INTEGER doc_id asc): the scorers break
-        # ties by ordinal, the SQL oracle by numeric doc_id — align them
+        # re-rank on (INTEGER micros desc, INTEGER doc_id asc): the scorers
+        # break ties by ordinal, the SQL oracle by numeric doc_id — align
+        # them.  Ranking on micros (not raw float64) makes the FULL ranking
+        # immune to summation-ASSOCIATIVITY noise (sub-micro score deltas
+        # collapse to doc_id-broken ties on both sides; a parallel DuckDB
+        # can group a 3-addend SUM differently by thread count, and rrf
+        # consumes every rank, not just a stable top-10).
         docs = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
-        order = np.lexsort((docs, -scores))
+        order = np.lexsort((docs, -_micros(scores)))
         return pa.table(
             {
                 "topic": pa.array(np.ones(len(ids), dtype=np.int64)),
@@ -5010,9 +5018,13 @@ def q_pack_sequences(sf_dir: str) -> pa.Table:
     from search_engine_ray.dataops.pack import pack_sequences
 
     ds = pack_sequences(os.path.join(sf_dir, "documents.parquet"), seq_len=_SEQ_LEN)
-    return pa.concat_tables(
+    out = pa.concat_tables(
         pa.table(b) for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")
     )
+    # canonical row order, matching the oracle's ORDER BY doc_id (the
+    # dataset's own order is the fragment plan, which the streaming
+    # executor may interleave)
+    return out.sort_by([("doc_id", "ascending")])
 
 
 def q_pack_bins(sf_dir: str) -> pa.Table:
@@ -5023,6 +5035,7 @@ def q_pack_bins(sf_dir: str) -> pa.Table:
     packed = pack_sequences(os.path.join(sf_dir, "documents.parquet"), seq_len=_SEQ_LEN)
     out = bin_fill_stats(packed, seq_len=_SEQ_LEN).to_pandas()
     cnt_col = next(c for c in out.columns if c.startswith("count"))
+    out = out.sort_values("bin", ignore_index=True)  # match oracle ORDER BY
     return pa.table(
         {
             "bin": pa.array(out["bin"].astype(np.int64)),
@@ -5030,6 +5043,55 @@ def q_pack_bins(sf_dir: str) -> pa.Table:
             "n_tokens": pa.array(out["n_tokens"].astype(np.int64)),
         }
     )
+
+
+_SAAT_BUDGET = 800
+
+
+def _saat_table(sf_dir: str, budget: int | None) -> pa.Table:
+    """Shared body of the two SAAT gates: full integer ranking from the
+    impact-ordered tier, re-tied on NUMERIC doc_id (the scorers' internal
+    ordinal order vs the oracle's numeric order — the rrf alignment),
+    top-10 cut, plus the postings_processed constant column that pins the
+    anytime budget rule itself."""
+    from search_engine_ray.engine.impact import saat_topk
+    from search_engine_ray.pipelines import documents_impact_dir
+
+    imp_dir = documents_impact_dir(sf_dir, OPT_NOSTEM)
+    r = _reader(sf_dir)
+    ids, scores, processed = saat_topk(
+        imp_dir, [(t, 1) for t in ("spark", "hash", "join")], k=None, budget=budget
+    )
+    docs = np.asarray([int(r.doc_names[d]) for d in ids], dtype=np.int64)
+    order = np.lexsort((docs, -scores))[:10]
+    return pa.table(
+        {
+            "doc_id": pa.array(docs[order]),
+            "score": pa.array(scores[order].astype(np.int64)),
+            "postings_processed": pa.array(
+                np.full(len(order), processed, dtype=np.int64)
+            ),
+        }
+    )
+
+
+def q_saat_top10(sf_dir: str) -> pa.Table:
+    """Score-at-a-time top-10 over the impact-ordered index (engine/
+    impact.py): per-posting BM25 contributions with the Lucene positive
+    idf, quantized to 8-bit impacts on a sqrt-companded integer scale,
+    regrouped into (term, q) docID-sorted segments, then summed
+    exhaustively.  Integer scores end-to-end, so the whole tier — the
+    quantizer included — is hash-exact vs the DuckDB oracle."""
+    return _saat_table(sf_dir, budget=None)
+
+
+def q_saat_anytime_top10(sf_dir: str) -> pa.Table:
+    """The ANYTIME cut (JASS rho): segments admitted in (q desc, term asc)
+    order while cumulative postings stay <= 800 (admits 793 of 1173 at
+    sf0.01 — a strict subset, so the gate really exercises early
+    termination).  The deterministic prefix rule is reproduced in SQL as
+    a window cumsum over segment sizes."""
+    return _saat_table(sf_dir, budget=_SAAT_BUDGET)
 
 
 def q_ordered_window_match(sf_dir: str) -> pa.Table:
@@ -6154,6 +6216,64 @@ def q_dup_spans(sf_dir: str) -> pa.Table:
     )
 
 
+def _saat_sql(budget: int | None) -> str:
+    """DuckDB SQL reproducing engine.impact bit-exactly: per-posting
+    positive-idf BM25 impact micros (ln(1+x) exactly as numpy evaluates
+    np.log(1.0+x)), the global max, the sqrt-companded 8-bit quantizer
+    (IEEE-754 sqrt is correctly rounded, so FLOOR(SQRT(CAST(m AS DOUBLE)))
+    matches np.floor(np.sqrt(...)) on every platform), the integer score
+    sum, and — with a budget — the engine's deterministic anytime prefix:
+    segments ordered (q desc, term asc), admitted while the running
+    posting count stays <= budget."""
+    if budget is None:
+        adm = "adm AS (SELECT term, q FROM segs)"
+    else:
+        adm = f"""adm AS (
+              SELECT term, q FROM (
+                SELECT term, q,
+                       SUM(n) OVER (ORDER BY q DESC, term ASC
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+                FROM segs)
+              WHERE cum <= {budget})"""
+    return f"""
+            WITH {_TOKS},
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM toks) * 1.0 / (SELECT count(*) FROM documents) AS avgdl),
+            tfall AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks GROUP BY doc_id, t),
+            dfall AS (SELECT term, count(*) AS df FROM tfall GROUP BY term),
+            imp AS (
+              SELECT tfall.doc_id, tfall.term,
+                     GREATEST(CAST(FLOOR(
+                       ln(1 + (st.n - dfall.df + 0.5) / (dfall.df + 0.5))
+                       * (tfall.tf * (1.2 + 1))
+                       / (tfall.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl)))
+                       * 1000000 + 0.5) AS BIGINT), 0) AS m
+              FROM tfall JOIN dfall USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+            ),
+            mx AS (SELECT GREATEST(CAST(FLOOR(SQRT(CAST(GREATEST(MAX(m), 1) AS DOUBLE))) AS BIGINT), 1) AS smax
+                   FROM imp),
+            qv AS (SELECT doc_id, term,
+                          1 + CAST(FLOOR(SQRT(CAST(m AS DOUBLE))) AS BIGINT) * 255 // mx.smax AS q
+                   FROM imp CROSS JOIN mx),
+            qq AS (SELECT doc_id, term, q FROM qv
+                   WHERE term IN ('spark','hash','join')),
+            segs AS (SELECT term, q, count(*) AS n FROM qq GROUP BY term, q),
+            {adm},
+            proc AS (SELECT CAST(COALESCE(SUM(s.n), 0) AS BIGINT) AS processed
+                     FROM segs s JOIN adm USING (term, q)),
+            sc AS (SELECT qq.doc_id, CAST(SUM(qq.q) AS BIGINT) AS score
+                   FROM qq JOIN adm USING (term, q) GROUP BY qq.doc_id),
+            ranked AS (SELECT doc_id, score,
+                              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+                       FROM sc)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, score,
+                   (SELECT processed FROM proc) AS postings_processed
+            FROM ranked WHERE r <= 10
+            ORDER BY score DESC, doc_id ASC
+        """
+
+
 def _dup_spans_sql(k: int = _SPAN_K, min_count: int = 2) -> str:
     """DuckDB SQL reproducing dataops.spandup.duplicate_spans(hash_kind=
     "md5be") bit-exactly: md5be token hash, the same M-multiplier rolling
@@ -7047,6 +7167,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_quantiles": q_token_quantiles,
         "value_quantiles_hist": q_value_quantiles_hist,
         # ------------- driver cutoff (first 50 above) -------------
+        # impact-ordered SAAT tier (new in round 5's fifth session;
+        # SQL-checked in-repo by the contract test):
+        "saat_top10": q_saat_top10,
+        "saat_anytime_top10": q_saat_anytime_top10,
         # recorded driver-green in CORRECTNESS_r04, rotated out:
         "bm25adpt_top10": q_bm25adpt_top10,
         "bm25_qtf_top10": q_bm25_qtf_top10,
@@ -7976,6 +8100,7 @@ def oracle_sql() -> dict[str, str]:
             WITH {_TOKS}
             SELECT t AS term, count(DISTINCT doc_id) AS df, count(*) AS total_tf
             FROM toks GROUP BY t
+            ORDER BY term ASC
         """,
         "top_terms": f"""
             WITH {_TOKS},
@@ -7988,6 +8113,7 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS min_doc, max(doc_id) AS max_doc
             FROM toks WHERE t IN ('spark','hash','join','table','window','zzz_not_in_index')
             GROUP BY t
+            ORDER BY term ASC
         """,
         "collection_stats": f"""
             WITH {_TOKS}
@@ -8060,6 +8186,15 @@ def oracle_sql() -> dict[str, str]:
             FROM pick p JOIN cum c USING (bucket) CROSS JOIN mm
             ORDER BY p.q_pct
         """,
+        # impact-ordered SAAT tier: the oracle re-derives the WHOLE tier —
+        # per-posting positive-idf BM25 impact micros, the GLOBAL max, the
+        # sqrt-companded 8-bit quantizer (IEEE sqrt is correctly rounded,
+        # so FLOOR(SQRT(..)) is bit-identical to numpy), and the integer
+        # score sum.  _saat_core is shared by the exhaustive and anytime
+        # variants; the anytime one adds the (q desc, term asc) window
+        # cumsum that reproduces the engine's deterministic budget prefix.
+        "saat_top10": _saat_sql(budget=None),
+        "saat_anytime_top10": _saat_sql(budget=_SAAT_BUDGET),
         "bm25_synonyms_top10": f"""
             WITH {_TOKS},
             dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
@@ -8130,10 +8265,13 @@ def oracle_sql() -> dict[str, str]:
             -- every SUM-derived column CAST to BIGINT: DuckDB window SUM
             -- returns HUGEINT, which lands as float64 in pandas and
             -- hash-mismatches the engine's int64 (round-4 driver red)
-            SELECT doc_id, n AS n_tokens, CAST(start AS BIGINT) AS start_tok,
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n AS BIGINT) AS n_tokens,
+                   CAST(start AS BIGINT) AS start_tok,
                    CAST(start // {_SEQ_LEN} AS BIGINT) AS first_bin,
                    CAST((start + n - 1) // {_SEQ_LEN} AS BIGINT) AS last_bin
             FROM off WHERE n > 0
+            ORDER BY doc_id ASC
         """,
         "dup_spans": _dup_spans_sql(),
         "curate_web": _curate_web_sql(),
@@ -8473,6 +8611,7 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY n DESC, event_type ASC) AS rk
                   FROM c)
             SELECT window_start_us, event_type, n FROM r WHERE rk <= 2
+            ORDER BY window_start_us ASC, event_type ASC
         """,
         "bm25_prf_top10": f"""
             WITH {_TOKS},
@@ -8824,10 +8963,12 @@ def oracle_sql() -> dict[str, str]:
                      unnest(generate_series(CAST(start // {_SEQ_LEN} AS BIGINT),
                                             CAST((start + n - 1) // {_SEQ_LEN} AS BIGINT))) AS bin
               FROM spans)
-            SELECT bin, count(*) AS n_docs,
+            SELECT CAST(bin AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(SUM(LEAST(start + n, (bin + 1) * {_SEQ_LEN})
                        - GREATEST(start, bin * {_SEQ_LEN})) AS BIGINT) AS n_tokens
             FROM binned GROUP BY bin
+            ORDER BY bin ASC
         """,
         "wildcard_terms": f"""
             WITH {_TOKS}
@@ -8882,20 +9023,31 @@ def oracle_sql() -> dict[str, str]:
               FROM tf JOIN df USING (term) CROSS JOIN st
               GROUP BY tf.doc_id
             ),
+            -- rank on INTEGER micros, not the raw double SUM: a parallel
+            -- DuckDB may associate the per-doc 3-addend SUM differently by
+            -- thread count, and rrf consumes EVERY rank — micros collapses
+            -- sub-micro deltas into doc_id-broken ties, same as the engine
             contrib AS (
               SELECT doc_id,
-                     1000000 // (60 + row_number() OVER (ORDER BY score DESC, doc_id ASC)) AS m
+                     1000000 // (60 + row_number() OVER (
+                       ORDER BY CAST(FLOOR(score * 1000000 + 0.5) AS BIGINT) DESC,
+                                doc_id ASC)) AS m
               FROM bm
               UNION ALL
               SELECT doc_id,
-                     1000000 // (60 + row_number() OVER (ORDER BY score DESC, doc_id ASC)) AS m
+                     1000000 // (60 + row_number() OVER (
+                       ORDER BY CAST(FLOOR(score * 1000000 + 0.5) AS BIGINT) DESC,
+                                doc_id ASC)) AS m
               FROM ti
             ),
             fused AS (SELECT doc_id AS doc, CAST(SUM(m) AS BIGINT) AS fused_micros FROM contrib GROUP BY doc_id),
             ranked AS (SELECT doc, fused_micros,
                               row_number() OVER (ORDER BY fused_micros DESC, doc ASC) AS fused_rank
                        FROM fused)
-            SELECT doc, fused_micros, fused_rank FROM ranked WHERE fused_rank <= 10
+            SELECT CAST(doc AS BIGINT) AS doc, fused_micros,
+                   CAST(fused_rank AS BIGINT) AS fused_rank
+            FROM ranked WHERE fused_rank <= 10
+            ORDER BY fused_rank ASC
         """,
         # integer-exact ADPT cd histogram: with avgdl = tt/n exactly and
         # b = 3/4, cd >= t - 1/2 <=> 8*tf*tt >= (2t-1)*(tt + 3*n*dl)
@@ -8914,6 +9066,7 @@ def oracle_sql() -> dict[str, str]:
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
             FROM tf JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN ts
             GROUP BY tf.term, ts.tq
+            ORDER BY tf.term ASC, t ASC
         """,
         "tfidf_top10": f"""
             WITH {_TOKS},
@@ -9039,27 +9192,28 @@ def oracle_sql() -> dict[str, str]:
                      (length(text) - length(replace(text, '#', '')))
                      + (length(text) - length(replace(text, '...', ''))) // 3 AS n_symbols
               FROM documents)
-            SELECT d.doc_id,
-                   COALESCE(w.n_words, 0) AS n_words,
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   CAST(COALESCE(w.n_words, 0) AS BIGINT) AS n_words,
                    CAST(COALESCE(w.word_chars, 0) AS BIGINT) AS word_chars,
-                   s.n_symbols,
-                   l.n_lines,
+                   CAST(s.n_symbols AS BIGINT) AS n_symbols,
+                   CAST(l.n_lines AS BIGINT) AS n_lines,
                    CAST(l.n_bullet_lines AS BIGINT) AS n_bullet_lines,
                    CAST(l.n_ellipsis_lines AS BIGINT) AS n_ellipsis_lines,
                    CAST(COALESCE(w.n_alpha_words, 0) AS BIGINT) AS n_alpha_words,
-                   COALESCE(w.n_stop_words, 0) AS n_stop_words,
-                   (COALESCE(w.n_words, 0) >= 30 AND COALESCE(w.n_words, 0) <= 100000
+                   CAST(COALESCE(w.n_stop_words, 0) AS BIGINT) AS n_stop_words,
+                   CAST((COALESCE(w.n_words, 0) >= 30 AND COALESCE(w.n_words, 0) <= 100000
                     AND 3 * COALESCE(w.n_words, 0) <= COALESCE(w.word_chars, 0)
                     AND COALESCE(w.word_chars, 0) <= 10 * COALESCE(w.n_words, 0)
                     AND 10 * s.n_symbols < COALESCE(w.n_words, 0)
                     AND 10 * l.n_bullet_lines < 9 * l.n_lines
                     AND 10 * l.n_ellipsis_lines < 3 * l.n_lines
                     AND 5 * COALESCE(w.n_alpha_words, 0) > 4 * COALESCE(w.n_words, 0)
-                    AND COALESCE(w.n_stop_words, 0) >= 1) AS gopher_pass
+                    AND COALESCE(w.n_stop_words, 0) >= 1) AS BOOLEAN) AS gopher_pass
             FROM documents d
             LEFT JOIN wstats w USING (doc_id)
             JOIN lstats l USING (doc_id)
             JOIN syms s USING (doc_id)
+            ORDER BY d.doc_id ASC
         """,
         "bpe_token_count": r"""
             SELECT doc_id,
@@ -9429,6 +9583,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    CAST(FLOOR(SUM(value) * 1000 + 0.5) AS BIGINT) AS sum_value_millis
             FROM events GROUP BY 1, 2
+            ORDER BY key ASC, window_start_us ASC
         """,
         "hopping_window": """
             SELECT key, window_start_us, count(*) AS n,
@@ -9441,6 +9596,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events, UNNEST(generate_series(0, 1)) AS g(j)
             )
             GROUP BY 1, 2
+            ORDER BY key ASC, window_start_us ASC
         """,
         "sessionize": """
             WITH o AS (
@@ -9455,6 +9611,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, MIN(tsu) AS session_start_us, MAX(tsu) AS session_end_us,
                    COUNT(*) AS n_events
             FROM s GROUP BY user_id, sid
+            ORDER BY user_id ASC, session_start_us ASC
         """,
         # ---- relational wing (dataops/relational.py): exact integer-cents
         # arithmetic — floor(x*100+0.5) is the identical IEEE-double

@@ -145,6 +145,23 @@ def run_benchmarks() -> dict:
         meta[f"bm25_{method}_p95_ms"] = float(np.percentile(lat, 95) * 1000)
         meta[f"bm25_{method}_p50_ms"] = float(np.percentile(lat, 50) * 1000)
 
+    # ---- 3b. impact-ordered SAAT tier: build + anytime query latency ----
+    from search_engine_ray.engine.impact import build_impact_index, saat_topk
+
+    impact_dir = f"/tmp/se_ray_bench/impact-pages-{NUM_CPUS}"
+    shutil.rmtree(impact_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_impact_index(pages_index, impact_dir)
+    timings["impact_index_build"] = time.perf_counter() - t0
+    for label, budget in (("exhaustive", None), ("rho20k", 20_000)):
+        lat = []
+        for _t, kws in topic_list[:50]:
+            q0 = time.perf_counter()
+            saat_topk(impact_dir, kws, k=10, budget=budget)
+            lat.append(time.perf_counter() - q0)
+        timings[f"saat_{label}_50_queries"] = float(np.sum(lat))
+        meta[f"saat_{label}_p95_ms"] = float(np.percentile(lat, 95) * 1000)
+
     # ---- 4. distributed query pipeline (actor pool) ----
     t0 = time.perf_counter()
     run = search_topics(pages_index, topic_list, scorer="bm25", k=1000, concurrency=(1, max(2, NUM_CPUS // 4)))

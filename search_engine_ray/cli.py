@@ -339,6 +339,65 @@ def cmd_refresh(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_impact_index(args: argparse.Namespace) -> int:
+    """Build the impact-ordered tier (engine/impact.py) from a built
+    document-ordered index; prints the impact_meta JSON line."""
+    _ensure_ray(args.num_cpus)
+    stats_path = os.path.join(args.index_dir, "stats.json")
+    if not os.path.exists(stats_path):
+        print(f"error: {args.index_dir} is not a built index", file=sys.stderr)
+        return 2
+    from .engine.impact import build_impact_index, read_impact_meta
+
+    build_impact_index(
+        args.index_dir, args.out_dir,
+        quant_levels=args.quant_levels, num_buckets=args.num_buckets,
+    )
+    print(json.dumps(read_impact_meta(args.out_dir)))
+    return 0
+
+
+def cmd_saat(args: argparse.Namespace) -> int:
+    """Score-at-a-time query over an impact-ordered tier: exhaustive, or
+    anytime with --budget postings.  One JSON line per result."""
+    import json as _json
+
+    stats_path = os.path.join(args.index_dir, "stats.json")
+    if not os.path.exists(stats_path):
+        print(f"error: {args.index_dir} is not a built index", file=sys.stderr)
+        return 2
+    from .engine.impact import saat_topk
+    from .engine.index_reader import IndexReader
+    from .text.tokenizer import normalize_query_word, split_query_line
+
+    with open(stats_path) as fh:
+        stats = json.load(fh)
+    opts = IndexOptions.from_dict(stats["options"])
+    seen: dict[str, int] = {}
+    order = []
+    for w in split_query_line(args.query):
+        t = normalize_query_word(
+            w, case_folding=opts.case_folding,
+            remove_stopwords=opts.remove_stopwords, stemming=opts.stemming,
+        )
+        if not t:
+            continue
+        if t not in seen:
+            order.append(t)
+        seen[t] = seen.get(t, 0) + 1
+    keywords = [(t, seen[t]) for t in order]
+    ids, scores, processed = saat_topk(
+        args.impact_dir, keywords, k=args.k, budget=args.budget
+    )
+    reader = IndexReader(args.index_dir, preload=False)
+    for d, s in zip(ids, scores):
+        print(_json.dumps({
+            "doc": reader.doc_names[int(d)], "impact_score": int(s),
+            "postings_processed": int(processed),
+        }))
+    return 0
+
+
 def cmd_query(args: argparse.Namespace) -> int:
     """Ad-hoc single query: normalize the words like the query path,
     score with any registered scorer (bm25 / tfidf / bm25adpt / lmd / lmjm) or
@@ -1516,6 +1575,28 @@ def main(argv: list[str] | None = None) -> int:
                      help="max ids echoed in the JSON payload")
     pgr.add_argument("--num-cpus", type=int, default=8)
     pgr.set_defaults(fn=cmd_grep)
+
+    pii = sub.add_parser(
+        "impact-index",
+        help="build the impact-ordered SAAT tier from a built index",
+    )
+    pii.add_argument("index_dir")
+    pii.add_argument("out_dir")
+    pii.add_argument("--quant-levels", type=int, default=256)
+    pii.add_argument("--num-buckets", type=int, default=64)
+    pii.add_argument("--num-cpus", type=int, default=8)
+    pii.set_defaults(fn=cmd_impact_index)
+
+    psa = sub.add_parser(
+        "saat", help="score-at-a-time query over an impact-ordered tier"
+    )
+    psa.add_argument("impact_dir")
+    psa.add_argument("index_dir", help="source index (doc names + tokenizer options)")
+    psa.add_argument("query")
+    psa.add_argument("--k", type=int, default=10)
+    psa.add_argument("--budget", type=int, default=None,
+                     help="anytime postings budget (rho); omit = exhaustive")
+    psa.set_defaults(fn=cmd_saat)
 
     args = p.parse_args(argv)
     try:

@@ -1,0 +1,331 @@
+"""Impact-ordered index + score-at-a-time (SAAT) anytime retrieval.
+
+The classic web-serving dual of the document-ordered index (Anh & Moffat,
+"Pruned query evaluation using pre-computed impacts", SIGIR'06; Lin &
+Trotman, "Anytime ranking for impact-ordered indexes" [JASS], ICTIR'15):
+every posting's BM25 contribution is pre-computed at INDEX time, quantized
+to a small integer impact q, and postings are regrouped into per-(term, q)
+segments sorted by docID.  Query evaluation is then score-at-a-time:
+process whole segments in descending-impact order, adding the integer q
+of each segment to its docs' accumulators — and can STOP after any prefix
+of segments (a postings budget rho), giving an "anytime" ranking whose
+quality degrades gracefully.  This is how engines bound tail latency at
+10^12-doc scale: the budget, not the posting-list length, caps per-query
+work.
+
+No reference parity: the reference engine (Program.cs) has no impact
+index; this module is the scale path beyond its exhaustive scorers.
+
+Impact scorer: BM25 with the LUCENE idf, idf+ = ln(1 + (N-df+0.5)/(df+0.5))
+— always positive, unlike the reference's raw Robertson idf (negative for
+df > N/2, a quirk the exhaustive scorers keep).  Early-terminated
+accumulation is only sound when every admitted segment can only RAISE a
+doc's score, so the impact tier gets the positive variant; it is therefore
+its own scorer (rank-equivalent to reference BM25 exactly when all query
+idfs are positive), the way real impact tiers sit in front of an exact
+reranker.
+
+Quantization (integer-exact, SQL-reproducible):
+    imp_micros = max(0, floor(contrib(tf, dl, df) * 1e6 + 0.5))
+    s          = floor(sqrt(imp_micros))        # IEEE sqrt: exact even
+    s_max      = floor(sqrt(max_micros))        #   across platforms
+    q          = 1 + s * (Q - 1) // s_max       # 1..Q
+with contrib = idf+ * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) and
+max_micros the GLOBAL maximum over every posting in the index.  The sqrt
+is a companding stage: impact distributions are idf-skewed by orders of
+magnitude, and LINEAR global quantization collapses every common term to
+q=1 (measured on the sf0.01 corpus: 27/28 terms).  IEEE-754 requires
+correctly-rounded sqrt, so floor(sqrt(integer-valued double)) is
+bit-deterministic across numpy and DuckDB — the bucket rule stays exact
+on both sides of the oracle.  Both build passes are streaming map_batches
+over the document-ordered postings blocks; the global max is a per-batch
+partial -> one tiny driver reduce (never a data-sized collect).
+
+Scale shape:
+- build pass A (max): column-pruned read of postings/, vectorized block
+  decode, per-batch max -> Dataset.max().  No shuffle.
+- build pass B (bucket): same read, per-(block-row, q) partial doc lists
+  (already docID-ascending, so partials delta+VByte encode directly),
+  then ONE TERM-HASH-BUCKET groupby — the merge-stage exchange shape
+  (engine/merge.py term_bucket_array) — whose finish fn merges every
+  (term, q) segment in the bucket with ONE lexsort and writes ONE
+  (term, q)-sorted file per bucket.  A per-(term, q) groupby was the
+  first cut and is the wrong shape: web vocabularies make segment count
+  ~posting count, and per-group overhead dominated (measured 35 s for a
+  2k-doc corpus; the bucketed rewrite is <2 s).  num_buckets bounds
+  per-writer memory — scale it so postings/num_buckets fits a worker.
+- df lookup during both passes is a PER-BATCH PRUNED read of
+  terms.parquet filtered to the batch's terms (the qpp.py doubly-pruned
+  pattern) — never a vocabulary broadcast.
+- serving: a probe opens ONLY its terms' bucket files (O(#query-terms)
+  file opens; term-sorted row groups prune inside), streams segments in
+  (q desc, term asc) order into a dense int accumulator; the anytime
+  budget admits the longest prefix of segments whose cumulative posting
+  count stays within rho.  Deterministic => SQL-checkable (window cumsum
+  over segment sizes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from .codec import decode_cells, decode_concat_rows, encode_rows
+
+_POSTING_COLS = ["term", "n", "docs_enc", "tfs_enc", "dls_enc"]
+
+
+def _df_for_terms(index_dir: str, terms: pa.Array) -> dict[str, int]:
+    """Pruned (term -> df) lookup for ONE batch's term set: terms.parquet
+    is term-sorted, so the dataset filter prunes row groups; the result is
+    bounded by the batch's vocabulary, never the corpus's."""
+    uniq = pc.unique(terms)
+    tbl = pads.dataset(os.path.join(index_dir, "terms.parquet")).to_table(
+        columns=["term", "df"], filter=pc.field("term").isin(uniq)
+    )
+    return dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
+
+
+def _block_impacts_micros(
+    batch: pa.Table, index_dir: str, n_docs: int, avgdl: float,
+    k1: float, b: float, codec: str,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """-> (doc_ids, imp_micros, row_lens) for every posting in the batch's
+    blocks, flattened in block-row order.  One vectorized decode + one
+    float64 kernel; negative contributions clamp to 0 micros."""
+    lens = np.asarray(batch["n"], dtype=np.int64)
+    ids = decode_cells(batch["docs_enc"], lens, delta=True, codec=codec)
+    tfs = decode_cells(batch["tfs_enc"], lens, delta=False, codec=codec).astype(np.float64)
+    dls = decode_cells(batch["dls_enc"], lens, delta=False, codec=codec).astype(np.float64)
+    df_map = _df_for_terms(index_dir, batch["term"])
+    dfs_row = np.asarray([df_map[t] for t in batch["term"].to_pylist()], dtype=np.float64)
+    dfs = np.repeat(dfs_row, lens)
+    # Lucene positive idf — np.log(1.0 + x), NOT log1p: the oracle's
+    # ln(1 + x) evaluates 1+x first, and the two differ in the last ulp
+    idf = np.log(1.0 + (n_docs - dfs + 0.5) / (dfs + 0.5))
+    contrib = idf * (tfs * (k1 + 1)) / (tfs + k1 * (1 - b + b * (dls / avgdl)))
+    micros = np.floor(contrib * 1_000_000 + 0.5).astype(np.int64)
+    np.maximum(micros, 0, out=micros)
+    return ids, micros, lens
+
+
+def build_impact_index(
+    index_dir: str, out_dir: str, quant_levels: int = 256,
+    num_buckets: int = 64,
+) -> str:
+    """Transform a built document-ordered index into an impact-ordered one.
+
+    Output layout under ``out_dir``:
+      segments/bucket=K/part.parquet   rows (term, q, n, docs_enc) sorted
+                  by (term, q) — per-(term, q) docID-ascending delta+VByte
+                  posting segments, one file per term-hash bucket
+      impact_meta.json  {quant_levels, max_micros, num_buckets, n_docs,
+                         avgdl, k1, b, n_segments, n_postings}
+    """
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    k1, b = stats["bm25"]["k1"], stats["bm25"]["b"]
+    codec = stats.get("codec", "vbyte")
+    post_dir = os.path.join(index_dir, "postings")
+
+    def batch_max(batch: pa.Table) -> pa.Table:
+        _ids, micros, _lens = _block_impacts_micros(
+            batch, index_dir, n_docs, avgdl, k1, b, codec)
+        m = int(micros.max()) if len(micros) else 0
+        return pa.table({"m": pa.array([m], pa.int64())})
+
+    # pass A — global max impact (per-batch partial -> scalar reduce)
+    max_micros = int(
+        ray.data.read_parquet(post_dir, columns=_POSTING_COLS)
+        .map_batches(batch_max, batch_format="pyarrow")
+        .max("m")
+    )
+    max_micros = max(max_micros, 1)
+    q_span = quant_levels - 1
+    s_max = max(int(np.floor(np.sqrt(float(max_micros)))), 1)
+
+    from .merge import term_bucket_array
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        """Per-(block-row, q) partial segments: inside one block docIDs are
+        ascending, so each (row, q) slice is ascending too and encodes
+        directly; the bucket groupby below only merges across blocks."""
+        ids, micros, lens = _block_impacts_micros(
+            batch, index_dir, n_docs, avgdl, k1, b, codec)
+        s = np.floor(np.sqrt(micros.astype(np.float64))).astype(np.int64)
+        qs = 1 + s * q_span // s_max
+        row_idx = np.repeat(np.arange(len(lens)), lens)
+        # stable sort by (row, q): postings of one (row, q) stay docID-asc
+        order = np.lexsort((ids, qs, row_idx))
+        r_s, q_s, id_s = row_idx[order], qs[order], ids[order]
+        # group boundaries of the (row, q) runs
+        if len(id_s) == 0:
+            return pa.table({
+                "bucket": pa.array([], pa.int32()),
+                "term": pa.array([], pa.string()), "q": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()), "docs_enc": pa.array([], pa.binary()),
+            })
+        brk = np.flatnonzero((r_s[1:] != r_s[:-1]) | (q_s[1:] != q_s[:-1]))
+        starts = np.concatenate(([0], brk + 1))
+        counts = np.diff(np.concatenate((starts, [len(id_s)])))
+        terms = pc.take(batch["term"], pa.array(r_s[starts], pa.int64()))
+        if isinstance(terms, pa.ChunkedArray):
+            terms = terms.combine_chunks()
+        return pa.table({
+            "bucket": term_bucket_array(terms, num_buckets),
+            "term": terms,
+            "q": pa.array(q_s[starts], pa.int64()),
+            "n": pa.array(counts, pa.int64()),
+            "docs_enc": encode_rows(id_s, starts, delta=True),
+        })
+
+    seg_dir = os.path.join(out_dir, "segments")
+    os.makedirs(seg_dir, exist_ok=True)
+
+    def write_bucket(group: pa.Table) -> pa.Table:
+        """Merge ALL of one bucket's (term, q) partials with one lexsort
+        and write the bucket as a single (term, q)-sorted file (the
+        trigram-index layout: per-group overhead killed the per-(term,q)
+        map_groups first cut)."""
+        empty = pa.table(
+            {"bucket": pa.array([], pa.int64()), "n_segments": pa.array([], pa.int64()),
+             "n_postings": pa.array([], pa.int64())}
+        )
+        if group.num_rows == 0:
+            return empty
+        bno = int(group["bucket"][0].as_py())
+        lens = np.asarray(group["n"], dtype=np.int64)
+        flat = decode_concat_rows(group["docs_enc"], lens, delta=True)
+        term_col = group["term"]
+        if isinstance(term_col, pa.ChunkedArray):
+            term_col = term_col.combine_chunks()
+        denc = term_col.dictionary_encode()
+        # np.unique-sorted dictionary => code order == lexicographic order
+        uniq = np.asarray(denc.dictionary.to_pylist(), dtype=object)
+        sort_of_uniq = np.argsort(uniq)
+        rank = np.empty(len(uniq), dtype=np.int64)
+        rank[sort_of_uniq] = np.arange(len(uniq))
+        codes_row = rank[np.asarray(denc.indices, dtype=np.int64)]
+        qs_row = np.asarray(group["q"], dtype=np.int64)
+        code_flat = np.repeat(codes_row, lens)
+        q_flat = np.repeat(qs_row, lens)
+        order = np.lexsort((flat, q_flat, code_flat))
+        code_s, q_s, id_s = code_flat[order], q_flat[order], flat[order]
+        brk = np.flatnonzero((code_s[1:] != code_s[:-1]) | (q_s[1:] != q_s[:-1]))
+        starts = np.concatenate(([0], brk + 1))
+        counts = np.diff(np.concatenate((starts, [len(id_s)])))
+        terms_sorted = uniq[sort_of_uniq]
+        body = pa.table({
+            "term": pa.array(terms_sorted[code_s[starts]], pa.string()),
+            "q": pa.array(q_s[starts], pa.int64()),
+            "n": pa.array(counts, pa.int64()),
+            "docs_enc": encode_rows(id_s, starts, delta=True),
+        })
+        d = os.path.join(seg_dir, f"bucket={bno}")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, "part.parquet")
+        pq.write_table(body, path + ".tmp", row_group_size=1 << 14)
+        os.replace(path + ".tmp", path)
+        return pa.table({
+            "bucket": pa.array([bno], pa.int64()),
+            "n_segments": pa.array([body.num_rows], pa.int64()),
+            "n_postings": pa.array([int(counts.sum())], pa.int64()),
+        })
+
+    written = (
+        ray.data.read_parquet(post_dir, columns=_POSTING_COLS)
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(write_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    meta = {
+        "quant_levels": quant_levels, "max_micros": max_micros,
+        "num_buckets": num_buckets,
+        "n_docs": n_docs, "avgdl": avgdl, "k1": k1, "b": b,
+        "n_segments": int(written["n_segments"].sum()),
+        "n_postings": int(written["n_postings"].sum()),
+    }
+    with open(os.path.join(out_dir, "impact_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return out_dir
+
+
+def read_impact_meta(impact_dir: str) -> dict:
+    with open(os.path.join(impact_dir, "impact_meta.json")) as f:
+        return json.load(f)
+
+
+def saat_topk(
+    impact_dir: str, keywords: list[tuple[str, int]], k: int | None = 10,
+    budget: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Score-at-a-time retrieval over the impact-ordered index.
+
+    Segments of the query's terms are processed in (q desc, term asc)
+    order — each adds ``q * qtf`` to its docs' integer accumulators.  With
+    ``budget`` (the anytime rho), a segment is processed only while the
+    cumulative posting count stays <= budget; the rule is a deterministic
+    prefix, so the DuckDB oracle reproduces it with a window cumsum.
+
+    -> (doc_ids, scores, postings_processed); ranking (score desc, doc
+    asc), ties broken like every other scorer in the engine.
+    """
+    from .merge import term_bucket_array
+
+    meta = read_impact_meta(impact_dir)
+    qtf_map: dict[str, int] = {}
+    for term, qtf in keywords:
+        qtf_map[term] = qtf_map.get(term, 0) + qtf
+    terms = sorted(qtf_map)
+    # open ONLY the query terms' bucket files; the (term, q)-sorted row
+    # groups prune the in-file scan
+    t_arr = pa.array(terms, pa.string())
+    buckets = sorted(set(term_bucket_array(t_arr, meta["num_buckets"]).to_pylist()))
+    parts = []
+    for bno in buckets:
+        path = os.path.join(impact_dir, "segments", f"bucket={bno}", "part.parquet")
+        if not os.path.exists(path):
+            continue
+        parts.append(
+            pq.read_table(
+                path, columns=["term", "q", "n", "docs_enc"],
+                filters=pc.field("term").isin(t_arr),
+            )
+        )
+    if not parts:
+        return np.empty(0, np.int64), np.empty(0, np.int64), 0
+    seg = pa.concat_tables(parts)
+    if seg.num_rows == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64), 0
+    qs = np.asarray(seg["q"], dtype=np.int64)
+    terms_col = seg["term"].to_pylist()
+    order = sorted(range(seg.num_rows), key=lambda i: (-qs[i], terms_col[i]))
+    scores = np.zeros(meta["n_docs"], dtype=np.int64)
+    touched = np.zeros(meta["n_docs"], dtype=bool)
+    processed = 0
+    lens = np.asarray(seg["n"], dtype=np.int64)
+    for i in order:
+        if budget is not None and processed + int(lens[i]) > budget:
+            break
+        ids = decode_concat_rows(seg["docs_enc"].slice(i, 1), lens[i : i + 1], delta=True)
+        scores[ids] += int(qs[i]) * qtf_map[terms_col[i]]
+        touched[ids] = True
+        processed += int(lens[i])
+    cand = np.flatnonzero(touched)
+    if len(cand) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64), processed
+    sel = np.lexsort((cand, -scores[cand]))
+    if k is not None:
+        sel = sel[:k]
+    top = cand[sel]
+    return top, scores[top], processed

@@ -96,6 +96,24 @@ def documents_index_dir(sf_dir: str, options: IndexOptions, **build_kw) -> str:
     )
 
 
+def documents_impact_dir(sf_dir: str, options: IndexOptions, quant_levels: int = 256) -> str:
+    """Build (once) the impact-ordered index over the cached documents
+    index; returns its dir.  Cache-keyed by the source index dir so an
+    index rebuild invalidates the impact tier with it."""
+    from .engine.impact import build_impact_index
+
+    index_dir = documents_index_dir(sf_dir, options)
+    # "v2" = the bucketed one-file-per-bucket layout; bump on layout change
+    key = hashlib.md5(f"impact-v2|{index_dir}|{quant_levels}".encode()).hexdigest()[:16]
+    impact_dir = os.path.join(_CACHE_ROOT, f"docimp-{key}")
+    return _locked_build(
+        impact_dir,
+        os.path.join(impact_dir, "impact_meta.json"),
+        lambda: build_impact_index(index_dir, impact_dir, quant_levels=quant_levels),
+        "impact index",
+    )
+
+
 def documents_reader(sf_dir: str, options: IndexOptions, **build_kw) -> IndexReader:
     index_dir = documents_index_dir(sf_dir, options, **build_kw)
     reader = _READERS.get(index_dir)

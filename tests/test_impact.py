@@ -1,0 +1,185 @@
+"""Impact-ordered index + score-at-a-time retrieval (engine/impact.py).
+
+Covers: quantizer exactness vs a brute-force per-posting recompute,
+exhaustive SAAT == impact-TAAT, the deterministic anytime budget prefix,
+big-budget == exhaustive, unknown-term drop, and meta integrity.  The
+DuckDB oracle conformance of the same tier runs in test_entry_contract
+via the saat_top10 / saat_anytime_top10 gates.
+"""
+
+import shutil
+
+import numpy as np
+import pyarrow.dataset as pads
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from search_engine_ray.config import BuildConfig
+from search_engine_ray.corpus.pages import write_pages_parquet
+from search_engine_ray.engine.build import build_index
+from search_engine_ray.engine.impact import (
+    build_impact_index,
+    read_impact_meta,
+    saat_topk,
+)
+from search_engine_ray.engine.index_reader import IndexReader
+
+BASE = "/tmp/se_ray_test_impact"
+N_DOCS = 200
+Q = 64  # fewer levels than default so bucket collisions are exercised
+
+
+@pytest.fixture(scope="module")
+def built(ray_session):
+    corpus = f"{BASE}/corpus"
+    index = f"{BASE}/index"
+    impact = f"{BASE}/impact"
+    shutil.rmtree(BASE, ignore_errors=True)
+    write_pages_parquet(corpus, N_DOCS, seed=7, n_files=2, row_group_size=64)
+    build_index(corpus, index, BuildConfig(block_entries=16), overwrite=True)
+    build_impact_index(index, impact, quant_levels=Q)
+    return index, impact
+
+
+def _brute_quantized(index_dir: str, quant_levels: int):
+    """Recompute every posting's q from the raw index — the spec the
+    distributed build must hit bit-for-bit."""
+    r = IndexReader(index_dir)
+    n, avgdl, k1, b = r.n_docs, r.avgdl, 1.2, 0.75
+    terms = pq.read_table(f"{index_dir}/terms.parquet")["term"].to_pylist()
+    per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    all_m = []
+    for t in terms:
+        tp = r.postings(t)
+        ids, tfs, dls = tp.arrays()
+        idf = np.log(1.0 + (n - tp.df + 0.5) / (tp.df + 0.5))
+        c = idf * (tfs * (k1 + 1)) / (tfs + k1 * (1 - b + b * (dls / avgdl)))
+        m = np.maximum(np.floor(c * 1e6 + 0.5).astype(np.int64), 0)
+        per_term[t] = (ids, m)
+        all_m.append(m)
+    maxm = max(int(np.concatenate(all_m).max()), 1)
+    smax = max(int(np.floor(np.sqrt(float(maxm)))), 1)
+    qs = {
+        t: (ids, 1 + np.floor(np.sqrt(m.astype(np.float64))).astype(np.int64)
+            * (quant_levels - 1) // smax)
+        for t, (ids, m) in per_term.items()
+    }
+    return qs, maxm
+
+
+def test_meta_and_totals(built):
+    index, impact = built
+    meta = read_impact_meta(impact)
+    import json
+    with open(f"{index}/stats.json") as fh:
+        stats = json.load(fh)
+    assert meta["n_docs"] == stats["n_docs"]
+    assert meta["n_postings"] == stats["n_postings"]
+    assert meta["quant_levels"] == Q
+    _, maxm = _brute_quantized(index, Q)
+    assert meta["max_micros"] == maxm
+
+
+def test_segments_match_brute_force(built):
+    """Every (term, q) segment holds exactly the docIDs the brute-force
+    quantizer assigns, ascending."""
+    index, impact = built
+    qs, _ = _brute_quantized(index, Q)
+    seg = pads.dataset(f"{impact}/segments").to_table()
+    from search_engine_ray.engine.codec import decode_concat_rows
+
+    lens = np.asarray(seg["n"], dtype=np.int64)
+    flat = decode_concat_rows(seg["docs_enc"], lens, delta=True)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    got: dict[tuple[str, int], np.ndarray] = {}
+    for i, (t, q) in enumerate(zip(seg["term"].to_pylist(), seg["q"].to_pylist())):
+        got[(t, q)] = flat[starts[i] : starts[i] + lens[i]]
+    expected: dict[tuple[str, int], np.ndarray] = {}
+    for t, (ids, qarr) in qs.items():
+        for q in np.unique(qarr):
+            expected[(t, int(q))] = np.sort(ids[qarr == q])
+    assert set(got) == set(expected)
+    for k in expected:
+        assert np.array_equal(got[k], expected[k]), k
+        assert np.all(np.diff(got[k]) > 0)  # strictly ascending, no dups
+
+
+def test_exhaustive_equals_taat(built):
+    index, impact = built
+    qs, _ = _brute_quantized(index, Q)
+    r = IndexReader(index)
+    kws = [t for t in list(qs)[:4]]
+    keywords = [(t, 1) for t in kws]
+    scores = np.zeros(r.n_docs, dtype=np.int64)
+    touched = np.zeros(r.n_docs, dtype=bool)
+    for t in kws:
+        ids, qarr = qs[t]
+        scores[ids] += qarr
+        touched[ids] = True
+    cand = np.flatnonzero(touched)
+    order = np.lexsort((cand, -scores[cand]))
+    ids10, sc10, processed = saat_topk(impact, keywords, k=10)
+    assert np.array_equal(ids10, cand[order][:10])
+    assert np.array_equal(sc10, scores[cand[order][:10]])
+    assert processed == int(touched.sum() * 0 + sum(len(qs[t][0]) for t in kws))
+
+
+def test_qtf_scales_contribution(built):
+    _, impact = built
+    meta = read_impact_meta(impact)
+    seg = pads.dataset(f"{impact}/segments").to_table(columns=["term"])
+    term = seg["term"][0].as_py()
+    i1, s1, _ = saat_topk(impact, [(term, 1)], k=None)
+    i3, s3, _ = saat_topk(impact, [(term, 3)], k=None)
+    assert np.array_equal(i1, i3)
+    assert np.array_equal(s1 * 3, s3)
+
+
+def test_anytime_budget_prefix(built):
+    """The admitted set is the longest (q desc, term asc) prefix of
+    segments with cumulative postings <= budget — recompute it directly."""
+    index, impact = built
+    qs, _ = _brute_quantized(index, Q)
+    kws = list(qs)[:4]
+    keywords = [(t, 1) for t in kws]
+    segs = []
+    for t in kws:
+        ids, qarr = qs[t]
+        for q in np.unique(qarr):
+            segs.append((t, int(q), ids[qarr == q]))
+    segs.sort(key=lambda s: (-s[1], s[0]))
+    total = sum(len(s[2]) for s in segs)
+    budget = total // 2
+    scores = np.zeros(read_impact_meta(impact)["n_docs"], dtype=np.int64)
+    touched = np.zeros_like(scores, dtype=bool)
+    processed = 0
+    for t, q, ids in segs:
+        if processed + len(ids) > budget:
+            break
+        scores[ids] += q
+        touched[ids] = True
+        processed += len(ids)
+    assert 0 < processed < total  # the budget really truncates
+    cand = np.flatnonzero(touched)
+    order = np.lexsort((cand, -scores[cand]))
+    got_ids, got_sc, got_p = saat_topk(impact, keywords, k=10, budget=budget)
+    assert got_p == processed
+    assert np.array_equal(got_ids, cand[order][:10])
+    assert np.array_equal(got_sc, scores[cand[order][:10]])
+
+
+def test_big_budget_is_exhaustive(built):
+    index, impact = built
+    qs, _ = _brute_quantized(index, Q)
+    keywords = [(t, 1) for t in list(qs)[:3]]
+    a = saat_topk(impact, keywords, k=10)
+    b = saat_topk(impact, keywords, k=10, budget=10**9)
+    assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+    assert a[2] == b[2]
+
+
+def test_unknown_terms_dropped(built):
+    _, impact = built
+    ids, sc, processed = saat_topk(impact, [("zz_missing_term", 1)], k=10)
+    assert len(ids) == 0 and processed == 0
