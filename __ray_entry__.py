@@ -2968,6 +2968,117 @@ _EVAL_TOPICS = {
 }
 
 
+_TUNE_GRID = [(900, 300), (1200, 750), (1500, 600), (2000, 900)]
+
+
+def q_bm25_grid_sweep(sf_dir: str) -> pa.Table:
+    """Distributed BM25 (k1, b) grid-sweep tuning (engine/tune.py): every
+    config scored for every eval topic in one vectorized pass per topic
+    (actor-pool over the topic axis), judged against the boolean-AND
+    qrels, integer metrics summed per config by a native groupby — the
+    calibration loop that picks production k1/b.  Params enter as
+    milli-integers and become doubles via milli/1000.0 on BOTH sides, so
+    each config's ranking and the floored-micros metric sums are
+    hash-exact vs SQL."""
+    from search_engine_ray.engine.tune import sweep_bm25_grid
+    from search_engine_ray.pipelines import documents_index_dir
+
+    index_dir = documents_index_dir(sf_dir, OPT_NOSTEM)
+    return sweep_bm25_grid(
+        index_dir,
+        [(tid, list(terms)) for tid, terms in _EVAL_TOPICS.items()],
+        _TUNE_GRID,
+        k=10,
+        hits_k=5,
+        doc_key_of=lambda r: np.asarray(
+            [int(nm) for nm in r.doc_names], dtype=np.int64
+        ),
+    )
+
+
+def _grid_sweep_sql() -> str:
+    """Oracle for q_bm25_grid_sweep: the trec_eval CTE pattern CROSS
+    JOINed with the config VALUES table — every config's ranking is a
+    window partitioned by (k1_milli, b_milli), metrics are the same
+    floored-micros integers, summed per config over topics."""
+    cfg_vals = ",".join(f"({k1},{b})" for k1, b in _TUNE_GRID)
+    parts = [f"WITH {_TOKS},"]
+    parts.append(f"""
+            cfg AS (SELECT * FROM (VALUES {cfg_vals}) AS c(k1_milli, b_milli)),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents) AS n,
+                          (SELECT count(*) FROM toks) * 1.0
+                            / (SELECT count(*) FROM documents) AS avgdl),""")
+    sel_run, sel_qr = [], []
+    for tid, terms in _EVAL_TOPICS.items():
+        tl = ",".join("'" + t + "'" for t in terms)
+        parts.append(f"""
+            tf{tid} AS (SELECT doc_id, t AS term, count(*) AS tf FROM toks
+                        WHERE t IN ({tl}) GROUP BY doc_id, t),
+            df{tid} AS (SELECT term, count(*) AS df FROM tf{tid} GROUP BY term),
+            sc{tid} AS (
+              SELECT cfg.k1_milli, cfg.b_milli, tf{tid}.doc_id,
+                     SUM( ln((st.n - df{tid}.df + 0.5) / (df{tid}.df + 0.5))
+                          * (tf{tid}.tf * (cfg.k1_milli / 1000.0 + 1))
+                          / (tf{tid}.tf + (cfg.k1_milli / 1000.0)
+                             * (1 - cfg.b_milli / 1000.0
+                                + (cfg.b_milli / 1000.0) * (dl.dl / st.avgdl))) )
+                       AS score
+              FROM tf{tid} JOIN df{tid} USING (term) JOIN dl USING (doc_id)
+                   CROSS JOIN st CROSS JOIN cfg
+              GROUP BY cfg.k1_milli, cfg.b_milli, tf{tid}.doc_id
+            ),
+            rk{tid} AS (SELECT k1_milli, b_milli, doc_id,
+                               row_number() OVER (PARTITION BY k1_milli, b_milli
+                                                  ORDER BY score DESC, doc_id ASC) AS r
+                        FROM sc{tid}),
+            qr{tid} AS (SELECT doc_id FROM tf{tid} GROUP BY doc_id
+                        HAVING count(DISTINCT term) = {len(terms)}),""")
+        sel_run.append(
+            f"SELECT k1_milli, b_milli, {tid} AS topic, doc_id, r AS rank "
+            f"FROM rk{tid} WHERE r <= 10"
+        )
+        sel_qr.append(f"SELECT {tid} AS topic, doc_id FROM qr{tid}")
+    parts.append(f"""
+            run AS ({' UNION ALL '.join(sel_run)}),
+            qrels AS ({' UNION ALL '.join(sel_qr)}),
+            nrel AS (SELECT topic, count(*) AS n_rel FROM qrels GROUP BY topic),
+            tagged AS (
+                SELECT r.k1_milli, r.b_milli, r.topic, r.rank,
+                       CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+                FROM run r LEFT JOIN qrels q
+                  ON r.topic = q.topic AND r.doc_id = q.doc_id
+            ),
+            c AS (SELECT k1_milli, b_milli, topic, rank, rel,
+                         SUM(rel) OVER (PARTITION BY k1_milli, b_milli, topic
+                                        ORDER BY rank) AS cum
+                  FROM tagged),
+            per AS (
+                SELECT k1_milli, b_milli, topic,
+                       SUM(rel) AS n_rel_ret,
+                       SUM(CASE WHEN rel = 1 AND rank <= 5 THEN 1 ELSE 0 END)
+                           AS hits_at_k,
+                       COALESCE(1000000 // MIN(CASE WHEN rel = 1 THEN rank END), 0)
+                           AS rr_micros,
+                       COALESCE(SUM(CASE WHEN rel = 1
+                                         THEN (cum * 1000000) // rank END), 0)
+                           AS sum_prec_micros
+                FROM c GROUP BY k1_milli, b_milli, topic
+            )
+            SELECT CAST(p.k1_milli AS BIGINT) AS k1_milli,
+                   CAST(p.b_milli AS BIGINT) AS b_milli,
+                   CAST(SUM(p.rr_micros) AS BIGINT) AS sum_rr_micros,
+                   CAST(SUM(p.sum_prec_micros) AS BIGINT) AS sum_prec_micros,
+                   CAST(SUM(p.hits_at_k) AS BIGINT) AS sum_hits_at_k,
+                   CAST(SUM(p.n_rel_ret) AS BIGINT) AS sum_n_rel_ret,
+                   CAST(SUM(n.n_rel) AS BIGINT) AS sum_n_rel,
+                   CAST(COUNT(*) AS BIGINT) AS n_topics
+            FROM per p JOIN nrel n USING (topic)
+            GROUP BY p.k1_milli, p.b_milli
+            ORDER BY k1_milli ASC, b_milli ASC""")
+    return "\n".join(parts)
+
+
 def q_trec_eval(sf_dir: str) -> pa.Table:
     """TREC run evaluation (engine/evaluate.py): the trec_eval step
     downstream of the reference's run writer.  Run = exact-f64 BM25
@@ -7167,10 +7278,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_quantiles": q_token_quantiles,
         "value_quantiles_hist": q_value_quantiles_hist,
         # ------------- driver cutoff (first 50 above) -------------
-        # impact-ordered SAAT tier (new in round 5's fifth session;
-        # SQL-checked in-repo by the contract test):
+        # impact-ordered SAAT tier + grid tuning (new in round 5's fifth
+        # session; SQL-checked in-repo by the contract test):
         "saat_top10": q_saat_top10,
         "saat_anytime_top10": q_saat_anytime_top10,
+        "bm25_grid_sweep": q_bm25_grid_sweep,
         # recorded driver-green in CORRECTNESS_r04, rotated out:
         "bm25adpt_top10": q_bm25adpt_top10,
         "bm25_qtf_top10": q_bm25_qtf_top10,
@@ -9983,6 +10095,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY term ORDER BY term
         """,
         "trec_eval": _trec_eval_oracle_sql(),
+        "bm25_grid_sweep": _grid_sweep_sql(),
         "run_agreement": _run_agreement_oracle_sql(),
         "rbo": _rbo_oracle_sql(),
         # hashing-trick features: md5be bucket + low-bit sign, zero sums drop

@@ -398,6 +398,50 @@ def cmd_saat(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_tune(args: argparse.Namespace) -> int:
+    """BM25 (k1, b) grid sweep over a topics file: every config scored
+    and judged (boolean-AND qrels), one JSON line per config plus the
+    winner.  Grid syntax: "900:300,1200:750" in milli-units."""
+    import json as _json
+
+    if not os.path.exists(args.topics_file):
+        print(f"error: topics file not found: {args.topics_file}", file=sys.stderr)
+        return 2
+    stats_path = os.path.join(args.index_dir, "stats.json")
+    if not os.path.exists(stats_path):
+        print(f"error: {args.index_dir} is not a built index", file=sys.stderr)
+        return 2
+    try:
+        grid = [
+            (int(p.split(":")[0]), int(p.split(":")[1]))
+            for p in args.grid.split(",")
+        ]
+    except (ValueError, IndexError):
+        print(f"error: bad --grid {args.grid!r} (want 'k1milli:bmilli,...')",
+              file=sys.stderr)
+        return 2
+    _ensure_ray(args.num_cpus)
+    from .config import QueryOptions
+    from .corpus.topics import parse_topics
+    from .engine.tune import best_config, sweep_bm25_grid
+
+    with open(stats_path) as fh:
+        stats = json.load(fh)
+    opts = IndexOptions.from_dict(stats["options"])
+    topics = parse_topics(args.topics_file, QueryOptions(use_title=True), opts)
+    sweep = sweep_bm25_grid(
+        args.index_dir,
+        [(tid, [t for t, _qtf in kws]) for tid, kws in topics],
+        grid,
+        k=args.k,
+    )
+    for row in sweep.to_pylist():
+        print(_json.dumps(row))
+    k1, b = best_config(sweep)
+    print(_json.dumps({"best_k1_milli": k1, "best_b_milli": b}))
+    return 0
+
+
 def cmd_query(args: argparse.Namespace) -> int:
     """Ad-hoc single query: normalize the words like the query path,
     score with any registered scorer (bm25 / tfidf / bm25adpt / lmd / lmjm) or
@@ -1597,6 +1641,17 @@ def main(argv: list[str] | None = None) -> int:
     psa.add_argument("--budget", type=int, default=None,
                      help="anytime postings budget (rho); omit = exhaustive")
     psa.set_defaults(fn=cmd_saat)
+
+    ptu = sub.add_parser(
+        "tune", help="BM25 (k1, b) grid sweep against boolean-AND qrels"
+    )
+    ptu.add_argument("index_dir")
+    ptu.add_argument("topics_file")
+    ptu.add_argument("--grid", default="900:300,1200:750,1500:600,2000:900",
+                     help="comma list of k1milli:bmilli configs")
+    ptu.add_argument("--k", type=int, default=10)
+    ptu.add_argument("--num-cpus", type=int, default=8)
+    ptu.set_defaults(fn=cmd_tune)
 
     args = p.parse_args(argv)
     try:
