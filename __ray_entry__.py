@@ -3039,6 +3039,7 @@ def _grid_sweep_sql() -> str:
             f"FROM rk{tid} WHERE r <= 10"
         )
         sel_qr.append(f"SELECT {tid} AS topic, doc_id FROM qr{tid}")
+    tid_list = ",".join(str(t) for t in _EVAL_TOPICS)
     parts.append(f"""
             run AS ({' UNION ALL '.join(sel_run)}),
             qrels AS ({' UNION ALL '.join(sel_qr)}),
@@ -3064,17 +3065,24 @@ def _grid_sweep_sql() -> str:
                                          THEN (cum * 1000000) // rank END), 0)
                            AS sum_prec_micros
                 FROM c GROUP BY k1_milli, b_milli, topic
-            )
-            SELECT CAST(p.k1_milli AS BIGINT) AS k1_milli,
-                   CAST(p.b_milli AS BIGINT) AS b_milli,
-                   CAST(SUM(p.rr_micros) AS BIGINT) AS sum_rr_micros,
-                   CAST(SUM(p.sum_prec_micros) AS BIGINT) AS sum_prec_micros,
-                   CAST(SUM(p.hits_at_k) AS BIGINT) AS sum_hits_at_k,
-                   CAST(SUM(p.n_rel_ret) AS BIGINT) AS sum_n_rel_ret,
-                   CAST(SUM(n.n_rel) AS BIGINT) AS sum_n_rel,
+            ),
+            -- total over the FULL config x topic domain: a topic whose
+            -- terms are absent from the corpus (hostile fixtures) still
+            -- counts with all-zero metrics, exactly like the engine
+            base AS (SELECT k1_milli, b_milli, topic
+                     FROM cfg CROSS JOIN (SELECT unnest([{tid_list}]) AS topic))
+            SELECT CAST(b.k1_milli AS BIGINT) AS k1_milli,
+                   CAST(b.b_milli AS BIGINT) AS b_milli,
+                   CAST(SUM(COALESCE(p.rr_micros, 0)) AS BIGINT) AS sum_rr_micros,
+                   CAST(SUM(COALESCE(p.sum_prec_micros, 0)) AS BIGINT) AS sum_prec_micros,
+                   CAST(SUM(COALESCE(p.hits_at_k, 0)) AS BIGINT) AS sum_hits_at_k,
+                   CAST(SUM(COALESCE(p.n_rel_ret, 0)) AS BIGINT) AS sum_n_rel_ret,
+                   CAST(SUM(COALESCE(n.n_rel, 0)) AS BIGINT) AS sum_n_rel,
                    CAST(COUNT(*) AS BIGINT) AS n_topics
-            FROM per p JOIN nrel n USING (topic)
-            GROUP BY p.k1_milli, p.b_milli
+            FROM base b
+            LEFT JOIN per p USING (k1_milli, b_milli, topic)
+            LEFT JOIN nrel n ON n.topic = b.topic
+            GROUP BY b.k1_milli, b.b_milli
             ORDER BY k1_milli ASC, b_milli ASC""")
     return "\n".join(parts)
 

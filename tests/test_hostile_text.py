@@ -147,6 +147,12 @@ CHECKED = [
     "trigram_regex",
     "bm25_reordered_top10",
     "bm25_asof_top10",
+    # r5 fifth session: impact-ordered SAAT tier (sqrt-companded
+    # quantizer over hostile tokenization) + the (k1,b) grid sweep
+    # (topics whose terms are absent must count with zero metrics)
+    "saat_top10",
+    "saat_anytime_top10",
+    "bm25_grid_sweep",
 ]
 
 
