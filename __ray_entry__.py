@@ -5213,6 +5213,34 @@ def q_saat_anytime_top10(sf_dir: str) -> pa.Table:
     return _saat_table(sf_dir, budget=_SAAT_BUDGET)
 
 
+def q_saat_rerank_top10(sf_dir: str) -> pa.Table:
+    """The two-tier pipeline impact indexes exist for: budgeted SAAT
+    nominates 50 candidates (quantized ties -> numeric doc asc), the
+    exact Robertson-idf BM25 rescores only those, and the final top-10
+    carries exact micros — per-query cost bounded by budget + candidates
+    regardless of posting-list length."""
+    from search_engine_ray.engine.impact import saat_rerank
+    from search_engine_ray.pipelines import documents_impact_dir
+
+    imp_dir = documents_impact_dir(sf_dir, OPT_NOSTEM)
+    r = _reader(sf_dir)
+    doc_key = np.asarray([int(nm) for nm in r.doc_names], dtype=np.int64)
+    ids, scores, processed = saat_rerank(
+        imp_dir, r, [(t, 1) for t in ("spark", "hash", "join")],
+        k=10, n_candidates=_SAAT_RERANK_CAND, budget=_SAAT_BUDGET,
+        doc_key=doc_key,
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_key[ids]),
+            "score_micros": pa.array(_micros(scores)),
+            "postings_processed": pa.array(
+                np.full(len(ids), processed, dtype=np.int64)
+            ),
+        }
+    )
+
+
 def q_ordered_window_match(sf_dir: str) -> pa.Table:
     """Ordered sloppy-phrase retrieval ('sort' PRECEDING 'window' by 1..3
     kept-token positions — Lucene SpanNear inOrder=true semantics) over
@@ -6393,6 +6421,44 @@ def _saat_sql(budget: int | None) -> str:
         """
 
 
+_SAAT_RERANK_CAND = 50
+
+
+def _saat_rerank_sql(budget: int, n_candidates: int = _SAAT_RERANK_CAND) -> str:
+    """Oracle for the two-tier pipeline: the anytime-SAAT CTEs nominate
+    the top-``n_candidates`` by quantized score (ties -> doc_id asc, the
+    engine's doc_key rule), then the EXACT Robertson-idf BM25 rescores
+    only those and the final top-10 is ordered by exact micros."""
+    core = _saat_sql(budget)
+    # reuse everything up to (and incl.) the sc CTE; replace the final cut
+    core = core[: core.index("ranked AS")]
+    return core + f"""
+            cand AS (SELECT doc_id FROM (
+                       SELECT doc_id, score,
+                              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+                       FROM sc)
+                     WHERE r <= {n_candidates}),
+            ex AS (
+              SELECT tfall.doc_id,
+                     SUM( ln((st.n - dfall.df + 0.5) / (dfall.df + 0.5))
+                          * (tfall.tf * (1.2 + 1))
+                          / (tfall.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) )
+                       AS score
+              FROM tfall JOIN dfall USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+              WHERE tfall.term IN ('spark','hash','join')
+              GROUP BY tfall.doc_id
+            ),
+            rr AS (SELECT ex.doc_id, ex.score,
+                          row_number() OVER (ORDER BY ex.score DESC, ex.doc_id ASC) AS r
+                   FROM ex JOIN cand USING (doc_id))
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   {_SQL_MICROS.format(expr="score")} AS score_micros,
+                   (SELECT processed FROM proc) AS postings_processed
+            FROM rr WHERE r <= 10
+            ORDER BY r ASC
+        """
+
+
 def _dup_spans_sql(k: int = _SPAN_K, min_count: int = 2) -> str:
     """DuckDB SQL reproducing dataops.spandup.duplicate_spans(hash_kind=
     "md5be") bit-exactly: md5be token hash, the same M-multiplier rolling
@@ -7290,6 +7356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # session; SQL-checked in-repo by the contract test):
         "saat_top10": q_saat_top10,
         "saat_anytime_top10": q_saat_anytime_top10,
+        "saat_rerank_top10": q_saat_rerank_top10,
         "bm25_grid_sweep": q_bm25_grid_sweep,
         # recorded driver-green in CORRECTNESS_r04, rotated out:
         "bm25adpt_top10": q_bm25adpt_top10,
@@ -8315,6 +8382,7 @@ def oracle_sql() -> dict[str, str]:
         # cumsum that reproduces the engine's deterministic budget prefix.
         "saat_top10": _saat_sql(budget=None),
         "saat_anytime_top10": _saat_sql(budget=_SAAT_BUDGET),
+        "saat_rerank_top10": _saat_rerank_sql(budget=_SAAT_BUDGET),
         "bm25_synonyms_top10": f"""
             WITH {_TOKS},
             dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),

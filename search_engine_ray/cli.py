@@ -386,6 +386,20 @@ def cmd_saat(args: argparse.Namespace) -> int:
             order.append(t)
         seen[t] = seen.get(t, 0) + 1
     keywords = [(t, seen[t]) for t in order]
+    if args.rerank:
+        from .engine.impact import saat_rerank
+
+        reader = IndexReader(args.index_dir, preload=True)
+        ids, scores, processed = saat_rerank(
+            args.impact_dir, reader, keywords,
+            k=args.k, n_candidates=args.rerank, budget=args.budget,
+        )
+        for d, s in zip(ids, scores):
+            print(_json.dumps({
+                "doc": reader.doc_names[int(d)], "bm25": round(float(s), 6),
+                "postings_processed": int(processed),
+            }))
+        return 0
     ids, scores, processed = saat_topk(
         args.impact_dir, keywords, k=args.k, budget=args.budget
     )
@@ -1640,6 +1654,8 @@ def main(argv: list[str] | None = None) -> int:
     psa.add_argument("--k", type=int, default=10)
     psa.add_argument("--budget", type=int, default=None,
                      help="anytime postings budget (rho); omit = exhaustive")
+    psa.add_argument("--rerank", type=int, default=None, metavar="N",
+                     help="rescore the top-N SAAT candidates with exact BM25")
     psa.set_defaults(fn=cmd_saat)
 
     ptu = sub.add_parser(

@@ -267,7 +267,7 @@ def read_impact_meta(impact_dir: str) -> dict:
 
 def saat_topk(
     impact_dir: str, keywords: list[tuple[str, int]], k: int | None = 10,
-    budget: int | None = None,
+    budget: int | None = None, doc_key: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """Score-at-a-time retrieval over the impact-ordered index.
 
@@ -324,8 +324,56 @@ def saat_topk(
     cand = np.flatnonzero(touched)
     if len(cand) == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64), processed
-    sel = np.lexsort((cand, -scores[cand]))
+    # ties on doc_key when given (a caller-stable numeric key — the SQL
+    # oracle's doc_id order), else on the internal ordinal
+    tie = cand if doc_key is None else doc_key[cand]
+    sel = np.lexsort((tie, -scores[cand]))
     if k is not None:
         sel = sel[:k]
     top = cand[sel]
     return top, scores[top], processed
+
+
+def saat_rerank(
+    impact_dir: str,
+    reader,
+    keywords: list[tuple[str, int]],
+    k: int = 10,
+    n_candidates: int = 100,
+    budget: int | None = None,
+    scores_fn=None,
+    doc_key: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """The two-tier serving pipeline impact indexes exist for: the cheap
+    quantized SAAT tier (optionally anytime-budgeted) nominates
+    ``n_candidates`` docs, then the EXACT scorer re-scores only those and
+    produces the final top-k.  Per-query cost is bounded by
+    budget + n_candidates regardless of posting-list length — the
+    tail-latency contract of a 10^12-doc serving tier — while the final
+    ordering carries exact BM25 semantics.
+
+    ``scores_fn(reader, keywords) -> (doc_ids, scores)`` is the exact
+    tier (default: pipelines.bm25_scores_f64); candidates the exact
+    scorer does not reach (possible only under pathological budgets)
+    keep their quantized score at the bottom of the ranking.
+
+    -> (doc_ids, rerank_scores_f64, postings_processed); ranking
+    (exact score desc, doc asc) over the candidate set only.
+    """
+    if scores_fn is None:
+        from ..pipelines import bm25_scores_f64
+
+        scores_fn = bm25_scores_f64
+    cand_ids, _cand_q, processed = saat_topk(
+        impact_dir, keywords, k=n_candidates, budget=budget, doc_key=doc_key
+    )
+    if len(cand_ids) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64), processed
+    exact_ids, exact_scores = scores_fn(reader, keywords)
+    score_of = dict(zip(exact_ids.tolist(), exact_scores.tolist()))
+    cand_scores = np.asarray(
+        [score_of.get(int(d), float("-inf")) for d in cand_ids], dtype=np.float64
+    )
+    tie = cand_ids if doc_key is None else doc_key[cand_ids]
+    order = np.lexsort((tie, -cand_scores))[:k]
+    return cand_ids[order], cand_scores[order], processed

@@ -152,6 +152,7 @@ CHECKED = [
     # (topics whose terms are absent must count with zero metrics)
     "saat_top10",
     "saat_anytime_top10",
+    "saat_rerank_top10",
     "bm25_grid_sweep",
 ]
 

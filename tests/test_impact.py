@@ -183,3 +183,41 @@ def test_unknown_terms_dropped(built):
     _, impact = built
     ids, sc, processed = saat_topk(impact, [("zz_missing_term", 1)], k=10)
     assert len(ids) == 0 and processed == 0
+
+
+def test_rerank_two_tier(built):
+    """saat_rerank == exact-scorer ordering restricted to the SAAT
+    candidate set, recomputed independently."""
+    from search_engine_ray.engine.impact import saat_rerank
+
+    index, impact = built
+    qs, _ = _brute_quantized(index, Q)
+    kws = [(t, 1) for t in list(qs)[:3]]
+    n_cand, k = 7, 5
+    cand, _sc, _p = saat_topk(impact, kws, k=n_cand)
+    r = IndexReader(index)
+
+    def exact(reader, keywords):
+        n, avgdl = reader.n_docs, reader.avgdl
+        scores = np.zeros(n)
+        touched = np.zeros(n, bool)
+        for t, _ in keywords:
+            tp = reader.postings(t)
+            if tp is None:
+                continue
+            ids, tfs, dls = tp.arrays()
+            idf = np.log((n - tp.df + 0.5) / (tp.df + 0.5))
+            scores[ids] += idf * (tfs * 2.2) / (
+                tfs + 1.2 * (1 - 0.75 + 0.75 * (dls / avgdl)))
+            touched[ids] = True
+        c = np.flatnonzero(touched)
+        return c, scores[c]
+
+    got_ids, got_sc, _ = saat_rerank(
+        impact, r, kws, k=k, n_candidates=n_cand, scores_fn=exact)
+    assert set(got_ids.tolist()) <= set(cand.tolist())
+    c_ids, c_scores = exact(r, kws)
+    lut = dict(zip(c_ids.tolist(), c_scores.tolist()))
+    exp_order = sorted(cand.tolist(), key=lambda d: (-lut[d], d))[:k]
+    assert got_ids.tolist() == exp_order
+    assert np.allclose(got_sc, [lut[d] for d in exp_order], rtol=0, atol=0)
