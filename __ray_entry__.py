@@ -5213,6 +5213,44 @@ def q_saat_anytime_top10(sf_dir: str) -> pa.Table:
     return _saat_table(sf_dir, budget=_SAAT_BUDGET)
 
 
+def q_saat_sharded_top10(sf_dir: str) -> pa.Table:
+    """Doc-range-sharded SAAT (engine/impact.saat_topk_sharded, the
+    tier's 10^12-doc serving path): the anytime rule applied once from
+    segment metadata, shard actors slice admitted segments to their doc
+    range (two searchsorted probes), k rows per shard merge on the
+    driver.  The callable RAISES unless the sharded ranking is
+    bit-identical to single-process SAAT, then returns the exhaustive
+    table — so the green row certifies both paths against the same
+    oracle as saat_top10."""
+    from search_engine_ray.engine.impact import saat_topk, saat_topk_sharded
+    from search_engine_ray.pipelines import documents_impact_dir
+
+    imp_dir = documents_impact_dir(sf_dir, OPT_NOSTEM)
+    r = _reader(sf_dir)
+    doc_key = np.asarray([int(nm) for nm in r.doc_names], dtype=np.int64)
+    kws = [(t, 1) for t in ("spark", "hash", "join")]
+    s_ids, s_sc, s_p = saat_topk_sharded(
+        imp_dir, kws, k=10, n_shards=3, doc_key=doc_key
+    )
+    g_ids, g_sc, g_p = saat_topk(imp_dir, kws, k=10, doc_key=doc_key)
+    if not (
+        np.array_equal(s_ids, g_ids)
+        and np.array_equal(s_sc, g_sc)
+        and s_p == g_p
+    ):
+        raise AssertionError(
+            f"sharded SAAT diverged from single-process: "
+            f"{s_ids.tolist()}/{s_sc.tolist()} vs {g_ids.tolist()}/{g_sc.tolist()}"
+        )
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_key[s_ids]),
+            "score": pa.array(s_sc.astype(np.int64)),
+            "postings_processed": pa.array(np.full(len(s_ids), s_p, dtype=np.int64)),
+        }
+    )
+
+
 def q_saat_rerank_top10(sf_dir: str) -> pa.Table:
     """The two-tier pipeline impact indexes exist for: budgeted SAAT
     nominates 50 candidates (quantized ties -> numeric doc asc), the
@@ -7357,6 +7395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "saat_top10": q_saat_top10,
         "saat_anytime_top10": q_saat_anytime_top10,
         "saat_rerank_top10": q_saat_rerank_top10,
+        "saat_sharded_top10": q_saat_sharded_top10,
         "bm25_grid_sweep": q_bm25_grid_sweep,
         # recorded driver-green in CORRECTNESS_r04, rotated out:
         "bm25adpt_top10": q_bm25adpt_top10,
@@ -8383,6 +8422,9 @@ def oracle_sql() -> dict[str, str]:
         "saat_top10": _saat_sql(budget=None),
         "saat_anytime_top10": _saat_sql(budget=_SAAT_BUDGET),
         "saat_rerank_top10": _saat_rerank_sql(budget=_SAAT_BUDGET),
+        # sharded path: bit-identity vs single-process is asserted inside
+        # the callable, so the exhaustive oracle certifies both
+        "saat_sharded_top10": _saat_sql(budget=None),
         "bm25_synonyms_top10": f"""
             WITH {_TOKS},
             dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),

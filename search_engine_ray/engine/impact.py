@@ -334,6 +334,150 @@ def saat_topk(
     return top, scores[top], processed
 
 
+def _admitted_segments(
+    impact_dir: str, terms: list[str], budget: int | None
+) -> tuple[pa.Table, list[int], int]:
+    """Load the query terms' segments (bucket-pruned) and apply the global
+    anytime rule; -> (segment table, admitted row indices in processing
+    order, postings admitted).  Metadata-sized except docs_enc payloads,
+    which at web scale would live in a columns= pruned second read."""
+    from .merge import term_bucket_array
+
+    meta = read_impact_meta(impact_dir)
+    t_arr = pa.array(sorted(set(terms)), pa.string())
+    buckets = sorted(set(term_bucket_array(t_arr, meta["num_buckets"]).to_pylist()))
+    parts = []
+    for bno in buckets:
+        path = os.path.join(impact_dir, "segments", f"bucket={bno}", "part.parquet")
+        if os.path.exists(path):
+            parts.append(
+                pq.read_table(
+                    path, columns=["term", "q", "n", "docs_enc"],
+                    filters=pc.field("term").isin(t_arr),
+                )
+            )
+    if not parts:
+        return pa.table({"term": pa.array([], pa.string())}), [], 0
+    seg = pa.concat_tables(parts)
+    qs = np.asarray(seg["q"], dtype=np.int64)
+    terms_col = seg["term"].to_pylist()
+    lens = np.asarray(seg["n"], dtype=np.int64)
+    order = sorted(range(seg.num_rows), key=lambda i: (-qs[i], terms_col[i]))
+    admitted, processed = [], 0
+    for i in order:
+        if budget is not None and processed + int(lens[i]) > budget:
+            break
+        admitted.append(i)
+        processed += int(lens[i])
+    return seg, admitted, processed
+
+
+def saat_topk_sharded(
+    impact_dir: str,
+    keywords: list[tuple[str, int]],
+    k: int = 10,
+    budget: int | None = None,
+    n_shards: int = 4,
+    concurrency: int | tuple[int, int] = (1, 4),
+    doc_key: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Doc-range-sharded SAAT — the tier's 10^12-doc serving path,
+    bit-identical to :func:`saat_topk` (tested).  The anytime admission
+    rule is applied ONCE, globally, from segment (term, q, n) metadata —
+    no payload decode — then each shard actor slices every admitted
+    segment to its docID range (segments are docID-ascending, so the
+    slice is two searchsorted probes), accumulates into a dense array of
+    its range's width only, and emits its local top-k.  The driver merges
+    k rows per shard — a reduction, not a score shuffle.  A document's
+    whole score lives in exactly one shard, so no partial-score
+    combination is ever needed and bit-identity is structural.
+    """
+    import ray.data
+
+    meta = read_impact_meta(impact_dir)
+    qtf_map: dict[str, int] = {}
+    for term, qtf in keywords:
+        qtf_map[term] = qtf_map.get(term, 0) + qtf
+    seg, admitted, processed = _admitted_segments(
+        impact_dir, list(qtf_map), budget
+    )
+    if not admitted:
+        return np.empty(0, np.int64), np.empty(0, np.int64), processed
+    n_docs = meta["n_docs"]
+    bounds = np.linspace(0, n_docs, n_shards + 1).astype(np.int64)
+    # ship only the admitted segments to the actors, decoded lazily there
+    adm_tbl = seg.take(pa.array(admitted, pa.int64()))
+    adm_ref = ray.put(adm_tbl)
+    qtf_ref = ray.put(qtf_map)
+    key_ref = ray.put(doc_key)
+
+    class ShardSaat:
+        def __init__(self):
+            self.adm: pa.Table = ray.get(adm_ref)
+            self.qtf: dict[str, int] = ray.get(qtf_ref)
+            self.key = ray.get(key_ref)
+            self.lens = np.asarray(self.adm["n"], dtype=np.int64)
+            self.terms = self.adm["term"].to_pylist()
+            self.qs = np.asarray(self.adm["q"], dtype=np.int64)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out_d, out_s = [], []
+            for lo, hi in zip(
+                batch["lo"].to_pylist(), batch["hi"].to_pylist()
+            ):
+                width = hi - lo
+                if width <= 0:
+                    continue
+                scores = np.zeros(width, dtype=np.int64)
+                touched = np.zeros(width, dtype=bool)
+                for i in range(self.adm.num_rows):
+                    ids = decode_concat_rows(
+                        self.adm["docs_enc"].slice(i, 1),
+                        self.lens[i : i + 1], delta=True,
+                    )
+                    a, b = np.searchsorted(ids, (lo, hi))
+                    if a == b:
+                        continue
+                    local = ids[a:b] - lo
+                    scores[local] += int(self.qs[i]) * self.qtf[self.terms[i]]
+                    touched[local] = True
+                cand = np.flatnonzero(touched)
+                if len(cand) == 0:
+                    continue
+                gids = cand + lo
+                tie = gids if self.key is None else self.key[gids]
+                sel = np.lexsort((tie, -scores[cand]))[:k]
+                out_d.append(gids[sel])
+                out_s.append(scores[cand][sel])
+            if not out_d:
+                return pa.table({
+                    "doc": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.int64()),
+                })
+            return pa.table({
+                "doc": pa.array(np.concatenate(out_d)),
+                "score": pa.array(np.concatenate(out_s)),
+            })
+
+    shard_ds = ray.data.from_items(
+        [{"lo": int(bounds[i]), "hi": int(bounds[i + 1])} for i in range(n_shards)]
+    )
+    rows = pa.concat_tables(
+        pa.table(b)
+        for b in shard_ds.map_batches(
+            ShardSaat, batch_size=1, batch_format="pyarrow",
+            concurrency=concurrency,
+        ).iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    docs = np.asarray(rows["doc"], dtype=np.int64)
+    scores = np.asarray(rows["score"], dtype=np.int64)
+    if len(docs) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64), processed
+    tie = docs if doc_key is None else doc_key[docs]
+    sel = np.lexsort((tie, -scores))[:k]
+    return docs[sel], scores[sel], processed
+
+
 def saat_rerank(
     impact_dir: str,
     reader,

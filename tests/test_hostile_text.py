@@ -153,6 +153,7 @@ CHECKED = [
     "saat_top10",
     "saat_anytime_top10",
     "saat_rerank_top10",
+    "saat_sharded_top10",
     "bm25_grid_sweep",
 ]
 

@@ -185,6 +185,25 @@ def test_unknown_terms_dropped(built):
     assert len(ids) == 0 and processed == 0
 
 
+@pytest.mark.parametrize("n_shards", [1, 3, 5])
+def test_sharded_bit_identical(built, n_shards):
+    """Doc-range-sharded SAAT == single-process SAAT, exhaustively and
+    under an anytime budget, for any shard count."""
+    from search_engine_ray.engine.impact import saat_topk_sharded
+
+    index, impact = built
+    qs, _ = _brute_quantized(index, Q)
+    kws = [(t, 1) for t in list(qs)[:4]]
+    total = sum(len(qs[t][0]) for t, _ in kws)
+    for budget in (None, total // 2):
+        a = saat_topk(impact, kws, k=10, budget=budget)
+        b = saat_topk_sharded(
+            impact, kws, k=10, budget=budget, n_shards=n_shards)
+        assert np.array_equal(a[0], b[0]), (budget, n_shards)
+        assert np.array_equal(a[1], b[1])
+        assert a[2] == b[2]
+
+
 def test_rerank_two_tier(built):
     """saat_rerank == exact-scorer ordering restricted to the SAAT
     candidate set, recomputed independently."""
