@@ -393,6 +393,7 @@ def cmd_saat(args: argparse.Namespace) -> int:
         ids, scores, processed = saat_rerank(
             args.impact_dir, reader, keywords,
             k=args.k, n_candidates=args.rerank, budget=args.budget,
+            exclude=reader.deleted_mask(),
         )
         for d, s in zip(ids, scores):
             print(_json.dumps({
@@ -400,16 +401,29 @@ def cmd_saat(args: argparse.Namespace) -> int:
                 "postings_processed": int(processed),
             }))
         return 0
-    ids, scores, processed = saat_topk(
-        args.impact_dir, keywords, k=args.k, budget=args.budget
-    )
     reader = IndexReader(args.index_dir, preload=False)
+    ids, scores, processed = saat_topk(
+        args.impact_dir, keywords, k=args.k, budget=args.budget,
+        exclude=reader.deleted_mask(),
+    )
     for d, s in zip(ids, scores):
         print(_json.dumps({
             "doc": reader.doc_names[int(d)], "impact_score": int(s),
             "postings_processed": int(processed),
         }))
     return 0
+
+
+def cmd_impact_fsck(args: argparse.Namespace) -> int:
+    """Verify the impact tier against its source index: re-derive every
+    posting's quantized impact and checksum-compare per (term, q), plus
+    structural/meta invariants.  Exit 1 on any violation."""
+    _ensure_ray(args.num_cpus)
+    from .engine.impact import verify_impact_index
+
+    report = verify_impact_index(args.index_dir, args.impact_dir)
+    print(json.dumps(report))
+    return 0 if report["violations"] == 0 else 1
 
 
 def cmd_tune(args: argparse.Namespace) -> int:
@@ -1657,6 +1671,15 @@ def main(argv: list[str] | None = None) -> int:
     psa.add_argument("--rerank", type=int, default=None, metavar="N",
                      help="rescore the top-N SAAT candidates with exact BM25")
     psa.set_defaults(fn=cmd_saat)
+
+    pif = sub.add_parser(
+        "impact-fsck",
+        help="verify impact-tier integrity vs its source index (exit 1 on damage)",
+    )
+    pif.add_argument("impact_dir")
+    pif.add_argument("index_dir")
+    pif.add_argument("--num-cpus", type=int, default=8)
+    pif.set_defaults(fn=cmd_impact_fsck)
 
     ptu = sub.add_parser(
         "tune", help="BM25 (k1, b) grid sweep against boolean-AND qrels"

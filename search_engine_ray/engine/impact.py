@@ -268,6 +268,7 @@ def read_impact_meta(impact_dir: str) -> dict:
 def saat_topk(
     impact_dir: str, keywords: list[tuple[str, int]], k: int | None = 10,
     budget: int | None = None, doc_key: np.ndarray | None = None,
+    exclude: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """Score-at-a-time retrieval over the impact-ordered index.
 
@@ -276,6 +277,11 @@ def saat_topk(
     ``budget`` (the anytime rho), a segment is processed only while the
     cumulative posting count stays <= budget; the rule is a deterministic
     prefix, so the DuckDB oracle reproduces it with a window cumsum.
+
+    ``exclude``: boolean tombstone mask over internal docIDs (the
+    IndexReader.deleted_mask() convention) — masked docs never reach the
+    ranking, the same immediate-exclusion semantics every other scorer
+    honors after a delete.
 
     -> (doc_ids, scores, postings_processed); ranking (score desc, doc
     asc), ties broken like every other scorer in the engine.
@@ -321,6 +327,8 @@ def saat_topk(
         scores[ids] += int(qs[i]) * qtf_map[terms_col[i]]
         touched[ids] = True
         processed += int(lens[i])
+    if exclude is not None:
+        touched &= ~exclude
     cand = np.flatnonzero(touched)
     if len(cand) == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64), processed
@@ -478,6 +486,140 @@ def saat_topk_sharded(
     return docs[sel], scores[sel], processed
 
 
+_VIOL_SENTINEL = "\x00struct"
+
+
+def verify_impact_index(index_dir: str, impact_dir: str) -> dict:
+    """fsck for the impact tier: re-derives every posting's quantized
+    impact from the SOURCE index and verifies the segments carry exactly
+    those assignments — plus the structural invariants (docIDs strictly
+    ascending per segment, q in [1, Q], meta totals).
+
+    Scale shape: per-batch (term, q) -> (count, sum_ids, sum_ids^2)
+    checksum partials from BOTH sides (postings re-derivation, segment
+    decode; the actual side negated), ONE groupby((term, q)) sum — any
+    nonzero row is a divergence.  Checksums use wrapping int64 sums, so
+    nothing data-sized ever reaches the driver; the final reduce is
+    segment-metadata-sized.  Same role as engine/maintenance.fsck_index
+    for the document-ordered index.
+    """
+    from ray.data.aggregate import Sum
+
+    meta = read_impact_meta(impact_dir)
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    k1, b = stats["bm25"]["k1"], stats["bm25"]["b"]
+    codec = stats.get("codec", "vbyte")
+    q_span = meta["quant_levels"] - 1
+    s_max = max(int(np.floor(np.sqrt(float(meta["max_micros"])))), 1)
+
+    def _partials(terms_row, qs_row, ids, lens, sign):
+        """(term, q, cnt, s1, s2) checksum rows for one batch, vectorized."""
+        with np.errstate(over="ignore"):
+            ids64 = ids.astype(np.int64)
+            sq = ids64 * ids64  # wrapping checksum
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        cnt = lens.astype(np.int64)
+        s1 = np.add.reduceat(ids64, starts) if len(ids64) else np.empty(0, np.int64)
+        s2 = np.add.reduceat(sq, starts) if len(sq) else np.empty(0, np.int64)
+        s1[cnt == 0] = 0
+        s2[cnt == 0] = 0
+        return pa.table({
+            "term": pa.array(terms_row, pa.string()),
+            "q": pa.array(qs_row, pa.int64()),
+            "cnt": pa.array(sign * cnt),
+            "s1": pa.array(sign * s1),
+            "s2": pa.array(sign * s2),
+        })
+
+    def expected(batch: pa.Table) -> pa.Table:
+        ids, micros, lens = _block_impacts_micros(
+            batch, index_dir, n_docs, avgdl, k1, b, codec)
+        s = np.floor(np.sqrt(micros.astype(np.float64))).astype(np.int64)
+        qs = 1 + s * q_span // s_max
+        row_idx = np.repeat(np.arange(len(lens)), lens)
+        order = np.lexsort((ids, qs, row_idx))
+        r_s, q_s, id_s = row_idx[order], qs[order], ids[order]
+        if len(id_s) == 0:
+            return pa.table({
+                "term": pa.array([], pa.string()), "q": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()), "s1": pa.array([], pa.int64()),
+                "s2": pa.array([], pa.int64()),
+            })
+        brk = np.flatnonzero((r_s[1:] != r_s[:-1]) | (q_s[1:] != q_s[:-1]))
+        starts = np.concatenate(([0], brk + 1))
+        counts = np.diff(np.concatenate((starts, [len(id_s)])))
+        terms_row = pc.take(
+            batch["term"], pa.array(r_s[starts], pa.int64())
+        ).to_pylist()
+        return _partials(terms_row, q_s[starts], id_s, counts, sign=1)
+
+    def actual(batch: pa.Table) -> pa.Table:
+        lens = np.asarray(batch["n"], dtype=np.int64)
+        flat = decode_concat_rows(batch["docs_enc"], lens, delta=True)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        qs_row = np.asarray(batch["q"], dtype=np.int64)
+        # structural invariants, vectorized: strictly-ascending docIDs
+        # inside each segment; q within [1, Q]
+        viol = int(((qs_row < 1) | (qs_row > q_span + 1)).sum())
+        if len(flat):
+            row_of = np.repeat(np.arange(len(lens)), lens)
+            d = np.diff(flat)
+            same_row = row_of[1:] == row_of[:-1]
+            viol += int((same_row & (d <= 0)).sum())
+        out = _partials(batch["term"].to_pylist(), qs_row, flat, lens, sign=-1)
+        if viol:
+            out = pa.concat_tables([out, pa.table({
+                "term": pa.array([_VIOL_SENTINEL], pa.string()),
+                "q": pa.array([0], pa.int64()),
+                "cnt": pa.array([viol], pa.int64()),
+                "s1": pa.array([0], pa.int64()),
+                "s2": pa.array([0], pa.int64()),
+            })])
+        return out
+
+    import ray.data
+
+    exp_ds = ray.data.read_parquet(
+        os.path.join(index_dir, "postings"), columns=_POSTING_COLS
+    ).map_batches(expected, batch_format="pyarrow")
+    act_ds = ray.data.read_parquet(
+        os.path.join(impact_dir, "segments"),
+        columns=["term", "q", "n", "docs_enc"],
+    ).map_batches(actual, batch_format="pyarrow")
+    agg = (
+        exp_ds.union(act_ds)
+        .groupby(["term", "q"])
+        .aggregate(Sum("cnt", alias_name="cnt"),
+                   Sum("s1", alias_name="s1"),
+                   Sum("s2", alias_name="s2"))
+        .to_pandas()
+    )
+    sent = agg["term"] == _VIOL_SENTINEL
+    struct_violations = int(agg.loc[sent, "cnt"].sum())
+    body = agg[~sent]
+    mismatched = int(
+        ((body["cnt"] != 0) | (body["s1"] != 0) | (body["s2"] != 0)).sum()
+    )
+    seg_meta = pads.dataset(os.path.join(impact_dir, "segments")).to_table(
+        columns=["n"]
+    )
+    n_segments = seg_meta.num_rows
+    n_postings = int(pc.sum(seg_meta["n"]).as_py() or 0)
+    meta_violations = int(n_segments != meta["n_segments"]) + int(
+        n_postings != meta["n_postings"]
+    ) + int(n_postings != stats["n_postings"])
+    return {
+        "violations": struct_violations + mismatched + meta_violations,
+        "struct_violations": struct_violations,
+        "checksum_mismatches": mismatched,
+        "meta_violations": meta_violations,
+        "n_segments": n_segments,
+        "n_postings": n_postings,
+    }
+
+
 def saat_rerank(
     impact_dir: str,
     reader,
@@ -487,6 +629,7 @@ def saat_rerank(
     budget: int | None = None,
     scores_fn=None,
     doc_key: np.ndarray | None = None,
+    exclude: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """The two-tier serving pipeline impact indexes exist for: the cheap
     quantized SAAT tier (optionally anytime-budgeted) nominates
@@ -509,7 +652,8 @@ def saat_rerank(
 
         scores_fn = bm25_scores_f64
     cand_ids, _cand_q, processed = saat_topk(
-        impact_dir, keywords, k=n_candidates, budget=budget, doc_key=doc_key
+        impact_dir, keywords, k=n_candidates, budget=budget, doc_key=doc_key,
+        exclude=exclude,
     )
     if len(cand_ids) == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64), processed

@@ -10,6 +10,7 @@ via the saat_top10 / saat_anytime_top10 gates.
 import shutil
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.dataset as pads
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -202,6 +203,47 @@ def test_sharded_bit_identical(built, n_shards):
         assert np.array_equal(a[0], b[0]), (budget, n_shards)
         assert np.array_equal(a[1], b[1])
         assert a[2] == b[2]
+
+
+def test_exclude_mask(built):
+    """A tombstone mask removes docs from the ranking immediately, like
+    every other scorer after a delete."""
+    index, impact = built
+    qs, _ = _brute_quantized(index, Q)
+    kws = [(t, 1) for t in list(qs)[:3]]
+    base_ids, _sc, _p = saat_topk(impact, kws, k=5)
+    from search_engine_ray.engine.impact import read_impact_meta
+
+    mask = np.zeros(read_impact_meta(impact)["n_docs"], dtype=bool)
+    mask[base_ids[0]] = True  # kill the top doc
+    got_ids, _s2, _p2 = saat_topk(impact, kws, k=5, exclude=mask)
+    assert base_ids[0] not in got_ids
+    assert got_ids[0] == base_ids[1]  # rest of the ranking shifts up
+
+
+def test_impact_fsck_clean_and_corrupt(built, tmp_path):
+    import glob
+    import shutil as sh
+
+    from search_engine_ray.engine.impact import verify_impact_index
+
+    index, impact = built
+    report = verify_impact_index(index, impact)
+    assert report["violations"] == 0, report
+    assert report["n_segments"] > 0
+
+    # corrupt ONE segment file: flip a q value -> checksum + count rows split
+    bad = str(tmp_path / "impact_bad")
+    sh.copytree(impact, bad)
+    f = sorted(glob.glob(f"{bad}/segments/bucket=*/part.parquet"))[0]
+    t = pq.read_table(f)
+    qcol = np.asarray(t["q"], dtype=np.int64).copy()
+    qcol[0] += 1 if qcol[0] < Q else -1
+    t = t.set_column(t.schema.get_field_index("q"), "q", pa.array(qcol))
+    pq.write_table(t, f)
+    report2 = verify_impact_index(index, bad)
+    assert report2["violations"] > 0
+    assert report2["checksum_mismatches"] > 0
 
 
 def test_rerank_two_tier(built):
