@@ -2506,6 +2506,88 @@ def q_mix_sources(sf_dir: str) -> pa.Table:
     )
 
 
+def q_maxp_top10(sf_dir: str) -> pa.Table:
+    """MaxP passage retrieval (Dai & Callan SIGIR'19 lineage): the
+    documents table chunked into overlapping 64-token windows (step 56,
+    the chunk_documents parameters), each chunk indexed as its own
+    document, BM25 scored at the CHUNK level (chunk-corpus n/avgdl/df),
+    then every document ranks by the MAX over its chunks' scores.  MAX is
+    order-independent, so the doc score is as hash-stable as the chunk
+    scores themselves."""
+    from search_engine_ray.engine.index_reader import IndexReader
+    from search_engine_ray.pipelines import (
+        documents_maxp_index_dir,
+        maxp_bm25_f64,
+    )
+
+    idx = documents_maxp_index_dir(sf_dir, OPT_NOSTEM)
+    reader = IndexReader(idx, preload=True)
+    docs, scores = maxp_bm25_f64(reader, [(t, 1) for t in ("spark", "hash", "join")])
+    docs, scores = docs[:10], scores[:10]
+    return pa.table(
+        {"doc_id": pa.array(docs), "score_micros": pa.array(_micros(scores))}
+    )
+
+
+def _maxp_sql() -> str:
+    """Oracle for q_maxp_top10: rebuild the chunks (the chunk_documents
+    slicing), re-tokenize each chunk with the engine tokenizer, score
+    chunk-level BM25 with chunk-corpus statistics, aggregate MAX per
+    document."""
+    return f"""
+            WITH t0 AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '[\\t\\n\\x0B\\x0C\\r ]+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            nn AS (SELECT doc_id, t, len(t) AS n FROM t0 WHERE len(t) > 0),
+            ch AS (
+              SELECT doc_id, CAST(g.x AS BIGINT) AS chunk_id,
+                     array_to_string(
+                       t[CAST(g.x AS BIGINT) * 56 + 1
+                         : least(CAST(g.x AS BIGINT) * 56 + 64, n)], ' ') AS ctext
+              FROM nn, UNNEST(generate_series(0,
+                     CAST(greatest(1, ceil((n - 8) / 56.0)) AS BIGINT) - 1)) AS g(x)),
+            ctoks AS (
+              SELECT doc_id, chunk_id, tk
+              FROM ch,
+                   UNNEST(regexp_split_to_array(
+                     translate(ctext, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                               'abcdefghijklmnopqrstuvwxyz'),
+                     '[\\x00-\\x2f:;=?]')) AS u(tk)
+              WHERE tk <> '' AND substr(tk, 1, 1) <> '<'
+                AND substr(tk, -1, 1) <> '>' AND tk NOT IN ({_STOP_LIST})
+            ),
+            dl AS (SELECT doc_id, chunk_id, count(*) AS dl
+                   FROM ctoks GROUP BY doc_id, chunk_id),
+            st AS (SELECT (SELECT count(*) FROM ch) AS n,
+                          (SELECT count(*) FROM ctoks) * 1.0
+                            / (SELECT count(*) FROM ch) AS avgdl),
+            tf AS (SELECT doc_id, chunk_id, tk AS term, count(*) AS tf
+                   FROM ctoks WHERE tk IN ('spark','hash','join')
+                   GROUP BY doc_id, chunk_id, tk),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            sc AS (
+              SELECT tf.doc_id, tf.chunk_id,
+                     SUM( ln((st.n - df.df + 0.5) / (df.df + 0.5))
+                          * (tf.tf * (1.2 + 1))
+                          / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / st.avgdl))) )
+                       AS score
+              FROM tf JOIN df USING (term)
+                   JOIN dl USING (doc_id, chunk_id) CROSS JOIN st
+              GROUP BY tf.doc_id, tf.chunk_id
+            ),
+            mx AS (SELECT doc_id, MAX(score) AS score FROM sc GROUP BY doc_id),
+            ranked AS (SELECT doc_id, score,
+                              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+                       FROM mx)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   {_SQL_MICROS.format(expr="score")} AS score_micros
+            FROM ranked WHERE r <= 10
+            ORDER BY r ASC
+        """
+
+
 def q_chunk_documents(sf_dir: str) -> pa.Table:
     """RAG chunking (dataops/chunk.py): overlapping 64-token windows,
     step 56 — one vectorized flat-map (chunk boundaries are numpy
@@ -7397,6 +7479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "saat_rerank_top10": q_saat_rerank_top10,
         "saat_sharded_top10": q_saat_sharded_top10,
         "bm25_grid_sweep": q_bm25_grid_sweep,
+        "maxp_top10": q_maxp_top10,
         # recorded driver-green in CORRECTNESS_r04, rotated out:
         "bm25adpt_top10": q_bm25adpt_top10,
         "bm25_qtf_top10": q_bm25_qtf_top10,
@@ -8425,6 +8508,7 @@ def oracle_sql() -> dict[str, str]:
         # sharded path: bit-identity vs single-process is asserted inside
         # the callable, so the exhaustive oracle certifies both
         "saat_sharded_top10": _saat_sql(budget=None),
+        "maxp_top10": _maxp_sql(),
         "bm25_synonyms_top10": f"""
             WITH {_TOKS},
             dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),

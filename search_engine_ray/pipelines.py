@@ -1270,6 +1270,95 @@ def source_doc_count_prior(docs_ds, reader: IndexReader) -> np.ndarray:
     return per_doc[order][pos]
 
 
+_MAXP_KEY_BASE = 1_000_000  # chunk_key = doc_id * base + chunk_id
+
+
+def documents_maxp_index_dir(
+    sf_dir: str,
+    options: IndexOptions,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> str:
+    """Build (once) the PASSAGE index for MaxP retrieval: the documents
+    table chunked into overlapping token windows (dataops/chunk.py), each
+    chunk indexed as its own document under the composite name
+    ``doc_id * 1e6 + chunk_id`` — the standard passage-retrieval layout
+    (Dai & Callan SIGIR'19 BERT-MaxP lineage: score passages, aggregate
+    max per document).  Chunk derivation is a distributed flat-map; the
+    chunk corpus is written sorted by (doc_id, chunk_id) so chunk docIDs
+    are deterministic."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .dataops.chunk import chunk_documents
+    from .ioutil import read_parquet_clean
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"maxp|{os.path.abspath(src)}|{os.path.getmtime(src)}|{options.to_dict()}"
+        f"|{chunk_tokens}|{overlap}".encode()
+    ).hexdigest()[:16]
+    chunks_dir = os.path.join(_CACHE_ROOT, f"docchunks-{key}")
+    index_dir = os.path.join(_CACHE_ROOT, f"maxpidx-{key}")
+
+    def build() -> None:
+        ds = chunk_documents(
+            read_parquet_clean(src, columns=["doc_id", "text"]),
+            chunk_tokens=chunk_tokens,
+            overlap=overlap,
+        )
+        tbl = pa.concat_tables(
+            pa.table(b)
+            for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        keys = (
+            np.asarray(tbl["doc_id"], dtype=np.int64) * _MAXP_KEY_BASE
+            + np.asarray(tbl["chunk_id"], dtype=np.int64)
+        )
+        tbl = pa.table(
+            {
+                "chunk_key": pc.cast(pa.array(keys), pa.string()),
+                "text": tbl["text"],
+                "sort_key": pa.array(keys),
+            }
+        ).sort_by([("sort_key", "ascending")]).drop_columns(["sort_key"])
+        os.makedirs(chunks_dir, exist_ok=True)
+        pq.write_table(tbl, os.path.join(chunks_dir, "chunks.parquet"))
+        build_index(
+            chunks_dir,
+            index_dir,
+            BuildConfig(options=options),
+            source_column="text",
+            name_column="chunk_key",
+        )
+
+    return _locked_build(
+        index_dir, os.path.join(index_dir, ".complete"), build, "maxp index"
+    )
+
+
+def maxp_bm25_f64(
+    chunk_reader: IndexReader, keywords: list[tuple[str, int]]
+) -> tuple[np.ndarray, np.ndarray]:
+    """MaxP document ranking: BM25 over the passage index (chunk-level
+    n/avgdl/df — the passage corpus IS the collection), then each
+    document scores as the MAX over its chunks; ties -> numeric doc_id
+    ascending.  -> (numeric doc_ids, scores), full candidate set."""
+    ids, scores = bm25_scores_f64(chunk_reader, keywords)
+    if len(ids) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    docs = np.asarray(
+        [int(chunk_reader.doc_names[i]) // _MAXP_KEY_BASE for i in ids],
+        dtype=np.int64,
+    )
+    order = np.lexsort((-scores, docs))
+    d_s, s_s = docs[order], scores[order]
+    starts = np.concatenate(([0], np.flatnonzero(d_s[1:] != d_s[:-1]) + 1))
+    per_doc, per_score = d_s[starts], s_s[starts]  # first in group = max
+    rank = np.lexsort((per_doc, -per_score))
+    return per_doc[rank], per_score[rank]
+
+
 def phrase_bm25_f64(
     reader: IndexReader,
     pos_dir: str,

@@ -155,6 +155,7 @@ CHECKED = [
     "saat_rerank_top10",
     "saat_sharded_top10",
     "bm25_grid_sweep",
+    "maxp_top10",
 ]
 
 
