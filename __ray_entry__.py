@@ -2529,11 +2529,89 @@ def q_maxp_top10(sf_dir: str) -> pa.Table:
     )
 
 
-def _maxp_sql() -> str:
-    """Oracle for q_maxp_top10: rebuild the chunks (the chunk_documents
-    slicing), re-tokenize each chunk with the engine tokenizer, score
-    chunk-level BM25 with chunk-corpus statistics, aggregate MAX per
-    document."""
+def q_sump_top10(sf_dir: str) -> pa.Table:
+    """SumP passage aggregation: doc score = SUM of its chunks' INTEGER
+    micros scores — integer by construction so summation order cannot
+    matter on either side (the rrf lesson applied preemptively)."""
+    from search_engine_ray.engine.index_reader import IndexReader
+    from search_engine_ray.pipelines import (
+        documents_maxp_index_dir,
+        maxp_bm25_f64,
+    )
+
+    idx = documents_maxp_index_dir(sf_dir, OPT_NOSTEM)
+    reader = IndexReader(idx, preload=True)
+    docs, scores = maxp_bm25_f64(
+        reader, [(t, 1) for t in ("spark", "hash", "join")], agg="sum"
+    )
+    docs, scores = docs[:10], scores[:10]
+    return pa.table(
+        {"doc_id": pa.array(docs),
+         "score_micros": pa.array(scores.astype(np.int64))}
+    )
+
+
+def q_firstp_top10(sf_dir: str) -> pa.Table:
+    """FirstP passage aggregation: doc score = its LEAD chunk's score
+    (chunk 0) — the title/lead-paragraph heuristic."""
+    from search_engine_ray.engine.index_reader import IndexReader
+    from search_engine_ray.pipelines import (
+        documents_maxp_index_dir,
+        maxp_bm25_f64,
+    )
+
+    idx = documents_maxp_index_dir(sf_dir, OPT_NOSTEM)
+    reader = IndexReader(idx, preload=True)
+    docs, scores = maxp_bm25_f64(
+        reader, [(t, 1) for t in ("spark", "hash", "join")], agg="first"
+    )
+    docs, scores = docs[:10], scores[:10]
+    return pa.table(
+        {"doc_id": pa.array(docs), "score_micros": pa.array(_micros(scores))}
+    )
+
+
+def _maxp_sql(agg: str = "max") -> str:
+    """Oracle for the passage-aggregation gates: rebuild the chunks (the
+    chunk_documents slicing), re-tokenize each chunk with the engine
+    tokenizer, score chunk-level BM25 with chunk-corpus statistics, then
+    aggregate per document — MAX (MaxP), SUM of integer chunk micros
+    (SumP; integer so summation order cannot matter), or chunk 0 only
+    (FirstP)."""
+    if agg == "max":
+        tail = f"""
+            mx AS (SELECT doc_id, MAX(score) AS score FROM sc GROUP BY doc_id),
+            ranked AS (SELECT doc_id, score,
+                              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+                       FROM mx)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   {_SQL_MICROS.format(expr="score")} AS score_micros
+            FROM ranked WHERE r <= 10
+            ORDER BY r ASC
+        """
+    elif agg == "sum":
+        tail = f"""
+            cm AS (SELECT doc_id, {_SQL_MICROS.format(expr="score")} AS m FROM sc),
+            mx AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS score_micros
+                   FROM cm GROUP BY doc_id),
+            ranked AS (SELECT doc_id, score_micros,
+                              row_number() OVER (ORDER BY score_micros DESC, doc_id ASC) AS r
+                       FROM mx)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, score_micros
+            FROM ranked WHERE r <= 10
+            ORDER BY r ASC
+        """
+    else:  # first
+        tail = f"""
+            mx AS (SELECT doc_id, score FROM sc WHERE chunk_id = 0),
+            ranked AS (SELECT doc_id, score,
+                              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+                       FROM mx)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   {_SQL_MICROS.format(expr="score")} AS score_micros
+            FROM ranked WHERE r <= 10
+            ORDER BY r ASC
+        """
     return f"""
             WITH t0 AS (
               SELECT doc_id,
@@ -2577,15 +2655,7 @@ def _maxp_sql() -> str:
                    JOIN dl USING (doc_id, chunk_id) CROSS JOIN st
               GROUP BY tf.doc_id, tf.chunk_id
             ),
-            mx AS (SELECT doc_id, MAX(score) AS score FROM sc GROUP BY doc_id),
-            ranked AS (SELECT doc_id, score,
-                              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
-                       FROM mx)
-            SELECT CAST(doc_id AS BIGINT) AS doc_id,
-                   {_SQL_MICROS.format(expr="score")} AS score_micros
-            FROM ranked WHERE r <= 10
-            ORDER BY r ASC
-        """
+            {tail}"""
 
 
 def q_chunk_documents(sf_dir: str) -> pa.Table:
@@ -7480,6 +7550,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "saat_sharded_top10": q_saat_sharded_top10,
         "bm25_grid_sweep": q_bm25_grid_sweep,
         "maxp_top10": q_maxp_top10,
+        "sump_top10": q_sump_top10,
+        "firstp_top10": q_firstp_top10,
         # recorded driver-green in CORRECTNESS_r04, rotated out:
         "bm25adpt_top10": q_bm25adpt_top10,
         "bm25_qtf_top10": q_bm25_qtf_top10,
@@ -8509,6 +8581,8 @@ def oracle_sql() -> dict[str, str]:
         # the callable, so the exhaustive oracle certifies both
         "saat_sharded_top10": _saat_sql(budget=None),
         "maxp_top10": _maxp_sql(),
+        "sump_top10": _maxp_sql("sum"),
+        "firstp_top10": _maxp_sql("first"),
         "bm25_synonyms_top10": f"""
             WITH {_TOKS},
             dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),

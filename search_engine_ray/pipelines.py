@@ -1338,23 +1338,48 @@ def documents_maxp_index_dir(
 
 
 def maxp_bm25_f64(
-    chunk_reader: IndexReader, keywords: list[tuple[str, int]]
+    chunk_reader: IndexReader, keywords: list[tuple[str, int]],
+    agg: str = "max",
 ) -> tuple[np.ndarray, np.ndarray]:
-    """MaxP document ranking: BM25 over the passage index (chunk-level
-    n/avgdl/df — the passage corpus IS the collection), then each
-    document scores as the MAX over its chunks; ties -> numeric doc_id
-    ascending.  -> (numeric doc_ids, scores), full candidate set."""
+    """Passage-aggregated document ranking over the MaxP index — the
+    three published aggregators (Dai & Callan SIGIR'19):
+
+    - ``agg="max"``   MaxP: doc score = max over its chunks (float64;
+      max is order-independent, so hash-stable).
+    - ``agg="sum"``   SumP: doc score = sum of the chunks' INTEGER-MICROS
+      scores — integers by construction, so the sum is order-independent
+      too (a float SumP would inherit summation-associativity noise, the
+      rrf lesson).  Returned scores are micros.
+    - ``agg="first"`` FirstP: doc score = chunk 0's score (the lead
+      passage; float64).
+
+    Ties -> numeric doc_id ascending.  -> (numeric doc_ids, scores),
+    full candidate set."""
     ids, scores = bm25_scores_f64(chunk_reader, keywords)
     if len(ids) == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64)
-    docs = np.asarray(
-        [int(chunk_reader.doc_names[i]) // _MAXP_KEY_BASE for i in ids],
-        dtype=np.int64,
+    keys = np.asarray(
+        [int(chunk_reader.doc_names[i]) for i in ids], dtype=np.int64
     )
-    order = np.lexsort((-scores, docs))
-    d_s, s_s = docs[order], scores[order]
-    starts = np.concatenate(([0], np.flatnonzero(d_s[1:] != d_s[:-1]) + 1))
-    per_doc, per_score = d_s[starts], s_s[starts]  # first in group = max
+    docs = keys // _MAXP_KEY_BASE
+    chunk_no = keys % _MAXP_KEY_BASE
+    if agg == "max":
+        order = np.lexsort((-scores, docs))
+        d_s, s_s = docs[order], scores[order]
+        starts = np.concatenate(([0], np.flatnonzero(d_s[1:] != d_s[:-1]) + 1))
+        per_doc, per_score = d_s[starts], s_s[starts]  # first in group = max
+    elif agg == "sum":
+        micros = np.floor(scores * 1_000_000 + 0.5).astype(np.int64)
+        order = np.argsort(docs, kind="stable")
+        d_s, m_s = docs[order], micros[order]
+        starts = np.concatenate(([0], np.flatnonzero(d_s[1:] != d_s[:-1]) + 1))
+        per_doc = d_s[starts]
+        per_score = np.add.reduceat(m_s, starts)  # stays int64 micros
+    elif agg == "first":
+        keep = chunk_no == 0
+        per_doc, per_score = docs[keep], scores[keep]
+    else:
+        raise ValueError(f"unknown agg {agg!r} (max/sum/first)")
     rank = np.lexsort((per_doc, -per_score))
     return per_doc[rank], per_score[rank]
 

@@ -156,6 +156,8 @@ CHECKED = [
     "saat_sharded_top10",
     "bm25_grid_sweep",
     "maxp_top10",
+    "sump_top10",
+    "firstp_top10",
 ]
 
 

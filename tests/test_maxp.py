@@ -80,6 +80,36 @@ def test_concentration_wins(built):
     assert got_docs.tolist().index(concentrated) == 0  # top under MaxP
 
 
+def test_sump_and_firstp_aggregation(built):
+    """SumP == integer-micros groupby-sum; FirstP == chunk-0 restriction;
+    both recomputed independently from the raw chunk ranking."""
+    reader = IndexReader(built, preload=True)
+    kws = [("spark", 1), ("hash", 1), ("join", 1)]
+    c_ids, c_scores = bm25_scores_f64(reader, kws)
+    keys = np.asarray([int(reader.doc_names[i]) for i in c_ids], dtype=np.int64)
+    df = pd.DataFrame({
+        "doc": keys // _MAXP_KEY_BASE,
+        "chunk": keys % _MAXP_KEY_BASE,
+        "m": np.floor(c_scores * 1e6 + 0.5).astype(np.int64),
+        "score": c_scores,
+    })
+    exp_sum = df.groupby("doc")["m"].sum().reset_index()
+    exp_sum = exp_sum.sort_values(["m", "doc"], ascending=[False, True],
+                                  ignore_index=True)
+    got_docs, got_scores = maxp_bm25_f64(reader, kws, agg="sum")
+    assert got_docs.tolist() == exp_sum["doc"].tolist()
+    assert got_scores.tolist() == exp_sum["m"].tolist()
+
+    first = df[df["chunk"] == 0].sort_values(
+        ["score", "doc"], ascending=[False, True], ignore_index=True)
+    f_docs, f_scores = maxp_bm25_f64(reader, kws, agg="first")
+    assert f_docs.tolist() == first["doc"].tolist()
+    assert np.allclose(f_scores, first["score"].to_numpy(), rtol=0, atol=0)
+
+    with pytest.raises(ValueError):
+        maxp_bm25_f64(reader, kws, agg="median")
+
+
 def test_chunk_names_compose(built):
     reader = IndexReader(built, preload=True)
     for nm in reader.doc_names[:20]:
