@@ -1285,12 +1285,16 @@ def documents_maxp_index_dir(
     ``doc_id * 1e6 + chunk_id`` — the standard passage-retrieval layout
     (Dai & Callan SIGIR'19 BERT-MaxP lineage: score passages, aggregate
     max per document).  Chunk derivation is a distributed flat-map; the
-    chunk corpus is written sorted by (doc_id, chunk_id) so chunk docIDs
-    are deterministic."""
+    chunk corpus lands via the RANGE-PARTITIONED SORTED export
+    (dataops/export.range_partition_export: zero-padded part files with
+    disjoint ascending composite-key ranges, each sorted inside), so the
+    index build's fragment plan — files in name order — sees the global
+    (doc_id, chunk_id) order and chunk docIDs are deterministic WITHOUT
+    any driver-side materialization of the chunk table."""
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq
 
     from .dataops.chunk import chunk_documents
+    from .dataops.export import range_partition_export
     from .ioutil import read_parquet_clean
 
     src = os.path.join(sf_dir, "documents.parquet")
@@ -1301,29 +1305,39 @@ def documents_maxp_index_dir(
     chunks_dir = os.path.join(_CACHE_ROOT, f"docchunks-{key}")
     index_dir = os.path.join(_CACHE_ROOT, f"maxpidx-{key}")
 
-    def build() -> None:
-        ds = chunk_documents(
-            read_parquet_clean(src, columns=["doc_id", "text"]),
-            chunk_tokens=chunk_tokens,
-            overlap=overlap,
-        )
-        tbl = pa.concat_tables(
-            pa.table(b)
-            for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")
-        )
+    def with_key(batch: pa.Table) -> pa.Table:
         keys = (
-            np.asarray(tbl["doc_id"], dtype=np.int64) * _MAXP_KEY_BASE
-            + np.asarray(tbl["chunk_id"], dtype=np.int64)
+            np.asarray(batch["doc_id"], dtype=np.int64) * _MAXP_KEY_BASE
+            + np.asarray(batch["chunk_id"], dtype=np.int64)
         )
-        tbl = pa.table(
+        return pa.table(
             {
+                "ck": pa.array(keys),
+                "cid": batch["chunk_id"],
                 "chunk_key": pc.cast(pa.array(keys), pa.string()),
-                "text": tbl["text"],
-                "sort_key": pa.array(keys),
+                "text": batch["text"],
             }
-        ).sort_by([("sort_key", "ascending")]).drop_columns(["sort_key"])
-        os.makedirs(chunks_dir, exist_ok=True)
-        pq.write_table(tbl, os.path.join(chunks_dir, "chunks.parquet"))
+        )
+
+    def build() -> None:
+        def keyed():
+            return chunk_documents(
+                read_parquet_clean(src, columns=["doc_id", "text"]),
+                chunk_tokens=chunk_tokens,
+                overlap=overlap,
+            ).map_batches(with_key, batch_format="pyarrow")
+
+        # split points from the key's known structure (doc_id * base):
+        # a streaming max pass, no quantile shuffle over a near-unique key
+        hi = keyed().max("ck")
+        n_parts = 8
+        bounds = np.linspace(0, max(int(hi or 0), 1), n_parts + 1)[1:-1].astype(
+            np.int64
+        )
+        range_partition_export(
+            keyed(), chunks_dir, key="ck", n_partitions=n_parts,
+            id_column="cid", bounds=bounds,
+        )
         build_index(
             chunks_dir,
             index_dir,
