@@ -340,6 +340,19 @@ def run_benchmarks() -> dict:
     _doc_reader = IndexReader(index_dir)
     _QKWS = [("spark", 1), ("hash", 1), ("join", 1)]
 
+    # MaxP passage tier + grid tuning (round-5 session-5): build timed
+    # once (mtime-keyed cache — cold only on a fresh /tmp), query +
+    # sweep interleaved with the op rounds below
+    from search_engine_ray import pipelines as _pl
+    from search_engine_ray.engine import tune as _tune
+
+    t0 = time.perf_counter()
+    _maxp_dir = _pl.documents_maxp_index_dir(
+        SF_DIR, IndexOptions(case_folding=True, remove_stopwords=True, stemming=False)
+    )
+    timings["maxp_index_build"] = time.perf_counter() - t0
+    _maxp_reader = IndexReader(_maxp_dir, preload=True)
+
     # web link graph over the pages corpus (html carries the head <nav>
     # outlink block): vectorized <a href> extraction, host degrees, and
     # anchor-field BM25 as distributed aggregates
@@ -482,6 +495,12 @@ def run_benchmarks() -> dict:
             tg_dir, docs_ds, "window table").count()),
         ("trigram_regex", lambda: _trigram.regex_search(
             tg_dir, docs_ds, "big (table|query)").count()),
+        ("maxp_query", lambda: len(_pl.maxp_bm25_f64(_maxp_reader, _QKWS)[0])),
+        ("bm25_grid_sweep", lambda: _tune.sweep_bm25_grid(
+            index_dir,
+            [(1, ["dup"]), (2, ["dup", "key"]), (3, ["spark", "hash", "join"])],
+            [(900, 300), (1200, 750), (1500, 600), (2000, 900)],
+        ).num_rows),
     ]
     n_rounds = int(os.environ.get("SE_RAY_BENCH_OP_ROUNDS", "2"))
     samples: dict[str, list[float]] = {name: [] for name, _ in ops}
