@@ -491,3 +491,60 @@ def test_cli_query_relax_after_sortby(ray_session, capsys, tmp_path):
 
     assert main(["query", idx, q, "--sort-by", "n_chars"]) == 2
     capsys.readouterr()
+
+
+def test_cli_impact_saat_fsck_tune(cli_corpus, capsys, ray_session, tmp_path):
+    """Round-5 session-5 verbs end-to-end: impact-index -> saat
+    (exhaustive / --budget / --rerank) -> impact-fsck -> tune; plus the
+    tombstone path (saat output drops a deleted doc immediately)."""
+    index_dir = str(tmp_path / "idx")
+    imp_dir = str(tmp_path / "imp")
+    rc = main(["index", cli_corpus, index_dir,
+               "IndexOptions(CaseFolding,RemoveStopWords)", "--overwrite"])
+    assert rc == 0
+    capsys.readouterr()
+
+    assert main(["impact-index", index_dir, imp_dir, "--num-cpus", "2"]) == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["n_postings"] > 0 and meta["quant_levels"] == 256
+
+    # query terms from the index vocabulary (head by df)
+    r = IndexReader(index_dir)
+    terms = sorted(r._df, key=lambda t: -r._df[t])[:3]
+    q = " ".join(terms)
+
+    assert main(["saat", imp_dir, index_dir, q]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert lines and all("impact_score" in l for l in lines)
+    top_doc = lines[0]["doc"]
+
+    assert main(["saat", imp_dir, index_dir, q, "--budget", "5"]) == 0
+    blines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines() if l]
+    if blines:  # tiny budget may admit nothing
+        assert blines[0]["postings_processed"] <= 5
+
+    assert main(["saat", imp_dir, index_dir, q, "--rerank", "20"]) == 0
+    rlines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rlines and all("bm25" in l for l in rlines)
+
+    assert main(["impact-fsck", imp_dir, index_dir, "--num-cpus", "2"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["violations"] == 0
+
+    # tombstone: delete the SAAT top doc -> it must vanish from saat output
+    assert main(["delete", index_dir, top_doc]) == 0
+    capsys.readouterr()
+    assert main(["saat", imp_dir, index_dir, q]) == 0
+    after = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert top_doc not in [l["doc"] for l in after]
+
+    # tune over generated topics (index vocabulary)
+    topics = generate_topics(4, list(r._df)[:50], seed=3)
+    tpath = str(tmp_path / "topics.txt")
+    write_trec_topics(tpath, topics)
+    assert main(["tune", index_dir, tpath, "--grid", "900:300,1200:750",
+                 "--num-cpus", "2"]) == 0
+    tl = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(tl) == 3  # 2 configs + best line
+    assert "best_k1_milli" in tl[-1]
+    assert main(["tune", index_dir, tpath, "--grid", "bogus"]) == 2
